@@ -1,0 +1,446 @@
+"""Webhook vendor adapters — pure Python payload translators.
+
+Each adapter mirrors its reference counterpart in
+common/adapters/registry/*.scala (cited per function): a pure function
+``(qs: dict, content_type: str|None, body: str|None) -> list[event dict]``
+raising AdapterError for malformed payloads. Every produced event is a
+tracker-protocol parameter map whose unstruct event wraps the vendor JSON
+in the standard SDJ envelope (Adapter.toUnstructEventParams,
+common/adapters/registry/Adapter.scala:162-266): keep nuid/aid/cv/eid/
+ttm/url passthrough params, set e=ue + ue_pr envelope, p default srv.
+
+Schema URIs come from the reference's adaptersSchemas config
+(modules/common/src/main/resources/reference.conf).
+"""
+
+from __future__ import annotations
+
+import json
+from urllib.parse import parse_qsl
+
+
+class AdapterError(Exception):
+    """AdapterFailure — becomes an adapter_failures bad row."""
+
+
+TRACKER_VERSION = {
+    "callrail": "com.callrail-v1",
+    "cloudfront": "com.amazon.aws.cloudfront-wd_access_log",
+    "googleanalytics": "com.google.analytics.measurement-protocol-v1",
+    "hubspot": "com.hubspot-v1",
+    "mailchimp": "com.mailchimp-v1",
+    "mailgun": "com.mailgun-v1",
+    "mandrill": "com.mandrill-v1",
+    "marketo": "com.marketo-v1",
+    "olark": "com.olark-v1",
+    "pagerduty": "com.pagerduty-v1",
+    "pingdom": "com.pingdom-v1",
+    "sendgrid": "com.sendgrid-v3",
+    "statusgator": "com.statusgator-v1",
+    "unbounce": "com.unbounce-v1",
+    "urbanairship": "com.urbanairship.connect-v1",
+    "vero": "com.getvero-v1",
+}
+
+UE_ENVELOPE = "iglu:com.snowplowanalytics.snowplow/unstruct_event/jsonschema/1-0-0"
+
+# passthrough mappings kept from the original qs (Adapter.scala:50)
+_PASSTHROUGH = {"nuid": "nuid", "aid": "aid", "cv": "cv", "eid": "eid", "ttm": "ttm", "url": "url"}
+
+
+def _ue(schema_uri: str, data: dict | list, qs: dict, tracker: str, platform: str = "srv") -> dict:
+    envelope = {"schema": UE_ENVELOPE, "data": {"schema": schema_uri, "data": data}}
+    event = {"tv": tracker, "e": "ue", "p": qs.get("p", platform),
+             "ue_pr": json.dumps(envelope, separators=(",", ":"))}
+    for k, out in _PASSTHROUGH.items():
+        if k in qs and qs[k] is not None:
+            event[out] = qs[k]
+    return event
+
+
+def _require_body(body, content_type, expected_ct=None):
+    if body is None or body == "":
+        raise AdapterError("empty body: no events to process")
+    if expected_ct and (content_type is None or expected_ct not in content_type):
+        raise AdapterError(f"expected content type {expected_ct}, got {content_type}")
+    return body
+
+
+def _json_body(body, content_type, expected_ct="application/json"):
+    _require_body(body, content_type, expected_ct)
+    try:
+        return json.loads(body)
+    except (ValueError, TypeError) as e:
+        raise AdapterError(f"invalid JSON body: {e}") from e
+
+
+def _form_body(body, content_type):
+    _require_body(body, content_type, "application/x-www-form-urlencoded")
+    return dict(parse_qsl(body, keep_blank_values=True))
+
+
+# --- CallRail (registry/CallrailAdapter.scala:102) --------------------------
+
+def callrail(qs, content_type, body):
+    if not qs:
+        raise AdapterError("empty querystring: no CallRail event to process")
+    data = {k: v for k, v in qs.items() if k not in _PASSTHROUGH}
+    return [_ue("iglu:com.callrail/call_complete/jsonschema/1-0-2", data, qs,
+                TRACKER_VERSION["callrail"])]
+
+
+# --- Pingdom (registry/PingdomAdapter.scala:165) ----------------------------
+
+_PINGDOM_SCHEMAS = {
+    "assign": "iglu:com.pingdom/incident_assign/jsonschema/1-0-0",
+    "notify_user": "iglu:com.pingdom/incident_notify_user/jsonschema/1-0-0",
+    "notify_of_close": "iglu:com.pingdom/incident_notify_of_close/jsonschema/1-0-0",
+}
+
+
+def pingdom(qs, content_type, body):
+    if "message" not in qs:
+        raise AdapterError("no Pingdom message parameter")
+    # strip python-repr '(u'..')' artifacts (PingdomAdapter.scala:96-104)
+    raw = qs["message"]
+    try:
+        msg = json.loads(raw)
+    except ValueError as e:
+        raise AdapterError(f"Pingdom message is not JSON: {e}") from e
+    action = msg.get("action")
+    schema = _PINGDOM_SCHEMAS.get(action)
+    if schema is None:
+        raise AdapterError(f"no schema associated with Pingdom action [{action}]")
+    rest = {k: v for k, v in qs.items() if k != "message"}
+    return [_ue(schema, msg, rest, TRACKER_VERSION["pingdom"])]
+
+
+# --- StatusGator (registry/StatusGatorAdapter.scala:128) --------------------
+
+def statusgator(qs, content_type, body):
+    form = _form_body(body, content_type)
+    return [_ue("iglu:com.statusgator/status_change/jsonschema/1-0-0", form, qs,
+                TRACKER_VERSION["statusgator"])]
+
+
+# --- Unbounce (registry/UnbounceAdapter.scala:173) --------------------------
+
+def unbounce(qs, content_type, body):
+    form = _form_body(body, content_type)
+    if "data.json" not in form:
+        raise AdapterError("no data.json in Unbounce form body")
+    try:
+        data_json = json.loads(form["data.json"])
+    except ValueError as e:
+        raise AdapterError(f"Unbounce data.json is not JSON: {e}") from e
+    data = {k: v for k, v in form.items() if k != "data.json"}
+    data["data.json"] = data_json
+    return [_ue("iglu:com.unbounce/form_post/jsonschema/1-0-0", data, qs,
+                TRACKER_VERSION["unbounce"])]
+
+
+# --- Mailgun (registry/MailgunAdapter.scala:206) ----------------------------
+
+_MAILGUN_EVENTS = {
+    "bounced": "message_bounced", "clicked": "message_clicked",
+    "complained": "message_complained", "delivered": "message_delivered",
+    "dropped": "message_dropped", "opened": "message_opened",
+    "unsubscribed": "recipient_unsubscribed",
+}
+
+
+def mailgun(qs, content_type, body):
+    form = _form_body(body, content_type)
+    event = form.get("event")
+    name = _MAILGUN_EVENTS.get(event)
+    if name is None:
+        raise AdapterError(f"no schema associated with Mailgun event [{event}]")
+    return [_ue(f"iglu:com.mailgun/{name}/jsonschema/1-0-0", form, qs,
+                TRACKER_VERSION["mailgun"])]
+
+
+# --- Mandrill (registry/MandrillAdapter.scala:182) --------------------------
+
+_MANDRILL_SCHEMAS = {
+    "hard_bounce": "iglu:com.mandrill/message_bounced/jsonschema/1-0-2",
+    "click": "iglu:com.mandrill/message_clicked/jsonschema/1-0-2",
+    "deferral": "iglu:com.mandrill/message_delayed/jsonschema/1-0-2",
+    "delivered": "iglu:com.mandrill/message_delivered/jsonschema/1-0-0",
+    "spam": "iglu:com.mandrill/message_marked_as_spam/jsonschema/1-0-2",
+    "open": "iglu:com.mandrill/message_opened/jsonschema/1-0-3",
+    "reject": "iglu:com.mandrill/message_rejected/jsonschema/1-0-1",
+    "send": "iglu:com.mandrill/message_sent/jsonschema/1-0-1",
+    "soft_bounce": "iglu:com.mandrill/message_soft_bounced/jsonschema/1-0-2",
+    "unsub": "iglu:com.mandrill/recipient_unsubscribed/jsonschema/1-0-2",
+}
+
+
+def mandrill(qs, content_type, body):
+    form = _form_body(body, content_type)
+    if "mandrill_events" not in form:
+        raise AdapterError("no mandrill_events parameter in body")
+    try:
+        events = json.loads(form["mandrill_events"])
+    except ValueError as e:
+        raise AdapterError(f"mandrill_events is not JSON: {e}") from e
+    if not isinstance(events, list):
+        raise AdapterError("mandrill_events is not a JSON array")
+    out = []
+    for ev in events:
+        schema = _MANDRILL_SCHEMAS.get(ev.get("event"))
+        if schema is None:
+            raise AdapterError(f"no schema for Mandrill event [{ev.get('event')}]")
+        out.append(_ue(schema, ev, qs, TRACKER_VERSION["mandrill"]))
+    return out
+
+
+# --- Sendgrid (registry/SendgridAdapter.scala:153) --------------------------
+
+_SENDGRID_TYPES = {
+    "processed", "dropped", "delivered", "deferred", "bounce", "open",
+    "click", "spamreport", "unsubscribe", "group_unsubscribe", "group_resubscribe",
+}
+
+
+def sendgrid(qs, content_type, body):
+    events = _json_body(body, content_type)
+    if not isinstance(events, list):
+        raise AdapterError("Sendgrid body is not a JSON array")
+    out, seen = [], set()
+    for ev in events:
+        etype = ev.get("event")
+        if etype not in _SENDGRID_TYPES:
+            raise AdapterError(f"no schema for Sendgrid event [{etype}]")
+        # dedupe identical consecutive events by (event, sg_event_id)
+        key = json.dumps(ev, sort_keys=True)
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(_ue(f"iglu:com.sendgrid/{etype}/jsonschema/3-0-0", ev, qs,
+                       TRACKER_VERSION["sendgrid"]))
+    return out
+
+
+# --- HubSpot (registry/HubSpotAdapter.scala:175) ----------------------------
+
+_HUBSPOT_TYPES = {
+    "contact.creation": "contact_creation", "contact.deletion": "contact_deletion",
+    "contact.propertyChange": "contact_change", "company.creation": "company_creation",
+    "company.deletion": "company_deletion", "company.propertyChange": "company_change",
+    "deal.creation": "deal_creation", "deal.deletion": "deal_deletion",
+    "deal.propertyChange": "deal_change",
+}
+
+
+def hubspot(qs, content_type, body):
+    events = _json_body(body, content_type)
+    if not isinstance(events, list):
+        raise AdapterError("HubSpot body is not a JSON array")
+    out = []
+    for ev in events:
+        name = _HUBSPOT_TYPES.get(ev.get("subscriptionType"))
+        if name is None:
+            raise AdapterError(f"no schema for HubSpot type [{ev.get('subscriptionType')}]")
+        out.append(_ue(f"iglu:com.hubspot/{name}/jsonschema/1-0-0", ev, qs,
+                       TRACKER_VERSION["hubspot"]))
+    return out
+
+
+# --- Olark (registry/OlarkAdapter.scala:190) --------------------------------
+
+def olark(qs, content_type, body):
+    form = _form_body(body, content_type)
+    if "data" not in form:
+        raise AdapterError("no data parameter in Olark body")
+    try:
+        data = json.loads(form["data"])
+    except ValueError as e:
+        raise AdapterError(f"Olark data is not JSON: {e}") from e
+    name = "offline_message" if "tags" in data and "offline_message" in str(data.get("tags")) else "transcript"
+    return [_ue(f"iglu:com.olark/{name}/jsonschema/1-0-0", data, qs,
+                TRACKER_VERSION["olark"])]
+
+
+# --- PagerDuty (registry/PagerdutyAdapter.scala:178) ------------------------
+
+def pagerduty(qs, content_type, body):
+    doc = _json_body(body, content_type)
+    messages = doc.get("messages")
+    if not isinstance(messages, list):
+        raise AdapterError("no messages array in PagerDuty body")
+    return [
+        _ue("iglu:com.pagerduty/incident/jsonschema/1-0-0", m, qs,
+            TRACKER_VERSION["pagerduty"])
+        for m in messages
+    ]
+
+
+# --- UrbanAirship (registry/UrbanAirshipAdapter.scala:152) ------------------
+
+_UA_TYPES = {
+    "CLOSE", "CUSTOM", "FIRST_OPEN", "IN_APP_MESSAGE_DISPLAY",
+    "IN_APP_MESSAGE_EXPIRATION", "IN_APP_MESSAGE_RESOLUTION", "LOCATION",
+    "OPEN", "PUSH_BODY", "REGION", "RICH_DELETE", "RICH_DELIVERY",
+    "RICH_HEAD", "SEND", "TAG_CHANGE", "UNINSTALL",
+}
+
+
+def urbanairship(qs, content_type, body):
+    ev = _json_body(body, content_type, expected_ct=None)
+    etype = ev.get("type")
+    if etype not in _UA_TYPES:
+        raise AdapterError(f"no schema for UrbanAirship type [{etype}]")
+    return [_ue(f"iglu:com.urbanairship.connect/{etype}/jsonschema/1-0-0", ev, qs,
+                TRACKER_VERSION["urbanairship"], platform="mob")]
+
+
+# --- Vero (registry/VeroAdapter.scala:138) ----------------------------------
+
+_VERO_TYPES = {
+    "bounced", "clicked", "delivered", "opened", "sent", "unsubscribed",
+    "created", "updated",
+}
+
+
+def vero(qs, content_type, body):
+    ev = _json_body(body, content_type, expected_ct=None)
+    etype = ev.get("type")
+    if etype not in _VERO_TYPES:
+        raise AdapterError(f"no schema for Vero type [{etype}]")
+    return [_ue(f"iglu:com.getvero/{etype}/jsonschema/1-0-0", ev, qs,
+                TRACKER_VERSION["vero"])]
+
+
+# --- Marketo (registry/MarketoAdapter.scala:152) ----------------------------
+
+def marketo(qs, content_type, body):
+    ev = _json_body(body, content_type)
+    return [_ue("iglu:com.marketo/event/jsonschema/2-0-0", ev, qs,
+                TRACKER_VERSION["marketo"])]
+
+
+# --- Mailchimp (registry/MailchimpAdapter.scala:188) ------------------------
+
+_MAILCHIMP_TYPES = {
+    "subscribe", "unsubscribe", "campaign", "cleaned", "upemail", "profile",
+}
+_MAILCHIMP_SCHEMA_NAMES = {
+    "subscribe": "subscribe", "unsubscribe": "unsubscribe",
+    "campaign": "campaign_sending_status", "cleaned": "cleaned_email",
+    "upemail": "email_address_change", "profile": "profile_update",
+}
+
+
+def _undot(flat: dict) -> dict:
+    """Mailchimp dotted/bracketed form keys → nested JSON
+    (MailchimpAdapter.toNestedJson): data[merges][LNAME]=x → {data:{merges:{LNAME:x}}}"""
+    out: dict = {}
+    for key, value in flat.items():
+        parts = key.replace("]", "").replace("[", ".").split(".")
+        cur = out
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = value
+    return out
+
+
+def mailchimp(qs, content_type, body):
+    form = _form_body(body, content_type)
+    etype = form.get("type")
+    name = _MAILCHIMP_SCHEMA_NAMES.get(etype)
+    if name is None:
+        raise AdapterError(f"no schema for Mailchimp type [{etype}]")
+    nested = _undot(form)
+    return [_ue(f"iglu:com.mailchimp/{name}/jsonschema/1-0-0", nested, qs,
+                TRACKER_VERSION["mailchimp"])]
+
+
+# --- CloudFront access log (registry/CloudfrontAccessLogAdapter.scala:238) --
+
+_CLOUDFRONT_ARITY = {12: "1-0-0", 15: "1-0-1", 18: "1-0-2", 19: "1-0-3",
+                     23: "1-0-4", 24: "1-0-5", 26: "1-0-6"}
+_CF_FIELDS_12 = [
+    "dateTime", "xEdgeLocation", "scBytes", "cIp", "csMethod", "csHost",
+    "csUri", "scStatus", "csReferer", "csUserAgent", "csUriQuery", "csCookie",
+]
+
+
+def cloudfront(qs, content_type, body):
+    _require_body(body, None)
+    rows = [r for r in body.split("\n") if r.strip()]
+    out = []
+    for row in rows:
+        fields = row.split("\t")
+        n = len(fields)
+        version = _CLOUDFRONT_ARITY.get(n)
+        if version is None:
+            raise AdapterError(f"access log contains row with [{n}] fields; expected one of {sorted(_CLOUDFRONT_ARITY)}")
+        # first two tsv fields are date + time → ISO dateTime
+        data = {"dateTime": f"{fields[0]}T{fields[1]}Z"}
+        names = _CF_FIELDS_12[1:] + [f"field{i}" for i in range(13, n + 1)]
+        for name, value in zip(names, fields[2:]):
+            if value not in ("-", ""):
+                data[name] = value
+        out.append(_ue(
+            f"iglu:com.amazon.aws.cloudfront/wd_access_log/jsonschema/{version}",
+            data, qs, TRACKER_VERSION["cloudfront"],
+        ))
+    return out
+
+
+# --- Google Analytics measurement protocol (registry/GoogleAnalyticsAdapter.scala:832)
+
+_GA_HIT_SCHEMAS = {
+    "pageview": "page_view", "screenview": "screen_view", "event": "event",
+    "transaction": "transaction", "item": "item", "social": "social",
+    "exception": "exception", "timing": "timing",
+}
+# direct measurement-protocol → tracker-protocol mappings
+# (GoogleAnalyticsAdapter.directMappings:445-475)
+_GA_DIRECT = {
+    "uip": "ip", "dr": "refr", "de": "cs", "sd": "cd", "ul": "lang",
+    "je": "f_java", "dl": "url", "dt": "page", "ti": "tr_id", "ta": "tr_af",
+    "tr": "tr_tt", "ts": "tr_sh", "tt": "tr_tx", "in": "ti_nm", "ip": "ti_pr",
+    "iq": "ti_qu", "ic": "ti_sk", "iv": "ti_ca", "cu": "tr_cu", "ua": "ua",
+}
+
+
+def googleanalytics(qs, content_type, body):
+    _require_body(body, None)
+    out = []
+    for line in body.split("\n"):
+        line = line.strip()
+        if not line:
+            continue
+        params = dict(parse_qsl(line, keep_blank_values=True))
+        hit_type = params.get("t")
+        name = _GA_HIT_SCHEMAS.get(hit_type)
+        if name is None:
+            raise AdapterError(f"no GA hit type [{hit_type}]")
+        schema = f"iglu:com.google.analytics.measurement-protocol/{name}/jsonschema/1-0-0"
+        event = _ue(schema, params, {}, TRACKER_VERSION["googleanalytics"])
+        for mp_key, tp_key in _GA_DIRECT.items():
+            if mp_key in params:
+                event[tp_key] = params[mp_key]
+        out.append(event)
+    return out
+
+
+REGISTRY: dict[tuple[str, str], object] = {
+    ("com.callrail", "v1"): callrail,
+    ("com.pingdom", "v1"): pingdom,
+    ("com.statusgator", "v1"): statusgator,
+    ("com.unbounce", "v1"): unbounce,
+    ("com.mailgun", "v1"): mailgun,
+    ("com.mandrill", "v1"): mandrill,
+    ("com.sendgrid", "v3"): sendgrid,
+    ("com.hubspot", "v1"): hubspot,
+    ("com.olark", "v1"): olark,
+    ("com.pagerduty", "v1"): pagerduty,
+    ("com.urbanairship.connect", "v1"): urbanairship,
+    ("com.getvero", "v1"): vero,
+    ("com.marketo", "v1"): marketo,
+    ("com.mailchimp", "v1"): mailchimp,
+    ("com.amazon.aws.cloudfront", "wd_access_log"): cloudfront,
+    ("com.google.analytics", "v1"): googleanalytics,
+}

@@ -1,0 +1,254 @@
+"""Enrichment configuration model.
+
+Parses the same self-describing JSON enrichment configs the reference
+ships (/root/reference/config/enrichments/*.json; parser dispatch mirrors
+common/enrichments/EnrichmentRegistry.scala:109-173). Every enrichment is
+optional: an absent config means the plan builder skips that stage
+entirely (job-compile-time skip, vs the reference's per-row Option check).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+
+@dataclass
+class CampaignAttributionConf:
+    medium_params: list[str] = field(default_factory=lambda: ["utm_medium"])
+    source_params: list[str] = field(default_factory=lambda: ["utm_source"])
+    term_params: list[str] = field(default_factory=lambda: ["utm_term"])
+    content_params: list[str] = field(default_factory=lambda: ["utm_content"])
+    campaign_params: list[str] = field(default_factory=lambda: ["utm_campaign"])
+    # ordered (qs param -> network name); mirrors clickIdParameters
+    click_id_params: list[tuple[str, str]] = field(
+        default_factory=lambda: [("gclid", "Google"), ("msclkid", "Microsoft"), ("dclid", "DoubleClick")]
+    )
+
+
+@dataclass
+class AnonIpConf:
+    ipv4_octets: int = 2
+    ipv6_segments: int = 4
+
+
+@dataclass
+class EventFingerprintConf:
+    algorithm: str = "MD5"  # MD5 | SHA1 | SHA256 | SHA384 | SHA512
+    excluded_params: list[str] = field(default_factory=lambda: ["eid", "stm", "cv", "nuid"])
+
+
+@dataclass
+class RefererParserConf:
+    internal_domains: list[str] = field(default_factory=list)
+
+
+@dataclass
+class CrossNavigationConf:
+    enabled: bool = True
+
+
+@dataclass
+class CookieExtractorConf:
+    cookies: list[str] = field(default_factory=list)
+
+
+@dataclass
+class HttpHeaderExtractorConf:
+    headers_pattern: str = ".*"
+
+
+@dataclass
+class PiiPseudonymizerConf:
+    # atomic field names to pseudonymize (reference pii/ScalarMutators.scala:15-122)
+    fields: list[str] = field(default_factory=lambda: ["user_id", "user_ipaddress"])
+    hash_function: str = "SHA-256"  # MD5 | SHA-1 | SHA-256 | SHA-384 | SHA-512
+    salt: str = ""
+    anonymous_only: bool = False
+    emit_identification_event: bool = False
+
+
+@dataclass
+class IpLookupsConf:
+    # path to a parquet/csv range table (ip_start, ip_end, country, region,
+    # city, zipcode, latitude, longitude, region_name, timezone, isp,
+    # organization, domain, netspeed); or an .mmdb path when maxminddb is
+    # importable. See operators/geo.py.
+    geo_path: str | None = None
+    mmdb_path: str | None = None
+
+
+@dataclass
+class CurrencyConversionConf:
+    base_currency: str = "EUR"
+    rates_path: str | None = None  # parquet/csv: (day DATE, from_ccy, to_ccy, rate DECIMAL)
+
+
+@dataclass
+class UaParserConf:
+    enabled: bool = True
+
+
+@dataclass
+class UserAgentUtilsConf:
+    enabled: bool = True
+
+
+@dataclass
+class YauaaConf:
+    enabled: bool = True
+
+
+@dataclass
+class IabConf:
+    # spider/robot detection lists (public IAB list shape); small built-ins by default
+    bot_ua_patterns: list[str] = field(
+        default_factory=lambda: ["(?i)bot", "(?i)crawler", "(?i)spider", "(?i)slurp", "curl/", "wget/"]
+    )
+    datacenter_ip_ranges: list[str] = field(default_factory=list)
+
+
+@dataclass
+class JavascriptScriptConf:
+    # our extension surface: a Python callable with the JS-enrichment
+    # contract (SURVEY §2.5 #21) — fn(event: dict, params: dict, headers: list) ->
+    # None | list[context] | raise | {"drop": True}
+    function: Any = None
+    params: dict = field(default_factory=dict)
+
+
+@dataclass
+class EnrichmentsConfig:
+    campaign_attribution: CampaignAttributionConf | None = None
+    anon_ip: AnonIpConf | None = None
+    event_fingerprint: EventFingerprintConf | None = None
+    referer_parser: RefererParserConf | None = None
+    cross_navigation: CrossNavigationConf | None = None
+    cookie_extractor: CookieExtractorConf | None = None
+    http_header_extractor: HttpHeaderExtractorConf | None = None
+    pii_pseudonymizer: PiiPseudonymizerConf | None = None
+    ip_lookups: IpLookupsConf | None = None
+    currency_conversion: CurrencyConversionConf | None = None
+    ua_parser: UaParserConf | None = None
+    user_agent_utils: UserAgentUtilsConf | None = None
+    yauaa: YauaaConf | None = None
+    iab: IabConf | None = None
+    javascript_script: JavascriptScriptConf | None = None
+
+    @staticmethod
+    def default() -> "EnrichmentsConfig":
+        """The baseline enrichment set used by BASELINE.md's bench plan."""
+        return EnrichmentsConfig(
+            campaign_attribution=CampaignAttributionConf(),
+            anon_ip=AnonIpConf(),
+            event_fingerprint=EventFingerprintConf(),
+            referer_parser=RefererParserConf(),
+            cross_navigation=CrossNavigationConf(),
+            pii_pseudonymizer=None,
+            ua_parser=UaParserConf(),
+            user_agent_utils=UserAgentUtilsConf(),
+        )
+
+
+# --- SDJ config-file parsing (EnrichmentRegistry.parse dispatch) -----------
+
+_SNAKE = {
+    "campaign_attribution": "campaign_attribution",
+    "anon_ip": "anon_ip",
+    "event_fingerprint_config": "event_fingerprint",
+    "event_fingerprint": "event_fingerprint",
+    "referer_parser": "referer_parser",
+    "cross_navigation_config": "cross_navigation",
+    "cookie_extractor_config": "cookie_extractor",
+    "http_header_extractor_config": "http_header_extractor",
+    "pii_enrichment_config": "pii_pseudonymizer",
+    "ip_lookups": "ip_lookups",
+    "currency_conversion_config": "currency_conversion",
+    "ua_parser_config": "ua_parser",
+    "user_agent_utils_config": "user_agent_utils",
+    "yauaa_enrichment_config": "yauaa",
+    "iab_spiders_and_robots_enrichment": "iab",
+}
+
+
+def parse_enrichment_sdj(doc: dict) -> tuple[str, Any] | None:
+    """One SDJ enrichment config document → (slot_name, conf) or None if disabled."""
+    data = doc.get("data", doc)
+    name = data.get("name", "")
+    if not data.get("enabled", False):
+        return None
+    params = data.get("parameters", {})
+    slot = _SNAKE.get(name)
+    if slot is None:
+        return None
+    if slot == "campaign_attribution":
+        f = params.get("fields", {})
+        return slot, CampaignAttributionConf(
+            medium_params=f.get("mktMedium", ["utm_medium"]),
+            source_params=f.get("mktSource", ["utm_source"]),
+            term_params=f.get("mktTerm", ["utm_term"]),
+            content_params=f.get("mktContent", ["utm_content"]),
+            campaign_params=f.get("mktCampaign", ["utm_campaign"]),
+            click_id_params=list((f.get("mktClickId") or {}).items())
+            or CampaignAttributionConf().click_id_params,
+        )
+    if slot == "anon_ip":
+        return slot, AnonIpConf(
+            ipv4_octets=int(params.get("anonOctets", 2)),
+            ipv6_segments=int(params.get("anonSegments", params.get("anonOctets", 4))),
+        )
+    if slot == "event_fingerprint":
+        return slot, EventFingerprintConf(
+            algorithm=params.get("hashAlgorithm", "MD5"),
+            excluded_params=params.get("excludeParameters", ["eid", "stm", "cv", "nuid"]),
+        )
+    if slot == "referer_parser":
+        return slot, RefererParserConf(internal_domains=params.get("internalDomains", []))
+    if slot == "cross_navigation":
+        return slot, CrossNavigationConf()
+    if slot == "cookie_extractor":
+        return slot, CookieExtractorConf(cookies=params.get("cookies", []))
+    if slot == "http_header_extractor":
+        return slot, HttpHeaderExtractorConf(headers_pattern=params.get("headersPattern", ".*"))
+    if slot == "pii_pseudonymizer":
+        pojo = [
+            p["pojo"]["field"]
+            for p in params.get("pii", [])
+            if "pojo" in p
+        ]
+        strategy = params.get("strategy", {}).get("pseudonymize", {})
+        return slot, PiiPseudonymizerConf(
+            fields=pojo or PiiPseudonymizerConf().fields,
+            hash_function=strategy.get("hashFunction", "SHA-256"),
+            salt=strategy.get("salt", ""),
+            anonymous_only=params.get("anonymousOnly", False),
+            emit_identification_event=data.get("emitEvent", False),
+        )
+    if slot == "ip_lookups":
+        geo = params.get("geo", {})
+        return slot, IpLookupsConf(geo_path=geo.get("uri"), mmdb_path=geo.get("database"))
+    if slot == "currency_conversion":
+        return slot, CurrencyConversionConf(base_currency=params.get("baseCurrency", "EUR"))
+    if slot == "ua_parser":
+        return slot, UaParserConf()
+    if slot == "user_agent_utils":
+        return slot, UserAgentUtilsConf()
+    if slot == "yauaa":
+        return slot, YauaaConf()
+    if slot == "iab":
+        return slot, IabConf()
+    return None
+
+
+def load_enrichments_config(paths: list[str | Path]) -> EnrichmentsConfig:
+    """Build an EnrichmentsConfig from reference-style JSON config files."""
+    cfg = EnrichmentsConfig()
+    for p in paths:
+        doc = json.loads(Path(p).read_text())
+        parsed = parse_enrichment_sdj(doc)
+        if parsed:
+            slot, conf = parsed
+            setattr(cfg, slot, conf)
+    return cfg

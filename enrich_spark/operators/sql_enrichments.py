@@ -1,0 +1,360 @@
+"""Pure-SQL enrichment stages (no UDFs, no shuffle).
+
+Each stage is a plan-builder `df -> df` that adds/overwrites atomic
+columns or appends to the ``_derived`` contexts array
+(ARRAY<STRUCT<schema STRING, data STRING>>). Order of application is the
+reference's fixed sequence (common/enrichments/EnrichmentManager.scala:342-393).
+
+All expressions are native pyspark.sql.functions, so the entire
+enrichment chain fuses into whole-stage codegen — the per-row cost at
+100 TB is a single projection pass, with no Python round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import (
+    AnonIpConf,
+    CampaignAttributionConf,
+    CookieExtractorConf,
+    CrossNavigationConf,
+    EventFingerprintConf,
+    HttpHeaderExtractorConf,
+    PiiPseudonymizerConf,
+)
+from ..functions import conversions as C
+
+DERIVED_COL = "_derived"
+
+
+def _append_derived(df: DataFrame, schema_uri: str, data_json: Column, when: Column) -> DataFrame:
+    """Append {schema, data} to the derived-contexts array when `when` holds."""
+    ctx = F.struct(F.lit(schema_uri).alias("schema"), data_json.alias("data"))
+    base = F.col(DERIVED_COL) if DERIVED_COL in df.columns else F.array().cast(
+        "array<struct<schema:string,data:string>>"
+    )
+    return df.withColumn(
+        DERIVED_COL, F.when(when, F.array_append(base, ctx)).otherwise(base)
+    )
+
+
+def ensure_derived(df: DataFrame) -> DataFrame:
+    if DERIVED_COL not in df.columns:
+        df = df.withColumn(
+            DERIVED_COL, F.array().cast("array<struct<schema:string,data:string>>")
+        )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# §2.5 #2 getPageUri + #9 extractQueryString — URI explode
+# (EnrichmentManager.scala:528-548, ConversionUtils.explodeUri:75)
+
+def _explode_uri(df: DataFrame, src: str, prefix: str) -> DataFrame:
+    url = F.col(src)
+    scheme = F.parse_url(url, F.lit("PROTOCOL"))
+    authority = F.parse_url(url, F.lit("AUTHORITY"))
+    host = F.parse_url(url, F.lit("HOST"))
+    explicit_port = F.regexp_extract(authority, ":(\\d+)$", 1)
+    port = (
+        F.when(explicit_port != "", explicit_port.cast("int"))
+        .when(scheme == "https", F.lit(443))
+        .otherwise(F.lit(80))
+    )
+    path = F.parse_url(url, F.lit("PATH"))
+    query = F.parse_url(url, F.lit("QUERY"))
+    fragment = F.parse_url(url, F.lit("REF"))
+    nonempty = lambda c: F.when(url.isNotNull() & (c != ""), c)  # noqa: E731
+    return df.withColumns({
+        f"{prefix}scheme": F.when(url.isNotNull(), scheme),
+        f"{prefix}host": nonempty(host),
+        f"{prefix}port": F.when(url.isNotNull() & host.isNotNull(), port),
+        f"{prefix}path": nonempty(C.make_tsv_safe(path)),
+        f"{prefix}query": nonempty(C.make_tsv_safe(query)),
+        f"{prefix}fragment": nonempty(C.make_tsv_safe(fragment)),
+    })
+
+
+def page_uri(df: DataFrame) -> DataFrame:
+    """page_url fallback to collector referer, then explode components."""
+    df = df.withColumn("page_url", F.coalesce(F.col("page_url"), F.col("referer_uri")))
+    return _explode_uri(df, "page_url", "page_url")
+
+
+def referer_uri(df: DataFrame) -> DataFrame:
+    return _explode_uri(df, "page_referrer", "refr_url")
+
+
+# ---------------------------------------------------------------------------
+# §2.5 #3 getDerivedTstamp (EventEnrichments.getDerivedTimestamp:74-106)
+
+def derived_tstamp(df: DataFrame) -> DataFrame:
+    ct, dct, dst, ttm = (F.col(c) for c in
+                         ["collector_tstamp", "dvce_created_tstamp",
+                          "dvce_sent_tstamp", "true_tstamp"])
+    skew_ms = F.unix_millis(dst) - F.unix_millis(dct)
+    corrected = F.timestamp_millis(F.unix_millis(ct) - skew_ms)
+    return df.withColumn(
+        "derived_tstamp",
+        F.when(ttm.isNotNull(), ttm)
+        .when(dst.isNotNull() & dct.isNotNull() & (skew_ms > 0), corrected)
+        .otherwise(ct),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 #10 setCampaign (CampaignAttributionEnrichment.scala:103-144)
+
+def _qs_map(query_col: Column) -> Column:
+    """Querystring → MAP<STRING,STRING>, URL-decoded values, last-wins dupes."""
+    m = F.str_to_map(query_col, F.lit("&"), F.lit("="))
+    return F.transform_values(m, lambda k, v: F.url_decode(F.coalesce(v, F.lit(""))))
+
+
+def _first_param(m: Column, names: list[str]) -> Column:
+    out = F.lit(None).cast("string")
+    for name in reversed(names):
+        out = F.when(F.map_contains_key(m, F.lit(name)), m[F.lit(name)]).otherwise(out)
+    return out
+
+
+def campaign_attribution(df: DataFrame, conf: CampaignAttributionConf) -> DataFrame:
+    m = _qs_map(F.col("page_urlquery"))
+    click_id = F.lit(None).cast("string")
+    network = F.lit(None).cast("string")
+    for param, net in reversed(conf.click_id_params):
+        hit = F.map_contains_key(m, F.lit(param))
+        click_id = F.when(hit, m[F.lit(param)]).otherwise(click_id)
+        network = F.when(hit, F.lit(net)).otherwise(network)
+    return df.withColumns({
+        "mkt_medium": C.make_tsv_safe(_first_param(m, conf.medium_params)),
+        "mkt_source": C.make_tsv_safe(_first_param(m, conf.source_params)),
+        "mkt_term": C.make_tsv_safe(_first_param(m, conf.term_params)),
+        "mkt_content": C.make_tsv_safe(_first_param(m, conf.content_params)),
+        "mkt_campaign": C.make_tsv_safe(_first_param(m, conf.campaign_params)),
+        "mkt_clickid": C.make_tsv_safe(click_id),
+        "mkt_network": network,
+    })
+
+
+# ---------------------------------------------------------------------------
+# §2.5 #11 getCrossDomain (CrossNavigationEnrichment.makeCrossDomainMap:143)
+
+def cross_navigation(df: DataFrame, conf: CrossNavigationConf) -> DataFrame:
+    sp = _qs_map(F.col("page_urlquery"))[F.lit("_sp")]
+    parts = F.split(sp, "\\.", -1)
+    duid = F.when(F.length(parts[0]) > 0, parts[0])
+    ts_raw = parts[1]
+    ts = F.when(
+        ts_raw.rlike("^[0-9]+$"), F.timestamp_millis(ts_raw.cast("long"))
+    )
+    has_sp = sp.isNotNull() & (F.length(sp) > 0)
+    return df.withColumns({
+        "refr_domain_userid": F.when(has_sp, duid),
+        "refr_dvce_tstamp": F.when(has_sp, ts),
+    })
+
+
+# ---------------------------------------------------------------------------
+# §2.5 #12 setEventFingerprint (EventFingerprintEnrichment.scala:84-103)
+
+_US = "\x1f"  # EventFingerprintEnrichment.UnitSeparator:37
+
+
+def _hash_by(algorithm: str, col: Column) -> Column:
+    alg = algorithm.upper().replace("-", "")
+    if alg == "MD5":
+        return F.md5(col)
+    if alg == "SHA1":
+        return F.sha1(col)
+    if alg in ("SHA256", "SHA384", "SHA512"):
+        return F.sha2(col, int(alg[3:]))
+    raise ValueError(f"[{algorithm}] is not a supported fingerprint algorithm")
+
+
+def event_fingerprint(df: DataFrame, conf: EventFingerprintConf) -> DataFrame:
+    """MD5 over sorted `key\\x1fvalue\\x1f…` of raw params minus excluded."""
+    entries = F.array_sort(F.map_entries(F.col("parameters")))
+    if conf.excluded_params:
+        pred = lambda e: (~e.getField("key").isin(*conf.excluded_params)) & e.getField("value").isNotNull()  # noqa: E731
+    else:
+        pred = lambda e: e.getField("value").isNotNull()  # noqa: E731
+    kept = F.filter(entries, pred)
+    joined = F.array_join(
+        F.transform(kept, lambda e: F.concat(e.getField("key"), F.lit(_US),
+                                             e.getField("value"), F.lit(_US))),
+        "",
+    )
+    return df.withColumn("event_fingerprint", _hash_by(conf.algorithm, joined))
+
+
+# ---------------------------------------------------------------------------
+# §2.5 #24 anonIp (AnonIpEnrichment.scala:131-185)
+
+def _mask_v4(ip: Column, octets: int) -> Column:
+    # reference: split.take(4-octets).padTo(split.size, "x") — result length
+    # always equals the ORIGINAL split size (malformed short IPs keep size)
+    parts = F.split(ip, "\\.")
+    keep = F.slice(parts, 1, 4 - octets)
+    n_mask = F.greatest(F.size(parts) - F.size(keep), F.lit(0))
+    return F.array_join(F.concat(keep, F.array_repeat(F.lit("x"), n_mask)), ".")
+
+
+def _mask_v6(ip: Column, segments: int) -> Column:
+    # reference: split.take(8-segments).padTo(8, "x") — always 8 segments out
+    parts = F.split(ip, ":")
+    keep = F.slice(parts, 1, 8 - segments)
+    n_mask = F.lit(8) - F.least(F.lit(8 - segments), F.size(parts))
+    return F.array_join(F.concat(keep, F.array_repeat(F.lit("x"), n_mask)), ":")
+
+
+def anon_ip(df: DataFrame, conf: AnonIpConf, column: str = "user_ipaddress") -> DataFrame:
+    ip = F.col(column)
+    v4_mapped = F.upper(ip).startswith("::FFFF:")
+    v4_tail = F.expr(f"substring({column}, 8)")
+    looks_v4 = ip.contains(".") | (F.length(ip) == 0)
+    looks_v6 = ip.contains(":")
+    out = (
+        F.when(ip.isNull(), F.lit(None))
+        .when(v4_mapped, F.concat(F.substring(ip, 1, 7), _mask_v4(v4_tail, conf.ipv4_octets)))
+        .when(looks_v4, _mask_v4(ip, conf.ipv4_octets))
+        .when(looks_v6, _mask_v6(ip, conf.ipv6_segments))
+        .otherwise(ip)
+    )
+    return df.withColumn(column, out)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 #17 extractSchemaFields (SchemaEnrichment.scala:19-61)
+
+_IGLU_RE = "^iglu:([^/]+)/([^/]+)/([^/]+)/(.+)$"
+_SYNTHETIC = {
+    "page_view": ("com.snowplowanalytics.snowplow", "page_view"),
+    "page_ping": ("com.snowplowanalytics.snowplow", "page_ping"),
+    "transaction": ("com.snowplowanalytics.snowplow", "transaction"),
+    "transaction_item": ("com.snowplowanalytics.snowplow", "transaction_item"),
+    "struct": ("com.google.analytics", "event"),
+}
+
+
+def schema_fields(df: DataFrame) -> DataFrame:
+    ev = F.col("event")
+    ue_schema = F.get_json_object(F.col("ue_json"), "$.data.schema")
+    vendor = F.lit(None).cast("string")
+    name = F.lit(None).cast("string")
+    fmt = F.lit(None).cast("string")
+    version = F.lit(None).cast("string")
+    for etype, (v, n) in _SYNTHETIC.items():
+        vendor = F.when(ev == etype, F.lit(v)).otherwise(vendor)
+        name = F.when(ev == etype, F.lit(n)).otherwise(name)
+        fmt = F.when(ev == etype, F.lit("jsonschema")).otherwise(fmt)
+        version = F.when(ev == etype, F.lit("1-0-0")).otherwise(version)
+    is_ue = (ev == "unstruct") & ue_schema.isNotNull()
+    vendor = F.when(is_ue, F.regexp_extract(ue_schema, _IGLU_RE, 1)).otherwise(vendor)
+    name = F.when(is_ue, F.regexp_extract(ue_schema, _IGLU_RE, 2)).otherwise(name)
+    fmt = F.when(is_ue, F.regexp_extract(ue_schema, _IGLU_RE, 3)).otherwise(fmt)
+    version = F.when(is_ue, F.regexp_extract(ue_schema, _IGLU_RE, 4)).otherwise(version)
+    return df.withColumns({
+        "event_vendor": vendor, "event_name": name,
+        "event_format": fmt, "event_version": version,
+    })
+
+
+# ---------------------------------------------------------------------------
+# §2.5 #13/#14 cookie + header contexts
+# (CookieExtractorEnrichment.scala:52-81, HttpHeaderExtractorEnrichment.scala:58-80)
+
+def cookie_contexts(df: DataFrame, conf: CookieExtractorConf) -> DataFrame:
+    df = ensure_derived(df)
+    if not conf.cookies:
+        return df
+    headers = F.coalesce(F.col("headers"), F.array().cast("array<string>"))
+    cookie_hdrs = F.filter(headers, lambda h: F.lower(h).startswith("cookie:"))
+    pairs = F.flatten(
+        F.transform(
+            cookie_hdrs,
+            lambda h: F.split(F.trim(h.substr(F.lit(8), F.length(h))), "; *"),
+        )
+    )
+    # build one context per configured cookie name found
+    for name in conf.cookies:
+        val = F.element_at(
+            F.transform(
+                F.filter(pairs, lambda p: F.split(p, "=", 2)[0] == name),
+                lambda p: F.split(p, "=", 2)[1],
+            ),
+            1,
+        )
+        data = F.to_json(F.struct(F.lit(name).alias("name"), val.alias("value")))
+        df = _append_derived(
+            df, "iglu:org.ietf/http_cookie/jsonschema/1-0-0", data, val.isNotNull()
+        )
+    return df
+
+
+def http_header_contexts(df: DataFrame, conf: HttpHeaderExtractorConf) -> DataFrame:
+    df = ensure_derived(df)
+    headers = F.coalesce(F.col("headers"), F.array().cast("array<string>"))
+    matched = F.filter(
+        headers,
+        lambda h: F.split(h, ": ?", 2)[0].rlike(conf.headers_pattern),
+    )
+    ctxs = F.transform(
+        matched,
+        lambda h: F.struct(
+            F.lit("iglu:org.ietf/http_header/jsonschema/1-0-0").alias("schema"),
+            F.to_json(
+                F.struct(
+                    F.split(h, ": ?", 2)[0].alias("name"),
+                    F.split(h, ": ?", 2)[1].alias("value"),
+                )
+            ).alias("data"),
+        ),
+    )
+    return df.withColumn(DERIVED_COL, F.concat(F.col(DERIVED_COL), ctxs))
+
+
+# ---------------------------------------------------------------------------
+# §2.5 #25 piiTransform — scalar mutators (pii/PiiPseudonymizerEnrichment.scala:252-387)
+
+def pii_pseudonymizer(df: DataFrame, conf: PiiPseudonymizerConf) -> DataFrame:
+    """Hash configured atomic fields; record originals in the `pii` JSON field."""
+    anon_gate = F.lit(True)
+    if conf.anonymous_only:
+        headers = F.coalesce(F.col("headers"), F.array().cast("array<string>"))
+        anon_gate = F.exists(headers, lambda h: F.lower(h).startswith("sp-anonymous:"))
+    changed = []
+    cols = {}
+    for fname in conf.fields:
+        orig = F.col(fname)
+        hashed = _hash_by(conf.hash_function, F.concat(F.lit(conf.salt), orig))
+        cols[fname] = F.when(anon_gate & orig.isNotNull(), hashed).otherwise(orig)
+        changed.append(
+            F.when(
+                anon_gate & orig.isNotNull(),
+                F.struct(
+                    F.lit(fname).alias("fieldName"),
+                    hashed.alias("modifiedValue"),
+                    orig.alias("originalValue"),
+                ),
+            )
+        )
+    pii_json = F.to_json(
+        F.struct(
+            F.lit("iglu:com.snowplowanalytics.snowplow/pii_transformation/jsonschema/1-0-0").alias("schema"),
+            F.struct(
+                F.struct(
+                    F.array_compact(F.array(*changed)).alias("pojo")
+                ).alias("pii"),
+                F.struct(
+                    F.lit(conf.hash_function).alias("hashFunction")
+                ).alias("strategy"),
+            ).alias("data"),
+        )
+    )
+    df = df.withColumns(cols)
+    return df.withColumn(
+        "pii", F.when(anon_gate & F.lit(bool(conf.fields)), pii_json)
+    )

@@ -1,0 +1,178 @@
+"""The enrichment pipeline assembler — the engine's "physical plan".
+
+`enrich(payloads, cfg, spark)` composes the full chain in the reference's
+fixed operator order (common/enrichments/EnrichmentManager.scala:342-393,
+EtlPipeline.processEvents common/EtlPipeline.scala:53-94):
+
+    adapt (1→N explode) → transform → pure-SQL enrichments →
+    asset-backed lookups (broadcast joins) → validation → 3-way split
+
+Enabled-ness is decided at PLAN-BUILD time (an unconfigured enrichment
+contributes zero operators — better than the reference's per-row Option
+checks, and Catalyst fuses whatever remains into one or two codegen
+stages with NO shuffle on the event stream; the only joins are broadcast).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..adapters import registry as adapters
+from ..config import EnrichmentsConfig
+from ..operators import currency as currency_op
+from ..operators import geo as geo_op
+from ..operators import referer as referer_op
+from ..operators import sql_enrichments as sql_ops
+from ..operators import ua as ua_op
+from ..operators.script import script_enrichment
+from ..schema import ATOMIC_FIELD_NAMES, ATOMIC_FIELD_LIMITS, ATOMIC_FIELDS
+from .transform import transform_params
+
+UE_ENVELOPE_RE = "^iglu:com\\.snowplowanalytics\\.snowplow/unstruct_event/jsonschema/1-"
+CO_ENVELOPE_RE = "^iglu:com\\.snowplowanalytics\\.snowplow/contexts/jsonschema/1-"
+
+
+@dataclass
+class EnrichResult:
+    """Tri-state output (reference OptionIor, core/Processing.scala:139-147)."""
+
+    good: DataFrame
+    bad: DataFrame
+    all: DataFrame  # annotated superset, for tests/metrics
+
+
+def enrich(payloads: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> EnrichResult:
+    # ---- 1..N adapter explode
+    df = adapters.adapt(payloads)
+
+    # ---- tracker-protocol transform (atomic columns + _errors)
+    df = transform_params(df)
+
+    # ---- structural validation of SDJ envelopes (full Iglu validation is
+    # a UDF stage, see functions/iglu.py; envelope checks are native)
+    ue_schema = F.get_json_object(F.col("ue_json"), "$.schema")
+    co_schema = F.get_json_object(F.col("co_json"), "$.schema")
+    df = df.withColumn(
+        "_errors",
+        F.concat(
+            F.col("_errors"),
+            F.array_compact(
+                F.array(
+                    F.when(
+                        F.col("ue_json").isNotNull()
+                        & (ue_schema.isNull() | ~ue_schema.rlike(UE_ENVELOPE_RE)),
+                        F.lit("ue_pr\tnot a valid unstruct_event self-describing payload\t"),
+                    ),
+                    F.when(
+                        F.col("co_json").isNotNull()
+                        & (co_schema.isNull() | ~co_schema.rlike(CO_ENVELOPE_RE)),
+                        F.lit("co\tnot a valid contexts self-describing payload\t"),
+                    ),
+                )
+            ),
+        ),
+    )
+
+    # ---- enrichment sequence (order mirrors accState :342-393)
+    df = sql_ops.ensure_derived(df)
+    df = sql_ops.page_uri(df)
+    df = sql_ops.derived_tstamp(df)
+    if cfg.iab:
+        df = ua_op.iab_spiders_robots(df, cfg.iab.bot_ua_patterns)
+    if cfg.user_agent_utils:
+        df = ua_op.user_agent_utils(df)
+    if cfg.ua_parser:
+        df = ua_op.ua_parser_context(df)
+    if cfg.currency_conversion:
+        rates = (
+            currency_op.load_rates_table(spark, cfg.currency_conversion.rates_path)
+            if cfg.currency_conversion.rates_path
+            else currency_op.demo_rates_table(spark)
+        )
+        df = currency_op.currency_conversion(df, cfg.currency_conversion, rates)
+    df = sql_ops.referer_uri(df)
+    if cfg.referer_parser:
+        db = referer_op.referer_db(spark)
+        df = referer_op.referer_parser(df, cfg.referer_parser, db)
+    if cfg.campaign_attribution:
+        df = sql_ops.campaign_attribution(df, cfg.campaign_attribution)
+    if cfg.cross_navigation:
+        df = sql_ops.cross_navigation(df, cfg.cross_navigation)
+    if cfg.event_fingerprint:
+        df = sql_ops.event_fingerprint(df, cfg.event_fingerprint)
+    if cfg.cookie_extractor:
+        df = sql_ops.cookie_contexts(df, cfg.cookie_extractor)
+    if cfg.http_header_extractor:
+        df = sql_ops.http_header_contexts(df, cfg.http_header_extractor)
+    df = sql_ops.schema_fields(df)
+    if cfg.ip_lookups:
+        geo_table = (
+            geo_op.load_geo_table(spark, cfg.ip_lookups.geo_path)
+            if cfg.ip_lookups.geo_path
+            else geo_op.demo_geo_table(spark)
+        )
+        df = geo_op.ip_lookups(df, geo_table)
+    else:
+        # unconfigured lookups leave the atomic columns NULL
+        missing = {c: F.lit(None).cast("string") for c in geo_op.GEO_COLS
+                   if c not in df.columns and "lat" not in c and "lon" not in c}
+        missing.update({c: F.lit(None).cast("float") for c in ("geo_latitude", "geo_longitude")
+                        if c not in df.columns})
+        df = df.withColumns(missing)
+    if cfg.anon_ip:
+        df = sql_ops.anon_ip(df, cfg.anon_ip)
+    if cfg.javascript_script and cfg.javascript_script.function:
+        df = script_enrichment(df, cfg.javascript_script)
+    if cfg.pii_pseudonymizer:
+        df = sql_ops.pii_pseudonymizer(df, cfg.pii_pseudonymizer)
+
+    # ---- atomic length validation (AtomicFieldsLengthValidator.scala:34-86)
+    df = validate_atomic_lengths(df)
+
+    # ---- fill any never-set atomic columns with typed NULLs
+    kinds = dict(ATOMIC_FIELDS)
+    fills = {}
+    for name in ATOMIC_FIELD_NAMES:
+        if name not in df.columns and name not in ("contexts", "unstruct_event", "derived_contexts"):
+            k = kinds[name]
+            t = {"s": "string", "i": "int", "f": "float", "d": "decimal(18,2)",
+                 "b": "byte", "t": "timestamp", "j": "string"}[k]
+            fills[name] = F.lit(None).cast(t)
+    df = df.withColumns(fills)
+
+    bad_cond = (
+        F.col("loader_error").isNotNull()
+        | F.col("_adapter_error").isNotNull()
+        | (F.size(F.col("_errors")) > 0)
+    )
+    annotated = df.withColumn("_is_bad", bad_cond)
+    return EnrichResult(
+        good=annotated.where(~F.col("_is_bad")),
+        bad=annotated.where(F.col("_is_bad")),
+        all=annotated,
+    )
+
+
+def validate_atomic_lengths(df: DataFrame, accept_invalid: bool = True) -> DataFrame:
+    """Truncate oversize atomic strings (accept_invalid=True, the v6
+    default posture) or accumulate SchemaViolations otherwise."""
+    if accept_invalid:
+        cols = {}
+        for name, limit in ATOMIC_FIELD_LIMITS.items():
+            if name in df.columns:
+                cols[name] = F.when(
+                    F.length(F.col(name)) > limit, F.substring(F.col(name), 1, limit)
+                ).otherwise(F.col(name))
+        return df.withColumns(cols)
+    checks = [
+        F.when(
+            F.length(F.col(name)) > limit,
+            F.concat_ws("\t", F.lit(name), F.lit(f"longer than {limit} characters"), F.col(name)),
+        )
+        for name, limit in ATOMIC_FIELD_LIMITS.items()
+        if name in df.columns
+    ]
+    return df.withColumn("_errors", F.concat(F.col("_errors"), F.array_compact(F.array(*checks))))
