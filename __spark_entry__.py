@@ -1,38 +1,967 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+through the REAL engine code paths (enrich_spark.*). Since the reference
+is a record-level enrichment engine (not a SQL engine), enrich-side
+queries first derive deterministic tracker-protocol inputs from the
+``events`` table with pure SQL — the identical derivation appears in the
+DuckDB oracle — then run the actual pipeline and project the operator's
+output columns. Data-pipeline queries run directly on ``documents`` /
+``embeddings``.
+
+All outputs are cast to BIGINT/DOUBLE/STRING and timestamps to epoch
+micros so Spark↔DuckDB value hashing is type-stable; floats are rounded
+to 4 decimals before ranking/compare.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.001"
+
+US = "\x1f"  # fingerprint unit separator
+DUCK_US = "chr(31)"
+
+# ---------------------------------------------------------------------------
+# shared synthetic raw-event derivation (Spark side). The DuckDB oracle
+# mirrors these expressions 1:1 (see _D_* fragments below).
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS); Spark needs the legacy
+    nanosAsLong conf, after which ts arrives as BIGINT nanos → convert to
+    a real timestamp (micros, same truncation DuckDB applies)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return ev
+
+
+def _raw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load_events(spark, sf_dir)
+    uid = F.col("user_id")
+    eid = F.col("event_id")
+    e_code = (
+        F.when(F.col("event_type") == "view", "pv")
+        .when(F.col("event_type") == "click", "pp")
+        .when(F.col("event_type") == "purchase", "tr")
+        .otherwise("se")
+    )
+    url = F.concat(
+        F.lit("https://shop.example.com/p/"), (eid % 50).cast("string"),
+        F.lit("?utm_source=src"), (uid % 5).cast("string"),
+        F.lit("&utm_medium=m"), (uid % 3).cast("string"),
+        F.lit("&utm_campaign=camp"), (eid % 7).cast("string"),
+        F.lit("&gclid=g"), eid.cast("string"),
+        F.lit("&_sp=u"), uid.cast("string"), F.lit("."),
+        F.unix_millis(F.col("ts")).cast("string"),
+    )
+    refr = (
+        F.when(uid % 4 == 0, F.concat(F.lit("https://www.google.com/search?q=q"), eid.cast("string")))
+        .when(uid % 4 == 1, F.concat(F.lit("https://t.co/x"), eid.cast("string")))
+        .when(uid % 4 == 2, F.lit("https://shop.example.com/home"))
+    )
+    ip = (
+        F.when(uid % 4 == 0, F.concat(F.lit("81.2.69."), (eid % 256).cast("string")))
+        .when(uid % 4 == 1, F.concat(F.lit("216.160.83."), (56 + eid % 8).cast("string")))
+        .when(uid % 4 == 2, F.concat(F.lit("89.160.20."), (112 + eid % 16).cast("string")))
+        .otherwise(F.concat(F.lit("192.0.2."), (eid % 256).cast("string")))
+    )
+    uas = [
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Mobile/15E148 Safari/604.1",
+        "Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/121.0.0.0 Mobile Safari/537.36",
+        "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:122.0) Gecko/20100101 Firefox/122.0",
+    ]
+    ua = F.element_at(F.array(*[F.lit(u) for u in uas]), (uid % 5 + 1).cast("int"))
+    dtm = F.unix_millis(F.col("ts"))
+    stm = dtm + (eid % 5) * 250
+    params = F.map_filter(
+        F.create_map(
+            F.lit("e"), e_code,
+            F.lit("p"), F.element_at(F.array(F.lit("web"), F.lit("mob"), F.lit("srv")), (uid % 3 + 1).cast("int")),
+            F.lit("aid"), F.concat(F.lit("app-"), (uid % 3).cast("string")),
+            F.lit("tid"), (eid % 100000 + 1).cast("string"),
+            F.lit("uid"), F.concat(F.lit("user_"), uid.cast("string")),
+            F.lit("vid"), (uid % 10 + 1).cast("string"),
+            F.lit("dtm"), dtm.cast("string"),
+            F.lit("stm"), stm.cast("string"),
+            F.lit("ip"), ip,
+            F.lit("url"), url,
+            F.lit("refr"), refr,
+            F.lit("tr_tt"), F.when(e_code == "tr", F.round(F.col("value"), 2).cast("string")),
+            F.lit("tr_cu"), F.when(
+                e_code == "tr",
+                F.element_at(F.array(F.lit("GBP"), F.lit("USD"), F.lit("JPY")), (uid % 3 + 1).cast("int")),
+            ),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    return ev.select(
+        eid.alias("src_event_id"),
+        params.alias("parameters"),
+        (F.col("ts") + F.expr("INTERVAL 2 SECONDS")).alias("collector_tstamp"),
+        ua.alias("useragent"),
+        F.lit("ssc-test").alias("collector_name"),
+    )
+
+
+def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enrich_spark.config import EnrichmentsConfig, IpLookupsConf
+    from enrich_spark.plans.pipeline import enrich_raw
+
+    cfg = EnrichmentsConfig.default()
+    cfg.ip_lookups = IpLookupsConf()  # demo range table
+    res = enrich_raw(_raw_events(spark, sf_dir), cfg, spark)
+    return res.good
+
+
+# DuckDB fragments mirroring the derivation above (events table `e`)
+_D_ECODE = ("CASE e.event_type WHEN 'view' THEN 'pv' WHEN 'click' THEN 'pp' "
+            "WHEN 'purchase' THEN 'tr' ELSE 'se' END")
+_D_EVENT = ("CASE e.event_type WHEN 'view' THEN 'page_view' WHEN 'click' THEN 'page_ping' "
+            "WHEN 'purchase' THEN 'transaction' ELSE 'struct' END")
+_D_URL = ("'https://shop.example.com/p/' || (e.event_id % 50) || '?utm_source=src' || (e.user_id % 5)"
+          " || '&utm_medium=m' || (e.user_id % 3) || '&utm_campaign=camp' || (e.event_id % 7)"
+          " || '&gclid=g' || e.event_id || '&_sp=u' || e.user_id || '.' || epoch_ms(e.ts)")
+_D_IP = ("CASE WHEN e.user_id % 4 = 0 THEN '81.2.69.' || (e.event_id % 256) "
+         "WHEN e.user_id % 4 = 1 THEN '216.160.83.' || (56 + e.event_id % 8) "
+         "WHEN e.user_id % 4 = 2 THEN '89.160.20.' || (112 + e.event_id % 16) "
+         "ELSE '192.0.2.' || (e.event_id % 256) END")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full enrichment pipeline on sf0.001-derived payloads."""
+    good = _enriched(spark, SF001)
+    return good.select(
+        "src_event_id", "app_id", "platform", "event", "txn_id", "user_id",
+        "user_ipaddress", "geo_country", "geo_city", "page_urlhost",
+        "mkt_source", "mkt_medium", "mkt_clickid", "refr_medium",
+        "br_family", "os_family", "dvce_type", "event_fingerprint",
+        "event_vendor", "event_name", "derived_tstamp", "collector_tstamp",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- enrich-side -------------------------------------------------------
+    def q_transform_atomic(spark, sf):
+        g = _enriched(spark, sf)
+        return g.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            "event", "platform", "app_id",
+            F.col("txn_id").cast("long").alias("txn_id"),
+            F.col("user_id").alias("uid"),
+            F.col("domain_sessionidx").cast("long").alias("vid"),
+            F.unix_micros("dvce_created_tstamp").alias("dvce_created_us"),
+        )
+
+    q["transform_atomic"] = q_transform_atomic
+
+    def q_page_uri(spark, sf):
+        g = _enriched(spark, sf)
+        return g.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            "page_urlscheme", "page_urlhost",
+            F.col("page_urlport").cast("long").alias("page_urlport"),
+            "page_urlpath", "page_urlquery",
+        )
+
+    q["page_uri_explode"] = q_page_uri
+
+    def q_campaign(spark, sf):
+        g = _enriched(spark, sf)
+        return g.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            "mkt_medium", "mkt_source", "mkt_campaign", "mkt_term",
+            "mkt_content", "mkt_clickid", "mkt_network",
+        )
+
+    q["campaign_attribution"] = q_campaign
+
+    def q_referer(spark, sf):
+        g = _enriched(spark, sf)
+        return g.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            "refr_urlhost", "refr_medium", "refr_source", "refr_term",
+        )
+
+    q["referer_parser"] = q_referer
+
+    def q_derived_tstamp(spark, sf):
+        g = _enriched(spark, sf)
+        return g.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            F.unix_micros("derived_tstamp").alias("derived_us"),
+            F.unix_micros("collector_tstamp").alias("collector_us"),
+        )
+
+    q["derived_tstamp"] = q_derived_tstamp
+
+    def q_anon_ip(spark, sf):
+        g = _enriched(spark, sf)
+        return g.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            F.col("user_ipaddress").alias("anon_ip"),
+        )
+
+    q["anon_ip"] = q_anon_ip
+
+    def q_geo(spark, sf):
+        g = _enriched(spark, sf)
+        return g.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            "geo_country", "geo_city", "geo_timezone", "ip_isp",
+        )
+
+    q["ip_lookups"] = q_geo
+
+    def q_fingerprint(spark, sf):
+        g = _enriched(spark, sf)
+        return g.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            "event_fingerprint",
+        )
+
+    q["event_fingerprint"] = q_fingerprint
+
+    def q_cross_nav(spark, sf):
+        g = _enriched(spark, sf)
+        return g.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            "refr_domain_userid",
+            F.unix_micros("refr_dvce_tstamp").alias("refr_dvce_us"),
+        )
+
+    q["cross_navigation"] = q_cross_nav
+
+    def q_schema_fields(spark, sf):
+        g = _enriched(spark, sf)
+        return g.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            "event_vendor", "event_name", "event_format", "event_version",
+        )
+
+    q["schema_fields"] = q_schema_fields
+
+    def q_ua(spark, sf):
+        g = _enriched(spark, sf)
+        return g.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            "br_family", "br_version", "br_type", "os_family", "dvce_type",
+            F.col("dvce_ismobile").cast("long").alias("dvce_ismobile"),
+        )
+
+    q["ua_classify"] = q_ua
+
+    def q_currency(spark, sf):
+        from enrich_spark.config import CurrencyConversionConf
+        from enrich_spark.operators.currency import currency_conversion, demo_rates_table
+
+        ev = _load_events(spark, sf)
+        base = ev.select(
+            F.col("event_id").alias("src_event_id"),
+            F.lit("2024-01-01 12:00:00").cast("timestamp").alias("collector_tstamp"),
+            F.col("value").cast("decimal(18,2)").alias("tr_total"),
+            F.lit(None).cast("decimal(18,2)").alias("tr_tax"),
+            F.lit(None).cast("decimal(18,2)").alias("tr_shipping"),
+            F.lit(None).cast("decimal(18,2)").alias("ti_price"),
+            F.element_at(
+                F.array(F.lit("GBP"), F.lit("USD"), F.lit("JPY")),
+                (F.col("user_id") % 3 + 1).cast("int"),
+            ).alias("tr_currency"),
+            F.lit(None).cast("string").alias("ti_currency"),
+        )
+        out = currency_conversion(base, CurrencyConversionConf(base_currency="EUR"),
+                                  demo_rates_table(spark))
+        return out.select(
+            "src_event_id", "tr_currency",
+            F.col("tr_total").cast("double").alias("tr_total"),
+            F.col("tr_total_base").cast("double").alias("tr_total_base"),
+            "base_currency",
+        )
+
+    q["currency_conversion"] = q_currency
+
+    def q_adapter_explode(spark, sf):
+        from enrich_spark.adapters.registry import adapt
+
+        ev = _load_events(spark, sf)
+        body = F.to_json(
+            F.struct(
+                F.lit("iglu:com.snowplowanalytics.snowplow/payload_data/jsonschema/1-0-4").alias("schema"),
+                F.array(
+                    F.create_map(F.lit("e"), F.lit("pv"), F.lit("aid"), F.lit("a1"),
+                                 F.lit("page"), F.concat(F.lit("pg"), F.col("event_id").cast("string"))),
+                    F.create_map(F.lit("e"), F.lit("pp"), F.lit("aid"), F.lit("a2"),
+                                 F.lit("page"), F.concat(F.lit("pg"), F.col("event_id").cast("string"))),
+                ).alias("data"),
+            )
+        )
+        payloads = ev.select(
+            F.col("event_id").alias("src_event_id"),
+            F.lit("com.snowplowanalytics.snowplow").alias("api_vendor"),
+            F.lit("tp2").alias("api_version"),
+            F.lit(None).cast("array<struct<name:string,value:string>>").alias("querystring"),
+            F.lit("application/json").alias("content_type"),
+            body.alias("body"),
+        )
+        out = adapt(payloads)
+        return out.select(
+            "src_event_id",
+            F.col("parameters")["e"].alias("e"),
+            F.col("parameters")["aid"].alias("aid"),
+            F.col("parameters")["page"].alias("page"),
+        )
+
+    q["adapter_explode"] = q_adapter_explode
+
+    def q_bad_rows(spark, sf):
+        from enrich_spark.config import EnrichmentsConfig
+        from enrich_spark.plans.pipeline import enrich_raw
+
+        ev = _load_events(spark, sf)
+        params = F.create_map(
+            F.lit("e"), F.lit("pv"),
+            F.lit("p"), F.when(F.col("user_id") % 7 == 0, F.lit("desktop")).otherwise(F.lit("web")),
+            F.lit("tid"), F.when(F.col("user_id") % 11 == 0, F.lit("not-a-number"))
+            .otherwise(F.col("event_id").cast("string")),
+        )
+        raw = ev.select(
+            F.col("event_id").alias("src_event_id"),
+            params.alias("parameters"),
+            F.col("ts").alias("collector_tstamp"),
+        )
+        res = enrich_raw(raw, EnrichmentsConfig.default(), spark)
+        return res.all.select(
+            "src_event_id",
+            F.col("_is_bad").cast("long").alias("is_bad"),
+            F.size("_errors").cast("long").alias("n_errors"),
+        )
+
+    q["bad_row_split"] = q_bad_rows
+
+    def q_metadata_agg(spark, sf):
+        ev = _load_events(spark, sf)
+        return (
+            ev.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum("value"), 2).cast("double").alias("sum_value"),
+            )
+        )
+
+    q["metadata_aggregation"] = q_metadata_agg
+
+    def q_sessionize(spark, sf):
+        ev = _load_events(spark, sf)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        new_sess = (gap.isNull() | (gap > 1800 * 1_000_000)).cast("long")
+        sess = ev.withColumn("new_sess", new_sess)
+        return (
+            sess.groupBy("user_id")
+            .agg(
+                F.sum("new_sess").alias("n_sessions"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        )
+
+    q["sessionize"] = q_sessionize
+
+    # ---- data-pipeline side ------------------------------------------------
+    def q_dedup_exact(spark, sf):
+        from enrich_spark.datapipe.dedup import exact_dedup
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return exact_dedup(docs).select(
+            "content_hash",
+            F.col("doc_id").cast("long").alias("keep_id"),
+            F.col("dup_count").cast("long").alias("dup_count"),
+        )
+
+    q["dedup_exact"] = q_dedup_exact
+
+    def q_minhash_sig(spark, sf):
+        from enrich_spark.datapipe.dedup import md5_hash_family, minhash_signature, shingles
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        sig = minhash_signature(shingles(F.col("text"), 1), 4, md5_hash_family)
+        return docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            sig[0].alias("mh0"), sig[1].alias("mh1"),
+            sig[2].alias("mh2"), sig[3].alias("mh3"),
+        )
+
+    q["dedup_minhash_signature"] = q_minhash_sig
+
+    def q_minhash_lsh(spark, sf):
+        from enrich_spark.datapipe.dedup import md5_hash_family, minhash_lsh_pairs
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4, shingle_k=2,
+                                  jaccard_threshold=0.5, family=md5_hash_family)
+        return pairs.select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+
+    q["dedup_minhash_lsh"] = q_minhash_lsh
+
+    def q_ngram_jaccard(spark, sf):
+        from enrich_spark.datapipe.dedup import ngram_jaccard_pairs
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.15)
+        return pairs.select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+
+    q["dedup_ngram_jaccard"] = q_ngram_jaccard
+
+    def q_simhash(spark, sf):
+        from enrich_spark.datapipe.dedup import simhash_pairs
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return simhash_pairs(docs, max_hamming=8).select(
+            F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+            F.col("hamming").cast("long"),
+        )
+
+    q["dedup_simhash"] = q_simhash  # no SQL oracle: 64 bit-vote aggs (rows-only)
+
+    def q_ann_brute(spark, sf):
+        from enrich_spark.datapipe.similarity import brute_force_topk
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        vecs = emb.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        )
+        queries_df = vecs.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        # round before ranking so Spark/DuckDB agree on order at ties
+        from enrich_spark.datapipe.similarity import cosine
+
+        scored = vecs.crossJoin(F.broadcast(queries_df)).select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("query_vec")), 4).alias("cosine_sim"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 10)
+            .select(
+                F.col("query_id").cast("long"), F.col("vec_id").cast("long"),
+                "cosine_sim", "rank",
+            )
+        )
+
+    q["ann_cosine_topk"] = q_ann_brute
+
+    def q_ann_lsh(spark, sf):
+        from enrich_spark.datapipe.similarity import lsh_topk
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        vecs = emb.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        )
+        queries_df = vecs.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        out = lsh_topk(vecs, queries_df, dim=64, k=10, num_tables=4, bits=6)
+        return out.select(
+            F.col("query_id").cast("long"), F.col("vec_id").cast("long"),
+            F.round("cosine_sim", 4).alias("cosine_sim"),
+        )
+
+    q["ann_lsh_topk"] = q_ann_lsh  # no SQL oracle: hyperplane lits (rows-only)
+
+    def q_embedding_dup(spark, sf):
+        from enrich_spark.datapipe.similarity import cosine
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        vecs = emb.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        )
+        l = vecs.alias("l")
+        r = vecs.alias("r")
+        pairs = l.join(r, F.col("l.vec_id") < F.col("r.vec_id")).select(
+            F.col("l.vec_id").cast("long").alias("id_a"),
+            F.col("r.vec_id").cast("long").alias("id_b"),
+            F.round(cosine(F.col("l.embedding"), F.col("r.embedding")), 4).alias("cosine_sim"),
+        )
+        return pairs.where(F.col("cosine_sim") >= 0.4)
+
+    q["embedding_dup_pairs"] = q_embedding_dup
+
+    def q_lang_id(spark, sf):
+        from enrich_spark.datapipe.text import language_id
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return language_id(docs).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "detected_lang"
+        )
+
+    q["text_language_id"] = q_lang_id
+
+    def q_quality(spark, sf):
+        from enrich_spark.datapipe.text import quality_score
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        out = quality_score(docs)
+        return out.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round("mean_word_len", 4).alias("mean_word_len"),
+            F.round("punct_ratio", 4).alias("punct_ratio"),
+            F.round("stopword_ratio", 4).alias("stopword_ratio"),
+            F.round("distinct_word_ratio", 4).alias("distinct_word_ratio"),
+            F.round("quality_score", 4).alias("quality_score"),
+        )
+
+    q["text_quality_score"] = q_quality
+
+    def q_tokens(spark, sf):
+        from enrich_spark.datapipe.text import token_counts
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return token_counts(docs).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("ws_tokens").cast("long").alias("ws_tokens"),
+            F.col("bpe_est_tokens").cast("long").alias("bpe_est_tokens"),
+        )
+
+    q["text_token_counts"] = q_tokens
+
+    def q_fingerprint_doc(spark, sf):
+        from enrich_spark.datapipe.text import doc_fingerprint
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        out = doc_fingerprint(docs)
+        # oracle-parity winnow: md5-based variant
+        norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+        n = F.length(norm)
+        idx = F.sequence(F.lit(1), F.greatest(n - 7, F.lit(1)))
+        grams = F.transform(idx, lambda i: norm.substr(i, F.lit(8)))
+        winnow = F.array_min(
+            F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"))
+        )
+        return docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.md5(norm).alias("content_hash"),
+            winnow.alias("winnow_hash"),
+        )
+
+    q["doc_fingerprint"] = q_fingerprint_doc
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracles
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    ecode = _D_ECODE
+    url = _D_URL
+    ip = _D_IP
+    o: dict[str, str] = {}
+
+    o["transform_atomic"] = f"""
+        SELECT e.event_id AS src_event_id,
+               {_D_EVENT} AS event,
+               CASE e.user_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'mob' ELSE 'srv' END AS platform,
+               'app-' || (e.user_id % 3) AS app_id,
+               (e.event_id % 100000 + 1) AS txn_id,
+               'user_' || e.user_id AS uid,
+               (e.user_id % 10 + 1) AS vid,
+               epoch_ms(e.ts) * 1000 AS dvce_created_us
+        FROM events e
     """
-    return {}
+
+    o["page_uri_explode"] = """
+        SELECT e.event_id AS src_event_id,
+               'https' AS page_urlscheme,
+               'shop.example.com' AS page_urlhost,
+               CAST(443 AS BIGINT) AS page_urlport,
+               '/p/' || (e.event_id % 50) AS page_urlpath,
+               'utm_source=src' || (e.user_id % 5) || '&utm_medium=m' || (e.user_id % 3)
+                 || '&utm_campaign=camp' || (e.event_id % 7) || '&gclid=g' || e.event_id
+                 || '&_sp=u' || e.user_id || '.' || epoch_ms(e.ts) AS page_urlquery
+        FROM events e
+    """
+
+    o["campaign_attribution"] = """
+        SELECT e.event_id AS src_event_id,
+               'm' || (e.user_id % 3) AS mkt_medium,
+               'src' || (e.user_id % 5) AS mkt_source,
+               'camp' || (e.event_id % 7) AS mkt_campaign,
+               CAST(NULL AS VARCHAR) AS mkt_term,
+               CAST(NULL AS VARCHAR) AS mkt_content,
+               'g' || e.event_id AS mkt_clickid,
+               'Google' AS mkt_network
+        FROM events e
+    """
+
+    o["referer_parser"] = """
+        SELECT e.event_id AS src_event_id,
+               CASE WHEN e.user_id % 4 = 0 THEN 'www.google.com'
+                    WHEN e.user_id % 4 = 1 THEN 't.co'
+                    WHEN e.user_id % 4 = 2 THEN 'shop.example.com' END AS refr_urlhost,
+               CASE WHEN e.user_id % 4 = 0 THEN 'search'
+                    WHEN e.user_id % 4 = 1 THEN 'social'
+                    WHEN e.user_id % 4 = 2 THEN 'internal' END AS refr_medium,
+               CASE WHEN e.user_id % 4 = 0 THEN 'Google'
+                    WHEN e.user_id % 4 = 1 THEN 'Twitter' END AS refr_source,
+               CASE WHEN e.user_id % 4 = 0 THEN 'q' || e.event_id END AS refr_term
+        FROM events e
+    """
+
+    o["derived_tstamp"] = """
+        SELECT e.event_id AS src_event_id,
+               CASE WHEN e.event_id % 5 = 0
+                    THEN epoch_us(e.ts + INTERVAL 2 SECOND)
+                    ELSE (epoch_ms(e.ts + INTERVAL 2 SECOND) - (e.event_id % 5) * 250) * 1000
+               END AS derived_us,
+               epoch_us(e.ts + INTERVAL 2 SECOND) AS collector_us
+        FROM events e
+    """
+
+    o["anon_ip"] = """
+        SELECT e.event_id AS src_event_id,
+               CASE WHEN e.user_id % 4 = 0 THEN '81.2.x.x'
+                    WHEN e.user_id % 4 = 1 THEN '216.160.x.x'
+                    WHEN e.user_id % 4 = 2 THEN '89.160.x.x'
+                    ELSE '192.0.x.x' END AS anon_ip
+        FROM events e
+    """
+
+    o["ip_lookups"] = """
+        SELECT e.event_id AS src_event_id,
+               CASE WHEN e.user_id % 4 = 0 THEN 'GB'
+                    WHEN e.user_id % 4 = 1 THEN 'US'
+                    WHEN e.user_id % 4 = 2 THEN 'SE' END AS geo_country,
+               CASE WHEN e.user_id % 4 = 0 THEN 'London'
+                    WHEN e.user_id % 4 = 1 THEN 'Milton'
+                    WHEN e.user_id % 4 = 2 THEN 'Linköping' END AS geo_city,
+               CASE WHEN e.user_id % 4 = 0 THEN 'Europe/London'
+                    WHEN e.user_id % 4 = 1 THEN 'America/Los_Angeles'
+                    WHEN e.user_id % 4 = 2 THEN 'Europe/Stockholm' END AS geo_timezone,
+               CASE WHEN e.user_id % 4 = 0 THEN 'Andrews & Arnold Ltd'
+                    WHEN e.user_id % 4 = 1 THEN 'Century Link'
+                    WHEN e.user_id % 4 = 2 THEN 'Bredband2 AB' END AS ip_isp
+        FROM events e
+    """
+
+    # fingerprint: md5 over sorted key\x1fvalue\x1f…, excluding eid/stm/cv/nuid
+    fp_concat = f"""
+        'aid' || {DUCK_US} || 'app-' || (e.user_id % 3) || {DUCK_US}
+        || 'dtm' || {DUCK_US} || epoch_ms(e.ts) || {DUCK_US}
+        || 'e' || {DUCK_US} || {ecode} || {DUCK_US}
+        || 'ip' || {DUCK_US} || {ip} || {DUCK_US}
+        || 'p' || {DUCK_US} || (CASE e.user_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'mob' ELSE 'srv' END) || {DUCK_US}
+        || CASE WHEN e.user_id % 4 = 0 THEN 'refr' || {DUCK_US} || 'https://www.google.com/search?q=q' || e.event_id || {DUCK_US}
+                WHEN e.user_id % 4 = 1 THEN 'refr' || {DUCK_US} || 'https://t.co/x' || e.event_id || {DUCK_US}
+                WHEN e.user_id % 4 = 2 THEN 'refr' || {DUCK_US} || 'https://shop.example.com/home' || {DUCK_US}
+                ELSE '' END
+        || 'tid' || {DUCK_US} || (e.event_id % 100000 + 1) || {DUCK_US}
+        || CASE WHEN {ecode} = 'tr' THEN 'tr_cu' || {DUCK_US} ||
+                (CASE e.user_id % 3 WHEN 0 THEN 'GBP' WHEN 1 THEN 'USD' ELSE 'JPY' END) || {DUCK_US}
+                || 'tr_tt' || {DUCK_US} || round(e.value, 2) || {DUCK_US}
+                ELSE '' END
+        || 'uid' || {DUCK_US} || 'user_' || e.user_id || {DUCK_US}
+        || 'url' || {DUCK_US} || {url} || {DUCK_US}
+        || 'vid' || {DUCK_US} || (e.user_id % 10 + 1) || {DUCK_US}
+    """
+    o["event_fingerprint"] = f"""
+        SELECT e.event_id AS src_event_id, md5({fp_concat}) AS event_fingerprint
+        FROM events e
+    """
+
+    o["cross_navigation"] = """
+        SELECT e.event_id AS src_event_id,
+               'u' || e.user_id AS refr_domain_userid,
+               epoch_ms(e.ts) * 1000 AS refr_dvce_us
+        FROM events e
+    """
+
+    o["schema_fields"] = """
+        SELECT e.event_id AS src_event_id,
+               CASE WHEN e.event_type = 'signup' OR e.event_type = 'error'
+                    THEN 'com.google.analytics' ELSE 'com.snowplowanalytics.snowplow' END AS event_vendor,
+               CASE e.event_type WHEN 'view' THEN 'page_view' WHEN 'click' THEN 'page_ping'
+                    WHEN 'purchase' THEN 'transaction' ELSE 'event' END AS event_name,
+               'jsonschema' AS event_format,
+               '1-0-0' AS event_version
+        FROM events e
+    """
+
+    o["ua_classify"] = """
+        SELECT e.event_id AS src_event_id,
+               CASE e.user_id % 5 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Mobile Safari'
+                    WHEN 2 THEN 'Chrome Mobile' WHEN 3 THEN 'Other' ELSE 'Firefox' END AS br_family,
+               CASE e.user_id % 5 WHEN 0 THEN '120.0.0.0' WHEN 1 THEN '17.0'
+                    WHEN 2 THEN '121.0.0.0' WHEN 3 THEN NULL ELSE '122.0' END AS br_version,
+               CASE e.user_id % 5 WHEN 3 THEN 'Robot/Spider' ELSE 'Browser' END AS br_type,
+               CASE e.user_id % 5 WHEN 0 THEN 'Windows' WHEN 1 THEN 'iOS'
+                    WHEN 2 THEN 'Android' WHEN 3 THEN 'Other' ELSE 'Windows' END AS os_family,
+               CASE e.user_id % 5 WHEN 0 THEN 'Computer' WHEN 1 THEN 'Mobile'
+                    WHEN 2 THEN 'Mobile' WHEN 3 THEN 'Robot/Spider' ELSE 'Computer' END AS dvce_type,
+               CAST(CASE e.user_id % 5 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 0 END AS BIGINT) AS dvce_ismobile
+        FROM events e
+    """
+
+    o["currency_conversion"] = """
+        SELECT e.event_id AS src_event_id,
+               CASE e.user_id % 3 WHEN 0 THEN 'GBP' WHEN 1 THEN 'USD' ELSE 'JPY' END AS tr_currency,
+               CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) AS tr_total,
+               CAST(round(CAST(e.value AS DECIMAL(18,2))
+                          * (CASE e.user_id % 3 WHEN 0 THEN CAST(1.1536 AS DECIMAL(18,8))
+                             WHEN 1 THEN CAST(0.9052 AS DECIMAL(18,8))
+                             ELSE CAST(0.0064 AS DECIMAL(18,8)) END), 2) AS DOUBLE) AS tr_total_base,
+               'EUR' AS base_currency
+        FROM events e
+    """
+
+    o["adapter_explode"] = """
+        SELECT e.event_id AS src_event_id, x.e AS e, x.aid AS aid,
+               'pg' || e.event_id AS page
+        FROM events e,
+             (SELECT unnest(['pv','pp']) AS e, unnest(['a1','a2']) AS aid) x
+    """
+
+    o["bad_row_split"] = """
+        SELECT e.event_id AS src_event_id,
+               CAST(CASE WHEN e.user_id % 7 = 0 OR e.user_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_bad,
+               CAST(CASE WHEN e.user_id % 7 = 0 THEN 1 ELSE 0 END
+                    + CASE WHEN e.user_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_errors
+        FROM events e
+    """
+
+    o["metadata_aggregation"] = """
+        SELECT event_type, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type
+    """
+
+    o["sessionize"] = """
+        WITH g AS (
+          SELECT user_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+        FROM g GROUP BY user_id
+    """
+
+    o["dedup_exact"] = """
+        SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+               count(*) AS dup_count
+        FROM documents GROUP BY md5(text)
+    """
+
+    _norm = "trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))"
+    _words = f"list_distinct(string_split({_norm}, ' '))"
+    mh = lambda i: (  # noqa: E731
+        f"list_min(list_transform({_words}, w -> "
+        f"CAST(('0x' || substr(md5('{i}:' || w), 1, 15)) AS BIGINT)))"
+    )
+    o["dedup_minhash_signature"] = f"""
+        SELECT d.doc_id AS doc_id, {mh(0)} AS mh0, {mh(1)} AS mh1,
+               {mh(2)} AS mh2, {mh(3)} AS mh3
+        FROM documents d
+    """
+
+    # LSH pairs with k=2 word shingles / 8 hashes / 4 bands of 2, verified ≥ 0.5
+    sig_cols = ", ".join(
+        f"list_min(list_transform(grams, w -> CAST(('0x' || substr(md5('{i}:' || w), 1, 15)) AS BIGINT))) AS h{i}"
+        for i in range(8)
+    )
+    o["dedup_minhash_lsh"] = f"""
+        WITH base AS (
+          SELECT d.doc_id,
+                 string_split(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')), ' ') AS words
+          FROM documents d
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(words) >= 2
+                   THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+                   ELSE [array_to_string(words, ' ')] END) AS grams
+          FROM base
+        ),
+        sigs AS (SELECT doc_id, grams, {sig_cols} FROM sh),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS wa, b.grams AS wb
+          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+          WHERE (a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3)
+             OR (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7)
+        )
+        SELECT id_a, id_b,
+               round(CAST(len(list_intersect(wa, wb)) AS DOUBLE) / len(list_distinct(list_concat(wa, wb))), 4) AS jaccard
+        FROM pairs
+        WHERE CAST(len(list_intersect(wa, wb)) AS DOUBLE) / len(list_distinct(list_concat(wa, wb))) >= 0.5
+    """
+
+    # exact 3-gram jaccard with first-word blocking
+    shingle3 = (
+        "list_distinct(CASE WHEN len(words) >= 3 THEN "
+        "list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) "
+        "ELSE [array_to_string(words, ' ')] END)"
+    )
+    o["dedup_ngram_jaccard"] = f"""
+        WITH base AS (
+          SELECT d.doc_id,
+                 string_split(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')), ' ') AS words
+          FROM documents d
+        ),
+        sh AS (
+          SELECT doc_id, words[1] AS blk, {shingle3} AS grams FROM base
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+        FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.15
+    """
+
+    o["ann_cosine_topk"] = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+             q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qemb FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, v.vec_id,
+                 round(list_dot_product(v.emb, q.qemb)
+                       / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(q.qemb, q.qemb))), 4) AS cosine_sim
+          FROM v, q
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, cosine_sim,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 10
+    """
+
+    o["embedding_dup_pairs"] = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.emb, b.emb)
+                     / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cosine_sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.emb, b.emb)
+                    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) >= 0.4
+    """
+
+    # language-ID: marker-count heuristic; first language (en,de,fr,es,it,pt,nl)
+    # with strictly-positive max score wins, ties → earlier in order
+    langs = {
+        "en": ["the", "and", "of", "is", "with", "that"],
+        "de": ["der", "die", "das", "und", "ist", "nicht"],
+        "fr": ["le", "la", "les", "est", "dans", "une"],
+        "es": ["el", "los", "las", "es", "una", "por"],
+        "it": ["il", "della", "che", "per", "una", "sono"],
+        "pt": ["o", "da", "os", "uma", "não", "para"],
+        "nl": ["de", "het", "een", "van", "niet", "zijn"],
+    }
+    score_exprs = []
+    for lang, words in langs.items():
+        pat = "\\b(" + "|".join(words) + ")\\b"
+        score_exprs.append(
+            f"len(string_split_regex(' ' || lower(d.text) || ' ', '{pat}')) - 1 AS s_{lang}"
+        )
+    order = list(langs)
+    cases = []
+    for i, lang in enumerate(order):
+        before = [f"s_{lang} > s_{m}" for m in order[:i]]
+        after = [f"s_{lang} >= s_{m}" for m in order[i + 1:]]
+        cond = " AND ".join([f"s_{lang} > 0"] + before + after)
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    o["text_language_id"] = f"""
+        WITH s AS (SELECT d.doc_id, {', '.join(score_exprs)} FROM documents d)
+        SELECT doc_id, CASE {' '.join(cases)} ELSE 'und' END AS detected_lang
+        FROM s
+    """
+
+    _stop = "'" + "','".join(["the", "and", "of", "is", "with", "that", "a", "to", "in", "it", "for", "on"]) + "'"
+    o["text_quality_score"] = f"""
+        WITH b AS (
+          SELECT doc_id, text,
+                 length(text) AS n_chars,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS n_words,
+                 string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS words
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, n_chars, n_words,
+                 CASE WHEN n_words > 0 THEN CAST(n_chars AS DOUBLE) / n_words ELSE 0.0 END AS mean_word_len,
+                 CASE WHEN n_chars > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+                 CASE WHEN n_chars > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / n_chars ELSE 0.0 END AS digit_ratio,
+                 CASE WHEN n_words > 0 THEN CAST(len(list_filter(words, w -> lower(w) IN ({_stop}))) AS DOUBLE) / n_words ELSE 0.0 END AS stopword_ratio,
+                 CASE WHEN n_words > 0 THEN CAST(len(list_distinct(words)) AS DOUBLE) / n_words ELSE 0.0 END AS distinct_word_ratio
+          FROM b
+        )
+        SELECT doc_id, n_chars, n_words,
+               round(mean_word_len, 4) AS mean_word_len,
+               round(punct_ratio, 4) AS punct_ratio,
+               round(stopword_ratio, 4) AS stopword_ratio,
+               round(distinct_word_ratio, 4) AS distinct_word_ratio,
+               round((CASE WHEN n_words >= 10 THEN 1 ELSE 0 END
+                    + CASE WHEN mean_word_len >= 2.0 THEN 1 ELSE 0 END
+                    + CASE WHEN mean_word_len <= 12.0 THEN 1 ELSE 0 END
+                    + CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END
+                    + CASE WHEN digit_ratio <= 0.3 THEN 1 ELSE 0 END
+                    + CASE WHEN stopword_ratio >= 0.01 THEN 1 ELSE 0 END
+                    + CASE WHEN distinct_word_ratio >= 0.3 THEN 1 ELSE 0 END) / 7.0, 4) AS quality_score
+        FROM f
+    """
+
+    o["text_token_counts"] = """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+                    + list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                              w -> greatest((length(w) - 1) // 4, 0))) AS BIGINT) AS bpe_est_tokens
+        FROM documents
+    """
+
+    o["doc_fingerprint"] = """
+        WITH n AS (
+          SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+          FROM documents
+        )
+        SELECT doc_id, md5(norm) AS content_hash,
+               list_min(list_transform(
+                 range(1, greatest(length(norm) - 7, 1) + 1),
+                 i -> CAST(('0x' || substr(md5(substr(norm, i, 8)), 1, 15)) AS BIGINT)
+               )) AS winnow_hash
+        FROM n
+    """
+
+    return o

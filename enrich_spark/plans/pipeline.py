@@ -45,8 +45,27 @@ class EnrichResult:
 
 
 def enrich(payloads: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> EnrichResult:
-    # ---- 1..N adapter explode
-    df = adapters.adapt(payloads)
+    """Full pipeline: CollectorPayload rows → adapter explode → enrich_raw."""
+    return enrich_raw(adapters.adapt(payloads), cfg, spark)
+
+
+_CONTEXT_DEFAULTS = {
+    "loader_error": "string", "_adapter_error": "string", "ip_address": "string",
+    "useragent": "string", "referer_uri": "string", "headers": "array<string>",
+    "network_user_id": "string", "collector_name": "string", "hostname": "string",
+    "encoding": "string", "content_type": "string", "body": "string",
+    "api_vendor": "string", "api_version": "string",
+}
+
+
+def enrich_raw(df: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> EnrichResult:
+    """Pipeline from RawEvent rows (`parameters MAP<STRING,STRING>` +
+    payload context columns; missing context columns default to NULL)."""
+    df = df.withColumns({
+        name: F.lit(None).cast(t)
+        for name, t in _CONTEXT_DEFAULTS.items()
+        if name not in df.columns
+    })
 
     # ---- tracker-protocol transform (atomic columns + _errors)
     df = transform_params(df)
