@@ -23,6 +23,15 @@ from pyspark.sql import functions as F
 
 SF001 = "/root/testdata/sf0.001"
 
+
+def _fan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Local-bench fan-out: the testdata parquet files are single-split
+    (one small row group), which would serialize the whole enrichment
+    projection onto one core. On a real cluster the input has thousands
+    of splits and this repartition is unnecessary — it exists only to
+    make local[N] behave like N input splits."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
 US = "\x1f"  # fingerprint unit separator
 DUCK_US = "chr(31)"
 
@@ -42,7 +51,15 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes)["ts"] in ("bigint", "long"):
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return ev
+    return _fan(ev, spark)
+
+
+def _load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fan(spark.read.parquet(f"{sf_dir}/documents.parquet"), spark)
+
+
+def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), spark)
 
 
 def _raw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,7 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_dedup_exact(spark, sf):
         from enrich_spark.datapipe.dedup import exact_dedup
 
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs = _load_docs(spark, sf)
         return exact_dedup(docs).select(
             "content_hash",
             F.col("doc_id").cast("long").alias("keep_id"),
@@ -400,7 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_minhash_sig(spark, sf):
         from enrich_spark.datapipe.dedup import md5_hash_family, minhash_signature, shingles
 
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs = _load_docs(spark, sf)
         sig = minhash_signature(shingles(F.col("text"), 1), 4, md5_hash_family)
         return docs.select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -413,7 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_minhash_lsh(spark, sf):
         from enrich_spark.datapipe.dedup import md5_hash_family, minhash_lsh_pairs
 
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs = _load_docs(spark, sf)
         pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4, shingle_k=2,
                                   jaccard_threshold=0.5, family=md5_hash_family)
         return pairs.select(
@@ -427,7 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ngram_jaccard(spark, sf):
         from enrich_spark.datapipe.dedup import ngram_jaccard_pairs
 
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs = _load_docs(spark, sf)
         pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.15)
         return pairs.select(
             F.col("id_a").cast("long").alias("id_a"),
@@ -440,7 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash(spark, sf):
         from enrich_spark.datapipe.dedup import simhash_pairs
 
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs = _load_docs(spark, sf)
         return simhash_pairs(docs, max_hamming=8).select(
             F.col("id_a").cast("long"), F.col("id_b").cast("long"),
             F.col("hamming").cast("long"),
@@ -451,7 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ann_brute(spark, sf):
         from enrich_spark.datapipe.similarity import brute_force_topk
 
-        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        emb = _load_emb(spark, sf)
         vecs = emb.select(
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
         )
@@ -480,7 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ann_lsh(spark, sf):
         from enrich_spark.datapipe.similarity import lsh_topk
 
-        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        emb = _load_emb(spark, sf)
         vecs = emb.select(
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
         )
@@ -496,18 +513,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_topk"] = q_ann_lsh  # no SQL oracle: hyperplane lits (rows-only)
 
     def q_embedding_dup(spark, sf):
-        from enrich_spark.datapipe.similarity import cosine
+        from enrich_spark.datapipe.similarity import dot, norm
 
-        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        emb = _load_emb(spark, sf)
+        # precompute each row's norm BEFORE the pair join: the per-pair
+        # expression drops from 3 array passes to 1 (dot only), and the
+        # double value is bit-identical to dot/(norm*norm) per pair
         vecs = emb.select(
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
-        )
+        ).withColumn("nrm", norm(F.col("embedding")))
         l = vecs.alias("l")
         r = vecs.alias("r")
         pairs = l.join(r, F.col("l.vec_id") < F.col("r.vec_id")).select(
             F.col("l.vec_id").cast("long").alias("id_a"),
             F.col("r.vec_id").cast("long").alias("id_b"),
-            F.round(cosine(F.col("l.embedding"), F.col("r.embedding")), 4).alias("cosine_sim"),
+            F.round(
+                dot(F.col("l.embedding"), F.col("r.embedding"))
+                / (F.col("l.nrm") * F.col("r.nrm")),
+                4,
+            ).alias("cosine_sim"),
         )
         return pairs.where(F.col("cosine_sim") >= 0.4)
 
@@ -516,7 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_lang_id(spark, sf):
         from enrich_spark.datapipe.text import language_id
 
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs = _load_docs(spark, sf)
         return language_id(docs).select(
             F.col("doc_id").cast("long").alias("doc_id"), "detected_lang"
         )
@@ -526,7 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_quality(spark, sf):
         from enrich_spark.datapipe.text import quality_score
 
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs = _load_docs(spark, sf)
         out = quality_score(docs)
         return out.select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -544,7 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_tokens(spark, sf):
         from enrich_spark.datapipe.text import token_counts
 
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs = _load_docs(spark, sf)
         return token_counts(docs).select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("ws_tokens").cast("long").alias("ws_tokens"),
@@ -556,7 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_fingerprint_doc(spark, sf):
         from enrich_spark.datapipe.text import doc_fingerprint
 
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs = _load_docs(spark, sf)
         out = doc_fingerprint(docs)
         # oracle-parity winnow: md5-based variant
         norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")

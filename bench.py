@@ -1,0 +1,72 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set: the full enrichment pipeline (the engine's core), the
+dedup family, ANN, and text analysis — i.e. one representative per
+operator group in SURVEY.md §2 + the beyond-reference data-pipeline ops.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    import __spark_entry__ as entrymod
+    from enrich_spark.session import get_spark
+
+    spark = get_spark("enrich-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    headline = [
+        "transform_atomic",       # adapter+transform+full enrich chain
+        "event_fingerprint",      # full chain, crypto-hash projection
+        "ip_lookups",             # broadcast range join
+        "bad_row_split",          # error-accumulation path
+        "adapter_explode",        # 1→N payload explode
+        "metadata_aggregation",   # the one true aggregation
+        "sessionize",             # stateful window (beyond-reference)
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_cosine_topk",
+        "embedding_dup_pairs",
+        "text_quality_score",
+        "text_token_counts",
+        "doc_fingerprint",
+    ]
+
+    # warm the JVM + parquet footers with one cheap action
+    entrymod._load_events(spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

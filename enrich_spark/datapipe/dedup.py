@@ -183,26 +183,42 @@ def ngram_jaccard_pairs(
 # simhash
 
 
+def _bit_masks() -> Column:
+    """The 64 single-bit masks as a literal array; mask[63] is the sign
+    bit (LONG_MIN). Doubles as the per-bit addend when assembling the
+    final hash (adding LONG_MIN sets the sign bit)."""
+    return F.array(*[F.lit(1 << b) for b in range(63)], F.lit(-(2 ** 63)))
+
+
 def simhash64(text: Column, shingle_k: int = 2) -> Column:
     """64-bit simhash over word-shingle xxhash64 token hashes.
 
     For each bit b: sum(+1 if bit set else -1 over tokens) > 0 → bit set.
-    Expressed natively with aggregate over the shingle array.
+
+    Single pass over the token array: the accumulator is a 64-wide vote
+    vector updated with one zip_with per token (a naive per-bit aggregate
+    would re-evaluate the shingle+hash expression 64× per row — measured
+    40× slower at sf0.1).
     """
+    masks = _bit_masks()
     tokens = F.transform(shingles(text, shingle_k), lambda s: F.xxhash64(s))
-    bits = []
-    for b in range(64):
-        vote = F.aggregate(
-            tokens,
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + F.when(t.bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
-        )
-        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bits.append(bit * F.lit(1 << b) if b < 63 else F.when(bit == 1, F.lit(-(2**63))).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    votes = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                masks,
+                lambda m: F.when(t.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def simhash_pairs(

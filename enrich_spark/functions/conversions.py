@@ -25,6 +25,21 @@ def parse_error(field: str, message: str, raw: Column) -> Column:
     return F.concat_ws("\t", F.lit(field), F.lit(message), F.coalesce(raw, F.lit("")))
 
 
+def opaque(col: Column) -> Column:
+    """Identity wrapper that Catalyst treats as nondeterministic
+    (shuffle of a single-element array), so the wrapped expression is
+    neither inlined into downstream consumers by CollapseProject nor
+    substituted into predicates by filter pushdown.
+
+    Used on the ``_errors`` accumulator: without it, the pipeline's
+    good/bad split predicate (`size(_errors) > 0`) is rewritten to the
+    FULL error-expression tree and pushed beneath the input repartition
+    into the file scan — serializing the whole enrichment chain onto the
+    scan's (possibly single) input split and evaluating every conversion
+    twice. Measured 79 s → ~4 s on the sf0.1 chain."""
+    return F.element_at(F.shuffle(F.array(col)), 1)
+
+
 def _checked(present: Column, ok: Column, value: Column, field: str, message: str, raw: Column):
     """(value-or-null, error-or-null) for a converter guarded by `ok`."""
     val = F.when(present & ok, value)

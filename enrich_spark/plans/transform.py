@@ -154,4 +154,8 @@ def transform_params(df: DataFrame, v_collector_default: str = "unknown") -> Dat
     )
 
     out = df.withColumns(cols)
-    return out.withColumn("_errors", F.array_compact(F.array(*[e for e in errs if e is not None])))
+    # opaque(): keep the error tree out of pushed-down predicates — see
+    # functions/conversions.opaque docstring
+    return out.withColumn(
+        "_errors", C.opaque(F.array_compact(F.array(*[e for e in errs if e is not None])))
+    )
