@@ -74,18 +74,25 @@ _UUID_RE = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-f
 
 
 def to_int(col: Column, field: str):
-    """ConversionUtils.stringToJInteger2:335 — 'null' literal → NULL, junk → error."""
+    """ConversionUtils.stringToJInteger2:335 — 'null' literal → NULL, junk → error.
+
+    try_cast throughout: under ANSI mode (Spark 4 default) a plain cast
+    on malformed input THROWS — a record-level engine must instead emit
+    a ParseError row.
+    """
     present = col.isNotNull() & (F.lower(col) != "null")
-    ok = col.rlike(_INT_RE) & F.abs(col.cast("long")).isNotNull() & (col.cast("int") == col.cast("long"))
-    return _checked(present, ok, col.cast("int"), field, "Cannot be converted to java.lang.Integer", col)
+    as_int = col.try_cast("int")
+    ok = col.rlike(_INT_RE) & as_int.isNotNull() & (as_int == col.try_cast("long"))
+    return _checked(present, ok, as_int, field, "Cannot be converted to java.lang.Integer", col)
 
 
 def to_decimal(col: Column, field: str, precision: int = 18, scale: int = 2):
     """ConversionUtils.stringToJBigDecimal2:360."""
     present = col.isNotNull() & (F.lower(col) != "null")
-    ok = col.rlike(_DECIMAL_RE)
+    value = col.try_cast(f"decimal({precision},{scale})")
+    ok = col.rlike(_DECIMAL_RE) & value.isNotNull()
     return _checked(
-        present, ok, col.cast(f"decimal({precision},{scale})"), field,
+        present, ok, value, field,
         "Cannot be converted to java.math.BigDecimal", col,
     )
 
@@ -144,8 +151,9 @@ def extract_timestamp(col: Column, field: str):
     timestamp; rejects non-numeric and years outside [0, 9999]."""
     present = col.isNotNull()
     numeric = col.rlike(_INT_RE)
-    ts = F.timestamp_millis(col.cast("long"))
-    in_range = numeric & col.cast("long").isNotNull() & F.year(ts).between(0, 9999)
+    as_long = col.try_cast("long")
+    ts = F.timestamp_millis(as_long)
+    in_range = numeric & as_long.isNotNull() & F.year(ts).between(0, 9999)
     val = F.when(present & in_range, ts)
     err = F.when(
         present & ~numeric,
@@ -164,8 +172,8 @@ def extract_view_dimensions(col: Column, field: str):
     """
     present = col.isNotNull()
     ok = col.rlike("^(\\d+)x(\\d+)$")
-    w = F.regexp_extract(col, "^(\\d+)x(\\d+)$", 1).cast("int")
-    h = F.regexp_extract(col, "^(\\d+)x(\\d+)$", 2).cast("int")
+    w = F.regexp_extract(col, "^(\\d+)x(\\d+)$", 1).try_cast("int")
+    h = F.regexp_extract(col, "^(\\d+)x(\\d+)$", 2).try_cast("int")
     # width/height must fit in ints (reference: .toInt throws → error)
     fits = w.isNotNull() & h.isNotNull()
     width = F.when(present & ok & fits, w)

@@ -59,7 +59,7 @@ def _explode_uri(df: DataFrame, src: str, prefix: str) -> DataFrame:
     host = F.parse_url(url, F.lit("HOST"))
     explicit_port = F.regexp_extract(authority, ":(\\d+)$", 1)
     port = (
-        F.when(explicit_port != "", explicit_port.cast("int"))
+        F.when(explicit_port != "", explicit_port.try_cast("int"))
         .when(scheme == "https", F.lit(443))
         .otherwise(F.lit(80))
     )
@@ -108,9 +108,14 @@ def derived_tstamp(df: DataFrame) -> DataFrame:
 # §2.5 #10 setCampaign (CampaignAttributionEnrichment.scala:103-144)
 
 def _qs_map(query_col: Column) -> Column:
-    """Querystring → MAP<STRING,STRING>, URL-decoded values, last-wins dupes."""
+    """Querystring → MAP<STRING,STRING>, URL-decoded values, last-wins dupes.
+
+    try_url_decode: malformed %-escapes must degrade to NULL, not throw
+    (ANSI mode)."""
     m = F.str_to_map(query_col, F.lit("&"), F.lit("="))
-    return F.transform_values(m, lambda k, v: F.url_decode(F.coalesce(v, F.lit(""))))
+    return F.transform_values(
+        m, lambda k, v: F.coalesce(F.try_url_decode(F.coalesce(v, F.lit(""))), v)
+    )
 
 
 def _first_param(m: Column, names: list[str]) -> Column:
@@ -148,7 +153,7 @@ def cross_navigation(df: DataFrame, conf: CrossNavigationConf) -> DataFrame:
     duid = F.when(F.length(parts[0]) > 0, parts[0])
     ts_raw = parts[1]
     ts = F.when(
-        ts_raw.rlike("^[0-9]+$"), F.timestamp_millis(ts_raw.cast("long"))
+        ts_raw.rlike("^[0-9]+$"), F.timestamp_millis(ts_raw.try_cast("long"))
     )
     has_sp = sp.isNotNull() & (F.length(sp) > 0)
     return df.withColumns({
@@ -354,7 +359,9 @@ def pii_pseudonymizer(df: DataFrame, conf: PiiPseudonymizerConf) -> DataFrame:
             ).alias("data"),
         )
     )
-    df = df.withColumns(cols)
-    return df.withColumn(
+    # build the pii record BEFORE mutating the fields — originalValue must
+    # capture the pre-hash value (caught by test_pii_pseudonymizer)
+    df = df.withColumn(
         "pii", F.when(anon_gate & F.lit(bool(conf.fields)), pii_json)
     )
+    return df.withColumns(cols)

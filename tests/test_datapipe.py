@@ -1,0 +1,196 @@
+"""Data-pipeline operator specs: dedup family, similarity search, text
+analysis, multimodal plumbing — the beyond-reference operators.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from enrich_spark.datapipe import dedup, similarity, text
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),       # exact dup of 1
+    (3, "the quick brown fox jumped over the lazy dog"),      # near dup
+    (4, "completely different content about spark engines"),
+    (5, ""),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id INT, text STRING")
+
+
+def test_exact_dedup(spark):
+    out = dedup.exact_dedup(_docs(spark)).collect()
+    groups = {r.content_hash: (r.doc_id, r.dup_count) for r in out}
+    assert len(groups) == 4
+    assert (1, 2) in groups.values()  # docs 1+2 collapse, min id kept
+
+
+def test_minhash_identical_docs_equal_signatures(spark):
+    sig = dedup.minhash_signature(dedup.shingles(F.col("text"), 2), 8)
+    rows = _docs(spark).select("doc_id", sig.alias("sig")).collect()
+    by_id = {r.doc_id: r.sig for r in rows}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[4]
+
+
+def test_minhash_lsh_pairs_finds_dups(spark):
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark), num_hashes=16, bands=8, shingle_k=2, jaccard_threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found
+    exact = [r for r in pairs if (r.id_a, r.id_b) == (1, 2)][0]
+    assert exact.jaccard == 1.0
+    assert not any(4 in p for p in found)
+
+
+def test_simhash_semantics(spark):
+    sh = _docs(spark).select("doc_id", dedup.simhash64(F.col("text")).alias("s")).collect()
+    by_id = {r.doc_id: r.s for r in sh}
+    assert by_id[1] == by_id[2]
+    ham_near = bin((by_id[1] ^ by_id[3]) & (2**64 - 1)).count("1")
+    ham_far = bin((by_id[1] ^ by_id[4]) & (2**64 - 1)).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_pairs(spark):
+    pairs = dedup.simhash_pairs(_docs(spark), max_hamming=10).collect()
+    assert (1, 2) in {(r.id_a, r.id_b) for r in pairs}
+    h = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert h[(1, 2)] == 0
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark), shingle_k=3, threshold=0.3).collect()
+    found = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert (1, 2) in found and found[(1, 2)] == 1.0
+    assert (1, 3) in found and 0.3 <= found[(1, 3)] < 1.0
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.99, 0.01, 0.0, 0.0]),
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [0.0, 0.0, 1.0, 0.0]),
+    (4, [-1.0, 0.0, 0.0, 0.0]),
+]
+
+
+def _vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+
+def test_brute_force_topk(spark):
+    v = _vecs(spark)
+    q = v.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.brute_force_topk(v, q, k=3).orderBy("rank").collect()
+    assert [r.vec_id for r in out] == [0, 1, 2]  # self first, near second
+    assert math.isclose(out[0].cosine_sim, 1.0)
+    assert out[1].cosine_sim > 0.99
+
+
+def test_lsh_topk_recalls_near_neighbor(spark):
+    v = _vecs(spark)
+    q = v.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.lsh_topk(v, q, dim=4, k=3, num_tables=8, bits=2).collect()
+    ids = [r.vec_id for r in out]
+    assert 0 in ids and 1 in ids  # identical + near vector share a bucket
+    assert 4 not in ids or all(r.cosine_sim < 0 for r in out if r.vec_id == 4)
+
+
+def test_embedding_dup_pairs(spark):
+    out = similarity.embedding_dup_pairs(
+        _vecs(spark), dim=4, threshold=0.9, num_tables=8, bits=2
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(0, 1)}
+
+
+def test_language_id(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is with that other cat"),
+            (2, "der Hund und die Katze ist nicht hier"),
+            (3, "le chat est dans la maison avec une souris"),
+            (4, "xyzzy 12345"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = {r.doc_id: r.detected_lang for r in text.language_id(docs).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_quality_score_features(spark):
+    docs = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog near the river bank.")],
+        "doc_id INT, text STRING",
+    )
+    r = text.quality_score(docs).collect()[0]
+    assert r.n_words == 13
+    assert r.n_chars == 64
+    assert 0 < r.stopword_ratio < 1
+    assert r.quality_score >= 0.8
+
+
+def test_token_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "a b  c")],
+        "doc_id INT, text STRING",
+    )
+    got = {r.doc_id: (r.ws_tokens, r.bpe_est_tokens) for r in text.token_counts(docs).collect()}
+    assert got[1][0] == 2
+    assert got[2][0] == 0
+    assert got[3][0] == 3
+    assert got[1][1] >= 2  # BPE estimate ≥ word count for ascii words
+
+
+def test_doc_fingerprint_stable(spark):
+    docs = spark.createDataFrame(
+        [(1, "Some   Document\nText"), (2, "some document text"), (3, "other")],
+        "doc_id INT, text STRING",
+    )
+    rows = {r.doc_id: r for r in text.doc_fingerprint(docs).collect()}
+    # whitespace/case-normalized docs share a content hash
+    assert rows[1].content_hash == rows[2].content_hash
+    assert rows[1].winnow_hash == rows[2].winnow_hash
+    assert rows[1].content_hash != rows[3].content_hash
+
+
+def test_multimodal_plumbing(spark):
+    from enrich_spark.datapipe import multimodal
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\nfakedata")), (2, bytearray(b"RIFF1234WAVEfmt ")), (3, None)],
+        "id INT, media BINARY",
+    )
+    meta = multimodal.attach_media_meta(df).collect()
+    by_id = {r.id: r.media_meta for r in meta}
+    assert (by_id[1].media_type, by_id[1].format) == ("image", "png")
+    assert (by_id[2].media_type, by_id[2].format) == ("audio", "wav")
+    assert by_id[3].media_type == "unknown"
+    assert by_id[1].n_bytes == 16
+
+    feats = {r.id: r for r in multimodal.decode_features(df).collect()}
+    # deterministic stub decode: same bytes → same features, 16-dim
+    assert len(feats[1].features) == 16
+    assert feats[1].width >= 1 and feats[1].height >= 1
+    again = {r.id: r for r in multimodal.decode_features(df).collect()}
+    assert feats[1].features == again[1].features
+
+    # frame-sample planning explodes one row per planned timestamp
+    with_meta = multimodal.attach_media_meta(df)
+    forced = with_meta.withColumn(
+        "media_meta",
+        F.col("media_meta").withField("duration_ms", F.lit(3500)),
+    )
+    frames = multimodal.frame_sample_plan(forced, every_ms=1000)
+    assert frames.where(F.col("id") == 1).count() == 4  # t=0,1000,2000,3000

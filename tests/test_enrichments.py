@@ -1,0 +1,238 @@
+"""Per-enrichment golden specs, mirroring the reference's specs2 tables:
+AnonIpEnrichmentSpec, EventFingerprintEnrichmentSpec, derived-tstamp cases
+from eventEnrichmentSpecs, CampaignAttributionEnrichment, cross-navigation
+map parsing, cookie/header extractors, schema fields, geo range join.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import json
+
+from pyspark.sql import functions as F
+
+from enrich_spark.config import (
+    AnonIpConf,
+    CampaignAttributionConf,
+    CookieExtractorConf,
+    CrossNavigationConf,
+    EventFingerprintConf,
+    HttpHeaderExtractorConf,
+    PiiPseudonymizerConf,
+    RefererParserConf,
+)
+from enrich_spark.operators import geo as geo_op
+from enrich_spark.operators import referer as referer_op
+from enrich_spark.operators import sql_enrichments as sql_ops
+
+
+def test_anon_ip_table(spark):
+    # AnonIpEnrichmentSpec golden table (registry/AnonIpEnrichment.scala:131-185)
+    cases = [
+        ("94.100.176.20", 2, "94.100.x.x"),
+        ("94.100.176.20", 4, "x.x.x.x"),
+        ("192.168.0", 2, "192.168.x"),  # malformed: take(2).padTo(origLen)
+        ("", 2, ""),
+        ("2001:db8:0:0:0:ff00:42:8329", 4, "2001:db8:0:0:x:x:x:x"),
+        ("::FFFF:1.2.3.4", 2, "::FFFF:1.2.x.x"),  # v4-mapped
+        (None, 2, None),
+    ]
+    for ip, octets, want in cases:
+        df = spark.createDataFrame([(ip,)], "user_ipaddress STRING")
+        out = sql_ops.anon_ip(df, AnonIpConf(ipv4_octets=octets, ipv6_segments=octets))
+        assert out.collect()[0].user_ipaddress == want, (ip, octets)
+
+
+def test_event_fingerprint_spec(spark):
+    # EventFingerprintEnrichmentSpec: sorted keys, \x1f separator, eid/stm excluded
+    params = {"e": "pv", "aid": "app", "eid": "ignored", "stm": "123"}
+    df = spark.createDataFrame([(params,)], "parameters MAP<STRING,STRING>")
+    out = sql_ops.event_fingerprint(df, EventFingerprintConf())
+    got = out.collect()[0].event_fingerprint
+    want = hashlib.md5("aid\x1fapp\x1fe\x1fpv\x1f".encode()).hexdigest()
+    assert got == want
+    # changing an excluded param must not change the fingerprint
+    df2 = spark.createDataFrame([({**params, "stm": "999"},)], "parameters MAP<STRING,STRING>")
+    assert sql_ops.event_fingerprint(df2, EventFingerprintConf()).collect()[0].event_fingerprint == want
+
+
+def test_event_fingerprint_sha256(spark):
+    df = spark.createDataFrame([({"e": "pv"},)], "parameters MAP<STRING,STRING>")
+    got = sql_ops.event_fingerprint(
+        df, EventFingerprintConf(algorithm="SHA256")
+    ).collect()[0].event_fingerprint
+    assert got == hashlib.sha256("e\x1fpv\x1f".encode()).hexdigest()
+
+
+def _tstamp_df(spark, ct, dct, dst, ttm):
+    return spark.createDataFrame(
+        [(ct, dct, dst, ttm)],
+        "collector_tstamp TIMESTAMP, dvce_created_tstamp TIMESTAMP, "
+        "dvce_sent_tstamp TIMESTAMP, true_tstamp TIMESTAMP",
+    )
+
+
+def test_derived_tstamp_skew_correction(spark):
+    # eventEnrichmentSpecs getDerivedTimestamp cases
+    t = datetime.datetime
+    # device clock 1s ahead: derived = collector - (sent - created)
+    df = _tstamp_df(
+        spark,
+        t(2024, 1, 1, 12, 0, 10),
+        t(2024, 1, 1, 12, 0, 5),
+        t(2024, 1, 1, 12, 0, 7),
+        None,
+    )
+    got = sql_ops.derived_tstamp(df).collect()[0].derived_tstamp
+    assert got == t(2024, 1, 1, 12, 0, 8)
+    # true_tstamp always wins
+    df = _tstamp_df(spark, t(2024, 1, 1), t(2024, 1, 1), t(2024, 1, 1), t(2020, 6, 1, 3))
+    assert sql_ops.derived_tstamp(df).collect()[0].derived_tstamp == t(2020, 6, 1, 3)
+    # no device tstamps → collector
+    df = _tstamp_df(spark, t(2024, 1, 2, 9), None, None, None)
+    assert sql_ops.derived_tstamp(df).collect()[0].derived_tstamp == t(2024, 1, 2, 9)
+
+
+def test_campaign_attribution_precedence(spark):
+    df = spark.createDataFrame(
+        [("utm_source=newsletter&utm_medium=email&gclid=abc123",)],
+        "page_urlquery STRING",
+    )
+    r = sql_ops.campaign_attribution(df, CampaignAttributionConf()).collect()[0]
+    assert r.mkt_source == "newsletter"
+    assert r.mkt_medium == "email"
+    assert r.mkt_clickid == "abc123"
+    assert r.mkt_network == "Google"
+    assert r.mkt_term is None
+
+
+def test_campaign_first_match_priority(spark):
+    conf = CampaignAttributionConf(source_params=["utm_source", "source"])
+    df = spark.createDataFrame([("source=fallback&utm_source=primary",)], "page_urlquery STRING")
+    assert sql_ops.campaign_attribution(df, conf).collect()[0].mkt_source == "primary"
+
+
+def test_cross_navigation_sp_parse(spark):
+    # _sp=duid.tstamp... (CrossNavigationEnrichment.makeCrossDomainMap:143)
+    df = spark.createDataFrame(
+        [("_sp=abc123.1700000000000",), ("other=1",)], "page_urlquery STRING"
+    )
+    rows = sql_ops.cross_navigation(df, CrossNavigationConf()).collect()
+    assert rows[0].refr_domain_userid == "abc123"
+    assert rows[0].refr_dvce_tstamp == datetime.datetime(2023, 11, 14, 22, 13, 20)
+    assert rows[1].refr_domain_userid is None
+
+
+def test_schema_fields_synthetic_and_unstruct(spark):
+    df = spark.createDataFrame(
+        [
+            ("page_view", None),
+            ("struct", None),
+            ("unstruct", json.dumps({
+                "schema": "iglu:com.snowplowanalytics.snowplow/unstruct_event/jsonschema/1-0-0",
+                "data": {"schema": "iglu:com.acme/link_click/jsonschema/1-0-1", "data": {}},
+            })),
+        ],
+        "event STRING, ue_json STRING",
+    )
+    rows = sql_ops.schema_fields(df).collect()
+    assert (rows[0].event_vendor, rows[0].event_name) == ("com.snowplowanalytics.snowplow", "page_view")
+    assert (rows[1].event_vendor, rows[1].event_name) == ("com.google.analytics", "event")
+    assert (rows[2].event_vendor, rows[2].event_name, rows[2].event_version) == (
+        "com.acme", "link_click", "1-0-1")
+
+
+def test_cookie_contexts(spark):
+    df = spark.createDataFrame(
+        [(["Cookie: sp=abc; other=1", "Accept: */*"],)], "headers ARRAY<STRING>"
+    )
+    out = sql_ops.cookie_contexts(df, CookieExtractorConf(cookies=["sp"])).collect()[0]
+    assert len(out._derived) == 1
+    ctx = out._derived[0]
+    assert ctx.schema == "iglu:org.ietf/http_cookie/jsonschema/1-0-0"
+    assert json.loads(ctx.data) == {"name": "sp", "value": "abc"}
+
+
+def test_http_header_contexts(spark):
+    df = spark.createDataFrame(
+        [(["X-Custom: v1", "Accept: */*"],)], "headers ARRAY<STRING>"
+    )
+    out = sql_ops.http_header_contexts(
+        df, HttpHeaderExtractorConf(headers_pattern="X-.*")
+    ).collect()[0]
+    assert len(out._derived) == 1
+    assert json.loads(out._derived[0].data) == {"name": "X-Custom", "value": "v1"}
+
+
+def test_pii_pseudonymizer(spark):
+    df = spark.createDataFrame(
+        [("alice", "1.2.3.4", None)],
+        "user_id STRING, user_ipaddress STRING, headers ARRAY<STRING>",
+    )
+    conf = PiiPseudonymizerConf(fields=["user_id"], hash_function="SHA-256", salt="pepper")
+    r = sql_ops.pii_pseudonymizer(df, conf).collect()[0]
+    assert r.user_id == hashlib.sha256(b"pepperalice").hexdigest()
+    assert r.user_ipaddress == "1.2.3.4"
+    pii = json.loads(r.pii)
+    assert pii["data"]["pii"]["pojo"][0]["fieldName"] == "user_id"
+    assert pii["data"]["pii"]["pojo"][0]["originalValue"] == "alice"
+
+
+def test_geo_ip_lookups_ranges(spark):
+    df = spark.createDataFrame(
+        [("81.2.69.142",), ("216.160.83.56",), ("89.160.20.120",), ("127.0.0.1",), (None,)],
+        "user_ipaddress STRING",
+    )
+    rows = geo_op.ip_lookups(df, geo_op.demo_geo_table(spark)).collect()
+    by_ip = {r.user_ipaddress: r for r in rows}
+    assert by_ip["81.2.69.142"].geo_country == "GB"
+    assert by_ip["81.2.69.142"].geo_city == "London"
+    assert by_ip["216.160.83.56"].geo_country == "US"
+    assert by_ip["89.160.20.120"].geo_timezone == "Europe/Stockholm"
+    assert by_ip["127.0.0.1"].geo_country is None
+    assert by_ip[None].geo_country is None
+
+
+def test_referer_parser_classification(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://www.google.com/search?q=shoes", "www.google.com", "q=shoes", "shop.example.com"),
+            ("https://t.co/xyz", "t.co", None, "shop.example.com"),
+            ("https://shop.example.com/home", "shop.example.com", None, "shop.example.com"),
+            ("https://random.site/x", "random.site", None, "shop.example.com"),
+            (None, None, None, "shop.example.com"),
+        ],
+        "page_referrer STRING, refr_urlhost STRING, refr_urlquery STRING, page_urlhost STRING",
+    )
+    out = referer_op.referer_parser(
+        df, RefererParserConf(), referer_op.referer_db(spark)
+    ).collect()
+    mediums = [r.refr_medium for r in out]
+    assert mediums == ["search", "social", "internal", "unknown", None]
+    assert out[0].refr_source == "Google"
+    assert out[0].refr_term == "shoes"
+
+
+def test_page_uri_explode(spark):
+    df = spark.createDataFrame(
+        [("https://sub.example.org:8443/p/1?a=b&c=d#frag", None)],
+        "page_url STRING, referer_uri STRING",
+    )
+    r = sql_ops.page_uri(df).collect()[0]
+    assert r.page_urlscheme == "https"
+    assert r.page_urlhost == "sub.example.org"
+    assert r.page_urlport == 8443
+    assert r.page_urlpath == "/p/1"
+    assert r.page_urlquery == "a=b&c=d"
+    assert r.page_urlfragment == "frag"
+
+
+def test_page_uri_default_ports(spark):
+    df = spark.createDataFrame(
+        [("https://a.com/x", None), ("http://b.com/y", None)],
+        "page_url STRING, referer_uri STRING",
+    )
+    rows = sql_ops.page_uri(df).collect()
+    assert rows[0].page_urlport == 443
+    assert rows[1].page_urlport == 80

@@ -1,0 +1,168 @@
+"""End-to-end pipeline specs — mirrors common-test EtlPipelineSpec.scala:
+thrift collector bytes → loader → adapters → transform → enrichments →
+good/bad split → TSV / bad-row JSON.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from enrich_spark.adapters.registry import adapt
+from enrich_spark.config import EnrichmentsConfig, IpLookupsConf, JavascriptScriptConf
+from enrich_spark.loaders.thrift import encode_payload, load_thrift
+from enrich_spark.plans.pipeline import enrich, enrich_raw
+from enrich_spark.plans.serialize import bad_rows_json, to_tsv
+from enrich_spark.schema import ATOMIC_FIELD_NAMES
+
+
+def _payloads_df(spark, *payload_dicts):
+    return spark.createDataFrame(
+        [(encode_payload(p),) for p in payload_dicts], "value BINARY"
+    )
+
+
+GOOD_TP2 = dict(
+    path="/com.snowplowanalytics.snowplow/tp2",
+    timestamp=1700000000000,
+    collector="ssc-test",
+    ip_address="81.2.69.142",
+    useragent="Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/120.0.0.0",
+    body=json.dumps({
+        "schema": "iglu:com.snowplowanalytics.snowplow/payload_data/jsonschema/1-0-4",
+        "data": [
+            {"e": "pv", "aid": "site", "p": "web", "url": "https://x.com/p?utm_source=nl",
+             "dtm": "1699999999000", "stm": "1699999999500"},
+            {"e": "se", "aid": "site", "p": "web", "se_ca": "cat", "se_ac": "act"},
+        ],
+    }),
+    content_type="application/json",
+)
+
+BAD_EVENT_TP2 = dict(
+    path="/com.snowplowanalytics.snowplow/tp2",
+    timestamp=1700000000000,
+    collector="ssc-test",
+    body=json.dumps({
+        "schema": "iglu:com.snowplowanalytics.snowplow/payload_data/jsonschema/1-0-4",
+        "data": [{"e": "pv", "p": "not-a-platform", "tid": "NaN"}],
+    }),
+    content_type="application/json",
+)
+
+
+def test_end_to_end_counts(spark):
+    # 1 good tp2 batch of 2 + 1 payload with a broken event + 1 garbage blob
+    df = _payloads_df(spark, GOOD_TP2, BAD_EVENT_TP2)
+    garbage = spark.createDataFrame([(b"\x00\x01junk",)], "value BINARY")
+    payloads = load_thrift(df.union(garbage))
+    res = enrich(payloads, EnrichmentsConfig.default(), spark)
+    assert res.good.count() == 2
+    assert res.bad.count() == 2  # schema-violation event + loader error
+
+
+def test_end_to_end_field_values(spark):
+    payloads = load_thrift(_payloads_df(spark, GOOD_TP2))
+    cfg = EnrichmentsConfig.default()
+    cfg.ip_lookups = IpLookupsConf()
+    good = enrich(payloads, cfg, spark).good.orderBy("event").collect()
+    pv = [r for r in good if r.event == "page_view"][0]
+    assert pv.app_id == "site"
+    assert pv.platform == "web"
+    assert pv.v_collector == "ssc-test"
+    # anon_ip (default on) masks AFTER ip_lookups resolved the geo —
+    # reference ordering: IAB/geo before anonymization (EnrichmentManager:365)
+    assert pv.user_ipaddress == "81.2.x.x"
+    assert pv.geo_country == "GB"
+    assert pv.page_urlhost == "x.com"
+    assert pv.mkt_source == "nl"
+    assert pv.derived_tstamp is not None
+    assert pv.event_fingerprint is not None
+    se = [r for r in good if r.event == "struct"][0]
+    assert se.se_category == "cat"
+
+
+def test_tsv_has_131_columns(spark):
+    payloads = load_thrift(_payloads_df(spark, GOOD_TP2))
+    res = enrich(payloads, EnrichmentsConfig.default(), spark)
+    tsv = to_tsv(res.good).collect()[0].tsv
+    assert len(tsv.split("\t")) == len(ATOMIC_FIELD_NAMES) == 131
+
+
+def test_tsv_timestamp_format(spark):
+    payloads = load_thrift(_payloads_df(spark, GOOD_TP2))
+    res = enrich(payloads, EnrichmentsConfig.default(), spark)
+    tsv = to_tsv(res.good).collect()[0].tsv
+    cols = dict(zip(ATOMIC_FIELD_NAMES, tsv.split("\t")))
+    assert cols["collector_tstamp"] == "2023-11-14 22:13:20.000"
+    assert cols["v_collector"] == "ssc-test"
+
+
+def test_bad_rows_json_shape(spark):
+    payloads = load_thrift(_payloads_df(spark, BAD_EVENT_TP2))
+    res = enrich(payloads, EnrichmentsConfig.default(), spark)
+    bad = json.loads(bad_rows_json(res.bad).collect()[0].bad_row)
+    assert bad["type"] == "schema_violations"
+    assert bad["processor"]["artifact"] == "enrich-spark"
+    assert len(bad["failure"]["messages"]) == 2  # p + tid
+
+
+def test_oversize_flag(spark):
+    payloads = load_thrift(_payloads_df(spark, GOOD_TP2))
+    res = enrich(payloads, EnrichmentsConfig.default(), spark)
+    out = to_tsv(res.good, max_bytes=10).collect()
+    assert all(r.oversized for r in out)
+
+
+def test_script_enrichment_contract(spark):
+    import datetime
+
+    def hook(event, params, headers):
+        if event.get("app_id") == "drop-me":
+            return {"drop": True}
+        if event.get("app_id") == "fail-me":
+            raise RuntimeError("boom")
+        return {
+            "event": {"se_label": "from-script"},
+            "contexts": [{"schema": "iglu:com.acme/ctx/jsonschema/1-0-0",
+                          "data": {"k": 1}}],
+        }
+
+    raw = spark.createDataFrame(
+        [
+            ({"e": "pv", "aid": "keep"}, datetime.datetime(2024, 1, 1)),
+            ({"e": "pv", "aid": "drop-me"}, datetime.datetime(2024, 1, 1)),
+            ({"e": "pv", "aid": "fail-me"}, datetime.datetime(2024, 1, 1)),
+        ],
+        "parameters MAP<STRING,STRING>, collector_tstamp TIMESTAMP",
+    )
+    cfg = EnrichmentsConfig.default()
+    cfg.javascript_script = JavascriptScriptConf(function=hook)
+    res = enrich_raw(raw, cfg, spark)
+    all_rows = res.all.collect()
+    # drop-me vanished entirely (OptionIor None semantics)
+    assert len(all_rows) == 2
+    good = res.good.collect()
+    assert len(good) == 1
+    assert good[0].se_label == "from-script"
+    assert any(c.schema == "iglu:com.acme/ctx/jsonschema/1-0-0" for c in good[0]._derived)
+    bad = res.bad.collect()
+    assert len(bad) == 1 and any("boom" in e for e in bad[0]._errors)
+
+
+def test_enrichment_config_files_parse(spark):
+    # the reference's own config/enrichments/*.json parse into our model
+    import glob
+
+    from enrich_spark.config import load_enrichments_config, parse_enrichment_sdj
+
+    files = sorted(glob.glob("/root/reference/config/enrichments/*.json"))
+    assert files, "reference enrichment configs present"
+    parsed = 0
+    for f in files:
+        doc = json.load(open(f))
+        out = parse_enrichment_sdj(doc)
+        if out is not None:
+            parsed += 1
+    assert parsed >= 8  # the mainstream enrichments all map to a slot

@@ -1,0 +1,91 @@
+"""Property-based pipeline invariants — mirrors the reference's
+CollectorPayloadGen (modules/it/core/.../CollectorPayloadGen.scala:36-170):
+generate valid / invalid / mixed collector payloads and assert the
+engine's record-level contract: every payload yields ≥1 output row,
+nothing throws, and good+bad covers every generated event.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from enrich_spark.adapters.registry import adapt
+from enrich_spark.config import EnrichmentsConfig
+from enrich_spark.loaders.thrift import encode_payload, load_thrift
+from enrich_spark.plans.pipeline import enrich
+
+_spark = None  # set lazily; hypothesis fixtures don't mix with pytest fixtures
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from enrich_spark.session import get_spark
+
+        _spark = get_spark("enrich-spark-tests", cpus=4)
+        _spark.sparkContext.setLogLevel("ERROR")
+    return _spark
+
+
+simple_str = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\t\n\r\x00&=%"),
+    min_size=0, max_size=20,
+)
+
+event_params = st.fixed_dictionaries(
+    {"e": st.sampled_from(["pv", "pp", "se", "tr", "ue", "zz-bad"])},
+    optional={
+        "aid": simple_str,
+        "p": st.sampled_from(["web", "mob", "srv", "bogus-platform"]),
+        "tid": st.one_of(st.integers(0, 2**40).map(str), st.just("not-int")),
+        "uid": simple_str,
+        "dtm": st.integers(1, 2 * 10**12).map(str),
+        "res": st.one_of(st.just("1920x1080"), st.just("malformed-res")),
+        "url": st.just("https://example.com/p?x=1"),
+    },
+)
+
+
+@st.composite
+def tp2_payload(draw):
+    events = draw(st.lists(event_params, min_size=1, max_size=4))
+    return dict(
+        path="/com.snowplowanalytics.snowplow/tp2",
+        timestamp=draw(st.integers(10**12, 2 * 10**12)),
+        collector="ssc-gen",
+        ip_address=draw(st.one_of(st.just("1.2.3.4"), st.just("junk-ip"), st.none())),
+        body=json.dumps({
+            "schema": "iglu:com.snowplowanalytics.snowplow/payload_data/jsonschema/1-0-4",
+            "data": events,
+        }),
+        content_type="application/json",
+    ), len(events)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(tp2_payload(), min_size=1, max_size=4))
+def test_record_level_contract(payloads):
+    """1 raw event in → exactly 1 record out (good or bad), never thrown."""
+    spark = _get_spark()
+    blobs = [(encode_payload(p),) for p, _ in payloads]
+    n_events = sum(n for _, n in payloads)
+    df = spark.createDataFrame(blobs, "value BINARY")
+    res = enrich(load_thrift(df), EnrichmentsConfig.default(), spark)
+    rows = res.all.collect()
+    assert len(rows) == n_events
+    assert res.good.count() + res.bad.count() == n_events
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.binary(min_size=0, max_size=200))
+def test_garbage_never_throws(blob):
+    spark = _get_spark()
+    df = spark.createDataFrame([(blob,)], "value BINARY")
+    out = load_thrift(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    # either decoded to a payload or flagged as CPFormatViolation
+    assert (r.loader_error is not None) or (r.api_vendor is not None)
