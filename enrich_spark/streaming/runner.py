@@ -1,0 +1,137 @@
+"""Streaming shell — the engine's equivalent of core/Processing.stream
+(core/Processing.scala:42-58):
+
+    source → decompress/debatch → thrift load → enrich plan →
+    serialize → {good TSV, bad JSON, failed TSV} sinks
+    + per-batch metadata aggregation (the system's only true agg)
+
+Spark-first shape: the whole per-event pipeline is ONE stateless
+streaming projection (no watermark needed — the reference is explicitly
+``NoWindowing``, "1 in → 1 out", Processing.scala:44). The 3-way output
+split runs inside ``foreachBatch`` so one pass over each micro-batch
+feeds all sinks and the metadata aggregation, and checkpointing gives
+the same at-least-once contract the reference implements with ack
+tokens (Processing.scala:321-322).
+
+At scale: parallelism = source partitions (Kafka partitions / file
+splits); there is NO shuffle anywhere in the hot path — the only
+exchange is the metadata groupBy over a batch-local aggregate whose
+cardinality is tiny (distinct event schemas × app ids).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import EnrichmentsConfig
+from ..loaders.thrift import load_thrift
+from ..plans.pipeline import enrich
+from ..plans.serialize import bad_rows_json, to_tsv
+from ..sources.decompress import explode_messages
+
+
+@dataclass
+class StreamSinks:
+    good_path: str
+    bad_path: str
+    failed_path: str | None = None       # reference: optional failed stream
+    metadata_path: str | None = None     # per-batch metadata aggregates
+    good_format: str = "text"            # TSV lines
+    bad_format: str = "text"             # JSON lines
+
+
+@dataclass
+class StreamConfig:
+    enrichments: EnrichmentsConfig = field(default_factory=EnrichmentsConfig.default)
+    max_bytes_single_payload: int = 1 << 20
+    sink_max_bytes: int = 1 << 20        # oversize record guard → SizeViolation
+    checkpoint: str | None = None
+    trigger_seconds: int | None = None
+
+
+def collect_metadata(good: DataFrame) -> DataFrame:
+    """The system's only true aggregation (core/Metadata.scala:50-65):
+    distinct (event schema, app_id, tracker, platform) → counts + the set
+    of entity schemas seen."""
+    return (
+        good.groupBy(
+            "event_vendor", "event_name", "event_format", "event_version",
+            "app_id", "v_tracker", "platform",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list(
+                    F.transform(F.col("_derived"), lambda c: c.getField("schema"))
+                )))
+            ).alias("entity_schemas"),
+        )
+    )
+
+
+def enrich_batch(batch_df: DataFrame, cfg: StreamConfig, spark: SparkSession):
+    """One micro-batch through the full pipeline. Returns (good_tsv, bad_json,
+    metadata) DataFrames — shared by the streaming and batch entry points."""
+    payloads = explode_messages(batch_df, max_bytes_single_payload=cfg.max_bytes_single_payload)
+    loaded = load_thrift(payloads)
+    # decompression errors become loader-level bad rows
+    loaded = loaded.withColumn(
+        "loader_error", F.coalesce(F.col("loader_error"), F.col("decompress_error"))
+    )
+    res = enrich(loaded, cfg.enrichments, spark)
+
+    good_tsv = to_tsv(res.good, max_bytes=cfg.sink_max_bytes)
+    # oversize enriched records → SizeViolation bad rows (Processing.scala:203-225)
+    oversize = good_tsv.where(F.col("oversized")).select(
+        F.to_json(
+            F.struct(
+                F.lit("size_violation").alias("type"),
+                F.octet_length("tsv").alias("actual_bytes"),
+                F.lit(cfg.sink_max_bytes).alias("max_bytes"),
+                F.substring("tsv", 1, 256).alias("payload_prefix"),
+            )
+        ).alias("bad_row")
+    )
+    bad = bad_rows_json(res.bad).unionByName(oversize)
+    meta = collect_metadata(res.good)
+    return good_tsv.where(~F.col("oversized")).select("tsv"), bad, meta
+
+
+def run_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    sinks: StreamSinks,
+    cfg: StreamConfig | None = None,
+):
+    """Wire the pipeline into a foreachBatch streaming query and start it."""
+    cfg = cfg or StreamConfig()
+
+    def process(batch_df: DataFrame, batch_id: int):
+        good, bad, meta = enrich_batch(batch_df, cfg, spark)
+        good.write.mode("append").text(sinks.good_path)
+        bad.withColumnRenamed("bad_row", "value").write.mode("append").text(sinks.bad_path)
+        if sinks.metadata_path is not None:
+            meta.withColumn("batch_id", F.lit(batch_id)).write.mode("append").json(
+                sinks.metadata_path
+            )
+
+    writer = source.writeStream.foreachBatch(process).outputMode("append")
+    if cfg.checkpoint:
+        writer = writer.option("checkpointLocation", cfg.checkpoint)
+    if cfg.trigger_seconds:
+        writer = writer.trigger(processingTime=f"{cfg.trigger_seconds} seconds")
+    return writer.start()
+
+
+def run_batch(
+    spark: SparkSession,
+    messages: DataFrame,
+    cfg: StreamConfig | None = None,
+):
+    """Same pipeline in batch mode (golden runs / reprocessing jobs)."""
+    cfg = cfg or StreamConfig()
+    return enrich_batch(messages, cfg, spark)

@@ -1,0 +1,144 @@
+"""Streaming shell specs — decompression protocol, debatch explode, and
+an end-to-end Structured Streaming run over a file source (mirrors the
+reference's ProcessingSpec/PayloadProviderSpec/DecompressorSpec).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from enrich_spark.config import EnrichmentsConfig
+from enrich_spark.loaders.thrift import encode_payload
+from enrich_spark.sources.decompress import encode_batch, explode_messages
+from enrich_spark.streaming.runner import (
+    StreamConfig,
+    StreamSinks,
+    collect_metadata,
+    run_batch,
+    run_stream,
+)
+
+PAYLOAD = dict(
+    path="/com.snowplowanalytics.snowplow/tp2",
+    timestamp=1700000000000,
+    collector="ssc-test",
+    body=json.dumps({
+        "schema": "iglu:com.snowplowanalytics.snowplow/payload_data/jsonschema/1-0-4",
+        "data": [{"e": "pv", "aid": "app", "p": "web", "tv": "js-3.0.0"}],
+    }),
+    content_type="application/json",
+)
+
+
+def test_debatch_gzip_roundtrip(spark):
+    payloads = [b"one", b"two", b"three"]
+    msg = encode_batch(payloads, "gzip")
+    df = spark.createDataFrame([(msg,), (b"plain-single",)], "value BINARY")
+    out = explode_messages(df).collect()
+    got = sorted(bytes(r.value) for r in out if r.value is not None)
+    assert got == sorted(payloads + [b"plain-single"])
+    assert all(r.decompress_error is None for r in out)
+
+
+def test_debatch_bad_header_version(spark):
+    import gzip as _gz
+    import struct as _st
+
+    body = bytes([2, 1]) + _st.pack(">i", 3) + b"abc"
+    df = spark.createDataFrame([(_gz.compress(body),)], "value BINARY")
+    out = explode_messages(df).collect()
+    assert len(out) == 1
+    assert "Unsupported versions" in out[0].decompress_error
+
+
+def test_debatch_record_too_big_keeps_draining(spark):
+    msg = encode_batch([b"x" * 100, b"ok"], "gzip")
+    df = spark.createDataFrame([(msg,)], "value BINARY")
+    out = explode_messages(df, max_bytes_single_payload=10).collect()
+    errors = [r.decompress_error for r in out if r.decompress_error]
+    values = [bytes(r.value) for r in out if r.value is not None]
+    assert len(errors) == 1 and "too big" in errors[0]
+    assert values == [b"ok"]  # archive still drained past the big record
+
+
+def test_debatch_truncated_archive(spark):
+    import gzip as _gz
+    import struct as _st
+
+    body = bytes([1, 1]) + _st.pack(">i", 100) + b"short"
+    df = spark.createDataFrame([(_gz.compress(body),)], "value BINARY")
+    out = explode_messages(df).collect()
+    assert any(r.decompress_error and "corrupt" in r.decompress_error for r in out)
+
+
+def test_run_batch_end_to_end(spark):
+    msg = encode_batch([encode_payload(PAYLOAD)] * 3, "gzip")
+    df = spark.createDataFrame([(msg,), (encode_payload(PAYLOAD),)], "value BINARY")
+    good, bad, meta = run_batch(spark, df)
+    assert good.count() == 4
+    assert bad.count() == 0
+    m = meta.collect()
+    assert len(m) == 1
+    assert m[0].n_events == 4
+    assert m[0].app_id == "app"
+    assert m[0].event_name == "page_view"
+
+
+def test_metadata_aggregation_shapes(spark):
+    good = spark.createDataFrame(
+        [
+            ("com.snowplowanalytics.snowplow", "page_view", "jsonschema", "1-0-0",
+             "app", "js-3.0.0", "web",
+             [{"schema": "iglu:com.acme/ctx/jsonschema/1-0-0", "data": "{}"}]),
+            ("com.snowplowanalytics.snowplow", "page_view", "jsonschema", "1-0-0",
+             "app", "js-3.0.0", "web", []),
+        ],
+        "event_vendor STRING, event_name STRING, event_format STRING, "
+        "event_version STRING, app_id STRING, v_tracker STRING, platform STRING, "
+        "_derived ARRAY<STRUCT<schema:STRING,data:STRING>>",
+    )
+    m = collect_metadata(good).collect()
+    assert len(m) == 1
+    assert m[0].n_events == 2
+    assert m[0].entity_schemas == ["iglu:com.acme/ctx/jsonschema/1-0-0"]
+
+
+def test_streaming_file_source_end_to_end(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in")
+        os.makedirs(src)
+        sinks = StreamSinks(
+            good_path=os.path.join(tmp, "good"),
+            bad_path=os.path.join(tmp, "bad"),
+            metadata_path=os.path.join(tmp, "meta"),
+        )
+        cfg = StreamConfig(checkpoint=os.path.join(tmp, "ckpt"))
+
+        # seed one parquet file of messages, then start the stream
+        msgs = [(encode_payload(PAYLOAD),), (b"garbage-bytes",)]
+        spark.createDataFrame(msgs, "value BINARY").write.parquet(
+            os.path.join(src, "batch0"), mode="overwrite"
+        )
+        source = (
+            spark.readStream.schema("value BINARY")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = run_stream(spark, source, sinks, cfg)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        good_lines = spark.read.text(sinks.good_path).collect()
+        bad_lines = spark.read.text(sinks.bad_path).collect()
+        assert len(good_lines) == 1
+        assert len(good_lines[0].value.split("\t")) == 131
+        assert len(bad_lines) == 1
+        meta = spark.read.json(sinks.metadata_path).collect()
+        assert meta[0].n_events == 1
