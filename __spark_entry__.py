@@ -401,6 +401,140 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sessionize"] = q_sessionize
 
+    def q_sql_lookup(spark, sf):
+        from enrich_spark.operators.lookups import SqlQueryConf, sql_query_enrichment
+
+        ev = _load_events(spark, sf)
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        n_cust = cust.count()
+        events = ev.select(
+            F.col("event_id").alias("src_event_id"),
+            (F.col("user_id") % n_cust + 1).cast("long").alias("cust_key"),
+        ).withColumn("_errors", F.array().cast("array<string>"))
+        lookup = cust.select(
+            F.col("c_custkey").cast("long").alias("ckey"), "c_name",
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        )
+        conf = SqlQueryConf(
+            key_map={"cust_key": "ckey"},
+            context_schema="iglu:com.acme/customer/jsonschema/1-0-0",
+        )
+        out = sql_query_enrichment(events, conf, lookup)
+        ctx = F.element_at(F.col("_derived"), 1).getField("data")
+        return out.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            F.get_json_object(ctx, "$.c_name").alias("c_name"),
+            F.get_json_object(ctx, "$.c_nationkey").cast("long").alias("c_nationkey"),
+        )
+
+    q["sql_lookup_join"] = q_sql_lookup
+
+    def q_asn_bot(spark, sf):
+        from enrich_spark.config import (
+            AsnLookupsConf,
+            BotDetectionConf,
+            EnrichmentsConfig,
+            IpLookupsConf,
+        )
+        from enrich_spark.plans.pipeline import enrich_raw
+
+        cfg = EnrichmentsConfig.default()
+        cfg.ip_lookups = IpLookupsConf()
+        cfg.asn_lookups = AsnLookupsConf(datacenter_asns=[209])
+        cfg.bot_detection = BotDetectionConf()
+        res = enrich_raw(_raw_events(spark, sf), cfg, spark)
+        asn_ctx = F.try_element_at(
+            F.filter(F.col("_derived"), lambda c: c.getField("schema").contains("asn_context")), F.lit(1)
+        ).getField("data")
+        bot_ctx = F.try_element_at(
+            F.filter(F.col("_derived"), lambda c: c.getField("schema").contains("bot_detection")), F.lit(1)
+        ).getField("data")
+        return res.good.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            # coalesce: NULL-int columns round-trip as NaN through pandas
+            # comparators — use a -1 sentinel on both sides
+            F.coalesce(F.get_json_object(asn_ctx, "$.asn").cast("long"), F.lit(-1)).alias("asn"),
+            F.when(F.get_json_object(bot_ctx, "$.bot") == "true", 1)
+            .otherwise(0).cast("long").alias("is_bot"),
+        )
+
+    q["asn_bot_detection"] = q_asn_bot
+
+    def q_yauaa(spark, sf):
+        from enrich_spark.config import EnrichmentsConfig, YauaaConf
+        from enrich_spark.plans.pipeline import enrich_raw
+
+        cfg = EnrichmentsConfig.default()
+        cfg.yauaa = YauaaConf()
+        res = enrich_raw(_raw_events(spark, sf), cfg, spark)
+        yctx = F.try_element_at(
+            F.filter(F.col("_derived"), lambda c: c.getField("schema").contains("yauaa")), F.lit(1)
+        ).getField("data")
+        return res.good.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            F.get_json_object(yctx, "$.deviceClass").alias("device_class"),
+            F.get_json_object(yctx, "$.agentName").alias("agent_name"),
+        )
+
+    q["yauaa_classify"] = q_yauaa
+
+    def q_iglu(spark, sf):
+        from enrich_spark.config import EnrichmentsConfig, IgluConf
+        from enrich_spark.plans.pipeline import enrich_raw
+
+        ev = _load_events(spark, sf)
+        target = F.when(
+            F.col("event_id") % 3 != 0,
+            F.concat(F.lit('"targetUrl":"https://t/'), F.col("event_id").cast("string"), F.lit('",')),
+        ).otherwise(F.lit(""))
+        ue = F.concat(
+            F.lit('{"schema":"iglu:com.snowplowanalytics.snowplow/unstruct_event/jsonschema/1-0-0",'
+                  '"data":{"schema":"iglu:com.acme/link_click/jsonschema/1-0-0","data":{'),
+            target,
+            F.lit('"elementId":"btn"}}}'),
+        )
+        raw = ev.select(
+            F.col("event_id").alias("src_event_id"),
+            F.create_map(F.lit("e"), F.lit("ue"), F.lit("ue_pr"), ue).alias("parameters"),
+            F.col("ts").alias("collector_tstamp"),
+        )
+        cfg = EnrichmentsConfig.default()
+        cfg.iglu = IgluConf(schemas={
+            "iglu:com.acme/link_click/jsonschema/1-0-0": {
+                "type": "object",
+                "properties": {"targetUrl": {"type": "string"},
+                               "elementId": {"type": "string"}},
+                "required": ["targetUrl"],
+                "additionalProperties": False,
+            }
+        })
+        res = enrich_raw(raw, cfg, spark)
+        return res.all.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            F.col("_is_bad").cast("long").alias("is_bad"),
+        )
+
+    q["iglu_validation"] = q_iglu
+
+    def q_weather(spark, sf):
+        from enrich_spark.config import EnrichmentsConfig, IpLookupsConf
+        from enrich_spark.operators.lookups import WeatherConf
+        from enrich_spark.plans.pipeline import enrich_raw
+
+        cfg = EnrichmentsConfig.default()
+        cfg.ip_lookups = IpLookupsConf()
+        cfg.weather = WeatherConf()
+        res = enrich_raw(_raw_events(spark, sf), cfg, spark)
+        wctx = F.try_element_at(
+            F.filter(F.col("_derived"), lambda c: c.getField("schema").contains("openweathermap")), F.lit(1)
+        ).getField("data")
+        return res.good.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            F.get_json_object(wctx, "$.weather[0].main").alias("conditions"),
+        )
+
+    q["weather_context"] = q_weather  # stub provider (rows-only)
+
     # ---- data-pipeline side ------------------------------------------------
     def q_dedup_exact(spark, sf):
         from enrich_spark.datapipe.dedup import exact_dedup
@@ -800,6 +934,39 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
         FROM g GROUP BY user_id
+    """
+
+    o["sql_lookup_join"] = """
+        SELECT e.event_id AS src_event_id, c.c_name AS c_name,
+               CAST(c.c_nationkey AS BIGINT) AS c_nationkey
+        FROM events e
+        LEFT JOIN customer c
+          ON c.c_custkey = e.user_id % (SELECT count(*) FROM customer) + 1
+    """
+
+    o["asn_bot_detection"] = """
+        SELECT e.event_id AS src_event_id,
+               CAST(CASE WHEN e.user_id % 4 = 0 THEN 20712
+                    WHEN e.user_id % 4 = 1 THEN 209
+                    WHEN e.user_id % 4 = 2 THEN 29518 ELSE -1 END AS BIGINT) AS asn,
+               CAST(CASE WHEN (e.user_id % 4 = 1 AND e.user_id % 3 IN (0, 1))
+                          OR e.user_id % 5 = 3 THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+        FROM events e
+    """
+
+    o["yauaa_classify"] = """
+        SELECT e.event_id AS src_event_id,
+               CASE e.user_id % 5 WHEN 0 THEN 'Desktop' WHEN 1 THEN 'Phone'
+                    WHEN 2 THEN 'Phone' WHEN 3 THEN 'Robot' ELSE 'Desktop' END AS device_class,
+               CASE e.user_id % 5 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Mobile Safari'
+                    WHEN 2 THEN 'Chrome Mobile' WHEN 3 THEN 'Other' ELSE 'Firefox' END AS agent_name
+        FROM events e
+    """
+
+    o["iglu_validation"] = """
+        SELECT e.event_id AS src_event_id,
+               CAST(CASE WHEN e.event_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_bad
+        FROM events e
     """
 
     o["dedup_exact"] = """

@@ -35,6 +35,8 @@ def main():
         "ip_lookups",             # broadcast range join
         "bad_row_split",          # error-accumulation path
         "adapter_explode",        # 1→N payload explode
+        "sql_lookup_join",        # broadcast lookup-join enrichment
+        "asn_bot_detection",      # range join + context consolidation
         "metadata_aggregation",   # the one true aggregation
         "sessionize",             # stateful window (beyond-reference)
         "dedup_exact",

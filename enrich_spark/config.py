@@ -111,6 +111,28 @@ class IabConf:
 
 
 @dataclass
+class AsnLookupsConf:
+    # parquet/csv range table (ip_start BIGINT, ip_end BIGINT, asn INT,
+    # asn_org STRING); None = demo table
+    ranges_path: str | None = None
+    datacenter_asns: list[int] = field(default_factory=list)
+
+
+@dataclass
+class BotDetectionConf:
+    enabled: bool = True
+
+
+@dataclass
+class IgluConf:
+    # static-registry directories (Iglu layout vendor/name/format/m-r-a)
+    registry_dirs: list[str] = field(default_factory=list)
+    # inline uri → schema dict entries
+    schemas: dict = field(default_factory=dict)
+    strict: bool = False  # unresolvable schema: error (True) or skip (False)
+
+
+@dataclass
 class JavascriptScriptConf:
     # our extension surface: a Python callable with the JS-enrichment
     # contract (SURVEY §2.5 #21) — fn(event: dict, params: dict, headers: list) ->
@@ -136,6 +158,17 @@ class EnrichmentsConfig:
     yauaa: YauaaConf | None = None
     iab: IabConf | None = None
     javascript_script: JavascriptScriptConf | None = None
+    asn_lookups: AsnLookupsConf | None = None
+    bot_detection: BotDetectionConf | None = None
+    iglu: IgluConf | None = None
+    # operators/lookups.py conf objects (SqlQueryConf / ApiRequestConf /
+    # WeatherConf) — typed Any to avoid a config↔operators import cycle
+    sql_query: Any = None
+    api_request: Any = None
+    weather: Any = None
+    # lookup DataFrame provider for sql_query broadcast mode:
+    # Callable[[SparkSession], DataFrame]
+    sql_query_table: Any = None
 
     @staticmethod
     def default() -> "EnrichmentsConfig":

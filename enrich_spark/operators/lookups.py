@@ -1,0 +1,295 @@
+"""Service-lookup enrichments: SQL query, API request, weather.
+
+SURVEY §2.5 #22 (sqlquery/SqlQueryEnrichment.scala:156-265),
+#23 (apirequest/ApiRequestEnrichment.scala:127-230), #15
+(WeatherEnrichment.scala:96-204).
+
+Spark-first architecture — two execution modes per SURVEY §4:
+
+* **Broadcast-join mode (default, the scale path)**: the lookup RHS is a
+  DataFrame (loaded from JDBC/parquet/csv at plan-build time) and the
+  per-event lookup becomes a *broadcast equi-join* on the extracted key
+  columns. This is the Catalyst-native rewrite of the reference's
+  per-event-query pattern: zero Python, zero per-row network I/O, scales
+  with executors. Row-count contracts (EXACTLY_ONE / AT_MOST_ONE /
+  AT_LEAST_ONE / ALL_ROWS, sqlquery/Output.scala:106-139) are enforced
+  on the join result.
+* **Cached-UDF mode (semantics-preserving fallback)**: a per-executor
+  LRU+TTL cache around a user-provided ``fetch(key...) -> rows`` callable
+  (mirrors CachingEvaluator.scala:27-127). For services that cannot be
+  snapshotted as a table (live APIs). The HTTP transport is injectable;
+  per-partition batching keeps Python overhead amortized.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .sql_enrichments import DERIVED_COL, ensure_derived
+
+# ---------------------------------------------------------------------------
+# §2.5 #22 — SQL query enrichment, broadcast-join mode
+
+
+@dataclass
+class SqlQueryConf:
+    # event-side key columns → lookup-side key columns
+    key_map: dict[str, str] = field(default_factory=dict)
+    context_schema: str = "iglu:com.acme/sql_context/jsonschema/1-0-0"
+    # EXACTLY_ONE | AT_MOST_ONE | AT_LEAST_ONE | ALL_ROWS
+    expected_rows: str = "AT_MOST_ONE"
+    # lookup columns to emit into the context (None = all non-key columns)
+    output_columns: list[str] | None = None
+
+
+def sql_query_enrichment(df: DataFrame, conf: SqlQueryConf, lookup: DataFrame) -> DataFrame:
+    """Per-event lookup join as a broadcast equi-join.
+
+    Mirrors the reference's skip-if-any-placeholder-missing rule
+    (SqlQueryEnrichment.scala:232-235): rows with a NULL key skip the
+    lookup entirely (left join keeps them, no context, no error).
+    """
+    df = ensure_derived(df)
+    out_cols = conf.output_columns or [
+        c for c in lookup.columns if c not in conf.key_map.values()
+    ]
+    # alias lookup columns to avoid collisions with the 131 atomic names
+    aliased = lookup.select(
+        *[F.col(c).alias(f"_lk_{c}") for c in lookup.columns]
+    )
+    cond = None
+    for ev_col, lk_col in conf.key_map.items():
+        c = df[ev_col].eqNullSafe(aliased[f"_lk_{lk_col}"]) & df[ev_col].isNotNull()
+        cond = c if cond is None else (cond & c)
+
+    joined = df.join(F.broadcast(aliased), cond, "left")
+
+    hit = aliased[f"_lk_{list(conf.key_map.values())[0]}"].isNotNull()
+    data = F.to_json(F.struct(*[F.col(f"_lk_{c}").alias(c) for c in out_cols]))
+    ctx = F.struct(F.lit(conf.context_schema).alias("schema"), data.alias("data"))
+    joined = joined.withColumn(
+        DERIVED_COL,
+        F.when(hit, F.array_append(F.col(DERIVED_COL), ctx)).otherwise(F.col(DERIVED_COL)),
+    )
+
+    key_present = None
+    for ev_col in conf.key_map:
+        kp = F.col(ev_col).isNotNull()
+        key_present = kp if key_present is None else (key_present & kp)
+    if conf.expected_rows in ("EXACTLY_ONE", "AT_LEAST_ONE"):
+        # a keyed row with no lookup hit violates the contract
+        err = F.when(
+            key_present & ~hit,
+            F.lit(f"sql_query\tExpected {conf.expected_rows} row(s), got 0\t"),
+        )
+        joined = joined.withColumn(
+            "_errors", F.concat(F.col("_errors"), F.array_compact(F.array(err)))
+        )
+    # AT_MOST_ONE/EXACTLY_ONE duplicate-key violations are a property of the
+    # lookup table; enforced at load time (cheap, table-side) not per event:
+    # callers should dedupe or validate the RHS with validate_lookup_unique.
+    return joined.drop(*[f"_lk_{c}" for c in lookup.columns])
+
+
+def validate_lookup_unique(lookup: DataFrame, key_cols: list[str]) -> None:
+    """Raise if the lookup side has duplicate keys (AT_MOST_ONE contract)."""
+    dupes = lookup.groupBy(*key_cols).count().where(F.col("count") > 1).limit(1).collect()
+    if dupes:
+        raise ValueError(f"lookup table violates AT_MOST_ONE on {key_cols}: {dupes[0]}")
+
+
+# ---------------------------------------------------------------------------
+# per-executor LRU+TTL cache (CachingEvaluator.scala:27-127)
+
+
+class TtlCache:
+    """Small LRU+TTL dict — per-executor singleton inside UDF closures."""
+
+    def __init__(self, size: int = 1000, ttl_s: float = 3600.0, clock=time.monotonic):
+        self.size, self.ttl, self._clock = size, ttl_s, clock
+        self._d: dict[Any, tuple[float, Any]] = {}
+
+    def get_or(self, key, fn):
+        now = self._clock()
+        hitted = self._d.get(key)
+        if hitted is not None and now - hitted[0] < self.ttl:
+            return hitted[1]
+        value = fn()
+        if len(self._d) >= self.size:
+            # evict oldest-inserted (approximation of LRU, dict is ordered)
+            self._d.pop(next(iter(self._d)))
+        self._d[key] = (now, value)
+        return value
+
+
+# ---------------------------------------------------------------------------
+# §2.5 #23 — API request enrichment, cached-UDF mode
+
+
+@dataclass
+class ApiRequestConf:
+    url_template: str = ""                       # "http://host/users/{{user_id}}"
+    inputs: list[str] = field(default_factory=list)  # atomic columns used
+    context_schema: str = "iglu:com.acme/api_context/jsonschema/1-0-0"
+    json_path: str | None = None                 # dotted path into the response
+    cache_size: int = 1000
+    cache_ttl_s: float = 3600.0
+    ignore_on_error: bool = False
+    # transport: url -> response body str; None = urllib GET. Injectable
+    # for tests and for auth/POST variants.
+    transport: Callable[[str], str] | None = None
+    timeout_s: float = 5.0
+
+
+def _default_transport(timeout_s: float):
+    def fetch(url: str) -> str:
+        from urllib.request import urlopen
+
+        with urlopen(url, timeout=timeout_s) as r:  # noqa: S310 — config-driven
+            return r.read().decode("utf-8")
+
+    return fetch
+
+
+def _dig(doc: Any, dotted: str | None):
+    if dotted in (None, "", "$"):
+        return doc
+    cur = doc
+    for part in dotted.lstrip("$.").split("."):
+        if isinstance(cur, dict):
+            cur = cur.get(part)
+        elif isinstance(cur, list) and part.isdigit():
+            cur = cur[int(part)] if int(part) < len(cur) else None
+        else:
+            return None
+    return cur
+
+
+_API_RESULT = T.StructType([
+    T.StructField("data", T.StringType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def api_request_enrichment(df: DataFrame, conf: ApiRequestConf) -> DataFrame:
+    """Templated per-event HTTP lookup with a per-executor LRU+TTL cache.
+
+    Skips rows where any input is NULL (ApiRequestEnrichment: all
+    placeholders must be filled). The cache key is the rendered URL, so
+    at 100 TB the request volume is bounded by key cardinality × executors,
+    not event count."""
+    df = ensure_derived(df)
+    transport = conf.transport
+    template, json_path = conf.url_template, conf.json_path
+    size, ttl, timeout = conf.cache_size, conf.cache_ttl_s, conf.timeout_s
+    holder: dict = {}
+
+    @F.udf(returnType=_API_RESULT)
+    def call(*values):
+        if any(v is None for v in values):
+            return (None, None)  # skip — missing placeholder
+        if "cache" not in holder:
+            holder["cache"] = TtlCache(size, ttl)
+            holder["fetch"] = transport or _default_transport(timeout)
+        url = template
+        for name, v in zip(conf.inputs, values):
+            url = url.replace("{{%s}}" % name, str(v))
+
+        def fetch_and_extract():
+            try:
+                body = holder["fetch"](url)
+                value = _dig(json.loads(body), json_path)
+                if value is None:
+                    return (None, f"api_request\tno value at {json_path}\t{url}")
+                return (json.dumps(value, separators=(",", ":")), None)
+            except Exception as e:  # noqa: BLE001 — never throw from the pipeline
+                return (None, f"api_request\t{type(e).__name__}: {e}\t{url}")
+
+        return holder["cache"].get_or(url, fetch_and_extract)
+
+    res = call(*[F.col(c) for c in conf.inputs])
+    df = df.withColumn("_api", res)
+    ctx = F.struct(
+        F.lit(conf.context_schema).alias("schema"),
+        F.col("_api.data").alias("data"),
+    )
+    df = df.withColumn(
+        DERIVED_COL,
+        F.when(F.col("_api.data").isNotNull(),
+               F.array_append(F.col(DERIVED_COL), ctx)).otherwise(F.col(DERIVED_COL)),
+    )
+    if not conf.ignore_on_error:
+        df = df.withColumn(
+            "_errors",
+            F.concat(F.col("_errors"), F.array_compact(F.array(F.col("_api.error")))),
+        )
+    return df.drop("_api")
+
+
+# ---------------------------------------------------------------------------
+# §2.5 #15 — weather context
+
+
+@dataclass
+class WeatherConf:
+    context_schema: str = "iglu:org.openweathermap/weather/jsonschema/1-0-0"
+    cache_size: int = 5000
+    cache_ttl_s: float = 86400.0
+    # provider(lat, lon, epoch_s) -> dict (weather doc); None = deterministic
+    # stub (the container has no network; the real OWM client drops in here)
+    provider: Callable[[float, float, int], dict] | None = None
+
+
+def _stub_weather(lat: float, lon: float, epoch_s: int) -> dict:
+    """STUB provider — deterministic fake keyed on (lat, lon, day).
+    Replace with an OpenWeatherMap history client in deployment."""
+    day = epoch_s // 86400
+    seed = int(lat * 100) * 31 + int(lon * 100) * 7 + day
+    return {
+        "main": {"temp": round(273.15 + (seed % 400) / 10.0, 2),
+                 "humidity": seed % 100},
+        "weather": [{"main": ["Clear", "Clouds", "Rain", "Snow"][seed % 4]}],
+        "dt": day * 86400,
+    }
+
+
+def weather_context(df: DataFrame, conf: WeatherConf) -> DataFrame:
+    """Weather by (geo_latitude, geo_longitude, derived_tstamp) — cached
+    per (rounded-coords, day) like the reference's LRU+TTL cache."""
+    df = ensure_derived(df)
+    provider = conf.provider or _stub_weather
+    size, ttl = conf.cache_size, conf.cache_ttl_s
+    holder: dict = {}
+
+    @F.udf(returnType=T.StringType())
+    def fetch(lat, lon, epoch_s):
+        if lat is None or lon is None or epoch_s is None:
+            return None
+        if "cache" not in holder:
+            holder["cache"] = TtlCache(size, ttl)
+        key = (round(lat, 1), round(lon, 1), epoch_s // 86400)
+
+        def go():
+            try:
+                return json.dumps(provider(lat, lon, int(epoch_s)), separators=(",", ":"))
+            except Exception:  # noqa: BLE001
+                return None
+
+        return holder["cache"].get_or(key, go)
+
+    data = fetch(F.col("geo_latitude"), F.col("geo_longitude"),
+                 F.unix_timestamp("derived_tstamp"))
+    df = df.withColumn("_weather", data)
+    ctx = F.struct(F.lit(conf.context_schema).alias("schema"), F.col("_weather").alias("data"))
+    return df.withColumn(
+        DERIVED_COL,
+        F.when(F.col("_weather").isNotNull(),
+               F.array_append(F.col(DERIVED_COL), ctx)).otherwise(F.col(DERIVED_COL)),
+    ).drop("_weather")

@@ -144,6 +144,128 @@ def ua_parser_context(df: DataFrame) -> DataFrame:
     )
 
 
+def yauaa_context(df: DataFrame) -> DataFrame:
+    """§2.5 #16 — YAUAA-style device analysis context
+    (YauaaEnrichment.scala:76-182; field whitelist :121-160).
+
+    DIVERGENCE NOTE: YAUAA is a JVM-only analyzer; we emit the same
+    context shape (deviceClass/agentName/agentVersion/osName…) from the
+    native ruleset above. Client-hint-based fields are not derivable
+    from the UA string alone and are omitted."""
+    df = ensure_derived(df)
+    ua = F.col("useragent")
+    cols = classify_ua(ua)
+    device_class = (
+        F.when(cols["dvce_type"] == "Robot/Spider", "Robot")
+        .when(cols["dvce_type"] == "Tablet", "Tablet")
+        .when(cols["dvce_type"] == "Mobile", "Phone")
+        .otherwise("Desktop")
+    )
+    data = F.to_json(
+        F.struct(
+            device_class.alias("deviceClass"),
+            cols["br_family"].alias("agentName"),
+            F.coalesce(cols["br_version"], F.lit("??")).alias("agentVersion"),
+            cols["os_family"].alias("operatingSystemName"),
+            cols["os_name"].alias("operatingSystemNameVersion"),
+            cols["br_renderengine"].alias("layoutEngineClass"),
+        )
+    )
+    ctx = F.struct(
+        F.lit("iglu:nl.basjes/yauaa_context/jsonschema/1-0-4").alias("schema"),
+        data.alias("data"),
+    )
+    return df.withColumn(
+        DERIVED_COL,
+        F.when(ua.isNotNull(), F.array_append(F.col(DERIVED_COL), ctx)).otherwise(F.col(DERIVED_COL)),
+    )
+
+
+def asn_lookups(df: DataFrame, asn_ranges: DataFrame, datacenter_asns: list[int]) -> DataFrame:
+    """§2.5 #19 — ASN lookup + likelyBot flag
+    (AsnLookupsEnrichment.scala:132-154): broadcast range join on the IP
+    (same /16-bucket strategy as geo), then mark likelyBot when the ASN
+    is in the datacenter/bot set AND the claimed platform is a browser
+    platform (platform-aware rewrite).
+
+    asn_ranges columns: ip_start BIGINT, ip_end BIGINT, asn INT, asn_org STRING.
+    """
+    from .geo import ip_to_long
+
+    df = ensure_derived(df)
+    b0 = (F.col("ip_start") / 65536).cast("bigint")
+    b1 = (F.col("ip_end") / 65536).cast("bigint")
+    bucketized = asn_ranges.withColumn("_asn_bucket", F.explode(F.sequence(b0, b1)))
+    probe = df.withColumn("_ip_long", ip_to_long(F.col("user_ipaddress"))).withColumn(
+        "_probe_bucket", (F.col("_ip_long") / 65536).cast("bigint")
+    )
+    joined = probe.join(
+        F.broadcast(bucketized),
+        (probe["_probe_bucket"] == bucketized["_asn_bucket"])
+        & (probe["_ip_long"] >= bucketized["ip_start"])
+        & (probe["_ip_long"] <= bucketized["ip_end"]),
+        "left",
+    )
+    likely_bot = (
+        F.col("asn").isin(datacenter_asns) if datacenter_asns else F.lit(False)
+    ) & F.col("platform").isin("web", "mob")
+    data = F.to_json(
+        F.struct(
+            F.col("asn").alias("asn"),
+            F.col("asn_org").alias("asnOrganization"),
+            F.coalesce(likely_bot, F.lit(False)).alias("likelyBot"),
+        )
+    )
+    ctx = F.struct(
+        F.lit("iglu:com.snowplowanalytics.snowplow/asn_context/jsonschema/1-0-0").alias("schema"),
+        data.alias("data"),
+    )
+    joined = joined.withColumn(
+        DERIVED_COL,
+        F.when(F.col("asn").isNotNull(),
+               F.array_append(F.col(DERIVED_COL), ctx)).otherwise(F.col(DERIVED_COL)),
+    )
+    return joined.drop("_ip_long", "_probe_bucket", "_asn_bucket", "ip_start", "ip_end", "asn", "asn_org")
+
+
+def bot_detection_context(df: DataFrame) -> DataFrame:
+    """§2.5 #20 — consolidate bot indicators from the derived contexts
+    built so far (IAB spiderOrRobot, ASN likelyBot, UA Robot/Spider) into
+    one `bot_detection` context {bot, indicators}
+    (BotDetectionEnrichment.scala:94-139). Flags, never filters."""
+    df = ensure_derived(df)
+    derived = F.col(DERIVED_COL)
+
+    def _flag(schema_frag: str, json_field: str) -> Column:
+        hits = F.filter(derived, lambda c: c.getField("schema").contains(schema_frag))
+        return F.exists(
+            hits,
+            lambda c: F.get_json_object(c.getField("data"), f"$.{json_field}") == "true",
+        )
+
+    iab_bot = _flag("spiders_and_robots", "spiderOrRobot")
+    asn_bot = _flag("asn_context", "likelyBot")
+    ua_bot = F.coalesce(F.col("br_type") == "Robot/Spider", F.lit(False))
+    indicators = F.array_compact(
+        F.array(
+            F.when(iab_bot, F.lit("iab_spider_or_robot")),
+            F.when(asn_bot, F.lit("datacenter_asn")),
+            F.when(ua_bot, F.lit("ua_robot")),
+        )
+    )
+    data = F.to_json(
+        F.struct(
+            (F.size(indicators) > 0).alias("bot"),
+            indicators.alias("indicators"),
+        )
+    )
+    ctx = F.struct(
+        F.lit("iglu:com.snowplowanalytics.snowplow/bot_detection/jsonschema/1-0-0").alias("schema"),
+        data.alias("data"),
+    )
+    return df.withColumn(DERIVED_COL, F.array_append(derived, ctx))
+
+
 def iab_spiders_robots(df: DataFrame, bot_patterns: list[str]) -> DataFrame:
     """§2.5 #4 — IAB spiders & robots flag as a derived context.
     (IabEnrichment.scala:137-199; list-based category simplified to the

@@ -126,6 +126,14 @@ def enrich_raw(df: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> En
         df = sql_ops.cookie_contexts(df, cfg.cookie_extractor)
     if cfg.http_header_extractor:
         df = sql_ops.http_header_contexts(df, cfg.http_header_extractor)
+    if cfg.weather:
+        from ..operators.lookups import weather_context
+
+        # weather needs geo coords: schedule after ip_lookups below; the
+        # flag is checked again there
+        pass
+    if cfg.yauaa:
+        df = ua_op.yauaa_context(df)
     df = sql_ops.schema_fields(df)
     if cfg.ip_lookups:
         geo_table = (
@@ -141,12 +149,45 @@ def enrich_raw(df: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> En
         missing.update({c: F.lit(None).cast("float") for c in ("geo_latitude", "geo_longitude")
                         if c not in df.columns})
         df = df.withColumns(missing)
-    if cfg.anon_ip:
-        df = sql_ops.anon_ip(df, cfg.anon_ip)
+    if cfg.weather:
+        from ..operators.lookups import weather_context
+
+        df = weather_context(df, cfg.weather)
+    if cfg.asn_lookups:
+        from ..operators.asn import demo_asn_table, load_asn_table
+
+        asn_table = (
+            load_asn_table(spark, cfg.asn_lookups.ranges_path)
+            if cfg.asn_lookups.ranges_path
+            else demo_asn_table(spark)
+        )
+        df = ua_op.asn_lookups(df, asn_table, cfg.asn_lookups.datacenter_asns)
+    if cfg.bot_detection:
+        df = ua_op.bot_detection_context(df)
     if cfg.javascript_script and cfg.javascript_script.function:
         df = script_enrichment(df, cfg.javascript_script)
+    if cfg.sql_query and cfg.sql_query_table is not None:
+        from ..operators.lookups import sql_query_enrichment
+
+        df = sql_query_enrichment(df, cfg.sql_query, cfg.sql_query_table(spark))
+    if cfg.api_request:
+        from ..operators.lookups import api_request_enrichment
+
+        df = api_request_enrichment(df, cfg.api_request)
+    # anonIp runs AFTER every IP-consuming lookup (EnrichmentManager:365)
+    if cfg.anon_ip:
+        df = sql_ops.anon_ip(df, cfg.anon_ip)
     if cfg.pii_pseudonymizer:
         df = sql_ops.pii_pseudonymizer(df, cfg.pii_pseudonymizer)
+
+    # ---- output validation (EnrichmentManager.scala:209-257)
+    if cfg.iglu:
+        from ..functions.iglu import SchemaRegistry, validate_sdjs
+
+        registry = SchemaRegistry(dict(cfg.iglu.schemas))
+        for d in cfg.iglu.registry_dirs:
+            registry.load_dir(d)
+        df = validate_sdjs(df, registry, strict=cfg.iglu.strict)
 
     # ---- atomic length validation (AtomicFieldsLengthValidator.scala:34-86)
     df = validate_atomic_lengths(df)

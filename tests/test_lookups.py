@@ -1,0 +1,268 @@
+"""Specs for the service-lookup enrichments (SQL query / API request /
+weather), ASN lookups, bot detection, YAUAA context, and Iglu validation.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from enrich_spark.config import (
+    AsnLookupsConf,
+    BotDetectionConf,
+    EnrichmentsConfig,
+    IgluConf,
+)
+from enrich_spark.functions.iglu import (
+    SchemaRegistry,
+    parse_schema_key,
+    validate_json,
+    validate_sdj,
+)
+from enrich_spark.operators import ua as ua_op
+from enrich_spark.operators.asn import demo_asn_table
+from enrich_spark.operators.lookups import (
+    ApiRequestConf,
+    SqlQueryConf,
+    TtlCache,
+    WeatherConf,
+    api_request_enrichment,
+    sql_query_enrichment,
+    validate_lookup_unique,
+    weather_context,
+)
+from enrich_spark.plans.pipeline import enrich_raw
+
+
+def _base_df(spark, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    return df.withColumn("_errors", F.array().cast("array<string>"))
+
+
+# ---- SQL query enrichment (broadcast-join mode) ----------------------------
+
+
+def test_sql_query_enrichment_join(spark):
+    events = _base_df(
+        spark,
+        [("u1",), ("u2",), (None,)],
+        "user_id STRING",
+    )
+    lookup = spark.createDataFrame(
+        [("u1", "gold", 5)], "uid STRING, tier STRING, score INT"
+    )
+    conf = SqlQueryConf(key_map={"user_id": "uid"},
+                        context_schema="iglu:com.acme/user_tier/jsonschema/1-0-0")
+    out = sql_query_enrichment(events, conf, lookup).collect()
+    by_uid = {r.user_id: r for r in out}
+    hit = by_uid["u1"]
+    assert len(hit._derived) == 1
+    assert json.loads(hit._derived[0].data) == {"tier": "gold", "score": 5}
+    assert by_uid["u2"]._derived == []      # keyed, no match, AT_MOST_ONE → ok
+    assert by_uid[None]._derived == []      # missing placeholder → skip
+    assert all(r._errors == [] for r in out)
+
+
+def test_sql_query_exactly_one_violation(spark):
+    events = _base_df(spark, [("u2",)], "user_id STRING")
+    lookup = spark.createDataFrame([("u1", "gold")], "uid STRING, tier STRING")
+    conf = SqlQueryConf(key_map={"user_id": "uid"}, expected_rows="EXACTLY_ONE")
+    out = sql_query_enrichment(events, conf, lookup).collect()[0]
+    assert any("EXACTLY_ONE" in e for e in out._errors)
+
+
+def test_validate_lookup_unique(spark):
+    dup = spark.createDataFrame([("a", 1), ("a", 2)], "k STRING, v INT")
+    with pytest.raises(ValueError):
+        validate_lookup_unique(dup, ["k"])
+
+
+# ---- API request enrichment (cached-UDF mode) ------------------------------
+
+
+def test_api_request_enrichment_fake_transport(spark):
+    def fake(url):
+        uid = url.rsplit("/", 1)[-1]
+        if uid == "boom":
+            raise RuntimeError("500")
+        return json.dumps({"user": {"tier": f"tier-of-{uid}"}})
+
+    events = _base_df(spark, [("u1",), ("boom",), (None,)], "user_id STRING")
+    conf = ApiRequestConf(
+        url_template="http://svc/users/{{user_id}}",
+        inputs=["user_id"],
+        json_path="$.user",
+        transport=fake,
+    )
+    out = {r.user_id: r for r in api_request_enrichment(events, conf).collect()}
+    assert json.loads(out["u1"]._derived[0].data) == {"tier": "tier-of-u1"}
+    assert any("RuntimeError" in e for e in out["boom"]._errors)
+    assert out[None]._derived == [] and out[None]._errors == []
+
+
+def test_api_request_ignore_on_error(spark):
+    def fail(url):
+        raise RuntimeError("down")
+
+    events = _base_df(spark, [("u1",)], "user_id STRING")
+    conf = ApiRequestConf(url_template="http://svc/{{user_id}}", inputs=["user_id"],
+                          transport=fail, ignore_on_error=True)
+    out = api_request_enrichment(events, conf).collect()[0]
+    assert out._errors == [] and out._derived == []
+
+
+def test_ttl_cache():
+    clock = [0.0]
+    calls = []
+    c = TtlCache(size=2, ttl_s=10, clock=lambda: clock[0])
+    assert c.get_or("k", lambda: calls.append(1) or "v1") == "v1"
+    assert c.get_or("k", lambda: calls.append(1) or "v2") == "v1"  # cached
+    clock[0] = 11.0
+    assert c.get_or("k", lambda: calls.append(1) or "v3") == "v3"  # expired
+    assert len(calls) == 2
+
+
+# ---- weather ---------------------------------------------------------------
+
+
+def test_weather_context_stub(spark):
+    events = _base_df(
+        spark,
+        [(51.5, -0.09, datetime.datetime(2024, 1, 1)), (None, None, None)],
+        "geo_latitude DOUBLE, geo_longitude DOUBLE, derived_tstamp TIMESTAMP",
+    )
+    out = weather_context(events, WeatherConf()).collect()
+    with_geo = [r for r in out if r.geo_latitude is not None][0]
+    assert len(with_geo._derived) == 1
+    doc = json.loads(with_geo._derived[0].data)
+    assert "main" in doc and "temp" in doc["main"]
+    no_geo = [r for r in out if r.geo_latitude is None][0]
+    assert no_geo._derived == []
+
+
+# ---- ASN + bot detection + yauaa -------------------------------------------
+
+
+def test_asn_lookups_and_bot_detection(spark):
+    events = _base_df(
+        spark,
+        [("81.2.69.10", "web", "Mozilla/5.0 Chrome/120"),
+         ("52.0.1.2", "web", "Mozilla/5.0 Chrome/120"),
+         ("52.0.1.2", "srv", "Mozilla/5.0 Chrome/120"),
+         ("9.9.9.9", "web", "Mozilla/5.0 Chrome/120")],
+        "user_ipaddress STRING, platform STRING, useragent STRING",
+    )
+    events = events.withColumn("br_type", F.lit("Browser"))
+    out = ua_op.asn_lookups(events, demo_asn_table(spark), datacenter_asns=[16509])
+    out = ua_op.bot_detection_context(out).collect()
+
+    def ctx(r, frag):
+        hits = [c for c in r._derived if frag in c.schema]
+        return json.loads(hits[0].data) if hits else None
+
+    rows = {(r.user_ipaddress, r.platform): r for r in out}
+    isp = ctx(rows[("81.2.69.10", "web")], "asn_context")
+    assert isp["asn"] == 20712 and isp["likelyBot"] is False
+    dc_web = ctx(rows[("52.0.1.2", "web")], "asn_context")
+    assert dc_web["likelyBot"] is True
+    dc_srv = ctx(rows[("52.0.1.2", "srv")], "asn_context")
+    assert dc_srv["likelyBot"] is False  # platform-aware
+    assert ctx(rows[("9.9.9.9", "web")], "asn_context") is None
+
+    bot = ctx(rows[("52.0.1.2", "web")], "bot_detection")
+    assert bot["bot"] is True and "datacenter_asn" in bot["indicators"]
+    clean = ctx(rows[("81.2.69.10", "web")], "bot_detection")
+    assert clean["bot"] is False and clean["indicators"] == []
+
+
+def test_yauaa_context(spark):
+    events = spark.createDataFrame(
+        [("Mozilla/5.0 (iPhone; CPU iPhone OS 17_0) AppleWebKit/605.1.15 Version/17.0 Mobile Safari/604.1",)],
+        "useragent STRING",
+    )
+    out = ua_op.yauaa_context(events).collect()[0]
+    data = json.loads([c for c in out._derived if "yauaa" in c.schema][0].data)
+    assert data["deviceClass"] == "Phone"
+    assert data["agentName"] == "Mobile Safari"
+    assert data["operatingSystemName"] == "iOS"
+
+
+# ---- Iglu validation -------------------------------------------------------
+
+LINK_CLICK = {
+    "type": "object",
+    "properties": {
+        "targetUrl": {"type": "string", "maxLength": 4096},
+        "elementId": {"type": "string"},
+    },
+    "required": ["targetUrl"],
+    "additionalProperties": False,
+}
+
+
+def test_parse_schema_key():
+    assert parse_schema_key("iglu:com.acme/x/jsonschema/1-0-2") == \
+        ("com.acme", "x", "jsonschema", 1, 0, 2)
+    assert parse_schema_key("not-iglu") is None
+    assert parse_schema_key("iglu:com.acme/x/jsonschema/1-0") is None
+
+
+def test_validate_json_subset():
+    assert validate_json(LINK_CLICK, {"targetUrl": "https://x"}) == []
+    assert validate_json(LINK_CLICK, {}) == ["$: missing required property 'targetUrl'"]
+    assert any("not allowed" in e for e in validate_json(LINK_CLICK, {"targetUrl": "x", "zz": 1}))
+    assert any("expected type" in e for e in validate_json(LINK_CLICK, {"targetUrl": 7}))
+
+
+def test_registry_model_fallback():
+    reg = SchemaRegistry({"iglu:com.acme/e/jsonschema/1-0-3": {"type": "object"}})
+    # request for 1-0-0 resolves the newest 1-x-x registered
+    assert reg.lookup("iglu:com.acme/e/jsonschema/1-0-0") == {"type": "object"}
+    assert reg.lookup("iglu:com.acme/e/jsonschema/2-0-0") is None
+
+
+def test_validate_sdj_lenient_vs_strict():
+    reg = SchemaRegistry()
+    env = {"schema": "iglu:com.acme/unknown/jsonschema/1-0-0", "data": {}}
+    assert validate_sdj(reg, env, strict=False) == []
+    assert validate_sdj(reg, env, strict=True) != []
+
+
+def test_pipeline_iglu_validation(spark):
+    ue = json.dumps({
+        "schema": "iglu:com.snowplowanalytics.snowplow/unstruct_event/jsonschema/1-0-0",
+        "data": {"schema": "iglu:com.acme/link_click/jsonschema/1-0-0",
+                 "data": {"elementId": "btn"}},  # missing required targetUrl
+    })
+    raw = spark.createDataFrame(
+        [({"e": "ue", "ue_pr": ue}, datetime.datetime(2024, 1, 1)),
+         ({"e": "pv"}, datetime.datetime(2024, 1, 1))],
+        "parameters MAP<STRING,STRING>, collector_tstamp TIMESTAMP",
+    )
+    cfg = EnrichmentsConfig.default()
+    cfg.iglu = IgluConf(schemas={"iglu:com.acme/link_click/jsonschema/1-0-0": LINK_CLICK})
+    res = enrich_raw(raw, cfg, spark)
+    assert res.bad.count() == 1
+    bad = res.bad.collect()[0]
+    assert any("targetUrl" in e for e in bad._errors)
+    assert res.good.count() == 1
+
+
+def test_pipeline_full_stack_with_new_enrichments(spark):
+    raw = spark.createDataFrame(
+        [({"e": "pv", "p": "web", "ip": "52.0.1.2",
+           "ua": "Mozilla/5.0 (compatible; Googlebot/2.1)"},
+          datetime.datetime(2024, 1, 1))],
+        "parameters MAP<STRING,STRING>, collector_tstamp TIMESTAMP",
+    )
+    cfg = EnrichmentsConfig.default()
+    cfg.asn_lookups = AsnLookupsConf(datacenter_asns=[16509])
+    cfg.bot_detection = BotDetectionConf()
+    res = enrich_raw(raw, cfg, spark)
+    good = res.good.collect()[0]
+    bot = json.loads([c for c in good._derived if "bot_detection" in c.schema][0].data)
+    assert bot["bot"] is True
+    assert set(bot["indicators"]) >= {"datacenter_asn", "ua_robot"}
