@@ -48,8 +48,15 @@ def _qs_pairs_to_map(qs: Column) -> Column:
     )
 
 
-def adapt(df: DataFrame) -> DataFrame:
-    """Fan every CollectorPayload out into RawEvents (1..N rows)."""
+def adapt(df: DataFrame, remote_adapters: dict | None = None) -> DataFrame:
+    """Fan every CollectorPayload out into RawEvents (1..N rows).
+
+    remote_adapters: {(vendor, version): transport} — config-registered
+    HTTP sidecar translators (RemoteAdapter.scala:48-117). Passed at
+    plan-build time so the transports ship inside the UDF closure to
+    executors (a driver-side REGISTRY mutation would not propagate to
+    executor Python workers).
+    """
     vendor, version = F.col("api_vendor"), F.col("api_version")
     qs = F.coalesce(
         F.col("querystring"),
@@ -147,7 +154,7 @@ def adapt(df: DataFrame) -> DataFrame:
     )
 
     # ---- webhook tail: python dispatch UDF
-    webhook_result = _webhook_udf(
+    webhook_result = _make_webhook_udf(remote_adapters)(
         vendor, version, F.to_json(qs_map), F.col("content_type"), F.col("body")
     )
 
@@ -189,16 +196,24 @@ _WEBHOOK_RESULT_TYPE = T.StructType([
 ])
 
 
-@F.udf(returnType=_WEBHOOK_RESULT_TYPE)
-def _webhook_udf(vendor, version, qs_json, content_type, body):
-    try:
-        qs = json.loads(qs_json) if qs_json else {}
-        fn = vendors.REGISTRY.get((vendor, version))
-        if fn is None:
-            return (None, f"Adapter not found for vendor [{vendor}] version [{version}]")
-        events = fn(qs, content_type, body)
-        return (events, None)
-    except vendors.AdapterError as e:
-        return (None, str(e))
-    except Exception as e:  # noqa: BLE001 — never throw from the pipeline
-        return (None, f"adapter crash: {type(e).__name__}: {e}")
+def _make_webhook_udf(remote_adapters: dict | None = None):
+    remotes = {
+        key: vendors.make_remote_adapter(transport)
+        for key, transport in (remote_adapters or {}).items()
+    }
+
+    @F.udf(returnType=_WEBHOOK_RESULT_TYPE)
+    def _webhook_udf(vendor, version, qs_json, content_type, body):
+        try:
+            qs = json.loads(qs_json) if qs_json else {}
+            fn = remotes.get((vendor, version)) or vendors.REGISTRY.get((vendor, version))
+            if fn is None:
+                return (None, f"Adapter not found for vendor [{vendor}] version [{version}]")
+            events = fn(qs, content_type, body)
+            return (events, None)
+        except vendors.AdapterError as e:
+            return (None, str(e))
+        except Exception as e:  # noqa: BLE001 — never throw from the pipeline
+            return (None, f"adapter crash: {type(e).__name__}: {e}")
+
+    return _webhook_udf

@@ -444,3 +444,36 @@ REGISTRY: dict[tuple[str, str], object] = {
     ("com.amazon.aws.cloudfront", "wd_access_log"): cloudfront,
     ("com.google.analytics", "v1"): googleanalytics,
 }
+
+
+# ---------------------------------------------------------------------------
+# Remote adapter (registry/RemoteAdapter.scala:48-117): POST the payload to
+# an external HTTP translator which returns {"events": [...]} or {"error": ...}.
+# The transport is injectable (tests / auth variants); registration is
+# config-time like the reference's remote-adapter map (Environment.scala:114).
+
+
+def make_remote_adapter(transport):
+    """transport(payload_json: str) -> response body str."""
+
+    def remote(qs, content_type, body):
+        request = json.dumps({
+            "queryString": qs,
+            "contentType": content_type,
+            "body": body,
+        })
+        try:
+            resp = json.loads(transport(request))
+        except Exception as e:  # noqa: BLE001 — surfaced as AdapterFailure
+            raise AdapterError(f"remote adapter failed: {type(e).__name__}: {e}") from e
+        if not isinstance(resp, dict):
+            raise AdapterError("remote adapter returned non-object response")
+        if resp.get("error"):
+            raise AdapterError(f"remote adapter error: {resp['error']}")
+        events = resp.get("events")
+        if not isinstance(events, list) or not events:
+            raise AdapterError("remote adapter returned no events")
+        return [{str(k): str(v) for k, v in ev.items()} for ev in events]
+
+    return remote
+

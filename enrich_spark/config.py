@@ -166,6 +166,11 @@ class EnrichmentsConfig:
     sql_query: Any = None
     api_request: Any = None
     weather: Any = None
+    # operators/eventspec.EventSpecConf and operators/identity.IdentityConf
+    event_spec: Any = None
+    identity: Any = None
+    # {(vendor, version): transport} — HTTP sidecar translators
+    remote_adapters: Any = None
     # lookup DataFrame provider for sql_query broadcast mode:
     # Callable[[SparkSession], DataFrame]
     sql_query_table: Any = None

@@ -46,7 +46,9 @@ class EnrichResult:
 
 def enrich(payloads: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> EnrichResult:
     """Full pipeline: CollectorPayload rows → adapter explode → enrich_raw."""
-    return enrich_raw(adapters.adapt(payloads), cfg, spark)
+    return enrich_raw(
+        adapters.adapt(payloads, remote_adapters=cfg.remote_adapters), cfg, spark
+    )
 
 
 _CONTEXT_DEFAULTS = {
@@ -179,6 +181,14 @@ def enrich_raw(df: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> En
         df = sql_ops.anon_ip(df, cfg.anon_ip)
     if cfg.pii_pseudonymizer:
         df = sql_ops.pii_pseudonymizer(df, cfg.pii_pseudonymizer)
+    if cfg.event_spec:
+        from ..operators.eventspec import event_spec_contexts
+
+        df = event_spec_contexts(df, cfg.event_spec)
+    if cfg.identity:
+        from ..operators.identity import add_identity_contexts
+
+        df = add_identity_contexts(df, cfg.identity)
 
     # ---- output validation (EnrichmentManager.scala:209-257)
     if cfg.iglu:
