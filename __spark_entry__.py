@@ -732,6 +732,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_fingerprint"] = q_fingerprint_doc
 
+    def _media_docs(spark, sf):
+        # synthesize media binaries from documents: magic header + UTF-8 body
+        docs = _load_docs(spark, sf)
+        body = F.encode(F.col("text"), "UTF-8")
+        m = F.col("doc_id") % 4
+        media = (
+            F.when(m == 0, F.concat(F.unhex(F.lit("89504E470D0A1A0A")), body))
+            .when(m == 1, F.concat(F.unhex(F.lit("FFD8FFE0")), body))
+            .when(m == 2, F.concat(F.unhex(F.lit("52494646")), body))
+            .otherwise(body)
+        )
+        return docs.select("doc_id", media.alias("media"), body.alias("body"))
+
+    def q_media_decode(spark, sf):
+        # datapipe/multimodal: native magic-byte sniff + mapInPandas decode
+        # (stub kernel: sha256-derived dims) in ONE pass — no self-join.
+        from enrich_spark.datapipe.multimodal import attach_media_meta, decode_features
+
+        df = attach_media_meta(_media_docs(spark, sf))
+        out = decode_features(
+            df, id_col="doc_id", binary_col="body", passthrough=("media_meta",)
+        )
+        return out.select(
+            F.col("id").alias("doc_id"),
+            F.col("media_meta.format").alias("format"),
+            F.col("media_meta.media_type").alias("media_type"),
+            F.col("media_meta.n_bytes").alias("n_bytes"),
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+        )
+
+    q["multimodal_decode"] = q_media_decode
+
+    def q_media_frames(spark, sf):
+        # datapipe/multimodal.frame_sample_plan: 1→N frame-timestamp explode
+        from enrich_spark.datapipe.multimodal import attach_media_meta, frame_sample_plan
+
+        df = attach_media_meta(_media_docs(spark, sf)).where(F.col("doc_id") % 4 == 2)
+        dur = (F.col("doc_id") * 37 % 5000).cast("int")  # probe stub duration
+        df = df.withColumn("media_meta", F.col("media_meta").withField("duration_ms", dur))
+        return frame_sample_plan(df, every_ms=500).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+        )
+
+    q["multimodal_frames"] = q_media_frames
+
     return q
 
 
@@ -1153,6 +1200,38 @@ def oracle_sql() -> dict[str, str]:
                  i -> CAST(('0x' || substr(md5(substr(norm, i, 8)), 1, 15)) AS BIGINT)
                )) AS winnow_hash
         FROM n
+    """
+
+    # byte k (1-based hex pair) of a sha256 hex digest, as an integer
+    def _sha_byte(k: int) -> str:
+        return (
+            f"(16*(strpos('0123456789abcdef', substr(hx,{2*k - 1},1))-1)"
+            f" + (strpos('0123456789abcdef', substr(hx,{2*k},1))-1))"
+        )
+
+    o["multimodal_decode"] = f"""
+        WITH h AS (
+          SELECT doc_id, sha256(text) AS hx,
+                 octet_length(encode(text))
+                   + CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 4 ELSE 0 END
+                   AS n_bytes
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                    WHEN 2 THEN 'wav' ELSE 'unknown' END AS format,
+               CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'image'
+                    WHEN 2 THEN 'audio' ELSE 'unknown' END AS media_type,
+               n_bytes,
+               CAST(1 + ({_sha_byte(1)} % 64) AS BIGINT) AS width,
+               CAST(1 + ({_sha_byte(2)} % 64) AS BIGINT) AS height
+        FROM h
+    """
+
+    o["multimodal_frames"] = """
+        SELECT doc_id,
+               unnest(range(0, greatest((doc_id*37) % 5000 - 1, 0) + 1, 500)) AS frame_ts_ms
+        FROM documents WHERE doc_id % 4 = 2
     """
 
     return o

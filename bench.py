@@ -47,6 +47,7 @@ def main():
         "text_quality_score",
         "text_token_counts",
         "doc_fingerprint",
+        "multimodal_decode",      # mapInPandas media decode (stub kernel)
     ]
 
     # warm the JVM + parquet footers with one cheap action

@@ -73,21 +73,34 @@ def _fake_decode(data: bytes) -> tuple[int, int, list[float]]:
     return w, h, feats
 
 
-_DECODE_SCHEMA = "id LONG, width INT, height INT, features ARRAY<FLOAT>"
-
-
 def decode_features(
     df: DataFrame,
     id_col: str = "id",
     binary_col: str = "media",
     target_batch_bytes: int = 64 << 20,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Image decode + feature extraction via mapInPandas (Arrow batches).
 
     Real plumbing: per-batch iteration, size-bounded partitions, typed
     output schema. Decode kernel is the stub above.
+
+    `passthrough` columns ride along through the Arrow batch so callers
+    get metadata + decoded features in ONE pass over the (wide, MBs/row)
+    media table — a post-hoc self-join would scan the binary column twice
+    and shuffle it once, which is the wrong plan at 100 TB.
     """
     import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+        + [df.schema[c] for c in passthrough]
+    )
 
     def run(batches):
         for pdf in batches:
@@ -98,11 +111,13 @@ def decode_features(
                 out["width"].append(w)
                 out["height"].append(h)
                 out["features"].append(feats)
+            for c in passthrough:
+                out[c] = pdf[c]
             yield pd.DataFrame(out)
 
     # size-aware repartition so one Arrow batch ≲ target_batch_bytes
-    sized = df.select(id_col, binary_col, F.length(binary_col).alias("_sz"))
-    return sized.drop("_sz").mapInPandas(run, _DECODE_SCHEMA)
+    sized = df.select(id_col, binary_col, *passthrough, F.length(binary_col).alias("_sz"))
+    return sized.drop("_sz").mapInPandas(run, out_schema)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

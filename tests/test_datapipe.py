@@ -186,6 +186,14 @@ def test_multimodal_plumbing(spark):
     again = {r.id: r for r in multimodal.decode_features(df).collect()}
     assert feats[1].features == again[1].features
 
+    # passthrough columns ride the Arrow batch (single pass, no self-join)
+    with_pt = multimodal.decode_features(
+        multimodal.attach_media_meta(df), passthrough=("media_meta",)
+    )
+    pt = {r.id: r for r in with_pt.collect()}
+    assert pt[1].media_meta.format == "png"
+    assert pt[1].width == feats[1].width
+
     # frame-sample planning explodes one row per planned timestamp
     with_meta = multimodal.attach_media_meta(df)
     forced = with_meta.withColumn(
