@@ -535,6 +535,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["weather_context"] = q_weather  # stub provider (rows-only)
 
+    def q_pii(spark, sf):
+        # §2.5 #25 piiTransform: SHA-256 scalar mutators + pii_transformation
+        # record (reference pii/PiiPseudonymizerEnrichment.scala:252-387)
+        from enrich_spark.config import EnrichmentsConfig, PiiPseudonymizerConf
+        from enrich_spark.plans.pipeline import enrich_raw
+
+        cfg = EnrichmentsConfig.default()
+        cfg.pii_pseudonymizer = PiiPseudonymizerConf(
+            fields=["user_id", "user_ipaddress"],
+            hash_function="SHA-256", salt="pepper",
+        )
+        res = enrich_raw(_raw_events(spark, sf), cfg, spark)
+        return res.good.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            F.col("user_id").alias("uid_hash"),
+            F.col("user_ipaddress").alias("ip_hash"),
+            F.get_json_object("pii", "$.data.pii.pojo[0].originalValue").alias("uid_orig"),
+        )
+
+    q["pii_pseudonymize"] = q_pii
+
+    def q_cookie_header(spark, sf):
+        # §2.5 #13/#14: Cookie + HTTP-header extraction into derived contexts
+        from enrich_spark.config import (
+            CookieExtractorConf,
+            EnrichmentsConfig,
+            HttpHeaderExtractorConf,
+        )
+        from enrich_spark.plans.pipeline import enrich_raw
+
+        raw = _raw_events(spark, sf).withColumn(
+            "headers",
+            F.array(
+                F.concat(F.lit("Cookie: sp=v"), F.col("src_event_id").cast("string"),
+                         F.lit("; other=x")),
+                F.concat(F.lit("X-Request-Id: r"), F.col("src_event_id").cast("string")),
+                F.lit("Accept: text/html"),
+            ),
+        )
+        cfg = EnrichmentsConfig.default()
+        cfg.cookie_extractor = CookieExtractorConf(cookies=["sp"])
+        cfg.http_header_extractor = HttpHeaderExtractorConf(headers_pattern="X-.*")
+        res = enrich_raw(raw, cfg, spark)
+        cookie = F.try_element_at(
+            F.filter(F.col("_derived"), lambda c: c.getField("schema").contains("http_cookie")),
+            F.lit(1),
+        ).getField("data")
+        hdr = F.try_element_at(
+            F.filter(F.col("_derived"), lambda c: c.getField("schema").contains("http_header")),
+            F.lit(1),
+        ).getField("data")
+        return res.good.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            F.get_json_object(cookie, "$.value").alias("cookie_value"),
+            F.get_json_object(hdr, "$.name").alias("header_name"),
+            F.get_json_object(hdr, "$.value").alias("header_value"),
+        )
+
+    q["cookie_header_contexts"] = q_cookie_header
+
+    def q_tsv(spark, sf):
+        # §2.1 enriched-sink serializer: 131-column TSV line
+        # (core/Processing.scala:203-225, ConversionUtils.scala:562-710)
+        from enrich_spark.plans.serialize import to_tsv
+
+        g = _enriched(spark, sf)
+        out = to_tsv(g, keep=("src_event_id",))
+        t = F.split(F.col("tsv"), "\t")
+        return out.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            F.size(t).cast("long").alias("n_fields"),
+            F.element_at(t, 1).alias("app_id"),
+            F.element_at(t, 2).alias("platform"),
+            F.element_at(t, 4).alias("collector_ts_str"),
+            F.element_at(t, 6).alias("event"),
+            F.element_at(t, 13).alias("uid"),
+            F.element_at(t, 14).alias("ip_masked"),
+        )
+
+    q["tsv_serialize"] = q_tsv
+
     # ---- data-pipeline side ------------------------------------------------
     def q_dedup_exact(spark, sf):
         from enrich_spark.datapipe.dedup import exact_dedup
@@ -1013,6 +1094,38 @@ def oracle_sql() -> dict[str, str]:
     o["iglu_validation"] = """
         SELECT e.event_id AS src_event_id,
                CAST(CASE WHEN e.event_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_bad
+        FROM events e
+    """
+
+    _anon_ip = ("CASE WHEN e.user_id % 4 = 0 THEN '81.2.x.x' "
+                "WHEN e.user_id % 4 = 1 THEN '216.160.x.x' "
+                "WHEN e.user_id % 4 = 2 THEN '89.160.x.x' "
+                "ELSE '192.0.x.x' END")
+    o["pii_pseudonymize"] = f"""
+        SELECT e.event_id AS src_event_id,
+               sha256('pepper' || 'user_' || e.user_id) AS uid_hash,
+               sha256('pepper' || {_anon_ip}) AS ip_hash,
+               'user_' || e.user_id AS uid_orig
+        FROM events e
+    """
+
+    o["cookie_header_contexts"] = """
+        SELECT e.event_id AS src_event_id,
+               'v' || e.event_id AS cookie_value,
+               'X-Request-Id' AS header_name,
+               'r' || e.event_id AS header_value
+        FROM events e
+    """
+
+    o["tsv_serialize"] = f"""
+        SELECT e.event_id AS src_event_id,
+               CAST(131 AS BIGINT) AS n_fields,
+               'app-' || (e.user_id % 3) AS app_id,
+               CASE e.user_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'mob' ELSE 'srv' END AS platform,
+               strftime(e.ts + INTERVAL 2 SECOND, '%Y-%m-%d %H:%M:%S.%g') AS collector_ts_str,
+               {_D_EVENT} AS event,
+               'user_' || e.user_id AS uid,
+               {_anon_ip} AS ip_masked
         FROM events e
     """
 

@@ -37,6 +37,7 @@ def main():
         "adapter_explode",        # 1→N payload explode
         "sql_lookup_join",        # broadcast lookup-join enrichment
         "asn_bot_detection",      # range join + context consolidation
+        "tsv_serialize",          # 131-column enriched-sink TSV assembly
         "metadata_aggregation",   # the one true aggregation
         "sessionize",             # stateful window (beyond-reference)
         "dedup_exact",

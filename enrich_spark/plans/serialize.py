@@ -52,10 +52,15 @@ def _rendered(name: str, kind: str, df: DataFrame) -> Column:
     return col
 
 
-def to_tsv(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
-    """One `tsv STRING` column in exact atomic order (+ `oversized` flag)."""
+def to_tsv(
+    df: DataFrame, max_bytes: int | None = None, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """One `tsv STRING` column in exact atomic order (+ `oversized` flag).
+
+    `keep` carries pass-through columns (e.g. a source row id) alongside
+    the serialized line for correlation in tests/queries."""
     rendered = [F.coalesce(_rendered(n, k, df), F.lit("")) for n, k in ATOMIC_FIELDS]
-    out = df.select(F.concat_ws("\t", *rendered).alias("tsv"))
+    out = df.select(*keep, F.concat_ws("\t", *rendered).alias("tsv"))
     if max_bytes is not None:
         out = out.withColumn("oversized", F.octet_length("tsv") > max_bytes)
     return out
