@@ -616,6 +616,121 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tsv_serialize"] = q_tsv
 
+    def q_eventspec(spark, sf):
+        # §2.5 #26: event-spec inference — (ue schema, entity cardinality)
+        # match → event_specification context
+        # (registry/EventSpecEnrichment.scala:333-411)
+        from enrich_spark.config import EnrichmentsConfig
+        from enrich_spark.operators.eventspec import (
+            EntityRule,
+            EventSpec,
+            EventSpecConf,
+        )
+        from enrich_spark.plans.pipeline import enrich_raw
+
+        ev = _load_events(spark, sf)
+        ue = F.lit(
+            '{"schema":"iglu:com.snowplowanalytics.snowplow/unstruct_event/jsonschema/1-0-0",'
+            '"data":{"schema":"iglu:com.acme/link_click/jsonschema/1-0-0",'
+            '"data":{"targetUrl":"https://t"}}}'
+        )
+        entity = F.lit('{"schema":"iglu:com.acme/session/jsonschema/1-0-0","data":{"sid":1}}')
+        co = F.concat(
+            F.lit('{"schema":"iglu:com.snowplowanalytics.snowplow/contexts/jsonschema/1-0-1","data":['),
+            F.array_join(F.array_repeat(entity, (F.col("event_id") % 3).cast("int")), ","),
+            F.lit("]}"),
+        )
+        raw = ev.select(
+            F.col("event_id").alias("src_event_id"),
+            F.create_map(F.lit("e"), F.lit("ue"), F.lit("ue_pr"), ue, F.lit("co"), co)
+            .alias("parameters"),
+            F.col("ts").alias("collector_tstamp"),
+        )
+        cfg = EnrichmentsConfig.default()
+        cfg.event_spec = EventSpecConf(specs=[EventSpec(
+            id="spec-1", name="Link click", version=1,
+            event_schema="iglu:com.acme/link_click/jsonschema/1-0-0",
+            entities=[EntityRule(
+                schema="iglu:com.acme/session/jsonschema/1-0-0",
+                min_cardinality=1, max_cardinality=1,
+            )],
+        )])
+        res = enrich_raw(raw, cfg, spark)
+        spec = F.try_element_at(
+            F.filter(F.col("_derived"),
+                     lambda c: c.getField("schema").contains("event_specification")),
+            F.lit(1),
+        ).getField("data")
+        return res.good.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            F.coalesce(F.get_json_object(spec, "$.id"), F.lit("-")).alias("spec_id"),
+        )
+
+    q["eventspec_context"] = q_eventspec
+
+    def q_identity(spark, sf):
+        # post-enrichment identity stitching (core/Identity.scala:32-207):
+        # service join via cached UDF keyed on the identifier tuple; the
+        # transport here is a deterministic stub so DuckDB can mirror it
+        from enrich_spark.operators.identity import IdentityConf, add_identity_contexts
+
+        def transport(payload):
+            import hashlib
+
+            s = (payload.get("domain_userid") or "") + "|" + (payload.get("network_userid") or "")
+            return {"snowplowId": hashlib.md5(s.encode()).hexdigest()}
+
+        ev = _load_events(spark, sf)
+        base = ev.select(
+            F.col("event_id").alias("src_event_id"),
+            F.concat(F.lit("du-"), (F.col("user_id") % 50).cast("string")).alias("domain_userid"),
+            F.concat(F.lit("nu-"), F.col("user_id").cast("string")).alias("network_userid"),
+        )
+        out = add_identity_contexts(base, IdentityConf(transport=transport))
+        ctx = F.try_element_at(
+            F.filter(F.col("_derived"),
+                     lambda c: c.getField("schema").contains("/identity/")),
+            F.lit(1),
+        ).getField("data")
+        return out.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            F.get_json_object(ctx, "$.snowplowId").alias("snowplow_id"),
+        )
+
+    q["identity_stitch"] = q_identity
+
+    def q_script(spark, sf):
+        # §2.5 #21: the user-extension hook with the JS-enrichment contract
+        # (mutate / add contexts / drop) — Python callable over the event
+        # (registry/JavascriptScriptEnrichment.scala:62-228)
+        from enrich_spark.config import EnrichmentsConfig, JavascriptScriptConf
+        from enrich_spark.plans.pipeline import enrich_raw
+
+        def fn(event, params, headers):
+            if event.get("platform") == "srv":
+                return {"drop": True}
+            return {
+                "event": {"app_id": (event.get("app_id") or "").upper() + params["suffix"]},
+                "contexts": [{"schema": "iglu:com.acme/script/jsonschema/1-0-0",
+                              "data": {"tag": event.get("app_id")}}],
+            }
+
+        cfg = EnrichmentsConfig.default()
+        cfg.javascript_script = JavascriptScriptConf(function=fn, params={"suffix": "-js"})
+        res = enrich_raw(_raw_events(spark, sf), cfg, spark)
+        ctx = F.try_element_at(
+            F.filter(F.col("_derived"),
+                     lambda c: c.getField("schema").contains("/script/")),
+            F.lit(1),
+        ).getField("data")
+        return res.good.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            F.col("app_id").alias("app_id_mutated"),
+            F.get_json_object(ctx, "$.tag").alias("tag"),
+        )
+
+    q["script_hook"] = q_script
+
     # ---- data-pipeline side ------------------------------------------------
     def q_dedup_exact(spark, sf):
         from enrich_spark.datapipe.dedup import exact_dedup
@@ -1127,6 +1242,26 @@ def oracle_sql() -> dict[str, str]:
                'user_' || e.user_id AS uid,
                {_anon_ip} AS ip_masked
         FROM events e
+    """
+
+    o["eventspec_context"] = """
+        SELECT e.event_id AS src_event_id,
+               CASE WHEN e.event_id % 3 = 1 THEN 'spec-1' ELSE '-' END AS spec_id
+        FROM events e
+    """
+
+    o["identity_stitch"] = """
+        SELECT e.event_id AS src_event_id,
+               md5('du-' || (e.user_id % 50) || '|nu-' || e.user_id) AS snowplow_id
+        FROM events e
+    """
+
+    o["script_hook"] = """
+        SELECT e.event_id AS src_event_id,
+               'APP-' || (e.user_id % 3) || '-js' AS app_id_mutated,
+               'app-' || (e.user_id % 3) AS tag
+        FROM events e
+        WHERE e.user_id % 3 <> 2
     """
 
     o["dedup_exact"] = """
