@@ -842,6 +842,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = q_ann_lsh  # no SQL oracle: hyperplane lits (rows-only)
 
+    def q_ann_ivf(spark, sf):
+        from enrich_spark.datapipe.similarity import ivf_topk
+
+        emb = _load_emb(spark, sf)
+        vecs = emb.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        )
+        queries_df = vecs.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        out = ivf_topk(vecs, queries_df, k=10, n_centroids=16, nprobe=4)
+        return out.select(
+            F.col("query_id").cast("long"), F.col("vec_id").cast("long"),
+            "cosine_sim", F.col("rank").cast("long"),
+        )
+
+    q["ann_ivf_topk"] = q_ann_ivf
+
     def q_embedding_dup(spark, sf):
         from enrich_spark.datapipe.similarity import dot, norm
 
@@ -1350,6 +1368,46 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
           FROM scored
         )
+        SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 10
+    """
+
+    o["ann_ivf_topk"] = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+             c AS (SELECT vec_id AS cid, emb AS cvec FROM v WHERE vec_id < 16),
+             q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id < 5),
+        assign AS (
+          SELECT vec_id, emb, cid FROM (
+            SELECT v.vec_id, v.emb, c.cid,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY round(list_dot_product(v.emb, c.cvec)
+                              / (sqrt(list_dot_product(v.emb, v.emb))
+                                 * sqrt(list_dot_product(c.cvec, c.cvec))), 6) DESC,
+                              c.cid ASC) AS r
+            FROM v, c)
+          WHERE r = 1),
+        probe AS (
+          SELECT query_id, qemb, cid FROM (
+            SELECT q.query_id, q.qemb, c.cid,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY round(list_dot_product(q.qemb, c.cvec)
+                              / (sqrt(list_dot_product(q.qemb, q.qemb))
+                                 * sqrt(list_dot_product(c.cvec, c.cvec))), 6) DESC,
+                              c.cid ASC) AS r
+            FROM q, c)
+          WHERE r <= 4),
+        cand AS (
+          SELECT p.query_id, a.vec_id,
+                 round(list_dot_product(a.emb, p.qemb)
+                       / (sqrt(list_dot_product(a.emb, a.emb))
+                          * sqrt(list_dot_product(p.qemb, p.qemb))), 4) AS cosine_sim
+          FROM assign a JOIN probe p USING (cid)),
+        ranked AS (
+          SELECT query_id, vec_id, cosine_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+          FROM cand)
         SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 10
     """
 

@@ -44,6 +44,7 @@ def main():
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_cosine_topk",
+        "ann_ivf_topk",           # IVF scale path: map-side list assignment
         "embedding_dup_pairs",
         "text_quality_score",
         "text_token_counts",

@@ -138,6 +138,85 @@ def lsh_topk(
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroids: list | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: assign every vector to its
+    nearest centroid, probe only the nprobe lists nearest each query,
+    exact-rescore the candidates.
+
+    Centroids are a driver-side list of (cid, vector) — in real IVF they
+    come from k-means and always fit on the driver (K ≤ a few thousand);
+    here the default is a deterministic sample (lowest-id vectors) so the
+    SQL oracle can reproduce them. They are embedded as a literal array,
+    so list assignment is a pure map-side `transform`+`array_max` over the
+    scan — NO shuffle at any data size. The only shuffle in the whole plan
+    is the final per-query top-k window, whose input is already cut to
+    ~nprobe/K of the data.
+
+    Tie-handling for oracle parity: centroid affinity is rounded to 6
+    decimals and ties break toward the lower cid (encoded as
+    struct(csim, -cid) under array_max's lexicographic max); final cosine
+    is rounded to 4 decimals with ties toward the lower id.
+    """
+    if centroids is None:
+        centroids = [
+            (r[0], [float(x) for x in r[1]])
+            for r in vectors.where(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        ]
+
+    def lit_vec(vs):
+        return F.array(*[F.lit(float(x)) for x in vs])
+
+    def best_cid(vec: Column) -> Column:
+        affinities = F.array(*[
+            F.struct(
+                F.round(cosine(vec, lit_vec(cvec)), 6).alias("csim"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, cvec in centroids
+        ])
+        return -F.array_max(affinities)["ncid"]
+
+    def probe_cids(vec: Column) -> Column:
+        affinities = F.array(*[
+            F.struct(
+                F.round(cosine(vec, lit_vec(cvec)), 6).alias("csim"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, cvec in centroids
+        ])
+        top = F.slice(F.sort_array(affinities, asc=False), 1, nprobe)
+        return F.transform(top, lambda s: -s["ncid"])
+
+    assigned = vectors.select(
+        F.col(id_col), F.col(vec_col), best_cid(F.col(vec_col)).alias("cid")
+    )
+    probes = queries.select(
+        F.col(query_id_col), F.col(query_vec_col),
+        F.explode(probe_cids(F.col(query_vec_col))).alias("cid"),
+    )
+    cand = assigned.join(F.broadcast(probes), "cid").select(
+        F.col(query_id_col), F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def embedding_dup_pairs(
     vectors: DataFrame,
     dim: int,

@@ -108,6 +108,35 @@ def test_lsh_topk_recalls_near_neighbor(spark):
     assert 4 not in ids or all(r.cosine_sim < 0 for r in out if r.vec_id == 4)
 
 
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    # nprobe == n_centroids probes every inverted list, so IVF must
+    # reproduce exact brute-force top-k (same rounding, same tie-break)
+    v = _vecs(spark)
+    q = v.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ivf = similarity.ivf_topk(v, q, k=3, n_centroids=3, nprobe=3).collect()
+    exact = {
+        (r.query_id, r.rank): r.vec_id
+        for r in similarity.brute_force_topk(v, q, k=3).collect()
+    }
+    assert len(ivf) == 6  # 2 queries × k=3
+    assert {(r.query_id, r.rank): r.vec_id for r in ivf} == exact
+
+
+def test_ivf_topk_prunes_to_probed_lists(spark):
+    # nprobe=1 with centroids {0:+x, 2:+y}: the -x vector (id 4) sits in
+    # list 2 (orthogonal beats antipodal), so a +x query never rescores it
+    v = _vecs(spark)
+    q = v.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])]
+    out = similarity.ivf_topk(v, q, k=5, nprobe=1, centroids=cents).collect()
+    ids = {r.vec_id for r in out}
+    assert 0 in ids and 1 in ids and 4 not in ids
+
+
 def test_embedding_dup_pairs(spark):
     out = similarity.embedding_dup_pairs(
         _vecs(spark), dim=4, threshold=0.9, num_tables=8, bits=2
