@@ -533,7 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.get_json_object(wctx, "$.weather[0].main").alias("conditions"),
         )
 
-    q["weather_context"] = q_weather  # stub provider (rows-only)
+    q["weather_context"] = q_weather
 
     def q_pii(spark, sf):
         # §2.5 #25 piiTransform: SHA-256 scalar mutators + pii_transformation
@@ -785,15 +785,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = q_ngram_jaccard
 
     def q_simhash(spark, sf):
-        from enrich_spark.datapipe.dedup import simhash_pairs
+        from enrich_spark.datapipe.dedup import md5_hash_family, simhash_pairs
 
         docs = _load_docs(spark, sf)
-        return simhash_pairs(docs, max_hamming=8).select(
+        # md5-prefix 60-bit token hash = the SQL-replayable family; the
+        # xxhash64 default stays the scale path (see dedup.simhash64)
+        return simhash_pairs(docs, max_hamming=8, hasher=md5_hash_family(0)).select(
             F.col("id_a").cast("long"), F.col("id_b").cast("long"),
             F.col("hamming").cast("long"),
         )
 
-    q["dedup_simhash"] = q_simhash  # no SQL oracle: 64 bit-vote aggs (rows-only)
+    q["dedup_simhash"] = q_simhash
 
     def q_ann_brute(spark, sf):
         from enrich_spark.datapipe.similarity import brute_force_topk
@@ -834,13 +836,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_df = vecs.where(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
-        out = lsh_topk(vecs, queries_df, dim=64, k=10, num_tables=4, bits=6)
+        out = lsh_topk(vecs, queries_df, dim=64, k=10, num_tables=4, bits=6,
+                       round_digits=4)
         return out.select(
             F.col("query_id").cast("long"), F.col("vec_id").cast("long"),
-            F.round("cosine_sim", 4).alias("cosine_sim"),
+            "cosine_sim",
         )
 
-    q["ann_lsh_topk"] = q_ann_lsh  # no SQL oracle: hyperplane lits (rows-only)
+    q["ann_lsh_topk"] = q_ann_lsh
 
     def q_ann_ivf(spark, sf):
         from enrich_spark.datapipe.similarity import ivf_topk
@@ -1234,6 +1237,27 @@ def oracle_sql() -> dict[str, str]:
                 "WHEN e.user_id % 4 = 1 THEN '216.160.x.x' "
                 "WHEN e.user_id % 4 = 2 THEN '89.160.x.x' "
                 "ELSE '192.0.x.x' END")
+    # weather: the stub provider is deterministic — seed = int(lat*100)*31
+    # + int(lon*100)*7 + day, with lat/lon the float32 values of the three
+    # embedded geo rows; the per-bucket seed bases are precomputed
+    # (159618 GB / 60858 US / 191998 SE) and day comes from the same
+    # derived-timestamp arithmetic the derived_tstamp oracle uses
+    o["weather_context"] = """
+        SELECT e.event_id AS src_event_id,
+               CASE WHEN e.user_id % 4 = 3 THEN NULL
+                    ELSE (['Clear', 'Clouds', 'Rain', 'Snow'])[
+                      ((CASE e.user_id % 4 WHEN 0 THEN 159618
+                                           WHEN 1 THEN 60858
+                                           ELSE 191998 END)
+                       + CAST(floor((CASE WHEN e.event_id % 5 = 0
+                                THEN epoch_us(e.ts + INTERVAL 2 SECOND)
+                                ELSE (epoch_ms(e.ts + INTERVAL 2 SECOND)
+                                      - (e.event_id % 5) * 250) * 1000
+                              END) / 86400000000.0) AS BIGINT)) % 4 + 1]
+               END AS conditions
+        FROM events e
+    """
+
     o["pii_pseudonymize"] = f"""
         SELECT e.event_id AS src_event_id,
                sha256('pepper' || 'user_' || e.user_id) AS uid_hash,
@@ -1369,6 +1393,89 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         )
         SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 10
+    """
+
+    # simhash oracle: 60-bit md5-prefix token hashes (same family as the
+    # minhash oracle) — per-bit ±1 votes replayed with nested lambdas;
+    # band split and hamming mirror dedup.simhash_pairs exactly
+    o["dedup_simhash"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(words) >= 2
+                   THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+                   ELSE [array_to_string(words, ' ')] END) AS grams
+          FROM base
+        ),
+        hs AS (
+          SELECT doc_id,
+                 list_transform(grams, w ->
+                   CAST(('0x' || substr(md5('0:' || w), 1, 15)) AS BIGINT)) AS hlist
+          FROM sh
+        ),
+        sim AS (
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 60), b ->
+                   CASE WHEN list_sum(list_transform(hlist, h ->
+                          CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simh
+          FROM hs
+        ),
+        banded AS (
+          SELECT doc_id, simh, t.t AS band, (simh >> (t.t * 16)) & 65535 AS bhash
+          FROM sim, (SELECT unnest(range(4)) AS t) t
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 bit_count(xor(a.simh, b.simh)) AS hamming
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 8
+    """
+
+    # LSH oracle: the random hyperplanes are deterministic (md5-seeded),
+    # so the exact same constants are inlined into the DuckDB SQL and the
+    # signature computation is replayed bit-for-bit.
+    from enrich_spark.datapipe.similarity import _hyperplane
+
+    def _lsh_sig_sql(col, table, bits=6, dim=64):
+        terms = []
+        for b in range(bits):
+            arr = "[" + ", ".join(repr(v) for v in _hyperplane(dim, table, b)) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}, {arr}) > 0 THEN {1 << b} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    def _lsh_sigs_union(src, idc, emb):
+        return " UNION ALL ".join(
+            f"SELECT {idc}, {emb} AS emb, {t} AS tbl,"
+            f" {_lsh_sig_sql(emb, t)} AS sig FROM {src}"
+            for t in range(4)
+        )
+
+    o["ann_lsh_topk"] = f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb0 FROM embeddings),
+             q AS (SELECT vec_id AS query_id, emb0 AS qemb0 FROM v WHERE vec_id < 3),
+        vs AS ({_lsh_sigs_union('v', 'vec_id', 'emb0')}),
+        qs AS ({_lsh_sigs_union('q', 'query_id', 'qemb0')}),
+        cand AS (
+          SELECT DISTINCT qs.query_id, vs.vec_id,
+                 round(list_dot_product(vs.emb, qs.emb)
+                       / (sqrt(list_dot_product(vs.emb, vs.emb))
+                          * sqrt(list_dot_product(qs.emb, qs.emb))), 4) AS cosine_sim
+          FROM vs JOIN qs ON vs.tbl = qs.tbl AND vs.sig = qs.sig),
+        ranked AS (
+          SELECT query_id, vec_id, cosine_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+          FROM cand)
+        SELECT query_id, vec_id, cosine_sim FROM ranked WHERE rank <= 10
     """
 
     o["ann_ivf_topk"] = """

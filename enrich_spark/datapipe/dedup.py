@@ -190,18 +190,25 @@ def _bit_masks() -> Column:
     return F.array(*[F.lit(1 << b) for b in range(63)], F.lit(-(2 ** 63)))
 
 
-def simhash64(text: Column, shingle_k: int = 2) -> Column:
-    """64-bit simhash over word-shingle xxhash64 token hashes.
+def simhash64(text: Column, shingle_k: int = 2, hasher=None) -> Column:
+    """64-bit simhash over word-shingle token hashes (default xxhash64).
 
     For each bit b: sum(+1 if bit set else -1 over tokens) > 0 → bit set.
+
+    `hasher` swaps the token hash family: pass `md5_hash_family(0)` for
+    the 60-bit md5-prefix hash that an ANSI-SQL oracle can replay
+    (bits 60..63 then always vote −1 → zero, identically on both sides);
+    keep the xxhash64 default for the JVM-native scale path.
 
     Single pass over the token array: the accumulator is a 64-wide vote
     vector updated with one zip_with per token (a naive per-bit aggregate
     would re-evaluate the shingle+hash expression 64× per row — measured
     40× slower at sf0.1).
     """
+    if hasher is None:
+        hasher = F.xxhash64
     masks = _bit_masks()
-    tokens = F.transform(shingles(text, shingle_k), lambda s: F.xxhash64(s))
+    tokens = F.transform(shingles(text, shingle_k), lambda s: hasher(s))
     votes = F.aggregate(
         tokens,
         F.array_repeat(F.lit(0).cast("long"), 64),
@@ -227,6 +234,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    hasher=None,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
 
@@ -234,7 +242,7 @@ def simhash_pairs(
     by pigeonhole any pair within Hamming ≤ bands-1 collides on ≥1 band.
     """
     sh = docs.select(
-        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sim")
+        F.col(id_col).alias("_id"), simhash64(F.col(text_col), hasher=hasher).alias("_sim")
     )
     banded = sh.select(
         "_id", "_sim",

@@ -80,13 +80,32 @@ def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
     return out
 
 
-def rh_signature(vec: Column, dim: int, table: int, bits: int = 8) -> Column:
-    """Random-hyperplane signature: one int per table (bits sign bits)."""
-    sig = F.lit(0)
+def rh_signature_sql(col: str, dim: int, table: int, bits: int = 8) -> str:
+    """Random-hyperplane signature as a SQL expression string: one int per
+    table (bits sign bits). A string parses JVM-side in one round-trip —
+    building it from py4j Column literals (bits × dim F.lit calls) costs
+    ~1 ms each and dominates driver time for dim=64."""
+    terms = []
     for b in range(bits):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, table, b)])
-        sig = sig + F.when(dot(vec, plane) > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return sig
+        arr = "array(" + ", ".join(f"{v!r}D" for v in _hyperplane(dim, table, b)) + ")"
+        dot_s = f"aggregate(zip_with({col}, {arr}, (x, y) -> x * y), 0.0D, (a, v) -> a + v)"
+        terms.append(f"(CASE WHEN ({dot_s}) > 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def rh_signature(vec: Column, dim: int, table: int, bits: int = 8) -> Column:
+    """Random-hyperplane signature: one int per table (bits sign bits).
+    `vec` must be a plain column reference (the expression is compiled
+    from SQL text, see rh_signature_sql)."""
+    return F.expr(rh_signature_sql(_col_name(vec), dim, table, bits))
+
+
+def _col_name(c: Column | str) -> str:
+    if isinstance(c, str):
+        return c
+    # Column.__repr__ is Column<'name'>
+    s = str(c)
+    return s[s.index("'") + 1 : s.rindex("'")]
 
 
 def lsh_topk(
@@ -100,8 +119,11 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: equi-join on (table, signature) then exact rescore.
+    round_digits rounds the cosine BEFORE ranking so rank order is stable
+    across engines at float ties (needed for SQL-oracle parity).
 
     Shuffle key (table, sig) has num_tables × 2^bits buckets — uniform for
     normalized embeddings; per-bucket candidate lists are small, so the
@@ -113,7 +135,7 @@ def lsh_topk(
             *extra, F.col(idc), F.col(vcol),
             F.explode(
                 F.array(*[
-                    F.struct(F.lit(t).alias("tbl"), rh_signature(F.col(vcol), dim, t, bits).alias("sig"))
+                    F.struct(F.lit(t).alias("tbl"), rh_signature(vcol, dim, t, bits).alias("sig"))
                     for t in range(num_tables)
                 ])
             ).alias("bk"),
@@ -128,7 +150,11 @@ def lsh_topk(
         )
         .select(
             F.col(query_id_col), F.col(id_col),
-            cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+            (
+                F.round(cosine(F.col(vec_col), F.col(query_vec_col)), round_digits)
+                if round_digits is not None
+                else cosine(F.col(vec_col), F.col(query_vec_col))
+            ).alias("cosine_sim"),
         )
         .dropDuplicates([query_id_col, id_col])
     )
@@ -176,36 +202,56 @@ def ivf_topk(
             .collect()
         ]
 
-    def lit_vec(vs):
-        return F.array(*[F.lit(float(x)) for x in vs])
+    # The affinity expression is generated as ONE SQL string. Both naive
+    # shapes are driver-bound, not executor-bound: a py4j Column per
+    # literal (16 centroids × 64 dims × 2 call sites ≈ 2k round-trips)
+    # costs ~4 s to build, and a statically-unrolled 1024-term Add chain
+    # costs even more in Catalyst analysis/codegen. A single expr() with
+    # array literals + higher-order aggregate keeps the tree shallow
+    # (parses JVM-side in ms); the interpreted lambda eval is noise at
+    # any |vectors| since it is one pass, map-side. Centroid norms fold
+    # to Python-float constants.
+    import math
 
-    def best_cid(vec: Column) -> Column:
-        affinities = F.array(*[
-            F.struct(
-                F.round(cosine(vec, lit_vec(cvec)), 6).alias("csim"),
-                F.lit(-cid).alias("ncid"),
+    def d(v: float) -> str:
+        return f"{float(v)!r}D"
+
+    def sql_norm(col: str) -> str:
+        return f"sqrt(aggregate({col}, 0.0D, (a, x) -> a + x * x))"
+
+    def affinity_sql(col: str, vnorm_col: str) -> str:
+        parts = []
+        for cid, cvec in centroids:
+            cnorm = math.sqrt(sum(x * x for x in cvec))
+            arr = "array(" + ", ".join(d(v) for v in cvec) + ")"
+            dot_s = (
+                f"aggregate(zip_with({col}, {arr}, (x, y) -> x * y), 0.0D,"
+                f" (a, v) -> a + v)"
             )
-            for cid, cvec in centroids
-        ])
-        return -F.array_max(affinities)["ncid"]
-
-    def probe_cids(vec: Column) -> Column:
-        affinities = F.array(*[
-            F.struct(
-                F.round(cosine(vec, lit_vec(cvec)), 6).alias("csim"),
-                F.lit(-cid).alias("ncid"),
+            parts.append(
+                f"struct(round(({dot_s}) / ({vnorm_col} * {d(cnorm)}), 6) AS csim, "
+                f"{-cid} AS ncid)"
             )
-            for cid, cvec in centroids
-        ])
-        top = F.slice(F.sort_array(affinities, asc=False), 1, nprobe)
-        return F.transform(top, lambda s: -s["ncid"])
+        return "array(" + ", ".join(parts) + ")"
 
-    assigned = vectors.select(
-        F.col(id_col), F.col(vec_col), best_cid(F.col(vec_col)).alias("cid")
+    assigned = (
+        vectors.withColumn("_vn", F.expr(sql_norm(vec_col)))
+        .select(
+            F.col(id_col), F.col(vec_col),
+            F.expr(f"-(array_max({affinity_sql(vec_col, '_vn')}).ncid)").alias("cid"),
+        )
     )
-    probes = queries.select(
-        F.col(query_id_col), F.col(query_vec_col),
-        F.explode(probe_cids(F.col(query_vec_col))).alias("cid"),
+    probes = (
+        queries.withColumn("_qn", F.expr(sql_norm(query_vec_col)))
+        .select(
+            F.col(query_id_col), F.col(query_vec_col),
+            F.explode(
+                F.expr(
+                    f"transform(slice(sort_array({affinity_sql(query_vec_col, '_qn')},"
+                    f" false), 1, {nprobe}), s -> -(s.ncid))"
+                )
+            ).alias("cid"),
+        )
     )
     cand = assigned.join(F.broadcast(probes), "cid").select(
         F.col(query_id_col), F.col(id_col),
@@ -232,7 +278,7 @@ def embedding_dup_pairs(
         F.col(id_col), F.col(vec_col),
         F.explode(
             F.array(*[
-                F.struct(F.lit(t).alias("tbl"), rh_signature(F.col(vec_col), dim, t, bits).alias("sig"))
+                F.struct(F.lit(t).alias("tbl"), rh_signature(vec_col, dim, t, bits).alias("sig"))
                 for t in range(num_tables)
             ])
         ).alias("bk"),
