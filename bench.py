@@ -38,6 +38,7 @@ def main():
         "sql_lookup_join",        # broadcast lookup-join enrichment
         "asn_bot_detection",      # range join + context consolidation
         "tsv_serialize",          # 131-column enriched-sink TSV assembly
+        "payload_decompress",     # gzip de-batch explode + size guards
         "metadata_aggregation",   # the one true aggregation
         "sessionize",             # stateful window (beyond-reference)
         "dedup_exact",
