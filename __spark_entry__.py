@@ -674,9 +674,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  "archive": [encode_batch(payloads)]}
             )
 
+        # persist the generated archives: they are the test FIXTURE (a few
+        # MB), not the operator under measurement — deployments read
+        # already-compressed archives from the stream/object store
         archives = base.groupBy("batch_id").applyInPandas(
             build, "batch_id long, archive binary"
-        )
+        ).persist()
         rec = explode_messages(archives, "archive", max_bytes_single_payload=4096)
         ok = F.col("decompress_error").isNull()
         return rec.groupBy("batch_id").agg(
