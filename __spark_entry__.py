@@ -20,6 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -377,6 +378,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["adapter_explode"] = q_adapter_explode
 
+    def q_webhook_adapters(spark, sf):
+        # §2.3 webhook long tail via the largest adapter: Google Analytics
+        # measurement protocol (reference registry/GoogleAnalyticsAdapter
+        # .scala:477-508) — multi-line body → 1 event per hit line, per-hit
+        # schema, directMappings (dl→url, dt→page), unknown hit type →
+        # AdapterFailure row (not an exception)
+        eid = F.col("event_id")
+        ga_body = F.concat(
+            F.lit("t=pageview&dl=https://x.example/p"), (eid % 50).cast("string"),
+            F.lit("&dt=Page_"), (eid % 7).cast("string"),
+            F.lit("\nt=event&dl=https://x.example/p"), (eid % 50).cast("string"),
+            F.lit("&ea=act"), (eid % 5).cast("string"),
+        )
+        payloads = _load_events(spark, sf).select(
+            eid.alias("src_event_id"),
+            F.lit("com.google.analytics").alias("api_vendor"),
+            F.lit("v1").alias("api_version"),
+            F.lit(None).cast("array<struct<name:string,value:string>>").alias("querystring"),
+            F.lit(None).cast("string").alias("content_type"),
+            F.when(eid % 13 == 0, F.lit("t=adhit&x=1")).otherwise(ga_body).alias("body"),
+        )
+        from enrich_spark.adapters.registry import adapt
+
+        out = adapt(payloads)
+        ue = F.col("parameters")["ue_pr"]
+        return out.select(
+            F.col("src_event_id").cast("long"),
+            F.get_json_object(ue, "$.data.schema").alias("hit_schema"),
+            F.col("parameters")["url"].alias("url"),
+            F.col("parameters")["page"].alias("page"),
+            F.get_json_object(ue, "$.data.data.ea").alias("ea"),
+            F.when(F.col("_adapter_error").isNotNull(), 1).otherwise(0)
+            .cast("long").alias("is_err"),
+        )
+
+    q["webhook_adapters"] = q_webhook_adapters
+
     def q_bad_rows(spark, sf):
         from enrich_spark.config import EnrichmentsConfig
         from enrich_spark.plans.pipeline import enrich_raw
@@ -695,6 +733,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select(F.col("batch_id").cast("long"), "n_ok", "n_too_big", "bytes_ok", "digit_sum")
 
     q["payload_decompress"] = q_decompress
+
+    def q_thrift(spark, sf):
+        # §2.2 ThriftLoader end-to-end: TBinaryProtocol collector payloads
+        # (schema check, path→Api routing incl. legacy /i→tp1, querystring
+        # parse, X-Forwarded-For first-IP, UUID-validated networkUserId,
+        # corrupt bytes → loader_error not exception) — reference
+        # common/loaders/ThriftLoader.scala:57-165. Every field derives
+        # from event_id arithmetic so the oracle predicts the decoded
+        # values through the encode → thrift-decode round trip.
+        from enrich_spark.loaders.thrift import SCHEMA_URI, encode_payload, load_thrift
+
+        def build(eid, uid, ts_us):
+            eid, uid, ts_us = int(eid), int(uid), int(ts_us)
+            if eid % 97 == 0:
+                return b"\x00\x01garbage"  # corrupt → CPFormatViolation path
+            return encode_payload({
+                "schema_uri": SCHEMA_URI,
+                "path": "/i" if eid % 7 == 0 else "/com.snowplowanalytics.snowplow/tp2",
+                "querystring": f"e=pv&aid=app-{uid % 3}&uid=user_{uid}&tid={eid % 100000 + 1}",
+                "ip_address": f"192.168.0.{eid % 200}",
+                "headers": (
+                    [f"X-Forwarded-For: 10.0.0.{eid % 250 + 1}, 70.46.123.145"]
+                    if eid % 3 == 0 else []
+                ),
+                "network_user_id": (
+                    "not-a-uuid" if eid % 5 == 0
+                    else f"00000000-0000-4000-8000-{eid % 10**12:012d}"
+                ),
+                "timestamp": ts_us // 1000,
+                "collector": "ssc-test",
+                "encoding": "UTF-8",
+                "hostname": "collector.example.com",
+            })
+
+        build_udf = F.udf(build, T.BinaryType())
+        ev = _load_events(spark, sf).select(
+            F.col("event_id").alias("src_event_id"),
+            build_udf("event_id", "user_id", F.unix_micros("ts")).alias("value"),
+        ).persist()  # fixture, not the operator under measurement
+        out = load_thrift(ev)
+        return out.select(
+            F.col("src_event_id").cast("long"),
+            F.col("api_version").alias("api_version"),
+            F.expr("filter(querystring, x -> x.name = 'aid')[0].value").alias("aid"),
+            F.coalesce(F.size("querystring"), F.lit(-1)).cast("long").alias("n_qs"),
+            F.col("ip_address").alias("ip"),
+            F.col("network_user_id").alias("nuid"),
+            F.unix_micros("collector_tstamp").alias("collector_us"),
+            F.when(F.col("loader_error").isNotNull(), 1).otherwise(0)
+            .cast("long").alias("is_err"),
+        )
+
+    q["thrift_loader"] = q_thrift
 
     def q_eventspec(spark, sf):
         # §2.5 #26: event-spec inference — (ue schema, entity cardinality)
@@ -1342,6 +1433,50 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(sum(plen) FILTER (WHERE plen <= 4096), 0) AS bytes_ok,
                COALESCE(sum(digit) FILTER (WHERE plen <= 4096), 0) AS digit_sum
         FROM p GROUP BY batch_id
+    """
+
+    # GA adapter: 2 hit lines per payload → 2 RawEvents (page_view + event
+    # schemas, directMappings), unknown hit type (eid%13=0) → 1 failure row
+    _GA_PFX = "iglu:com.google.analytics.measurement-protocol/"
+    o["webhook_adapters"] = f"""
+        WITH ok AS (SELECT * FROM events WHERE event_id % 13 <> 0)
+        SELECT e.event_id AS src_event_id,
+               '{_GA_PFX}page_view/jsonschema/1-0-0' AS hit_schema,
+               'https://x.example/p' || (e.event_id % 50) AS url,
+               'Page_' || (e.event_id % 7) AS page,
+               NULL AS ea, 0 AS is_err
+        FROM ok e
+        UNION ALL
+        SELECT e.event_id, '{_GA_PFX}event/jsonschema/1-0-0',
+               'https://x.example/p' || (e.event_id % 50), NULL,
+               'act' || (e.event_id % 5), 0
+        FROM ok e
+        UNION ALL
+        SELECT e.event_id, NULL, NULL, NULL, NULL, 1
+        FROM events e WHERE e.event_id % 13 = 0
+    """
+
+    # thrift loader: fixture fields are event_id arithmetic, so the oracle
+    # predicts every decoded value through the thrift round trip; corrupt
+    # rows (eid%97=0) yield NULL payload fields + is_err=1
+    o["thrift_loader"] = """
+        SELECT e.event_id AS src_event_id,
+               CASE WHEN e.event_id % 97 = 0 THEN NULL
+                    WHEN e.event_id % 7 = 0 THEN 'tp1' ELSE 'tp2' END AS api_version,
+               CASE WHEN e.event_id % 97 = 0 THEN NULL
+                    ELSE 'app-' || (e.user_id % 3) END AS aid,
+               CASE WHEN e.event_id % 97 = 0 THEN -1 ELSE 4 END AS n_qs,
+               CASE WHEN e.event_id % 97 = 0 THEN NULL
+                    WHEN e.event_id % 3 = 0 THEN '10.0.0.' || (e.event_id % 250 + 1)
+                    ELSE '192.168.0.' || (e.event_id % 200) END AS ip,
+               CASE WHEN e.event_id % 97 = 0 OR e.event_id % 5 = 0 THEN NULL
+                    ELSE '00000000-0000-4000-8000-' ||
+                         lpad(CAST(e.event_id % 1000000000000 AS VARCHAR), 12, '0')
+               END AS nuid,
+               CASE WHEN e.event_id % 97 = 0 THEN NULL
+                    ELSE (epoch_us(e.ts) // 1000) * 1000 END AS collector_us,
+               CASE WHEN e.event_id % 97 = 0 THEN 1 ELSE 0 END AS is_err
+        FROM events e
     """
 
     # weather: the stub provider is deterministic — seed = int(lat*100)*31

@@ -39,6 +39,7 @@ def main():
         "asn_bot_detection",      # range join + context consolidation
         "tsv_serialize",          # 131-column enriched-sink TSV assembly
         "payload_decompress",     # gzip de-batch explode + size guards
+        "thrift_loader",          # TBinaryProtocol decode UDF + routing
         "metadata_aggregation",   # the one true aggregation
         "sessionize",             # stateful window (beyond-reference)
         "dedup_exact",
