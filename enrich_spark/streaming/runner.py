@@ -51,6 +51,12 @@ class StreamConfig:
     sink_max_bytes: int = 1 << 20        # oversize record guard → SizeViolation
     checkpoint: str | None = None
     trigger_seconds: int | None = None
+    # asset hot-swap (reference AssetRefresher + ManagedEnrichmentRegistry):
+    # checked at each micro-batch boundary; when an asset's content hash
+    # changes, `rebuild(assets)` recompiles the enrichment config/plan from
+    # the new local files — in-flight batches finish on the old snapshot
+    assets: object | None = None         # sources.assets.AssetManager
+    rebuild: object | None = None        # Callable[[AssetManager], EnrichmentsConfig]
 
 
 def collect_metadata(good: DataFrame) -> DataFrame:
@@ -111,6 +117,10 @@ def run_stream(
     cfg = cfg or StreamConfig()
 
     def process(batch_df: DataFrame, batch_id: int):
+        if cfg.assets is not None:
+            changed = cfg.assets.maybe_refresh()
+            if changed and cfg.rebuild is not None:
+                cfg.enrichments = cfg.rebuild(cfg.assets)
         good, bad, meta = enrich_batch(batch_df, cfg, spark)
         good.write.mode("append").text(sinks.good_path)
         bad.withColumnRenamed("bad_row", "value").write.mode("append").text(sinks.bad_path)

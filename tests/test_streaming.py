@@ -142,3 +142,97 @@ def test_streaming_file_source_end_to_end(spark):
         assert len(bad_lines) == 1
         meta = spark.read.json(sinks.metadata_path).collect()
         assert meta[0].n_events == 1
+
+
+def test_asset_manager_hash_gated_refresh():
+    from enrich_spark.sources.assets import AssetManager, AssetSpec
+
+    clock = [1000.0]
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "referers.json")
+        with open(src, "w") as f:
+            f.write("v1")
+        mgr = AssetManager(
+            [AssetSpec("referers", f"file://{src}", refresh_period_s=60)],
+            cache_dir=os.path.join(tmp, "cache"),
+            clock=lambda: clock[0],
+        )
+        local = mgr.paths()["referers"]
+        assert open(local).read() == "v1"
+
+        # period not elapsed → no re-fetch even if content changed
+        with open(src, "w") as f:
+            f.write("v2")
+        clock[0] += 30
+        assert mgr.maybe_refresh() == []
+        assert open(local).read() == "v1"
+
+        # period elapsed + content changed → swap reported
+        clock[0] += 31
+        assert mgr.maybe_refresh() == ["referers"]
+        assert open(local).read() == "v2"
+
+        # period elapsed but identical bytes → re-download is NOT a swap
+        clock[0] += 61
+        assert mgr.maybe_refresh() == []
+
+
+def test_asset_manager_unknown_scheme():
+    import pytest
+
+    from enrich_spark.sources.assets import AssetManager, AssetSpec
+
+    with tempfile.TemporaryDirectory() as tmp:
+        with pytest.raises(ValueError, match="no asset fetcher"):
+            AssetManager([AssetSpec("x", "s3://bucket/key")], cache_dir=tmp)
+
+
+def test_streaming_asset_hotswap_rebuilds_plan(spark):
+    """Asset content change between micro-batches triggers a plan rebuild
+    (the Spark-first equivalent of the reference's ManagedEnrichmentRegistry
+    hot-swap, core/AssetRefresher.scala:40-313)."""
+    from enrich_spark.sources.assets import AssetManager, AssetSpec
+
+    with tempfile.TemporaryDirectory() as tmp:
+        asset_src = os.path.join(tmp, "db.bin")
+        with open(asset_src, "w") as f:
+            f.write("gen1")
+        mgr = AssetManager(
+            [AssetSpec("db", f"file://{asset_src}", refresh_period_s=0)],
+            cache_dir=os.path.join(tmp, "cache"),
+        )
+        rebuilds = []
+
+        def rebuild(assets):
+            rebuilds.append(open(assets.paths()["db"]).read())
+            return EnrichmentsConfig.default()
+
+        src = os.path.join(tmp, "in")
+        os.makedirs(src)
+        sinks = StreamSinks(
+            good_path=os.path.join(tmp, "good"), bad_path=os.path.join(tmp, "bad")
+        )
+        cfg = StreamConfig(
+            checkpoint=os.path.join(tmp, "ckpt"), assets=mgr, rebuild=rebuild
+        )
+        spark.createDataFrame([(encode_payload(PAYLOAD),)], "value BINARY").write.parquet(
+            os.path.join(src, "b0"), mode="overwrite"
+        )
+        source = (
+            spark.readStream.schema("value BINARY")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = run_stream(spark, source, sinks, cfg)
+        try:
+            q.processAllAvailable()
+            assert rebuilds == []  # unchanged asset → no rebuild on batch 0
+            with open(asset_src, "w") as f:
+                f.write("gen2")
+            spark.createDataFrame(
+                [(encode_payload(PAYLOAD),)], "value BINARY"
+            ).write.parquet(os.path.join(src, "b1"), mode="overwrite")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert rebuilds == ["gen2"]  # swap fired once, with the new content
