@@ -440,6 +440,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bad_row_split"] = q_bad_rows
 
+    def q_tri_state(spark, sf):
+        # OptionIor tri-state: phase-1 schema violations → bad (Left),
+        # enrichment-phase failures → failed (Both: failure entity attached,
+        # EnrichmentFailures bad row), rest → good
+        # (EnrichmentManager.scala:117-147, core/Processing.scala:139-147)
+        from enrich_spark.config import EnrichmentsConfig
+        from enrich_spark.operators.lookups import SqlQueryConf
+        from enrich_spark.plans.pipeline import enrich_raw
+
+        ev = _load_events(spark, sf)
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        n_cust = cust.count()
+        params = F.create_map(
+            F.lit("e"), F.lit("pv"),
+            F.lit("tid"), F.when(F.col("user_id") % 7 == 0, F.lit("not-a-number"))
+            .otherwise(F.col("event_id").cast("string")),
+        )
+        raw = ev.select(
+            F.col("event_id").alias("src_event_id"),
+            params.alias("parameters"),
+            F.col("ts").alias("collector_tstamp"),
+            # miss every 5th key → EXACTLY_ONE contract violation → failed
+            F.when(F.col("user_id") % 5 == 0, F.lit(-1))
+            .otherwise(F.col("user_id") % n_cust + 1)
+            .cast("long").alias("cust_key"),
+        )
+        cfg = EnrichmentsConfig.default()
+        cfg.sql_query = SqlQueryConf(
+            key_map={"cust_key": "ckey"}, expected_rows="EXACTLY_ONE"
+        )
+        cfg.sql_query_table = lambda s: cust.select(
+            F.col("c_custkey").cast("long").alias("ckey"), "c_name"
+        )
+        res = enrich_raw(raw, cfg, spark)
+        return res.all.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            F.col("_is_bad").cast("long").alias("is_bad"),
+            F.col("_is_failed").cast("long").alias("is_failed"),
+            F.size(
+                F.filter(F.col("_derived"),
+                         lambda c: c.getField("schema").contains("/failure/"))
+            ).cast("long").alias("n_failure_entities"),
+        )
+
+    q["tri_state_split"] = q_tri_state
+
     def q_metadata_agg(spark, sf):
         ev = _load_events(spark, sf)
         return (
@@ -1358,6 +1404,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN e.user_id % 7 = 0 OR e.user_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_bad,
                CAST(CASE WHEN e.user_id % 7 = 0 THEN 1 ELSE 0 END
                     + CASE WHEN e.user_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_errors
+        FROM events e
+    """
+
+    o["tri_state_split"] = """
+        SELECT e.event_id AS src_event_id,
+               CAST(CASE WHEN e.user_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_bad,
+               CAST(CASE WHEN e.user_id % 7 <> 0 AND e.user_id % 5 = 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_failed,
+               CAST(CASE WHEN e.user_id % 7 <> 0 AND e.user_id % 5 = 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS n_failure_entities
         FROM events e
     """
 

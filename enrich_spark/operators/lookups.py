@@ -32,7 +32,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .sql_enrichments import DERIVED_COL, ensure_derived
+from .sql_enrichments import (
+    DERIVED_COL,
+    ENRICH_ERRORS_COL,
+    ensure_derived,
+    ensure_enrich_errors,
+)
 
 # ---------------------------------------------------------------------------
 # §2.5 #22 — SQL query enrichment, broadcast-join mode
@@ -56,7 +61,7 @@ def sql_query_enrichment(df: DataFrame, conf: SqlQueryConf, lookup: DataFrame) -
     (SqlQueryEnrichment.scala:232-235): rows with a NULL key skip the
     lookup entirely (left join keeps them, no context, no error).
     """
-    df = ensure_derived(df)
+    df = ensure_enrich_errors(ensure_derived(df))
     out_cols = conf.output_columns or [
         c for c in lookup.columns if c not in conf.key_map.values()
     ]
@@ -90,7 +95,8 @@ def sql_query_enrichment(df: DataFrame, conf: SqlQueryConf, lookup: DataFrame) -
             F.lit(f"sql_query\tExpected {conf.expected_rows} row(s), got 0\t"),
         )
         joined = joined.withColumn(
-            "_errors", F.concat(F.col("_errors"), F.array_compact(F.array(err)))
+            ENRICH_ERRORS_COL,
+            F.concat(F.col(ENRICH_ERRORS_COL), F.array_compact(F.array(err))),
         )
     # AT_MOST_ONE/EXACTLY_ONE duplicate-key violations are a property of the
     # lookup table; enforced at load time (cheap, table-side) not per event:
@@ -185,7 +191,7 @@ def api_request_enrichment(df: DataFrame, conf: ApiRequestConf) -> DataFrame:
     placeholders must be filled). The cache key is the rendered URL, so
     at 100 TB the request volume is bounded by key cardinality × executors,
     not event count."""
-    df = ensure_derived(df)
+    df = ensure_enrich_errors(ensure_derived(df))
     transport = conf.transport
     template, json_path = conf.url_template, conf.json_path
     size, ttl, timeout = conf.cache_size, conf.cache_ttl_s, conf.timeout_s
@@ -227,8 +233,8 @@ def api_request_enrichment(df: DataFrame, conf: ApiRequestConf) -> DataFrame:
     )
     if not conf.ignore_on_error:
         df = df.withColumn(
-            "_errors",
-            F.concat(F.col("_errors"), F.array_compact(F.array(F.col("_api.error")))),
+            ENRICH_ERRORS_COL,
+            F.concat(F.col(ENRICH_ERRORS_COL), F.array_compact(F.array(F.col("_api.error")))),
         )
     return df.drop("_api")
 

@@ -29,13 +29,18 @@ from pyspark.sql import types as T
 
 from ..config import JavascriptScriptConf
 from ..schema import ATOMIC_FIELDS
-from .sql_enrichments import DERIVED_COL, ensure_derived
+from .sql_enrichments import (
+    DERIVED_COL,
+    ENRICH_ERRORS_COL,
+    ensure_derived,
+    ensure_enrich_errors,
+)
 
 _MUTABLE_KINDS = {"s": str, "i": int, "f": float, "b": int}
 
 
 def script_enrichment(df: DataFrame, conf: JavascriptScriptConf) -> DataFrame:
-    df = ensure_derived(df)
+    df = ensure_enrich_errors(ensure_derived(df))
     fn = conf.function
     params = dict(conf.params)
     kinds = dict(ATOMIC_FIELDS)
@@ -87,8 +92,8 @@ def script_enrichment(df: DataFrame, conf: JavascriptScriptConf) -> DataFrame:
         F.coalesce(F.col("_script").getField("_script_contexts"),
                    F.array().cast("array<struct<schema:string,data:string>>")),
     )
-    cols["_errors"] = F.concat(
-        F.col("_errors"),
+    cols[ENRICH_ERRORS_COL] = F.concat(
+        F.col(ENRICH_ERRORS_COL),
         F.array_compact(F.array(F.col("_script").getField("_script_error"))),
     )
     df = df.withColumns(cols)

@@ -48,6 +48,20 @@ def ensure_derived(df: DataFrame) -> DataFrame:
     return df
 
 
+# Enrichment-PHASE failures (reference phase 2, EnrichmentManager.scala:187-203)
+# accumulate separately from phase-1 schema violations (`_errors`): a row with
+# only `_enrich_errors` is the reference's OptionIor.Both — a fully-enriched
+# FAILED event (failure entities attached, emitted to the failed sink) plus an
+# EnrichmentFailures bad row.
+ENRICH_ERRORS_COL = "_enrich_errors"
+
+
+def ensure_enrich_errors(df: DataFrame) -> DataFrame:
+    if ENRICH_ERRORS_COL not in df.columns:
+        df = df.withColumn(ENRICH_ERRORS_COL, F.array().cast("array<string>"))
+    return df
+
+
 # ---------------------------------------------------------------------------
 # §2.5 #2 getPageUri + #9 extractQueryString — URI explode
 # (EnrichmentManager.scala:528-548, ConversionUtils.explodeUri:75)

@@ -35,12 +35,20 @@ UE_ENVELOPE_RE = "^iglu:com\\.snowplowanalytics\\.snowplow/unstruct_event/jsonsc
 CO_ENVELOPE_RE = "^iglu:com\\.snowplowanalytics\\.snowplow/contexts/jsonschema/1-"
 
 
+FAILURE_ENTITY_SCHEMA = "iglu:com.snowplowanalytics.snowplow/failure/jsonschema/1-0-0"
+
+
 @dataclass
 class EnrichResult:
-    """Tri-state output (reference OptionIor, core/Processing.scala:139-147)."""
+    """Tri-state output (reference OptionIor, core/Processing.scala:139-147):
+    Left(bad) = phase-1 violations, the event was never valid; Both =
+    `failed` — fully-enriched events whose enrichment phase failed, emitted
+    as TSV to the failed sink with failure entities in derived_contexts AND
+    as an EnrichmentFailures bad row; None (JS drop) vanishes upstream."""
 
     good: DataFrame
     bad: DataFrame
+    failed: DataFrame
     all: DataFrame  # annotated superset, for tests/metrics
 
 
@@ -213,15 +221,39 @@ def enrich_raw(df: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> En
             fills[name] = F.lit(None).cast(t)
     df = df.withColumns(fills)
 
+    df = sql_ops.ensure_enrich_errors(sql_ops.ensure_derived(df))
     bad_cond = (
         F.col("loader_error").isNotNull()
         | F.col("_adapter_error").isNotNull()
         | (F.size(F.col("_errors")) > 0)
     )
-    annotated = df.withColumn("_is_bad", bad_cond)
+    failed_cond = ~bad_cond & (F.size(F.col(sql_ops.ENRICH_ERRORS_COL)) > 0)
+    annotated = df.withColumn("_is_bad", bad_cond).withColumn("_is_failed", failed_cond)
+    # failed events carry their failures as a derived context
+    # (Failure.scala:33-63, attach at EnrichmentManager.scala:139-147)
+    failure_entity = F.struct(
+        F.lit(FAILURE_ENTITY_SCHEMA).alias("schema"),
+        F.to_json(
+            F.struct(
+                F.lit("EnrichmentError").alias("failureType"),
+                F.transform(
+                    F.col(sql_ops.ENRICH_ERRORS_COL),
+                    lambda m: F.struct(m.alias("message")),
+                ).alias("errors"),
+            )
+        ).alias("data"),
+    )
+    annotated = annotated.withColumn(
+        sql_ops.DERIVED_COL,
+        F.when(
+            F.col("_is_failed"),
+            F.array_append(F.col(sql_ops.DERIVED_COL), failure_entity),
+        ).otherwise(F.col(sql_ops.DERIVED_COL)),
+    )
     return EnrichResult(
-        good=annotated.where(~F.col("_is_bad")),
+        good=annotated.where(~F.col("_is_bad") & ~F.col("_is_failed")),
         bad=annotated.where(F.col("_is_bad")),
+        failed=annotated.where(F.col("_is_failed")),
         all=annotated,
     )
 

@@ -70,15 +70,18 @@ def bad_rows_json(df: DataFrame, processor: str = "enrich-spark", version: str =
     """BadRow JSON (semantic parity with the snowplow-badrows shapes,
     SURVEY §1.4 — schema violations / adapter failures / loader format
     violations carried with processor + failure + payload)."""
+    has_schema_violations = F.size(F.col("_errors")) > 0
     failure_type = (
         F.when(F.col("loader_error").isNotNull(), F.lit("collector_payload_format_violation"))
         .when(F.col("_adapter_error").isNotNull(), F.lit("adapter_failures"))
-        .otherwise(F.lit("schema_violations"))
+        .when(has_schema_violations, F.lit("schema_violations"))
+        .otherwise(F.lit("enrichment_failures"))
     )
     messages = (
         F.when(F.col("loader_error").isNotNull(), F.array(F.col("loader_error")))
         .when(F.col("_adapter_error").isNotNull(), F.array(F.col("_adapter_error")))
-        .otherwise(F.col("_errors"))
+        .when(has_schema_violations, F.col("_errors"))
+        .otherwise(F.col("_enrich_errors"))
     )
     return df.select(
         F.to_json(

@@ -91,6 +91,9 @@ def enrich_batch(batch_df: DataFrame, cfg: StreamConfig, spark: SparkSession):
     res = enrich(loaded, cfg.enrichments, spark)
 
     good_tsv = to_tsv(res.good, max_bytes=cfg.sink_max_bytes)
+    # OptionIor.Both: failed events → failed TSV sink AND an
+    # enrichment_failures bad row (Processing.scala:227-244)
+    failed_tsv = to_tsv(res.failed, max_bytes=cfg.sink_max_bytes)
     # oversize enriched records → SizeViolation bad rows (Processing.scala:203-225)
     oversize = good_tsv.where(F.col("oversized")).select(
         F.to_json(
@@ -102,9 +105,18 @@ def enrich_batch(batch_df: DataFrame, cfg: StreamConfig, spark: SparkSession):
             )
         ).alias("bad_row")
     )
-    bad = bad_rows_json(res.bad).unionByName(oversize)
+    bad = (
+        bad_rows_json(res.bad)
+        .unionByName(bad_rows_json(res.failed))
+        .unionByName(oversize)
+    )
     meta = collect_metadata(res.good)
-    return good_tsv.where(~F.col("oversized")).select("tsv"), bad, meta
+    return (
+        good_tsv.where(~F.col("oversized")).select("tsv"),
+        bad,
+        failed_tsv.where(~F.col("oversized")).select("tsv"),
+        meta,
+    )
 
 
 def run_stream(
@@ -121,9 +133,11 @@ def run_stream(
             changed = cfg.assets.maybe_refresh()
             if changed and cfg.rebuild is not None:
                 cfg.enrichments = cfg.rebuild(cfg.assets)
-        good, bad, meta = enrich_batch(batch_df, cfg, spark)
+        good, bad, failed, meta = enrich_batch(batch_df, cfg, spark)
         good.write.mode("append").text(sinks.good_path)
         bad.withColumnRenamed("bad_row", "value").write.mode("append").text(sinks.bad_path)
+        if sinks.failed_path is not None:
+            failed.write.mode("append").text(sinks.failed_path)
         if sinks.metadata_path is not None:
             meta.withColumn("batch_id", F.lit(batch_id)).write.mode("append").json(
                 sinks.metadata_path

@@ -71,7 +71,8 @@ def test_sql_query_exactly_one_violation(spark):
     lookup = spark.createDataFrame([("u1", "gold")], "uid STRING, tier STRING")
     conf = SqlQueryConf(key_map={"user_id": "uid"}, expected_rows="EXACTLY_ONE")
     out = sql_query_enrichment(events, conf, lookup).collect()[0]
-    assert any("EXACTLY_ONE" in e for e in out._errors)
+    assert any("EXACTLY_ONE" in e for e in out._enrich_errors)
+    assert out._errors == []  # enrichment failure, not a schema violation
 
 
 def test_validate_lookup_unique(spark):
@@ -99,8 +100,8 @@ def test_api_request_enrichment_fake_transport(spark):
     )
     out = {r.user_id: r for r in api_request_enrichment(events, conf).collect()}
     assert json.loads(out["u1"]._derived[0].data) == {"tier": "tier-of-u1"}
-    assert any("RuntimeError" in e for e in out["boom"]._errors)
-    assert out[None]._derived == [] and out[None]._errors == []
+    assert any("RuntimeError" in e for e in out["boom"]._enrich_errors)
+    assert out[None]._derived == [] and out[None]._enrich_errors == []
 
 
 def test_api_request_ignore_on_error(spark):
@@ -111,7 +112,7 @@ def test_api_request_ignore_on_error(spark):
     conf = ApiRequestConf(url_template="http://svc/{{user_id}}", inputs=["user_id"],
                           transport=fail, ignore_on_error=True)
     out = api_request_enrichment(events, conf).collect()[0]
-    assert out._errors == [] and out._derived == []
+    assert out._enrich_errors == [] and out._derived == []
 
 
 def test_ttl_cache():

@@ -147,8 +147,10 @@ def test_script_enrichment_contract(spark):
     assert len(good) == 1
     assert good[0].se_label == "from-script"
     assert any(c.schema == "iglu:com.acme/ctx/jsonschema/1-0-0" for c in good[0]._derived)
-    bad = res.bad.collect()
-    assert len(bad) == 1 and any("boom" in e for e in bad[0]._errors)
+    # a script throw is an enrichment-phase failure → failed stream, not bad
+    assert res.bad.count() == 0
+    failed = res.failed.collect()
+    assert len(failed) == 1 and any("boom" in e for e in failed[0]._enrich_errors)
 
 
 def test_enrichment_config_files_parse(spark):
@@ -166,3 +168,45 @@ def test_enrichment_config_files_parse(spark):
         if out is not None:
             parsed += 1
     assert parsed >= 8  # the mainstream enrichments all map to a slot
+
+
+def test_tri_state_failed_split(spark):
+    """OptionIor.Both: an enrichment-phase failure produces a FAILED event
+    (fully enriched, failure entity in derived contexts) — distinct from a
+    phase-1 schema violation, which is bad-only (EnrichmentManager:117-147)."""
+    import datetime
+
+    from enrich_spark.config import EnrichmentsConfig
+    from enrich_spark.operators.lookups import SqlQueryConf
+
+    raw = spark.createDataFrame(
+        [({"e": "pv", "aid": "a", "uid": "hit"}, datetime.datetime(2024, 1, 1)),
+         ({"e": "pv", "aid": "a", "uid": "miss"}, datetime.datetime(2024, 1, 1)),
+         ({"e": "pv", "aid": "a", "tid": "NaN"}, datetime.datetime(2024, 1, 1))],
+        "parameters MAP<STRING,STRING>, collector_tstamp TIMESTAMP",
+    )
+    cfg = EnrichmentsConfig.default()
+    cfg.sql_query = SqlQueryConf(key_map={"user_id": "uid"}, expected_rows="EXACTLY_ONE")
+    cfg.sql_query_table = lambda s: s.createDataFrame(
+        [("hit", "gold")], "uid STRING, tier STRING"
+    )
+    res = enrich_raw(raw, cfg, spark)
+    assert res.good.count() == 1           # uid=hit
+    assert res.bad.count() == 1            # tid=NaN → schema violation
+    failed = res.failed.collect()
+    assert len(failed) == 1 and failed[0].user_id == "miss"
+    # failure entity attached as a derived context
+    ent = [c for c in failed[0]._derived if c.schema.endswith("failure/jsonschema/1-0-0")]
+    assert len(ent) == 1
+    data = json.loads(ent[0].data)
+    assert data["failureType"] == "EnrichmentError"
+    assert any("EXACTLY_ONE" in e["message"] for e in data["errors"])
+    # bad rows: one schema_violations + one enrichment_failures (Both)
+    types = sorted(
+        json.loads(r.bad_row)["type"]
+        for r in bad_rows_json(res.bad).unionByName(bad_rows_json(res.failed)).collect()
+    )
+    assert types == ["enrichment_failures", "schema_violations"]
+    # failed event still serializes as a full 131-column TSV line
+    tsv = to_tsv(res.failed).collect()[0].tsv
+    assert len(tsv.split("\t")) == 131
