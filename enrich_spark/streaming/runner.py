@@ -81,7 +81,9 @@ def collect_metadata(good: DataFrame) -> DataFrame:
 
 def enrich_batch(batch_df: DataFrame, cfg: StreamConfig, spark: SparkSession):
     """One micro-batch through the full pipeline. Returns (good_tsv, bad_json,
-    metadata) DataFrames — shared by the streaming and batch entry points."""
+    failed_tsv, metadata, annotated) DataFrames — shared by the streaming and
+    batch entry points. All four outputs are filters over `annotated`;
+    persisting it makes the multi-sink fan-out a single enrichment pass."""
     payloads = explode_messages(batch_df, max_bytes_single_payload=cfg.max_bytes_single_payload)
     loaded = load_thrift(payloads)
     # decompression errors become loader-level bad rows
@@ -116,6 +118,7 @@ def enrich_batch(batch_df: DataFrame, cfg: StreamConfig, spark: SparkSession):
         bad,
         failed_tsv.where(~F.col("oversized")).select("tsv"),
         meta,
+        res.all,
     )
 
 
@@ -133,15 +136,23 @@ def run_stream(
             changed = cfg.assets.maybe_refresh()
             if changed and cfg.rebuild is not None:
                 cfg.enrichments = cfg.rebuild(cfg.assets)
-        good, bad, failed, meta = enrich_batch(batch_df, cfg, spark)
-        good.write.mode("append").text(sinks.good_path)
-        bad.withColumnRenamed("bad_row", "value").write.mode("append").text(sinks.bad_path)
-        if sinks.failed_path is not None:
-            failed.write.mode("append").text(sinks.failed_path)
-        if sinks.metadata_path is not None:
-            meta.withColumn("batch_id", F.lit(batch_id)).write.mode("append").json(
-                sinks.metadata_path
-            )
+        good, bad, failed, meta, annotated = enrich_batch(batch_df, cfg, spark)
+        # every sink is a filter over `annotated` — cache it so the enrichment
+        # chain runs ONCE per micro-batch, not once per sink (the reference is
+        # single-pass by construction, Processing.scala:47-58; Spark's plan-
+        # fragment cache substitutes the persisted subtree into each write)
+        annotated.persist()
+        try:
+            good.write.mode("append").text(sinks.good_path)
+            bad.withColumnRenamed("bad_row", "value").write.mode("append").text(sinks.bad_path)
+            if sinks.failed_path is not None:
+                failed.write.mode("append").text(sinks.failed_path)
+            if sinks.metadata_path is not None:
+                meta.withColumn("batch_id", F.lit(batch_id)).write.mode("append").json(
+                    sinks.metadata_path
+                )
+        finally:
+            annotated.unpersist()
 
     writer = source.writeStream.foreachBatch(process).outputMode("append")
     if cfg.checkpoint:

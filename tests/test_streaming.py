@@ -79,7 +79,7 @@ def test_debatch_truncated_archive(spark):
 def test_run_batch_end_to_end(spark):
     msg = encode_batch([encode_payload(PAYLOAD)] * 3, "gzip")
     df = spark.createDataFrame([(msg,), (encode_payload(PAYLOAD),)], "value BINARY")
-    good, bad, failed, meta = run_batch(spark, df)
+    good, bad, failed, meta, _ = run_batch(spark, df)
     assert good.count() == 4
     assert bad.count() == 0
     assert failed.count() == 0
