@@ -29,6 +29,7 @@ from ..operators import sql_enrichments as sql_ops
 from ..operators import ua as ua_op
 from ..operators.script import script_enrichment
 from ..schema import ATOMIC_FIELD_NAMES, ATOMIC_FIELD_LIMITS, ATOMIC_FIELDS
+from .stagecut import stage_boundary
 from .transform import transform_params
 
 UE_ENVELOPE_RE = "^iglu:com\\.snowplowanalytics\\.snowplow/unstruct_event/jsonschema/1-"
@@ -36,6 +37,8 @@ CO_ENVELOPE_RE = "^iglu:com\\.snowplowanalytics\\.snowplow/contexts/jsonschema/1
 
 
 FAILURE_ENTITY_SCHEMA = "iglu:com.snowplowanalytics.snowplow/failure/jsonschema/1-0-0"
+
+_stage_boundary = stage_boundary
 
 
 @dataclass
@@ -109,12 +112,14 @@ def enrich_raw(df: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> En
     df = sql_ops.ensure_derived(df)
     df = sql_ops.page_uri(df)
     df = sql_ops.derived_tstamp(df)
+    df = _stage_boundary(df)
     if cfg.iab:
         df = ua_op.iab_spiders_robots(df, cfg.iab.bot_ua_patterns)
     if cfg.user_agent_utils:
         df = ua_op.user_agent_utils(df)
     if cfg.ua_parser:
         df = ua_op.ua_parser_context(df)
+    df = _stage_boundary(df)
     if cfg.currency_conversion:
         rates = (
             currency_op.load_rates_table(spark, cfg.currency_conversion.rates_path)
@@ -132,6 +137,7 @@ def enrich_raw(df: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> En
         df = sql_ops.cross_navigation(df, cfg.cross_navigation)
     if cfg.event_fingerprint:
         df = sql_ops.event_fingerprint(df, cfg.event_fingerprint)
+    df = _stage_boundary(df)
     if cfg.cookie_extractor:
         df = sql_ops.cookie_contexts(df, cfg.cookie_extractor)
     if cfg.http_header_extractor:
@@ -145,6 +151,7 @@ def enrich_raw(df: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> En
     if cfg.yauaa:
         df = ua_op.yauaa_context(df)
     df = sql_ops.schema_fields(df)
+    df = _stage_boundary(df)
     if cfg.ip_lookups:
         geo_table = (
             geo_op.load_geo_table(spark, cfg.ip_lookups.geo_path)
@@ -208,6 +215,7 @@ def enrich_raw(df: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> En
         df = validate_sdjs(df, registry, strict=cfg.iglu.strict)
 
     # ---- atomic length validation (AtomicFieldsLengthValidator.scala:34-86)
+    df = _stage_boundary(df)
     df = validate_atomic_lengths(df)
 
     # ---- fill any never-set atomic columns with typed NULLs

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import conversions as C
+from .stagecut import stage_boundary
 
 V_ETL = "enrich-spark-0.1.0"
 
@@ -153,9 +154,20 @@ def transform_params(df: DataFrame, v_collector_default: str = "unknown") -> Dat
         )
     )
 
-    out = df.withColumns(cols)
+    # Materialize each per-field error tree as its own projection output
+    # (one subexpression method each, so whole-stage codegen compiles)
+    # instead of inlining ~40 parse trees into a single giant array()
+    # expression — that one expression was a 766KB generated method,
+    # blowing Janino's 64KB limit and dropping the whole transform stage
+    # out of codegen. The stage boundary stops CollapseProject from
+    # re-inlining the temps into the combine below.
+    err_cols = {f"_err_{i}": e for i, e in enumerate(e for e in errs if e is not None)}
+    out = df.withColumns({**cols, **err_cols})
+    out = stage_boundary(out)
     # opaque(): keep the error tree out of pushed-down predicates — see
     # functions/conversions.opaque docstring
-    return out.withColumn(
-        "_errors", C.opaque(F.array_compact(F.array(*[e for e in errs if e is not None])))
+    out = out.withColumn(
+        "_errors",
+        C.opaque(F.array_compact(F.array(*[F.col(c) for c in err_cols]))),
     )
+    return out.drop(*err_cols)
