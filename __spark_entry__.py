@@ -1486,8 +1486,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT batch_id,
                count(*) FILTER (WHERE plen <= 4096) AS n_ok,
                count(*) FILTER (WHERE plen > 4096) AS n_too_big,
-               COALESCE(sum(plen) FILTER (WHERE plen <= 4096), 0) AS bytes_ok,
-               COALESCE(sum(digit) FILTER (WHERE plen <= 4096), 0) AS digit_sum
+               CAST(COALESCE(sum(plen) FILTER (WHERE plen <= 4096), 0) AS BIGINT) AS bytes_ok,
+               CAST(COALESCE(sum(digit) FILTER (WHERE plen <= 4096), 0) AS BIGINT) AS digit_sum
         FROM p GROUP BY batch_id
     """
 
