@@ -278,6 +278,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ip_lookups"] = q_geo
 
+    def q_ip_mmdb(spark, sf):
+        # §2.5 #18 real-MaxMind path end-to-end: demo ranges → .mmdb bytes
+        # (pure-Python writer) → Reader.iter_ranges → converter range table →
+        # the same bucketized BroadcastHashJoin as ip_lookups. Exercises the
+        # full mmdb codec (functions/mmdb.py) + converter (tools/
+        # mmdb_to_range_table.py) against the arithmetic ip derivation
+        # (IpLookupsEnrichment.scala:131-151 column contract).
+        import os
+        import tempfile
+
+        from enrich_spark.operators.geo import (
+            demo_mmdb_bytes, ip_lookups, mmdb_range_table,
+        )
+
+        def build():
+            path = os.path.join(tempfile.gettempdir(), "enrich_spark_demo_city.mmdb")
+            blob = demo_mmdb_bytes()
+            if not os.path.exists(path) or os.path.getsize(path) != len(blob):
+                with open(path, "wb") as f:
+                    f.write(blob)
+            ranges = mmdb_range_table(spark, city=path)
+            ev = _load_events(spark, sf)
+            eid, uid = F.col("event_id"), F.col("user_id")
+            ip = (
+                F.when(uid % 4 == 0, F.concat(F.lit("81.2.69."), (eid % 256).cast("string")))
+                .when(uid % 4 == 1, F.concat(F.lit("216.160.83."), (56 + eid % 8).cast("string")))
+                .when(uid % 4 == 2, F.concat(F.lit("89.160.20."), (112 + eid % 16).cast("string")))
+                .otherwise(F.concat(F.lit("192.0.2."), (eid % 256).cast("string")))
+            )
+            probe = ev.select(eid.alias("src_event_id"), ip.alias("user_ipaddress"))
+            out = ip_lookups(probe, ranges)
+            return out.select(
+                F.col("src_event_id").cast("long").alias("src_event_id"),
+                "geo_country", "geo_region", "geo_city", "geo_zipcode",
+                F.col("geo_latitude").cast("double").alias("geo_latitude"),
+                "geo_region_name", "geo_timezone", "ip_isp", "ip_domain",
+            )
+
+        return _memo_plan(spark, sf, "ip_lookups_mmdb", build)
+
+    q["ip_lookups_mmdb"] = q_ip_mmdb
+
     def q_fingerprint(spark, sf):
         g = _enriched(spark, sf)
         return g.select(
@@ -415,6 +457,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["webhook_adapters"] = q_webhook_adapters
 
+    def q_webhook_vendor_suite(spark, sf):
+        # §2.3 vendor-specific adapter semantics, one payload per event row,
+        # vendor chosen by event_id % 3:
+        #  - mailchimp: dotted/bracketed form keys → nested JSON (undot,
+        #    MailchimpAdapter.toNestedJson), schema by type, unknown type →
+        #    AdapterFailure
+        #  - cloudfront access log: TSV arity → schema version routing
+        #    (CloudfrontAccessLogAdapter.scala:238), "-" fields dropped,
+        #    bad arity → failure for the whole payload
+        #  - sendgrid: consecutive-duplicate dedupe by full event JSON,
+        #    unknown event type → failure (SendgridAdapter.scala)
+        from enrich_spark.adapters.registry import adapt
+
+        eid = F.col("event_id")
+
+        def s(c):
+            return c.cast("string")
+
+        mc_type = (
+            F.when(eid % 17 == 0, F.lit("bogus"))
+            .when(eid % 5 == 0, F.lit("campaign"))
+            .otherwise(F.lit("subscribe"))
+        )
+        mc_body = F.concat(
+            F.lit("type="), mc_type,
+            F.lit("&data[merges][LNAME]=ln"), s(eid % 20),
+            F.lit("&data[email]=u"), s(eid), F.lit("@x.com"),
+        )
+        cf12 = F.concat_ws(
+            "\t", F.lit("2026-01-01"),
+            F.concat(F.lit("00:00:"), F.lpad(s(eid % 60), 2, "0")),
+            F.lit("SEA19"), F.lit("1024"), F.lit("1.2.3.4"), F.lit("GET"),
+            F.lit("d.example.net"), F.concat(F.lit("/p"), s(eid % 50)),
+            F.lit("200"), F.lit("-"), F.lit("Mozilla"), F.lit("q=1"),
+        )
+        cf15 = F.concat_ws("\t", cf12, F.lit("x13"), F.lit("x14"), F.lit("x15"))
+        cf_bad = F.concat_ws("\t", cf12, F.lit("x13"))
+        cf_body = (
+            F.when(eid % 11 == 0, F.concat_ws("\n", cf_bad, cf15))
+            .otherwise(F.concat_ws("\n", cf12, cf15))
+        )
+        sg_ok = F.concat(
+            F.lit('[{"event":"open","sg_event_id":"a'), s(eid),
+            F.lit('"},{"event":"open","sg_event_id":"a'), s(eid),
+            F.lit('"},{"event":"click","sg_event_id":"b'), s(eid), F.lit('"}]'),
+        )
+        sg_body = F.when(
+            eid % 19 == 0, F.lit('[{"event":"nope","sg_event_id":"z"}]')
+        ).otherwise(sg_ok)
+
+        payloads = _load_events(spark, sf).select(
+            eid.alias("src_event_id"),
+            F.when(eid % 3 == 0, F.lit("com.mailchimp"))
+            .when(eid % 3 == 1, F.lit("com.amazon.aws.cloudfront"))
+            .otherwise(F.lit("com.sendgrid")).alias("api_vendor"),
+            F.when(eid % 3 == 0, F.lit("v1"))
+            .when(eid % 3 == 1, F.lit("wd_access_log"))
+            .otherwise(F.lit("v3")).alias("api_version"),
+            F.lit(None).cast("array<struct<name:string,value:string>>").alias("querystring"),
+            F.when(eid % 3 == 0, F.lit("application/x-www-form-urlencoded"))
+            .when(eid % 3 == 2, F.lit("application/json")).alias("content_type"),
+            F.when(eid % 3 == 0, mc_body)
+            .when(eid % 3 == 1, cf_body)
+            .otherwise(sg_body).alias("body"),
+        )
+        out = adapt(payloads)
+        ue = F.col("parameters")["ue_pr"]
+        return out.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            F.get_json_object(ue, "$.data.schema").alias("hit_schema"),
+            F.coalesce(
+                F.get_json_object(ue, "$.data.data.data.merges.LNAME"),
+                F.get_json_object(ue, "$.data.data.csUri"),
+                F.get_json_object(ue, "$.data.data.sg_event_id"),
+            ).alias("val"),
+            F.when(F.col("_adapter_error").isNotNull(), 1).otherwise(0)
+            .cast("long").alias("is_err"),
+        )
+
+    q["webhook_vendor_suite"] = q_webhook_vendor_suite
+
     def q_bad_rows(spark, sf):
         from enrich_spark.config import EnrichmentsConfig
         from enrich_spark.plans.pipeline import enrich_raw
@@ -487,30 +610,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tri_state_split"] = q_tri_state
 
     def q_metadata_agg(spark, sf):
-        ev = _load_events(spark, sf)
-        return (
-            ev.groupBy("event_type")
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.countDistinct("user_id").alias("n_users"),
-                F.round(F.sum("value"), 2).cast("double").alias("sum_value"),
-            )
+        # The engine's only true aggregation (core/Metadata.scala:50-65),
+        # run over the REAL enriched output: distinct (event schema, app,
+        # tracker, platform) → counts + sorted set of derived entity schemas.
+        from enrich_spark.streaming.runner import collect_metadata
+
+        g = _enriched(spark, sf)
+        m = collect_metadata(g)
+        return m.select(
+            "event_vendor", "event_name", "event_format", "event_version",
+            "app_id", "v_tracker", "platform",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.array_join("entity_schemas", ",").alias("entity_schemas"),
         )
 
     q["metadata_aggregation"] = q_metadata_agg
 
     def q_sessionize(spark, sf):
+        # gap-based sessionization as an engine operator (datapipe/session.py):
+        # one shuffle on user_id, windowed boundary flags, partial-agg rollup
+        from enrich_spark.datapipe.session import session_stats
+
         ev = _load_events(spark, sf)
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-        new_sess = (gap.isNull() | (gap > 1800 * 1_000_000)).cast("long")
-        sess = ev.withColumn("new_sess", new_sess)
-        return (
-            sess.groupBy("user_id")
-            .agg(
-                F.sum("new_sess").alias("n_sessions"),
-                F.count(F.lit(1)).alias("n_events"),
-            )
+        return session_stats(ev, "user_id", "ts", ("event_id",), 1800).select(
+            "user_id",
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.col("n_events").cast("long").alias("n_events"),
         )
 
     q["sessionize"] = q_sessionize
@@ -630,6 +755,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["iglu_validation"] = q_iglu
 
+    def q_iglu_advanced(spark, sf):
+        # Deep JSON-Schema coverage (IgluUtils.scala:68-106, 255-287):
+        # $ref into definitions, oneOf, patternProperties with
+        # additionalProperties:false, and $supersededBy → validation
+        # against the newer schema + version rewrite + validation_info
+        # derived context.
+        from enrich_spark.config import EnrichmentsConfig, IgluConf
+        from enrich_spark.plans.pipeline import enrich_raw
+
+        ev = _load_events(spark, sf)
+        eid = F.col("event_id")
+        id_frag = F.when(eid % 4 == 2, F.lit("0")).otherwise(
+            F.concat(F.lit('"ord-'), eid.cast("string"), F.lit('"'))
+        )
+        currency = F.when(eid % 4 == 1, F.lit("usd")).otherwise(F.lit("USD"))
+        attr = F.when(eid % 4 == 3, F.lit("toolong")).otherwise(F.lit("ab"))
+        ue = F.concat(
+            F.lit('{"schema":"iglu:com.snowplowanalytics.snowplow/unstruct_event/jsonschema/1-0-0",'
+                  '"data":{"schema":"iglu:com.acme/order/jsonschema/1-0-0","data":'),
+            F.lit('{"id":'), id_frag,
+            F.lit(',"total":{"amount":'), (eid % 100).cast("string"),
+            F.lit(',"currency":"'), currency,
+            F.lit('"},"attr_x":"'), attr, F.lit('"}}}'),
+        )
+        raw = ev.select(
+            eid.alias("src_event_id"),
+            F.create_map(F.lit("e"), F.lit("ue"), F.lit("ue_pr"), ue).alias("parameters"),
+            F.col("ts").alias("collector_tstamp"),
+        )
+        cfg = EnrichmentsConfig.default()
+        cfg.iglu = IgluConf(schemas={
+            "iglu:com.acme/order/jsonschema/1-0-0": {
+                "$supersededBy": "1-0-1",
+                "type": "object",
+            },
+            "iglu:com.acme/order/jsonschema/1-0-1": {
+                "definitions": {
+                    "money": {
+                        "type": "object",
+                        "properties": {
+                            "amount": {"type": "number", "minimum": 0},
+                            "currency": {"type": "string", "pattern": "^[A-Z]{3}$"},
+                        },
+                        "required": ["amount", "currency"],
+                        "additionalProperties": False,
+                    }
+                },
+                "type": "object",
+                "properties": {
+                    "id": {"oneOf": [
+                        {"type": "string", "pattern": "^ord-"},
+                        {"type": "integer", "minimum": 1},
+                    ]},
+                    "total": {"$ref": "#/definitions/money"},
+                },
+                "patternProperties": {"^attr_": {"type": "string", "maxLength": 5}},
+                "required": ["id", "total"],
+                "additionalProperties": False,
+            },
+        })
+        res = enrich_raw(raw, cfg, spark)
+        from enrich_spark.functions.iglu import VALIDATION_INFO_SCHEMA
+
+        has_vinfo = F.size(F.filter(
+            F.col("_derived"),
+            lambda c: c.getField("schema") == VALIDATION_INFO_SCHEMA,
+        )) > 0
+        return res.all.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            F.col("_is_bad").cast("long").alias("is_bad"),
+            has_vinfo.cast("long").alias("has_vinfo"),
+            F.get_json_object(F.col("ue_json"), "$.data.schema").alias("ue_schema"),
+        )
+
+    q["iglu_advanced"] = q_iglu_advanced
+
     def q_weather(spark, sf):
         from enrich_spark.config import EnrichmentsConfig, IpLookupsConf
         from enrich_spark.operators.lookups import WeatherConf
@@ -669,6 +870,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pii_pseudonymize"] = q_pii
+
+    def q_pii_json(spark, sf):
+        # §2.5 #25 phase 2 — JSON mutators by (entity, schemaCriterion,
+        # jsonPath): ue scalar + ue string-array + contexts nested array
+        # (pii/PiiPseudonymizerEnrichment.scala:252-387, ScrambleMapFunction
+        # array semantics). The pii record accumulates json-modified fields.
+        from enrich_spark.config import (
+            EnrichmentsConfig, PiiJsonFieldConf, PiiPseudonymizerConf,
+        )
+        from enrich_spark.plans.pipeline import enrich_raw
+
+        ev = _load_events(spark, sf)
+        eid = F.col("event_id")
+        s = eid.cast("string")
+        ue = F.concat(
+            F.lit('{"schema":"iglu:com.snowplowanalytics.snowplow/unstruct_event/jsonschema/1-0-0",'
+                  '"data":{"schema":"iglu:com.acme/user/jsonschema/1-0-0","data":'
+                  '{"email":"u'), s, F.lit('@x.com","name":"n'), s,
+            F.lit('","tags":["t1-'), s, F.lit('","t2-'), s, F.lit('"]}}}'),
+        )
+        co = F.concat(
+            F.lit('{"schema":"iglu:com.snowplowanalytics.snowplow/contexts/jsonschema/1-0-0",'
+                  '"data":[{"schema":"iglu:com.acme/acct/jsonschema/1-0-0","data":'
+                  '{"emails":["a'), s, F.lit('@x.com","b'), s,
+            F.lit('@x.com"],"plan":"p'), (eid % 3).cast("string"), F.lit('"}}]}'),
+        )
+        raw = ev.select(
+            eid.alias("src_event_id"),
+            F.create_map(
+                F.lit("e"), F.lit("ue"), F.lit("ue_pr"), ue, F.lit("co"), co,
+            ).alias("parameters"),
+            F.col("ts").alias("collector_tstamp"),
+        )
+        cfg = EnrichmentsConfig.default()
+        cfg.pii_pseudonymizer = PiiPseudonymizerConf(
+            fields=[], hash_function="SHA-256", salt="s#",
+            json_fields=[
+                PiiJsonFieldConf("unstruct", "iglu:com.acme/user/jsonschema/1-*-*", "$.email"),
+                PiiJsonFieldConf("unstruct", "iglu:com.acme/user/jsonschema/1-*-*", "$.tags"),
+                PiiJsonFieldConf("contexts", "iglu:com.acme/acct/jsonschema/1-*-*", "$.emails"),
+                PiiJsonFieldConf("contexts", "iglu:com.acme/other/jsonschema/1-*-*", "$.plan"),
+            ],
+        )
+        res = enrich_raw(raw, cfg, spark)
+        return res.good.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            F.get_json_object("ue_json", "$.data.data.email").alias("ue_email"),
+            F.get_json_object("ue_json", "$.data.data.name").alias("ue_name"),
+            F.get_json_object("ue_json", "$.data.data.tags[0]").alias("ue_tag0"),
+            F.get_json_object("co_json", "$.data[0].data.emails[1]").alias("ctx_email1"),
+            F.get_json_object("co_json", "$.data[0].data.plan").alias("ctx_plan"),
+            F.json_array_length(
+                F.get_json_object("pii", "$.data.pii.json")
+            ).cast("long").alias("n_json"),
+            F.get_json_object("pii", "$.data.strategy.hashFunction").alias("strategy"),
+        )
+
+    q["pii_json_mutators"] = q_pii_json
+
+    def q_pii_companion(spark, sf):
+        # ConversionUtils.getPiiEvent:531-551 — the pii_transformation
+        # companion event stream: parent_event context → original event_id,
+        # platform srv, unstruct_event = the pii SDJ
+        from enrich_spark.config import EnrichmentsConfig, PiiPseudonymizerConf
+        from enrich_spark.operators.sql_enrichments import pii_companion_events
+        from enrich_spark.plans.pipeline import enrich_raw
+
+        ev = _load_events(spark, sf)
+        eid = F.col("event_id")
+        h = F.md5(F.concat(F.lit("ev"), eid.cast("string")))
+        det_uuid = F.concat_ws(
+            "-", F.substring(h, 1, 8), F.substring(h, 9, 4), F.substring(h, 13, 4),
+            F.substring(h, 17, 4), F.substring(h, 21, 12),
+        )
+        raw = ev.select(
+            eid.alias("src_event_id"),
+            F.create_map(
+                F.lit("e"), F.lit("pv"), F.lit("eid"), det_uuid,
+                F.lit("uid"), F.concat(F.lit("user_"), F.col("user_id").cast("string")),
+                F.lit("aid"), F.concat(F.lit("app-"), (F.col("user_id") % 3).cast("string")),
+            ).alias("parameters"),
+            F.col("ts").alias("collector_tstamp"),
+        )
+        cfg = EnrichmentsConfig.default()
+        cfg.pii_pseudonymizer = PiiPseudonymizerConf(
+            fields=["user_id"], hash_function="SHA-256", salt="s#",
+        )
+        res = enrich_raw(raw, cfg, spark)
+        comp = pii_companion_events(res.good)
+        return comp.select(
+            F.get_json_object("contexts", "$.data[0].data.parentEventId").alias("parent_event_id"),
+            "event", "event_name", "platform", "app_id",
+            F.get_json_object("unstruct_event", "$.schema").alias("pii_schema"),
+            F.get_json_object("unstruct_event", "$.data.pii.pojo[0].fieldName").alias("field_name"),
+            F.get_json_object("unstruct_event", "$.data.pii.pojo[0].originalValue").alias("orig_value"),
+        )
+
+    q["pii_companion"] = q_pii_companion
 
     def q_cookie_header(spark, sf):
         # §2.5 #13/#14: Cookie + HTTP-header extraction into derived contexts
@@ -1322,6 +1621,42 @@ def oracle_sql() -> dict[str, str]:
         FROM events e
     """
 
+    # mmdb round-trip: same range facts as ip_lookups, plus the deeper
+    # columns (region/zip/lat/region_name/domain) the converter carries;
+    # 192.0.2.x (uid%4=3) hits the 10/8 private range? no — misses entirely
+    o["ip_lookups_mmdb"] = """
+        SELECT e.event_id AS src_event_id,
+               CASE WHEN e.user_id % 4 = 0 THEN 'GB'
+                    WHEN e.user_id % 4 = 1 THEN 'US'
+                    WHEN e.user_id % 4 = 2 THEN 'SE' END AS geo_country,
+               CASE WHEN e.user_id % 4 = 0 THEN 'ENG'
+                    WHEN e.user_id % 4 = 1 THEN 'WA'
+                    WHEN e.user_id % 4 = 2 THEN 'E' END AS geo_region,
+               CASE WHEN e.user_id % 4 = 0 THEN 'London'
+                    WHEN e.user_id % 4 = 1 THEN 'Milton'
+                    WHEN e.user_id % 4 = 2 THEN 'Linköping' END AS geo_city,
+               CASE WHEN e.user_id % 4 = 0 THEN 'EC1N'
+                    WHEN e.user_id % 4 = 1 THEN '98354'
+                    WHEN e.user_id % 4 = 2 THEN '58341' END AS geo_zipcode,
+               CASE WHEN e.user_id % 4 = 0 THEN CAST(CAST(51.5142 AS FLOAT) AS DOUBLE)
+                    WHEN e.user_id % 4 = 1 THEN CAST(CAST(47.2513 AS FLOAT) AS DOUBLE)
+                    WHEN e.user_id % 4 = 2 THEN CAST(CAST(58.4167 AS FLOAT) AS DOUBLE)
+                    END AS geo_latitude,
+               CASE WHEN e.user_id % 4 = 0 THEN 'England'
+                    WHEN e.user_id % 4 = 1 THEN 'Washington'
+                    WHEN e.user_id % 4 = 2 THEN 'Östergötland' END AS geo_region_name,
+               CASE WHEN e.user_id % 4 = 0 THEN 'Europe/London'
+                    WHEN e.user_id % 4 = 1 THEN 'America/Los_Angeles'
+                    WHEN e.user_id % 4 = 2 THEN 'Europe/Stockholm' END AS geo_timezone,
+               CASE WHEN e.user_id % 4 = 0 THEN 'Andrews & Arnold Ltd'
+                    WHEN e.user_id % 4 = 1 THEN 'Century Link'
+                    WHEN e.user_id % 4 = 2 THEN 'Bredband2 AB' END AS ip_isp,
+               CASE WHEN e.user_id % 4 = 0 THEN 'aaisp.net.uk'
+                    WHEN e.user_id % 4 = 1 THEN 'samharwell.com'
+                    WHEN e.user_id % 4 = 2 THEN 'bevtec.se' END AS ip_domain
+        FROM events e
+    """
+
     # fingerprint: md5 over sorted key\x1fvalue\x1f…, excluding eid/stm/cv/nuid
     fp_concat = f"""
         'aid' || {DUCK_US} || 'app-' || (e.user_id % 3) || {DUCK_US}
@@ -1417,11 +1752,30 @@ def oracle_sql() -> dict[str, str]:
         FROM events e
     """
 
+    # mirrors collect_metadata over the default enriched chain: event schema
+    # fields derive from event_type (struct events map to the legacy GA
+    # vendor), app/platform from user_id % 3, and the derived-entity set is
+    # the constant ua_parser context attached by the default config
     o["metadata_aggregation"] = """
-        SELECT event_type, count(*) AS n_events,
-               count(DISTINCT user_id) AS n_users,
-               round(sum(value), 2) AS sum_value
-        FROM events GROUP BY event_type
+        WITH g AS (
+          SELECT CASE WHEN e.event_type IN ('view','click','purchase')
+                      THEN 'com.snowplowanalytics.snowplow'
+                      ELSE 'com.google.analytics' END AS event_vendor,
+                 CASE e.event_type WHEN 'view' THEN 'page_view'
+                      WHEN 'click' THEN 'page_ping'
+                      WHEN 'purchase' THEN 'transaction'
+                      ELSE 'event' END AS event_name,
+                 'jsonschema' AS event_format, '1-0-0' AS event_version,
+                 'app-' || (e.user_id % 3) AS app_id,
+                 CAST(NULL AS VARCHAR) AS v_tracker,
+                 CASE e.user_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'mob'
+                      ELSE 'srv' END AS platform
+          FROM events e)
+        SELECT event_vendor, event_name, event_format, event_version,
+               app_id, v_tracker, platform, count(*) AS n_events,
+               'iglu:com.snowplowanalytics.snowplow/ua_parser_context/jsonschema/1-0-0'
+                 AS entity_schemas
+        FROM g GROUP BY ALL
     """
 
     o["sessionize"] = """
@@ -1470,6 +1824,18 @@ def oracle_sql() -> dict[str, str]:
         FROM events e
     """
 
+    # iglu advanced: eid%4=1 fails the $ref'd currency pattern, %4=2 fails
+    # oneOf (0 is neither 'ord-' string nor integer>=1), %4=3 fails the
+    # patternProperties maxLength; every row validates against the
+    # superseding 1-0-1 schema and carries validation_info
+    o["iglu_advanced"] = """
+        SELECT e.event_id AS src_event_id,
+               CAST(CASE WHEN e.event_id % 4 = 0 THEN 0 ELSE 1 END AS BIGINT) AS is_bad,
+               CAST(1 AS BIGINT) AS has_vinfo,
+               'iglu:com.acme/order/jsonschema/1-0-1' AS ue_schema
+        FROM events e
+    """
+
     _anon_ip = ("CASE WHEN e.user_id % 4 = 0 THEN '81.2.x.x' "
                 "WHEN e.user_id % 4 = 1 THEN '216.160.x.x' "
                 "WHEN e.user_id % 4 = 2 THEN '89.160.x.x' "
@@ -1510,6 +1876,43 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT e.event_id, NULL, NULL, NULL, NULL, 1
         FROM events e WHERE e.event_id % 13 = 0
+    """
+
+    # vendor suite: mailchimp undot (1 row), cloudfront arity routing
+    # (2 rows: 12-field → 1-0-0, 15-field → 1-0-1), sendgrid dedupe
+    # (3 events → 2 after consecutive-duplicate removal); failure rows keep
+    # one NULL-schema row per payload
+    o["webhook_vendor_suite"] = """
+        WITH e AS (SELECT event_id AS eid FROM events)
+        SELECT CAST(eid AS BIGINT) AS src_event_id,
+               'iglu:com.mailchimp/' ||
+                 CASE WHEN eid % 5 = 0 THEN 'campaign_sending_status'
+                      ELSE 'subscribe' END || '/jsonschema/1-0-0' AS hit_schema,
+               'ln' || (eid % 20) AS val, CAST(0 AS BIGINT) AS is_err
+        FROM e WHERE eid % 3 = 0 AND eid % 17 <> 0
+        UNION ALL
+        SELECT CAST(eid AS BIGINT), NULL, NULL, 1
+        FROM e WHERE eid % 3 = 0 AND eid % 17 = 0
+        UNION ALL
+        SELECT CAST(eid AS BIGINT),
+               'iglu:com.amazon.aws.cloudfront/wd_access_log/jsonschema/' || v.ver,
+               '/p' || (eid % 50), 0
+        FROM e CROSS JOIN (VALUES ('1-0-0'), ('1-0-1')) AS v(ver)
+        WHERE eid % 3 = 1 AND eid % 11 <> 0
+        UNION ALL
+        SELECT CAST(eid AS BIGINT), NULL, NULL, 1
+        FROM e WHERE eid % 3 = 1 AND eid % 11 = 0
+        UNION ALL
+        SELECT CAST(eid AS BIGINT), 'iglu:com.sendgrid/open/jsonschema/3-0-0',
+               'a' || eid, 0
+        FROM e WHERE eid % 3 = 2 AND eid % 19 <> 0
+        UNION ALL
+        SELECT CAST(eid AS BIGINT), 'iglu:com.sendgrid/click/jsonschema/3-0-0',
+               'b' || eid, 0
+        FROM e WHERE eid % 3 = 2 AND eid % 19 <> 0
+        UNION ALL
+        SELECT CAST(eid AS BIGINT), NULL, NULL, 1
+        FROM e WHERE eid % 3 = 2 AND eid % 19 = 0
     """
 
     # thrift loader: fixture fields are event_id arithmetic, so the oracle
@@ -1562,6 +1965,35 @@ def oracle_sql() -> dict[str, str]:
                sha256('pepper' || {_anon_ip}) AS ip_hash,
                'user_' || e.user_id AS uid_orig
         FROM events e
+    """
+
+    # json mutators: matched locators hash (salted sha256); unmatched
+    # criteria/paths leave values untouched; 5 modified entries per event
+    o["pii_json_mutators"] = """
+        SELECT e.event_id AS src_event_id,
+               sha256('s#u' || e.event_id || '@x.com') AS ue_email,
+               'n' || e.event_id AS ue_name,
+               sha256('s#t1-' || e.event_id) AS ue_tag0,
+               sha256('s#b' || e.event_id || '@x.com') AS ctx_email1,
+               'p' || (e.event_id % 3) AS ctx_plan,
+               CAST(5 AS BIGINT) AS n_json,
+               'SHA-256' AS strategy
+        FROM events e
+    """
+
+    o["pii_companion"] = """
+        WITH h AS (SELECT event_id, user_id, md5('ev' || event_id) AS x FROM events)
+        SELECT substr(x,1,8) || '-' || substr(x,9,4) || '-' || substr(x,13,4)
+                 || '-' || substr(x,17,4) || '-' || substr(x,21,12) AS parent_event_id,
+               'pii_transformation' AS event,
+               'pii_transformation' AS event_name,
+               'srv' AS platform,
+               'app-' || (user_id % 3) AS app_id,
+               'iglu:com.snowplowanalytics.snowplow/pii_transformation/jsonschema/1-0-0'
+                 AS pii_schema,
+               'user_id' AS field_name,
+               'user_' || user_id AS orig_value
+        FROM h
     """
 
     o["cookie_header_contexts"] = """

@@ -388,21 +388,271 @@ def cloudfront(qs, content_type, body):
     return out
 
 
-# --- Google Analytics measurement protocol (registry/GoogleAnalyticsAdapter.scala:832)
+# --- Google Analytics measurement protocol --------------------------------
+# Full port of registry/GoogleAnalyticsAdapter.scala: typed field
+# translations (:96-130), per-hit unstruct tables (:133-213), 13 simple
+# context tables (:215-310), 11 composite context tables with field-name
+# breakdown / transpose / currency reattach / min-size filter (:321-760),
+# and the hit-dependent direct mappings (:445-467).
+
+import re as _re
+from decimal import ROUND_HALF_EVEN, Decimal
+
+_GA_MP = "iglu:com.google.analytics.measurement-protocol/"
+_GA_RAW = "iglu:com.google.analytics/"
 
 _GA_HIT_SCHEMAS = {
     "pageview": "page_view", "screenview": "screen_view", "event": "event",
     "transaction": "transaction", "item": "item", "social": "social",
     "exception": "exception", "timing": "timing",
 }
-# direct measurement-protocol → tracker-protocol mappings
-# (GoogleAnalyticsAdapter.directMappings:445-475)
-_GA_DIRECT = {
-    "uip": "ip", "dr": "refr", "de": "cs", "sd": "cd", "ul": "lang",
-    "je": "f_java", "dl": "url", "dt": "page", "ti": "tr_id", "ta": "tr_af",
-    "tr": "tr_tt", "ts": "tr_sh", "tt": "tr_tx", "in": "ti_nm", "ip": "ti_pr",
-    "iq": "ti_qu", "ic": "ti_sk", "iv": "ti_ca", "cu": "tr_cu", "ua": "ua",
+
+
+def _ga_str(v):
+    return v
+
+
+def _ga_int(v):
+    try:
+        return int(v)
+    except ValueError as e:
+        raise AdapterError(f"cannot convert [{v}] to int") from e
+
+
+def _ga_2dec(v):
+    try:
+        return float(Decimal(v).quantize(Decimal("0.01"), rounding=ROUND_HALF_EVEN))
+    except Exception as e:  # noqa: BLE001 — invalid decimal string
+        raise AdapterError(f"cannot convert [{v}] to two-decimals double") from e
+
+
+def _ga_double(v):
+    try:
+        return float(v)
+    except ValueError as e:
+        raise AdapterError(f"cannot convert [{v}] to double") from e
+
+
+def _ga_bool(v):
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    raise AdapterError(f"cannot convert [{v}] to boolean, only 1 or 0 are supported")
+
+
+S, I, D2, D, B = _ga_str, _ga_int, _ga_2dec, _ga_double, _ga_bool
+
+# per-hit unstruct event tables (GoogleAnalyticsAdapter.scala:133-213)
+_GA_UNSTRUCT = {
+    "pageview": {"dl": ("documentLocationUrl", S), "dh": ("documentHostName", S),
+                 "dp": ("documentPath", S), "dt": ("documentTitle", S)},
+    "screenview": {"cd": ("screenName", S)},
+    "event": {"ec": ("category", S), "ea": ("action", S), "el": ("label", S),
+              "ev": ("value", I)},
+    "transaction": {"ti": ("id", S), "ta": ("affiliation", S), "tr": ("revenue", D2),
+                    "ts": ("shipping", D2), "tt": ("tax", D2),
+                    "tcc": ("couponCode", S), "cu": ("currencyCode", S)},
+    "item": {"ti": ("transactionId", S), "in": ("name", S), "ip": ("price", D2),
+             "iq": ("quantity", I), "ic": ("code", S), "iv": ("category", S),
+             "cu": ("currencyCode", S)},
+    "social": {"sn": ("network", S), "sa": ("action", S), "st": ("actionTarget", S)},
+    "exception": {"exd": ("description", S), "exf": ("isFatal", B)},
+    "timing": {"utc": ("userTimingCategory", S), "utv": ("userTimingVariableName", S),
+               "utt": ("userTimingTime", I), "utl": ("userTimingLabel", S),
+               "plt": ("pageLoadTime", I), "dns": ("dnsTime", I),
+               "pdt": ("pageDownloadTime", I), "rrt": ("redirectResponseTime", I),
+               "tcp": ("tcpConnectTime", I), "srt": ("serverResponseTime", I),
+               "dit": ("domInteractiveTime", I), "clt": ("contentLoadTime", I)},
 }
+
+# simple (flat) context tables (GoogleAnalyticsAdapter.scala:215-310);
+# page_view doubles as a context for non-pageview hits
+_GA_CONTEXTS = [
+    (f"{_GA_MP}page_view/jsonschema/1-0-0", _GA_UNSTRUCT["pageview"]),
+    (f"{_GA_RAW}undocumented/jsonschema/1-0-0",
+     {k: (k, S) for k in ("a", "jid", "gjid")}),
+    (f"{_GA_RAW}private/jsonschema/1-0-0",
+     {"_v": ("v", S), "_u": ("u", S), "_gid": ("gid", S),
+      "_s": ("s", I), "_r": ("r", I)}),
+    (f"{_GA_MP}general/jsonschema/1-0-0",
+     {"v": ("protocolVersion", S), "tid": ("trackingId", S),
+      "aip": ("anonymizeIp", B), "ds": ("dataSource", S),
+      "qt": ("queueTime", I), "z": ("cacheBuster", S)}),
+    (f"{_GA_MP}user/jsonschema/1-0-0",
+     {"cid": ("clientId", S), "uid": ("userId", S)}),
+    (f"{_GA_MP}session/jsonschema/1-0-0",
+     {"sc": ("sessionControl", S), "uip": ("ipOverride", S),
+      "ua": ("userAgentOverride", S), "geoid": ("geographicalOverride", S)}),
+    (f"{_GA_MP}traffic_source/jsonschema/1-0-0",
+     {"dr": ("documentReferrer", S), "cn": ("campaignName", S),
+      "cs": ("campaignSource", S), "cm": ("campaignMedium", S),
+      "ck": ("campaignKeyword", S), "cc": ("campaignContent", S),
+      "ci": ("campaignId", S), "gclid": ("googleAdwordsId", S),
+      "dclid": ("googleDisplayAdsId", S)}),
+    (f"{_GA_MP}system_info/jsonschema/1-0-0",
+     {"sr": ("screenResolution", S), "vp": ("viewportSize", S),
+      "de": ("documentEncoding", S), "sd": ("screenColors", S),
+      "ul": ("userLanguage", S), "je": ("javaEnabled", B),
+      "fl": ("flashVersion", S)}),
+    (f"{_GA_MP}link/jsonschema/1-0-0", {"linkid": ("id", S)}),
+    (f"{_GA_MP}app/jsonschema/1-0-0",
+     {"an": ("name", S), "aid": ("id", S), "av": ("version", S),
+      "aiid": ("installerId", S)}),
+    (f"{_GA_MP}product_action/jsonschema/1-0-0",
+     {"pa": ("productAction", S), "pal": ("productActionList", S),
+      "cos": ("checkoutStep", I), "col": ("checkoutStepOption", S)}),
+    (f"{_GA_MP}content_experiment/jsonschema/1-0-0",
+     {"xid": ("id", S), "xvar": ("variant", S)}),
+    (f"{_GA_MP}hit/jsonschema/1-0-0",
+     {"t": ("type", S), "ni": ("nonInteractionHit", B)}),
+    (f"{_GA_MP}promotion_action/jsonschema/1-0-0",
+     {"promoa": ("promotionAction", S)}),
+]
+
+# composite context tables (GoogleAnalyticsAdapter.scala:321-436):
+# "IF"-prefixed keys carry values extracted from the field NAME (indexes)
+_GA_COMPOSITE = [
+    (f"{_GA_MP}product/jsonschema/1-0-0",
+     {"IFpr": ("index", I), "prid": ("sku", S), "prnm": ("name", S),
+      "prbr": ("brand", S), "prca": ("category", S), "prva": ("variant", S),
+      "prpr": ("price", D2), "prqt": ("quantity", I), "prcc": ("couponCode", S),
+      "prps": ("position", I), "cu": ("currencyCode", S)}),
+    (f"{_GA_MP}product_custom_dimension/jsonschema/1-0-0",
+     {"IFprcd": ("productIndex", I), "IFcd": ("dimensionIndex", I),
+      "prcd": ("value", S)}),
+    (f"{_GA_MP}product_custom_metric/jsonschema/1-0-0",
+     {"IFprcm": ("productIndex", I), "IFcm": ("metricIndex", I),
+      "prcm": ("value", I)}),
+    (f"{_GA_MP}product_impression_list/jsonschema/1-0-0",
+     {"IFil": ("index", I), "ilnm": ("name", S)}),
+    (f"{_GA_MP}product_impression/jsonschema/1-0-0",
+     {"IFilpi": ("listIndex", I), "IFpi": ("productIndex", I),
+      "ilpiid": ("sku", S), "ilpinm": ("name", S), "ilpibr": ("brand", S),
+      "ilpica": ("category", S), "ilpiva": ("variant", S),
+      "ilpips": ("position", I), "ilpipr": ("price", D2),
+      "cu": ("currencyCode", S)}),
+    (f"{_GA_MP}product_impression_custom_dimension/jsonschema/1-0-0",
+     {"IFilpicd": ("listIndex", I), "IFpicd": ("productIndex", I),
+      "IFcd": ("customDimensionIndex", I), "ilpicd": ("value", S)}),
+    (f"{_GA_MP}product_impression_custom_metric/jsonschema/1-0-0",
+     {"IFilpicm": ("listIndex", I), "IFpicm": ("productIndex", I),
+      "IFcm": ("customMetricIndex", I), "ilpicm": ("value", I)}),
+    (f"{_GA_MP}promotion/jsonschema/1-0-0",
+     {"IFpromo": ("index", I), "promoid": ("id", S), "promonm": ("name", S),
+      "promocr": ("creative", S), "promops": ("position", S)}),
+    (f"{_GA_MP}custom_dimension/jsonschema/1-0-0",
+     {"IFcd": ("index", I), "cd": ("value", S)}),
+    (f"{_GA_MP}custom_metric/jsonschema/1-0-0",
+     {"IFcm": ("index", I), "cm": ("value", D)}),
+    (f"{_GA_MP}content_group/jsonschema/1-0-0",
+     {"IFcg": ("index", I), "cg": ("value", S)}),
+]
+_GA_COMPOSITE_WITH_CU = [uri for uri, table in _GA_COMPOSITE if "cu" in table]
+_GA_N_IF = {uri: sum(1 for k in table if k.startswith("IF"))
+            for uri, table in _GA_COMPOSITE}
+
+# field → simple-context schema reverse index
+_GA_FIELD_TO_CTX = {}
+for _uri, _table in _GA_CONTEXTS:
+    for _f in _table:
+        _GA_FIELD_TO_CTX.setdefault(_f, []).append(_uri)
+
+# direct measurement-protocol → tracker-protocol mappings, hit-dependent
+# for ti/cu (GoogleAnalyticsAdapter.directMappings:445-467)
+
+
+def _ga_direct(hit_type):
+    return {
+        "uip": "ip", "dr": "refr", "de": "cs", "sd": "cd", "ul": "lang",
+        "je": "f_java", "dl": "url", "dt": "page",
+        "ti": "tr_id" if hit_type == "transaction" else "ti_id",
+        "ta": "tr_af", "tr": "tr_tt", "ts": "tr_sh", "tt": "tr_tx",
+        "in": "ti_nm", "ip": "ti_pr", "iq": "ti_qu", "ic": "ti_sk",
+        "iv": "ti_ca",
+        "cu": "tr_cu" if hit_type == "transaction" else "ti_cu",
+        "ua": "ua",
+    }
+
+
+_GA_COMP_RE = _re.compile(
+    r"^(pr|promo|il|cd|cm|cg)(\d+)([a-zA-Z]*)(\d*)([a-zA-Z]*)(\d*)$"
+)
+
+
+def _ga_breakdown(field: str) -> dict:
+    """pr12id → {IFpr: '12', prid: value-key}; il2pi3nm → {IFilpi:'2'?...}
+    — exact port of breakDownCompField (GoogleAnalyticsAdapter.scala:736-779):
+    suffix-concatenated IF keys zip the extracted indexes."""
+    m = _GA_COMP_RE.match(field)
+    if m is None:
+        raise AdapterError(
+            f"cannot parse composite field name [{field}]")
+    gs = m.groups()
+    strs = [g for g in (gs[0], gs[2], gs[4]) if g]
+    ints = [g for g in (gs[1], gs[3], gs[5]) if g]
+    out = {}
+    if len(strs) == len(ints):
+        heads = strs
+    elif len(strs) == len(ints) + 1:
+        heads = strs[:-1]
+    else:  # pragma: no cover — regex structure prevents this
+        raise AdapterError(f"cannot parse composite field name [{field}]")
+    # suffix concatenations: ["il","pi"] → ["ilpi","pi"]
+    suffixes = ["".join(heads[i:]) for i in range(len(heads))]
+    for sfx, idx in zip(suffixes, ints):
+        out["IF" + sfx] = idx
+    out["".join(strs)] = None  # placeholder; caller sets the value key
+    return out
+
+
+def _ga_composites(params: dict) -> list[tuple[str, dict]]:
+    """buildCompositeContexts (GoogleAnalyticsAdapter.scala:667-735)."""
+    composite = {k: v for k, v in params.items() if any(c.isdigit() for c in k)}
+    if not composite:
+        return []
+    if_maps, val_pairs = [], []
+    for k in sorted(composite):
+        broken = _ga_breakdown(k)
+        ifs = {f: v for f, v in broken.items() if f.startswith("IF")}
+        val_key = next(f for f, v in broken.items() if not f.startswith("IF"))
+        if_maps.append(list(ifs.items()))
+        val_pairs.append([(val_key, composite[k])])
+    # drop consecutive duplicate IF maps (pr1id + pr1nm → one IFpr:1)
+    deduped = []
+    for m in if_maps:
+        if not deduped or deduped[-1] != m:
+            deduped.append(m)
+    grouped: dict[str, list[str]] = {}
+    for pairs in val_pairs + deduped:
+        for f, v in pairs:
+            grouped.setdefault(f, []).append(v)
+    # translate each field's value list per composite schema
+    translated: dict[str, dict[str, list]] = {}
+    for uri, table in _GA_COMPOSITE:
+        for f, values in grouped.items():
+            if f in table:
+                name, conv = table[f]
+                translated.setdefault(uri, {})[name] = [conv(v) for v in values]
+    out = []
+    for uri, m in translated.items():
+        names = list(m.keys())
+        columns = [m[n] for n in names]
+        n_rows = max(len(c) for c in columns)
+        rows = []
+        for i in range(n_rows):
+            row = {n: c[i] for n, c in zip(names, columns) if i < len(c)}
+            if uri in _GA_COMPOSITE_WITH_CU and "cu" in params:
+                row["currencyCode"] = params["cu"]
+            rows.append(row)
+        # filter contexts built unnecessarily: must carry a real value
+        # beyond the name-extracted indexes (+ reattached currency)
+        min_size = _GA_N_IF[uri]
+        rows = [r for r in rows
+                if len(r) > min_size + (1 if "currencyCode" in r else 0)]
+        for r in rows:
+            out.append((uri, r))
+    return out
 
 
 def googleanalytics(qs, content_type, body):
@@ -414,12 +664,49 @@ def googleanalytics(qs, content_type, body):
             continue
         params = dict(parse_qsl(line, keep_blank_values=True))
         hit_type = params.get("t")
+        if hit_type is None:
+            raise AdapterError("no t parameter provided: cannot determine hit type")
         name = _GA_HIT_SCHEMAS.get(hit_type)
         if name is None:
-            raise AdapterError(f"no GA hit type [{hit_type}]")
-        schema = f"iglu:com.google.analytics.measurement-protocol/{name}/jsonschema/1-0-0"
-        event = _ue(schema, params, {}, TRACKER_VERSION["googleanalytics"])
-        for mp_key, tp_key in _GA_DIRECT.items():
+            raise AdapterError(f"no matching hit type [{hit_type}]")
+        schema = f"{_GA_MP}{name}/jsonschema/1-0-0"
+
+        # typed unstruct event payload
+        table = _GA_UNSTRUCT[hit_type]
+        ue_data = {}
+        for f, v in params.items():
+            if f in table:
+                field_name, conv = table[f]
+                ue_data[field_name] = conv(v)
+
+        # simple contexts (buildContexts, :620-652)
+        simple: dict[str, dict] = {}
+        for f, v in params.items():
+            for uri in _GA_FIELD_TO_CTX.get(f, ()):
+                table_c = dict(_GA_CONTEXTS)[uri]
+                field_name, conv = table_c[f]
+                simple.setdefault(uri, {})[field_name] = conv(v)
+        # pageview-as-context is redundant when the hit IS a pageview
+        page_view_uri = f"{_GA_MP}page_view/jsonschema/1-0-0"
+        if hit_type == "pageview":
+            simple.pop(page_view_uri, None)
+        ordered_simple = [
+            (uri, simple[uri]) for uri, _ in _GA_CONTEXTS if uri in simple
+        ]
+
+        contexts = ordered_simple + _ga_composites(params)
+
+        event = {"tv": TRACKER_VERSION["googleanalytics"], "e": "ue", "p": "srv",
+                 "ue_pr": json.dumps(
+                     {"schema": UE_ENVELOPE,
+                      "data": {"schema": schema, "data": ue_data}},
+                     separators=(",", ":"))}
+        if contexts:
+            event["co"] = json.dumps(
+                {"schema": "iglu:com.snowplowanalytics.snowplow/contexts/jsonschema/1-0-1",
+                 "data": [{"schema": u, "data": d} for u, d in contexts]},
+                separators=(",", ":"))
+        for mp_key, tp_key in _ga_direct(hit_type).items():
             if mp_key in params:
                 event[tp_key] = params[mp_key]
         out.append(event)

@@ -61,6 +61,17 @@ class HttpHeaderExtractorConf:
 
 
 @dataclass
+class PiiJsonFieldConf:
+    """JSON ('json'-type) PII mutator: hash string value(s) at json_path
+    inside SDJs whose schema matches the criterion
+    (pii/PiiPseudonymizerEnrichment.scala:252-387, Mutators.scala)."""
+
+    entity: str  # "unstruct" | "contexts" | "derived_contexts"
+    schema_criterion: str  # e.g. "iglu:com.acme/user/jsonschema/1-*-*"
+    json_path: str  # dot-path subset: "$.email", "$.user.emails"
+
+
+@dataclass
 class PiiPseudonymizerConf:
     # atomic field names to pseudonymize (reference pii/ScalarMutators.scala:15-122)
     fields: list[str] = field(default_factory=lambda: ["user_id", "user_ipaddress"])
@@ -68,6 +79,7 @@ class PiiPseudonymizerConf:
     salt: str = ""
     anonymous_only: bool = False
     emit_identification_event: bool = False
+    json_fields: list[PiiJsonFieldConf] = field(default_factory=list)
 
 
 @dataclass

@@ -69,58 +69,171 @@ _TYPES = {
 }
 
 
-def validate_json(schema: dict, data: Any, path: str = "$") -> list[str]:
-    """Validate `data` against the JSON-Schema subset; return error strings."""
+def _resolve_ref(root: dict, ref: str) -> dict | None:
+    """Resolve an intra-document JSON pointer ('#/definitions/foo')."""
+    if not isinstance(ref, str) or not ref.startswith("#"):
+        return None
+    node: Any = root
+    for part in ref[1:].lstrip("/").split("/"):
+        if part == "":
+            continue
+        part = part.replace("~1", "/").replace("~0", "~")
+        if isinstance(node, dict) and part in node:
+            node = node[part]
+        elif isinstance(node, list) and part.isdigit() and int(part) < len(node):
+            node = node[int(part)]
+        else:
+            return None
+    return node if isinstance(node, dict) else None
+
+
+def _type_ok(name: str, data: Any) -> bool:
+    py = _TYPES.get(name)
+    if py is None:
+        return True  # unknown type name → permissive
+    if name in ("integer", "number") and isinstance(data, bool):
+        return False
+    if name == "number" and isinstance(data, int):
+        return True
+    return isinstance(data, py)
+
+
+def validate_json(
+    schema: dict, data: Any, path: str = "$", root: dict | None = None,
+    _depth: int = 0,
+) -> list[str]:
+    """Validate `data` against the supported JSON-Schema keyword set
+    (draft-4 core as real Iglu schemas use it: types/bounds/patterns,
+    required/properties/patternProperties/additionalProperties, items,
+    enum/const, $ref + definitions, oneOf/anyOf/allOf/not); return
+    error strings. `root` anchors $ref resolution (defaults to the
+    top-level schema)."""
+    if root is None:
+        root = schema
+    if _depth > MAX_JSON_DEPTH:
+        return [f"{path}: schema nesting exceeds max depth"]
     errs: list[str] = []
+
+    ref = schema.get("$ref")
+    if ref is not None:
+        target = _resolve_ref(root, ref)
+        if target is None:
+            return [f"{path}: unresolvable $ref {ref}"]
+        return validate_json(target, data, path, root, _depth + 1)
+
+    for comb, mode in (("allOf", "all"), ("anyOf", "any"), ("oneOf", "one")):
+        subs = schema.get(comb)
+        if isinstance(subs, list) and subs:
+            results = [validate_json(s, data, path, root, _depth + 1) for s in subs]
+            n_ok = sum(1 for r in results if not r)
+            if mode == "all" and n_ok < len(subs):
+                for i, r in enumerate(results):
+                    if r:
+                        errs.extend(f"{e} (allOf[{i}])" for e in r)
+            elif mode == "any" and n_ok == 0:
+                errs.append(f"{path}: matches none of anyOf")
+            elif mode == "one" and n_ok != 1:
+                errs.append(f"{path}: matches {n_ok} of oneOf, expected exactly 1")
+    if "not" in schema and not validate_json(schema["not"], data, path, root, _depth + 1):
+        errs.append(f"{path}: matches schema in 'not'")
+
     t = schema.get("type")
     if t is not None:
         types = t if isinstance(t, list) else [t]
-        ok = False
-        for name in types:
-            py = _TYPES.get(name)
-            if py is None:
-                continue
-            if name == "integer" and isinstance(data, bool):
-                continue
-            if name in ("integer", "number") and isinstance(data, bool):
-                continue
-            if isinstance(data, py):
-                ok = True
-                break
-        if not ok:
+        if not any(_type_ok(name, data) for name in types):
             errs.append(f"{path}: expected type {t}, got {type(data).__name__}")
             return errs
     if "enum" in schema and data not in schema["enum"]:
         errs.append(f"{path}: {data!r} not in enum")
+    if "const" in schema and data != schema["const"]:
+        errs.append(f"{path}: {data!r} != const {schema['const']!r}")
     if isinstance(data, str):
         if "maxLength" in schema and len(data) > schema["maxLength"]:
             errs.append(f"{path}: longer than maxLength {schema['maxLength']}")
         if "minLength" in schema and len(data) < schema["minLength"]:
             errs.append(f"{path}: shorter than minLength {schema['minLength']}")
-        if "pattern" in schema and not re.search(schema["pattern"], data):
-            errs.append(f"{path}: does not match pattern")
+        if "pattern" in schema:
+            try:
+                if not re.search(schema["pattern"], data):
+                    errs.append(f"{path}: does not match pattern")
+            except re.error:
+                pass  # unsupported regex dialect → permissive
     if isinstance(data, (int, float)) and not isinstance(data, bool):
-        if "minimum" in schema and data < schema["minimum"]:
-            errs.append(f"{path}: below minimum {schema['minimum']}")
-        if "maximum" in schema and data > schema["maximum"]:
-            errs.append(f"{path}: above maximum {schema['maximum']}")
+        mn, mx = schema.get("minimum"), schema.get("maximum")
+        xmn, xmx = schema.get("exclusiveMinimum"), schema.get("exclusiveMaximum")
+        if mn is not None:
+            if xmn is True:  # draft-4 boolean form
+                if data <= mn:
+                    errs.append(f"{path}: not above exclusive minimum {mn}")
+            elif data < mn:
+                errs.append(f"{path}: below minimum {mn}")
+        elif isinstance(xmn, (int, float)) and data <= xmn:  # draft-6 numeric form
+            errs.append(f"{path}: not above exclusive minimum {xmn}")
+        if mx is not None:
+            if xmx is True:
+                if data >= mx:
+                    errs.append(f"{path}: not below exclusive maximum {mx}")
+            elif data > mx:
+                errs.append(f"{path}: above maximum {mx}")
+        elif isinstance(xmx, (int, float)) and data >= xmx:
+            errs.append(f"{path}: not below exclusive maximum {xmx}")
+        mult = schema.get("multipleOf")
+        if mult:
+            q = data / mult
+            if abs(q - round(q)) > 1e-9:
+                errs.append(f"{path}: not a multiple of {mult}")
     if isinstance(data, dict):
         props = schema.get("properties", {})
+        pprops = schema.get("patternProperties", {})
         for req in schema.get("required", []):
             if req not in data:
                 errs.append(f"{path}: missing required property '{req}'")
+        if "maxProperties" in schema and len(data) > schema["maxProperties"]:
+            errs.append(f"{path}: more than maxProperties {schema['maxProperties']}")
+        if "minProperties" in schema and len(data) < schema["minProperties"]:
+            errs.append(f"{path}: fewer than minProperties {schema['minProperties']}")
         for k, v in data.items():
+            matched = False
             if k in props:
-                errs.extend(validate_json(props[k], v, f"{path}.{k}"))
-            elif schema.get("additionalProperties") is False:
-                errs.append(f"{path}: additional property '{k}' not allowed")
+                matched = True
+                errs.extend(validate_json(props[k], v, f"{path}.{k}", root, _depth + 1))
+            for pat, sub in pprops.items():
+                try:
+                    hit = re.search(pat, k)
+                except re.error:
+                    hit = None
+                if hit:
+                    matched = True
+                    errs.extend(validate_json(sub, v, f"{path}.{k}", root, _depth + 1))
+            if not matched:
+                extra = schema.get("additionalProperties")
+                if extra is False:
+                    errs.append(f"{path}: additional property '{k}' not allowed")
+                elif isinstance(extra, dict):
+                    errs.extend(validate_json(extra, v, f"{path}.{k}", root, _depth + 1))
     if isinstance(data, list):
         if "maxItems" in schema and len(data) > schema["maxItems"]:
             errs.append(f"{path}: more than maxItems {schema['maxItems']}")
+        if "minItems" in schema and len(data) < schema["minItems"]:
+            errs.append(f"{path}: fewer than minItems {schema['minItems']}")
+        if schema.get("uniqueItems"):
+            seen = []
+            for v in data:
+                if v in seen:
+                    errs.append(f"{path}: items are not unique")
+                    break
+                seen.append(v)
         items = schema.get("items")
         if isinstance(items, dict):
             for i, v in enumerate(data):
-                errs.extend(validate_json(items, v, f"{path}[{i}]"))
+                errs.extend(validate_json(items, v, f"{path}[{i}]", root, _depth + 1))
+        elif isinstance(items, list):  # tuple form + additionalItems
+            for i, v in enumerate(data):
+                if i < len(items):
+                    errs.extend(validate_json(items[i], v, f"{path}[{i}]", root, _depth + 1))
+                elif schema.get("additionalItems") is False:
+                    errs.append(f"{path}: more items than tuple schema allows")
+                    break
     return errs
 
 
@@ -179,59 +292,194 @@ class SchemaRegistry:
         return None
 
 
-def validate_sdj(registry: SchemaRegistry, envelope: Any, strict: bool) -> list[str]:
-    """Validate one {schema, data} self-describing JSON."""
+def http_registry_loader(base_urls: list[str], transport: Callable[[str], str] | None = None,
+                         timeout: float = 2.0, max_cache: int = 4096):
+    """Remote Iglu registry resolver (reference: Iglu client wired at
+    modules/core/.../Environment.scala:116; repo layout
+    ``{base}/schemas/{vendor}/{name}/{format}/{version}``).
+
+    Returns a loader callable for ``SchemaRegistry.loader``. Responses —
+    including misses — are LRU-cached per executor process so a hot
+    schema is fetched once per executor, not once per row (the Spark
+    analogue of the reference resolver's ``cacheSize``/``cacheTtl``).
+    ``transport(url) -> body`` is injectable for tests / auth wrappers.
+    """
+    from collections import OrderedDict
+
+    if transport is None:
+        def transport(url: str) -> str:  # pragma: no cover - network default
+            from urllib.request import urlopen
+
+            with urlopen(url, timeout=timeout) as resp:
+                return resp.read().decode("utf-8")
+
+    cache: OrderedDict[str, dict | None] = OrderedDict()
+    _MISS = object()
+
+    def loader(uri: str) -> dict | None:
+        hit = cache.get(uri, _MISS)
+        if hit is not _MISS:
+            cache.move_to_end(uri)
+            return hit
+        key = parse_schema_key(uri)
+        result = None
+        if key is not None:
+            vendor, name, fmt, m, r, a = key
+            path = f"schemas/{vendor}/{name}/{fmt}/{m}-{r}-{a}"
+            for base in base_urls:
+                try:
+                    body = transport(f"{base.rstrip('/')}/{path}")
+                    doc = json.loads(body)
+                    if isinstance(doc, dict):
+                        result = doc
+                        break
+                except Exception:  # noqa: BLE001 — registry down → miss
+                    continue
+        cache[uri] = result
+        if len(cache) > max_cache:
+            cache.popitem(last=False)
+        return result
+
+    return loader
+
+
+def check_sdj(registry: SchemaRegistry, envelope: Any, strict: bool):
+    """Validate one {schema, data} self-describing JSON.
+
+    Returns (errors, validated_with): ``validated_with`` is the
+    superseding version string when the resolved schema declares
+    ``$supersededBy`` (IgluUtils.scala:255-287) — validation then runs
+    against the newer schema and the caller attaches a validation_info
+    context + rewrites the SDJ's version."""
     if not isinstance(envelope, dict):
-        return ["self-describing payload is not an object"]
+        return ["self-describing payload is not an object"], None
     uri = envelope.get("schema")
-    if parse_schema_key(uri) is None:
-        return [f"invalid schema key [{uri}]"]
+    key = parse_schema_key(uri)
+    if key is None:
+        return [f"invalid schema key [{uri}]"], None
     if not _depth_ok(envelope.get("data")):
-        return [f"JSON exceeds max depth {MAX_JSON_DEPTH}"]
+        return [f"JSON exceeds max depth {MAX_JSON_DEPTH}"], None
     schema = registry.lookup(uri)
     if schema is None:
-        return [f"schema [{uri}] could not be resolved"] if strict else []
-    return [f"[{uri}] {e}" for e in validate_json(schema, envelope.get("data"))]
+        return ([f"schema [{uri}] could not be resolved"] if strict else []), None
+    validated_with = None
+    superseded = schema.get("$supersededBy")
+    if isinstance(superseded, str) and re.fullmatch(r"\d+-\d+-\d+", superseded):
+        vendor, name, fmt = key[0], key[1], key[2]
+        new_uri = f"iglu:{vendor}/{name}/{fmt}/{superseded}"
+        newer = registry.lookup(new_uri)
+        if newer is not None:
+            schema = newer
+            validated_with = superseded
+            uri = new_uri
+    return [f"[{uri}] {e}" for e in validate_json(schema, envelope.get("data"))], validated_with
+
+
+def validate_sdj(registry: SchemaRegistry, envelope: Any, strict: bool) -> list[str]:
+    """Back-compat wrapper: errors only."""
+    return check_sdj(registry, envelope, strict)[0]
 
 
 # ---------------------------------------------------------------------------
 # pipeline stage
 
 
-_VALIDATE_RESULT = T.ArrayType(T.StringType())
+VALIDATION_INFO_SCHEMA = (
+    "iglu:com.snowplowanalytics.iglu/validation_info/jsonschema/1-0-0"
+)
+
+_VALIDATE_RESULT = T.StructType([
+    T.StructField("errors", T.ArrayType(T.StringType())),
+    T.StructField("ue_json", T.StringType()),
+    T.StructField("co_json", T.StringType()),
+    T.StructField("vinfo", T.ArrayType(T.StructType([
+        T.StructField("schema", T.StringType()),
+        T.StructField("data", T.StringType()),
+    ]))),
+])
+
+
+def _rewrite_version(envelope: dict, validated_with: str) -> None:
+    key = parse_schema_key(envelope.get("schema") or "")
+    if key:
+        vendor, name, fmt = key[0], key[1], key[2]
+        envelope["schema"] = f"iglu:{vendor}/{name}/{fmt}/{validated_with}"
 
 
 def validate_sdjs(df: DataFrame, registry: SchemaRegistry, strict: bool = False) -> DataFrame:
     """Validate ue_json / co_json inputs and the derived contexts
-    (EnrichmentManager phases 1 + 3). Appends failures to ``_errors``."""
+    (EnrichmentManager phases 1 + 3). Appends failures to ``_errors``.
+
+    SupersededBy handling (IgluUtils.scala:255-287): an SDJ whose schema
+    declares ``$supersededBy`` validates against the newer version, its
+    embedded schema version is rewritten to the superseding one, and a
+    ``validation_info`` context recording (originalSchema, validatedWith)
+    joins the derived contexts."""
     reg = registry  # captured in closure → shipped once per executor
 
     @F.udf(returnType=_VALIDATE_RESULT)
     def check(ue_json, co_json, derived):
         errs: list[str] = []
+        vinfo: list[tuple[str, str]] = []
+        new_ue, new_co = ue_json, co_json
         try:
             if ue_json:
                 env = json.loads(ue_json)
                 inner = env.get("data") if isinstance(env, dict) else None
-                errs += [f"ue_pr\t{e}\t" for e in validate_sdj(reg, inner, strict)]
+                e, validated_with = check_sdj(reg, inner, strict)
+                errs += [f"ue_pr\t{x}\t" for x in e]
+                if validated_with and isinstance(inner, dict):
+                    vinfo.append((VALIDATION_INFO_SCHEMA, json.dumps(
+                        {"originalSchema": inner.get("schema"),
+                         "validatedWith": validated_with},
+                        separators=(",", ":"))))
+                    _rewrite_version(inner, validated_with)
+                    new_ue = json.dumps(env, separators=(",", ":"))
             if co_json:
                 env = json.loads(co_json)
                 inner = env.get("data") if isinstance(env, dict) else None
                 if isinstance(inner, list):
+                    rewrote = False
                     for c in inner:
-                        errs += [f"co\t{e}\t" for e in validate_sdj(reg, c, strict)]
+                        e, validated_with = check_sdj(reg, c, strict)
+                        errs += [f"co\t{x}\t" for x in e]
+                        if validated_with and isinstance(c, dict):
+                            vinfo.append((VALIDATION_INFO_SCHEMA, json.dumps(
+                                {"originalSchema": c.get("schema"),
+                                 "validatedWith": validated_with},
+                                separators=(",", ":"))))
+                            _rewrite_version(c, validated_with)
+                            rewrote = True
+                    if rewrote:
+                        new_co = json.dumps(env, separators=(",", ":"))
                 else:
                     errs.append("co\tcontexts data is not an array\t")
             for c in derived or []:
                 data = c["data"]
                 env = {"schema": c["schema"], "data": json.loads(data) if data else None}
-                errs += [f"derived_contexts\t{e}\t" for e in validate_sdj(reg, env, strict)]
+                errs += [f"derived_contexts\t{e}\t"
+                         for e in check_sdj(reg, env, strict)[0]]
         except ValueError as e:
             errs.append(f"sdj\tinvalid JSON: {e}\t")
-        return errs
+        return (errs, new_ue, new_co, vinfo or None)
 
     derived_col = F.col("_derived") if "_derived" in df.columns else F.lit(None).cast(
         "array<struct<schema:string,data:string>>"
     )
-    new_errs = check(F.col("ue_json"), F.col("co_json"), derived_col)
-    return df.withColumn("_errors", F.concat(F.col("_errors"), new_errs))
+    res = check(F.col("ue_json"), F.col("co_json"), derived_col)
+    df = df.withColumn("_validate_res", res)
+    r = F.col("_validate_res")
+    df = df.withColumns({
+        "_errors": F.concat(F.col("_errors"), r.getField("errors")),
+        "ue_json": r.getField("ue_json"),
+        "co_json": r.getField("co_json"),
+    })
+    if "_derived" in df.columns:
+        empty = F.array().cast("array<struct<schema:string,data:string>>")
+        df = df.withColumn(
+            "_derived",
+            F.when(r.getField("vinfo").isNotNull(),
+                   F.concat(F.coalesce(F.col("_derived"), empty), r.getField("vinfo")))
+            .otherwise(F.col("_derived")),
+        )
+    return df.drop("_validate_res")

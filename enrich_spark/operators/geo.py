@@ -80,6 +80,58 @@ def demo_geo_table(spark: SparkSession) -> DataFrame:
     )
 
 
+def demo_mmdb_bytes() -> bytes:
+    """Serialize the demo ranges as a real GeoIP2-City .mmdb file (via the
+    pure-Python writer in functions/mmdb.py). Fixture for the
+    mmdb → range-table converter round-trip: encoder → Reader →
+    mmdb_to_rows must reproduce demo_geo_table exactly."""
+    from ..functions.mmdb import build_mmdb
+
+    def _ip2l(s):
+        a, b, c, d = (int(x) for x in s.split("."))
+        return a * 16777216 + b * 65536 + c * 256 + d
+
+    ranges = []
+    for (s, e, country, region, city, zipc, lat, lon, region_name, tz,
+         isp, org, domain, netspeed) in _DEMO_RANGES:
+        rec: dict = {}
+        if country:
+            rec["country"] = {"iso_code": country}
+        if region or region_name:
+            sub = {}
+            if region:
+                sub["iso_code"] = region
+            if region_name:
+                sub["names"] = {"en": region_name}
+            rec["subdivisions"] = [sub]
+        if city:
+            rec["city"] = {"names": {"en": city}}
+        if zipc:
+            rec["postal"] = {"code": zipc}
+        loc = {}
+        if lat is not None:
+            loc["latitude"] = float(lat)
+        if lon is not None:
+            loc["longitude"] = float(lon)
+        if tz:
+            loc["time_zone"] = tz
+        if loc:
+            rec["location"] = loc
+        traits = {}
+        if isp:
+            traits["isp"] = isp
+        if org:
+            traits["organization"] = org
+        if domain:
+            traits["domain"] = domain
+        if netspeed:
+            traits["connection_type"] = netspeed
+        if traits:
+            rec["traits"] = traits
+        ranges.append((_ip2l(s), _ip2l(e), rec))
+    return build_mmdb(ranges)
+
+
 def load_geo_table(spark: SparkSession, path: str) -> DataFrame:
     """Load a range table from parquet/csv with columns
     (ip_start BIGINT, ip_end BIGINT, <GEO_COLS...>)."""
@@ -114,37 +166,98 @@ def ip_lookups(df: DataFrame, ranges: DataFrame, ip_col: str = "user_ipaddress")
     return joined.drop("_ip_long", "_ip_bucket", "bucket", "ip_start", "ip_end")
 
 
+def mmdb_range_table(spark: SparkSession, city: str | None = None,
+                     isp: str | None = None, domain: str | None = None,
+                     connection: str | None = None) -> DataFrame:
+    """Convert MaxMind .mmdb file(s) into the broadcast range table
+    ``ip_lookups`` consumes — the 100 TB path: the conversion runs once on
+    the driver (DB files are MBs), then the join is a native bucketized
+    BroadcastHashJoin with zero Python per event.
+
+    Multiple DB models (City + ISP + Domain + Connection-Type, matching
+    the reference's ipLookups config axes, IpLookupsEnrichment.scala:60-88)
+    are interval-merged so each output range carries all 12 columns.
+    """
+    from ..functions.mmdb import Reader, merge_range_rows, mmdb_to_rows
+
+    row_lists = [
+        mmdb_to_rows(Reader.open(path))
+        for path in (city, isp, domain, connection) if path is not None
+    ]
+    if not row_lists:
+        raise ValueError("at least one mmdb path is required")
+    rows = merge_range_rows(row_lists) if len(row_lists) > 1 else row_lists[0]
+    schema = (
+        "ip_start BIGINT, ip_end BIGINT, geo_country STRING, geo_region STRING,"
+        "geo_city STRING, geo_zipcode STRING, geo_latitude DOUBLE, geo_longitude DOUBLE,"
+        "geo_region_name STRING, geo_timezone STRING, ip_isp STRING,"
+        "ip_organization STRING, ip_domain STRING, ip_netspeed STRING"
+    )
+    data = [
+        tuple([r.get("ip_start"), r.get("ip_end")] + [r.get(c) for c in GEO_COLS])
+        for r in rows
+    ]
+    df = spark.createDataFrame(data, schema)
+    return df.select(
+        "ip_start", "ip_end",
+        *[F.col(c).cast("float").alias(c) if c in ("geo_latitude", "geo_longitude")
+          else F.col(c) for c in GEO_COLS],
+    )
+
+
+def mmdb_asn_table(spark: SparkSession, path: str) -> DataFrame:
+    """Convert a GeoLite2-ASN .mmdb into the (ip_start, ip_end, asn,
+    asn_org) table operators/ua.py:asn_lookups broadcasts."""
+    from ..functions.mmdb import Reader, asn_columns
+
+    rows = [
+        (s, e, asn_columns(rec)["asn"], asn_columns(rec)["asn_org"])
+        for s, e, rec in Reader.open(path).iter_ranges(ipv4_only=True)
+    ]
+    return spark.createDataFrame(
+        rows, "ip_start BIGINT, ip_end BIGINT, asn INT, asn_org STRING"
+    )
+
+
 def ip_lookups_mmdb(df: DataFrame, mmdb_path: str, ip_col: str = "user_ipaddress") -> DataFrame:
-    """MaxMind .mmdb variant via mapInPandas with a per-executor reader
-    singleton (the classic Spark geo-IP pattern). Gated on `maxminddb`
-    being importable; raises otherwise."""
-    try:
-        import maxminddb  # noqa: F401
-    except ImportError as e:  # pragma: no cover - lib not in this container
-        raise NotImplementedError(
-            "maxminddb is not installed; use ip_lookups() with a range table"
-        ) from e
-    import pandas as pd  # noqa: F401
+    """MaxMind .mmdb point-lookup variant: mapInPandas with a
+    per-executor reader singleton (the classic Spark geo-IP pattern),
+    backed by the engine's own pure-Python mmdb codec
+    (functions/mmdb.py — no external lib needed). Fills all 12 columns.
+
+    Prefer ``mmdb_range_table`` + ``ip_lookups`` for the hot path; this
+    variant exists for IPv6-heavy tables where range explosion is
+    impractical, and as the behavioral cross-check for the converter."""
     from pyspark.sql import types as T
+
+    from ..functions.mmdb import Reader, geo_columns
+
+    with open(mmdb_path, "rb") as f:
+        blob = f.read()  # ship bytes in the closure → one copy per executor
 
     out_schema = T.StructType(
         df.schema.fields
-        + [T.StructField(c, T.StringType() if "lat" not in c and "lon" not in c else T.FloatType())
+        + [T.StructField(c, T.FloatType() if c in ("geo_latitude", "geo_longitude")
+                         else T.StringType())
            for c in GEO_COLS]
     )
 
     def lookup(iterator):
-        import maxminddb
-
-        reader = maxminddb.open_database(mmdb_path)
+        reader = Reader(blob)
+        cache: dict = {}
         for pdf in iterator:
-            geos = [reader.get(ip) if ip else None for ip in pdf[ip_col]]
+            cols = {c: [] for c in GEO_COLS}
+            for ip in pdf[ip_col]:
+                key = ip if isinstance(ip, str) else None
+                got = cache.get(key)
+                if got is None:
+                    got = geo_columns(reader.lookup(key) if key else None)
+                    if len(cache) < 65536:
+                        cache[key] = got
+                for c in GEO_COLS:
+                    cols[c].append(got[c])
             for c in GEO_COLS:
-                pdf[c] = None
-            for i, g in enumerate(geos):
-                if g:
-                    pdf.loc[pdf.index[i], "geo_country"] = (g.get("country") or {}).get("iso_code")
-                    pdf.loc[pdf.index[i], "geo_city"] = ((g.get("city") or {}).get("names") or {}).get("en")
+                pdf[c] = cols[c]
             yield pdf
 
     return df.mapInPandas(lookup, out_schema)

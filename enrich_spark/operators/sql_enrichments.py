@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..config import (
     AnonIpConf,
@@ -360,22 +361,220 @@ def pii_pseudonymizer(df: DataFrame, conf: PiiPseudonymizerConf) -> DataFrame:
                 ),
             )
         )
+    # ---- phase 2: JSON mutators over ue/contexts/derived by schema
+    # criterion + JsonPath (PiiPseudonymizerEnrichment.scala:252-387).
+    # Only enters the plan when json_fields are configured — the default
+    # chain stays zero-Python.
+    json_mod = None
+    if getattr(conf, "json_fields", None):
+        df, json_mod = _pii_json_mutate(df, conf)
+
+    pojo_arr = F.array_compact(F.array(*changed)) if changed else F.array().cast(
+        "array<struct<fieldName:string,modifiedValue:string,originalValue:string>>"
+    )
+    data_fields = [F.struct(pojo_arr.alias("pojo"),
+                            *( [json_mod.alias("json")] if json_mod is not None else [] )
+                            ).alias("pii"),
+                   F.struct(F.lit(conf.hash_function).alias("hashFunction")).alias("strategy")]
     pii_json = F.to_json(
         F.struct(
             F.lit("iglu:com.snowplowanalytics.snowplow/pii_transformation/jsonschema/1-0-0").alias("schema"),
-            F.struct(
+            F.struct(*data_fields).alias("data"),
+        )
+    )
+    any_mod = F.lit(bool(conf.fields))
+    if json_mod is not None:
+        any_mod = any_mod | (F.size(json_mod) > 0)
+    # build the pii record BEFORE mutating the fields — originalValue must
+    # capture the pre-hash value (caught by test_pii_pseudonymizer)
+    df = df.withColumn("pii", F.when(anon_gate & any_mod, pii_json))
+    return df.withColumns(cols)
+
+
+_PII_JSON_RESULT = T.StructType([
+    T.StructField("ue_json", T.StringType()),
+    T.StructField("co_json", T.StringType()),
+    T.StructField("derived", T.ArrayType(T.StructType([
+        T.StructField("schema", T.StringType()),
+        T.StructField("data", T.StringType()),
+    ]))),
+    T.StructField("modified", T.ArrayType(T.StructType([
+        T.StructField("fieldName", T.StringType()),
+        T.StructField("originalValue", T.StringType()),
+        T.StructField("modifiedValue", T.StringType()),
+        T.StructField("jsonPath", T.StringType()),
+        T.StructField("schema", T.StringType()),
+    ]))),
+])
+
+
+def _criterion_regex(criterion: str) -> str:
+    """SchemaCriterion ('iglu:com.acme/user/jsonschema/1-*-*') → regex."""
+    import re as _re
+
+    pat = _re.escape(criterion).replace(r"\*", r"[0-9]+")
+    return f"^{pat}$"
+
+
+def _pii_json_mutate(df: DataFrame, conf: PiiPseudonymizerConf):
+    """Hash string values addressed by (entity, schemaCriterion, jsonPath)
+    locators inside ue_json / co_json / _derived. Returns (df, modified)
+    where `modified` is the array column of JsonModifiedField records."""
+    import hashlib
+    import json as _json
+    import re as _re
+
+    locators = [
+        (jf.entity, _criterion_regex(jf.schema_criterion), jf.json_path)
+        for jf in conf.json_fields
+    ]
+    alg = conf.hash_function.upper().replace("-", "")
+    hash_fn = {"MD5": hashlib.md5, "SHA1": hashlib.sha1, "SHA256": hashlib.sha256,
+               "SHA384": hashlib.sha384, "SHA512": hashlib.sha512}[alg]
+    salt = conf.salt
+
+    def scramble(value: str) -> str:
+        return hash_fn((salt + value).encode("utf-8")).hexdigest()
+
+    def path_replace(data, json_path: str, schema_uri: str, out: list):
+        """Navigate $.a.b.c; hash terminal strings / string-array elements
+        (ScrambleMapFunction semantics)."""
+        segs = [s for s in json_path.lstrip("$").strip(".").split(".") if s]
+        node, parents = data, []
+        for seg in segs[:-1]:
+            if not isinstance(node, dict) or seg not in node:
+                return
+            parents.append((node, seg))
+            node = node[seg]
+        if not segs or not isinstance(node, dict) or segs[-1] not in node:
+            return
+        last = segs[-1]
+        cur = node[last]
+        if isinstance(cur, str):
+            new = scramble(cur)
+            node[last] = new
+            out.append((last, cur, new, json_path, schema_uri))
+        elif isinstance(cur, list):
+            newarr = []
+            for el in cur:
+                if isinstance(el, str):
+                    new = scramble(el)
+                    out.append((last, el, new, json_path, schema_uri))
+                    newarr.append(new)
+                else:
+                    newarr.append(el)
+            node[last] = newarr
+
+    @F.udf(returnType=_PII_JSON_RESULT)
+    def mutate(ue_json, co_json, derived):
+        modified: list = []
+        new_ue, new_co, new_derived = ue_json, co_json, derived
+        try:
+            if ue_json:
+                env = _json.loads(ue_json)
+                inner = env.get("data") if isinstance(env, dict) else None
+                if isinstance(inner, dict):
+                    uri = inner.get("schema") or ""
+                    before = len(modified)
+                    for entity, crit, jp in locators:
+                        if entity == "unstruct" and _re.match(crit, uri):
+                            path_replace(inner.get("data"), jp, uri, modified)
+                    if len(modified) > before:
+                        new_ue = _json.dumps(env, separators=(",", ":"))
+            if co_json:
+                env = _json.loads(co_json)
+                inner = env.get("data") if isinstance(env, dict) else None
+                if isinstance(inner, list):
+                    changed_any = False
+                    for sdj in inner:
+                        if not isinstance(sdj, dict):
+                            continue
+                        uri = sdj.get("schema") or ""
+                        before = len(modified)
+                        for entity, crit, jp in locators:
+                            if entity == "contexts" and _re.match(crit, uri):
+                                path_replace(sdj.get("data"), jp, uri, modified)
+                        changed_any = changed_any or len(modified) > before
+                    if changed_any:
+                        new_co = _json.dumps(env, separators=(",", ":"))
+            if derived:
+                rebuilt = []
+                changed_any = False
+                for c in derived:
+                    uri, payload = c["schema"], c["data"]
+                    before = len(modified)
+                    doc = None
+                    for entity, crit, jp in locators:
+                        if entity == "derived_contexts" and _re.match(crit, uri or ""):
+                            if doc is None and payload:
+                                doc = _json.loads(payload)
+                            path_replace(doc, jp, uri, modified)
+                    if len(modified) > before and doc is not None:
+                        rebuilt.append((uri, _json.dumps(doc, separators=(",", ":"))))
+                        changed_any = True
+                    else:
+                        rebuilt.append((uri, payload))
+                if changed_any:
+                    new_derived = rebuilt
+        except (ValueError, TypeError):
+            pass  # malformed JSON is phase-1's problem, not the mutator's
+        return (new_ue, new_co, new_derived, modified)
+
+    derived_col = F.col(DERIVED_COL) if DERIVED_COL in df.columns else F.lit(None).cast(
+        "array<struct<schema:string,data:string>>"
+    )
+    res = mutate(F.col("ue_json"), F.col("co_json"), derived_col)
+    df = df.withColumn("_pii_res", res)
+    r = F.col("_pii_res")
+    updates = {
+        "ue_json": r.getField("ue_json"),
+        "co_json": r.getField("co_json"),
+    }
+    if DERIVED_COL in df.columns:
+        updates[DERIVED_COL] = F.coalesce(r.getField("derived"), F.col(DERIVED_COL))
+    df = df.withColumns(updates)
+    modified = F.coalesce(
+        r.getField("modified"),
+        F.array().cast(_PII_JSON_RESULT["modified"].dataType),
+    )
+    df = df.withColumn("_pii_json_modified", modified)
+    return df.drop("_pii_res"), F.col("_pii_json_modified")
+
+
+PARENT_EVENT_SCHEMA = "iglu:com.snowplowanalytics.snowplow/parent_event/jsonschema/1-0-0"
+
+
+def pii_companion_events(df: DataFrame) -> DataFrame:
+    """Emit the pii_transformation companion event stream
+    (ConversionUtils.getPiiEvent:531-551): one event per enriched event
+    whose `pii` field is set — unstruct_event = the pii SDJ, platform
+    'srv', event(-name) 'pii_transformation', a parent_event context
+    pointing at the original event_id, app/etl/collector timestamps
+    carried over. Pure projection + filter: no shuffle, mirrors the
+    reference's per-sink fan-out."""
+    parent_ctx = F.to_json(
+        F.struct(
+            F.lit("iglu:com.snowplowanalytics.snowplow/contexts/jsonschema/1-0-0").alias("schema"),
+            F.array(
                 F.struct(
-                    F.array_compact(F.array(*changed)).alias("pojo")
-                ).alias("pii"),
-                F.struct(
-                    F.lit(conf.hash_function).alias("hashFunction")
-                ).alias("strategy"),
+                    F.lit(PARENT_EVENT_SCHEMA).alias("schema"),
+                    F.struct(F.col("event_id").alias("parentEventId")).alias("data"),
+                )
             ).alias("data"),
         )
     )
-    # build the pii record BEFORE mutating the fields — originalValue must
-    # capture the pre-hash value (caught by test_pii_pseudonymizer)
-    df = df.withColumn(
-        "pii", F.when(anon_gate & F.lit(bool(conf.fields)), pii_json)
-    )
-    return df.withColumns(cols)
+    cols = [
+        F.expr("uuid()").alias("event_id"),
+        F.lit("pii_transformation").alias("event"),
+        F.lit("pii_transformation").alias("event_name"),
+        F.lit("com.snowplowanalytics.snowplow").alias("event_vendor"),
+        F.lit("jsonschema").alias("event_format"),
+        F.lit("1-0-0").alias("event_version"),
+        F.lit("srv").alias("platform"),
+        F.col("pii").alias("unstruct_event"),
+        parent_ctx.alias("contexts"),
+    ]
+    for carry in ("app_id", "etl_tstamp", "collector_tstamp"):
+        if carry in df.columns:
+            cols.append(F.col(carry))
+    return df.where(F.col("pii").isNotNull()).select(*cols)
