@@ -50,8 +50,13 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # session tz is UTC, so NTZ wall time == UTC instant; cast so the
+        # epoch-based functions (unix_millis etc.) accept it
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return _fan(ev, spark)
 
 
@@ -450,7 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.get_json_object(ue, "$.data.schema").alias("hit_schema"),
             F.col("parameters")["url"].alias("url"),
             F.col("parameters")["page"].alias("page"),
-            F.get_json_object(ue, "$.data.data.ea").alias("ea"),
+            F.get_json_object(ue, "$.data.data.action").alias("ea"),
             F.when(F.col("_adapter_error").isNotNull(), 1).otherwise(0)
             .cast("long").alias("is_err"),
         )

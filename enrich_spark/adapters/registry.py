@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import json
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -196,24 +198,37 @@ _WEBHOOK_RESULT_TYPE = T.StructType([
 ])
 
 
+def _dispatch_one(remotes, vendor, version, qs_json, content_type, body):
+    try:
+        qs = json.loads(qs_json) if qs_json else {}
+        fn = remotes.get((vendor, version)) or vendors.REGISTRY.get((vendor, version))
+        if fn is None:
+            return (None, f"Adapter not found for vendor [{vendor}] version [{version}]")
+        events = fn(qs, content_type, body)
+        return (events, None)
+    except vendors.AdapterError as e:
+        return (None, str(e))
+    except Exception as e:  # noqa: BLE001 — never throw from the pipeline
+        return (None, f"adapter crash: {type(e).__name__}: {e}")
+
+
 def _make_webhook_udf(remote_adapters: dict | None = None):
+    """Arrow-batched webhook dispatcher. One Python invocation per Arrow
+    batch amortizes the serialization cost that dominates row-at-a-time
+    `F.udf` — GA measurement protocol is a high-volume vendor on this
+    path, so the batching matters (measured: SCALE.md §6)."""
     remotes = {
         key: vendors.make_remote_adapter(transport)
         for key, transport in (remote_adapters or {}).items()
     }
 
-    @F.udf(returnType=_WEBHOOK_RESULT_TYPE)
-    def _webhook_udf(vendor, version, qs_json, content_type, body):
-        try:
-            qs = json.loads(qs_json) if qs_json else {}
-            fn = remotes.get((vendor, version)) or vendors.REGISTRY.get((vendor, version))
-            if fn is None:
-                return (None, f"Adapter not found for vendor [{vendor}] version [{version}]")
-            events = fn(qs, content_type, body)
-            return (events, None)
-        except vendors.AdapterError as e:
-            return (None, str(e))
-        except Exception as e:  # noqa: BLE001 — never throw from the pipeline
-            return (None, f"adapter crash: {type(e).__name__}: {e}")
+    @F.pandas_udf(_WEBHOOK_RESULT_TYPE)
+    def _webhook_udf(vendor: pd.Series, version: pd.Series, qs_json: pd.Series,
+                     content_type: pd.Series, body: pd.Series) -> pd.DataFrame:
+        rows = [
+            _dispatch_one(remotes, v, ver, qsj, ct, b)
+            for v, ver, qsj, ct, b in zip(vendor, version, qs_json, content_type, body)
+        ]
+        return pd.DataFrame(rows, columns=["events", "error"])
 
     return _webhook_udf

@@ -12,12 +12,13 @@ serialized with TBinaryProtocol. Field ids per the public IDL:
       360: string contentType 400: string hostname    410: string networkUserId
 
 We ship a dependency-free TBinaryProtocol codec (decode for the loader,
-encode for test fixtures/generators). Decoding runs as a Python UDF over
-the BINARY column — the one unavoidable Python hop at ingest; it returns
-a payload struct or a CPFormatViolation error string, never throws.
-At 100 TB the decode parallelizes embarrassingly (per-record, no state);
-a pandas-UDF batch variant would only move string slicing into C, the
-dominant cost is the thrift walk either way.
+encode for test fixtures/generators). Decoding runs as an Arrow-batched
+pandas UDF over the BINARY column — the one unavoidable Python hop at
+ingest; it returns a payload struct or a CPFormatViolation error string,
+never throws. At 100 TB the decode parallelizes embarrassingly
+(per-record, no state). Measured at 200k payloads the Arrow batch path
+is ~15% faster than row-at-a-time `F.udf` (SCALE.md §3) — the thrift
+walk is identical, the win is amortized serialization.
 """
 
 from __future__ import annotations
@@ -26,6 +27,8 @@ import re
 import struct
 import uuid
 from datetime import datetime, timezone
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -221,10 +224,39 @@ def _decode_row(data):
 
 _decode_udf = F.udf(_decode_row, PAYLOAD_SCHEMA)
 
+_PAYLOAD_COLS = [f.name for f in PAYLOAD_SCHEMA.fields]
 
-def load_thrift(df: DataFrame, bytes_col: str = "value") -> DataFrame:
-    """BINARY column → CollectorPayload columns (+ loader_error)."""
-    decoded = df.withColumn("_payload", _decode_udf(F.col(bytes_col)))
+
+def _make_arrow_decoder():
+    """Arrow-batched decoder: one Python invocation per ~10k-row batch
+    instead of one per row. The thrift walk itself is identical; the win
+    is amortizing the JVM↔Python serialization that dominates `F.udf`
+    at ingest volume (measured at sf0.1: see SCALE.md §6)."""
+    @F.pandas_udf(PAYLOAD_SCHEMA)
+    def _decode_arrow(data: pd.Series) -> pd.DataFrame:
+        out = pd.DataFrame(
+            [_decode_row(v) for v in data], columns=_PAYLOAD_COLS,
+        )
+        # object→datetime64 so Arrow gets a typed column, not objects
+        out["collector_tstamp"] = pd.to_datetime(out["collector_tstamp"])
+        return out
+
+    return _decode_arrow
+
+
+_decode_udf_arrow = _make_arrow_decoder()
+
+
+def load_thrift(df: DataFrame, bytes_col: str = "value",
+                batched: bool = True) -> DataFrame:
+    """BINARY column → CollectorPayload columns (+ loader_error).
+
+    batched=True (default) decodes via an Arrow-batched pandas UDF;
+    batched=False keeps the row-at-a-time F.udf (kept for comparison and
+    as a fallback where Arrow is unavailable).
+    """
+    udf = _decode_udf_arrow if batched else _decode_udf
+    decoded = df.withColumn("_payload", udf(F.col(bytes_col)))
     return decoded.select("*", "_payload.*").drop("_payload", bytes_col)
 
 
