@@ -614,6 +614,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tri_state_split"] = q_tri_state
 
+    def q_validation_guards(spark, sf):
+        # §2.5 #1 collectorVersionSet guard (EnrichmentManager.scala:446-463)
+        # + strict atomic-length mode (AtomicFieldsLengthValidator.scala:34-86):
+        # missing collector name → EnrichmentFailure on the failed stream;
+        # oversize app_id (300 > 255) → FieldLengthError + nullified field
+        from enrich_spark.config import EnrichmentsConfig
+        from enrich_spark.plans.pipeline import enrich_raw
+
+        ev = _load_events(spark, sf)
+        params = F.create_map(
+            F.lit("e"), F.lit("pv"),
+            F.lit("aid"),
+            F.when(F.col("user_id") % 13 == 0, F.rpad(F.lit("A"), 300, "A"))
+            .otherwise(F.concat(F.lit("app"), (F.col("event_id") % 5).cast("string"))),
+        )
+        raw = ev.select(
+            F.col("event_id").alias("src_event_id"),
+            params.alias("parameters"),
+            F.col("ts").alias("collector_tstamp"),
+            F.when(F.col("event_id") % 9 != 0, F.lit("ssc-2.9.0")).alias("collector_name"),
+        )
+        cfg = EnrichmentsConfig.default()
+        cfg.v_collector_default = None
+        cfg.accept_invalid_atomic = False
+        res = enrich_raw(raw, cfg, spark)
+        return res.all.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            F.col("v_collector"),
+            F.col("app_id"),
+            F.col("_is_failed").cast("long").alias("is_failed"),
+            F.size(F.col("_enrich_errors")).cast("long").alias("n_errs"),
+        )
+
+    q["validation_guards"] = q_validation_guards
+
     def q_metadata_agg(spark, sf):
         # The engine's only true aggregation (core/Metadata.scala:50-65),
         # run over the REAL enriched output: distinct (event schema, app,
@@ -1754,6 +1789,21 @@ def oracle_sql() -> dict[str, str]:
                     THEN 1 ELSE 0 END AS BIGINT) AS is_failed,
                CAST(CASE WHEN e.user_id % 7 <> 0 AND e.user_id % 5 = 0
                     THEN 1 ELSE 0 END AS BIGINT) AS n_failure_entities
+        FROM events e
+    """
+
+    # v_collector guard fires on event_id % 9 = 0 (no collector name, no
+    # default); strict length mode nullifies the 300-char app_id on
+    # user_id % 13 = 0 and records one FieldLengthError each
+    o["validation_guards"] = """
+        SELECT CAST(e.event_id AS BIGINT) AS src_event_id,
+               CASE WHEN e.event_id % 9 = 0 THEN NULL ELSE 'ssc-2.9.0' END AS v_collector,
+               CASE WHEN e.user_id % 13 = 0 THEN NULL
+                    ELSE 'app' || (e.event_id % 5) END AS app_id,
+               CAST(CASE WHEN e.event_id % 9 = 0 OR e.user_id % 13 = 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_failed,
+               CAST((CASE WHEN e.event_id % 9 = 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN e.user_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_errs
         FROM events e
     """
 

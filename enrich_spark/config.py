@@ -186,6 +186,15 @@ class EnrichmentsConfig:
     # lookup DataFrame provider for sql_query broadcast mode:
     # Callable[[SparkSession], DataFrame]
     sql_query_table: Any = None
+    # v_collector fallback when neither the cv param nor the collector
+    # source name is set; None = no fallback, the collectorVersionSet
+    # guard fails the event (EnrichmentManager.scala:446-463)
+    v_collector_default: str | None = "unknown"
+    # atomic-field length posture (AtomicFieldsLengthValidator.scala:34-86):
+    # True = accept oversize values unchanged (v6 default, counted only);
+    # False = record a FieldLengthError per oversize field and nullify it
+    # on the failed-stream copy (emitFailed semantics)
+    accept_invalid_atomic: bool = True
 
     @staticmethod
     def default() -> "EnrichmentsConfig":

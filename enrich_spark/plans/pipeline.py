@@ -81,7 +81,22 @@ def enrich_raw(df: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> En
     })
 
     # ---- tracker-protocol transform (atomic columns + _errors)
-    df = transform_params(df)
+    df = transform_params(df, v_collector_default=cfg.v_collector_default)
+
+    # ---- collectorVersionSet guard (EnrichmentManager.scala:446-463):
+    # an EnrichmentFailure, so the event lands on the failed stream with
+    # a failure entity (never silently dropped)
+    df = sql_ops.ensure_enrich_errors(df)
+    df = df.withColumn(
+        sql_ops.ENRICH_ERRORS_COL,
+        F.when(
+            F.col("v_collector").isNull() | (F.col("v_collector") == ""),
+            F.array_append(
+                F.col(sql_ops.ENRICH_ERRORS_COL),
+                F.lit("v_collector\tshould be set\t"),
+            ),
+        ).otherwise(F.col(sql_ops.ENRICH_ERRORS_COL)),
+    )
 
     # ---- structural validation of SDJ envelopes (full Iglu validation is
     # a UDF stage, see functions/iglu.py; envelope checks are native)
@@ -216,7 +231,7 @@ def enrich_raw(df: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> En
 
     # ---- atomic length validation (AtomicFieldsLengthValidator.scala:34-86)
     df = _stage_boundary(df)
-    df = validate_atomic_lengths(df)
+    df = validate_atomic_lengths(df, accept_invalid=cfg.accept_invalid_atomic)
 
     # ---- fill any never-set atomic columns with typed NULLs
     kinds = dict(ATOMIC_FIELDS)
@@ -267,22 +282,41 @@ def enrich_raw(df: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> En
 
 
 def validate_atomic_lengths(df: DataFrame, accept_invalid: bool = True) -> DataFrame:
-    """Truncate oversize atomic strings (accept_invalid=True, the v6
-    default posture) or accumulate SchemaViolations otherwise."""
+    """AtomicFieldsLengthValidator.scala:34-86 semantics.
+
+    accept_invalid=True (the v6 default): oversize values are accepted
+    UNCHANGED — the reference only bumps an invalid-count metric and
+    logs, it does not truncate (validateField keeps the value when
+    acceptInvalid).
+
+    accept_invalid=False: each oversize field records a FieldLengthError
+    and is nullified on the event (emitFailed nullify,
+    AtomicFieldsLengthValidator.scala:62-72) — the event then rides the
+    failed stream with a failure entity, mirroring the reference's
+    bad-row + failed-copy pair."""
     if accept_invalid:
-        cols = {}
-        for name, limit in ATOMIC_FIELD_LIMITS.items():
-            if name in df.columns:
-                cols[name] = F.when(
-                    F.length(F.col(name)) > limit, F.substring(F.col(name), 1, limit)
-                ).otherwise(F.col(name))
-        return df.withColumns(cols)
+        return df
+    present = [(n, l) for n, l in ATOMIC_FIELD_LIMITS.items() if n in df.columns]
     checks = [
         F.when(
             F.length(F.col(name)) > limit,
-            F.concat_ws("\t", F.lit(name), F.lit(f"longer than {limit} characters"), F.col(name)),
+            F.concat_ws(
+                "\t", F.lit(name),
+                F.lit(f"Field is longer than maximum allowed size {limit}"),
+                F.col(name),
+            ),
         )
-        for name, limit in ATOMIC_FIELD_LIMITS.items()
-        if name in df.columns
+        for name, limit in present
     ]
-    return df.withColumn("_errors", F.concat(F.col("_errors"), F.array_compact(F.array(*checks))))
+    from ..operators.sql_enrichments import ENRICH_ERRORS_COL, ensure_enrich_errors
+
+    df = ensure_enrich_errors(df)
+    df = df.withColumn(
+        ENRICH_ERRORS_COL,
+        F.concat(F.col(ENRICH_ERRORS_COL), F.array_compact(F.array(*checks))),
+    )
+    nullified = {
+        name: F.when(F.length(F.col(name)) > limit, F.lit(None)).otherwise(F.col(name))
+        for name, limit in present
+    }
+    return df.withColumns(nullified)

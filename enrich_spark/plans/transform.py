@@ -31,7 +31,7 @@ def _p(key: str) -> Column:
     return F.col("parameters").getItem(key)
 
 
-def transform_params(df: DataFrame, v_collector_default: str = "unknown") -> DataFrame:
+def transform_params(df: DataFrame, v_collector_default: str | None = "unknown") -> DataFrame:
     """Apply the full transform map. Pure column expressions."""
     cols: dict[str, Column] = {}
     errs: list[Column] = []
@@ -138,7 +138,8 @@ def transform_params(df: DataFrame, v_collector_default: str = "unknown") -> Dat
     # cv param wins over the payload's collector name (transform map 'cv'
     # runs after setupEnrichedEvent seeds it from source.name)
     cols["v_collector"] = F.coalesce(
-        C.make_tsv_safe(_p("cv")), F.col("collector_name"), F.lit(v_collector_default)
+        C.make_tsv_safe(_p("cv")), F.col("collector_name"),
+        F.lit(v_collector_default).cast("string"),
     )
     cols["v_etl"] = F.lit(V_ETL)
     cols["etl_tstamp"] = F.current_timestamp()

@@ -210,3 +210,34 @@ def test_tri_state_failed_split(spark):
     # failed event still serializes as a full 131-column TSV line
     tsv = to_tsv(res.failed).collect()[0].tsv
     assert len(tsv.split("\t")) == 131
+
+
+def test_collector_version_guard_and_strict_lengths(spark):
+    """collectorVersionSet guard (EnrichmentManager.scala:446-463) fails the
+    event onto the failed stream when v_collector cannot be set; strict
+    atomic-length mode (AtomicFieldsLengthValidator.scala:34-86) records a
+    FieldLengthError and nullifies the oversize field. The v6 default
+    (accept_invalid_atomic=True) accepts oversize values UNCHANGED —
+    no truncation."""
+    import datetime
+
+    raw = spark.createDataFrame(
+        [({"e": "pv", "aid": "A" * 300}, datetime.datetime(2024, 1, 1), "ssc"),
+         ({"e": "pv", "aid": "ok"}, datetime.datetime(2024, 1, 1), None)],
+        "parameters MAP<STRING,STRING>, collector_tstamp TIMESTAMP, collector_name STRING",
+    )
+    cfg = EnrichmentsConfig.default()
+    cfg.v_collector_default = None
+    cfg.accept_invalid_atomic = False
+    res = enrich_raw(raw, cfg, spark)
+    rows = {r.app_id: r for r in res.all.collect()}
+    long_row = rows[None]           # oversize app_id nullified
+    assert long_row._is_failed and any("255" in e for e in long_row._enrich_errors)
+    ok_row = rows["ok"]             # guard fired: no cv, no collector, no default
+    assert ok_row._is_failed and any("v_collector" in e for e in ok_row._enrich_errors)
+
+    # default posture: accepted unchanged, not truncated
+    res2 = enrich_raw(raw, EnrichmentsConfig.default(), spark)
+    vals = {r.v_collector: r.app_id for r in res2.all.collect()}
+    assert vals["ssc"] == "A" * 300
+    assert vals["unknown"] == "ok"
