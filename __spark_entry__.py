@@ -708,6 +708,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sql_lookup_join"] = q_sql_lookup
 
+    def q_sql_json_inputs(spark, sf):
+        # §2.5 #22 phase 2 — placeholders pulled from unstruct/contexts via
+        # schema criterion + JsonPath (sqlquery/Input.scala:92-140), in BOTH
+        # execution modes: broadcast equi-join keyed on a ue field, and the
+        # per-event cached-query mode keyed on a contexts field
+        from enrich_spark.operators.lookups import (
+            SqlJsonInput,
+            SqlQueryConf,
+            sql_query_enrichment,
+            sql_query_enrichment_udf,
+        )
+
+        ev = _load_events(spark, sf)
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        n_cust = cust.count()
+        nation_rows = {
+            int(r.n_nationkey): r.n_name
+            for r in spark.read.parquet(f"{sf}/nation.parquet").collect()
+        }
+        ue = F.to_json(F.struct(
+            F.lit("iglu:com.snowplowanalytics.snowplow/unstruct_event/jsonschema/1-0-0").alias("schema"),
+            F.struct(
+                F.lit("iglu:com.acme/cust_ref/jsonschema/1-0-3").alias("schema"),
+                F.struct((F.col("user_id") % n_cust + 1).cast("long").alias("ckey")).alias("data"),
+            ).alias("data"),
+        ))
+        co = F.to_json(F.struct(
+            F.lit("iglu:com.snowplowanalytics.snowplow/contexts/jsonschema/1-0-1").alias("schema"),
+            F.array(F.struct(
+                F.lit("iglu:com.acme/nation_pref/jsonschema/1-0-0").alias("schema"),
+                F.struct((F.col("event_id") % 25).cast("long").alias("nkey")).alias("data"),
+            )).alias("data"),
+        ))
+        events = ev.select(
+            F.col("event_id").alias("src_event_id"),
+            ue.alias("ue_json"), co.alias("co_json"),
+        ).withColumn("_errors", F.array().cast("array<string>"))
+
+        conf1 = SqlQueryConf(
+            key_map={"cust_ref": "ckey"},
+            json_inputs={"cust_ref": SqlJsonInput(
+                "unstruct_event", "iglu:com.acme/cust_ref/jsonschema/1-*-*",
+                "$.ckey", "long")},
+            context_schema="iglu:com.acme/customer/jsonschema/1-0-0",
+            expected_rows="EXACTLY_ONE",
+        )
+        lookup = cust.select(F.col("c_custkey").cast("long").alias("ckey"), "c_name")
+        out = sql_query_enrichment(events, conf1, lookup)
+
+        conf2 = SqlQueryConf(
+            key_map={"nation_ref": "nkey"},
+            json_inputs={"nation_ref": SqlJsonInput(
+                "contexts", "iglu:com.acme/nation_pref/jsonschema/1-*-*",
+                "$.nkey", "long")},
+            context_schema="iglu:com.acme/nation/jsonschema/1-0-0",
+            expected_rows="EXACTLY_ONE",
+        )
+
+        def query_fn(binds):
+            name = nation_rows.get(int(binds["nation_ref"]))
+            return [{"n_name": name}] if name is not None else []
+
+        out = sql_query_enrichment_udf(out, conf2, query_fn)
+        cust_ctx = F.element_at(
+            F.filter(F.col("_derived"),
+                     lambda c: c.getField("schema").contains("/customer/")), 1,
+        ).getField("data")
+        nation_ctx = F.element_at(
+            F.filter(F.col("_derived"),
+                     lambda c: c.getField("schema").contains("/nation/")), 1,
+        ).getField("data")
+        return out.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            F.get_json_object(cust_ctx, "$.c_name").alias("c_name"),
+            F.get_json_object(nation_ctx, "$.n_name").alias("n_name"),
+            F.size("_enrich_errors").cast("long").alias("n_errs"),
+        )
+
+    q["sql_json_inputs"] = q_sql_json_inputs
+
     def q_asn_bot(spark, sf):
         from enrich_spark.config import (
             AsnLookupsConf,
@@ -1852,6 +1932,16 @@ def oracle_sql() -> dict[str, str]:
         FROM events e
         LEFT JOIN customer c
           ON c.c_custkey = e.user_id % (SELECT count(*) FROM customer) + 1
+    """
+
+    # json inputs: ue ckey always hits customer (contiguous c_custkey),
+    # contexts nkey always hits nation (n_nationkey 0..24) → zero errors
+    o["sql_json_inputs"] = """
+        SELECT e.event_id AS src_event_id, c.c_name AS c_name, n.n_name AS n_name,
+               CAST(0 AS BIGINT) AS n_errs
+        FROM events e
+        JOIN customer c ON c.c_custkey = e.user_id % (SELECT count(*) FROM customer) + 1
+        JOIN nation n ON n.n_nationkey = e.event_id % 25
     """
 
     o["asn_bot_detection"] = """

@@ -186,6 +186,10 @@ class EnrichmentsConfig:
     # lookup DataFrame provider for sql_query broadcast mode:
     # Callable[[SparkSession], DataFrame]
     sql_query_table: Any = None
+    # per-event cached query mode (Rdbms.scala:31-66): a
+    # Callable[[dict], list[dict]] run behind a per-executor LRU+TTL
+    # cache; used when sql_query_table is None
+    sql_query_fn: Any = None
     # v_collector fallback when neither the cv param nor the collector
     # source name is set; None = no fallback, the collectorVersionSet
     # guard fails the event (EnrichmentManager.scala:446-463)

@@ -44,6 +44,20 @@ from .sql_enrichments import (
 
 
 @dataclass
+class SqlJsonInput:
+    """JSON ('json'-type) input: pull a placeholder value out of the
+    event's unstruct event / contexts / derived contexts by schema
+    criterion + JsonPath (sqlquery/Input.scala:92-140). Extraction is
+    100% native: variant functions over co_json, get_json_object over
+    ue_json, array filter over the derived-context structs."""
+
+    field: str              # "unstruct_event" | "contexts" | "derived_contexts"
+    schema_criterion: str   # e.g. "iglu:com.acme/user/jsonschema/1-*-*"
+    json_path: str          # "$.email", "$.user.emails[0]"
+    cast: str = "string"    # Spark type the placeholder binds as
+
+
+@dataclass
 class SqlQueryConf:
     # event-side key columns → lookup-side key columns
     key_map: dict[str, str] = field(default_factory=dict)
@@ -52,6 +66,45 @@ class SqlQueryConf:
     expected_rows: str = "AT_MOST_ONE"
     # lookup columns to emit into the context (None = all non-key columns)
     output_columns: list[str] | None = None
+    # JSON-sourced placeholders: name → SqlJsonInput. Names can be used
+    # on the event side of key_map alongside atomic column names
+    # (Input.scala Json vs Pojo inputs).
+    json_inputs: dict[str, SqlJsonInput] = field(default_factory=dict)
+
+
+def _json_input_col(spec: SqlJsonInput) -> Column:
+    """Compile one SqlJsonInput to a native Column expression."""
+    from .sql_enrichments import DERIVED_COL, _criterion_regex
+
+    crit_re = "^" + _criterion_regex(spec.schema_criterion) + "$"
+    path_suffix = spec.json_path.lstrip("$")  # "$.email" -> ".email"
+    if spec.field == "unstruct_event":
+        # envelope {schema: unstruct_event/..., data: {schema, data}}
+        matches = F.get_json_object(F.col("ue_json"), "$.data.schema").rlike(crit_re)
+        val = F.try_variant_get(
+            F.try_parse_json(F.col("ue_json")), "$.data.data" + path_suffix, spec.cast
+        )
+        return F.when(matches, val)
+    if spec.field == "contexts":
+        # envelope {schema: contexts/..., data: [{schema, data}, ...]}
+        arr = F.try_variant_get(
+            F.try_parse_json(F.col("co_json")), "$.data", "array<variant>"
+        )
+        matched = F.filter(
+            arr, lambda e: F.try_variant_get(e, "$.schema", "string").rlike(crit_re)
+        )
+        return F.try_variant_get(
+            F.element_at(matched, 1), "$.data" + path_suffix, spec.cast
+        )
+    if spec.field == "derived_contexts":
+        matched = F.filter(
+            F.col(DERIVED_COL), lambda c: c.getField("schema").rlike(crit_re)
+        )
+        return F.get_json_object(
+            F.element_at(matched, 1).getField("data"), "$" + path_suffix
+        ).cast(spec.cast)
+    raise ValueError(f"unknown json input field [{spec.field}]: "
+                     "should be one of unstruct_event, contexts, derived_contexts")
 
 
 def sql_query_enrichment(df: DataFrame, conf: SqlQueryConf, lookup: DataFrame) -> DataFrame:
@@ -62,6 +115,16 @@ def sql_query_enrichment(df: DataFrame, conf: SqlQueryConf, lookup: DataFrame) -
     lookup entirely (left join keeps them, no context, no error).
     """
     df = ensure_enrich_errors(ensure_derived(df))
+    # JSON-sourced placeholders become hidden extracted columns so the
+    # lookup stays a broadcast equi-join regardless of input source
+    json_cols = {f"_sqlin_{name}": _json_input_col(spec)
+                 for name, spec in conf.json_inputs.items()}
+    if json_cols:
+        df = df.withColumns(json_cols)
+
+    def ev_side(name: str):
+        return df[f"_sqlin_{name}"] if name in conf.json_inputs else df[name]
+
     out_cols = conf.output_columns or [
         c for c in lookup.columns if c not in conf.key_map.values()
     ]
@@ -71,7 +134,7 @@ def sql_query_enrichment(df: DataFrame, conf: SqlQueryConf, lookup: DataFrame) -
     )
     cond = None
     for ev_col, lk_col in conf.key_map.items():
-        c = df[ev_col].eqNullSafe(aliased[f"_lk_{lk_col}"]) & df[ev_col].isNotNull()
+        c = ev_side(ev_col).eqNullSafe(aliased[f"_lk_{lk_col}"]) & ev_side(ev_col).isNotNull()
         cond = c if cond is None else (cond & c)
 
     joined = df.join(F.broadcast(aliased), cond, "left")
@@ -86,7 +149,8 @@ def sql_query_enrichment(df: DataFrame, conf: SqlQueryConf, lookup: DataFrame) -
 
     key_present = None
     for ev_col in conf.key_map:
-        kp = F.col(ev_col).isNotNull()
+        name = f"_sqlin_{ev_col}" if ev_col in conf.json_inputs else ev_col
+        kp = F.col(name).isNotNull()
         key_present = kp if key_present is None else (key_present & kp)
     if conf.expected_rows in ("EXACTLY_ONE", "AT_LEAST_ONE"):
         # a keyed row with no lookup hit violates the contract
@@ -101,7 +165,8 @@ def sql_query_enrichment(df: DataFrame, conf: SqlQueryConf, lookup: DataFrame) -
     # AT_MOST_ONE/EXACTLY_ONE duplicate-key violations are a property of the
     # lookup table; enforced at load time (cheap, table-side) not per event:
     # callers should dedupe or validate the RHS with validate_lookup_unique.
-    return joined.drop(*[f"_lk_{c}" for c in lookup.columns])
+    return joined.drop(*[f"_lk_{c}" for c in lookup.columns],
+                       *[f"_sqlin_{n}" for n in conf.json_inputs])
 
 
 def validate_lookup_unique(lookup: DataFrame, key_cols: list[str]) -> None:
@@ -109,6 +174,90 @@ def validate_lookup_unique(lookup: DataFrame, key_cols: list[str]) -> None:
     dupes = lookup.groupBy(*key_cols).count().where(F.col("count") > 1).limit(1).collect()
     if dupes:
         raise ValueError(f"lookup table violates AT_MOST_ONE on {key_cols}: {dupes[0]}")
+
+
+_SQL_UDF_RESULT = T.StructType([
+    T.StructField("ctxs", T.ArrayType(T.StringType())),
+    T.StructField("error", T.StringType()),
+])
+
+
+def sql_query_enrichment_udf(
+    df: DataFrame,
+    conf: SqlQueryConf,
+    query_fn: Callable[[dict], list],
+    cache_size: int = 1000,
+    cache_ttl_s: float = 3600.0,
+    describes: str = "EVERY_ROW",
+) -> DataFrame:
+    """Per-event cached query mode — the semantics-preserving twin of the
+    broadcast join (SqlQueryEnrichment.scala:156-265 + Rdbms.scala:31-66
+    + CachingEvaluator.scala:27-127).
+
+    ``query_fn({placeholder: value, ...}) -> list[dict]`` runs the user
+    query (a DB-API connection closure in deployment, injectable in
+    tests), wrapped in a per-executor LRU+TTL cache keyed on the bound
+    placeholder values — request volume is bounded by key cardinality ×
+    executors, not event count. Rows with any NULL placeholder skip the
+    lookup (SqlQueryEnrichment.scala:232-235). Row-count contracts are
+    enforced per event; ``describes`` = EVERY_ROW (one context per result
+    row) or ALL_ROWS (single context wrapping the row array), mirroring
+    sqlquery/Output.scala:106-139."""
+    df = ensure_enrich_errors(ensure_derived(df))
+    json_cols = {f"_sqlin_{n}": _json_input_col(s)
+                 for n, s in conf.json_inputs.items()}
+    if json_cols:
+        df = df.withColumns(json_cols)
+    names = list(conf.key_map.keys())
+    in_cols = [F.col(f"_sqlin_{n}") if n in conf.json_inputs else F.col(n)
+               for n in names]
+    expected = conf.expected_rows
+    holder: dict = {}
+
+    @F.udf(returnType=_SQL_UDF_RESULT)
+    def run(*values):
+        if any(v is None for v in values):
+            return (None, None)  # skip — missing placeholder
+        if "cache" not in holder:
+            holder["cache"] = TtlCache(cache_size, cache_ttl_s)
+
+        def go():
+            try:
+                return (query_fn(dict(zip(names, values))), None)
+            except Exception as e:  # noqa: BLE001 — never throw from the pipeline
+                return (None, f"sql_query\t{type(e).__name__}: {e}\t")
+
+        rows, err = holder["cache"].get_or(tuple(values), go)
+        if err is not None:
+            return (None, err)
+        n = len(rows)
+        if expected == "EXACTLY_ONE" and n != 1:
+            return (None, f"sql_query\tExpected EXACTLY_ONE row(s), got {n}\t")
+        if expected == "AT_MOST_ONE" and n > 1:
+            return (None, f"sql_query\tExpected AT_MOST_ONE row(s), got {n}\t")
+        if expected == "AT_LEAST_ONE" and n < 1:
+            return (None, "sql_query\tExpected AT_LEAST_ONE row(s), got 0\t")
+        if n == 0:
+            return (None, None)
+        if describes == "ALL_ROWS":
+            return ([json.dumps(rows, separators=(",", ":"))], None)
+        return ([json.dumps(r, separators=(",", ":")) for r in rows], None)
+
+    df = df.withColumn("_sqlq", run(*in_cols))
+    new_ctxs = F.transform(
+        F.col("_sqlq.ctxs"),
+        lambda d: F.struct(F.lit(conf.context_schema).alias("schema"), d.alias("data")),
+    )
+    df = df.withColumn(
+        DERIVED_COL,
+        F.when(F.col("_sqlq.ctxs").isNotNull(),
+               F.concat(F.col(DERIVED_COL), new_ctxs)).otherwise(F.col(DERIVED_COL)),
+    )
+    df = df.withColumn(
+        ENRICH_ERRORS_COL,
+        F.concat(F.col(ENRICH_ERRORS_COL), F.array_compact(F.array(F.col("_sqlq.error")))),
+    )
+    return df.drop("_sqlq", *[f"_sqlin_{n}" for n in conf.json_inputs])
 
 
 # ---------------------------------------------------------------------------

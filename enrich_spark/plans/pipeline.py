@@ -202,6 +202,10 @@ def enrich_raw(df: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> En
         from ..operators.lookups import sql_query_enrichment
 
         df = sql_query_enrichment(df, cfg.sql_query, cfg.sql_query_table(spark))
+    elif cfg.sql_query and cfg.sql_query_fn is not None:
+        from ..operators.lookups import sql_query_enrichment_udf
+
+        df = sql_query_enrichment_udf(df, cfg.sql_query, cfg.sql_query_fn)
     if cfg.api_request:
         from ..operators.lookups import api_request_enrichment
 

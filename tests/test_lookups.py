@@ -267,3 +267,87 @@ def test_pipeline_full_stack_with_new_enrichments(spark):
     bot = json.loads([c for c in good._derived if "bot_detection" in c.schema][0].data)
     assert bot["bot"] is True
     assert set(bot["indicators"]) >= {"datacenter_asn", "ua_robot"}
+
+
+# ---- SQL query enrichment phase 2: JSON inputs + per-event cached mode ----
+
+
+def test_sql_json_inputs_all_three_fields(spark):
+    """Placeholders pulled from unstruct_event / contexts / derived_contexts
+    by schema criterion + JsonPath (sqlquery/Input.scala:92-140)."""
+    from enrich_spark.operators.lookups import SqlJsonInput
+
+    ue = json.dumps({
+        "schema": "iglu:com.snowplowanalytics.snowplow/unstruct_event/jsonschema/1-0-0",
+        "data": {"schema": "iglu:com.acme/order/jsonschema/1-2-0",
+                 "data": {"okey": "A", "nested": {"x": 1}}},
+    })
+    co = json.dumps({
+        "schema": "iglu:com.snowplowanalytics.snowplow/contexts/jsonschema/1-0-1",
+        "data": [
+            {"schema": "iglu:com.other/noise/jsonschema/1-0-0", "data": {"okey": "WRONG"}},
+            {"schema": "iglu:com.acme/pref/jsonschema/1-0-0", "data": {"pkey": "B"}},
+        ],
+    })
+    events = _base_df(spark, [(ue, co)], "ue_json STRING, co_json STRING")
+    events = events.withColumn("_derived", F.array(F.struct(
+        F.lit("iglu:com.acme/geo/jsonschema/1-0-0").alias("schema"),
+        F.lit('{"gkey":"C"}').alias("data"),
+    )))
+    lookup = spark.createDataFrame(
+        [("A", "B", "C", "hit")], "ok STRING, pk STRING, gk STRING, val STRING"
+    )
+    conf = SqlQueryConf(
+        key_map={"o": "ok", "p": "pk", "g": "gk"},
+        json_inputs={
+            "o": SqlJsonInput("unstruct_event", "iglu:com.acme/order/jsonschema/1-*-*", "$.okey"),
+            "p": SqlJsonInput("contexts", "iglu:com.acme/pref/jsonschema/1-*-*", "$.pkey"),
+            "g": SqlJsonInput("derived_contexts", "iglu:com.acme/geo/jsonschema/1-*-*", "$.gkey"),
+        },
+    )
+    out = sql_query_enrichment(events, conf, lookup).collect()[0]
+    added = [c for c in out._derived if "sql_context" in c.schema]
+    assert len(added) == 1
+    assert json.loads(added[0].data) == {"val": "hit"}
+    # criterion mismatch (wrong vendor / wrong model) extracts nothing
+    conf_miss = SqlQueryConf(
+        key_map={"o": "ok"},
+        json_inputs={"o": SqlJsonInput(
+            "unstruct_event", "iglu:com.acme/order/jsonschema/2-*-*", "$.okey")},
+        expected_rows="AT_MOST_ONE",
+    )
+    out2 = sql_query_enrichment(events.drop("_derived"), conf_miss, lookup).collect()[0]
+    assert [c for c in out2._derived if "sql_context" in c.schema] == []
+
+
+def test_sql_query_udf_mode_contracts(spark):
+    """Per-event cached mode: contracts + EVERY_ROW context fan-out +
+    skip-on-null (SqlQueryEnrichment.scala:232-235)."""
+    from enrich_spark.operators.lookups import sql_query_enrichment_udf
+
+    events = _base_df(
+        spark, [("one",), ("many",), ("none",), (None,)], "k STRING"
+    )
+    table = {"one": [{"v": 1}], "many": [{"v": 1}, {"v": 2}], "none": []}
+    calls = []
+
+    def query_fn(binds):
+        calls.append(binds["k"])
+        return table[binds["k"]]
+
+    conf = SqlQueryConf(key_map={"k": "k"}, expected_rows="AT_LEAST_ONE")
+    out = {r.k: r for r in sql_query_enrichment_udf(events, conf, query_fn).collect()}
+    assert [json.loads(c.data) for c in out["one"]._derived] == [{"v": 1}]
+    assert [json.loads(c.data) for c in out["many"]._derived] == [{"v": 1}, {"v": 2}]
+    assert any("AT_LEAST_ONE" in e for e in out["none"]._enrich_errors)
+    assert out[None]._derived == [] and out[None]._enrich_errors == []
+
+    conf2 = SqlQueryConf(key_map={"k": "k"}, expected_rows="EXACTLY_ONE")
+    out2 = {r.k: r for r in sql_query_enrichment_udf(events, conf2, query_fn).collect()}
+    assert any("EXACTLY_ONE" in e and "got 2" in e for e in out2["many"]._enrich_errors)
+
+    # ALL_ROWS: one context wrapping the whole row array
+    conf3 = SqlQueryConf(key_map={"k": "k"}, expected_rows="ALL_ROWS")
+    out3 = {r.k: r for r in sql_query_enrichment_udf(
+        events, conf3, query_fn, describes="ALL_ROWS").collect()}
+    assert json.loads(out3["many"]._derived[0].data) == [{"v": 1}, {"v": 2}]
