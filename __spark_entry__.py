@@ -788,6 +788,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sql_json_inputs"] = q_sql_json_inputs
 
+    def q_iab_classify(spark, sf):
+        # §2.5 #4 — IAB spiders & robots with the real three-file list
+        # semantics (registry/IabEnrichment.scala:100-199): CIDR ip-exclude,
+        # pipe-delimited include/exclude UA records, date-aware
+        # ACTIVE/INACTIVE categories, check order ip → include → exclude
+        import os
+
+        from enrich_spark.operators.iab import iab_context, load_lists
+
+        d = "/tmp/enrich_spark_iab_fixture"
+        os.makedirs(d, exist_ok=True)
+        with open(f"{d}/ip.txt", "w") as f:
+            f.write("# ip exclude list\n10.1.0.0/16\n192.168.151.21/32\n")
+        with open(f"{d}/exclude.txt", "w") as f:
+            f.write("spiderx|1||0|2030-01-01|A\n"
+                    "oldbot|1||0|2020-01-01|P\n"
+                    "retired|0||0||B\n")
+        with open(f"{d}/include.txt", "w") as f:
+            f.write("mozilla|1||0||U\nxdroid|1||1||U\n")
+        lists = load_lists(f"{d}/ip.txt", f"{d}/exclude.txt", f"{d}/include.txt")
+
+        ev = _load_events(spark, sf)
+        eid = F.col("event_id")
+        ua = (
+            F.when(eid % 5 == 0, F.lit("Mozilla/5.0 (X11; Linux)"))
+            .when(eid % 5 == 1, F.lit("Mozilla/5.0 spiderx/1.0"))
+            .when(eid % 5 == 2, F.lit("curlish/7.0"))
+            .when(eid % 5 == 3, F.lit("Mozilla/4.0 oldbot"))
+            .otherwise(F.lit("Xdroid app"))
+        )
+        df = ev.select(
+            eid.alias("src_event_id"),
+            ua.alias("useragent"),
+            F.when(eid % 7 == 0, F.lit("10.1.2.3")).otherwise(F.lit("8.8.8.8"))
+            .alias("user_ipaddress"),
+            F.lit("2024-06-01 12:00:00").cast("timestamp").alias("derived_tstamp"),
+        )
+        out = iab_context(df, lists)
+        data = F.element_at(F.col("_derived"), 1).getField("data")
+        return out.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            F.get_json_object(data, "$.spiderOrRobot").cast("boolean").cast("long").alias("spider"),
+            F.get_json_object(data, "$.category").alias("category"),
+            F.get_json_object(data, "$.reason").alias("reason"),
+            F.get_json_object(data, "$.primaryImpact").alias("impact"),
+        )
+
+    q["iab_classify"] = q_iab_classify
+
     def q_asn_bot(spark, sf):
         from enrich_spark.config import (
             AsnLookupsConf,
@@ -1932,6 +1981,31 @@ def oracle_sql() -> dict[str, str]:
         FROM events e
         LEFT JOIN customer c
           ON c.c_custkey = e.user_id % (SELECT count(*) FROM customer) + 1
+    """
+
+    # iab: ip check first (eid%7=0 → 10.1.0.0/16), then include miss
+    # (curlish), then exclude (spiderx active to 2030 → ACTIVE + A-impact;
+    # oldbot inactive since 2020 vs event date 2024 → INACTIVE + P-impact)
+    o["iab_classify"] = """
+        SELECT CAST(e.event_id AS BIGINT) AS src_event_id,
+               CAST(CASE WHEN e.event_id % 7 = 0 OR e.event_id % 5 IN (1, 2, 3)
+                    THEN 1 ELSE 0 END AS BIGINT) AS spider,
+               CASE WHEN e.event_id % 7 = 0 THEN 'SPIDER_OR_ROBOT'
+                    WHEN e.event_id % 5 = 1 THEN 'ACTIVE_SPIDER_OR_ROBOT'
+                    WHEN e.event_id % 5 = 2 THEN 'SPIDER_OR_ROBOT'
+                    WHEN e.event_id % 5 = 3 THEN 'INACTIVE_SPIDER_OR_ROBOT'
+                    ELSE 'BROWSER' END AS category,
+               CASE WHEN e.event_id % 7 = 0 THEN 'FAILED_IP_EXCLUDE'
+                    WHEN e.event_id % 5 = 1 THEN 'FAILED_UA_EXCLUDE'
+                    WHEN e.event_id % 5 = 2 THEN 'FAILED_UA_INCLUDE'
+                    WHEN e.event_id % 5 = 3 THEN 'FAILED_UA_EXCLUDE'
+                    ELSE 'PASSED_ALL' END AS reason,
+               CASE WHEN e.event_id % 7 = 0 THEN 'UNKNOWN'
+                    WHEN e.event_id % 5 = 1 THEN 'AD_IMPRESSIONS'
+                    WHEN e.event_id % 5 = 2 THEN 'UNKNOWN'
+                    WHEN e.event_id % 5 = 3 THEN 'PAGE_IMPRESSIONS'
+                    ELSE 'NONE' END AS impact
+        FROM events e
     """
 
     # json inputs: ue ckey always hits customer (contiguous c_custkey),

@@ -120,6 +120,14 @@ class IabConf:
         default_factory=lambda: ["(?i)bot", "(?i)crawler", "(?i)spider", "(?i)slurp", "curl/", "wget/"]
     )
     datacenter_ip_ranges: list[str] = field(default_factory=list)
+    # real IAB list files (IabEnrichment.scala:112-116; formats in
+    # operators/iab.py). When any is set the file-based operator runs
+    # instead of the pattern-list fallback.
+    ip_file: str | None = None
+    exclude_ua_file: str | None = None
+    include_ua_file: str | None = None
+    exclude_useragents: list[str] = field(default_factory=list)
+    include_useragents: list[str] = field(default_factory=list)
 
 
 @dataclass

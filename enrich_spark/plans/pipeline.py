@@ -129,7 +129,15 @@ def enrich_raw(df: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> En
     df = sql_ops.derived_tstamp(df)
     df = _stage_boundary(df)
     if cfg.iab:
-        df = ua_op.iab_spiders_robots(df, cfg.iab.bot_ua_patterns)
+        if cfg.iab.ip_file or cfg.iab.exclude_ua_file or cfg.iab.include_ua_file:
+            from ..operators.iab import iab_context, load_lists
+
+            df = iab_context(df, load_lists(
+                cfg.iab.ip_file, cfg.iab.exclude_ua_file, cfg.iab.include_ua_file,
+                cfg.iab.exclude_useragents, cfg.iab.include_useragents,
+            ))
+        else:
+            df = ua_op.iab_spiders_robots(df, cfg.iab.bot_ua_patterns)
     if cfg.user_agent_utils:
         df = ua_op.user_agent_utils(df)
     if cfg.ua_parser:
