@@ -649,6 +649,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["validation_guards"] = q_validation_guards
 
+    def q_badrow_format(spark, sf):
+        # §2.1 bad sink — snowplow-badrows SDJ envelope parity: schema URI
+        # selection per failure class (CPFormatViolation / AdapterFailures /
+        # SchemaViolations / EnrichmentFailures) + structured messages
+        from enrich_spark.config import EnrichmentsConfig
+        from enrich_spark.plans.pipeline import enrich_raw
+        from enrich_spark.plans.serialize import bad_rows_json
+
+        ev = _load_events(spark, sf)
+        eid = F.col("event_id")
+        params = F.create_map(
+            F.lit("e"), F.lit("pv"),
+            F.lit("tid"), F.when(eid % 3 == 0, F.lit("NaN"))
+            .otherwise(eid.cast("string")),
+        )
+        raw = ev.select(
+            eid.alias("src_event_id"),
+            params.alias("parameters"),
+            F.col("ts").alias("collector_tstamp"),
+            F.lit("ssc").alias("collector_name"),
+            F.when(eid % 4 == 0, F.lit("boom: not thrift")).alias("loader_error"),
+            F.when(eid % 5 == 0, F.lit("Adapter not found")).alias("_adapter_error"),
+        )
+        res = enrich_raw(raw, EnrichmentsConfig.default(), spark)
+        br = bad_rows_json(res.bad, keep=("src_event_id",))
+        return br.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            F.get_json_object("bad_row", "$.schema").alias("badrow_schema"),
+            F.get_json_object("bad_row", "$.data.processor.artifact").alias("artifact"),
+            F.coalesce(
+                F.get_json_object("bad_row", "$.data.failure.messages[0].field"),
+                F.get_json_object("bad_row", "$.data.failure.message"),
+                F.get_json_object("bad_row", "$.data.failure.messages[0].message"),
+            ).alias("first_detail"),
+        )
+
+    q["badrow_format"] = q_badrow_format
+
     def q_metadata_agg(spark, sf):
         # The engine's only true aggregation (core/Metadata.scala:50-65),
         # run over the REAL enriched output: distinct (event schema, app,
@@ -1981,6 +2019,24 @@ def oracle_sql() -> dict[str, str]:
         FROM events e
         LEFT JOIN customer c
           ON c.c_custkey = e.user_id % (SELECT count(*) FROM customer) + 1
+    """
+
+    # badrow envelope: loader error (eid%4=0) wins over adapter (eid%5=0)
+    # wins over the tid schema violation (eid%3=0); good rows emit nothing
+    _BR = "iglu:com.snowplowanalytics.snowplow.badrows/"
+    o["badrow_format"] = f"""
+        SELECT CAST(e.event_id AS BIGINT) AS src_event_id,
+               CASE WHEN e.event_id % 4 = 0
+                    THEN '{_BR}collector_payload_format_violation/jsonschema/1-0-0'
+                    WHEN e.event_id % 5 = 0
+                    THEN '{_BR}adapter_failures/jsonschema/1-0-0'
+                    ELSE '{_BR}schema_violations/jsonschema/2-0-0' END AS badrow_schema,
+               'enrich-spark' AS artifact,
+               CASE WHEN e.event_id % 4 = 0 THEN 'boom: not thrift'
+                    WHEN e.event_id % 5 = 0 THEN 'Adapter not found'
+                    ELSE 'tid' END AS first_detail
+        FROM events e
+        WHERE e.event_id % 4 = 0 OR e.event_id % 5 = 0 OR e.event_id % 3 = 0
     """
 
     # iab: ip check first (eid%7=0 → 10.1.0.0/16), then include miss

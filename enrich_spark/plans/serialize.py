@@ -66,10 +66,48 @@ def to_tsv(
     return out
 
 
-def bad_rows_json(df: DataFrame, processor: str = "enrich-spark", version: str = "0.1.0") -> DataFrame:
-    """BadRow JSON (semantic parity with the snowplow-badrows shapes,
-    SURVEY §1.4 — schema violations / adapter failures / loader format
-    violations carried with processor + failure + payload)."""
+_BADROWS = "iglu:com.snowplowanalytics.snowplow.badrows/"
+
+# failure class → (badrows schema name, schema version) — the public
+# snowplow-badrows schema registry used by the reference throughout
+# (ThriftLoader.scala:71-78 CPFormatViolation, AdapterRegistry.scala:116-135
+# AdapterFailures, EnrichmentManager.scala:117-137 SchemaViolations /
+# EnrichmentFailures, core/Processing.scala:352-368 SizeViolation)
+_BADROW_SCHEMAS = {
+    "collector_payload_format_violation": "1-0-0",
+    "adapter_failures": "1-0-0",
+    "schema_violations": "2-0-0",
+    "enrichment_failures": "2-0-0",
+    "size_violation": "1-0-0",
+}
+
+
+def _structured_messages(errs: Column) -> Column:
+    """Internal '<field>\\t<message>\\t<value>' error strings → the
+    badrows message object shape {field, message, value}."""
+    return F.transform(
+        errs,
+        lambda e: F.struct(
+            F.split_part(e, F.lit("\t"), F.lit(1)).alias("field"),
+            F.split_part(e, F.lit("\t"), F.lit(2)).alias("message"),
+            F.nullif(F.split_part(e, F.lit("\t"), F.lit(3)), F.lit("")).alias("value"),
+        ),
+    )
+
+
+def bad_rows_json(df: DataFrame, processor: str = "enrich-spark", version: str = "0.1.0",
+                  keep: tuple[str, ...] = ()) -> DataFrame:
+    """BadRow as the snowplow-badrows self-describing JSON envelope:
+
+        {"schema": "iglu:com.snowplowanalytics.snowplow.badrows/<type>/jsonschema/<ver>",
+         "data": {"processor": {...}, "failure": {...}, "payload": {...}}}
+
+    Field-for-field with the public badrows schemas at the envelope /
+    processor / failure.timestamp+messages / payload level; message
+    bodies carry our structured {field, message, value} triples (the
+    reference's per-subtype message unions collapse onto this shape —
+    documented divergence, byte-parity is not claimed for message
+    internals)."""
     has_schema_violations = F.size(F.col("_errors")) > 0
     failure_type = (
         F.when(F.col("loader_error").isNotNull(), F.lit("collector_payload_format_violation"))
@@ -77,27 +115,81 @@ def bad_rows_json(df: DataFrame, processor: str = "enrich-spark", version: str =
         .when(has_schema_violations, F.lit("schema_violations"))
         .otherwise(F.lit("enrichment_failures"))
     )
-    messages = (
-        F.when(F.col("loader_error").isNotNull(), F.array(F.col("loader_error")))
-        .when(F.col("_adapter_error").isNotNull(), F.array(F.col("_adapter_error")))
-        .when(has_schema_violations, F.col("_errors"))
-        .otherwise(F.col("_enrich_errors"))
+    schema_uri = F.concat(
+        F.lit(_BADROWS), failure_type, F.lit("/jsonschema/"),
+        failure_type_version(failure_type),
     )
+    # failure section per type (loader: single message + loader name;
+    # adapter: vendor/version + messages; schema/enrichment: messages)
+    failure = (
+        F.when(F.col("loader_error").isNotNull(), F.to_json(F.struct(
+            format_timestamp(F.current_timestamp()).alias("timestamp"),
+            F.lit("thrift").alias("loader"),
+            F.col("loader_error").alias("message"),
+        )))
+        .when(F.col("_adapter_error").isNotNull(), F.to_json(F.struct(
+            format_timestamp(F.current_timestamp()).alias("timestamp"),
+            F.col("api_vendor").alias("vendor"),
+            F.col("api_version").alias("version"),
+            F.array(F.struct(F.col("_adapter_error").alias("message"))).alias("messages"),
+        )))
+        .otherwise(F.to_json(F.struct(
+            format_timestamp(F.current_timestamp()).alias("timestamp"),
+            F.when(has_schema_violations, _structured_messages(F.col("_errors")))
+            .otherwise(_structured_messages(F.col("_enrich_errors"))).alias("messages"),
+        )))
+    )
+    payload = F.to_json(F.struct(
+        F.col("api_vendor").alias("vendor"),
+        F.col("api_version").alias("version"),
+        F.col("content_type").alias("contentType"),
+        F.col("body").alias("body"),
+    ))
     return df.select(
-        F.to_json(
+        *keep,
+        F.concat(
+            F.lit('{"schema":"'), schema_uri,
+            F.lit('","data":{"processor":'),
+            F.to_json(F.struct(F.lit(processor).alias("artifact"),
+                               F.lit(version).alias("version"))),
+            F.lit(',"failure":'), failure,
+            F.lit(',"payload":'), payload,
+            F.lit("}}"),
+        ).alias("bad_row")
+    )
+
+
+def failure_type_version(failure_type: Column) -> Column:
+    expr = None
+    for name, ver in _BADROW_SCHEMAS.items():
+        cond = F.when(failure_type == name, F.lit(ver))
+        expr = cond if expr is None else expr.when(failure_type == name, F.lit(ver))
+    return expr.otherwise(F.lit("1-0-0"))
+
+
+def size_violation_json(
+    df: DataFrame,
+    max_bytes: int,
+    processor: str = "enrich-spark",
+    version: str = "0.1.0",
+    line_col: str = "tsv",
+) -> DataFrame:
+    """SizeViolation bad row for oversize serialized records
+    (core/Processing.scala:352-368): the payload carries a truncated
+    prefix of the offending line, never the full record."""
+    return df.select(
+        F.to_json(F.struct(
+            F.lit(f"{_BADROWS}size_violation/jsonschema/1-0-0").alias("schema"),
             F.struct(
-                failure_type.alias("type"),
-                F.struct(
-                    F.lit(processor).alias("artifact"), F.lit(version).alias("version")
-                ).alias("processor"),
+                F.struct(F.lit(processor).alias("artifact"),
+                         F.lit(version).alias("version")).alias("processor"),
                 F.struct(
                     format_timestamp(F.current_timestamp()).alias("timestamp"),
-                    messages.alias("messages"),
+                    F.octet_length(F.col(line_col)).alias("actualSizeBytes"),
+                    F.lit(max_bytes).alias("maximumAllowedSizeBytes"),
+                    F.lit("oversized enriched event").alias("expectation"),
                 ).alias("failure"),
-                F.to_json(F.struct(
-                    F.col("api_vendor"), F.col("api_version"),
-                    F.col("content_type"), F.col("body"),
-                )).alias("payload"),
-            )
-        ).alias("bad_row")
+                F.substring(F.col(line_col), 1, 256).alias("payload"),
+            ).alias("data"),
+        )).alias("bad_row")
     )

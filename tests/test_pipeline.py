@@ -103,9 +103,15 @@ def test_bad_rows_json_shape(spark):
     payloads = load_thrift(_payloads_df(spark, BAD_EVENT_TP2))
     res = enrich(payloads, EnrichmentsConfig.default(), spark)
     bad = json.loads(bad_rows_json(res.bad).collect()[0].bad_row)
-    assert bad["type"] == "schema_violations"
-    assert bad["processor"]["artifact"] == "enrich-spark"
-    assert len(bad["failure"]["messages"]) == 2  # p + tid
+    # snowplow-badrows self-describing envelope
+    assert bad["schema"] == (
+        "iglu:com.snowplowanalytics.snowplow.badrows/schema_violations/jsonschema/2-0-0"
+    )
+    assert bad["data"]["processor"]["artifact"] == "enrich-spark"
+    msgs = bad["data"]["failure"]["messages"]
+    assert sorted(m["field"] for m in msgs) == ["p", "tid"]  # p + tid
+    assert all("message" in m for m in msgs)
+    assert bad["data"]["payload"]["vendor"] == "com.snowplowanalytics.snowplow"
 
 
 def test_oversize_flag(spark):
@@ -203,7 +209,7 @@ def test_tri_state_failed_split(spark):
     assert any("EXACTLY_ONE" in e["message"] for e in data["errors"])
     # bad rows: one schema_violations + one enrichment_failures (Both)
     types = sorted(
-        json.loads(r.bad_row)["type"]
+        json.loads(r.bad_row)["schema"].split("/")[-3]
         for r in bad_rows_json(res.bad).unionByName(bad_rows_json(res.failed)).collect()
     )
     assert types == ["enrichment_failures", "schema_violations"]
@@ -241,3 +247,18 @@ def test_collector_version_guard_and_strict_lengths(spark):
     vals = {r.v_collector: r.app_id for r in res2.all.collect()}
     assert vals["ssc"] == "A" * 300
     assert vals["unknown"] == "ok"
+
+
+def test_size_violation_badrow(spark):
+    from enrich_spark.plans.serialize import size_violation_json
+
+    payloads = load_thrift(_payloads_df(spark, GOOD_TP2))
+    res = enrich(payloads, EnrichmentsConfig.default(), spark)
+    tsv = to_tsv(res.good, max_bytes=10)
+    bad = json.loads(
+        size_violation_json(tsv.where("oversized"), max_bytes=10).collect()[0].bad_row
+    )
+    assert bad["schema"].endswith("/size_violation/jsonschema/1-0-0")
+    f = bad["data"]["failure"]
+    assert f["actualSizeBytes"] > f["maximumAllowedSizeBytes"] == 10
+    assert len(bad["data"]["payload"]) <= 256  # truncated prefix only
