@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -542,6 +542,143 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["webhook_vendor_suite"] = q_webhook_vendor_suite
+
+    def q_webhook_vendor_suite2(spark, sf):
+        # §2.3 the full webhook long tail — one payload per event row,
+        # vendor chosen by event_id % 13:
+        #  0 callrail (qs → call_complete; empty qs → failure)
+        #  1 pingdom (qs message JSON, action → schema, unknown → failure)
+        #  2 statusgator (form → status_change)
+        #  3 unbounce (form + embedded data.json; missing → failure)
+        #  4 mailgun (form event type routing; unknown → failure)
+        #  5 mandrill (mandrill_events array → N events; unknown → failure)
+        #  6 hubspot (JSON array, subscriptionType routing; unknown → failure)
+        #  7 olark (form data JSON, offline_message vs transcript by tags)
+        #  8 pagerduty (messages array → N incidents)
+        #  9 urbanairship (type → schema; unknown → failure)
+        # 10 vero (type → schema; unknown → failure)
+        # 11 marketo (single event)
+        # 12 remote adapter (HTTP sidecar contract, injectable transport)
+        from enrich_spark.adapters.registry import adapt
+
+        eid = F.col("event_id")
+        v = eid % 13
+        f = eid % 17 == 0
+
+        def s(c):
+            return c.cast("string")
+
+        def qs_arr(*pairs):
+            return F.array(*[
+                F.struct(F.lit(n).alias("name"), val.alias("value"))
+                for n, val in pairs
+            ])
+
+        empty_qs = F.array().cast("array<struct<name:string,value:string>>")
+        cr_qs = F.when(f, empty_qs).otherwise(qs_arr(("duration", s(eid % 100))))
+        pd_action = (
+            F.when(f, F.lit("bogus"))
+            .when(eid % 2 == 0, F.lit("assign")).otherwise(F.lit("notify_user"))
+        )
+        pingdom_qs = qs_arr(("message", F.concat(
+            F.lit('{"action":"'), pd_action, F.lit('","check":"c'), s(eid % 9),
+            F.lit('"}'))))
+        sg_body = F.concat(F.lit("service_name=s"), s(eid % 7),
+                           F.lit("&status_page_url=https://sp.example"))
+        ub_body = F.when(f, F.concat(F.lit("page_id=p"), s(eid % 50))).otherwise(
+            F.concat(F.lit("page_id=p"), s(eid % 50),
+                     F.lit("&data.json=%7B%22v%22%3A1%7D")))
+        mg_event = F.when(f, F.lit("weird")).otherwise(F.lit("delivered"))
+        mg_body = F.concat(F.lit("event="), mg_event,
+                           F.lit("&recipient=r"), s(eid), F.lit("@x.com"))
+        md_second = F.when(f, F.lit("zzz")).otherwise(F.lit("click"))
+        md_body = F.concat(
+            F.lit('mandrill_events=[{"event":"open","_id":"m'), s(eid),
+            F.lit('"},{"event":"'), md_second, F.lit('","_id":"n'), s(eid),
+            F.lit('"}]'))
+        hs_type = F.when(f, F.lit("x.y")).otherwise(F.lit("contact.creation"))
+        hs_body = F.concat(F.lit('[{"subscriptionType":"'), hs_type,
+                           F.lit('","objectId":"h'), s(eid), F.lit('"}]'))
+        ol_body = F.when(eid % 2 == 0, F.concat(
+            F.lit('data={"id":"o'), s(eid), F.lit('","tags":["offline_message"]}'),
+        )).otherwise(F.concat(F.lit('data={"id":"o'), s(eid), F.lit('"}')))
+        pg_body = F.concat(
+            F.lit('{"messages":[{"type":"incident.trigger","id":"pd'), s(eid),
+            F.lit('a"},{"type":"incident.resolve","id":"pd'), s(eid), F.lit('b"}]}'))
+        ua_type = F.when(f, F.lit("BOGUS")).otherwise(F.lit("OPEN"))
+        ua_body = F.concat(F.lit('{"type":"'), ua_type, F.lit('","id":"ua'),
+                           s(eid), F.lit('"}'))
+        vr_type = F.when(f, F.lit("nope")).otherwise(F.lit("delivered"))
+        vr_body = F.concat(F.lit('{"type":"'), vr_type, F.lit('","id":"v'),
+                           s(eid), F.lit('"}'))
+        mk_body = F.concat(F.lit('{"name":"mk'), s(eid), F.lit('"}'))
+        rm_body = F.concat(F.lit("r"), s(eid))
+
+        form_ct, json_ct = "application/x-www-form-urlencoded", "application/json"
+        vendors_tbl = [
+            ("com.callrail", "v1", None, None, cr_qs),
+            ("com.pingdom", "v1", None, None, pingdom_qs),
+            ("com.statusgator", "v1", form_ct, sg_body, None),
+            ("com.unbounce", "v1", form_ct, ub_body, None),
+            ("com.mailgun", "v1", form_ct, mg_body, None),
+            ("com.mandrill", "v1", form_ct, md_body, None),
+            ("com.hubspot", "v1", json_ct, hs_body, None),
+            ("com.olark", "v1", form_ct, ol_body, None),
+            ("com.pagerduty", "v1", json_ct, pg_body, None),
+            ("com.urbanairship.connect", "v1", json_ct, ua_body, None),
+            ("com.getvero", "v1", json_ct, vr_body, None),
+            ("com.marketo", "v1", json_ct, mk_body, None),
+            ("com.acme.remote", "v1", None, rm_body, None),
+        ]
+
+        def pick(i, items):
+            expr = None
+            for idx, it in enumerate(items):
+                c = it if isinstance(it, Column) else F.lit(it)
+                expr = F.when(v == idx, c) if expr is None else expr.when(v == idx, c)
+            return expr
+
+        payloads = _load_events(spark, sf).select(
+            eid.alias("src_event_id"),
+            pick(0, [t[0] for t in vendors_tbl]).alias("api_vendor"),
+            pick(1, [t[1] for t in vendors_tbl]).alias("api_version"),
+            F.coalesce(
+                pick(4, [t[4] if t[4] is not None else empty_qs for t in vendors_tbl]),
+                empty_qs,
+            ).alias("querystring"),
+            pick(2, [t[2] for t in vendors_tbl]).cast("string").alias("content_type"),
+            pick(3, [t[3] if t[3] is not None else F.lit(None).cast("string")
+                     for t in vendors_tbl]).alias("body"),
+        )
+
+        def transport(request_json):
+            import json as _j
+
+            req = _j.loads(request_json)
+            return _j.dumps({"events": [{"e": "ue", "rid": req["body"]}]})
+
+        out = adapt(payloads, remote_adapters={("com.acme.remote", "v1"): transport})
+        ue = F.col("parameters")["ue_pr"]
+        return out.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            F.get_json_object(ue, "$.data.schema").alias("hit_schema"),
+            F.coalesce(
+                F.get_json_object(ue, "$.data.data.duration"),
+                F.get_json_object(ue, "$.data.data.check"),
+                F.get_json_object(ue, "$.data.data.service_name"),
+                F.get_json_object(ue, "$.data.data.page_id"),
+                F.get_json_object(ue, "$.data.data.recipient"),
+                F.get_json_object(ue, "$.data.data._id"),
+                F.get_json_object(ue, "$.data.data.objectId"),
+                F.get_json_object(ue, "$.data.data.id"),
+                F.get_json_object(ue, "$.data.data.name"),
+                F.col("parameters")["rid"],
+            ).alias("val"),
+            F.when(F.col("_adapter_error").isNotNull(), 1).otherwise(0)
+            .cast("long").alias("is_err"),
+        )
+
+    q["webhook_vendor_suite2"] = q_webhook_vendor_suite2
 
     def q_bad_rows(spark, sf):
         from enrich_spark.config import EnrichmentsConfig
@@ -2019,6 +2156,87 @@ def oracle_sql() -> dict[str, str]:
         FROM events e
         LEFT JOIN customer c
           ON c.c_custkey = e.user_id % (SELECT count(*) FROM customer) + 1
+    """
+
+    # vendor suite 2: the remaining webhook long tail, vendor by eid%13,
+    # failure trigger eid%17=0 where the vendor has a failure path
+    o["webhook_vendor_suite2"] = """
+        WITH e AS (SELECT event_id AS eid FROM events)
+        SELECT CAST(eid AS BIGINT) AS src_event_id,
+               'iglu:com.callrail/call_complete/jsonschema/1-0-2' AS hit_schema,
+               CAST(eid % 100 AS VARCHAR) AS val, CAST(0 AS BIGINT) AS is_err
+        FROM e WHERE eid % 13 = 0 AND eid % 17 <> 0
+        UNION ALL SELECT CAST(eid AS BIGINT), NULL, NULL, 1
+        FROM e WHERE eid % 13 = 0 AND eid % 17 = 0
+        UNION ALL SELECT CAST(eid AS BIGINT),
+               'iglu:com.pingdom/' ||
+                 CASE WHEN eid % 2 = 0 THEN 'incident_assign'
+                      ELSE 'incident_notify_user' END || '/jsonschema/1-0-0',
+               'c' || (eid % 9), 0
+        FROM e WHERE eid % 13 = 1 AND eid % 17 <> 0
+        UNION ALL SELECT CAST(eid AS BIGINT), NULL, NULL, 1
+        FROM e WHERE eid % 13 = 1 AND eid % 17 = 0
+        UNION ALL SELECT CAST(eid AS BIGINT),
+               'iglu:com.statusgator/status_change/jsonschema/1-0-0',
+               's' || (eid % 7), 0
+        FROM e WHERE eid % 13 = 2
+        UNION ALL SELECT CAST(eid AS BIGINT),
+               'iglu:com.unbounce/form_post/jsonschema/1-0-0',
+               'p' || (eid % 50), 0
+        FROM e WHERE eid % 13 = 3 AND eid % 17 <> 0
+        UNION ALL SELECT CAST(eid AS BIGINT), NULL, NULL, 1
+        FROM e WHERE eid % 13 = 3 AND eid % 17 = 0
+        UNION ALL SELECT CAST(eid AS BIGINT),
+               'iglu:com.mailgun/message_delivered/jsonschema/1-0-0',
+               'r' || eid || '@x.com', 0
+        FROM e WHERE eid % 13 = 4 AND eid % 17 <> 0
+        UNION ALL SELECT CAST(eid AS BIGINT), NULL, NULL, 1
+        FROM e WHERE eid % 13 = 4 AND eid % 17 = 0
+        UNION ALL SELECT CAST(eid AS BIGINT),
+               'iglu:com.mandrill/message_opened/jsonschema/1-0-3',
+               'm' || eid, 0
+        FROM e WHERE eid % 13 = 5 AND eid % 17 <> 0
+        UNION ALL SELECT CAST(eid AS BIGINT),
+               'iglu:com.mandrill/message_clicked/jsonschema/1-0-2',
+               'n' || eid, 0
+        FROM e WHERE eid % 13 = 5 AND eid % 17 <> 0
+        UNION ALL SELECT CAST(eid AS BIGINT), NULL, NULL, 1
+        FROM e WHERE eid % 13 = 5 AND eid % 17 = 0
+        UNION ALL SELECT CAST(eid AS BIGINT),
+               'iglu:com.hubspot/contact_creation/jsonschema/1-0-0',
+               'h' || eid, 0
+        FROM e WHERE eid % 13 = 6 AND eid % 17 <> 0
+        UNION ALL SELECT CAST(eid AS BIGINT), NULL, NULL, 1
+        FROM e WHERE eid % 13 = 6 AND eid % 17 = 0
+        UNION ALL SELECT CAST(eid AS BIGINT),
+               'iglu:com.olark/' ||
+                 CASE WHEN eid % 2 = 0 THEN 'offline_message' ELSE 'transcript' END
+                 || '/jsonschema/1-0-0',
+               'o' || eid, 0
+        FROM e WHERE eid % 13 = 7
+        UNION ALL SELECT CAST(eid AS BIGINT),
+               'iglu:com.pagerduty/incident/jsonschema/1-0-0',
+               'pd' || eid || s.sfx, 0
+        FROM e CROSS JOIN (VALUES ('a'), ('b')) AS s(sfx)
+        WHERE eid % 13 = 8
+        UNION ALL SELECT CAST(eid AS BIGINT),
+               'iglu:com.urbanairship.connect/OPEN/jsonschema/1-0-0',
+               'ua' || eid, 0
+        FROM e WHERE eid % 13 = 9 AND eid % 17 <> 0
+        UNION ALL SELECT CAST(eid AS BIGINT), NULL, NULL, 1
+        FROM e WHERE eid % 13 = 9 AND eid % 17 = 0
+        UNION ALL SELECT CAST(eid AS BIGINT),
+               'iglu:com.getvero/delivered/jsonschema/1-0-0',
+               'v' || eid, 0
+        FROM e WHERE eid % 13 = 10 AND eid % 17 <> 0
+        UNION ALL SELECT CAST(eid AS BIGINT), NULL, NULL, 1
+        FROM e WHERE eid % 13 = 10 AND eid % 17 = 0
+        UNION ALL SELECT CAST(eid AS BIGINT),
+               'iglu:com.marketo/event/jsonschema/2-0-0',
+               'mk' || eid, 0
+        FROM e WHERE eid % 13 = 11
+        UNION ALL SELECT CAST(eid AS BIGINT), NULL, 'r' || eid, 0
+        FROM e WHERE eid % 13 = 12
     """
 
     # badrow envelope: loader error (eid%4=0) wins over adapter (eid%5=0)
