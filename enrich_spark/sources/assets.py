@@ -52,9 +52,83 @@ def _fetch_http(uri: str) -> bytes:
         return r.read()
 
 
+def make_s3_fetcher(client=None):
+    """s3://bucket/key via boto3 (public AWS SDK; S3BlobClient.scala
+    equivalent). `client` injectable for tests; without it boto3 must be
+    installed — a clear error otherwise, nothing is assumed present."""
+
+    def fetch(uri: str) -> bytes:
+        u = urllib.parse.urlparse(uri)
+        c = client
+        if c is None:
+            try:
+                import boto3  # noqa: PLC0415 — optional dependency
+            except ImportError as e:
+                raise RuntimeError(
+                    "s3:// asset URIs need boto3 installed (or pass an "
+                    "injected client via make_s3_fetcher)"
+                ) from e
+            c = boto3.client("s3")
+        return c.get_object(Bucket=u.netloc, Key=u.path.lstrip("/"))["Body"].read()
+
+    return fetch
+
+
+def make_gs_fetcher(client=None):
+    """gs://bucket/object via google-cloud-storage (GcsBlobClient.scala
+    equivalent)."""
+
+    def fetch(uri: str) -> bytes:
+        u = urllib.parse.urlparse(uri)
+        c = client
+        if c is None:
+            try:
+                from google.cloud import storage  # noqa: PLC0415
+            except ImportError as e:
+                raise RuntimeError(
+                    "gs:// asset URIs need google-cloud-storage installed "
+                    "(or pass an injected client via make_gs_fetcher)"
+                ) from e
+            c = storage.Client()
+        return c.bucket(u.netloc).blob(u.path.lstrip("/")).download_as_bytes()
+
+    return fetch
+
+
+def make_azure_fetcher(service=None):
+    """azure://container/path via azure-storage-blob
+    (AzureBlobClient.scala equivalent); connection string from
+    AZURE_STORAGE_CONNECTION_STRING when no service is injected."""
+
+    def fetch(uri: str) -> bytes:
+        u = urllib.parse.urlparse(uri)
+        svc = service
+        if svc is None:
+            try:
+                from azure.storage.blob import BlobServiceClient  # noqa: PLC0415
+            except ImportError as e:
+                raise RuntimeError(
+                    "azure:// asset URIs need azure-storage-blob installed "
+                    "(or pass an injected service via make_azure_fetcher)"
+                ) from e
+            conn = os.environ.get("AZURE_STORAGE_CONNECTION_STRING")
+            if not conn:
+                raise RuntimeError("AZURE_STORAGE_CONNECTION_STRING is not set")
+            svc = BlobServiceClient.from_connection_string(conn)
+        return (
+            svc.get_blob_client(container=u.netloc, blob=u.path.lstrip("/"))
+            .download_blob().readall()
+        )
+
+    return fetch
+
+
 register_fetcher("file", _fetch_file)
 register_fetcher("http", _fetch_http)
 register_fetcher("https", _fetch_http)
+register_fetcher("s3", make_s3_fetcher())
+register_fetcher("gs", make_gs_fetcher())
+register_fetcher("azure", make_azure_fetcher())
 
 DEFAULT_REFRESH_PERIOD_S = 7 * 86400  # reference default: assets refresh every 7 days
 

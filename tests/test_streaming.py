@@ -185,7 +185,59 @@ def test_asset_manager_unknown_scheme():
 
     with tempfile.TemporaryDirectory() as tmp:
         with pytest.raises(ValueError, match="no asset fetcher"):
+            AssetManager([AssetSpec("x", "ftp://bucket/key")], cache_dir=tmp)
+        # s3/gs/azure are registered; without an injected client they
+        # need the SDK + credentials — an error either way (RuntimeError
+        # when the SDK is missing, the SDK's own error when creds are),
+        # never a silent skip
+        with pytest.raises(Exception):
             AssetManager([AssetSpec("x", "s3://bucket/key")], cache_dir=tmp)
+
+
+def test_cloud_blob_fetchers_with_fake_clients():
+    from enrich_spark.sources.assets import (
+        make_azure_fetcher,
+        make_gs_fetcher,
+        make_s3_fetcher,
+    )
+
+    class FakeS3:
+        def get_object(self, Bucket, Key):
+            assert (Bucket, Key) == ("b", "dir/f.mmdb")
+            return {"Body": type("B", (), {"read": lambda s: b"s3bytes"})()}
+
+    assert make_s3_fetcher(FakeS3())("s3://b/dir/f.mmdb") == b"s3bytes"
+
+    class FakeBlob:
+        def download_as_bytes(self):
+            return b"gsbytes"
+
+    class FakeBucket:
+        def blob(self, path):
+            assert path == "f.txt"
+            return FakeBlob()
+
+    class FakeGs:
+        def bucket(self, name):
+            assert name == "b"
+            return FakeBucket()
+
+    assert make_gs_fetcher(FakeGs())("gs://b/f.txt") == b"gsbytes"
+
+    class FakeDownload:
+        def readall(self):
+            return b"azbytes"
+
+    class FakeBlobClient:
+        def download_blob(self):
+            return FakeDownload()
+
+    class FakeSvc:
+        def get_blob_client(self, container, blob):
+            assert (container, blob) == ("cont", "f.bin")
+            return FakeBlobClient()
+
+    assert make_azure_fetcher(FakeSvc())("azure://cont/f.bin") == b"azbytes"
 
 
 def test_streaming_asset_hotswap_rebuilds_plan(spark):
