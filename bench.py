@@ -28,7 +28,7 @@ def main():
     spark = get_spark("enrich-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries = entrymod.queries()
+    queries = entrymod.bench_queries()
     headline = [
         "transform_atomic",       # adapter+transform+full enrich chain
         "event_fingerprint",      # full chain, crypto-hash projection
@@ -60,7 +60,10 @@ def main():
     # Steady-state measurement: run each query once to warm the codegen
     # cache (Janino compile of the 131-column projection is a one-time
     # driver cost — amortized to zero in the streaming/large-batch
-    # deployments this engine targets), then time the warm run.
+    # deployments this engine targets), then take the MEDIAN of 3 warm
+    # runs — a single warm sample is hostage to sandbox noisy neighbors
+    # (r3's recorded 31.9 s vs a reproducible 22.8 s).
+    n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in headline:
@@ -68,10 +71,16 @@ def main():
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: warm {timings[name]}s / cold {cold[name]}s ({n} rows)",
+        samples = []
+        for _ in range(n_warm):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spread = round(samples[-1] - samples[0], 3)
+        print(f"# {name}: warm median {timings[name]}s "
+              f"(spread {spread}s over {n_warm} runs, cold {cold[name]}s, {n} rows)",
               file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
