@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -406,7 +407,57 @@ def _rewrite_version(envelope: dict, validated_with: str) -> None:
         envelope["schema"] = f"iglu:{vendor}/{name}/{fmt}/{validated_with}"
 
 
-def validate_sdjs(df: DataFrame, registry: SchemaRegistry, strict: bool = False) -> DataFrame:
+def _check_event(reg: SchemaRegistry, strict: bool, ue_json, co_json, derived):
+    """Per-event validation core, shared by the Arrow-batched and
+    row-at-a-time UDF wrappers. Returns (errors, ue_json, co_json, vinfo)
+    and NEVER throws (hostile JSON → an `sdj` error entry)."""
+    errs: list[str] = []
+    vinfo: list[dict] = []
+    new_ue, new_co = ue_json, co_json
+    try:
+        if ue_json:
+            env = json.loads(ue_json)
+            inner = env.get("data") if isinstance(env, dict) else None
+            e, validated_with = check_sdj(reg, inner, strict)
+            errs += [f"ue_pr\t{x}\t" for x in e]
+            if validated_with and isinstance(inner, dict):
+                vinfo.append({"schema": VALIDATION_INFO_SCHEMA, "data": json.dumps(
+                    {"originalSchema": inner.get("schema"),
+                     "validatedWith": validated_with},
+                    separators=(",", ":"))})
+                _rewrite_version(inner, validated_with)
+                new_ue = json.dumps(env, separators=(",", ":"))
+        if co_json:
+            env = json.loads(co_json)
+            inner = env.get("data") if isinstance(env, dict) else None
+            if isinstance(inner, list):
+                rewrote = False
+                for c in inner:
+                    e, validated_with = check_sdj(reg, c, strict)
+                    errs += [f"co\t{x}\t" for x in e]
+                    if validated_with and isinstance(c, dict):
+                        vinfo.append({"schema": VALIDATION_INFO_SCHEMA, "data": json.dumps(
+                            {"originalSchema": c.get("schema"),
+                             "validatedWith": validated_with},
+                            separators=(",", ":"))})
+                        _rewrite_version(c, validated_with)
+                        rewrote = True
+                if rewrote:
+                    new_co = json.dumps(env, separators=(",", ":"))
+            else:
+                errs.append("co\tcontexts data is not an array\t")
+        for c in derived if derived is not None else []:
+            data = c["data"]
+            env = {"schema": c["schema"], "data": json.loads(data) if data else None}
+            errs += [f"derived_contexts\t{e}\t"
+                     for e in check_sdj(reg, env, strict)[0]]
+    except ValueError as e:
+        errs.append(f"sdj\tinvalid JSON: {e}\t")
+    return (errs, new_ue, new_co, vinfo or None)
+
+
+def validate_sdjs(df: DataFrame, registry: SchemaRegistry, strict: bool = False,
+                  batched: bool = True) -> DataFrame:
     """Validate ue_json / co_json inputs and the derived contexts
     (EnrichmentManager phases 1 + 3). Appends failures to ``_errors``.
 
@@ -414,54 +465,27 @@ def validate_sdjs(df: DataFrame, registry: SchemaRegistry, strict: bool = False)
     declares ``$supersededBy`` validates against the newer version, its
     embedded schema version is rewritten to the superseding one, and a
     ``validation_info`` context recording (originalSchema, validatedWith)
-    joins the derived contexts."""
+    joins the derived contexts.
+
+    batched=True (default) validates via an Arrow-batched pandas UDF —
+    this stage touches 100% of events when Iglu is configured, and the
+    win is the same JVM↔Python amortization measured on the thrift
+    decoder (loaders/thrift.py:230). batched=False keeps the
+    row-at-a-time F.udf as an Arrow-less fallback."""
     reg = registry  # captured in closure → shipped once per executor
 
-    @F.udf(returnType=_VALIDATE_RESULT)
-    def check(ue_json, co_json, derived):
-        errs: list[str] = []
-        vinfo: list[tuple[str, str]] = []
-        new_ue, new_co = ue_json, co_json
-        try:
-            if ue_json:
-                env = json.loads(ue_json)
-                inner = env.get("data") if isinstance(env, dict) else None
-                e, validated_with = check_sdj(reg, inner, strict)
-                errs += [f"ue_pr\t{x}\t" for x in e]
-                if validated_with and isinstance(inner, dict):
-                    vinfo.append((VALIDATION_INFO_SCHEMA, json.dumps(
-                        {"originalSchema": inner.get("schema"),
-                         "validatedWith": validated_with},
-                        separators=(",", ":"))))
-                    _rewrite_version(inner, validated_with)
-                    new_ue = json.dumps(env, separators=(",", ":"))
-            if co_json:
-                env = json.loads(co_json)
-                inner = env.get("data") if isinstance(env, dict) else None
-                if isinstance(inner, list):
-                    rewrote = False
-                    for c in inner:
-                        e, validated_with = check_sdj(reg, c, strict)
-                        errs += [f"co\t{x}\t" for x in e]
-                        if validated_with and isinstance(c, dict):
-                            vinfo.append((VALIDATION_INFO_SCHEMA, json.dumps(
-                                {"originalSchema": c.get("schema"),
-                                 "validatedWith": validated_with},
-                                separators=(",", ":"))))
-                            _rewrite_version(c, validated_with)
-                            rewrote = True
-                    if rewrote:
-                        new_co = json.dumps(env, separators=(",", ":"))
-                else:
-                    errs.append("co\tcontexts data is not an array\t")
-            for c in derived or []:
-                data = c["data"]
-                env = {"schema": c["schema"], "data": json.loads(data) if data else None}
-                errs += [f"derived_contexts\t{e}\t"
-                         for e in check_sdj(reg, env, strict)[0]]
-        except ValueError as e:
-            errs.append(f"sdj\tinvalid JSON: {e}\t")
-        return (errs, new_ue, new_co, vinfo or None)
+    if batched:
+        @F.pandas_udf(_VALIDATE_RESULT)
+        def check(ue: pd.Series, co: pd.Series, derived: pd.Series) -> pd.DataFrame:
+            return pd.DataFrame(
+                [_check_event(reg, strict, u, c, d)
+                 for u, c, d in zip(ue, co, derived)],
+                columns=["errors", "ue_json", "co_json", "vinfo"],
+            )
+    else:
+        @F.udf(returnType=_VALIDATE_RESULT)
+        def check(ue_json, co_json, derived):
+            return _check_event(reg, strict, ue_json, co_json, derived)
 
     derived_col = F.col("_derived") if "_derived" in df.columns else F.lit(None).cast(
         "array<struct<schema:string,data:string>>"
