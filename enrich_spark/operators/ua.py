@@ -110,10 +110,43 @@ def classify_ua(ua: Column) -> dict[str, Column]:
     }
 
 
+UA_STRUCT_COL = "_ua"
+
+_UA_FIELDS = (
+    "br_name", "br_family", "br_version", "br_type", "br_renderengine",
+    "os_name", "os_family", "os_manufacturer", "dvce_type", "dvce_ismobile",
+)
+
+
+def ensure_ua_struct(df: DataFrame) -> DataFrame:
+    """Evaluate the ~30-regex classify_ua chain ONCE into a hidden struct
+    shared by user_agent_utils / ua_parser / yauaa. Without this,
+    CollapseProject re-inlines the full CASE chain into every consumer
+    (up to 3× per row when all three are enabled); the stage boundary
+    after the struct pins a single evaluation — downstream stages see an
+    attribute reference, not the expression tree. The pipeline drops
+    ``_ua`` before output."""
+    if UA_STRUCT_COL in df.columns:
+        return df
+    from ..plans.stagecut import stage_boundary
+
+    cols = classify_ua(F.col("useragent"))
+    df = df.withColumn(
+        UA_STRUCT_COL, F.struct(*[v.alias(k) for k, v in cols.items()])
+    )
+    return stage_boundary(df)
+
+
+def _ua_cols(df: DataFrame) -> tuple[DataFrame, dict[str, Column]]:
+    df = ensure_ua_struct(df)
+    s = F.col(UA_STRUCT_COL)
+    return df, {k: s.getField(k) for k in _UA_FIELDS}
+
+
 def user_agent_utils(df: DataFrame) -> DataFrame:
     """§2.5 #5 — set the br_*/os_*/dvce_* atomic fields."""
+    df, cols = _ua_cols(df)
     ua = F.col("useragent")
-    cols = classify_ua(ua)
     guarded = {k: F.when(ua.isNotNull(), v) for k, v in cols.items()}
     return df.withColumns(guarded)
 
@@ -121,8 +154,8 @@ def user_agent_utils(df: DataFrame) -> DataFrame:
 def ua_parser_context(df: DataFrame) -> DataFrame:
     """§2.5 #6 — attach the ua_parser_context derived context."""
     df = ensure_derived(df)
+    df, cols = _ua_cols(df)
     ua = F.col("useragent")
-    cols = classify_ua(ua)
     ver_parts = F.split(F.coalesce(cols["br_version"], F.lit("")), "\\.")
     data = F.to_json(
         F.struct(
@@ -153,8 +186,8 @@ def yauaa_context(df: DataFrame) -> DataFrame:
     native ruleset above. Client-hint-based fields are not derivable
     from the UA string alone and are omitted."""
     df = ensure_derived(df)
+    df, cols = _ua_cols(df)
     ua = F.col("useragent")
-    cols = classify_ua(ua)
     device_class = (
         F.when(cols["dvce_type"] == "Robot/Spider", "Robot")
         .when(cols["dvce_type"] == "Tablet", "Tablet")

@@ -245,6 +245,9 @@ def enrich_raw(df: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> En
     df = _stage_boundary(df)
     df = validate_atomic_lengths(df, accept_invalid=cfg.accept_invalid_atomic)
 
+    # the shared UA classification struct is internal-only
+    df = df.drop(ua_op.UA_STRUCT_COL)
+
     # ---- fill any never-set atomic columns with typed NULLs
     kinds = dict(ATOMIC_FIELDS)
     fills = {}
