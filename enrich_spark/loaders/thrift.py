@@ -208,6 +208,12 @@ def _decode_row(data):
         # UUID-validate networkUserId (ThriftLoader.scala:167-170)
         nuid = None
     ts = raw.get("timestamp")
+    # range-check: pandas datetime64[ns] (the Arrow-batched path) only
+    # spans 1677-09-21..2262-04-11; a decodable payload with a hostile
+    # timestamp must yield a CPFormatViolation, never a thrown task
+    # (ADVICE r3: pd.to_datetime would raise OutOfBoundsDatetime)
+    if ts is not None and not (-9_214_560_000_000 < ts < 9_214_560_000_000):
+        return tuple([None] * 14 + [f"collector timestamp out of range: {ts}"])
     tstamp = (
         datetime.fromtimestamp(ts / 1000.0, tz=timezone.utc).replace(tzinfo=None)
         if ts is not None
@@ -237,8 +243,13 @@ def _make_arrow_decoder():
         out = pd.DataFrame(
             [_decode_row(v) for v in data], columns=_PAYLOAD_COLS,
         )
-        # object→datetime64 so Arrow gets a typed column, not objects
-        out["collector_tstamp"] = pd.to_datetime(out["collector_tstamp"])
+        # object→datetime64 so Arrow gets a typed column, not objects;
+        # errors="coerce" is belt-and-braces behind the _decode_row range
+        # check — a datetime this path can't represent becomes NaT, not a
+        # task-failing OutOfBoundsDatetime
+        out["collector_tstamp"] = pd.to_datetime(
+            out["collector_tstamp"], errors="coerce"
+        )
         return out
 
     return _decode_arrow

@@ -78,13 +78,19 @@ class IabLists:
 
 
 def parse_ip_file(path: str | Path) -> list[tuple[int, int]]:
-    """CIDR-per-line → [(lo_uint32, hi_uint32)]."""
+    """CIDR-per-line → [(lo_uint32, hi_uint32)]. IPv4 only: an IPv6 CIDR
+    would yield 128-bit bounds that can never match the 32-bit ip_to_long
+    probe, silently disabling the entry — raise at parse time instead."""
     out = []
     for line in Path(path).read_text().splitlines():
         line = line.strip()
         if not line or line.startswith("#"):
             continue
         net = ipaddress.ip_network(line, strict=False)
+        if net.version != 4:
+            raise ValueError(
+                f"IAB ip exclude list is IPv4-only, got {line!r} in {path}"
+            )
         out.append((int(net.network_address), int(net.broadcast_address)))
     return out
 

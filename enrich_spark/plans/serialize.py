@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 from ..functions.conversions import format_timestamp
 from ..schema import ATOMIC_FIELDS
 
+_ATOMIC = list(ATOMIC_FIELDS)
+
 CONTEXTS_ENVELOPE = "iglu:com.snowplowanalytics.snowplow/contexts/jsonschema/1-0-1"
 
 
@@ -103,11 +105,16 @@ def bad_rows_json(df: DataFrame, processor: str = "enrich-spark", version: str =
          "data": {"processor": {...}, "failure": {...}, "payload": {...}}}
 
     Field-for-field with the public badrows schemas at the envelope /
-    processor / failure.timestamp+messages / payload level; message
-    bodies carry our structured {field, message, value} triples (the
-    reference's per-subtype message unions collapse onto this shape —
-    documented divergence, byte-parity is not claimed for message
-    internals)."""
+    processor / failure.timestamp+messages / payload level. Payload shape
+    follows the per-class badrows contract: collector-payload
+    {vendor,version,contentType,body} for CPFormatViolation /
+    AdapterFailures, and the EnrichmentPayload {enriched, raw} pair for
+    the 2-0-0 schema_violations / enrichment_failures classes (enriched =
+    the partially-enriched atomic fields present at failure time, raw =
+    the collector-payload echo). Message bodies carry our structured
+    {field, message, value} triples (the reference's per-subtype message
+    unions collapse onto this shape — documented divergence, byte-parity
+    is not claimed for message internals)."""
     has_schema_violations = F.size(F.col("_errors")) > 0
     failure_type = (
         F.when(F.col("loader_error").isNotNull(), F.lit("collector_payload_format_violation"))
@@ -139,12 +146,36 @@ def bad_rows_json(df: DataFrame, processor: str = "enrich-spark", version: str =
             .otherwise(_structured_messages(F.col("_enrich_errors"))).alias("messages"),
         )))
     )
-    payload = F.to_json(F.struct(
+    cp_payload = F.to_json(F.struct(
         F.col("api_vendor").alias("vendor"),
         F.col("api_version").alias("version"),
         F.col("content_type").alias("contentType"),
         F.col("body").alias("body"),
     ))
+    # schema_violations / enrichment_failures 2-0-0 carry the
+    # EnrichmentPayload pair: the partially-enriched event (whatever
+    # atomic fields exist at this point in the plan) + the raw echo
+    raw_fields = [
+        F.col("api_vendor").alias("vendor"),
+        F.col("api_version").alias("version"),
+        F.col("content_type").alias("contentType"),
+        F.col("body").alias("body"),
+    ]
+    if "parameters" in df.columns:
+        raw_fields.append(F.col("parameters").alias("parameters"))
+    present = [c for c, _ in _ATOMIC if c in df.columns]
+    enriched_json = (
+        F.to_json(F.struct(*[F.col(c) for c in present]))
+        if present else F.lit("{}")
+    )
+    ep_payload = F.concat(
+        F.lit('{"enriched":'), F.coalesce(enriched_json, F.lit("{}")),
+        F.lit(',"raw":'), F.to_json(F.struct(*raw_fields)), F.lit("}"),
+    )
+    payload = F.when(
+        F.col("loader_error").isNotNull() | F.col("_adapter_error").isNotNull(),
+        cp_payload,
+    ).otherwise(ep_payload)
     return df.select(
         *keep,
         F.concat(

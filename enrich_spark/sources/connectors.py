@@ -174,11 +174,36 @@ def sink_conf_from_dict(d: dict) -> StreamSinkConf:
     backoff = d.get("throttledBackoffPolicy", {})
 
     def _secs(v, default):
+        """HOCON duration → seconds. Bare numbers (int/float/numeric
+        string) mean MILLISECONDS per HOCON duration semantics — a config
+        ported verbatim with `minBackoff: 100` must yield 0.1 s, not
+        100 s. Unit-suffixed strings are scaled by their unit."""
         if v is None:
             return default
-        s = str(v)
-        num = float(s.split()[0]) if s and s[0].isdigit() else default
-        return num / 1000.0 if "milli" in s else num
+        s = str(v).strip()
+        try:
+            return float(s) / 1000.0  # unitless → milliseconds
+        except ValueError:
+            pass
+        if not s or not s[0].isdigit():
+            return default
+        head = s.split()[0]
+        try:
+            num = float(head)
+            unit = s[len(head):]
+        except ValueError:
+            i = 0
+            while i < len(head) and (head[i].isdigit() or head[i] == "."):
+                i += 1
+            num, unit = float(head[:i]), head[i:]
+        unit = unit.strip().lower()
+        if "milli" in unit or unit == "ms":
+            return num / 1000.0
+        if "minute" in unit or unit == "m":
+            return num * 60.0
+        if "hour" in unit or unit == "h":
+            return num * 3600.0
+        return num  # seconds
 
     return StreamSinkConf(
         stream_name=d.get("streamName", d.get("topic", "")),

@@ -94,3 +94,21 @@ def test_ship_rows_exhausted_retries_raises():
     with pytest.raises(RuntimeError, match="still throttled"):
         ship_rows([("a", b"1")], conf, lambda s, b: [0], sleep=slept.append)
     assert slept == [0.1, 0.2]         # exponential backoff
+
+
+def test_sink_conf_bare_durations_are_milliseconds():
+    # HOCON bare numbers mean milliseconds: a config ported verbatim with
+    # minBackoff: 100 must yield 0.1 s, not 100 s (ADVICE r3)
+    k = sink_conf_from_dict({
+        "streamName": "s",
+        "throttledBackoffPolicy": {"minBackoff": 100, "maxBackoff": "2500"},
+    })
+    assert k.min_backoff_s == pytest.approx(0.1)
+    assert k.max_backoff_s == pytest.approx(2.5)
+    # suffix-glued forms and minutes
+    k = sink_conf_from_dict({
+        "streamName": "s",
+        "throttledBackoffPolicy": {"minBackoff": "250ms", "maxBackoff": "1 minute"},
+    })
+    assert k.min_backoff_s == pytest.approx(0.25)
+    assert k.max_backoff_s == pytest.approx(60.0)

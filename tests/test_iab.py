@@ -86,3 +86,14 @@ def test_config_extras_and_empty_include(spark, tmp_path):
     ]), lists).collect()
     assert _ctx(out[0])["reason"] == "FAILED_UA_EXCLUDE"
     assert _ctx(out[1])["reason"] == "PASSED_ALL"
+
+
+def test_parse_ip_file_rejects_ipv6(tmp_path):
+    import pytest
+
+    from enrich_spark.operators.iab import parse_ip_file
+
+    p = tmp_path / "ip.txt"
+    p.write_text("10.0.0.0/8\n2001:db8::/32\n")
+    with pytest.raises(ValueError, match="IPv4-only"):
+        parse_ip_file(p)

@@ -111,7 +111,10 @@ def test_bad_rows_json_shape(spark):
     msgs = bad["data"]["failure"]["messages"]
     assert sorted(m["field"] for m in msgs) == ["p", "tid"]  # p + tid
     assert all("message" in m for m in msgs)
-    assert bad["data"]["payload"]["vendor"] == "com.snowplowanalytics.snowplow"
+    # schema_violations 2-0-0 carries the EnrichmentPayload pair:
+    # raw collector echo + the partially-enriched event
+    assert bad["data"]["payload"]["raw"]["vendor"] == "com.snowplowanalytics.snowplow"
+    assert "enriched" in bad["data"]["payload"]
 
 
 def test_oversize_flag(spark):

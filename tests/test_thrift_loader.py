@@ -83,3 +83,15 @@ def test_wrong_schema_uri_rejected(spark):
     blob = encode_payload({**BASE, "schema_uri": "iglu:com.acme/Other/thrift/1-0-0"})
     r = load_thrift(_payload_df(spark, blob)).collect()[0]
     assert r.loader_error is not None
+
+
+def test_out_of_range_timestamp_is_loader_error(spark):
+    # a decodable payload whose timestamp lies outside pandas
+    # datetime64[ns] must produce a CPFormatViolation-style loader_error
+    # through the default Arrow-batched path, never a failed task
+    hostile = dict(BASE, timestamp=99_999_999_999_999_999)
+    df = load_thrift(_payload_df(spark, encode_payload(hostile)))
+    r = df.collect()[0]
+    assert r.loader_error is not None
+    assert "out of range" in r.loader_error
+    assert r.collector_tstamp is None
