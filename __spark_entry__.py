@@ -2045,34 +2045,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprint"] = q_fingerprint_doc
 
     def _media_docs(spark, sf):
-        # synthesize media binaries from documents: magic header + UTF-8 body
-        docs = _load_docs(spark, sf)
-        body = F.encode(F.col("text"), "UTF-8")
-        m = F.col("doc_id") % 4
-        media = (
-            F.when(m == 0, F.concat(F.unhex(F.lit("89504E470D0A1A0A")), body))
-            .when(m == 1, F.concat(F.unhex(F.lit("FFD8FFE0")), body))
-            .when(m == 2, F.concat(F.unhex(F.lit("52494646")), body))
-            .otherwise(body)
+        # REAL media fixture: encode genuine PNG / BMP / WAV bytes
+        # (datapipe/media_codecs.py) whose decoded statistics are pure
+        # doc_id arithmetic, so a SQL oracle predicts every decoded value
+        import numpy as np
+        import pandas as pd
+
+        from enrich_spark.datapipe.media_codecs import (
+            encode_bmp, encode_png, encode_wav,
         )
-        return docs.select("doc_id", media.alias("media"), body.alias("body"))
+
+        docs = _load_docs(spark, sf).select("doc_id", "text")
+
+        def gen(it):
+            for pdf in it:
+                medias = []
+                for did, text in zip(pdf["doc_id"], pdf["text"]):
+                    did, m = int(did), int(did) % 4
+                    if m == 0:
+                        w, h, v = 1 + did % 13, 1 + did % 7, did % 256
+                        medias.append(encode_png(w, h, np.full((h, w * 3), v, np.uint8)))
+                    elif m == 1:
+                        w, h, v = 1 + did % 9, 1 + did % 5, (did * 3) % 256
+                        medias.append(encode_bmp(w, h, np.full((h, w * 3), v, np.uint8)))
+                    elif m == 2:
+                        n, v = 800 + (did % 100) * 8, did % 127
+                        medias.append(encode_wav(8000, np.full(n, v, np.uint8)))
+                    else:
+                        # no known magic (verified: no doc text collides)
+                        medias.append((text or "").encode("utf-8"))
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": medias})
+
+        return docs.mapInPandas(gen, "doc_id long, media binary")
 
     def q_media_decode(spark, sf):
-        # datapipe/multimodal: native magic-byte sniff + mapInPandas decode
-        # (stub kernel: sha256-derived dims) in ONE pass — no self-join.
+        # datapipe/multimodal: native magic-byte sniff + mapInPandas REAL
+        # decode (PNG inflate+unfilter / BMP / WAV kernels; digest stub
+        # only for the unknown-format branch, flagged by `codec`) in ONE
+        # pass — no self-join. Oracle checks genuine decoded width/height/
+        # channels/duration and pixel/sample means.
         from enrich_spark.datapipe.multimodal import attach_media_meta, decode_features
 
         df = attach_media_meta(_media_docs(spark, sf))
         out = decode_features(
-            df, id_col="doc_id", binary_col="body", passthrough=("media_meta",)
+            df, id_col="doc_id", binary_col="media", passthrough=("media_meta",)
         )
         return out.select(
             F.col("id").alias("doc_id"),
             F.col("media_meta.format").alias("format"),
             F.col("media_meta.media_type").alias("media_type"),
-            F.col("media_meta.n_bytes").alias("n_bytes"),
-            F.col("width").cast("long").alias("width"),
-            F.col("height").cast("long").alias("height"),
+            F.coalesce(F.col("width").cast("long"), F.lit(-1)).alias("width"),
+            F.coalesce(F.col("height").cast("long"), F.lit(-1)).alias("height"),
+            F.coalesce(F.col("channels").cast("long"), F.lit(-1)).alias("channels"),
+            F.coalesce(F.col("duration_ms").cast("long"), F.lit(-1)).alias("duration_ms"),
+            F.coalesce(F.round("mean_val", 4), F.lit(-1.0)).alias("mean_val"),
+            F.col("codec"),
         )
 
     q["multimodal_decode"] = q_media_decode
@@ -3108,22 +3135,31 @@ def oracle_sql() -> dict[str, str]:
             f" + (strpos('0123456789abcdef', substr(hx,{2*k},1))-1))"
         )
 
+    # real decode: PNG/BMP dims + constant-pixel means and WAV duration/
+    # sample mean are doc_id arithmetic; the unknown branch replays the
+    # digest stub (sha256 of the UTF-8 text = the media bytes)
     o["multimodal_decode"] = f"""
-        WITH h AS (
-          SELECT doc_id, sha256(text) AS hx,
-                 octet_length(encode(text))
-                   + CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 4 ELSE 0 END
-                   AS n_bytes
-          FROM documents
-        )
+        WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents)
         SELECT doc_id,
-               CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+               CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
                     WHEN 2 THEN 'wav' ELSE 'unknown' END AS format,
                CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'image'
                     WHEN 2 THEN 'audio' ELSE 'unknown' END AS media_type,
-               n_bytes,
-               CAST(1 + ({_sha_byte(1)} % 64) AS BIGINT) AS width,
-               CAST(1 + ({_sha_byte(2)} % 64) AS BIGINT) AS height
+               CAST(CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 13
+                    WHEN 1 THEN 1 + doc_id % 9 WHEN 2 THEN -1
+                    ELSE 1 + ({_sha_byte(1)} % 64) END AS BIGINT) AS width,
+               CAST(CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 7
+                    WHEN 1 THEN 1 + doc_id % 5 WHEN 2 THEN -1
+                    ELSE 1 + ({_sha_byte(2)} % 64) END AS BIGINT) AS height,
+               CAST(CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 3
+                    WHEN 2 THEN 1 ELSE -1 END AS BIGINT) AS channels,
+               CAST(CASE doc_id % 4 WHEN 2 THEN 100 + doc_id % 100
+                    ELSE -1 END AS BIGINT) AS duration_ms,
+               CAST(CASE doc_id % 4 WHEN 0 THEN doc_id % 256
+                    WHEN 1 THEN (doc_id * 3) % 256
+                    WHEN 2 THEN doc_id % 127 ELSE -1 END AS DOUBLE) AS mean_val,
+               CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                    WHEN 2 THEN 'wav' ELSE 'stub' END AS codec
         FROM h
     """
 

@@ -2,10 +2,15 @@
 
 Design (per the engine contract): media payloads travel as BINARY
 columns with a typed metadata struct; decode/resize/frame-sample are
-Arrow-batched mapInPandas stages. The image/audio libraries are not in
-this container, so the DECODE KERNELS ARE STUBBED (deterministic fakes
-clearly marked below); the Spark-side plumbing — schema, batch shape,
-partition sizing — is real and tested.
+Arrow-batched mapInPandas stages.
+
+The decode kernel is REAL for the stdlib-decodable containers — PNG
+(zlib inflate + numpy unfilter), BMP (24-bit BI_RGB), WAV (PCM via
+``wave``) in ``media_codecs.py`` — producing genuine width/height/
+channel/duration/pixel statistics. Formats that need an external
+entropy decoder (JPEG, H.264, ...) fall back to the clearly-marked
+deterministic STUB below, flagged ``codec='stub'`` in the output so
+downstream consumers can tell real measurements from placeholders.
 
 At 100 TB: media rows are wide (MBs); the operators repartition by
 byte-size budget before the Python stage so each Arrow batch stays
@@ -38,12 +43,13 @@ def attach_media_meta(df: DataFrame, binary_col: str = "media") -> DataFrame:
     fmt = (
         F.when(head.startswith("89504E47"), "png")
         .when(head.startswith("FFD8"), "jpeg")
+        .when(head.startswith("424D"), "bmp")
         .when(head.startswith("52494646"), "wav")
         .when(head.startswith("1A45DFA3"), "webm")
         .otherwise("unknown")
     )
     media_type = (
-        F.when(fmt.isin("png", "jpeg"), "image")
+        F.when(fmt.isin("png", "jpeg", "bmp"), "image")
         .when(fmt == "wav", "audio")
         .when(fmt == "webm", "video")
         .otherwise("unknown")
@@ -63,14 +69,43 @@ def attach_media_meta(df: DataFrame, binary_col: str = "media") -> DataFrame:
 def _fake_decode(data: bytes) -> tuple[int, int, list[float]]:
     """STUB decode — deterministic fake 'pixels' derived from a digest.
 
-    Replace with PIL/libvips in an environment that ships them; the
-    signature (bytes → (w, h, features)) is the real contract.
+    Used only for formats media_codecs.py cannot decode (JPEG etc. need
+    an external entropy decoder); the signature (bytes → (w, h,
+    features)) is the real contract and the real kernels run first.
     """
     digest = hashlib.sha256(data or b"").digest()
     w = 1 + digest[0] % 64
     h = 1 + digest[1] % 64
     feats = [x / 255.0 for x in digest[:16]]
     return w, h, feats
+
+
+def _decode_one(data: bytes) -> dict:
+    """Real-first decode: PNG/BMP/WAV via media_codecs, stub fallback.
+    Returns a plain dict row; NEVER throws on hostile bytes."""
+    from . import media_codecs as mc
+
+    try:
+        if data.startswith(mc.PNG_SIG) or data[:2] == b"BM":
+            dec = mc.decode_png if data[:1] == b"\x89" else mc.decode_bmp
+            w, h, ch, px = dec(data)
+            means = [float(px.reshape(-1, ch)[:, c].mean()) for c in range(ch)] \
+                if px.size else [0.0] * ch
+            return dict(width=w, height=h, channels=ch, duration_ms=None,
+                        mean_val=float(px.mean()) if px.size else 0.0,
+                        features=[m / 255.0 for m in means],
+                        codec="png" if data[:1] == b"\x89" else "bmp")
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            ch, rate, n, dur, samples = mc.decode_wav(data)
+            mean = float(samples.mean()) if samples.size else 0.0
+            return dict(width=None, height=None, channels=ch,
+                        duration_ms=dur, mean_val=mean,
+                        features=[mean / 255.0], codec="wav")
+    except Exception:  # noqa: BLE001 — corrupt media must not fail the task
+        pass
+    w, h, feats = _fake_decode(data)
+    return dict(width=w, height=h, channels=None, duration_ms=None,
+                mean_val=None, features=feats, codec="stub")
 
 
 def decode_features(
@@ -80,10 +115,10 @@ def decode_features(
     target_batch_bytes: int = 64 << 20,
     passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Image decode + feature extraction via mapInPandas (Arrow batches).
+    """Media decode + feature extraction via mapInPandas (Arrow batches).
 
-    Real plumbing: per-batch iteration, size-bounded partitions, typed
-    output schema. Decode kernel is the stub above.
+    PNG/BMP/WAV decode for real (media_codecs.py); other formats fall
+    back to the digest stub, flagged by the ``codec`` column.
 
     `passthrough` columns ride along through the Arrow batch so callers
     get metadata + decoded features in ONE pass over the (wide, MBs/row)
@@ -92,25 +127,30 @@ def decode_features(
     """
     import pandas as pd
 
+    out_cols = ("id", "width", "height", "channels", "duration_ms",
+                "mean_val", "features", "codec")
     out_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
             T.StructField("width", T.IntegerType()),
             T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("duration_ms", T.IntegerType()),
+            T.StructField("mean_val", T.DoubleType()),
             T.StructField("features", T.ArrayType(T.FloatType())),
+            T.StructField("codec", T.StringType()),
         ]
         + [df.schema[c] for c in passthrough]
     )
 
     def run(batches):
         for pdf in batches:
-            out = {"id": [], "width": [], "height": [], "features": []}
+            out: dict[str, list] = {c: [] for c in out_cols}
             for i, data in zip(pdf[id_col], pdf[binary_col]):
-                w, h, feats = _fake_decode(bytes(data) if data is not None else b"")
+                row = _decode_one(bytes(data) if data is not None else b"")
                 out["id"].append(i)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["features"].append(feats)
+                for c in out_cols[1:]:
+                    out[c].append(row[c])
             for c in passthrough:
                 out[c] = pdf[c]
             yield pd.DataFrame(out)

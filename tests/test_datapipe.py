@@ -231,3 +231,70 @@ def test_multimodal_plumbing(spark):
     )
     frames = multimodal.frame_sample_plan(forced, every_ms=1000)
     assert frames.where(F.col("id") == 1).count() == 4  # t=0,1000,2000,3000
+
+
+def test_media_codecs_roundtrip():
+    import numpy as np
+
+    from enrich_spark.datapipe import media_codecs as mc
+
+    # PNG round-trip (RGB, gradient so filters/mean are non-trivial)
+    px = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(4, 15)
+    w, h, ch, back = mc.decode_png(mc.encode_png(5, 4, px))
+    assert (w, h, ch) == (5, 4, 3)
+    assert np.array_equal(back, px)
+
+    # PNG filters 1 (Sub) and 2 (Up) reconstruct correctly
+    import struct
+    import zlib
+    raw = bytes([1]) + bytes([10] + [1] * 5) + bytes([2]) + bytes([0] * 6)
+    sig = mc.PNG_SIG
+
+    def chunk(typ, payload):
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    blob = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    w, h, ch, out = mc.decode_png(blob)
+    # row0 Sub (per-channel left ref): [10,1,1, 10+1,1+1,1+1]
+    assert out[0].tolist() == [10, 1, 1, 11, 2, 2]
+    assert out[1].tolist() == out[0].tolist()
+
+    # BMP round-trip (incl. bottom-up flip + row padding)
+    px = np.arange(3 * 2 * 3, dtype=np.uint8).reshape(2, 9)
+    w, h, ch, back = mc.decode_bmp(mc.encode_bmp(3, 2, px))
+    assert (w, h, ch) == (3, 2, 3)
+    assert np.array_equal(back, px)
+
+    # WAV round-trip
+    samples = np.full(160, 42, np.uint8)
+    ch, rate, n, dur, back = mc.decode_wav(mc.encode_wav(8000, samples))
+    assert (ch, rate, n, dur) == (1, 8000, 160, 20)
+    assert np.array_equal(back, samples)
+
+
+def test_decode_features_real_kernels(spark):
+    import numpy as np
+
+    from enrich_spark.datapipe import media_codecs as mc
+    from enrich_spark.datapipe import multimodal
+
+    png = mc.encode_png(4, 3, np.full((3, 12), 7, np.uint8))
+    bmp = mc.encode_bmp(2, 2, np.full((2, 6), 9, np.uint8))
+    wav = mc.encode_wav(8000, np.full(800, 5, np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(bmp)), (3, bytearray(wav)),
+         (4, bytearray(b"not media"))],
+        "id INT, media BINARY",
+    )
+    rows = {r.id: r for r in multimodal.decode_features(df).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].channels, rows[1].codec) == (4, 3, 3, "png")
+    assert rows[1].mean_val == 7.0
+    assert (rows[2].width, rows[2].height, rows[2].codec) == (2, 2, "bmp")
+    assert rows[2].mean_val == 9.0
+    assert (rows[3].duration_ms, rows[3].channels, rows[3].codec) == (100, 1, "wav")
+    assert rows[3].mean_val == 5.0
+    # unknown format falls back to the digest stub, flagged
+    assert rows[4].codec == "stub" and rows[4].mean_val is None
+    assert len(rows[4].features) == 16
