@@ -1105,12 +1105,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["asn_bot_detection"] = q_asn_bot
 
     def q_yauaa(spark, sf):
+        # §2.5 #16 incl. client hints: uid%5==0 rows carry a full
+        # Sec-CH-UA* header set (GREASE entry skipped, "Google Chrome"
+        # preferred over Chromium, platform override), uid%5==2 rows a
+        # Chromium-only brand list + ?1 mobile; others classify from the
+        # UA string alone (YauaaEnrichment.scala:76-182 header-list feed)
         from enrich_spark.config import EnrichmentsConfig, YauaaConf
         from enrich_spark.plans.pipeline import enrich_raw
 
+        raw = _raw_events(spark, sf)
+        hints_desktop = F.array(
+            F.lit('Sec-CH-UA: "Not A(Brand";v="99", "Chromium";v="120", "Google Chrome";v="120"'),
+            F.lit("Sec-CH-UA-Mobile: ?0"),
+            F.lit('Sec-CH-UA-Platform: "Windows"'),
+            F.lit('Sec-CH-UA-Platform-Version: "15.0.0"'),
+        )
+        hints_mobile = F.array(
+            F.lit('Sec-CH-UA: "Chromium";v="121"'),
+            F.lit("Sec-CH-UA-Mobile: ?1"),
+            F.lit('Sec-CH-UA-Platform: "Android"'),
+        )
+        # hint rows keyed off the UA fixture (uid%5==0 is the Chrome
+        # desktop UA, uid%5==2 the Pixel 8 Chrome Mobile UA)
+        ua_col = F.col("useragent")
+        raw = raw.withColumn(
+            "headers",
+            F.when(ua_col.contains("Chrome/120"), hints_desktop)
+            .when(ua_col.contains("Pixel 8"), hints_mobile),
+        )
         cfg = EnrichmentsConfig.default()
         cfg.yauaa = YauaaConf()
-        res = enrich_raw(_raw_events(spark, sf), cfg, spark)
+        res = enrich_raw(raw, cfg, spark)
         yctx = F.try_element_at(
             F.filter(F.col("_derived"), lambda c: c.getField("schema").contains("yauaa")), F.lit(1)
         ).getField("data")
@@ -1118,6 +1143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("src_event_id").cast("long").alias("src_event_id"),
             F.get_json_object(yctx, "$.deviceClass").alias("device_class"),
             F.get_json_object(yctx, "$.agentName").alias("agent_name"),
+            F.get_json_object(yctx, "$.agentVersion").alias("agent_version"),
+            F.get_json_object(yctx, "$.operatingSystemName").alias("os_name"),
+            F.get_json_object(yctx, "$.operatingSystemNameVersion").alias("os_name_version"),
         )
 
     q["yauaa_classify"] = q_yauaa
@@ -2592,12 +2620,20 @@ def oracle_sql() -> dict[str, str]:
         FROM events e
     """
 
+    # client hints (uid%5=0: full hint set w/ GREASE skip + brand
+    # preference + platform override; uid%5=2: Chromium-only list + ?1)
     o["yauaa_classify"] = """
         SELECT e.event_id AS src_event_id,
                CASE e.user_id % 5 WHEN 0 THEN 'Desktop' WHEN 1 THEN 'Phone'
                     WHEN 2 THEN 'Phone' WHEN 3 THEN 'Robot' ELSE 'Desktop' END AS device_class,
-               CASE e.user_id % 5 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Mobile Safari'
-                    WHEN 2 THEN 'Chrome Mobile' WHEN 3 THEN 'Other' ELSE 'Firefox' END AS agent_name
+               CASE e.user_id % 5 WHEN 0 THEN 'Google Chrome' WHEN 1 THEN 'Mobile Safari'
+                    WHEN 2 THEN 'Chromium' WHEN 3 THEN 'Other' ELSE 'Firefox' END AS agent_name,
+               CASE e.user_id % 5 WHEN 0 THEN '120' WHEN 1 THEN '17.0'
+                    WHEN 2 THEN '121' WHEN 3 THEN '??' ELSE '122.0' END AS agent_version,
+               CASE e.user_id % 5 WHEN 0 THEN 'Windows' WHEN 1 THEN 'iOS'
+                    WHEN 2 THEN 'Android' WHEN 3 THEN 'Other' ELSE 'Windows' END AS os_name,
+               CASE e.user_id % 5 WHEN 0 THEN 'Windows 15.0.0' WHEN 1 THEN 'iOS'
+                    WHEN 2 THEN 'Android' WHEN 3 THEN 'Other' ELSE 'Windows 10' END AS os_name_version
         FROM events e
     """
 

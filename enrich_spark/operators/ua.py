@@ -177,14 +177,39 @@ def ua_parser_context(df: DataFrame) -> DataFrame:
     )
 
 
+def _client_hint(name: str, strip_quotes: bool = True) -> Column:
+    """Value of a `Sec-CH-UA*` header from the `headers` array (the
+    reference feeds the full header list into YAUAA,
+    YauaaEnrichment.scala:76-182). Case-insensitive name match, value
+    after the first colon; surrounding quotes stripped for scalar hints
+    (NOT for the Sec-CH-UA brand list, whose quotes are structural)."""
+    hit = F.try_element_at(
+        F.filter(
+            F.col("headers"),
+            lambda x: F.lower(x).startswith(name.lower() + ":"),
+        ),
+        F.lit(1),
+    )
+    val = F.trim(F.regexp_extract(hit, "^[^:]*:\\s*(.*)$", 1))
+    if strip_quotes:
+        val = F.regexp_replace(val, '^"|"$', "")
+    return F.nullif(val, F.lit(""))
+
+
 def yauaa_context(df: DataFrame) -> DataFrame:
     """§2.5 #16 — YAUAA-style device analysis context
     (YauaaEnrichment.scala:76-182; field whitelist :121-160).
 
+    Client hints: when a `headers` column is present, `Sec-CH-UA`,
+    `Sec-CH-UA-Mobile` and `Sec-CH-UA-Platform[-Version]` override the
+    UA-string derivation, mirroring YAUAA's header-list analysis — the
+    brand list prefers a concrete brand (e.g. "Google Chrome") over
+    "Chromium" and skips the "Not A(Brand" GREASE entries; `?1` forces
+    Phone (robots keep Robot precedence).
+
     DIVERGENCE NOTE: YAUAA is a JVM-only analyzer; we emit the same
     context shape (deviceClass/agentName/agentVersion/osName…) from the
-    native ruleset above. Client-hint-based fields are not derivable
-    from the UA string alone and are omitted."""
+    native ruleset above."""
     df = ensure_derived(df)
     df, cols = _ua_cols(df)
     ua = F.col("useragent")
@@ -194,13 +219,51 @@ def yauaa_context(df: DataFrame) -> DataFrame:
         .when(cols["dvce_type"] == "Mobile", "Phone")
         .otherwise("Desktop")
     )
+    agent_name = cols["br_family"]
+    agent_version = F.coalesce(cols["br_version"], F.lit("??"))
+    os_name = cols["os_family"]
+    os_name_version = cols["os_name"]
+    if "headers" in df.columns:
+        ch_ua = _client_hint("Sec-CH-UA", strip_quotes=False)
+        # `"Brand";v="ver"` pairs → parallel arrays, zipped and filtered
+        brands = F.regexp_extract_all(ch_ua, F.lit('"([^"]+)";v='), 1)
+        vers = F.regexp_extract_all(ch_ua, F.lit(';v="([^"]+)"'), 1)
+        pairs = F.arrays_zip(brands.alias("b"), vers.alias("v"))
+        real = F.filter(pairs, lambda p: ~p.getField("b").rlike("(?i)not.?a.?brand"))
+        best = F.coalesce(
+            F.try_element_at(
+                F.filter(real, lambda p: p.getField("b") != "Chromium"), F.lit(1)
+            ),
+            F.try_element_at(real, F.lit(1)),
+        )
+        agent_name = F.coalesce(best.getField("b"), agent_name)
+        agent_version = F.coalesce(
+            F.when(best.isNotNull(),
+                   F.coalesce(_client_hint("Sec-CH-UA-Full-Version"),
+                              best.getField("v"))),
+            agent_version,
+        )
+        platform = _client_hint("Sec-CH-UA-Platform")
+        os_name = F.coalesce(platform, os_name)
+        os_name_version = F.coalesce(
+            F.when(platform.isNotNull(), F.concat_ws(
+                " ", platform, _client_hint("Sec-CH-UA-Platform-Version"))),
+            os_name_version,
+        )
+        mobile = _client_hint("Sec-CH-UA-Mobile")
+        device_class = (
+            F.when(cols["dvce_type"] == "Robot/Spider", "Robot")
+            .when(mobile == "?1", "Phone")
+            .when(mobile == "?0", "Desktop")
+            .otherwise(device_class)
+        )
     data = F.to_json(
         F.struct(
             device_class.alias("deviceClass"),
-            cols["br_family"].alias("agentName"),
-            F.coalesce(cols["br_version"], F.lit("??")).alias("agentVersion"),
-            cols["os_family"].alias("operatingSystemName"),
-            cols["os_name"].alias("operatingSystemNameVersion"),
+            agent_name.alias("agentName"),
+            agent_version.alias("agentVersion"),
+            os_name.alias("operatingSystemName"),
+            os_name_version.alias("operatingSystemNameVersion"),
             cols["br_renderengine"].alias("layoutEngineClass"),
         )
     )

@@ -236,3 +236,35 @@ def test_page_uri_default_ports(spark):
     rows = sql_ops.page_uri(df).collect()
     assert rows[0].page_urlport == 443
     assert rows[1].page_urlport == 80
+
+
+def test_yauaa_client_hints(spark):
+    from enrich_spark.operators.ua import yauaa_context
+
+    chrome = ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+              "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36")
+    bot = "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)"
+    rows = [
+        # full hint set: GREASE skipped, Google Chrome preferred, platform override
+        (1, chrome, ['Sec-CH-UA: "Not A(Brand";v="99", "Chromium";v="120", "Google Chrome";v="120"',
+                     "Sec-CH-UA-Mobile: ?0", 'Sec-CH-UA-Platform: "Windows"']),
+        # Chromium-only list + mobile flag
+        (2, chrome, ['Sec-CH-UA: "Chromium";v="121"', "Sec-CH-UA-Mobile: ?1"]),
+        # robot keeps precedence over ?0
+        (3, bot, ["Sec-CH-UA-Mobile: ?0"]),
+        # no hints: UA-string derivation
+        (4, chrome, None),
+    ]
+    df = spark.createDataFrame(rows, "id INT, useragent STRING, headers ARRAY<STRING>")
+    out = yauaa_context(df)
+    import json
+
+    ctx = {r.id: json.loads(r._derived[0].data) for r in out.collect()}
+    assert ctx[1]["agentName"] == "Google Chrome"
+    assert ctx[1]["agentVersion"] == "120"
+    assert ctx[1]["deviceClass"] == "Desktop"
+    assert ctx[1]["operatingSystemName"] == "Windows"
+    assert ctx[2]["agentName"] == "Chromium"
+    assert ctx[2]["deviceClass"] == "Phone"
+    assert ctx[3]["deviceClass"] == "Robot"
+    assert ctx[4]["agentName"] == "Chrome"
