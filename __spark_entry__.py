@@ -3077,32 +3077,38 @@ def oracle_sql() -> dict[str, str]:
                     / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) >= 0.4
     """
 
-    # language-ID: marker-count heuristic; first language (en,de,fr,es,it,pt,nl)
+    # language-ID: replay the character-trigram profile model bit-for-bit
+    # — the SAME LANG_PROFILES constants drive both sides; first language
     # with strictly-positive max score wins, ties → earlier in order
-    langs = {
-        "en": ["the", "and", "of", "is", "with", "that"],
-        "de": ["der", "die", "das", "und", "ist", "nicht"],
-        "fr": ["le", "la", "les", "est", "dans", "une"],
-        "es": ["el", "los", "las", "es", "una", "por"],
-        "it": ["il", "della", "che", "per", "una", "sono"],
-        "pt": ["o", "da", "os", "uma", "não", "para"],
-        "nl": ["de", "het", "een", "van", "niet", "zijn"],
-    }
-    score_exprs = []
-    for lang, words in langs.items():
-        pat = "\\b(" + "|".join(words) + ")\\b"
-        score_exprs.append(
-            f"len(string_split_regex(' ' || lower(d.text) || ' ', '{pat}')) - 1 AS s_{lang}"
-        )
-    order = list(langs)
+    from enrich_spark.datapipe.text import LANG_PROFILES
+
+    def _tri_score(lang: str) -> str:
+        prof = LANG_PROFILES[lang]
+        whens = " ".join(f"WHEN '{g}' THEN {w}" for g, w in prof.items())
+        return (f"COALESCE(list_sum(list_transform(grams, x -> "
+                f"CASE x {whens} ELSE 0 END)), 0) AS s_{lang}")
+
+    order = list(LANG_PROFILES)
     cases = []
     for i, lang in enumerate(order):
         before = [f"s_{lang} > s_{m}" for m in order[:i]]
         after = [f"s_{lang} >= s_{m}" for m in order[i + 1:]]
-        cond = " AND ".join([f"s_{lang} > 0"] + before + after)
+        cond = " AND ".join([f"s_{lang} > n_grams"] + before + after)
         cases.append(f"WHEN {cond} THEN '{lang}'")
     o["text_language_id"] = f"""
-        WITH s AS (SELECT d.doc_id, {', '.join(score_exprs)} FROM documents d)
+        WITH nrm AS (
+          SELECT doc_id,
+                 ' ' || regexp_replace(lower(d.text), '\\s+', ' ', 'g') || ' ' AS norm
+          FROM documents d
+        ),
+        g AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(length(norm) - 2, 1) + 1),
+                                i -> substr(norm, i, 3)) AS grams
+          FROM nrm
+        ),
+        s AS (SELECT doc_id, len(grams) AS n_grams,
+                     {', '.join(_tri_score(x) for x in order)} FROM g)
         SELECT doc_id, CASE {' '.join(cases)} ELSE 'und' END AS detected_lang
         FROM s
     """

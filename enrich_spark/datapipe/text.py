@@ -7,14 +7,17 @@ inside codegen at 100 TB and are reproducible in ANSI-SQL oracles.
 
 from __future__ import annotations
 
+import re
+from collections import Counter
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
-# language ID — n-gram/stopword heuristic
+# language ID — character n-gram profile model (Cavnar-Trenkle style)
 
-# highly-discriminative function words per language (lowercase, match on
-# word boundaries). A deliberately simple, deterministic heuristic.
+# function-word lists kept for the quality-score stopword gate and as a
+# cheap fallback heuristic
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "is", "with", "that"],
     "de": ["der", "die", "das", "und", "ist", "nicht"],
@@ -25,19 +28,93 @@ LANG_MARKERS: dict[str, list[str]] = {
     "nl": ["de", "het", "een", "van", "niet", "zijn"],
 }
 
+# Seed corpora: short original paragraphs of everyday prose per language
+# (authored for this repo — no external source required). The model only
+# needs the characteristic trigram DISTRIBUTION of each language, which a
+# few sentences of function-word-dense text capture well.
+_SEED_TEXT: dict[str, str] = {
+    "en": ("the quick brown fox jumps over the lazy dog and the people in "
+           "the town said that it was one of the best things that they had "
+           "seen in many years because there is nothing better than a good "
+           "story with friends and family around the fire in the evening"),
+    "de": ("der schnelle braune fuchs springt über den faulen hund und die "
+           "leute in der stadt sagten dass es eines der besten dinge war die "
+           "sie seit vielen jahren gesehen hatten weil es nichts besseres "
+           "gibt als eine gute geschichte mit freunden und familie am abend"),
+    "fr": ("le rapide renard brun saute par dessus le chien paresseux et les "
+           "gens de la ville ont dit que cetait une des meilleures choses "
+           "quils avaient vues depuis des annees parce quil ny a rien de "
+           "mieux quune bonne histoire avec des amis et la famille le soir"),
+    "es": ("el rapido zorro marron salta sobre el perro perezoso y la gente "
+           "del pueblo dijo que era una de las mejores cosas que habian "
+           "visto en muchos anos porque no hay nada mejor que una buena "
+           "historia con amigos y familia alrededor del fuego por la noche "
+           "los ninos siempre quieren jugar afuera cuando hace buen tiempo "
+           "y es muy importante que todos tengan la oportunidad de aprender "
+           "algo nuevo cada dia aunque a veces cuesta mucho trabajo"),
+    "it": ("la rapida volpe marrone salta sopra il cane pigro e la gente "
+           "della citta ha detto che era una delle cose migliori che "
+           "avessero visto da molti anni perche non ce niente di meglio di "
+           "una bella storia con gli amici e la famiglia la sera"),
+    "pt": ("a rapida raposa marrom salta sobre o cachorro preguicoso e as "
+           "pessoas da cidade disseram que foi uma das melhores coisas que "
+           "viram em muitos anos porque nao ha nada melhor do que uma boa "
+           "historia com amigos e familia ao redor do fogo a noite as "
+           "criancas tambem gostam de brincar do lado de fora quando o "
+           "tempo esta bom e e muito importante que todos tenham a "
+           "oportunidade de aprender algo novo todos os dias"),
+    "nl": ("de snelle bruine vos springt over de luie hond en de mensen in "
+           "de stad zeiden dat het een van de beste dingen was die ze in "
+           "vele jaren hadden gezien omdat er niets beters is dan een goed "
+           "verhaal met vrienden en familie rond het vuur in de avond"),
+}
 
-def _marker_hits(text: Column, words: list[str]) -> Column:
-    pattern = "\\b(" + "|".join(words) + ")\\b"
-    # count marker occurrences: size of split minus 1
-    return F.size(F.split(F.concat(F.lit(" "), F.lower(text), F.lit(" ")), pattern)) - 1
+_NGRAM_N = 3
+_PROFILE_TOP = 64
+
+
+def _char_ngram_profile(text: str, n: int = _NGRAM_N, top: int = _PROFILE_TOP) -> dict[str, int]:
+    """Top-`top` character n-grams of the seed text, weighted by rank
+    (most frequent → weight `top`). Deterministic: Counter.most_common is
+    stable on ties w.r.t. first occurrence."""
+    norm = " " + re.sub(r"\s+", " ", text.lower()).strip() + " "
+    counts = Counter(norm[i:i + n] for i in range(len(norm) - n + 1))
+    return {g: top - i for i, (g, _) in enumerate(counts.most_common(top))}
+
+
+LANG_PROFILES: dict[str, dict[str, int]] = {
+    lang: _char_ngram_profile(t) for lang, t in _SEED_TEXT.items()
+}
 
 
 def detect_language(text: Column) -> Column:
-    """Best-scoring language code, 'und' when nothing matches."""
-    scores = [(lang, _marker_hits(text, words)) for lang, words in LANG_MARKERS.items()]
+    """Character-trigram profile scorer, 'und' when nothing matches.
+
+    One pass builds the text's trigram array; each language's score is a
+    single native `aggregate` over it with a map-literal weight lookup —
+    all codegen, no Python, exact integer scores (ties → earlier language
+    in LANG_PROFILES order, like the reference-ordered rulesets). A
+    winner must average weight > 1 per trigram (score > n_grams) so
+    near-random text stays 'und'."""
+    norm = F.concat(
+        F.lit(" "), F.regexp_replace(F.lower(text), "\\s+", " "), F.lit(" ")
+    )
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - (_NGRAM_N - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: norm.substr(i, F.lit(_NGRAM_N)))
     best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang, score in scores:
+    best_score = F.size(grams).cast("long")
+    for lang, prof in LANG_PROFILES.items():
+        m = F.create_map(*[F.lit(x) for kv in prof.items() for x in kv])
+        score = F.coalesce(
+            F.aggregate(
+                grams, F.lit(0).cast("long"),
+                lambda acc, g: acc + F.coalesce(
+                    F.try_element_at(m, g).cast("long"), F.lit(0)
+                ),
+            ),
+            F.lit(0).cast("long"),
+        )
         is_better = score > best_score
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, score).otherwise(best_score)

@@ -298,3 +298,34 @@ def test_decode_features_real_kernels(spark):
     # unknown format falls back to the digest stub, flagged
     assert rows[4].codec == "stub" and rows[4].mean_val is None
     assert len(rows[4].features) == 16
+
+
+def test_language_id_ngram_accuracy(spark):
+    # held-out sentences (NOT in the seed corpora) — the trigram profile
+    # model must classify all of them; plus und for non-language input
+    from enrich_spark.datapipe.text import language_id
+
+    cases = [
+        ("the weather was cold but the children wanted to play outside", "en"),
+        ("it is important that everyone has a chance to learn and grow", "en"),
+        ("die kinder wollten draussen spielen obwohl das wetter kalt war", "de"),
+        ("es ist wichtig dass jeder die gelegenheit hat zu lernen", "de"),
+        ("les enfants voulaient jouer dehors malgre le temps froid", "fr"),
+        ("il est important que chacun ait la chance de apprendre", "fr"),
+        ("los ninos querian jugar afuera aunque hacia mucho frio", "es"),
+        ("es importante que todos tengan la oportunidad de aprender", "es"),
+        ("i bambini volevano giocare fuori anche se faceva freddo", "it"),
+        ("e importante che tutti abbiano la possibilita di imparare", "it"),
+        ("as criancas queriam brincar do lado de fora apesar do frio", "pt"),
+        ("e importante que todos tenham a oportunidade de aprender", "pt"),
+        ("de kinderen wilden buiten spelen hoewel het koud was", "nl"),
+        ("het is belangrijk dat iedereen de kans krijgt om te leren", "nl"),
+        ("0101 9988 7766 ++++ ----", "und"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "doc_id INT, text STRING"
+    )
+    got = {r.doc_id: r.detected_lang for r in language_id(df).collect()}
+    wrong = [(cases[i][0], cases[i][1], got[i])
+             for i in range(len(cases)) if got[i] != cases[i][1]]
+    assert not wrong, f"misclassified: {wrong}"
