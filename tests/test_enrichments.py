@@ -268,3 +268,60 @@ def test_yauaa_client_hints(spark):
     assert ctx[2]["deviceClass"] == "Phone"
     assert ctx[3]["deviceClass"] == "Robot"
     assert ctx[4]["agentName"] == "Chrome"
+
+
+def test_javascript_config_adapter(spark):
+    import base64
+    import json as _json
+
+    import pytest
+
+    from enrich_spark.operators.script import (
+        javascript_config_to_hook, script_enrichment,
+    )
+
+    js = """
+    function process(event, params, headers) {
+        event.app_id = (event.app_id || "") + "-" + params.suffix;
+        return [{schema: "iglu:com.acme/tag/jsonschema/1-0-0",
+                 data: {n: headers.length}}];
+    }
+    """
+    cfg = {
+        "schema": "iglu:com.snowplowanalytics.snowplow/javascript_script_config/jsonschema/1-0-0",
+        "data": {"parameters": {
+            "script": base64.b64encode(js.encode()).decode(),
+            "config": {"suffix": "js"},
+        }},
+    }
+
+    # sandbox: no JS engine installed → documented NotImplementedError
+    with pytest.raises(NotImplementedError, match="embeddable JS engine"):
+        javascript_config_to_hook(cfg)
+
+    # bad configs fail at parse time with clear messages
+    with pytest.raises(ValueError, match="base64"):
+        javascript_config_to_hook({"data": {"parameters": {"script": "!!!"}}})
+    with pytest.raises(ValueError, match="function process"):
+        javascript_config_to_hook({"data": {"parameters": {
+            "script": base64.b64encode(b"var x = 1;").decode()}}})
+
+    # injected engine (a JS-subset interpreter standing in for quickjs):
+    # proves the adapter wires source/params/headers through the hook
+    # contract and the result translation end-to-end
+    def fake_engine(source, event, params, headers):
+        assert "function process" in source  # receives the decoded source
+        event = dict(event)
+        event["app_id"] = (event.get("app_id") or "") + "-" + params["suffix"]
+        return {"event": event,
+                "contexts": [{"schema": "iglu:com.acme/tag/jsonschema/1-0-0",
+                              "data": {"n": len(headers)}}]}
+
+    hook = javascript_config_to_hook(cfg, engine=fake_engine)
+    df = spark.createDataFrame(
+        [("app1", ["H: 1", "I: 2"])], "app_id STRING, headers ARRAY<STRING>"
+    )
+    out = script_enrichment(df, hook).collect()[0]
+    assert out.app_id == "app1-js"
+    ctx = [c for c in out._derived if "tag" in c.schema][0]
+    assert _json.loads(ctx.data)["n"] == 2
