@@ -43,9 +43,14 @@ def _union_parts(parts, fill=()):
     discriminator, filling columns absent from a part — and real NULLs in
     numeric columns — with a -1 sentinel (NULL ints round-trip as NaN
     through the driver's pandas comparator; strings are safe as NULL)."""
+    from enrich_spark.plans.stagecut import stage_boundary
+
     out = None
     for label, df in parts:
-        d = df.withColumn("part", F.lit(label))
+        # boundary per part: without it, CollapseProject folds the union's
+        # sentinel-coalesce layer into each part's (already near-64KB)
+        # fused projection and whole-stage codegen silently falls back
+        d = stage_boundary(df.withColumn("part", F.lit(label)))
         out = d if out is None else out.unionByName(d, allowMissingColumns=True)
     if fill:
         out = out.na.fill(-1, subset=list(fill))

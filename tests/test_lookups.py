@@ -351,3 +351,29 @@ def test_sql_query_udf_mode_contracts(spark):
     out3 = {r.k: r for r in sql_query_enrichment_udf(
         events, conf3, query_fn, describes="ALL_ROWS").collect()}
     assert json.loads(out3["many"]._derived[0].data) == [{"v": 1}, {"v": 2}]
+
+
+def test_api_request_cache_bounds_transport_calls(spark):
+    # per-executor cache: N events with K distinct keys → exactly K
+    # transport calls per worker. One partition = one worker, and the
+    # call-sequence number embedded in the response proves reuse.
+    calls = [0]
+
+    def counting(url):
+        calls[0] += 1
+        return json.dumps({"k": url.rsplit("/", 1)[-1], "call": calls[0]})
+
+    rows = [("a",), ("a",), ("b",), ("a",), ("b",), ("c",), ("a",), ("c",)]
+    events = _base_df(spark, rows, "user_id STRING").coalesce(1)
+    conf = ApiRequestConf(url_template="http://svc/{{user_id}}",
+                          inputs=["user_id"], transport=counting)
+    out = api_request_enrichment(events, conf).collect()
+    data = [json.loads(r._derived[0].data) for r in out]
+    # every row got a context; the highest call number == distinct keys
+    assert len(data) == len(rows)
+    assert max(d["call"] for d in data) == 3
+    # same key → same cached response object
+    by_key = {}
+    for d in data:
+        by_key.setdefault(d["k"], set()).add(d["call"])
+    assert all(len(v) == 1 for v in by_key.values())
