@@ -2077,10 +2077,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_fingerprint"] = q_fingerprint_doc
 
-    def _media_docs(spark, sf):
+    def _media_docs(spark, sf, docs=None):
         # REAL media fixture: encode genuine PNG / BMP / WAV bytes
         # (datapipe/media_codecs.py) whose decoded statistics are pure
-        # doc_id arithmetic, so a SQL oracle predicts every decoded value
+        # doc_id arithmetic, so a SQL oracle predicts every decoded value.
+        # `docs` lets callers pre-filter BEFORE the mapInPandas encode
+        # (filters don't push through Python stages).
         import numpy as np
         import pandas as pd
 
@@ -2088,7 +2090,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             encode_bmp, encode_png, encode_wav,
         )
 
-        docs = _load_docs(spark, sf).select("doc_id", "text")
+        if docs is None:
+            docs = _load_docs(spark, sf)
+        docs = docs.select("doc_id", "text")
 
         def gen(it):
             for pdf in it:
@@ -2141,7 +2145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # datapipe/multimodal.frame_sample_plan: 1→N frame-timestamp explode
         from enrich_spark.datapipe.multimodal import attach_media_meta, frame_sample_plan
 
-        df = attach_media_meta(_media_docs(spark, sf)).where(F.col("doc_id") % 4 == 2)
+        wav_docs = _load_docs(spark, sf).where(F.col("doc_id") % 4 == 2)
+        df = attach_media_meta(_media_docs(spark, sf, docs=wav_docs))
         dur = (F.col("doc_id") * 37 % 5000).cast("int")  # probe stub duration
         df = df.withColumn("media_meta", F.col("media_meta").withField("duration_ms", dur))
         return frame_sample_plan(df, every_ms=500).select(
