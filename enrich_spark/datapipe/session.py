@@ -46,6 +46,93 @@ def sessionize(
     return out.withColumn("session_index", F.sum("is_session_start").over(running))
 
 
+def streaming_sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stateful STREAMING sessionization via ``applyInPandasWithState``.
+
+    Emits one row per CLOSED session ``(user, session_index,
+    session_start, session_end, n_events)``. A session closes when a
+    later event for the same user arrives past ``gap_seconds``, or when
+    the event-time watermark passes the idle timeout (user went quiet).
+
+    Scale shape: state is per-user-key and O(1) (four scalars), sharded
+    by the same hash partitioning as the batch sessionize shuffle;
+    late data beyond ``watermark`` is dropped by the watermark operator
+    (documented at-most-once for stragglers, exactly the Structured
+    Streaming contract). In-batch disorder is sorted inside the group;
+    cross-batch disorder is bounded by the watermark.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+    out_schema = T.StructType([
+        T.StructField("user", T.StringType()),
+        T.StructField("session_index", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last_us", T.LongType()),
+        T.StructField("idx", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def fn(key, pdfs, state):
+        user = str(key[0])
+        last_us, idx, start_us, n = (
+            state.get if state.exists else (None, 0, None, 0)
+        )
+        closed: list[tuple] = []
+
+        def us(v) -> int:
+            return int(pd.Timestamp(v).value // 1000)
+
+        ts_values: list[int] = []
+        for pdf in pdfs:
+            ts_values.extend(us(v) for v in pdf[ts_col] if v is not None)
+        for t in sorted(ts_values):
+            if last_us is None:
+                idx, start_us, n = idx + 1, t, 0
+            elif t - last_us > gap_us:
+                closed.append((user, idx, start_us, last_us, n))
+                idx, start_us, n = idx + 1, t, 0
+            n += 1
+            last_us = t if last_us is None else max(last_us, t)
+        if state.hasTimedOut:
+            if last_us is not None:
+                closed.append((user, idx, start_us, last_us, n))
+            state.remove()
+        else:
+            state.update((last_us, idx, start_us, n))
+            if last_us is not None:
+                state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                [(u, i, pd.Timestamp(s, unit="us"), pd.Timestamp(e, unit="us"), c)
+                 for u, i, s, e, c in closed],
+                columns=["user", "session_index", "session_start",
+                         "session_end", "n_events"],
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def session_stats(
     df: DataFrame,
     user_col: str = "user_id",

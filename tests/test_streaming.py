@@ -289,3 +289,54 @@ def test_streaming_asset_hotswap_rebuilds_plan(spark):
         finally:
             q.stop()
         assert rebuilds == ["gen2"]  # swap fired once, with the new content
+
+
+def test_streaming_sessionize_stateful(spark):
+    import datetime as dt
+
+    from enrich_spark.datapipe.session import streaming_sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def rows(batch):
+        return spark.createDataFrame(batch, "user_id STRING, ts TIMESTAMP")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in")
+        os.makedirs(src)
+        # batch 0: user a has two events 10 min apart (one session),
+        # user b one event
+        rows([("a", t0), ("a", t0 + dt.timedelta(minutes=10)),
+              ("b", t0)]).write.parquet(os.path.join(src, "b0"))
+        source = (
+            spark.readStream.schema("user_id STRING, ts TIMESTAMP")
+            .option("recursiveFileLookup", "true").parquet(src)
+        )
+        out = streaming_sessionize(source, gap_seconds=1800, watermark="10 seconds")
+        q = (out.writeStream.format("memory").queryName("sess")
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+        try:
+            q.processAllAvailable()
+            assert spark.sql("SELECT * FROM sess").count() == 0  # nothing closed yet
+
+            # batch 1: user a returns 2 hours later → session 1 closes by
+            # gap; the watermark also advances past b's idle timeout
+            rows([("a", t0 + dt.timedelta(hours=2))]).write.parquet(
+                os.path.join(src, "b1"))
+            q.processAllAvailable()
+            # one more empty-ish batch so timed-out state (user b) flushes
+            rows([("c", t0 + dt.timedelta(hours=3))]).write.parquet(
+                os.path.join(src, "b2"))
+            q.processAllAvailable()
+
+            got = {(r.user, r.session_index): r
+                   for r in spark.sql("SELECT * FROM sess").collect()}
+            a1 = got[("a", 1)]
+            assert a1.n_events == 2
+            assert a1.session_start == t0
+            assert a1.session_end == t0 + dt.timedelta(minutes=10)
+            b1 = got[("b", 1)]
+            assert b1.n_events == 1 and b1.session_start == t0
+        finally:
+            q.stop()
