@@ -164,6 +164,51 @@ def lsh_topk(
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def train_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 10,
+    sample: int = 10_000,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means centroids for IVF, trained driver-side on a
+    BOUNDED sample (`limit(sample)` → one bounded collect; real IVF
+    trains on a sample too — K and the sample always fit on the driver,
+    the 100 TB corpus never moves). k-means++ init with a fixed seed,
+    cosine assignment, mean-renormalize update; empty clusters keep
+    their previous centroid. Returns the (cid, vector) list `ivf_topk`
+    accepts, which it embeds as plan constants — so serving stays
+    map-side and shuffle-free regardless of corpus size."""
+    import numpy as np
+
+    rows = vectors.select(vec_col).limit(sample).collect()
+    X = np.asarray([list(map(float, r[0])) for r in rows], dtype=np.float64)
+    n = np.linalg.norm(X, axis=1)
+    X = X[n > 0] / n[n > 0, None]
+    k = min(n_centroids, len(X))
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding on cosine distance (1 - sim on unit vectors)
+    first = int(rng.integers(len(X)))
+    C = [X[first]]
+    for _ in range(1, k):
+        d2 = np.min(1.0 - np.stack([X @ c for c in C], axis=1), axis=1)
+        d2 = np.clip(d2, 0, None)
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        C.append(X[int(rng.choice(len(X), p=p))])
+    C = np.stack(C)
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    C[j] = m / nm
+    return [(j, C[j].tolist()) for j in range(k)]
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -329,3 +329,33 @@ def test_language_id_ngram_accuracy(spark):
     wrong = [(cases[i][0], cases[i][1], got[i])
              for i in range(len(cases)) if got[i] != cases[i][1]]
     assert not wrong, f"misclassified: {wrong}"
+
+
+def test_train_centroids_kmeans(spark):
+    # three well-separated direction clusters → trained centroids align
+    # with them, and nprobe=1 IVF over the trained centroids retrieves
+    # in-cluster neighbors only
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = {0: [1.0, 0, 0, 0], 1: [0, 1.0, 0, 0], 2: [0, 0, 1.0, 0]}
+    rows = []
+    for i in range(60):
+        c = i % 3
+        v = np.array(base[c]) + rng.normal(0, 0.05, 4)
+        rows.append((i, [float(x) for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+    cents = similarity.train_centroids(vecs, n_centroids=3, iters=10)
+    assert len(cents) == 3
+    C = np.array([c for _, c in cents])
+    for axis in range(3):
+        e = np.zeros(4); e[axis] = 1.0
+        assert max(C @ e) > 0.98  # one centroid per cluster direction
+
+    q = vecs.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.ivf_topk(vecs, q, k=5, nprobe=1, centroids=cents).collect()
+    assert len(out) == 5
+    assert all(r.vec_id % 3 == 0 for r in out)  # all from query's cluster
