@@ -89,3 +89,59 @@ def test_garbage_never_throws(blob):
     r = out[0]
     # either decoded to a payload or flagged as CPFormatViolation
     assert (r.loader_error is not None) or (r.api_vendor is not None)
+
+
+@given(
+    w=st.integers(1, 24), h=st.integers(1, 24),
+    color=st.sampled_from([0, 2, 4, 6]),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(w, h, color, data):
+    # any 8-bit image round-trips bit-exactly through encode→decode
+    import numpy as np
+
+    from enrich_spark.datapipe.media_codecs import decode_png, encode_png
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    flat = data.draw(st.lists(
+        st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch))
+    px = np.asarray(flat, dtype=np.uint8).reshape(h, w * ch)
+    ww, hh, cc, back = decode_png(encode_png(w, h, px, color=color))
+    assert (ww, hh, cc) == (w, h, ch)
+    assert np.array_equal(back, px)
+
+
+@given(data=st.binary(min_size=0, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_decode_one_never_throws(data):
+    # hostile bytes (including truncated magic prefixes) must never throw
+    from enrich_spark.datapipe.media_codecs import PNG_SIG
+    from enrich_spark.datapipe.multimodal import _decode_one
+
+    for prefix in (b"", PNG_SIG, b"BM", b"RIFF1234WAVE"):
+        row = _decode_one(prefix + data)
+        assert row["codec"] in ("png", "bmp", "wav", "stub")
+        assert isinstance(row["features"], list)
+
+
+@given(
+    n=st.integers(1, 500), rate=st.sampled_from([8000, 16000, 44100]),
+    bits16=st.booleans(), data=st.data(),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_property(n, rate, bits16, data):
+    import numpy as np
+
+    from enrich_spark.datapipe.media_codecs import decode_wav, encode_wav
+
+    if bits16:
+        flat = data.draw(st.lists(st.integers(-32768, 32767), min_size=n, max_size=n))
+        samples = np.asarray(flat, dtype="<i2")
+    else:
+        flat = data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+        samples = np.asarray(flat, dtype=np.uint8)
+    ch, r, frames, dur, back = decode_wav(encode_wav(rate, samples))
+    assert (ch, r, frames) == (1, rate, n)
+    assert dur == n * 1000 // rate
+    assert np.array_equal(back, samples)
