@@ -40,18 +40,21 @@ def attach_media_meta(df: DataFrame, binary_col: str = "media") -> DataFrame:
     """Sniff magic bytes natively → metadata struct (no Python)."""
     b = F.col(binary_col)
     head = F.hex(F.substring(b, 1, 4))
+    riff_kind = F.hex(F.substring(b, 9, 4))  # RIFF sub-container tag
     fmt = (
         F.when(head.startswith("89504E47"), "png")
         .when(head.startswith("FFD8"), "jpeg")
         .when(head.startswith("424D"), "bmp")
-        .when(head.startswith("52494646"), "wav")
+        .when(head.startswith("52494646") & (riff_kind == "57415645"), "wav")   # WAVE
+        .when(head.startswith("52494646") & (riff_kind == "57454250"), "webp")  # WEBP
+        .when(head.startswith("52494646") & (riff_kind == "41564920"), "avi")   # 'AVI '
         .when(head.startswith("1A45DFA3"), "webm")
         .otherwise("unknown")
     )
     media_type = (
-        F.when(fmt.isin("png", "jpeg", "bmp"), "image")
+        F.when(fmt.isin("png", "jpeg", "bmp", "webp"), "image")
         .when(fmt == "wav", "audio")
-        .when(fmt == "webm", "video")
+        .when(fmt.isin("webm", "avi"), "video")
         .otherwise("unknown")
     )
     return df.withColumn(
@@ -98,9 +101,12 @@ def _decode_one(data: bytes) -> dict:
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             ch, rate, n, dur, samples = mc.decode_wav(data)
             mean = float(samples.mean()) if samples.size else 0.0
+            # normalize by the sample type's full scale so the feature
+            # stays in the shared [-1, 1]/[0, 1] contract for both widths
+            scale = 255.0 if samples.dtype.itemsize == 1 else 32768.0
             return dict(width=None, height=None, channels=ch,
                         duration_ms=dur, mean_val=mean,
-                        features=[mean / 255.0], codec="wav")
+                        features=[mean / scale], codec="wav")
     except Exception:  # noqa: BLE001 — corrupt media must not fail the task
         pass
     w, h, feats = _fake_decode(data)
@@ -112,7 +118,7 @@ def decode_features(
     df: DataFrame,
     id_col: str = "id",
     binary_col: str = "media",
-    target_batch_bytes: int = 64 << 20,
+    target_batch_bytes: int | None = None,
     passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Media decode + feature extraction via mapInPandas (Arrow batches).
@@ -124,7 +130,16 @@ def decode_features(
     get metadata + decoded features in ONE pass over the (wide, MBs/row)
     media table — a post-hoc self-join would scan the binary column twice
     and shuffle it once, which is the wrong plan at 100 TB.
+
+    Batch sizing: Arrow batches are bounded in ROWS by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` — for MB-scale media
+    set that conf low, and/or pass ``target_batch_bytes`` to spend ONE
+    extra pass measuring total binary bytes and repartitioning so each
+    partition (hence each worker's batch stream) carries ≲ that budget.
+    Default None: no extra pass, inherit upstream partitioning.
     """
+    import math
+
     import pandas as pd
 
     out_cols = ("id", "width", "height", "channels", "duration_ms",
@@ -155,9 +170,15 @@ def decode_features(
                 out[c] = pdf[c]
             yield pd.DataFrame(out)
 
-    # size-aware repartition so one Arrow batch ≲ target_batch_bytes
-    sized = df.select(id_col, binary_col, *passthrough, F.length(binary_col).alias("_sz"))
-    return sized.drop("_sz").mapInPandas(run, out_schema)
+    narrow = df.select(id_col, binary_col, *passthrough)
+    if target_batch_bytes is not None:
+        total = narrow.select(
+            F.sum(F.length(binary_col)).alias("b")
+        ).collect()[0].b or 0
+        narrow = narrow.repartition(
+            max(1, math.ceil(total / target_batch_bytes))
+        )
+    return narrow.mapInPandas(run, out_schema)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -105,6 +105,10 @@ def streaming_sessionize(
             elif t - last_us > gap_us:
                 closed.append((user, idx, start_us, last_us, n))
                 idx, start_us, n = idx + 1, t, 0
+            else:
+                # late-but-within-watermark event joining the open
+                # session may precede its current start — widen both ends
+                start_us = min(start_us, t)
             n += 1
             last_us = t if last_us is None else max(last_us, t)
         if state.hasTimedOut:

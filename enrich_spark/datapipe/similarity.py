@@ -184,8 +184,12 @@ def train_centroids(
 
     rows = vectors.select(vec_col).limit(sample).collect()
     X = np.asarray([list(map(float, r[0])) for r in rows], dtype=np.float64)
+    if X.size == 0:
+        return []
     n = np.linalg.norm(X, axis=1)
     X = X[n > 0] / n[n > 0, None]
+    if len(X) == 0:  # all-zero vectors: nothing trainable
+        return []
     k = min(n_centroids, len(X))
     rng = np.random.default_rng(seed)
     # k-means++ seeding on cosine distance (1 - sim on unit vectors)

@@ -80,7 +80,12 @@ class IabLists:
 def parse_ip_file(path: str | Path) -> list[tuple[int, int]]:
     """CIDR-per-line → [(lo_uint32, hi_uint32)]. IPv4 only: an IPv6 CIDR
     would yield 128-bit bounds that can never match the 32-bit ip_to_long
-    probe, silently disabling the entry — raise at parse time instead."""
+    probe. Such entries are SKIPPED with a warning rather than raised —
+    the file is vendor-authored and one IPv6 line must not take down the
+    whole pipeline at plan-build time (the entry was inert before too;
+    now the operator says so)."""
+    import warnings
+
     out = []
     for line in Path(path).read_text().splitlines():
         line = line.strip()
@@ -88,9 +93,11 @@ def parse_ip_file(path: str | Path) -> list[tuple[int, int]]:
             continue
         net = ipaddress.ip_network(line, strict=False)
         if net.version != 4:
-            raise ValueError(
-                f"IAB ip exclude list is IPv4-only, got {line!r} in {path}"
+            warnings.warn(
+                f"IAB ip exclude list is IPv4-only; skipping {line!r} in {path}",
+                stacklevel=2,
             )
+            continue
         out.append((int(net.network_address), int(net.broadcast_address)))
     return out
 

@@ -197,12 +197,18 @@ def sink_conf_from_dict(d: dict) -> StreamSinkConf:
                 i += 1
             num, unit = float(head[:i]), head[i:]
         unit = unit.strip().lower()
+        if "nano" in unit or unit == "ns":
+            return num / 1e9
+        if "micro" in unit or unit == "us":
+            return num / 1e6
         if "milli" in unit or unit == "ms":
             return num / 1000.0
         if "minute" in unit or unit == "m":
             return num * 60.0
         if "hour" in unit or unit == "h":
             return num * 3600.0
+        if "day" in unit or unit == "d":
+            return num * 86400.0
         return num  # seconds
 
     return StreamSinkConf(

@@ -88,12 +88,17 @@ def test_config_extras_and_empty_include(spark, tmp_path):
     assert _ctx(out[1])["reason"] == "PASSED_ALL"
 
 
-def test_parse_ip_file_rejects_ipv6(tmp_path):
-    import pytest
+def test_parse_ip_file_skips_ipv6_with_warning(tmp_path):
+    import warnings
 
     from enrich_spark.operators.iab import parse_ip_file
 
     p = tmp_path / "ip.txt"
     p.write_text("10.0.0.0/8\n2001:db8::/32\n")
-    with pytest.raises(ValueError, match="IPv4-only"):
-        parse_ip_file(p)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        ranges = parse_ip_file(p)
+    # IPv4 entry kept, IPv6 skipped loudly — one bad vendor line must
+    # not take the pipeline down at plan-build time
+    assert ranges == [(int.from_bytes(bytes([10, 0, 0, 0])), int.from_bytes(bytes([10, 255, 255, 255])))]
+    assert any("IPv4-only" in str(w.message) for w in caught)

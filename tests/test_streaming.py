@@ -340,3 +340,45 @@ def test_streaming_sessionize_stateful(spark):
             assert b1.n_events == 1 and b1.session_start == t0
         finally:
             q.stop()
+
+
+def test_streaming_sessionize_late_event_widens_session(spark):
+    import datetime as dt
+
+    from enrich_spark.datapipe.session import streaming_sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def rows(batch):
+        return spark.createDataFrame(batch, "user_id STRING, ts TIMESTAMP")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in")
+        os.makedirs(src)
+        rows([("a", t0)]).write.parquet(os.path.join(src, "b0"))
+        source = (
+            spark.readStream.schema("user_id STRING, ts TIMESTAMP")
+            .option("recursiveFileLookup", "true").parquet(src)
+        )
+        out = streaming_sessionize(source, gap_seconds=1800, watermark="1 hour")
+        q = (out.writeStream.format("memory").queryName("sess_late")
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+        try:
+            q.processAllAvailable()
+            # late-but-within-watermark event BEFORE the session start
+            rows([("a", t0 - dt.timedelta(minutes=10))]).write.parquet(
+                os.path.join(src, "b1"))
+            q.processAllAvailable()
+            # gap-close the session
+            rows([("a", t0 + dt.timedelta(hours=3))]).write.parquet(
+                os.path.join(src, "b2"))
+            q.processAllAvailable()
+            got = [r for r in spark.sql("SELECT * FROM sess_late").collect()
+                   if r.session_index == 1]
+            assert len(got) == 1
+            # session_start reflects the late event, not first-seen order
+            assert got[0].session_start == t0 - dt.timedelta(minutes=10)
+            assert got[0].n_events == 2
+        finally:
+            q.stop()
