@@ -179,6 +179,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ threshold via PREFIX FILTERING (PPJoin
+    family) — the scale path that replaces first-token blocking.
+
+    Completeness guarantee: order every doc's shingles by ascending
+    global document frequency (ties by shingle value); two sets with
+    Jaccard ≥ t MUST share at least one element inside each one's prefix
+    of length ``n - ceil(t·n) + 1``. Candidates therefore come from an
+    equi-join on prefix shingles only — pair volume is governed by RARE
+    shingles, not the Zipf-head first token, so no hot-block skew.
+
+    Shuffle budget: shingle DF count (1), frequency re-join + per-doc
+    sort (1), prefix candidate equi-join (1), verify re-joins (2) —
+    all key-bounded exchanges, no cross join at any size. Verification
+    recomputes exact Jaccard on candidates only.
+    """
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), shingle_k).alias("_sh"),
+    ).where(F.size("_sh") > 0)
+    tok = base.select("_id", F.explode("_sh").alias("_t"))
+    freq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        tok.join(freq, "_t")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_df", "_t"))).alias("_ord"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    plen = (F.col("_n") - F.ceil(F.col("_n") * F.lit(float(threshold))) + 1).cast("int")
+    pref = ordered.select(
+        "_id",
+        F.explode(
+            F.slice(F.transform("_ord", lambda s: s.getField("_t")), F.lit(1), plen)
+        ).alias("_t"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a._t") == F.col("b._t")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    withsh = cand.join(
+        base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+    ).join(
+        base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        withsh.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # simhash
 

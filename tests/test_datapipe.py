@@ -359,3 +359,43 @@ def test_train_centroids_kmeans(spark):
     out = similarity.ivf_topk(vecs, q, k=5, nprobe=1, centroids=cents).collect()
     assert len(out) == 5
     assert all(r.vec_id % 3 == 0 for r in out)  # all from query's cluster
+
+
+def test_ngram_jaccard_prefix_filter_is_exact(spark):
+    # prefix filtering must return EXACTLY the brute-force pair set —
+    # the completeness guarantee is the whole point of the scale path
+    import itertools
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumped over the lazy dog"),
+        (4, "a quick brown dog jumps over a lazy fox"),
+        (5, "completely different content about spark engines"),
+        (6, "spark engines process completely different content"),
+        (7, "one"),
+        (8, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    for thr in (0.3, 0.5, 0.8):
+        got = {
+            (r.id_a, r.id_b): round(r.jaccard, 6)
+            for r in dedup.ngram_jaccard_pairs_prefix(
+                df, shingle_k=2, threshold=thr
+            ).collect()
+        }
+        # brute force over collected shingle sets
+        sh = {
+            r.doc_id: set(r.sh)
+            for r in df.select(
+                "doc_id", dedup.shingles(F.col("text"), 2).alias("sh")
+            ).collect()
+        }
+        want = {}
+        for x, y in itertools.combinations(sorted(sh), 2):
+            if not sh[x] or not sh[y]:
+                continue
+            j = len(sh[x] & sh[y]) / len(sh[x] | sh[y])
+            if j >= thr:
+                want[(x, y)] = round(j, 6)
+        assert got == want, f"threshold {thr}"
