@@ -241,6 +241,61 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id,
+    is_keeper). The step after pair generation a real dedup pipeline
+    needs: LSH/simhash/jaccard emit PAIRS, but dropping duplicates needs
+    CLUSTERS (a~b, b~c ⇒ keep one of {a,b,c}). cluster_id = the minimum
+    member id; is_keeper marks it.
+
+    Spark shape: iterative min-label propagation — per iteration one
+    key-bounded join + partial-agg groupBy, converging in O(cluster
+    diameter) rounds (near-dup clusters are shallow, typically ≤ 4).
+    `localCheckpoint` truncates lineage each round so the plan doesn't
+    grow; the loop exits early on a zero `changed` count (one scalar
+    per round, not a data collect)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst").agg(F.min("label").alias("nbr"))
+        )
+        merged = (
+            labels.join(msgs, labels["node"] == msgs["dst"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))).alias("label"),
+                (F.col("nbr") < F.col("label")).alias("chg"),
+            )
+        )
+        merged = merged.localCheckpoint()
+        changed = merged.where(F.col("chg")).limit(1).count()
+        labels = merged.drop("chg")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # simhash
 

@@ -399,3 +399,20 @@ def test_ngram_jaccard_prefix_filter_is_exact(spark):
             if j >= thr:
                 want[(x, y)] = round(j, 6)
         assert got == want, f"threshold {thr}"
+
+
+def test_dup_clusters_connected_components(spark):
+    # chain 1-2-3 plus pair (10,11) plus a long path 20..24 exercising
+    # multi-iteration propagation; only clustered nodes appear
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        "id_a INT, id_b INT",
+    )
+    out = {r.doc_id: (r.cluster_id, r.is_keeper)
+           for r in dedup.dup_clusters(pairs).collect()}
+    assert {d: c for d, (c, _) in out.items()} == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20, 24: 20,
+    }
+    keepers = {d for d, (_, k) in out.items() if k}
+    assert keepers == {1, 10, 20}
