@@ -1910,7 +1910,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("jaccard", 4).alias("jaccard"),
         )
 
-    q["dedup_ngram_jaccard"] = q_ngram_jaccard
+    def q_ngram_prefix(spark, sf):
+        # PPJoin-style prefix filtering — exact-complete, so the oracle
+        # is plain brute-force all-pairs jaccard (no blocking clause)
+        from enrich_spark.datapipe.dedup import ngram_jaccard_pairs_prefix
+
+        docs = _load_docs(spark, sf)
+        return ngram_jaccard_pairs_prefix(docs, shingle_k=3, threshold=0.15).select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+
+    def q_dup_clusters(spark, sf):
+        # connected components over the blocked pairs (keep-one dedup);
+        # oracle replays via a DuckDB recursive-CTE transitive closure
+        from enrich_spark.datapipe.dedup import dup_clusters, ngram_jaccard_pairs
+
+        docs = _load_docs(spark, sf)
+        pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.15)
+        return dup_clusters(pairs).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("is_keeper").cast("long").alias("is_keeper"),
+        )
+
+    # blocked pairs ('blocked'), exact prefix-filter pairs ('prefix'),
+    # and connected-component clusters ('clusters') in one oracle row
+    q["dedup_ngram_jaccard"] = lambda spark, sf: _union_parts(
+        [("blocked", q_ngram_jaccard(spark, sf)),
+         ("prefix", q_ngram_prefix(spark, sf)),
+         ("clusters", q_dup_clusters(spark, sf))],
+        fill=("id_a", "id_b", "jaccard", "doc_id", "cluster_id", "is_keeper"),
+    )
 
     def q_simhash(spark, sf):
         from enrich_spark.datapipe.dedup import md5_hash_family, simhash_pairs
@@ -3307,6 +3339,48 @@ def oracle_sql() -> dict[str, str]:
           "mh3": "num"}),
         ("lsh", o.pop("dedup_minhash_lsh"),
          {"id_a": "num", "id_b": "num", "jaccard": "fnum"}),
+    ])
+
+    # ngram jaccard: blocked pairs + exact prefix-filter pairs (oracle =
+    # brute force, completeness is the guarantee under test) + connected
+    # components over the blocked pairs via a recursive-CTE closure
+    blocked_sql = o.pop("dedup_ngram_jaccard")
+    prefix_sql = f"""
+        WITH base AS (
+          SELECT d.doc_id,
+                 string_split(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')), ' ') AS words
+          FROM documents d
+        ),
+        sh AS (SELECT doc_id, {shingle3} AS grams FROM base)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.15
+    """
+    clusters_sql = f"""
+        WITH RECURSIVE prs AS (SELECT id_a, id_b FROM ({blocked_sql})),
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM prs
+          UNION SELECT id_b, id_a FROM prs
+        ),
+        reach(n, m) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
+        )
+        SELECT n AS doc_id, min(m) AS cluster_id,
+               CAST(n = min(m) AS BIGINT) AS is_keeper
+        FROM reach GROUP BY n
+    """
+    o["dedup_ngram_jaccard"] = _union_oracle([
+        ("blocked", blocked_sql,
+         {"id_a": "num", "id_b": "num", "jaccard": "fnum"}),
+        ("prefix", prefix_sql,
+         {"id_a": "num", "id_b": "num", "jaccard": "fnum"}),
+        ("clusters", clusters_sql,
+         {"doc_id": "num", "cluster_id": "num", "is_keeper": "num"}),
     ])
 
     return o
