@@ -23,6 +23,8 @@ deterministic, reproducible in SQL oracles, and JVM-side.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -270,6 +272,7 @@ def dup_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         msgs = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -289,6 +292,16 @@ def dup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # A component with diameter > max_iter (long near-dup chains) would
+        # otherwise silently yield split clusters with multiple keepers.
+        warnings.warn(
+            f"dup_clusters: label propagation did not converge within "
+            f"max_iter={max_iter} rounds; some components may be split. "
+            f"Re-run with a larger max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),

@@ -28,6 +28,7 @@ def sessionize(
     ts_col: str = "ts",
     order_cols: tuple[str, ...] = ("event_id",),
     gap_seconds: int = 1800,
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Assign per-user session indexes: a new session starts when the gap
     to the previous event exceeds ``gap_seconds``.
@@ -35,7 +36,19 @@ def sessionize(
     Adds ``is_session_start`` (1/0) and ``session_index`` (1-based per
     user) columns. One shuffle on ``user_col``; everything else is a
     windowed projection.
+
+    ``max_events_per_user`` bounds hot-key skew: a runaway crawler user
+    is truncated to its first N events (by time order) before session
+    assignment. The cap filter reuses the same window partitioning, so
+    it adds no extra shuffle.
     """
+    if max_events_per_user is not None:
+        wcap = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
+        df = (
+            df.withColumn("_rn", F.row_number().over(wcap))
+            .where(F.col("_rn") <= max_events_per_user)
+            .drop("_rn")
+        )
     w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
     gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
     is_start = (gap_us.isNull() | (gap_us > gap_seconds * 1_000_000)).cast("long")
@@ -98,7 +111,9 @@ def streaming_sessionize(
 
         ts_values: list[int] = []
         for pdf in pdfs:
-            ts_values.extend(us(v) for v in pdf[ts_col] if v is not None)
+            # NULL ts arrives as pandas NaT, which is `is not None` but
+            # converts to the LONG_MIN sentinel — filter with notna.
+            ts_values.extend(us(v) for v in pdf[ts_col] if pd.notna(v))
         for t in sorted(ts_values):
             if last_us is None:
                 idx, start_us, n = idx + 1, t, 0
@@ -115,10 +130,15 @@ def streaming_sessionize(
             if last_us is not None:
                 closed.append((user, idx, start_us, last_us, n))
             state.remove()
+        elif last_us is None:
+            # all-NULL-ts batch for a fresh key: storing (None,…) state
+            # would never get a timeout timestamp and could never be
+            # removed — a permanent state leak. Drop it instead.
+            if state.exists:
+                state.remove()
         else:
             state.update((last_us, idx, start_us, n))
-            if last_us is not None:
-                state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+            state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
         if closed:
             yield pd.DataFrame(
                 [(u, i, pd.Timestamp(s, unit="us"), pd.Timestamp(e, unit="us"), c)

@@ -103,7 +103,9 @@ def detect_language(text: Column) -> Column:
     idx = F.sequence(F.lit(1), F.greatest(n - (_NGRAM_N - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: norm.substr(i, F.lit(_NGRAM_N)))
     best_lang = F.lit("und")
-    best_score = F.size(grams).cast("long")
+    # NULL text → size(grams) = -1 (sizeOfNull); clamp to 0 so every
+    # coalesced 0-score ties with (not beats) the floor and NULL stays 'und'.
+    best_score = F.greatest(F.lit(0).cast("long"), F.size(grams).cast("long"))
     for lang, prof in LANG_PROFILES.items():
         m = F.create_map(*[F.lit(x) for kv in prof.items() for x in kv])
         score = F.coalesce(

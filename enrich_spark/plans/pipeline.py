@@ -165,12 +165,6 @@ def enrich_raw(df: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> En
         df = sql_ops.cookie_contexts(df, cfg.cookie_extractor)
     if cfg.http_header_extractor:
         df = sql_ops.http_header_contexts(df, cfg.http_header_extractor)
-    if cfg.weather:
-        from ..operators.lookups import weather_context
-
-        # weather needs geo coords: schedule after ip_lookups below; the
-        # flag is checked again there
-        pass
     if cfg.yauaa:
         df = ua_op.yauaa_context(df)
     df = sql_ops.schema_fields(df)

@@ -416,3 +416,55 @@ def test_dup_clusters_connected_components(spark):
     }
     keepers = {d for d, (_, k) in out.items() if k}
     assert keepers == {1, 10, 20}
+
+
+def test_language_id_null_and_empty_are_und(spark):
+    # NULL text used to score -1 as the floor (sizeOfNull), letting every
+    # 0-score language "win"; both NULL and empty must stay 'und'
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   ")], "doc_id INT, text STRING"
+    )
+    got = {r.doc_id: r.detected_lang for r in text.language_id(docs).collect()}
+    assert got == {1: "und", 2: "und", 3: "und"}
+
+
+def test_sessionize_max_events_per_user_cap(spark):
+    import datetime as dt
+
+    from enrich_spark.datapipe.session import sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [("hot", t0 + dt.timedelta(minutes=i), f"e{i:03d}") for i in range(10)]
+    rows += [("cold", t0, "c0"), ("cold", t0 + dt.timedelta(hours=2), "c1")]
+    df = spark.createDataFrame(rows, "user_id STRING, ts TIMESTAMP, event_id STRING")
+
+    capped = sessionize(df, max_events_per_user=3).collect()
+    by_user = {}
+    for r in capped:
+        by_user.setdefault(r.user_id, []).append(r)
+    # hot user truncated to first 3 events by time order
+    assert sorted(r.event_id for r in by_user["hot"]) == ["e000", "e001", "e002"]
+    # cold user untouched, still splits into two sessions
+    assert {r.session_index for r in by_user["cold"]} == {1, 2}
+    # uncapped keeps everything
+    assert len(sessionize(df).collect()) == 12
+
+
+def test_dup_clusters_warns_on_iteration_cap(spark):
+    import warnings as w
+
+    # path graph 0-1-2-...-6: min-label propagation needs several rounds;
+    # max_iter=1 cannot converge and must warn instead of silently splitting
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a INT, id_b INT"
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        dedup.dup_clusters(pairs, max_iter=1).collect()
+    assert any("did not converge" in str(c.message) for c in caught)
+    # and a sufficient max_iter stays silent
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        out = dedup.dup_clusters(pairs, max_iter=10).collect()
+    assert not any("did not converge" in str(c.message) for c in caught)
+    assert {r.cluster_id for r in out} == {0}

@@ -382,3 +382,36 @@ def test_streaming_sessionize_late_event_widens_session(spark):
             assert got[0].n_events == 2
         finally:
             q.stop()
+
+
+def test_streaming_sessionize_null_ts_does_not_leak_state(spark):
+    import datetime as dt
+
+    from enrich_spark.datapipe.session import streaming_sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def rows(batch):
+        return spark.createDataFrame(batch, "user_id STRING, ts TIMESTAMP")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in")
+        os.makedirs(src)
+        # batch 0: key 'ghost' arrives with only NULL timestamps — storing
+        # state for it would never get a timeout and could never be removed
+        rows([("ghost", None), ("ghost", None), ("real", t0)]).write.parquet(
+            os.path.join(src, "b0"))
+        source = (
+            spark.readStream.schema("user_id STRING, ts TIMESTAMP")
+            .option("recursiveFileLookup", "true").parquet(src)
+        )
+        out = streaming_sessionize(source, gap_seconds=1800, watermark="10 seconds")
+        q = (out.writeStream.format("memory").queryName("sess_leak")
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+        try:
+            q.processAllAvailable()
+            state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+            assert state_rows == 1  # only 'real' holds state, not 'ghost'
+        finally:
+            q.stop()
