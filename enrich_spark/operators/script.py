@@ -4,8 +4,10 @@ The reference's JavaScript enrichment
 (registry/JavascriptScriptEnrichment.scala:62-228) exposes the contract
 ``process(event, params, headers) -> null | [context…] | throw | drop``
 over a mutable event. Our equivalent extension surface is a Python
-callable with the same contract, executed as an Arrow-batched
-mapInPandas stage over the *whole* event row rendered as a dict:
+callable with the same contract, executed as an Arrow-batched pandas-UDF
+stage over the mutable-field struct rendered as a dict (the whole
+per-row JSON serialization is amortized across Arrow record batches;
+``batched=False`` falls back to a row-at-a-time udf):
 
     fn(event: dict, params: dict, headers: list[str])
         -> None                      # keep, unchanged
@@ -31,6 +33,8 @@ from __future__ import annotations
 import base64
 import json
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -47,7 +51,36 @@ from .sql_enrichments import (
 _MUTABLE_KINDS = {"s": str, "i": int, "f": float, "b": int}
 
 
-def script_enrichment(df: DataFrame, conf: JavascriptScriptConf) -> DataFrame:
+def _script_run_one(fn, params, mutable, event_json, headers):
+    """Per-event hook invocation → result tuple (drop, error, contexts,
+    *mutations). Shared by the Arrow-batched and row-at-a-time wrappers."""
+    event = json.loads(event_json) if event_json else {}
+    hs = [] if headers is None else list(headers)
+    nil = tuple([None] * len(mutable))
+    try:
+        out = fn(event, params, hs)
+    except Exception as e:  # noqa: BLE001 — contract: throw = failure
+        return (False, f"Error during execution of script: {e}", None) + nil
+    if out is None:
+        return (False, None, None) + nil
+    if out.get("drop"):
+        return (True, None, None) + nil
+    ctxs = [
+        {"schema": c.get("schema"),
+         "data": json.dumps(c.get("data"), separators=(",", ":"))}
+        for c in out.get("contexts", [])
+    ] or None
+    mutations = out.get("event", {})
+    muts = tuple(
+        None if c not in mutations else
+        (None if mutations[c] is None else str(mutations[c]))
+        for c in mutable
+    )
+    return (False, None, ctxs) + muts
+
+
+def script_enrichment(df: DataFrame, conf: JavascriptScriptConf,
+                      batched: bool = True) -> DataFrame:
     df = ensure_enrich_errors(ensure_derived(df))
     fn = conf.function
     params = dict(conf.params)
@@ -62,29 +95,22 @@ def script_enrichment(df: DataFrame, conf: JavascriptScriptConf) -> DataFrame:
                           T.StructField("data", T.StringType())]))),
     ] + [T.StructField(f"_m_{c}", T.StringType()) for c in mutable]
     result_type = T.StructType(result_fields)
+    out_cols = ["_script_drop", "_script_error", "_script_contexts"] + [
+        f"_m_{c}" for c in mutable
+    ]
 
-    @F.udf(returnType=result_type)
-    def run(event_json, headers):
-        event = json.loads(event_json) if event_json else {}
-        try:
-            out = fn(event, params, list(headers or []))
-        except Exception as e:  # noqa: BLE001 — contract: throw = failure
-            return (False, f"Error during execution of script: {e}", None) + tuple([None] * len(mutable))
-        if out is None:
-            return (False, None, None) + tuple([None] * len(mutable))
-        if out.get("drop"):
-            return (True, None, None) + tuple([None] * len(mutable))
-        ctxs = [
-            (c.get("schema"), json.dumps(c.get("data"), separators=(",", ":")))
-            for c in out.get("contexts", [])
-        ] or None
-        mutations = out.get("event", {})
-        muts = tuple(
-            None if c not in mutations else
-            (None if mutations[c] is None else str(mutations[c]))
-            for c in mutable
-        )
-        return (False, None, ctxs) + muts
+    if batched:
+        @F.pandas_udf(result_type)
+        def run(ev: pd.Series, hdr: pd.Series) -> pd.DataFrame:
+            return pd.DataFrame(
+                [_script_run_one(fn, params, mutable, e, h)
+                 for e, h in zip(ev, hdr)],
+                columns=out_cols,
+            )
+    else:
+        @F.udf(returnType=result_type)
+        def run(event_json, headers):
+            return _script_run_one(fn, params, mutable, event_json, headers)
 
     event_json = F.to_json(F.struct(*[F.col(c) for c in mutable]))
     df = df.withColumn("_script", run(event_json, F.col("headers")))

@@ -12,6 +12,8 @@ enrichment chain fuses into whole-stage codegen — the per-row cost at
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -416,13 +418,116 @@ def _criterion_regex(criterion: str) -> str:
     return f"^{pat}$"
 
 
-def _pii_json_mutate(df: DataFrame, conf: PiiPseudonymizerConf):
-    """Hash string values addressed by (entity, schemaCriterion, jsonPath)
-    locators inside ue_json / co_json / _derived. Returns (df, modified)
-    where `modified` is the array column of JsonModifiedField records."""
-    import hashlib
+def _pii_mutate_one(locators, scramble, ue_json, co_json, derived):
+    """Per-event JSON mutator: hash string values addressed by (entity,
+    schemaCriterion, jsonPath) locators inside ue/co/derived JSON
+    (ScrambleMapFunction semantics, PiiPseudonymizerEnrichment.scala:252-387).
+    Pure function shared by the Arrow-batched and row-at-a-time wrappers."""
     import json as _json
     import re as _re
+
+    def path_replace(data, json_path: str, schema_uri: str, out: list):
+        segs = [s for s in json_path.lstrip("$").strip(".").split(".") if s]
+        node = data
+        for seg in segs[:-1]:
+            if not isinstance(node, dict) or seg not in node:
+                return
+            node = node[seg]
+        if not segs or not isinstance(node, dict) or segs[-1] not in node:
+            return
+        last = segs[-1]
+        cur = node[last]
+
+        def rec(old, new):
+            return {"fieldName": last, "originalValue": old, "modifiedValue": new,
+                    "jsonPath": json_path, "schema": schema_uri}
+
+        if isinstance(cur, str):
+            new = scramble(cur)
+            node[last] = new
+            out.append(rec(cur, new))
+        elif isinstance(cur, list):
+            newarr = []
+            for el in cur:
+                if isinstance(el, str):
+                    new = scramble(el)
+                    out.append(rec(el, new))
+                    newarr.append(new)
+                else:
+                    newarr.append(el)
+            node[last] = newarr
+
+    modified: list = []
+    new_ue, new_co, new_derived = ue_json, co_json, derived
+    try:
+        if ue_json:
+            env = _json.loads(ue_json)
+            inner = env.get("data") if isinstance(env, dict) else None
+            if isinstance(inner, dict):
+                uri = inner.get("schema") or ""
+                before = len(modified)
+                for entity, crit, jp in locators:
+                    if entity == "unstruct" and _re.match(crit, uri):
+                        path_replace(inner.get("data"), jp, uri, modified)
+                if len(modified) > before:
+                    new_ue = _json.dumps(env, separators=(",", ":"))
+        if co_json:
+            env = _json.loads(co_json)
+            inner = env.get("data") if isinstance(env, dict) else None
+            if isinstance(inner, list):
+                changed_any = False
+                for sdj in inner:
+                    if not isinstance(sdj, dict):
+                        continue
+                    uri = sdj.get("schema") or ""
+                    before = len(modified)
+                    for entity, crit, jp in locators:
+                        if entity == "contexts" and _re.match(crit, uri):
+                            path_replace(sdj.get("data"), jp, uri, modified)
+                    changed_any = changed_any or len(modified) > before
+                if changed_any:
+                    new_co = _json.dumps(env, separators=(",", ":"))
+        if derived is not None and len(derived) > 0:
+            rebuilt = []
+            changed_any = False
+            for c in derived:
+                uri, payload = c["schema"], c["data"]
+                before = len(modified)
+                doc = None
+                for entity, crit, jp in locators:
+                    if entity == "derived_contexts" and _re.match(crit, uri or ""):
+                        if doc is None and payload:
+                            doc = _json.loads(payload)
+                        path_replace(doc, jp, uri, modified)
+                if len(modified) > before and doc is not None:
+                    rebuilt.append({"schema": uri,
+                                    "data": _json.dumps(doc, separators=(",", ":"))})
+                    changed_any = True
+                else:
+                    rebuilt.append({"schema": uri, "data": payload})
+            if changed_any:
+                new_derived = rebuilt
+    except (ValueError, TypeError):
+        pass  # malformed JSON is phase-1's problem, not the mutator's
+    if new_derived is not None and not isinstance(new_derived, list):
+        # Arrow hands derived over as a numpy array; hand back a list so
+        # pyarrow re-infers the struct array cleanly
+        new_derived = list(new_derived)
+    return (new_ue, new_co, new_derived, modified)
+
+
+def _pii_json_mutate(df: DataFrame, conf: PiiPseudonymizerConf,
+                     batched: bool = True):
+    """Hash string values addressed by (entity, schemaCriterion, jsonPath)
+    locators inside ue_json / co_json / _derived. Returns (df, modified)
+    where `modified` is the array column of JsonModifiedField records.
+
+    batched=True (default) runs the mutator as an Arrow-batched pandas
+    UDF — when json_fields are configured this touches every event with
+    ue/co/derived JSON, the same hot-path shape Iglu validation has
+    (functions/iglu.py:478). batched=False keeps the row-at-a-time
+    F.udf as an Arrow-less fallback."""
+    import hashlib
 
     locators = [
         (jf.entity, _criterion_regex(jf.schema_criterion), jf.json_path)
@@ -436,89 +541,18 @@ def _pii_json_mutate(df: DataFrame, conf: PiiPseudonymizerConf):
     def scramble(value: str) -> str:
         return hash_fn((salt + value).encode("utf-8")).hexdigest()
 
-    def path_replace(data, json_path: str, schema_uri: str, out: list):
-        """Navigate $.a.b.c; hash terminal strings / string-array elements
-        (ScrambleMapFunction semantics)."""
-        segs = [s for s in json_path.lstrip("$").strip(".").split(".") if s]
-        node, parents = data, []
-        for seg in segs[:-1]:
-            if not isinstance(node, dict) or seg not in node:
-                return
-            parents.append((node, seg))
-            node = node[seg]
-        if not segs or not isinstance(node, dict) or segs[-1] not in node:
-            return
-        last = segs[-1]
-        cur = node[last]
-        if isinstance(cur, str):
-            new = scramble(cur)
-            node[last] = new
-            out.append((last, cur, new, json_path, schema_uri))
-        elif isinstance(cur, list):
-            newarr = []
-            for el in cur:
-                if isinstance(el, str):
-                    new = scramble(el)
-                    out.append((last, el, new, json_path, schema_uri))
-                    newarr.append(new)
-                else:
-                    newarr.append(el)
-            node[last] = newarr
-
-    @F.udf(returnType=_PII_JSON_RESULT)
-    def mutate(ue_json, co_json, derived):
-        modified: list = []
-        new_ue, new_co, new_derived = ue_json, co_json, derived
-        try:
-            if ue_json:
-                env = _json.loads(ue_json)
-                inner = env.get("data") if isinstance(env, dict) else None
-                if isinstance(inner, dict):
-                    uri = inner.get("schema") or ""
-                    before = len(modified)
-                    for entity, crit, jp in locators:
-                        if entity == "unstruct" and _re.match(crit, uri):
-                            path_replace(inner.get("data"), jp, uri, modified)
-                    if len(modified) > before:
-                        new_ue = _json.dumps(env, separators=(",", ":"))
-            if co_json:
-                env = _json.loads(co_json)
-                inner = env.get("data") if isinstance(env, dict) else None
-                if isinstance(inner, list):
-                    changed_any = False
-                    for sdj in inner:
-                        if not isinstance(sdj, dict):
-                            continue
-                        uri = sdj.get("schema") or ""
-                        before = len(modified)
-                        for entity, crit, jp in locators:
-                            if entity == "contexts" and _re.match(crit, uri):
-                                path_replace(sdj.get("data"), jp, uri, modified)
-                        changed_any = changed_any or len(modified) > before
-                    if changed_any:
-                        new_co = _json.dumps(env, separators=(",", ":"))
-            if derived:
-                rebuilt = []
-                changed_any = False
-                for c in derived:
-                    uri, payload = c["schema"], c["data"]
-                    before = len(modified)
-                    doc = None
-                    for entity, crit, jp in locators:
-                        if entity == "derived_contexts" and _re.match(crit, uri or ""):
-                            if doc is None and payload:
-                                doc = _json.loads(payload)
-                            path_replace(doc, jp, uri, modified)
-                    if len(modified) > before and doc is not None:
-                        rebuilt.append((uri, _json.dumps(doc, separators=(",", ":"))))
-                        changed_any = True
-                    else:
-                        rebuilt.append((uri, payload))
-                if changed_any:
-                    new_derived = rebuilt
-        except (ValueError, TypeError):
-            pass  # malformed JSON is phase-1's problem, not the mutator's
-        return (new_ue, new_co, new_derived, modified)
+    if batched:
+        @F.pandas_udf(_PII_JSON_RESULT)
+        def mutate(ue: pd.Series, co: pd.Series, derived: pd.Series) -> pd.DataFrame:
+            return pd.DataFrame(
+                [_pii_mutate_one(locators, scramble, u, c, d)
+                 for u, c, d in zip(ue, co, derived)],
+                columns=["ue_json", "co_json", "derived", "modified"],
+            )
+    else:
+        @F.udf(returnType=_PII_JSON_RESULT)
+        def mutate(ue_json, co_json, derived):
+            return _pii_mutate_one(locators, scramble, ue_json, co_json, derived)
 
     derived_col = F.col(DERIVED_COL) if DERIVED_COL in df.columns else F.lit(None).cast(
         "array<struct<schema:string,data:string>>"
