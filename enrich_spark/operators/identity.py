@@ -48,6 +48,9 @@ class IdentityConf:
     cache_ttl_s: float = 3600.0
     max_retries: int = 3
     circuit_threshold: int = 5     # consecutive failures → open circuit
+    # "broadcast" (default): distinct identifier tuples → one service
+    # call per tuple → broadcast join back. "per_event": cached UDF.
+    mode: str = "broadcast"
 
 
 def _compile_filters(rules: list[FilterRule]) -> Column:
@@ -69,7 +72,32 @@ _RESULT = T.StructType([
 ])
 
 
+def _resolve_one(transport, names, values, retries, state):
+    """One service call with bounded retries and a consecutive-failure
+    circuit (state = {'failures': int}, scoped per executor/partition)."""
+    payload = {n: v for n, v in zip(names, values)}
+    last = None
+    for _ in range(retries):
+        try:
+            resp = transport(payload)
+            state["failures"] = 0
+            return (str(resp.get("snowplowId")), None)
+        except Exception as e:  # noqa: BLE001
+            last = e
+    state["failures"] += 1
+    return (None, f"identity\t{type(last).__name__}: {last}\t")
+
+
 def add_identity_contexts(df: DataFrame, conf: IdentityConf) -> DataFrame:
+    """Identity stitching (core/Identity.scala:32-207).
+
+    mode="broadcast" (default, the 100 TB path): distinct identifier
+    tuples from ELIGIBLE events → one service call per tuple on the
+    executors → broadcast join back on null-safe tuple equality. Service
+    volume = global tuple cardinality; the event stream sees no Python.
+
+    mode="per_event": the reference's cached-UDF semantics — one call
+    per distinct tuple per executor, LRU+TTL, per-executor circuit."""
     if conf.transport is None:
         raise ValueError("IdentityConf.transport is required (no default endpoint)")
     df = ensure_derived(df)
@@ -77,39 +105,78 @@ def add_identity_contexts(df: DataFrame, conf: IdentityConf) -> DataFrame:
     names = list(conf.identifiers)
     size, ttl = conf.cache_size, conf.cache_ttl_s
     retries, circuit_threshold = conf.max_retries, conf.circuit_threshold
-    holder: dict = {}
-
-    @F.udf(returnType=_RESULT)
-    def resolve(*values):
-        if all(v is None for v in values):
-            return (None, None)
-        if "cache" not in holder:
-            holder["cache"] = TtlCache(size, ttl)
-            holder["failures"] = 0
-        if holder["failures"] >= circuit_threshold:
-            return (None, "identity circuit open")
-        key = tuple(values)
-
-        def go():
-            payload = {n: v for n, v in zip(names, values)}
-            last = None
-            for _ in range(retries):
-                try:
-                    resp = transport(payload)
-                    holder["failures"] = 0
-                    return (str(resp.get("snowplowId")), None)
-                except Exception as e:  # noqa: BLE001
-                    last = e
-            holder["failures"] += 1
-            return (None, f"identity\t{type(last).__name__}: {last}\t")
-
-        return holder["cache"].get_or(key, go)
-
     eligible = _compile_filters(conf.filters)
-    res = F.when(eligible, resolve(*[F.col(c) for c in names])).otherwise(
-        F.lit(None).cast(_RESULT.simpleString())
-    )
-    df = df.withColumn("_identity", res)
+
+    if conf.mode == "broadcast":
+        import pandas as pd
+
+        keys = (
+            df.where(eligible)
+            .select(*[F.col(c) for c in names])
+            .where(F.greatest(*[F.col(c).isNotNull() for c in names])
+                   if len(names) > 1 else F.col(names[0]).isNotNull())
+            .distinct()
+        )
+
+        def resolve_batches(batches):
+            state = {"failures": 0}
+            for pdf in batches:
+                out_id, out_err = [], []
+                for row in pdf.itertuples(index=False):
+                    values = [None if pd.isna(v)
+                              else (v.item() if hasattr(v, "item") else v)
+                              for v in row]
+                    if state["failures"] >= circuit_threshold:
+                        rid, err = None, "identity circuit open"
+                    else:
+                        rid, err = _resolve_one(transport, names, values, retries, state)
+                    out_id.append(rid)
+                    out_err.append(err)
+                pdf = pdf.copy()
+                pdf["_id_resolved"] = out_id
+                pdf["_id_error"] = out_err
+                yield pdf
+
+        key_schema = ", ".join(
+            f"{c} {df.schema[c].dataType.simpleString()}" for c in names
+        )
+        lookup = keys.mapInPandas(
+            resolve_batches, f"{key_schema}, _id_resolved string, _id_error string"
+        ).withColumnsRenamed({c: f"_idk_{c}" for c in names})
+
+        cond = None
+        for c in names:
+            piece = df[c].eqNullSafe(F.col(f"_idk_{c}"))
+            cond = piece if cond is None else (cond & piece)
+        df = df.join(F.broadcast(lookup), on=cond, how="left").drop(
+            *[f"_idk_{c}" for c in names]
+        )
+        res = F.when(eligible, F.struct(
+            F.col("_id_resolved").alias("snowplow_id"),
+            F.col("_id_error").alias("error"),
+        )).otherwise(F.lit(None).cast(_RESULT.simpleString()))
+        df = df.withColumn("_identity", res).drop("_id_resolved", "_id_error")
+    else:
+        holder: dict = {}
+
+        @F.udf(returnType=_RESULT)
+        def resolve(*values):
+            if all(v is None for v in values):
+                return (None, None)
+            if "cache" not in holder:
+                holder["cache"] = TtlCache(size, ttl)
+                holder["state"] = {"failures": 0}
+            if holder["state"]["failures"] >= circuit_threshold:
+                return (None, "identity circuit open")
+            return holder["cache"].get_or(
+                tuple(values),
+                lambda: _resolve_one(transport, names, values, retries, holder["state"]),
+            )
+
+        res = F.when(eligible, resolve(*[F.col(c) for c in names])).otherwise(
+            F.lit(None).cast(_RESULT.simpleString())
+        )
+        df = df.withColumn("_identity", res)
     data = F.to_json(F.struct(F.col("_identity.snowplow_id").alias("snowplowId")))
     ctx = F.struct(F.lit(IDENTITY_CTX_SCHEMA).alias("schema"), data.alias("data"))
     df = df.withColumn(

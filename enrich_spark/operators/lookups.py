@@ -24,9 +24,12 @@ Spark-first architecture — two execution modes per SURVEY §4:
 from __future__ import annotations
 
 import json
+import re
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -301,6 +304,10 @@ class ApiRequestConf:
     # for tests and for auth/POST variants.
     transport: Callable[[str], str] | None = None
     timeout_s: float = 5.0
+    # "broadcast" (default, the 100 TB path): distinct rendered URLs →
+    # one fetch per key on executors → broadcast join back. "per_event":
+    # the reference's per-event cached-UDF semantics (CachingEvaluator).
+    mode: str = "broadcast"
 
 
 def _default_transport(timeout_s: float):
@@ -333,44 +340,108 @@ _API_RESULT = T.StructType([
 ])
 
 
-def api_request_enrichment(df: DataFrame, conf: ApiRequestConf) -> DataFrame:
-    """Templated per-event HTTP lookup with a per-executor LRU+TTL cache.
+def _render_url_column(template: str, inputs: list[str]) -> Column:
+    """The rendered URL as a native Column. F.concat propagates NULL, so
+    a missing placeholder value nulls the whole URL — exactly the
+    skip-if-any-input-missing rule."""
+    cols: list[Column] = []
+    for part in re.split(r"(\{\{\w+\}\})", template):
+        m = re.fullmatch(r"\{\{(\w+)\}\}", part)
+        if m:
+            if m.group(1) not in inputs:
+                raise ValueError(
+                    f"url_template placeholder {{{{{m.group(1)}}}}} is not in inputs"
+                )
+            cols.append(F.col(m.group(1)).cast("string"))
+        elif part:
+            cols.append(F.lit(part))
+    return F.concat(*cols) if cols else F.lit(template)
 
-    Skips rows where any input is NULL (ApiRequestEnrichment: all
-    placeholders must be filled). The cache key is the rendered URL, so
-    at 100 TB the request volume is bounded by key cardinality × executors,
-    not event count."""
+
+def _api_fetch_one(fetch, json_path, url):
+    try:
+        body = fetch(url)
+        value = _dig(json.loads(body), json_path)
+        if value is None:
+            return (None, f"api_request\tno value at {json_path}\t{url}")
+        return (json.dumps(value, separators=(",", ":")), None)
+    except Exception as e:  # noqa: BLE001 — never throw from the pipeline
+        return (None, f"api_request\t{type(e).__name__}: {e}\t{url}")
+
+
+def api_request_enrichment(df: DataFrame, conf: ApiRequestConf) -> DataFrame:
+    """Templated HTTP lookup (apirequest/ApiRequestEnrichment.scala:127-230).
+
+    mode="broadcast" (default, the 100 TB path): render the URL as a
+    native column, take DISTINCT non-null URLs, fetch each ONCE on the
+    executors (mapInPandas over the key table), broadcast-join the
+    responses back. Request volume = global key cardinality; the event
+    stream itself sees zero Python and no shuffle (one extra pruned pass
+    over the input to build the key table).
+
+    mode="per_event": the reference's per-event cached-UDF semantics —
+    a per-executor LRU+TTL cache keyed on the rendered URL, request
+    volume bounded by key cardinality × executors. Semantics-parity mode
+    for configs that rely on per-event call ordering / TTL behavior.
+
+    Both modes skip rows where any input is NULL (all placeholders must
+    be filled)."""
     df = ensure_enrich_errors(ensure_derived(df))
     transport = conf.transport
     template, json_path = conf.url_template, conf.json_path
     size, ttl, timeout = conf.cache_size, conf.cache_ttl_s, conf.timeout_s
-    holder: dict = {}
 
-    @F.udf(returnType=_API_RESULT)
-    def call(*values):
-        if any(v is None for v in values):
-            return (None, None)  # skip — missing placeholder
-        if "cache" not in holder:
-            holder["cache"] = TtlCache(size, ttl)
-            holder["fetch"] = transport or _default_transport(timeout)
-        url = template
-        for name, v in zip(conf.inputs, values):
-            url = url.replace("{{%s}}" % name, str(v))
+    if conf.mode == "broadcast":
+        url_col = _render_url_column(template, conf.inputs)
+        keys = (
+            df.select(url_col.alias("_api_url"))
+            .where(F.col("_api_url").isNotNull())
+            .distinct()
+        )
 
-        def fetch_and_extract():
-            try:
-                body = holder["fetch"](url)
-                value = _dig(json.loads(body), json_path)
-                if value is None:
-                    return (None, f"api_request\tno value at {json_path}\t{url}")
-                return (json.dumps(value, separators=(",", ":")), None)
-            except Exception as e:  # noqa: BLE001 — never throw from the pipeline
-                return (None, f"api_request\t{type(e).__name__}: {e}\t{url}")
+        def fetch_batches(batches):
+            fetch = transport or _default_transport(timeout)
+            cache = TtlCache(size, ttl)
+            for pdf in batches:
+                res = [cache.get_or(u, lambda u=u: _api_fetch_one(fetch, json_path, u))
+                       for u in pdf["_api_url"]]
+                yield pd.DataFrame({
+                    "_api_url": pdf["_api_url"],
+                    "_api_data": [r[0] for r in res],
+                    "_api_error": [r[1] for r in res],
+                })
 
-        return holder["cache"].get_or(url, fetch_and_extract)
+        lookup = keys.mapInPandas(
+            fetch_batches, "_api_url string, _api_data string, _api_error string"
+        )
+        df = (
+            df.withColumn("_api_url", url_col)
+            .join(F.broadcast(lookup), on="_api_url", how="left")
+            .withColumn("_api", F.struct(
+                F.col("_api_data").alias("data"),
+                F.col("_api_error").alias("error"),
+            ))
+            .drop("_api_url", "_api_data", "_api_error")
+        )
+    else:
+        holder: dict = {}
 
-    res = call(*[F.col(c) for c in conf.inputs])
-    df = df.withColumn("_api", res)
+        @F.udf(returnType=_API_RESULT)
+        def call(*values):
+            if any(v is None for v in values):
+                return (None, None)  # skip — missing placeholder
+            if "cache" not in holder:
+                holder["cache"] = TtlCache(size, ttl)
+                holder["fetch"] = transport or _default_transport(timeout)
+            url = template
+            for name, v in zip(conf.inputs, values):
+                url = url.replace("{{%s}}" % name, str(v))
+            return holder["cache"].get_or(
+                url, lambda: _api_fetch_one(holder["fetch"], json_path, url)
+            )
+
+        res = call(*[F.col(c) for c in conf.inputs])
+        df = df.withColumn("_api", res)
     ctx = F.struct(
         F.lit(conf.context_schema).alias("schema"),
         F.col("_api.data").alias("data"),
@@ -400,6 +471,10 @@ class WeatherConf:
     # provider(lat, lon, epoch_s) -> dict (weather doc); None = deterministic
     # stub (the container has no network; the real OWM client drops in here)
     provider: Callable[[float, float, int], dict] | None = None
+    # "broadcast" (default): distinct (rounded-coords, day) buckets →
+    # one provider call per bucket → broadcast join back. "per_event":
+    # per-executor cached UDF (reference LRU+TTL semantics).
+    mode: str = "broadcast"
 
 
 def _stub_weather(lat: float, lon: float, epoch_s: int) -> dict:
@@ -416,32 +491,91 @@ def _stub_weather(lat: float, lon: float, epoch_s: int) -> dict:
 
 
 def weather_context(df: DataFrame, conf: WeatherConf) -> DataFrame:
-    """Weather by (geo_latitude, geo_longitude, derived_tstamp) — cached
-    per (rounded-coords, day) like the reference's LRU+TTL cache."""
+    """Weather by (geo_latitude, geo_longitude, derived_tstamp), bucketed
+    per (coords rounded to 0.1°, day) like the reference's LRU+TTL cache.
+
+    mode="broadcast" (default, the 100 TB path): group the events'
+    distinct (rounded-coords, day) buckets, call the provider ONCE per
+    bucket on the executors with a deterministic representative (the
+    bucket-min coords/timestamp — any member is equally valid, that is
+    what a cache-key approximation means), broadcast-join the documents
+    back. Provider-call volume = bucket cardinality, globally.
+
+    mode="per_event": per-executor cached UDF — the provider sees the
+    first-arriving event's full-precision coords per bucket, exactly the
+    reference's cache behavior."""
     df = ensure_derived(df)
     provider = conf.provider or _stub_weather
     size, ttl = conf.cache_size, conf.cache_ttl_s
-    holder: dict = {}
 
-    @F.udf(returnType=T.StringType())
-    def fetch(lat, lon, epoch_s):
-        if lat is None or lon is None or epoch_s is None:
-            return None
-        if "cache" not in holder:
-            holder["cache"] = TtlCache(size, ttl)
-        key = (round(lat, 1), round(lon, 1), epoch_s // 86400)
+    if conf.mode == "broadcast":
+        epoch = F.unix_timestamp("derived_tstamp")
+        keys = (
+            df.select(
+                F.round(F.col("geo_latitude").cast("double"), 1).alias("_w_lat1"),
+                F.round(F.col("geo_longitude").cast("double"), 1).alias("_w_lon1"),
+                F.floor(epoch / 86400).alias("_w_day"),
+                F.col("geo_latitude").alias("_lat"),
+                F.col("geo_longitude").alias("_lon"),
+                epoch.alias("_epoch"),
+            )
+            .where(F.col("_w_lat1").isNotNull() & F.col("_w_lon1").isNotNull()
+                   & F.col("_w_day").isNotNull())
+            .groupBy("_w_lat1", "_w_lon1", "_w_day")
+            .agg(F.min("_lat").alias("_lat"), F.min("_lon").alias("_lon"),
+                 F.min("_epoch").alias("_epoch"))
+        )
 
-        def go():
-            try:
-                return json.dumps(provider(lat, lon, int(epoch_s)), separators=(",", ":"))
-            except Exception:  # noqa: BLE001
+        def fetch_batches(batches):
+            for pdf in batches:
+                docs = []
+                for lat, lon, ep in zip(pdf["_lat"], pdf["_lon"], pdf["_epoch"]):
+                    try:
+                        docs.append(json.dumps(provider(float(lat), float(lon), int(ep)),
+                                               separators=(",", ":")))
+                    except Exception:  # noqa: BLE001
+                        docs.append(None)
+                yield pd.DataFrame({
+                    "_w_lat1": pdf["_w_lat1"], "_w_lon1": pdf["_w_lon1"],
+                    "_w_day": pdf["_w_day"], "_weather": docs,
+                })
+
+        lookup = keys.mapInPandas(
+            fetch_batches,
+            "_w_lat1 double, _w_lon1 double, _w_day bigint, _weather string",
+        )
+        df = (
+            df.withColumns({
+                "_w_lat1": F.round(F.col("geo_latitude").cast("double"), 1),
+                "_w_lon1": F.round(F.col("geo_longitude").cast("double"), 1),
+                "_w_day": F.floor(F.unix_timestamp("derived_tstamp") / 86400),
+            })
+            .join(F.broadcast(lookup), on=["_w_lat1", "_w_lon1", "_w_day"], how="left")
+            .drop("_w_lat1", "_w_lon1", "_w_day")
+        )
+    else:
+        holder: dict = {}
+
+        @F.udf(returnType=T.StringType())
+        def fetch(lat, lon, epoch_s):
+            if lat is None or lon is None or epoch_s is None:
                 return None
+            if "cache" not in holder:
+                holder["cache"] = TtlCache(size, ttl)
+            key = (round(lat, 1), round(lon, 1), epoch_s // 86400)
 
-        return holder["cache"].get_or(key, go)
+            def go():
+                try:
+                    return json.dumps(provider(lat, lon, int(epoch_s)),
+                                      separators=(",", ":"))
+                except Exception:  # noqa: BLE001
+                    return None
 
-    data = fetch(F.col("geo_latitude"), F.col("geo_longitude"),
-                 F.unix_timestamp("derived_tstamp"))
-    df = df.withColumn("_weather", data)
+            return holder["cache"].get_or(key, go)
+
+        data = fetch(F.col("geo_latitude"), F.col("geo_longitude"),
+                     F.unix_timestamp("derived_tstamp"))
+        df = df.withColumn("_weather", data)
     ctx = F.struct(F.lit(conf.context_schema).alias("schema"), F.col("_weather").alias("data"))
     return df.withColumn(
         DERIVED_COL,

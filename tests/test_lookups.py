@@ -377,3 +377,105 @@ def test_api_request_cache_bounds_transport_calls(spark):
     for d in data:
         by_key.setdefault(d["k"], set()).add(d["call"])
     assert all(len(v) == 1 for v in by_key.values())
+
+
+def test_api_request_broadcast_matches_per_event(spark):
+    def transport(url):
+        k = url.rsplit("/", 1)[-1]
+        if k == "7":
+            raise RuntimeError("upstream 500")
+        return json.dumps({"plan": {"name": f"p-{k}"}})
+
+    rows = [(i % 9 if i % 5 else None,) for i in range(40)]
+    events = _base_df(spark, rows, "user_id INT")
+
+    def run(mode):
+        conf = ApiRequestConf(
+            url_template="http://svc/{{user_id}}", inputs=["user_id"],
+            json_path="$.plan", transport=transport, mode=mode,
+        )
+        got = api_request_enrichment(events, conf).collect()
+        return sorted(
+            (r.user_id if r.user_id is not None else -1,
+             tuple(tuple(c) for c in r._derived), tuple(r._enrich_errors))
+            for r in got
+        )
+
+    assert run("broadcast") == run("per_event")
+
+
+def test_weather_broadcast_matches_per_event(spark):
+    import datetime
+
+    rows = [
+        (51.5, -0.1, datetime.datetime(2026, 1, 1, 10, 0)),
+        (51.5, -0.1, datetime.datetime(2026, 1, 1, 22, 0)),   # same bucket
+        (51.5, -0.1, datetime.datetime(2026, 1, 2, 10, 0)),   # next day
+        (40.7, -74.0, datetime.datetime(2026, 1, 1, 10, 0)),
+        (None, -74.0, datetime.datetime(2026, 1, 1, 10, 0)),  # null lat → skip
+    ]
+    df = spark.createDataFrame(
+        rows, "geo_latitude DOUBLE, geo_longitude DOUBLE, derived_tstamp TIMESTAMP"
+    )
+
+    def run(mode):
+        out = weather_context(df, WeatherConf(mode=mode)).collect()
+        return sorted(
+            (r.geo_latitude if r.geo_latitude is not None else -999.0,
+             r.derived_tstamp.isoformat(),
+             tuple(tuple(c) for c in r._derived))
+            for r in out
+        )
+
+    b, p = run("broadcast"), run("per_event")
+    assert b == p
+    # null-coord row has no weather context in either mode
+    assert all(len(x[2]) == 0 for x in b if x[0] == -999.0)
+    assert all(len(x[2]) == 1 for x in b if x[0] != -999.0)
+
+
+def test_identity_broadcast_matches_per_event(spark):
+    from enrich_spark.operators.identity import (
+        FilterRule, IdentityConf, add_identity_contexts,
+    )
+
+    def transport(payload):
+        import hashlib
+
+        s = (payload.get("domain_userid") or "") + "|" + (payload.get("network_userid") or "")
+        if s.startswith("bad"):
+            raise RuntimeError("boom")
+        return {"snowplowId": hashlib.md5(s.encode()).hexdigest()}
+
+    rows = [
+        ("du-1", "nu-1", "web"), ("du-1", "nu-1", "web"),   # same tuple twice
+        ("du-2", None, "web"),                               # partial tuple
+        (None, None, "web"),                                 # all-null → skip
+        ("bad-x", "nu-9", "web"),                            # service failure
+        ("du-3", "nu-3", "srv"),                             # filtered out
+    ]
+    df = spark.createDataFrame(
+        rows, "domain_userid STRING, network_userid STRING, platform STRING"
+    )
+    conf_kw = dict(
+        transport=transport,
+        filters=[FilterRule("platform", "in", ["web"])],
+        max_retries=1,
+    )
+
+    def run(mode):
+        out = add_identity_contexts(df, IdentityConf(mode=mode, **conf_kw)).collect()
+        return sorted(
+            (r.domain_userid or "", r.network_userid or "", r.platform,
+             tuple(tuple(c) for c in r._derived),
+             (r._identity_error or "").split("\t")[0])
+            for r in out
+        )
+
+    b, p = run("broadcast"), run("per_event")
+    assert b == p
+    by = {(x[0], x[1], x[2]): x for x in b}
+    assert len(by[("du-1", "nu-1", "web")][3]) == 1      # stitched
+    assert len(by[("du-3", "nu-3", "srv")][3]) == 0      # filtered: no ctx
+    assert len(by[("", "", "web")][3]) == 0              # all-null: no ctx
+    assert by[("bad-x", "nu-9", "web")][4] == "identity"  # failure recorded
