@@ -914,7 +914,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_events").cast("long").alias("n_events"),
         )
 
-    q["sessionize"] = q_sessionize
+    def q_sessionize_stream(spark, sf):
+        # STREAMING sessionize (applyInPandasWithState, session.py:49) run
+        # as a real file-stream over the same events; emits CLOSED sessions.
+        # With watermark=0 the final watermark is max(ts) ms-truncated, so
+        # the closed set is exactly SQL-expressible: every session except
+        # those still within gap of the stream's end (oracle mirrors the
+        # strict `timeout < watermark` rule at ms resolution).
+        import os
+        import tempfile
+
+        from enrich_spark.datapipe.session import streaming_sessionize
+
+        ev = _load_events(spark, sf).select(
+            F.col("user_id").cast("string").alias("user_id"), "ts", "event_id"
+        )
+        tmp = tempfile.mkdtemp(prefix="enrich_spark_sess_stream_")
+        src = os.path.join(tmp, "in")
+        ev.write.parquet(src)
+        source = spark.readStream.schema(
+            "user_id STRING, ts TIMESTAMP, event_id BIGINT"
+        ).parquet(src)
+        out = streaming_sessionize(source, gap_seconds=1800, watermark="0 seconds")
+        qname = "sess_stream_" + os.path.basename(tmp).rsplit("_", 1)[-1]
+        sq = (out.writeStream.format("memory").queryName(qname)
+              .outputMode("append")
+              .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+        try:
+            sq.processAllAvailable()
+        finally:
+            sq.stop()
+        return spark.table(qname).select(
+            F.col("user").cast("long").alias("user_id"),
+            F.col("session_index").cast("long").alias("session_index"),
+            F.unix_micros("session_start").alias("ss_us"),
+            F.unix_micros("session_end").alias("se_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+
+    q["sessionize"] = lambda spark, sf: _union_parts(
+        [("stats", q_sessionize(spark, sf)),
+         ("stream_closed", q_sessionize_stream(spark, sf))],
+        fill=("user_id", "n_sessions", "n_events", "session_index",
+              "ss_us", "se_us"),
+    )
 
     def q_sql_lookup(spark, sf):
         from enrich_spark.operators.lookups import SqlQueryConf, sql_query_enrichment
@@ -2198,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bad_row_split": q_bad_rows,
         "sql_lookup_join": q_sql_lookup,
         "dedup_minhash_lsh": q_minhash_lsh,
+        "sessionize": q_sessionize,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -2508,6 +2552,41 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
         FROM g GROUP BY user_id
+    """
+
+    # streaming sessionize parity: the applyInPandasWithState path with
+    # watermark=0 emits exactly the sessions whose ms-truncated timeout
+    # (last event + gap) is strictly before the final watermark
+    # (ms-truncated max ts) — plus every session closed by a later
+    # in-gap-violating event; with the strict `<` both sets collapse to
+    # the WHERE below.
+    o["sessionize_stream"] = """
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, ts,
+                 sum(new_sess) OVER w2 AS session_index
+          FROM g
+          WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING)
+        ), agg AS (
+          SELECT user_id, session_index,
+                 min(ts) AS session_start, max(ts) AS session_end,
+                 count(*) AS n_events
+          FROM s GROUP BY user_id, session_index
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(session_index AS BIGINT) AS session_index,
+               epoch_us(session_start) AS ss_us,
+               epoch_us(session_end) AS se_us,
+               CAST(n_events AS BIGINT) AS n_events
+        FROM agg
+        WHERE epoch_ms(session_end) + 1800000 < (SELECT epoch_ms(max(ts)) FROM events)
     """
 
     o["sql_lookup_join"] = """
@@ -3312,6 +3391,13 @@ def oracle_sql() -> dict[str, str]:
          {"src_event_id": "num", "c_name": "str", "c_nationkey": "num"}),
         ("json", o.pop("sql_json_inputs"),
          {"src_event_id": "num", "c_name": "str", "n_name": "str", "n_errs": "num"}),
+    ])
+    o["sessionize"] = _union_oracle([
+        ("stats", o.pop("sessionize"),
+         {"user_id": "num", "n_sessions": "num", "n_events": "num"}),
+        ("stream_closed", o.pop("sessionize_stream"),
+         {"user_id": "num", "session_index": "num", "ss_us": "num",
+          "se_us": "num", "n_events": "num"}),
     ])
     o["iglu_validation"] = _union_oracle([
         ("basic", o.pop("iglu_validation"),
