@@ -476,7 +476,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("parameters")["page"].alias("page"),
         )
 
-    q["adapter_explode"] = q_adapter_explode
+    def q_adapter_remote(spark, sf):
+        # §2.3 remote adapter: an unknown (vendor, version) routed to a
+        # config-registered HTTP sidecar translator with the reference's
+        # request/response JSON contract (RemoteAdapter.scala:48-117);
+        # the transport here is a deterministic stub so DuckDB can mirror
+        # it. Covers multi-event responses, querystring passthrough, and
+        # the sidecar-error → AdapterFailure row path.
+        import json as _json
+
+        from enrich_spark.adapters.registry import adapt
+
+        def transport(request_json: str) -> str:
+            req = _json.loads(request_json)
+            body = req.get("body") or ""
+            qs = req.get("queryString") or {}
+            k = body.split("=", 1)[1] if "=" in body else ""
+            if k and int(k) % 11 == 0:
+                return _json.dumps({"error": "sidecar rejected payload"})
+            return _json.dumps({"events": [
+                {"e": "ue", "aid": "remote-a", "k": k, "src": qs.get("s", "")},
+                {"e": "se", "aid": "remote-b", "k": k},
+            ]})
+
+        eid = F.col("event_id")
+        payloads = _load_events(spark, sf).select(
+            eid.alias("src_event_id"),
+            F.lit("com.acme.sidecar").alias("api_vendor"),
+            F.lit("v1").alias("api_version"),
+            F.array(F.struct(F.lit("s").alias("name"),
+                             (eid % 7).cast("string").alias("value"))).alias("querystring"),
+            F.lit("application/json").alias("content_type"),
+            F.concat(F.lit("k="), eid.cast("string")).alias("body"),
+        )
+        out = adapt(payloads, remote_adapters={("com.acme.sidecar", "v1"): transport})
+        return out.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            F.col("parameters")["e"].alias("e"),
+            F.col("parameters")["aid"].alias("aid"),
+            F.col("parameters")["k"].alias("k"),
+            F.col("parameters")["src"].alias("src"),
+            F.when(F.col("_adapter_error").isNotNull(), 1).otherwise(0)
+            .cast("long").alias("is_err"),
+        )
+
+    q["adapter_explode"] = lambda spark, sf: _union_parts(
+        [("explode", q_adapter_explode(spark, sf)),
+         ("remote", q_adapter_remote(spark, sf))],
+        fill=("src_event_id", "is_err"),
+    )
 
     def q_webhook_adapters(spark, sf):
         # §2.3 webhook long tail via the largest adapter: Google Analytics
@@ -2482,6 +2530,22 @@ def oracle_sql() -> dict[str, str]:
              (SELECT unnest(['pv','pp']) AS e, unnest(['a1','a2']) AS aid) x
     """
 
+    # remote adapter: two events per payload from the sidecar stub, error
+    # row when event_id % 11 = 0 (mirrors q_adapter_remote's transport)
+    o["adapter_remote"] = """
+        SELECT CAST(event_id AS BIGINT) AS src_event_id, 'ue' AS e,
+               'remote-a' AS aid, CAST(event_id AS VARCHAR) AS k,
+               CAST(event_id % 7 AS VARCHAR) AS src, CAST(0 AS BIGINT) AS is_err
+        FROM events WHERE event_id % 11 <> 0
+        UNION ALL
+        SELECT CAST(event_id AS BIGINT), 'se', 'remote-b',
+               CAST(event_id AS VARCHAR), NULL, CAST(0 AS BIGINT)
+        FROM events WHERE event_id % 11 <> 0
+        UNION ALL
+        SELECT CAST(event_id AS BIGINT), NULL, NULL, NULL, NULL, CAST(1 AS BIGINT)
+        FROM events WHERE event_id % 11 = 0
+    """
+
     o["bad_row_split"] = """
         SELECT e.event_id AS src_event_id,
                CAST(CASE WHEN e.user_id % 7 = 0 OR e.user_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_bad,
@@ -3391,6 +3455,13 @@ def oracle_sql() -> dict[str, str]:
          {"src_event_id": "num", "c_name": "str", "c_nationkey": "num"}),
         ("json", o.pop("sql_json_inputs"),
          {"src_event_id": "num", "c_name": "str", "n_name": "str", "n_errs": "num"}),
+    ])
+    o["adapter_explode"] = _union_oracle([
+        ("explode", o.pop("adapter_explode"),
+         {"src_event_id": "num", "e": "str", "aid": "str", "page": "str"}),
+        ("remote", o.pop("adapter_remote"),
+         {"src_event_id": "num", "e": "str", "aid": "str", "k": "str",
+          "src": "str", "is_err": "num"}),
     ])
     o["sessionize"] = _union_oracle([
         ("stats", o.pop("sessionize"),
