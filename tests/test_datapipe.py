@@ -468,3 +468,69 @@ def test_dup_clusters_warns_on_iteration_cap(spark):
         out = dedup.dup_clusters(pairs, max_iter=10).collect()
     assert not any("did not converge" in str(c.message) for c in caught)
     assert {r.cluster_id for r in out} == {0}
+
+
+def test_png_all_filters_roundtrip_and_speed():
+    import struct
+    import time
+    import zlib
+
+    import numpy as np
+
+    from enrich_spark.datapipe import media_codecs as mc
+
+    rng = np.random.default_rng(7)
+    w = h = 1000
+    px = rng.integers(0, 256, (h, w * 3), dtype=np.uint8)
+    timings = {}
+    for f in (0, 1, 2, 3, 4):
+        data = mc.encode_png(w, h, px, color=2, filter_type=f)
+        t0 = time.time()
+        got_w, got_h, got_ch, out = mc.decode_png(data)
+        timings[f] = time.time() - t0
+        assert (got_w, got_h, got_ch) == (w, h, 3)
+        assert np.array_equal(out, px), f"filter {f} roundtrip"
+    # fully-vectorized filters decode a 1000x1000 RGB in well under 100ms;
+    # Average/Paeth go through the wavefront path (~0.2s measured, 40x
+    # over the per-pixel loop) — generous CI bounds
+    assert timings[1] < 0.1 and timings[2] < 0.1
+    assert timings[3] < 1.0 and timings[4] < 1.0
+
+    # adaptive-encoder style: a different filter on every scanline
+    ch, size = 3, 64
+    small = rng.integers(0, 256, (size, size * ch), dtype=np.uint8)
+    rows, prev = [], np.zeros(size * ch, dtype=np.int64)
+    for y in range(size):
+        cur = small[y].astype(np.int64)
+        left = np.zeros_like(cur)
+        left[ch:] = cur[:-ch]
+        fy = y % 5
+        if fy == 0:
+            res = cur
+        elif fy == 1:
+            res = cur - left
+        elif fy == 2:
+            res = cur - prev
+        elif fy == 3:
+            res = cur - ((left + prev) >> 1)
+        else:
+            upleft = np.zeros_like(prev)
+            upleft[ch:] = prev[:-ch]
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pr = np.where((pa <= pb) & (pa <= pc), left,
+                          np.where(pb <= pc, prev, upleft))
+            res = cur - pr
+        rows.append(bytes([fy]) + (res & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ, payload):
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    data = (mc.PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", size, size, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b""))
+    _, _, _, out = mc.decode_png(data)
+    assert np.array_equal(out, small)
