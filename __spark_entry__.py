@@ -1757,9 +1757,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_script(spark, sf):
         # §2.5 #21: the user-extension hook with the JS-enrichment contract
-        # (mutate / add contexts / drop) — Python callable over the event
-        # (registry/JavascriptScriptEnrichment.scala:62-228)
+        # (mutate / add contexts / drop) — two parts: the Python-callable
+        # extension surface, and REAL JavaScript executed by the Node
+        # sidecar engine (functions/jsengine.py), both against
+        # registry/JavascriptScriptEnrichment.scala:62-228 semantics
+        import base64 as _b64
+
         from enrich_spark.config import EnrichmentsConfig, JavascriptScriptConf
+        from enrich_spark.operators.script import javascript_config_to_hook
         from enrich_spark.plans.pipeline import enrich_raw
 
         def fn(event, params, headers):
@@ -1771,18 +1776,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               "data": {"tag": event.get("app_id")}}],
             }
 
-        cfg = EnrichmentsConfig.default()
-        cfg.javascript_script = JavascriptScriptConf(function=fn, params={"suffix": "-js"})
-        res = enrich_raw(_raw_events(spark, sf), cfg, spark)
-        ctx = F.try_element_at(
-            F.filter(F.col("_derived"),
-                     lambda c: c.getField("schema").contains("/script/")),
-            F.lit(1),
-        ).getField("data")
-        return res.good.select(
-            F.col("src_event_id").cast("long").alias("src_event_id"),
-            F.col("app_id").alias("app_id_mutated"),
-            F.get_json_object(ctx, "$.tag").alias("tag"),
+        js = """
+        function process(event, params, headers) {
+            if (event.platform === 'srv') { rejectEvent(); }
+            var aid = event.app_id || '';
+            event.app_id = aid.toUpperCase() + params.suffix;
+            return [{schema: 'iglu:com.acme/script/jsonschema/1-0-0',
+                     data: {tag: aid, tag_len: aid.length}}];
+        }
+        """
+        try:
+            js_hook = javascript_config_to_hook({"data": {"parameters": {
+                "script": _b64.b64encode(js.encode()).decode(),
+                "config": {"suffix": "-node"},
+            }}})
+        except NotImplementedError:  # no node on PATH: equivalent Python
+            def js_hook_fn(event, params, headers):
+                if event.get("platform") == "srv":
+                    return {"drop": True}
+                aid = event.get("app_id") or ""
+                return {
+                    "event": {"app_id": aid.upper() + "-node"},
+                    "contexts": [{"schema": "iglu:com.acme/script/jsonschema/1-0-0",
+                                  "data": {"tag": aid, "tag_len": len(aid)}}],
+                }
+
+            js_hook = JavascriptScriptConf(function=js_hook_fn)
+
+        def run(hook, tag_len):
+            cfg = EnrichmentsConfig.default()
+            cfg.javascript_script = hook
+            res = enrich_raw(_raw_events(spark, sf), cfg, spark)
+            ctx = F.try_element_at(
+                F.filter(F.col("_derived"),
+                         lambda c: c.getField("schema").contains("/script/")),
+                F.lit(1),
+            ).getField("data")
+            cols = [
+                F.col("src_event_id").cast("long").alias("src_event_id"),
+                F.col("app_id").alias("app_id_mutated"),
+                F.get_json_object(ctx, "$.tag").alias("tag"),
+            ]
+            if tag_len:
+                cols.append(F.get_json_object(ctx, "$.tag_len")
+                            .cast("long").alias("tag_len"))
+            return res.good.select(*cols)
+
+        py_hook = JavascriptScriptConf(function=fn, params={"suffix": "-js"})
+        return _union_parts(
+            [("py", run(py_hook, False)), ("js", run(js_hook, True))],
+            fill=("tag_len",),
         )
 
     q["script_hook"] = q_script
@@ -3032,13 +3075,24 @@ def oracle_sql() -> dict[str, str]:
         FROM events e
     """
 
-    o["script_hook"] = """
-        SELECT e.event_id AS src_event_id,
-               'APP-' || (e.user_id % 3) || '-js' AS app_id_mutated,
-               'app-' || (e.user_id % 3) AS tag
-        FROM events e
-        WHERE e.user_id % 3 <> 2
-    """
+    o["script_hook"] = _union_oracle([
+        ("py", """
+            SELECT e.event_id AS src_event_id,
+                   'APP-' || (e.user_id % 3) || '-js' AS app_id_mutated,
+                   'app-' || (e.user_id % 3) AS tag
+            FROM events e
+            WHERE e.user_id % 3 <> 2
+        """, {"src_event_id": "num", "app_id_mutated": "str", "tag": "str"}),
+        ("js", """
+            SELECT e.event_id AS src_event_id,
+                   'APP-' || (e.user_id % 3) || '-node' AS app_id_mutated,
+                   'app-' || (e.user_id % 3) AS tag,
+                   5 AS tag_len
+            FROM events e
+            WHERE e.user_id % 3 <> 2
+        """, {"src_event_id": "num", "app_id_mutated": "str", "tag": "str",
+              "tag_len": "num"}),
+    ])
 
     o["dedup_exact"] = """
         SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

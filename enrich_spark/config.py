@@ -156,9 +156,13 @@ class IgluConf:
 class JavascriptScriptConf:
     # our extension surface: a Python callable with the JS-enrichment
     # contract (SURVEY §2.5 #21) — fn(event: dict, params: dict, headers: list) ->
-    # None | list[context] | raise | {"drop": True}
+    # None | list[context] | raise | {"drop": True} | {"error": msg}
     function: Any = None
     params: dict = field(default_factory=dict)
+    # optional Arrow-batch fast path (the Node sidecar sets this):
+    # batch_function(events: list[dict], headers: list[list[str]]) ->
+    # list[engine-result dicts] — one pipe round trip per Arrow batch
+    batch_function: Any = None
 
 
 @dataclass

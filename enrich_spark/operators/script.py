@@ -12,20 +12,23 @@ per-row JSON serialization is amortized across Arrow record batches;
     fn(event: dict, params: dict, headers: list[str])
         -> None                      # keep, unchanged
          | {"drop": True}            # drop the event (OptionIor None)
+         | {"error": "..."}          # EnrichmentFailure with this message
          | {"event": {...mutations}, # mutate atomic fields
-            "contexts": [{"schema": ..., "data": {...}}]}  # extra derived
+            "contexts": [{"schema": ..., "data": {...}}],  # extra derived
+            "replace_contexts": bool}  # use_derived_contexts_from_js_
+                                       # enrichment_only (scala:189-200)
          | raise Exception           # EnrichmentFailure bad row
 
-Actual JS-source execution needs a JS engine. ``javascript_config_to_hook``
-below adapts the reference's base64-script config shape onto this hook:
-it discovers an embeddable engine (quickjs / py_mini_racer / dukpy) at
-runtime and wraps the user's ``process()`` in the hook contract. THIS
-CONTAINER SHIPS NONE OF THEM (verified: all three fail to import and
-pip install is unavailable), so in this sandbox the adapter raises a
-documented NotImplementedError and the Python hook remains the supported
-scripting surface; the adapter layer itself (config parsing, entry-point
-validation, engine wiring, result translation) is real and unit-tested
-via an injected engine.
+Actual JS-source execution: ``javascript_config_to_hook`` adapts the
+reference's base64-script config shape onto this hook. It prefers the
+Node.js sidecar engine (functions/jsengine.py — a persistent per-worker
+``node`` process; whole Arrow batches cross the pipe in one round trip
+via ``JavascriptScriptConf.batch_function``), falling back to any
+importable embeddable engine (quickjs / py_mini_racer / dukpy), and
+raises a documented NotImplementedError only when no engine exists at
+all. Compile failures honor the reference's ``exitOnCompileError`` flag
+(JavascriptScriptEnrichment.scala:107-118): raise at config time, or
+degrade every event to an EnrichmentFailure bad row.
 """
 
 from __future__ import annotations
@@ -53,18 +56,28 @@ _MUTABLE_KINDS = {"s": str, "i": int, "f": float, "b": int}
 
 def _script_run_one(fn, params, mutable, event_json, headers):
     """Per-event hook invocation → result tuple (drop, error, contexts,
-    *mutations). Shared by the Arrow-batched and row-at-a-time wrappers."""
+    replace, *mutations). Shared by the Arrow-batched and row-at-a-time
+    wrappers."""
     event = json.loads(event_json) if event_json else {}
     hs = [] if headers is None else list(headers)
     nil = tuple([None] * len(mutable))
     try:
         out = fn(event, params, hs)
     except Exception as e:  # noqa: BLE001 — contract: throw = failure
-        return (False, f"Error during execution of script: {e}", None) + nil
+        return (False, f"Error during execution of script: {e}", None, None) + nil
+    return _hook_result_to_row(out, mutable)
+
+
+def _hook_result_to_row(out, mutable):
+    """Hook-contract result dict → result tuple. Mutations are expressed
+    as full-string overrides; None / absent = keep the original value."""
+    nil = tuple([None] * len(mutable))
     if out is None:
-        return (False, None, None) + nil
+        return (False, None, None, None) + nil
     if out.get("drop"):
-        return (True, None, None) + nil
+        return (True, None, None, None) + nil
+    if out.get("error") is not None:
+        return (False, out["error"], None, None) + nil
     ctxs = [
         {"schema": c.get("schema"),
          "data": json.dumps(c.get("data"), separators=(",", ":"))}
@@ -76,7 +89,34 @@ def _script_run_one(fn, params, mutable, event_json, headers):
         (None if mutations[c] is None else str(mutations[c]))
         for c in mutable
     )
-    return (False, None, ctxs) + muts
+    replace = bool(out.get("replace_contexts")) or None
+    return (False, None, ctxs, replace) + muts
+
+
+def _engine_result_to_row(res, orig_event, mutable):
+    """Node-sidecar batch result → result tuple. The engine returns the
+    FULL mutated event (reference semantics: the JS mutates the event
+    object in place, scala:176-185); only fields that actually changed
+    become mutation overrides so unchanged values keep their exact
+    original representation."""
+    nil = tuple([None] * len(mutable))
+    if res.get("drop"):
+        return (True, None, None, None) + nil
+    if res.get("error") is not None:
+        return (False, res["error"], None, None) + nil
+    ctxs = [
+        {"schema": c.get("schema"),
+         "data": json.dumps(c.get("data"), separators=(",", ":"))}
+        for c in res.get("contexts", [])
+    ] or None
+    ev = res.get("event") or {}
+    muts = tuple(
+        None if (c not in ev or ev.get(c) == orig_event.get(c)
+                 or ev.get(c) is None) else str(ev[c])
+        for c in mutable
+    )
+    replace = bool(res.get("replace")) or None
+    return (False, None, ctxs, replace) + muts
 
 
 def script_enrichment(df: DataFrame, conf: JavascriptScriptConf,
@@ -93,20 +133,29 @@ def script_enrichment(df: DataFrame, conf: JavascriptScriptConf,
         T.StructField("_script_contexts", T.ArrayType(
             T.StructType([T.StructField("schema", T.StringType()),
                           T.StructField("data", T.StringType())]))),
+        T.StructField("_script_replace", T.BooleanType()),
     ] + [T.StructField(f"_m_{c}", T.StringType()) for c in mutable]
     result_type = T.StructType(result_fields)
-    out_cols = ["_script_drop", "_script_error", "_script_contexts"] + [
-        f"_m_{c}" for c in mutable
-    ]
+    out_cols = ["_script_drop", "_script_error", "_script_contexts",
+                "_script_replace"] + [f"_m_{c}" for c in mutable]
+    batch_fn = getattr(conf, "batch_function", None)
 
     if batched:
         @F.pandas_udf(result_type)
         def run(ev: pd.Series, hdr: pd.Series) -> pd.DataFrame:
-            return pd.DataFrame(
-                [_script_run_one(fn, params, mutable, e, h)
-                 for e, h in zip(ev, hdr)],
-                columns=out_cols,
-            )
+            if batch_fn is not None:
+                # JS sidecar path: the whole Arrow batch crosses the
+                # node pipe in ONE round trip
+                events = [json.loads(e) if e else {} for e in ev]
+                hs = [list(h) if h is not None else [] for h in hdr]
+                rows = [
+                    _engine_result_to_row(r, e, mutable)
+                    for r, e in zip(batch_fn(events, hs), events)
+                ]
+            else:
+                rows = [_script_run_one(fn, params, mutable, e, h)
+                        for e, h in zip(ev, hdr)]
+            return pd.DataFrame(rows, columns=out_cols)
     else:
         @F.udf(returnType=result_type)
         def run(event_json, headers):
@@ -121,11 +170,16 @@ def script_enrichment(df: DataFrame, conf: JavascriptScriptConf,
         kind = kinds[c]
         typed = new.cast({"s": "string", "i": "int", "f": "float", "b": "byte"}[kind])
         cols[c] = F.coalesce(typed, F.col(c))
-    cols[DERIVED_COL] = F.concat(
-        F.col(DERIVED_COL),
-        F.coalesce(F.col("_script").getField("_script_contexts"),
-                   F.array().cast("array<struct<schema:string,data:string>>")),
+    new_ctxs = F.coalesce(
+        F.col("_script").getField("_script_contexts"),
+        F.array().cast("array<struct<schema:string,data:string>>"),
     )
+    # use_derived_contexts_from_js_enrichment_only (scala:189-200): the
+    # script may declare its contexts REPLACE everything derived so far
+    cols[DERIVED_COL] = F.when(
+        F.coalesce(F.col("_script").getField("_script_replace"), F.lit(False)),
+        new_ctxs,
+    ).otherwise(F.concat(F.col(DERIVED_COL), new_ctxs))
     cols[ENRICH_ERRORS_COL] = F.concat(
         F.col(ENRICH_ERRORS_COL),
         F.array_compact(F.array(F.col("_script").getField("_script_error"))),
@@ -203,21 +257,68 @@ def discover_js_engine():
     return None
 
 
-def javascript_config_to_hook(config: dict, engine=None) -> JavascriptScriptConf:
+def _node_hook(source: str, extra: dict,
+               exit_on_compile_error: bool) -> JavascriptScriptConf:
+    """Wire the Node sidecar (functions/jsengine.py) into the hook
+    contract, honoring exitOnCompileError (scala:107-118): raise now, or
+    turn every event into the same EnrichmentFailure bad row."""
+    from ..functions.jsengine import JsCompileError, shared_engine
+
+    try:
+        shared_engine().compile(source, extra)
+    except JsCompileError as ce:
+        if exit_on_compile_error:
+            raise ValueError(str(ce)) from ce
+        msg = str(ce)
+
+        def bad_batch(events, headers_list, _m=msg):
+            return [{"error": _m} for _ in events]
+
+        def bad_fn(event, p, headers, _m=msg):
+            return {"error": _m}
+
+        return JavascriptScriptConf(function=bad_fn, params=extra,
+                                    batch_function=bad_batch)
+
+    # closures capture only strings — the live subprocess stays in the
+    # worker-local shared_engine() cache, never in the pickled task
+    def batch_fn(events, headers_list, _src=source, _p=extra):
+        from ..functions.jsengine import shared_engine as _se
+
+        return _se().eval_batch(_src, _p, list(zip(events, headers_list)))
+
+    def fn(event, p, headers, _src=source, _p=extra):
+        from ..functions.jsengine import shared_engine as _se
+
+        res = _se().eval_batch(_src, {**_p, **p}, [(event, headers)])[0]
+        if res.get("drop") or res.get("error") is not None:
+            return res
+        return {"event": res.get("event") or {},
+                "contexts": res.get("contexts") or [],
+                "replace_contexts": res.get("replace", False)}
+
+    return JavascriptScriptConf(function=fn, params=extra,
+                                batch_function=batch_fn)
+
+
+def javascript_config_to_hook(config: dict, engine=None,
+                              exit_on_compile_error: bool = True,
+                              ) -> JavascriptScriptConf:
     """Reference javascript_script_config → a JavascriptScriptConf hook.
 
     Parses the SDJ config shape ({data: {parameters: {script: <base64>,
-    config: {...}}}}), validates the decoded source declares the
-    ``process`` entry point (the reference compiles + requires it at
-    init, JavascriptScriptEnrichment.scala:71-96), then wires the first
-    available JS engine into the hook contract. ``engine`` is injectable
-    for tests / custom runtimes: a callable
-    ``(source, event, params, headers) -> hook-result-dict``.
+    config: {...}}}}, JavascriptScriptEnrichment.scala:49-60), then wires
+    a JS engine into the hook contract. Engine preference order:
 
-    Raises NotImplementedError when no engine exists — in this sandbox
-    none of quickjs / py_mini_racer / dukpy is installed and installing
-    packages is unavailable, so users must port their script body to the
-    equivalent Python hook (same mutate/contexts/drop/throw contract).
+    1. an injected ``engine`` — a callable ``(source, event, params,
+       headers) -> hook-result-dict`` (tests / custom runtimes);
+    2. the Node.js sidecar (functions/jsengine.py) when ``node`` is on
+       PATH — the production path: persistent per-worker process,
+       Arrow-batch round trips via ``batch_function``, compile checked
+       eagerly with ``exit_on_compile_error`` semantics (scala:62-119);
+    3. any importable embeddable engine (quickjs / py_mini_racer /
+       dukpy), per-event;
+    4. none → NotImplementedError directing users to the Python hook.
     """
     data = config.get("data", config)
     params = data.get("parameters") or {}
@@ -226,20 +327,33 @@ def javascript_config_to_hook(config: dict, engine=None) -> JavascriptScriptConf
         source = base64.b64decode(b64, validate=True).decode("utf-8")
     except Exception as e:
         raise ValueError(f"javascript_script_config: script is not valid base64: {e}") from e
+    if not source.strip():
+        raise ValueError("Provided script for JS enrichment is empty")
+    extra = params.get("config") or {}
+
+    if engine is None:
+        from ..functions.jsengine import node_available
+
+        if node_available():
+            return _node_hook(source, extra, exit_on_compile_error)
+        engine = discover_js_engine()
+
+    if engine is None:
+        raise NotImplementedError(
+            "JavaScript execution requires a JS engine (node on PATH, or "
+            "an embeddable quickjs / py_mini_racer / dukpy); none is "
+            "available in this environment. Port the script body to a "
+            "Python hook with the same contract "
+            "(JavascriptScriptConf.function; see module docstring)."
+        )
+
+    # per-event engines can't be compile-checked; require the entry
+    # point statically (the reference compiles + requires it at init,
+    # scala:71-96)
     if "function process" not in source:
         raise ValueError(
             "javascript_script_config: script must declare "
             "`function process(event, params, headers)`"
-        )
-    extra = params.get("config") or {}
-    engine = engine or discover_js_engine()
-    if engine is None:
-        raise NotImplementedError(
-            "JavaScript execution requires an embeddable JS engine "
-            "(quickjs, py_mini_racer, or dukpy); none is installed in this "
-            "environment and package installation is unavailable. Port the "
-            "script body to a Python hook with the same contract "
-            "(JavascriptScriptConf.function; see module docstring)."
         )
 
     def fn(event, p, headers):

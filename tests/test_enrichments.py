@@ -295,9 +295,13 @@ def test_javascript_config_adapter(spark):
         }},
     }
 
-    # sandbox: no JS engine installed → documented NotImplementedError
-    with pytest.raises(NotImplementedError, match="embeddable JS engine"):
-        javascript_config_to_hook(cfg)
+    # no engine anywhere → documented NotImplementedError
+    import enrich_spark.functions.jsengine as jse
+    import unittest.mock as mock
+
+    with mock.patch.object(jse, "node_available", return_value=False):
+        with pytest.raises(NotImplementedError, match="JS engine"):
+            javascript_config_to_hook(cfg)
 
     # bad configs fail at parse time with clear messages
     with pytest.raises(ValueError, match="base64"):
@@ -305,6 +309,8 @@ def test_javascript_config_adapter(spark):
     with pytest.raises(ValueError, match="function process"):
         javascript_config_to_hook({"data": {"parameters": {
             "script": base64.b64encode(b"var x = 1;").decode()}}})
+    with pytest.raises(ValueError, match="empty"):
+        javascript_config_to_hook({"data": {"parameters": {"script": ""}}})
 
     # injected engine (a JS-subset interpreter standing in for quickjs):
     # proves the adapter wires source/params/headers through the hook
@@ -325,6 +331,75 @@ def test_javascript_config_adapter(spark):
     assert out.app_id == "app1-js"
     ctx = [c for c in out._derived if "tag" in c.schema][0]
     assert _json.loads(ctx.data)["n"] == 2
+
+
+def test_javascript_node_execution(spark):
+    """Real JS execution through the Node sidecar (functions/jsengine.py):
+    mutate / contexts / drop / throw / replace-contexts, batched and
+    row modes, against reference semantics
+    (JavascriptScriptEnrichment.scala:62-228)."""
+    import base64
+
+    import pytest
+
+    from enrich_spark.functions.jsengine import node_available
+    from enrich_spark.operators.script import (
+        javascript_config_to_hook, script_enrichment,
+    )
+
+    if not node_available():
+        pytest.skip("node not on PATH")
+
+    js = """
+    function process(event, params, headers) {
+        if (event.platform === 'drop') { rejectEvent(); }
+        if (event.platform === 'boom') { throw 'kaboom'; }
+        event.app_id = (event.app_id || '').toUpperCase() + '-' + params.suffix;
+        if (event.platform === 'only') {
+            event.use_derived_contexts_from_js_enrichment_only = true;
+        }
+        return [{schema: 'iglu:com.acme/tag/jsonschema/1-0-0',
+                 data: {aid: event.app_id, n: headers.length}}];
+    }
+    """
+    cfg = {"data": {"parameters": {
+        "script": base64.b64encode(js.encode()).decode(),
+        "config": {"suffix": "js"},
+    }}}
+    hook = javascript_config_to_hook(cfg)
+    assert hook.batch_function is not None  # node path engaged
+
+    df = spark.createDataFrame(
+        [("a1", "app", ["H: 1", "I: 2"]), ("a2", "drop", None),
+         ("a3", "boom", []), ("a4", "only", None)],
+        "app_id STRING, platform STRING, headers ARRAY<STRING>",
+    ).withColumn("_derived", F.array(F.struct(
+        F.lit("iglu:com.acme/prior/jsonschema/1-0-0").alias("schema"),
+        F.lit("{}").alias("data"))))
+
+    def run(batched):
+        rows = script_enrichment(df, hook, batched=batched).collect()
+        return {r.app_id: r for r in rows}
+
+    for batched in (True, False):
+        got = run(batched)
+        assert set(got) == {"A1-js", "a3", "A4-js"}  # drop row vanished
+        a1 = got["A1-js"]
+        assert [c.schema.split("/")[1] for c in a1._derived] == ["prior", "tag"]
+        assert json.loads(a1._derived[1].data) == {"aid": "A1-js", "n": 2}
+        assert any("kaboom" in e for e in got["a3"]._enrich_errors)
+        assert got["a3"].app_id == "a3"  # failed script leaves event as-is
+        # replace-contexts: the prior derived context is gone
+        assert [c.schema.split("/")[1] for c in got["A4-js"]._derived] == ["tag"]
+
+    # compile-error handling, both exitOnCompileError modes
+    bad = {"data": {"parameters": {
+        "script": base64.b64encode(b"function process(e,p,h{").decode()}}}
+    with pytest.raises(ValueError, match="Error compiling JavaScript"):
+        javascript_config_to_hook(bad)
+    lax = javascript_config_to_hook(bad, exit_on_compile_error=False)
+    out = script_enrichment(df.limit(1), lax).collect()[0]
+    assert any("Error compiling JavaScript" in e for e in out._enrich_errors)
 
 
 def test_pii_json_mutator_batched_matches_row_mode(spark):
