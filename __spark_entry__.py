@@ -2252,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import numpy as np
         import pandas as pd
 
+        from enrich_spark.datapipe.jpeg import encode_jpeg
         from enrich_spark.datapipe.media_codecs import (
             encode_bmp, encode_png, encode_wav,
         )
@@ -2274,6 +2275,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     elif m == 2:
                         n, v = 800 + (did % 100) * 8, did % 127
                         medias.append(encode_wav(8000, np.full(n, v, np.uint8)))
+                    elif did % 8 == 3:
+                        # REAL baseline JPEG (datapipe/jpeg.py): a solid
+                        # color is DC-only, quantization error < 0.5 →
+                        # decodes bit-exact, so the oracle predicts it
+                        w, h, v = 8 + did % 9, 8 + did % 5, (did * 7) % 256
+                        medias.append(encode_jpeg(
+                            w, h, np.full((h, w, 3), v, np.uint8), quality=90))
                     else:
                         # no known magic (verified: no doc text collides)
                         medias.append((text or "").encode("utf-8"))
@@ -3422,25 +3430,32 @@ def oracle_sql() -> dict[str, str]:
     o["multimodal_decode"] = f"""
         WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents)
         SELECT doc_id,
-               CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
-                    WHEN 2 THEN 'wav' ELSE 'unknown' END AS format,
-               CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'image'
-                    WHEN 2 THEN 'audio' ELSE 'unknown' END AS media_type,
-               CAST(CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 13
-                    WHEN 1 THEN 1 + doc_id % 9 WHEN 2 THEN -1
-                    ELSE 1 + ({_sha_byte(1)} % 64) END AS BIGINT) AS width,
-               CAST(CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 7
-                    WHEN 1 THEN 1 + doc_id % 5 WHEN 2 THEN -1
-                    ELSE 1 + ({_sha_byte(2)} % 64) END AS BIGINT) AS height,
-               CAST(CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 3
-                    WHEN 2 THEN 1 ELSE -1 END AS BIGINT) AS channels,
+               CASE WHEN doc_id % 8 = 3 THEN 'jpeg' ELSE
+                 CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                      WHEN 2 THEN 'wav' ELSE 'unknown' END END AS format,
+               CASE WHEN doc_id % 8 = 3 THEN 'image' ELSE
+                 CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'image'
+                      WHEN 2 THEN 'audio' ELSE 'unknown' END END AS media_type,
+               CAST(CASE WHEN doc_id % 8 = 3 THEN 8 + doc_id % 9 ELSE
+                 CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 13
+                      WHEN 1 THEN 1 + doc_id % 9 WHEN 2 THEN -1
+                      ELSE 1 + ({_sha_byte(1)} % 64) END END AS BIGINT) AS width,
+               CAST(CASE WHEN doc_id % 8 = 3 THEN 8 + doc_id % 5 ELSE
+                 CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 7
+                      WHEN 1 THEN 1 + doc_id % 5 WHEN 2 THEN -1
+                      ELSE 1 + ({_sha_byte(2)} % 64) END END AS BIGINT) AS height,
+               CAST(CASE WHEN doc_id % 8 = 3 THEN 3 ELSE
+                 CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 3
+                      WHEN 2 THEN 1 ELSE -1 END END AS BIGINT) AS channels,
                CAST(CASE doc_id % 4 WHEN 2 THEN 100 + doc_id % 100
                     ELSE -1 END AS BIGINT) AS duration_ms,
-               CAST(CASE doc_id % 4 WHEN 0 THEN doc_id % 256
-                    WHEN 1 THEN (doc_id * 3) % 256
-                    WHEN 2 THEN doc_id % 127 ELSE -1 END AS DOUBLE) AS mean_val,
-               CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
-                    WHEN 2 THEN 'wav' ELSE 'stub' END AS codec
+               CAST(CASE WHEN doc_id % 8 = 3 THEN (doc_id * 7) % 256 ELSE
+                 CASE doc_id % 4 WHEN 0 THEN doc_id % 256
+                      WHEN 1 THEN (doc_id * 3) % 256
+                      WHEN 2 THEN doc_id % 127 ELSE -1 END END AS DOUBLE) AS mean_val,
+               CASE WHEN doc_id % 8 = 3 THEN 'jpeg' ELSE
+                 CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                      WHEN 2 THEN 'wav' ELSE 'stub' END END AS codec
         FROM h
     """
 

@@ -6,9 +6,10 @@ Arrow-batched mapInPandas stages.
 
 The decode kernel is REAL for the stdlib-decodable containers — PNG
 (zlib inflate + numpy unfilter), BMP (24-bit BI_RGB), WAV (PCM via
-``wave``) in ``media_codecs.py`` — producing genuine width/height/
-channel/duration/pixel statistics. Formats that need an external
-entropy decoder (JPEG, H.264, ...) fall back to the clearly-marked
+``wave``) in ``media_codecs.py``, and baseline JPEG (Huffman + batched
+IDCT, ``jpeg.py``) — producing genuine width/height/channel/duration/
+pixel statistics. Formats that still need an external entropy decoder
+(progressive JPEG, H.264, ...) fall back to the clearly-marked
 deterministic STUB below, flagged ``codec='stub'`` in the output so
 downstream consumers can tell real measurements from placeholders.
 
@@ -89,15 +90,23 @@ def _decode_one(data: bytes) -> dict:
     from . import media_codecs as mc
 
     try:
-        if data.startswith(mc.PNG_SIG) or data[:2] == b"BM":
-            dec = mc.decode_png if data[:1] == b"\x89" else mc.decode_bmp
+        if data.startswith(mc.PNG_SIG) or data[:2] == b"BM" \
+                or data[:2] == b"\xff\xd8":
+            if data[:1] == b"\x89":
+                codec, dec = "png", mc.decode_png
+            elif data[:2] == b"BM":
+                codec, dec = "bmp", mc.decode_bmp
+            else:
+                from .jpeg import decode_jpeg as dec  # baseline only
+
+                codec = "jpeg"
             w, h, ch, px = dec(data)
             means = [float(px.reshape(-1, ch)[:, c].mean()) for c in range(ch)] \
                 if px.size else [0.0] * ch
             return dict(width=w, height=h, channels=ch, duration_ms=None,
                         mean_val=float(px.mean()) if px.size else 0.0,
                         features=[m / 255.0 for m in means],
-                        codec="png" if data[:1] == b"\x89" else "bmp")
+                        codec=codec)
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             ch, rate, n, dur, samples = mc.decode_wav(data)
             mean = float(samples.mean()) if samples.size else 0.0

@@ -274,21 +274,99 @@ def test_media_codecs_roundtrip():
     assert np.array_equal(back, samples)
 
 
+def test_jpeg_codec():
+    import time
+
+    import numpy as np
+    import pytest
+
+    from enrich_spark.datapipe.jpeg import (
+        DCT_M, UNZIGZAG, ZIGZAG, decode_jpeg, encode_jpeg,
+    )
+
+    # generated zigzag matches the published order's known prefix, and
+    # the DCT basis is orthonormal (independent identities, not a
+    # roundtrip that could cancel a transposed table)
+    assert list(ZIGZAG[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert (ZIGZAG[UNZIGZAG] == np.arange(64)).all()
+    assert np.allclose(DCT_M @ DCT_M.T, np.eye(8), atol=1e-12)
+
+    # solid gray: integer YCbCr + DC-only → bit-exact through
+    # quantization (what the multimodal oracle fixture relies on)
+    img = np.full((24, 40, 3), 55, dtype=np.uint8)
+    w, h, ch, out = decode_jpeg(encode_jpeg(40, 24, img, quality=90))
+    assert (w, h, ch) == (40, 24, 3)
+    assert np.array_equal(out, img)
+    # solid color: fractional chroma → within ±2
+    img = np.full((24, 40, 3), (200, 30, 90), dtype=np.uint8)
+    _, _, _, out = decode_jpeg(encode_jpeg(40, 24, img, quality=90))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+    # gradient roundtrip at odd (non-MCU-aligned) dims, all sampling
+    # modes + restart markers; PSNR bound, not exactness (JPEG is lossy)
+    yy, xx = np.mgrid[0:37, 0:53]
+    img = np.stack([(xx * 4) % 256, (yy * 6) % 256, ((xx + yy) * 3) % 256],
+                   axis=-1).astype(np.uint8)
+    for kwargs in ({"subsample": "444"}, {"subsample": "420"},
+                   {"subsample": "444", "restart_interval": 2}):
+        w, h, ch, out = decode_jpeg(encode_jpeg(53, 37, img, quality=92, **kwargs))
+        assert (w, h, ch) == (53, 37, 3)
+        mse = np.mean((out.astype(float) - img.astype(float)) ** 2)
+        psnr = 10 * np.log10(255**2 / mse)
+        assert psnr > 25, (kwargs, psnr)
+
+    # grayscale (single-component non-interleaved scan path)
+    g = ((xx * 5 + yy * 2) % 256).astype(np.uint8)
+    w, h, ch, out = decode_jpeg(encode_jpeg(53, 37, g, quality=90))
+    assert (w, h, ch) == (53, 37, 1)
+    assert 10 * np.log10(
+        255**2 / np.mean((out[:, :, 0].astype(float) - g) ** 2)) > 28
+
+    # hostile bytes never escape ValueError/NotImplementedError
+    rng = np.random.default_rng(3)
+    good = encode_jpeg(16, 16, rng.integers(0, 256, (16, 16, 3)).astype(np.uint8))
+    for bad in (b"", b"\xff\xd8", good[:40], good[:len(good) // 2],
+                bytes(rng.integers(0, 256, 200, dtype=np.uint8))):
+        with pytest.raises((ValueError, NotImplementedError, IndexError,
+                            KeyError, StopIteration)):
+            decode_jpeg(bad)
+
+    # progressive marker → NotImplementedError (stub fallback upstream)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+
+    # documented throughput bound: a 256×256 photo-like image decodes
+    # within the ~1 s/MP envelope the module docstring claims
+    big = rng.integers(0, 64, (256, 256, 3), dtype=np.uint8).astype(np.uint8)
+    data = encode_jpeg(256, 256, big, quality=60, subsample="420")
+    t0 = time.time()
+    w, h, ch, out = decode_jpeg(data)
+    assert (w, h) == (256, 256)
+    assert time.time() - t0 < 2.0
+
+
 def test_decode_features_real_kernels(spark):
     import numpy as np
 
     from enrich_spark.datapipe import media_codecs as mc
     from enrich_spark.datapipe import multimodal
 
+    from enrich_spark.datapipe.jpeg import encode_jpeg
+
     png = mc.encode_png(4, 3, np.full((3, 12), 7, np.uint8))
     bmp = mc.encode_bmp(2, 2, np.full((2, 6), 9, np.uint8))
     wav = mc.encode_wav(8000, np.full(800, 5, np.uint8))
+    jpg = encode_jpeg(10, 6, np.full((6, 10, 3), 55, np.uint8), quality=90)
     df = spark.createDataFrame(
         [(1, bytearray(png)), (2, bytearray(bmp)), (3, bytearray(wav)),
-         (4, bytearray(b"not media"))],
+         (4, bytearray(b"not media")), (5, bytearray(jpg))],
         "id INT, media BINARY",
     )
     rows = {r.id: r for r in multimodal.decode_features(df).collect()}
+    assert (rows[5].width, rows[5].height, rows[5].channels,
+            rows[5].codec) == (10, 6, 3, "jpeg")
+    assert rows[5].mean_val == 55.0
     assert (rows[1].width, rows[1].height, rows[1].channels, rows[1].codec) == (4, 3, 3, "png")
     assert rows[1].mean_val == 7.0
     assert (rows[2].width, rows[2].height, rows[2].codec) == (2, 2, "bmp")
