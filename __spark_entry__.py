@@ -1242,6 +1242,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.get_json_object(yctx, "$.agentVersion").alias("agent_version"),
             F.get_json_object(yctx, "$.operatingSystemName").alias("os_name"),
             F.get_json_object(yctx, "$.operatingSystemNameVersion").alias("os_name_version"),
+            F.get_json_object(yctx, "$.deviceName").alias("device_name"),
+            F.get_json_object(yctx, "$.deviceBrand").alias("device_brand"),
+            F.get_json_object(yctx, "$.operatingSystemClass").alias("os_class"),
+            F.get_json_object(yctx, "$.operatingSystemVersion").alias("os_version"),
+            F.get_json_object(yctx, "$.layoutEngineNameVersion").alias("engine"),
+            F.get_json_object(yctx, "$.agentNameVersionMajor").alias("agent_nvm"),
         )
 
     q["yauaa_classify"] = q_yauaa
@@ -2869,7 +2875,21 @@ def oracle_sql() -> dict[str, str]:
                CASE e.user_id % 5 WHEN 0 THEN 'Windows' WHEN 1 THEN 'iOS'
                     WHEN 2 THEN 'Android' WHEN 3 THEN 'Other' ELSE 'Windows' END AS os_name,
                CASE e.user_id % 5 WHEN 0 THEN 'Windows 15.0.0' WHEN 1 THEN 'iOS'
-                    WHEN 2 THEN 'Android' WHEN 3 THEN 'Other' ELSE 'Windows 10' END AS os_name_version
+                    WHEN 2 THEN 'Android' WHEN 3 THEN 'Other' ELSE 'Windows 10' END AS os_name_version,
+               CASE e.user_id % 5 WHEN 0 THEN 'Desktop' WHEN 1 THEN 'Apple iPhone'
+                    WHEN 2 THEN 'Google Pixel 8' WHEN 3 THEN NULL ELSE 'Desktop' END AS device_name,
+               CASE e.user_id % 5 WHEN 0 THEN 'Unknown' WHEN 1 THEN 'Apple'
+                    WHEN 2 THEN 'Google' WHEN 3 THEN NULL ELSE 'Unknown' END AS device_brand,
+               CASE e.user_id % 5 WHEN 0 THEN 'Desktop' WHEN 1 THEN 'Mobile'
+                    WHEN 2 THEN 'Mobile' WHEN 3 THEN 'Cloud' ELSE 'Desktop' END AS os_class,
+               CASE e.user_id % 5 WHEN 0 THEN '10.0' WHEN 1 THEN '17.0'
+                    WHEN 2 THEN '14' WHEN 3 THEN NULL ELSE '10.0' END AS os_version,
+               CASE e.user_id % 5 WHEN 0 THEN 'Blink 120.0.0.0' WHEN 1 THEN 'AppleWebKit 605.1.15'
+                    WHEN 2 THEN 'Blink 121.0.0.0' WHEN 3 THEN NULL
+                    ELSE 'Gecko 122.0' END AS engine,
+               CASE e.user_id % 5 WHEN 0 THEN 'Google Chrome 120' WHEN 1 THEN 'Mobile Safari 17'
+                    WHEN 2 THEN 'Chromium 121' WHEN 3 THEN NULL
+                    ELSE 'Firefox 122' END AS agent_nvm
         FROM events e
     """
 

@@ -257,24 +257,123 @@ def yauaa_context(df: DataFrame) -> DataFrame:
             .when(mobile == "?0", "Desktop")
             .otherwise(device_class)
         )
+    is_robot = cols["dvce_type"] == "Robot/Spider"
+
+    # device name/brand (YauaaEnrichment field whitelist :121-160 —
+    # deviceName/deviceBrand; derived from the hardware tokens)
+    pixel = F.regexp_extract(ua, "(Pixel [0-9A-Za-z ]*?)(?:\\)| Build)", 1)
+    samsung = F.regexp_extract(ua, "(SM-[A-Z0-9]+)", 1)
+    device_brand = (
+        F.when(is_robot, F.lit(None).cast("string"))
+        .when(ua.rlike("(iPhone|iPad|iPod|Macintosh|Mac OS X)"), "Apple")
+        .when(samsung != "", "Samsung")
+        .when(pixel != "", "Google")
+        .otherwise(F.lit("Unknown"))
+    )
+    device_name = (
+        F.when(is_robot, F.lit(None).cast("string"))
+        .when(ua.contains("iPhone"), "Apple iPhone")
+        .when(ua.contains("iPad"), "Apple iPad")
+        .when(ua.contains("Macintosh"), "Apple Macintosh")
+        .when(samsung != "", F.concat(F.lit("Samsung "), samsung))
+        .when(pixel != "", F.concat(F.lit("Google "), pixel))
+        .when(ua.contains("Android"), "Android Mobile")
+        .when(ua.rlike("(Linux|X11)") & ~ua.contains("Android"), "Linux Desktop")
+        .otherwise(F.lit("Desktop"))
+    )
+
+    os_class = (
+        F.when(is_robot, "Cloud")
+        .when(cols["os_family"].isin("Android", "iOS"), "Mobile")
+        .when(cols["os_family"].isin("Windows", "Mac OS X", "Linux", "Chrome OS"),
+              "Desktop")
+        .otherwise(F.lit("Unknown"))
+    )
+    os_version = F.nullif(
+        F.coalesce(
+            F.nullif(F.regexp_extract(ua, "Android (\\d+[\\.\\d]*)", 1), F.lit("")),
+            F.nullif(F.translate(
+                F.regexp_extract(ua, "(?:iPhone|iPad|iPod).*OS (\\d+[_\\d]*)", 1),
+                "_", "."),
+                F.lit("")),
+            F.nullif(F.translate(
+                F.regexp_extract(ua, "Mac OS X (\\d+[_\\d]+)", 1), "_", "."),
+                F.lit("")),
+            F.regexp_extract(ua, "Windows NT (\\d+[\\.\\d]*)", 1),
+        ),
+        F.lit(""),
+    )
+
+    # layout engine: class is the *kind* (Browser/Robot), name is the
+    # engine itself — Blink for Chromium≥28, else the render token
+    chrome_ver = F.nullif(
+        F.regexp_extract(ua, "(?:Chrome|CriOS)/(\\d+[\\.\\d]*)", 1), F.lit(""))
+    engine_name = (
+        F.when(chrome_ver.isNotNull()
+               & (F.split(chrome_ver, "\\.")[0].cast("int") >= 28), "Blink")
+        .when(cols["br_renderengine"] == "GECKO", "Gecko")
+        .when(cols["br_renderengine"] == "WEBKIT", "AppleWebKit")
+        .when(cols["br_renderengine"] == "TRIDENT", "Trident")
+        .when(cols["br_renderengine"] == "PRESTO", "Presto")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    engine_version = (
+        F.when(engine_name == "Blink", chrome_ver)
+        .when(engine_name == "Gecko",
+              F.nullif(F.regexp_extract(ua, "rv:(\\d+[\\.\\d]*)", 1), F.lit("")))
+        .when(engine_name == "AppleWebKit",
+              F.nullif(F.regexp_extract(ua, "AppleWebKit/(\\d+[\\.\\d]*)", 1),
+                       F.lit("")))
+        .when(engine_name == "Trident",
+              F.nullif(F.regexp_extract(ua, "Trident/(\\d+[\\.\\d]*)", 1),
+                       F.lit("")))
+    )
+    engine_class = (
+        F.when(is_robot, "Robot")
+        .when(engine_name.isNotNull(), "Browser")
+        .otherwise(F.lit("Unknown"))
+    )
+    agent_class = F.when(is_robot, "Robot").otherwise(F.lit("Browser"))
+    agent_major = F.when(
+        agent_version != "??", F.split(agent_version, "\\.")[0])
+
     data = F.to_json(
         F.struct(
             device_class.alias("deviceClass"),
+            device_name.alias("deviceName"),
+            device_brand.alias("deviceBrand"),
+            agent_class.alias("agentClass"),
             agent_name.alias("agentName"),
             agent_version.alias("agentVersion"),
+            agent_major.alias("agentVersionMajor"),
+            F.concat_ws(" ", agent_name, agent_version).alias("agentNameVersion"),
+            F.when(agent_major.isNotNull(),
+                   F.concat_ws(" ", agent_name, agent_major))
+            .alias("agentNameVersionMajor"),
+            os_class.alias("operatingSystemClass"),
             os_name.alias("operatingSystemName"),
+            os_version.alias("operatingSystemVersion"),
             os_name_version.alias("operatingSystemNameVersion"),
-            cols["br_renderengine"].alias("layoutEngineClass"),
+            engine_class.alias("layoutEngineClass"),
+            engine_name.alias("layoutEngineName"),
+            engine_version.alias("layoutEngineVersion"),
+            F.when(engine_version.isNotNull(),
+                   F.split(engine_version, "\\.")[0])
+            .alias("layoutEngineVersionMajor"),
+            F.when(engine_name.isNotNull(),
+                   F.concat_ws(" ", engine_name, engine_version))
+            .alias("layoutEngineNameVersion"),
         )
     )
+    # null/empty useragent → DefaultResult {deviceClass: Unknown}
+    # (YauaaEnrichment.scala:104-107)
+    data = F.when((ua.isNull()) | (ua == ""),
+                  F.lit('{"deviceClass":"Unknown"}')).otherwise(data)
     ctx = F.struct(
         F.lit("iglu:nl.basjes/yauaa_context/jsonschema/1-0-4").alias("schema"),
         data.alias("data"),
     )
-    return df.withColumn(
-        DERIVED_COL,
-        F.when(ua.isNotNull(), F.array_append(F.col(DERIVED_COL), ctx)).otherwise(F.col(DERIVED_COL)),
-    )
+    return df.withColumn(DERIVED_COL, F.array_append(F.col(DERIVED_COL), ctx))
 
 
 def asn_lookups(df: DataFrame, asn_ranges: DataFrame, datacenter_asns: list[int]) -> DataFrame:

@@ -189,6 +189,23 @@ def test_yauaa_context(spark):
     assert data["deviceClass"] == "Phone"
     assert data["agentName"] == "Mobile Safari"
     assert data["operatingSystemName"] == "iOS"
+    # extended field set (YauaaEnrichment.scala:121-160 whitelist subset)
+    assert data["deviceName"] == "Apple iPhone"
+    assert data["deviceBrand"] == "Apple"
+    assert data["operatingSystemClass"] == "Mobile"
+    assert data["operatingSystemVersion"] == "17.0"
+    assert data["layoutEngineNameVersion"] == "AppleWebKit 605.1.15"
+    assert data["agentClass"] == "Browser"
+    assert data["agentNameVersionMajor"] == "Mobile Safari 17"
+
+
+def test_yauaa_default_result(spark):
+    # null/empty UA → context with just deviceClass Unknown
+    # (YauaaEnrichment.scala:104-107 DefaultResult)
+    events = spark.createDataFrame([(None,), ("",)], "useragent STRING")
+    for r in ua_op.yauaa_context(events).collect():
+        data = json.loads([c for c in r._derived if "yauaa" in c.schema][0].data)
+        assert data == {"deviceClass": "Unknown"}
 
 
 # ---- Iglu validation -------------------------------------------------------
