@@ -1124,10 +1124,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.5 #4 — IAB spiders & robots with the real three-file list
         # semantics (registry/IabEnrichment.scala:100-199): CIDR ip-exclude,
         # pipe-delimited include/exclude UA records, date-aware
-        # ACTIVE/INACTIVE categories, check order ip → include → exclude
+        # ACTIVE/INACTIVE categories, check order ip → include → exclude.
+        # The three files reach the enrichment THROUGH the blob-asset
+        # layer (sources/assets.py, core/AssetRefresher.scala:40-313):
+        # file:// fetch → hashed cache → hash-gated refresh no-op →
+        # load_lists reads the cache paths, proving the download/refresh
+        # machinery inside an oracle row.
         import os
 
         from enrich_spark.operators.iab import iab_context, load_lists
+        from enrich_spark.sources.assets import AssetManager, AssetSpec
 
         d = "/tmp/enrich_spark_iab_fixture"
         os.makedirs(d, exist_ok=True)
@@ -1139,7 +1145,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "retired|0||0||B\n")
         with open(f"{d}/include.txt", "w") as f:
             f.write("mozilla|1||0||U\nxdroid|1||1||U\n")
-        lists = load_lists(f"{d}/ip.txt", f"{d}/exclude.txt", f"{d}/include.txt")
+        mgr = AssetManager(
+            [AssetSpec(n, f"file://{d}/{n}.txt", refresh_period_s=0)
+             for n in ("ip", "exclude", "include")],
+            cache_dir=f"{d}/cache",
+        )
+        assert mgr.maybe_refresh() == []  # same bytes → hash-gated no-swap
+        paths = mgr.paths()
+        lists = load_lists(paths["ip"], paths["exclude"], paths["include"])
 
         ev = _load_events(spark, sf)
         eid = F.col("event_id")
