@@ -51,7 +51,8 @@ def main():
         "text_quality_score",
         "text_token_counts",
         "doc_fingerprint",
-        "multimodal_decode",      # mapInPandas media decode (stub kernel)
+        "multimodal_decode",      # mapInPandas media decode (real kernels)
+        "script_js",              # real-JS enrichment via the Node sidecar
     ]
 
     # warm the JVM + parquet footers with one cheap action

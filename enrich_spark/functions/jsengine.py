@@ -119,6 +119,29 @@ function runOne(sandbox, event, headers) {
   return {event: event, contexts: ctxs, replace: replace};
 }
 
+// batch2: raw JSON strings in, mutation DIFF + stringified context data
+// out — keeps all JSON encode/decode in V8 instead of per-row Python
+function runOneRaw(sandbox, rawEvent, headers) {
+  let event;
+  try {
+    event = rawEvent ? JSON.parse(rawEvent) : {};
+  } catch (e) {
+    return {error: 'Error during execution of JavaScript function: ' +
+                   '[unparseable event: ' + e.message + ']'};
+  }
+  const orig = Object.assign({}, event);
+  const res = runOne(sandbox, event, headers);
+  if (res.drop || res.error !== undefined) return res;
+  const changed = {};
+  for (const k in event) {
+    if (!(k in orig) || orig[k] !== event[k]) changed[k] = event[k];
+  }
+  const ctxs = res.contexts.map(function (c) {
+    return {schema: c.schema, data: JSON.stringify(c.data)};
+  });
+  return {changed: changed, contexts: ctxs, replace: res.replace};
+}
+
 const rl = readline.createInterface({input: process.stdin, terminal: false});
 rl.on('line', function (line) {
   if (!line) return;
@@ -140,13 +163,15 @@ rl.on('line', function (line) {
     return;
   }
   const sandbox = scripts.get(msg.id);
+  const raw = msg.op === 'batch2';
   const out = [];
   for (const pair of msg.events) {
     if (!sandbox) {
       out.push({error: 'script ' + msg.id + ' not compiled'});
       continue;
     }
-    out.push(runOne(sandbox, pair[0] || {}, pair[1] || []));
+    if (raw) out.push(runOneRaw(sandbox, pair[0], pair[1] || []));
+    else out.push(runOne(sandbox, pair[0] || {}, pair[1] || []));
   }
   process.stdout.write(JSON.stringify({results: out}) + '\n');
 });
@@ -239,16 +264,8 @@ class NodeJsEngine:
             self._compiled.add(sid)
             return sid
 
-    def eval_batch(self, source: str, params: dict,
-                   events_headers: list) -> list[dict]:
-        """Run process() over a batch. events_headers = [(event_dict,
-        headers_list), ...]; returns one result dict per event:
-        {"event", "contexts", "replace"} | {"drop": True} | {"error"}.
-
-        One retry on sidecar death (the replacement recompiles), then the
-        whole batch surfaces as per-event errors so a poisoned executor
-        degrades to bad rows instead of task failure.
-        """
+    def _batch(self, op: str, source: str, params: dict,
+               events_headers: list) -> list[dict]:
         sid = self.script_id(source, params)
         pairs = [[e, h] for e, h in events_headers]
         for attempt in (0, 1):
@@ -263,13 +280,34 @@ class NodeJsEngine:
                                    f"[{out['compile_error']}]")
                             return [{"error": msg} for _ in pairs]
                         self._compiled.add(sid)
-                    out = self._roundtrip({"op": "batch", "id": sid, "events": pairs})
+                    out = self._roundtrip({"op": op, "id": sid, "events": pairs})
                 return out["results"]
             except RuntimeError as e:
                 if attempt == 1:
                     return [{"error": f"Error during execution of JavaScript "
                                       f"function: [{e}]"} for _ in pairs]
         raise AssertionError("unreachable")
+
+    def eval_batch(self, source: str, params: dict,
+                   events_headers: list) -> list[dict]:
+        """Run process() over a batch. events_headers = [(event_dict,
+        headers_list), ...]; returns one result dict per event:
+        {"event", "contexts", "replace"} | {"drop": True} | {"error"}.
+
+        One retry on sidecar death (the replacement recompiles), then the
+        whole batch surfaces as per-event errors so a poisoned executor
+        degrades to bad rows instead of task failure.
+        """
+        return self._batch("batch", source, params, events_headers)
+
+    def eval_batch_raw(self, source: str, params: dict,
+                       events_headers: list) -> list[dict]:
+        """Fast path: events_headers = [(event_json_str, headers), ...];
+        the sidecar parses, diffs, and stringifies in V8 and returns
+        {"changed": {field: new}, "contexts": [{schema, data_str}],
+        "replace"} | {"drop"} | {"error"} — no per-event JSON work in
+        Python."""
+        return self._batch("batch2", source, params, events_headers)
 
 
 # process-local shared engine: pandas-UDF closures must not capture a

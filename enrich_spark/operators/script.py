@@ -93,6 +93,14 @@ def _hook_result_to_row(out, mutable):
     return (False, None, ctxs, replace) + muts
 
 
+def _mut_str(v):
+    """JSON scalar → the string the typed-cast layer re-casts; JS bools
+    render as 1/0 so the byte cast works."""
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
 def _engine_result_to_row(res, orig_event, mutable):
     """Node-sidecar batch result → result tuple. The engine returns the
     FULL mutated event (reference semantics: the JS mutates the event
@@ -112,7 +120,25 @@ def _engine_result_to_row(res, orig_event, mutable):
     ev = res.get("event") or {}
     muts = tuple(
         None if (c not in ev or ev.get(c) == orig_event.get(c)
-                 or ev.get(c) is None) else str(ev[c])
+                 or ev.get(c) is None) else _mut_str(ev[c])
+        for c in mutable
+    )
+    replace = bool(res.get("replace")) or None
+    return (False, None, ctxs, replace) + muts
+
+
+def _raw_result_to_row(res, mutable):
+    """batch2 sidecar result → result tuple: the mutation diff and the
+    context-data stringification already happened in V8."""
+    nil = tuple([None] * len(mutable))
+    if res.get("drop"):
+        return (True, None, None, None) + nil
+    if res.get("error") is not None:
+        return (False, res["error"], None, None) + nil
+    ctxs = res.get("contexts") or None
+    changed = res.get("changed") or {}
+    muts = tuple(
+        None if changed.get(c) is None else _mut_str(changed[c])
         for c in mutable
     )
     replace = bool(res.get("replace")) or None
@@ -146,12 +172,18 @@ def script_enrichment(df: DataFrame, conf: JavascriptScriptConf,
             if batch_fn is not None:
                 # JS sidecar path: the whole Arrow batch crosses the
                 # node pipe in ONE round trip
-                events = [json.loads(e) if e else {} for e in ev]
                 hs = [list(h) if h is not None else [] for h in hdr]
-                rows = [
-                    _engine_result_to_row(r, e, mutable)
-                    for r, e in zip(batch_fn(events, hs), events)
-                ]
+                if getattr(batch_fn, "raw", False):
+                    # batch2 protocol: raw JSON strings both ways — all
+                    # per-event JSON work happens in V8, not Python
+                    rows = [_raw_result_to_row(r, mutable)
+                            for r in batch_fn(list(ev), hs)]
+                else:
+                    events = [json.loads(e) if e else {} for e in ev]
+                    rows = [
+                        _engine_result_to_row(r, e, mutable)
+                        for r, e in zip(batch_fn(events, hs), events)
+                    ]
             else:
                 rows = [_script_run_one(fn, params, mutable, e, h)
                         for e, h in zip(ev, hdr)]
@@ -282,10 +314,12 @@ def _node_hook(source: str, extra: dict,
 
     # closures capture only strings — the live subprocess stays in the
     # worker-local shared_engine() cache, never in the pickled task
-    def batch_fn(events, headers_list, _src=source, _p=extra):
+    def batch_fn(event_jsons, headers_list, _src=source, _p=extra):
         from ..functions.jsengine import shared_engine as _se
 
-        return _se().eval_batch(_src, _p, list(zip(events, headers_list)))
+        return _se().eval_batch_raw(_src, _p, list(zip(event_jsons, headers_list)))
+
+    batch_fn.raw = True  # batch2 protocol: raw JSON strings in/out
 
     def fn(event, p, headers, _src=source, _p=extra):
         from ..functions.jsengine import shared_engine as _se
