@@ -2262,7 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_fingerprint"] = q_fingerprint_doc
 
-    def _media_docs(spark, sf, docs=None):
+    def _media_docs(spark, sf, docs=None, m2="wav"):
         # REAL media fixture: encode genuine PNG / BMP / WAV bytes
         # (datapipe/media_codecs.py) whose decoded statistics are pure
         # doc_id arithmetic, so a SQL oracle predicts every decoded value.
@@ -2291,6 +2291,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     elif m == 1:
                         w, h, v = 1 + did % 9, 1 + did % 5, (did * 3) % 256
                         medias.append(encode_bmp(w, h, np.full((h, w * 3), v, np.uint8)))
+                    elif m == 2 and m2 == "avi":
+                        # real AVI container (media_codecs.encode_avi):
+                        # 25 fps × (did % 120) frames → 40·(did % 120) ms,
+                        # parsed NATIVELY by attach_media_meta
+                        from enrich_spark.datapipe.media_codecs import encode_avi
+
+                        medias.append(encode_avi(64, 48, 25, did % 120))
                     elif m == 2:
                         n, v = 800 + (did % 100) * 8, did % 127
                         medias.append(encode_wav(8000, np.full(n, v, np.uint8)))
@@ -2330,21 +2337,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(F.col("duration_ms").cast("long"), F.lit(-1)).alias("duration_ms"),
             F.coalesce(F.round("mean_val", 4), F.lit(-1.0)).alias("mean_val"),
             F.col("codec"),
+            # native header parse (attach_media_meta — no Python): PNG/BMP
+            # dims and canonical-WAV duration verified independently of
+            # the decode kernel's values
+            F.coalesce(F.col("media_meta.width").cast("long"), F.lit(-1))
+            .alias("meta_width"),
+            F.coalesce(F.col("media_meta.height").cast("long"), F.lit(-1))
+            .alias("meta_height"),
+            F.coalesce(F.col("media_meta.duration_ms").cast("long"), F.lit(-1))
+            .alias("meta_duration_ms"),
         )
 
     q["multimodal_decode"] = q_media_decode
 
     def q_media_frames(spark, sf):
-        # datapipe/multimodal.frame_sample_plan: 1→N frame-timestamp explode
+        # datapipe/multimodal.frame_sample_plan: 1→N frame-timestamp
+        # explode driven by REAL container metadata — the AVI fixture's
+        # avih chunk (dwMicroSecPerFrame × dwTotalFrames) is parsed
+        # natively by attach_media_meta, no probe stub
         from enrich_spark.datapipe.multimodal import attach_media_meta, frame_sample_plan
 
-        wav_docs = _load_docs(spark, sf).where(F.col("doc_id") % 4 == 2)
-        df = attach_media_meta(_media_docs(spark, sf, docs=wav_docs))
-        dur = (F.col("doc_id") * 37 % 5000).cast("int")  # probe stub duration
-        df = df.withColumn("media_meta", F.col("media_meta").withField("duration_ms", dur))
+        vid_docs = _load_docs(spark, sf).where(F.col("doc_id") % 4 == 2)
+        df = attach_media_meta(_media_docs(spark, sf, docs=vid_docs, m2="avi"))
         return frame_sample_plan(df, every_ms=500).select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+            F.col("media_meta.width").cast("long").alias("vid_width"),
+            F.col("media_meta.duration_ms").cast("long").alias("vid_duration_ms"),
         )
 
     q["multimodal_frames"] = q_media_frames
@@ -3528,13 +3547,23 @@ def oracle_sql() -> dict[str, str]:
                       WHEN 2 THEN doc_id % 127 ELSE -1 END END AS DOUBLE) AS mean_val,
                CASE WHEN doc_id % 8 = 3 THEN 'jpeg' ELSE
                  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
-                      WHEN 2 THEN 'wav' ELSE 'stub' END END AS codec
+                      WHEN 2 THEN 'wav' ELSE 'stub' END END AS codec,
+               CAST(CASE WHEN doc_id % 8 = 3 THEN -1 ELSE
+                 CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 13
+                      WHEN 1 THEN 1 + doc_id % 9 ELSE -1 END END AS BIGINT) AS meta_width,
+               CAST(CASE WHEN doc_id % 8 = 3 THEN -1 ELSE
+                 CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 7
+                      WHEN 1 THEN 1 + doc_id % 5 ELSE -1 END END AS BIGINT) AS meta_height,
+               CAST(CASE WHEN doc_id % 4 = 2 THEN 100 + doc_id % 100
+                    ELSE -1 END AS BIGINT) AS meta_duration_ms
         FROM h
     """
 
     o["multimodal_frames"] = """
         SELECT doc_id,
-               unnest(range(0, greatest((doc_id*37) % 5000 - 1, 0) + 1, 500)) AS frame_ts_ms
+               unnest(range(0, greatest(40 * (doc_id % 120) - 1, 0) + 1, 500)) AS frame_ts_ms,
+               CAST(64 AS BIGINT) AS vid_width,
+               CAST(40 * (doc_id % 120) AS BIGINT) AS vid_duration_ms
         FROM documents WHERE doc_id % 4 = 2
     """
 

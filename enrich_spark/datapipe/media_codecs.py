@@ -251,3 +251,26 @@ def encode_wav(rate: int, samples: np.ndarray, channels: int = 1) -> bytes:
         wf.setframerate(rate)
         wf.writeframes(arr.astype(np.uint8 if sw == 1 else "<i2").tobytes())
     return buf.getvalue()
+
+
+def encode_avi(width: int, height: int, fps: int, n_frames: int) -> bytes:
+    """Minimal-but-valid AVI container: RIFF('AVI ' LIST('hdrl' avih)
+    LIST('movi')). Carries real timing metadata (dwMicroSecPerFrame,
+    dwTotalFrames, dwWidth/dwHeight) in the mandatory avih chunk at the
+    canonical offsets attach_media_meta parses natively; the movi body
+    is empty (no codec payload — frame decode is out of scope, the
+    container metadata is the contract under test)."""
+    import struct as _s
+
+    usec = 1_000_000 // fps
+    avih = _s.pack(
+        "<14I", usec, 0, 0, 0, n_frames, 0, 1, 0, width, height, 0, 0, 0, 0
+    )
+    hdrl = b"hdrl" + b"avih" + _s.pack("<I", len(avih)) + avih
+    movi = b"movi"
+    body = (
+        b"AVI "
+        + b"LIST" + _s.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + _s.pack("<I", len(movi)) + movi
+    )
+    return b"RIFF" + _s.pack("<I", len(body)) + body

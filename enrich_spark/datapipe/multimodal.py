@@ -37,8 +37,43 @@ MEDIA_META = T.StructType([
 ])
 
 
+def _byte_at(b, pos: int):
+    """1-indexed byte of a binary column as a long (native, no Python)."""
+    return F.conv(F.hex(F.substring(b, pos, 1)), 16, 10).cast("long")
+
+
+def _le32(b, pos: int):
+    return (_byte_at(b, pos) + _byte_at(b, pos + 1) * 256
+            + _byte_at(b, pos + 2) * 65536 + _byte_at(b, pos + 3) * 16777216)
+
+
+def _be32(b, pos: int):
+    return (_byte_at(b, pos + 3) + _byte_at(b, pos + 2) * 256
+            + _byte_at(b, pos + 1) * 65536 + _byte_at(b, pos) * 16777216)
+
+
+def _tag(b, pos: int, ascii_tag: str):
+    """True when the 4 bytes at 1-indexed pos spell ascii_tag."""
+    return F.hex(F.substring(b, pos, 4)) == ascii_tag.encode().hex().upper()
+
+
 def attach_media_meta(df: DataFrame, binary_col: str = "media") -> DataFrame:
-    """Sniff magic bytes natively → metadata struct (no Python)."""
+    """Sniff magic bytes AND parse fixed-layout container headers
+    natively → metadata struct (zero Python, stays in whole-stage
+    codegen, survives any scale):
+
+    - PNG: IHDR width/height (big-endian u32 at offsets 16/20)
+    - BMP: BITMAPINFOHEADER width/height (little-endian at 18/22)
+    - WAV: duration from the canonical 44-byte PCM header
+      (data_size/byte_rate) when the fmt/data chunks sit at their
+      standard offsets
+    - AVI: width/height/duration from the mandatory avih chunk
+      (dwMicroSecPerFrame·dwTotalFrames) when hdrl leads the RIFF body
+
+    Non-canonical layouts leave the field NULL — the decode kernel
+    (mapInPandas) remains the authoritative parse; this native pass is
+    the cheap planner-friendly metadata used for routing, partitioning,
+    and frame planning without touching Python."""
     b = F.col(binary_col)
     head = F.hex(F.substring(b, 1, 4))
     riff_kind = F.hex(F.substring(b, 9, 4))  # RIFF sub-container tag
@@ -58,13 +93,33 @@ def attach_media_meta(df: DataFrame, binary_col: str = "media") -> DataFrame:
         .when(fmt.isin("webm", "avi"), "video")
         .otherwise("unknown")
     )
+    # canonical-layout guards
+    avi_hdr = _tag(b, 13, "LIST") & _tag(b, 21, "hdrl") & _tag(b, 25, "avih")
+    wav_pcm = _tag(b, 13, "fmt ") & _tag(b, 37, "data")
+    byte_rate = _le32(b, 29)
+    width = (
+        F.when(fmt == "png", _be32(b, 17))
+        .when(fmt == "bmp", _le32(b, 19))
+        .when((fmt == "avi") & avi_hdr, _le32(b, 65))
+    )
+    height = (
+        F.when(fmt == "png", _be32(b, 21))
+        .when(fmt == "bmp", _le32(b, 23))
+        .when((fmt == "avi") & avi_hdr, _le32(b, 69))
+    )
+    duration_ms = (
+        F.when((fmt == "wav") & wav_pcm & (byte_rate > 0),
+               _le32(b, 41) * 1000 / byte_rate)
+        .when((fmt == "avi") & avi_hdr,
+              _le32(b, 33) * _le32(b, 49) / 1000)
+    )
     return df.withColumn(
         "media_meta",
         F.struct(
             media_type.alias("media_type"), fmt.alias("format"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("int").alias("duration_ms"),
+            width.cast("int").alias("width"),
+            height.cast("int").alias("height"),
+            duration_ms.cast("int").alias("duration_ms"),
             F.length(b).cast("long").alias("n_bytes"),
         ),
     )

@@ -346,6 +346,38 @@ def test_jpeg_codec():
     assert time.time() - t0 < 2.0
 
 
+def test_attach_media_meta_native_headers(spark):
+    """Container metadata parsed natively (no Python stage): PNG/BMP
+    dims, canonical-WAV duration, AVI avih width/height/duration;
+    non-canonical layouts stay NULL."""
+    import numpy as np
+
+    from enrich_spark.datapipe import media_codecs as mc
+    from enrich_spark.datapipe.multimodal import attach_media_meta
+
+    rows = [
+        (1, bytearray(mc.encode_png(5, 4, np.full((4, 15), 7, np.uint8)))),
+        (2, bytearray(mc.encode_bmp(3, 2, np.full((2, 9), 7, np.uint8)))),
+        (3, bytearray(mc.encode_wav(8000, np.full(1600, 5, np.uint8)))),
+        (4, bytearray(mc.encode_avi(320, 240, 25, 100))),
+        (5, bytearray(b"RIFF\x00\x00\x00\x00AVI not-canonical")),
+        (6, bytearray(b"garbage")),
+    ]
+    df = spark.createDataFrame(rows, "id INT, media BINARY")
+    out = attach_media_meta(df).select("id", "media_meta.*")
+    # the parse is pure Catalyst — no Python eval stage in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    got = {r.id: r for r in out.collect()}
+    assert (got[1].format, got[1].width, got[1].height) == ("png", 5, 4)
+    assert (got[2].format, got[2].width, got[2].height) == ("bmp", 3, 2)
+    assert (got[3].format, got[3].duration_ms) == ("wav", 200)
+    assert (got[4].format, got[4].width, got[4].height,
+            got[4].duration_ms) == ("avi", 320, 240, 4000)
+    assert got[5].width is None and got[5].duration_ms is None
+    assert got[6].format == "unknown" and got[6].width is None
+
+
 def test_decode_features_real_kernels(spark):
     import numpy as np
 
