@@ -274,3 +274,176 @@ def encode_avi(width: int, height: int, fps: int, n_frames: int) -> bytes:
         + b"LIST" + _s.pack("<I", len(movi)) + movi
     )
     return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a): LZW decode, first frame, global/local palette, interlace
+
+
+def decode_gif(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """GIF → (width, height, 3, uint8 RGB of the FIRST frame).
+
+    Pure stdlib LZW: the per-code loop is Python (same throughput class
+    as the JPEG Huffman loop); palette mapping and interlace reorder are
+    vectorized numpy. Animated GIFs yield frame 1; malformed input
+    raises ValueError.
+    """
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw = int.from_bytes(data[6:8], "little")
+    sh = int.from_bytes(data[8:10], "little")
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[pos:pos + 3 * n], np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        # image descriptor
+        ix = int.from_bytes(data[pos + 1:pos + 3], "little")
+        iy = int.from_bytes(data[pos + 3:pos + 5], "little")
+        iw = int.from_bytes(data[pos + 5:pos + 7], "little")
+        ih = int.from_bytes(data[pos + 7:pos + 9], "little")
+        iflags = data[pos + 9]
+        pos += 10
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(data[pos:pos + 3 * n], np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        min_code = data[pos]
+        pos += 1
+        chunks = []
+        while data[pos] != 0:
+            ln = data[pos]
+            chunks.append(data[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        indices = _lzw_decode(b"".join(chunks), min_code, iw * ih)
+        idx = np.asarray(indices[: iw * ih], np.int64)
+        if idx.size < iw * ih:
+            raise ValueError("truncated GIF image data")
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("GIF index out of palette range")
+        frame = pal[idx].reshape(ih, iw, 3)
+        if iflags & 0x40:  # interlaced: 4-pass row order
+            order = np.concatenate([np.arange(0, ih, 8), np.arange(4, ih, 8),
+                                    np.arange(2, ih, 4), np.arange(1, ih, 2)])
+            out = np.empty_like(frame)
+            out[order] = frame
+            frame = out
+        # first frame only; composite onto the logical screen if offset
+        if (ix, iy, iw, ih) != (0, 0, sw, sh):
+            screen = np.zeros((sh, sw, 3), np.uint8)
+            screen[iy:iy + ih, ix:ix + iw] = frame[: sh - iy, : sw - ix]
+            frame = screen
+        return sw, sh, 3, frame
+    raise ValueError("GIF contains no image")
+
+
+def _lzw_decode(data: bytes, min_code: int, limit: int) -> list[int]:
+    clear = 1 << min_code
+    end = clear + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    width = min_code + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = table[: clear + 2]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + (entry[0],))
+            elif code == len(table):
+                entry = prev + (prev[0],)
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream")
+            out.extend(entry)
+            prev = entry
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+            if len(out) >= limit:
+                return out
+    return out
+
+
+def encode_gif(w: int, h: int, palette: np.ndarray, indices: np.ndarray) -> bytes:
+    """Fixture GIF encoder using the 'uncompressed' LZW trick: emit a
+    CLEAR code often enough that the code width never grows, so every
+    pixel index is written verbatim at min_code+1 bits. palette:
+    (n, 3) uint8 (n a power of two ≥ 2); indices: (h, w) ints."""
+    import struct as _s
+
+    n = len(palette)
+    depth = max(2, (n - 1).bit_length())
+    pal = np.zeros((1 << depth, 3), np.uint8)
+    pal[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HH", w, h)
+    out += bytes([0x80 | (depth - 1), 0, 0])
+    out += pal.tobytes()
+    out += b"\x2c" + _s.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    min_code = depth
+    clear, width = 1 << depth, depth + 1
+    out.append(min_code)
+    acc = bits = 0
+    payload = bytearray()
+
+    def put(code):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    put(clear)
+    flat = np.asarray(indices).reshape(-1)
+    run = 0
+    for v in flat:
+        put(int(v))
+        run += 1
+        # decoder adds one table entry per emitted code; reset before
+        # the table reaches 2^width and the expected width would grow
+        if run >= clear - 2:
+            put(clear)
+            run = 0
+    put(clear + 1)  # END
+    if bits:
+        payload.append(acc & 0xFF)
+    for i in range(0, len(payload), 255):
+        chunk = payload[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -5,10 +5,10 @@ columns with a typed metadata struct; decode/resize/frame-sample are
 Arrow-batched mapInPandas stages.
 
 The decode kernel is REAL for the stdlib-decodable containers — PNG
-(zlib inflate + numpy unfilter), BMP (24-bit BI_RGB), WAV (PCM via
-``wave``) in ``media_codecs.py``, and baseline JPEG (Huffman + batched
-IDCT, ``jpeg.py``) — producing genuine width/height/channel/duration/
-pixel statistics. Formats that still need an external entropy decoder
+(zlib inflate + numpy unfilter), BMP (24-bit BI_RGB), GIF (LZW), WAV
+(PCM via ``wave``) in ``media_codecs.py``, and baseline JPEG (Huffman +
+batched IDCT, ``jpeg.py``) — producing genuine width/height/channel/
+duration/pixel statistics. Formats that still need an external entropy decoder
 (progressive JPEG, H.264, ...) fall back to the clearly-marked
 deterministic STUB below, flagged ``codec='stub'`` in the output so
 downstream consumers can tell real measurements from placeholders.
@@ -80,6 +80,7 @@ def attach_media_meta(df: DataFrame, binary_col: str = "media") -> DataFrame:
     fmt = (
         F.when(head.startswith("89504E47"), "png")
         .when(head.startswith("FFD8"), "jpeg")
+        .when(head.startswith("474946"), "gif")
         .when(head.startswith("424D"), "bmp")
         .when(head.startswith("52494646") & (riff_kind == "57415645"), "wav")   # WAVE
         .when(head.startswith("52494646") & (riff_kind == "57454250"), "webp")  # WEBP
@@ -88,7 +89,7 @@ def attach_media_meta(df: DataFrame, binary_col: str = "media") -> DataFrame:
         .otherwise("unknown")
     )
     media_type = (
-        F.when(fmt.isin("png", "jpeg", "bmp", "webp"), "image")
+        F.when(fmt.isin("png", "jpeg", "gif", "bmp", "webp"), "image")
         .when(fmt == "wav", "audio")
         .when(fmt.isin("webm", "avi"), "video")
         .otherwise("unknown")
@@ -97,13 +98,16 @@ def attach_media_meta(df: DataFrame, binary_col: str = "media") -> DataFrame:
     avi_hdr = _tag(b, 13, "LIST") & _tag(b, 21, "hdrl") & _tag(b, 25, "avih")
     wav_pcm = _tag(b, 13, "fmt ") & _tag(b, 37, "data")
     byte_rate = _le32(b, 29)
+    le16 = lambda pos: _byte_at(b, pos) + _byte_at(b, pos + 1) * 256  # noqa: E731
     width = (
         F.when(fmt == "png", _be32(b, 17))
+        .when(fmt == "gif", le16(7))
         .when(fmt == "bmp", _le32(b, 19))
         .when((fmt == "avi") & avi_hdr, _le32(b, 65))
     )
     height = (
         F.when(fmt == "png", _be32(b, 21))
+        .when(fmt == "gif", le16(9))
         .when(fmt == "bmp", _le32(b, 23))
         .when((fmt == "avi") & avi_hdr, _le32(b, 69))
     )
@@ -146,11 +150,13 @@ def _decode_one(data: bytes) -> dict:
 
     try:
         if data.startswith(mc.PNG_SIG) or data[:2] == b"BM" \
-                or data[:2] == b"\xff\xd8":
+                or data[:2] == b"\xff\xd8" or data[:3] == b"GIF":
             if data[:1] == b"\x89":
                 codec, dec = "png", mc.decode_png
             elif data[:2] == b"BM":
                 codec, dec = "bmp", mc.decode_bmp
+            elif data[:3] == b"GIF":
+                codec, dec = "gif", mc.decode_gif
             else:
                 from .jpeg import decode_jpeg as dec  # baseline only
 

@@ -346,6 +346,35 @@ def test_jpeg_codec():
     assert time.time() - t0 < 2.0
 
 
+def test_gif_codec():
+    import numpy as np
+    import pytest
+
+    from enrich_spark.datapipe.media_codecs import decode_gif, encode_gif
+
+    # lossless palette roundtrip through real LZW
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (37, 53))
+    w, h, ch, out = decode_gif(encode_gif(53, 37, pal, idx))
+    assert (w, h, ch) == (53, 37, 3)
+    assert np.array_equal(out, pal[idx])
+
+    # extension blocks (GIF89a graphics-control) are skipped correctly
+    data = bytearray(encode_gif(4, 3, pal[:4], np.zeros((3, 4), int)))
+    img_desc = data.index(0x2C, 13)
+    gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    data[img_desc:img_desc] = gce
+    w, h, ch, out = decode_gif(bytes(data))
+    assert (w, h) == (4, 3) and np.all(out == pal[0])
+
+    # hostile bytes raise, never hang or return garbage
+    good = encode_gif(8, 8, pal[:4], np.zeros((8, 8), int))
+    for bad in (b"", b"GIF89a", b"GIF89a" + bytes(30), good[:20], b"NOPE"):
+        with pytest.raises((ValueError, IndexError)):
+            decode_gif(bad)
+
+
 def test_attach_media_meta_native_headers(spark):
     """Container metadata parsed natively (no Python stage): PNG/BMP
     dims, canonical-WAV duration, AVI avih width/height/duration;
