@@ -2224,6 +2224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("punct_ratio", 4).alias("punct_ratio"),
             F.round("stopword_ratio", 4).alias("stopword_ratio"),
             F.round("distinct_word_ratio", 4).alias("distinct_word_ratio"),
+            F.round("dup_line_ratio", 4).alias("dup_line_ratio"),
+            F.round("top_bigram_char_ratio", 4).alias("top_bigram_char_ratio"),
             F.round("quality_score", 4).alias("quality_score"),
         )
 
@@ -3475,22 +3477,43 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN n_chars > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
                  CASE WHEN n_chars > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / n_chars ELSE 0.0 END AS digit_ratio,
                  CASE WHEN n_words > 0 THEN CAST(len(list_filter(words, w -> lower(w) IN ({_stop}))) AS DOUBLE) / n_words ELSE 0.0 END AS stopword_ratio,
-                 CASE WHEN n_words > 0 THEN CAST(len(list_distinct(words)) AS DOUBLE) / n_words ELSE 0.0 END AS distinct_word_ratio
+                 CASE WHEN n_words > 0 THEN CAST(len(list_distinct(words)) AS DOUBLE) / n_words ELSE 0.0 END AS distinct_word_ratio,
+                 list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+                 CASE WHEN n_words >= 2
+                      THEN list_transform(range(1, n_words), i -> words[i] || ' ' || words[i + 1])
+                      ELSE [] END AS bigrams
           FROM b
+        ),
+        r AS (
+          SELECT *,
+                 CASE WHEN len(lines) > 0
+                      THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                      ELSE 0.0 END AS dup_line_ratio,
+                 CASE WHEN n_chars > 0 THEN least(
+                      CAST(coalesce(list_max(list_transform(list_distinct(bigrams),
+                           x -> CASE WHEN len(list_filter(bigrams, y -> y = x)) >= 2
+                                     THEN len(list_filter(bigrams, y -> y = x)) * length(x)
+                                     ELSE 0 END)), 0) AS DOUBLE) / n_chars, 1.0)
+                      ELSE 0.0 END AS top_bigram_char_ratio
+          FROM f
         )
         SELECT doc_id, n_chars, n_words,
                round(mean_word_len, 4) AS mean_word_len,
                round(punct_ratio, 4) AS punct_ratio,
                round(stopword_ratio, 4) AS stopword_ratio,
                round(distinct_word_ratio, 4) AS distinct_word_ratio,
+               round(dup_line_ratio, 4) AS dup_line_ratio,
+               round(top_bigram_char_ratio, 4) AS top_bigram_char_ratio,
                round((CASE WHEN n_words >= 10 THEN 1 ELSE 0 END
                     + CASE WHEN mean_word_len >= 2.0 THEN 1 ELSE 0 END
                     + CASE WHEN mean_word_len <= 12.0 THEN 1 ELSE 0 END
                     + CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END
                     + CASE WHEN digit_ratio <= 0.3 THEN 1 ELSE 0 END
                     + CASE WHEN stopword_ratio >= 0.01 THEN 1 ELSE 0 END
-                    + CASE WHEN distinct_word_ratio >= 0.3 THEN 1 ELSE 0 END) / 7.0, 4) AS quality_score
-        FROM f
+                    + CASE WHEN distinct_word_ratio >= 0.3 THEN 1 ELSE 0 END
+                    + CASE WHEN dup_line_ratio <= 0.3 THEN 1 ELSE 0 END
+                    + CASE WHEN top_bigram_char_ratio <= 0.18 THEN 1 ELSE 0 END) / 9.0, 4) AS quality_score
+        FROM r
     """
 
     o["text_token_counts"] = """

@@ -147,6 +147,43 @@ def quality_features(text: Column) -> dict[str, Column]:
     distinct_ratio = F.when(
         n_words > 0, F.size(F.array_distinct(words)) / n_words
     ).otherwise(F.lit(0.0))
+
+    # Gopher repetition signals (Rae et al. 2021, §A1.1): duplicate-line
+    # fraction and the character fraction covered by the most repeated
+    # word bigram. Both native: the bigram top is a sort + single-pass
+    # fold (O(n log n) per doc), equivalent to max over distinct bigrams
+    # of count·length for count ≥ 2 — no groupBy, no Python.
+    lines = F.filter(F.split(text, "\n"), lambda line: F.trim(line) != "")
+    n_lines = F.size(lines)
+    dup_line_ratio = F.when(
+        n_lines > 0, (n_lines - F.size(F.array_distinct(lines))) / n_lines
+    ).otherwise(F.lit(0.0))
+    bigrams = F.when(n_words >= 2, F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(words, i),
+                              F.element_at(words, i + 1)),
+    )).otherwise(F.array().cast("array<string>"))
+    fold_init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def _run_fold(acc, b):
+        run = F.when(acc.getField("prev") == b,
+                     acc.getField("run") + 1).otherwise(F.lit(1).cast("long"))
+        cand = F.when(run >= 2, run * F.length(b)).otherwise(F.lit(0).cast("long"))
+        return F.struct(
+            b.alias("prev"), run.alias("run"),
+            F.greatest(acc.getField("best"), cand).alias("best"),
+        )
+
+    top_chars = F.aggregate(F.array_sort(bigrams), fold_init, _run_fold) \
+        .getField("best")
+    top_bigram_ratio = F.when(
+        n_chars > 0, F.least(top_chars / n_chars, F.lit(1.0))
+    ).otherwise(F.lit(0.0))
+
     return {
         "n_chars": n_chars,
         "n_words": n_words,
@@ -156,6 +193,8 @@ def quality_features(text: Column) -> dict[str, Column]:
         "upper_ratio": F.when(n_chars > 0, n_upper / n_chars).otherwise(0.0),
         "stopword_ratio": F.when(n_words > 0, stop_hits / n_words).otherwise(0.0),
         "distinct_word_ratio": distinct_ratio,
+        "dup_line_ratio": dup_line_ratio,
+        "top_bigram_char_ratio": top_bigram_ratio,
     }
 
 
@@ -170,6 +209,9 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         (f["digit_ratio"] <= 0.3).cast("int"),
         (f["stopword_ratio"] >= 0.01).cast("int"),
         (f["distinct_word_ratio"] >= 0.3).cast("int"),
+        # Gopher repetition thresholds: dup-line 0.30, top-2-gram 0.18
+        (f["dup_line_ratio"] <= 0.3).cast("int"),
+        (f["top_bigram_char_ratio"] <= 0.18).cast("int"),
     ]
     score = sum(gates[1:], gates[0]) / F.lit(float(len(gates)))
     out = docs

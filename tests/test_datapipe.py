@@ -167,7 +167,29 @@ def test_quality_score_features(spark):
     assert r.n_words == 13
     assert r.n_chars == 64
     assert 0 < r.stopword_ratio < 1
+    assert r.dup_line_ratio == 0.0
+    assert r.top_bigram_char_ratio == 0.0  # no repeated bigram
     assert r.quality_score >= 0.8
+
+
+def test_quality_repetition_signals(spark):
+    """Gopher repetition gates: duplicate-line fraction and top-bigram
+    character fraction (Rae et al. 2021 §A1.1)."""
+    spam = "buy now " * 20                      # one bigram dominates
+    liney = "unique header\n" + "same line\n" * 4 + "footer text here"
+    docs = spark.createDataFrame(
+        [(1, spam), (2, liney),
+         (3, "a perfectly ordinary sentence with the usual words in it")],
+        "doc_id INT, text STRING",
+    )
+    got = {r.doc_id: r for r in text.quality_score(docs).collect()}
+    # "buy now" repeats ~20×; well past the 0.18 char-fraction gate
+    assert got[1].top_bigram_char_ratio > 0.5
+    assert got[1].quality_score < 1.0
+    # 4 of 6 non-empty lines are duplicates of one line → 3/6 extra
+    assert abs(got[2].dup_line_ratio - 3 / 6) < 1e-9
+    assert got[3].dup_line_ratio == 0.0 and got[3].top_bigram_char_ratio == 0.0
+    assert got[3].quality_score == 1.0
 
 
 def test_token_counts(spark):
