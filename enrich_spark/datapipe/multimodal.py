@@ -23,6 +23,8 @@ from __future__ import annotations
 import hashlib
 import struct as _struct
 
+import numpy as np
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -174,9 +176,25 @@ def _decode_one(data: bytes) -> dict:
             # normalize by the sample type's full scale so the feature
             # stays in the shared [-1, 1]/[0, 1] contract for both widths
             scale = 255.0 if samples.dtype.itemsize == 1 else 32768.0
+            # real audio features (all vectorized numpy): RMS energy,
+            # zero-crossing rate, spectral centroid as a fraction of
+            # Nyquist (rFFT magnitude-weighted mean bin)
+            x = samples.astype(np.float64)
+            if samples.dtype.itemsize == 1:
+                x -= 128.0  # u8 PCM is offset-binary
+            rms = float(np.sqrt(np.mean(x * x))) / scale if x.size else 0.0
+            zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) \
+                if x.size > 1 else 0.0
+            if x.size > 1 and np.any(x):
+                mag = np.abs(np.fft.rfft(x - x.mean()))
+                centroid = float((mag * np.arange(mag.size)).sum()
+                                 / max(mag.sum(), 1e-12) / max(mag.size - 1, 1))
+            else:
+                centroid = 0.0
             return dict(width=None, height=None, channels=ch,
                         duration_ms=dur, mean_val=mean,
-                        features=[mean / scale], codec="wav")
+                        features=[mean / scale, rms, zcr, centroid],
+                        codec="wav")
     except Exception:  # noqa: BLE001 — corrupt media must not fail the task
         pass
     w, h, feats = _fake_decode(data)

@@ -461,6 +461,28 @@ def test_decode_features_real_kernels(spark):
     assert len(rows[4].features) == 16
 
 
+def test_wav_audio_features():
+    """Real spectral features from the decode kernel: a pure sine at f
+    has ZCR ≈ 2f/rate and spectral centroid ≈ f/nyquist."""
+    import numpy as np
+
+    from enrich_spark.datapipe import media_codecs as mc
+    from enrich_spark.datapipe.multimodal import _decode_one
+
+    rate, f = 8000, 1000
+    t = np.arange(4000) / rate
+    sine = (np.sin(2 * np.pi * f * t) * 12000).astype("<i2")
+    row = _decode_one(mc.encode_wav(rate, sine))
+    assert row["codec"] == "wav"
+    mean_n, rms, zcr, centroid = row["features"]
+    assert abs(rms - 12000 / 32768 / np.sqrt(2)) < 0.01   # sine RMS = A/√2
+    assert abs(zcr - 2 * f / rate) < 0.01                 # 2 crossings/cycle
+    assert abs(centroid - f / (rate / 2)) < 0.02          # f over nyquist
+    # silence → all-zero features, no NaN
+    row = _decode_one(mc.encode_wav(rate, np.zeros(100, "<i2")))
+    assert row["features"][1:] == [0.0, 0.0, 0.0]
+
+
 def test_language_id_ngram_accuracy(spark):
     # held-out sentences (NOT in the seed corpora) — the trigram profile
     # model must classify all of them; plus und for non-language input
