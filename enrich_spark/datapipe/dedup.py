@@ -248,6 +248,7 @@ def dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    fixed_rounds: int | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id,
     is_keeper). The step after pair generation a real dedup pipeline
@@ -260,7 +261,14 @@ def dup_clusters(
     diameter) rounds (near-dup clusters are shallow, typically ≤ 4).
     `localCheckpoint` truncates lineage each round so the plan doesn't
     grow; the loop exits early on a zero `changed` count (one scalar
-    per round, not a data collect)."""
+    per round, not a data collect).
+
+    ``fixed_rounds``: run exactly N propagation rounds with NO
+    per-round convergence action — the whole computation is one Spark
+    job instead of one per round, for schedulers where per-iteration
+    job launches dominate. Propagation advances one hop per round, so
+    the caller picks N ≥ the expected cluster diameter; no convergence
+    check or warning is possible in this mode."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -273,7 +281,7 @@ def dup_clusters(
         .localCheckpoint()
     )
     changed = 0
-    for _ in range(max_iter):
+    for rnd in range(fixed_rounds if fixed_rounds is not None else max_iter):
         msgs = (
             edges.join(labels, edges["src"] == labels["node"])
             .groupBy("dst").agg(F.min("label").alias("nbr"))
@@ -286,13 +294,21 @@ def dup_clusters(
                 (F.col("nbr") < F.col("label")).alias("chg"),
             )
         )
+        if fixed_rounds is not None:
+            # no per-round convergence count; truncate lineage (an eager
+            # materialization) only every 5th round, so N rounds cost
+            # ~N/5 jobs instead of 2N actions
+            labels = merged.drop("chg")
+            if (rnd + 1) % 5 == 0 or rnd + 1 == fixed_rounds:
+                labels = labels.localCheckpoint()
+            continue
         merged = merged.localCheckpoint()
         changed = merged.where(F.col("chg")).limit(1).count()
         labels = merged.drop("chg")
         if changed == 0:
             break
     edges.unpersist()
-    if changed != 0:
+    if fixed_rounds is None and changed != 0:
         # A component with diameter > max_iter (long near-dup chains) would
         # otherwise silently yield split clusters with multiple keepers.
         warnings.warn(

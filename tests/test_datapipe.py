@@ -600,6 +600,12 @@ def test_dup_clusters_connected_components(spark):
     keepers = {d for d, (_, k) in out.items() if k}
     assert keepers == {1, 10, 20}
 
+    # fixed-round mode (no per-round convergence action) matches the
+    # converging mode when rounds ≥ diameter
+    fixed = {r.doc_id: (r.cluster_id, r.is_keeper)
+             for r in dedup.dup_clusters(pairs, fixed_rounds=6).collect()}
+    assert fixed == out
+
 
 def test_language_id_null_and_empty_are_und(spark):
     # NULL text used to score -1 as the floor (sizeOfNull), letting every
