@@ -145,3 +145,65 @@ def test_wav_roundtrip_property(n, rate, bits16, data):
     assert (ch, r, frames) == (1, rate, n)
     assert dur == n * 1000 // rate
     assert np.array_equal(back, samples)
+
+
+@given(
+    w=st.integers(1, 20), h=st.integers(1, 20),
+    npal=st.sampled_from([2, 4, 16, 64]), data=st.data(),
+)
+@settings(max_examples=30, deadline=None)
+def test_gif_roundtrip_property(w, h, npal, data):
+    # any palette image round-trips losslessly through real LZW
+    import numpy as np
+
+    from enrich_spark.datapipe.media_codecs import decode_gif, encode_gif
+
+    pal = np.asarray(
+        data.draw(st.lists(st.integers(0, 255), min_size=npal * 3,
+                           max_size=npal * 3)), np.uint8).reshape(-1, 3)
+    idx = np.asarray(
+        data.draw(st.lists(st.integers(0, npal - 1), min_size=w * h,
+                           max_size=w * h))).reshape(h, w)
+    ww, hh, cc, back = decode_gif(encode_gif(w, h, pal, idx))
+    assert (ww, hh, cc) == (w, h, 3)
+    assert np.array_equal(back, pal[idx])
+
+
+@given(
+    w=st.integers(1, 24), h=st.integers(1, 24),
+    quality=st.integers(30, 95), sub=st.sampled_from(["444", "420"]),
+    data=st.data(),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_property(w, h, quality, sub, data):
+    # lossy, but dims/channels always survive and pixel error is bounded
+    # by the quantization scale (generous cap: smooth-ish content)
+    import numpy as np
+
+    from enrich_spark.datapipe.jpeg import decode_jpeg, encode_jpeg
+
+    base = data.draw(st.integers(0, 200))
+    # smooth gradient + small per-pixel noise (JPEG's design envelope)
+    yy, xx = np.mgrid[0:h, 0:w]
+    noise = np.asarray(
+        data.draw(st.lists(st.integers(0, 20), min_size=w * h * 3,
+                           max_size=w * h * 3))).reshape(h, w, 3)
+    px = np.clip(base + xx[..., None] * 2 + yy[..., None] + noise,
+                 0, 255).astype(np.uint8)
+    ww, hh, cc, back = decode_jpeg(encode_jpeg(w, h, px, quality=quality,
+                                               subsample=sub))
+    assert (ww, hh, cc) == (w, h, 3)
+    assert np.abs(back.astype(int) - px.astype(int)).max() <= 120
+
+
+@given(data=st.binary(min_size=0, max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_decode_one_new_codecs_never_throw(data):
+    # JPEG/GIF/AVI prefixes + hostile tails must never escape the kernel
+    from enrich_spark.datapipe.multimodal import _decode_one
+
+    for prefix in (b"\xff\xd8\xff\xe0", b"GIF89a", b"GIF87a",
+                   b"RIFF1234AVI LIST"):
+        row = _decode_one(prefix + data)
+        assert row["codec"] in ("jpeg", "gif", "stub")
+        assert isinstance(row["features"], list)
