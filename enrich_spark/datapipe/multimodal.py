@@ -101,16 +101,32 @@ def attach_media_meta(df: DataFrame, binary_col: str = "media") -> DataFrame:
     wav_pcm = _tag(b, 13, "fmt ") & _tag(b, 37, "data")
     byte_rate = _le32(b, 29)
     le16 = lambda pos: _byte_at(b, pos) + _byte_at(b, pos + 1) * 256  # noqa: E731
+    le24 = lambda pos: le16(pos) + _byte_at(b, pos + 2) * 65536  # noqa: E731
+    # WebP sub-format headers: VP8X canvas (24-bit minus-one), VP8L
+    # (14-bit bit-packed minus-one), lossy VP8 (14-bit after the
+    # 9D 01 2A start code)
+    vp8x = _tag(b, 13, "VP8X")
+    vp8l = _tag(b, 13, "VP8L") & (_byte_at(b, 21) == 0x2F)
+    vp8 = _tag(b, 13, "VP8 ") & (F.hex(F.substring(b, 24, 3)) == "9D012A")
     width = (
         F.when(fmt == "png", _be32(b, 17))
         .when(fmt == "gif", le16(7))
         .when(fmt == "bmp", _le32(b, 19))
+        .when((fmt == "webp") & vp8x, le24(25) + 1)
+        .when((fmt == "webp") & vp8l,
+              _byte_at(b, 22) + (_byte_at(b, 23) % 64) * 256 + 1)
+        .when((fmt == "webp") & vp8, le16(27) % 16384)
         .when((fmt == "avi") & avi_hdr, _le32(b, 65))
     )
     height = (
         F.when(fmt == "png", _be32(b, 21))
         .when(fmt == "gif", le16(9))
         .when(fmt == "bmp", _le32(b, 23))
+        .when((fmt == "webp") & vp8x, le24(28) + 1)
+        .when((fmt == "webp") & vp8l,
+              F.floor(_byte_at(b, 23) / 64) + _byte_at(b, 24) * 4
+              + (_byte_at(b, 25) % 16) * 1024 + 1)
+        .when((fmt == "webp") & vp8, le16(29) % 16384)
         .when((fmt == "avi") & avi_hdr, _le32(b, 69))
     )
     duration_ms = (

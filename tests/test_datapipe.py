@@ -429,6 +429,40 @@ def test_attach_media_meta_native_headers(spark):
     assert got[6].format == "unknown" and got[6].width is None
 
 
+def test_attach_media_meta_webp_dims(spark):
+    """WebP dims from all three sub-format headers, hand-built to spec
+    (VP8X 24-bit minus-one canvas, VP8L bit-packed 14-bit, lossy VP8
+    after the 9D 01 2A start code)."""
+    import struct
+
+    from enrich_spark.datapipe.multimodal import attach_media_meta
+
+    def riff(payload):
+        return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" + payload
+
+    # VP8X: 320×240 canvas → stored minus one
+    vp8x = riff(b"VP8X" + struct.pack("<I", 10) + b"\x00\x00\x00\x00"
+                + (319).to_bytes(3, "little") + (239).to_bytes(3, "little"))
+    # VP8L: 100×50 → (w-1)=99 in bits 0..13, (h-1)=49 in bits 14..27
+    packed = 99 | (49 << 14)
+    vp8l = riff(b"VP8L" + struct.pack("<I", 5) + b"\x2f"
+                + packed.to_bytes(4, "little"))
+    # lossy VP8: 64×32 after the frame tag + start code
+    vp8 = riff(b"VP8 " + struct.pack("<I", 10) + b"\x00\x00\x00"
+               + b"\x9d\x01\x2a" + struct.pack("<HH", 64, 32))
+    df = spark.createDataFrame(
+        [(1, bytearray(vp8x)), (2, bytearray(vp8l)), (3, bytearray(vp8)),
+         (4, bytearray(riff(b"JUNK" + b"\x00" * 12)))],
+        "id INT, media BINARY",
+    )
+    got = {r.id: r for r in attach_media_meta(df).select("id", "media_meta.*").collect()}
+    assert all(got[i].format == "webp" for i in (1, 2, 3, 4))
+    assert (got[1].width, got[1].height) == (320, 240)
+    assert (got[2].width, got[2].height) == (100, 50)
+    assert (got[3].width, got[3].height) == (64, 32)
+    assert got[4].width is None and got[4].height is None
+
+
 def test_decode_features_real_kernels(spark):
     import numpy as np
 
