@@ -390,6 +390,18 @@ def test_gif_codec():
     w, h, ch, out = decode_gif(bytes(data))
     assert (w, h) == (4, 3) and np.all(out == pal[0])
 
+    # interlaced frames reorder through the 4-pass row permutation:
+    # store rows in interlace order, set the flag, expect the original
+    h10 = 10
+    order = np.concatenate([np.arange(0, h10, 8), np.arange(4, h10, 8),
+                            np.arange(2, h10, 4), np.arange(1, h10, 2)])
+    original = np.tile(np.arange(h10) % 4, (6, 1)).T  # distinct row values
+    data = bytearray(encode_gif(6, h10, pal[:4], original[order]))
+    desc = data.index(0x2C, 13)
+    data[desc + 9] |= 0x40  # interlace flag in the image descriptor
+    w, h, ch, out = decode_gif(bytes(data))
+    assert np.array_equal(out, pal[original])
+
     # hostile bytes raise, never hang or return garbage
     good = encode_gif(8, 8, pal[:4], np.zeros((8, 8), int))
     for bad in (b"", b"GIF89a", b"GIF89a" + bytes(30), good[:20], b"NOPE"):
