@@ -1,0 +1,89 @@
+"""Plan-contract specs — lock in the physical-plan properties SCALE.md
+claims for 100 TB (shuffle budget, broadcast-only lookups, zero Python
+in the default chain). A regression here is a scale regression even if
+every value-level test stays green.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from enrich_spark.config import EnrichmentsConfig, IpLookupsConf, YauaaConf
+from enrich_spark.plans.pipeline import enrich_raw
+
+
+def _raw(spark, n=64):
+    ev = spark.range(n).select(
+        F.col("id").alias("src_event_id"),
+        F.create_map(
+            F.lit("e"), F.lit("pv"),
+            F.lit("p"), F.lit("web"),
+            F.lit("aid"), F.concat(F.lit("app-"), (F.col("id") % 3).cast("string")),
+            F.lit("url"), F.lit("https://x.com/p?utm_source=nl&utm_medium=m"),
+            F.lit("refr"), F.lit("https://www.google.com/search?q=x"),
+            F.lit("dtm"), F.lit("1699999999000"),
+        ).alias("parameters"),
+        F.lit("81.2.69.142").alias("ip_address"),
+        F.lit("Mozilla/5.0 (Windows NT 10.0) Chrome/120.0.0.0 Safari/537.36")
+        .alias("useragent"),
+        F.timestamp_seconds(F.lit(1700000000)).alias("collector_tstamp"),
+    )
+    return ev
+
+
+def _plan(df) -> str:
+    df.collect()  # materialize THIS plan so AQE finalizes (isFinalPlan=true)
+    return df._sc._jvm.org.apache.spark.sql.api.python.PythonSQLUtils \
+        .explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_default_chain_plan_contract(spark):
+    """Default chain (SCALE.md §1): zero Python stages, zero sort-merge
+    joins, only broadcast exchanges, codegen engaged."""
+    cfg = EnrichmentsConfig.default()
+    cfg.yauaa = YauaaConf()
+    cfg.ip_lookups = IpLookupsConf()
+    res = enrich_raw(_raw(spark), cfg, spark)
+    plan = _plan(res.good)
+    assert "EvalPython" not in plan, "default chain must stay JVM-side"
+    assert "SortMergeJoin" not in plan, "lookups must broadcast, not shuffle"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, \
+        "range joins must stay hash joins on the bucket key"
+    assert "BroadcastHashJoin" in plan  # referer/geo dims
+    # whole-stage codegen engaged (deliberately segmented by the
+    # plans/stagecut.py boundaries, so assert presence, not span count)
+    assert "codegen id" in plan
+
+
+def test_minhash_lsh_plan_contract(spark):
+    """Candidate generation is a bucketed equi-join (SCALE.md §4):
+    never a cartesian/nested-loop pair explosion."""
+    from enrich_spark.datapipe.dedup import minhash_lsh_pairs
+
+    docs = spark.range(32).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("some repeated words here body "),
+                 (F.col("id") % 7).cast("string")).alias("text"),
+    )
+    plan = _plan(minhash_lsh_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_single_shuffle(spark):
+    """One keyed shuffle (user_id window), nothing else."""
+    import datetime as dt
+
+    from enrich_spark.datapipe.session import sessionize
+
+    df = spark.createDataFrame(
+        [("u1", dt.datetime(2026, 1, 1, 12, 0, 0), "e1")],
+        "user_id STRING, ts TIMESTAMP, event_id STRING",
+    )
+    plan = _plan(sessionize(df))
+    # exactly one Exchange (the session window's user_id partitioning)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "EvalPython" not in plan
