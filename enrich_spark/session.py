@@ -25,6 +25,11 @@ def get_spark(app_name: str = "enrich-spark", cpus: int | None = None) -> SparkS
         # whole stage to interpreted mode; smaller split → compilable methods.
         # Measured 3.5x on the sf0.1 chain.
         .config("spark.sql.codegen.methodSplitThreshold", "128")
+        # WholeStageCodegen silently skips operators wider than
+        # spark.sql.codegen.maxFields (default 100) — the 131-column
+        # atomic event chain ran interpreted until this was raised
+        # (verified node-by-node in tests/test_plan_contract.py)
+        .config("spark.sql.codegen.maxFields", "1000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .getOrCreate()

@@ -54,6 +54,16 @@ def test_default_chain_plan_contract(spark):
     # whole-stage codegen engaged (deliberately segmented by the
     # plans/stagecut.py boundaries, so assert presence, not span count)
     assert "codegen id" in plan
+    # the WIDE (131-column) stages must codegen too: the default
+    # spark.sql.codegen.maxFields=100 silently dropped every chain
+    # projection to interpreted mode until session.py raised it
+    # (measured: tsv_serialize -40% at sf0.1)
+    import re
+
+    final = plan.split("== Initial Plan ==")[0]
+    marks = re.findall(r"^[\s:+|-]*(\*?)\s*Project \(\d+\)", final, re.M)
+    assert sum(1 for m in marks if m) >= len(marks) // 2, \
+        f"most chain projections lost codegen: {marks}"
 
 
 def test_minhash_lsh_plan_contract(spark):
