@@ -79,6 +79,49 @@ def collect_metadata(good: DataFrame) -> DataFrame:
     )
 
 
+def windowed_metadata_stream(
+    good: DataFrame,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    time_col: str = "collector_tstamp",
+) -> DataFrame:
+    """Streaming-native metadata rollup: the event-time-windowed variant
+    of ``collect_metadata`` (core/Metadata.scala:50-96 — the reference
+    flushes its observed-schema aggregate on a period; the batch shell
+    aggregates per micro-batch in foreachBatch). This variant is the
+    always-on Structured Streaming form: tumbling event-time windows
+    with a watermark bounding both state and late-data tolerance, so a
+    window's row finalizes (append mode) once the watermark passes its
+    end.
+
+    At scale: state per window = distinct (schema, app, tracker,
+    platform) combos — tiny; the shuffle is the same single keyed
+    exchange the batch aggregation pays.
+    """
+    return (
+        good.withWatermark(time_col, watermark)
+        .groupBy(
+            F.window(F.col(time_col), window_duration).alias("window"),
+            "event_vendor", "event_name", "event_format", "event_version",
+            "app_id", "v_tracker", "platform",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list(
+                    F.transform(F.col("_derived"), lambda c: c.getField("schema"))
+                )))
+            ).alias("entity_schemas"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_vendor", "event_name", "event_format", "event_version",
+            "app_id", "v_tracker", "platform", "n_events", "entity_schemas",
+        )
+    )
+
+
 def enrich_batch(batch_df: DataFrame, cfg: StreamConfig, spark: SparkSession):
     """One micro-batch through the full pipeline. Returns (good_tsv, bad_json,
     failed_tsv, metadata, annotated) DataFrames — shared by the streaming and

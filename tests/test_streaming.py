@@ -291,6 +291,59 @@ def test_streaming_asset_hotswap_rebuilds_plan(spark):
         assert rebuilds == ["gen2"]  # swap fired once, with the new content
 
 
+def test_windowed_metadata_stream(spark):
+    """Watermarked tumbling-window metadata rollup: windows finalize in
+    append mode only after the watermark passes, counts and entity-schema
+    sets match the batch collect_metadata semantics."""
+    import datetime as dt
+
+    from enrich_spark.streaming.runner import windowed_metadata_stream
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    schema = ("collector_tstamp TIMESTAMP, event_vendor STRING, "
+              "event_name STRING, event_format STRING, event_version STRING, "
+              "app_id STRING, v_tracker STRING, platform STRING, "
+              "_derived ARRAY<STRUCT<schema:STRING, data:STRING>>")
+
+    def rows(batch):
+        return spark.createDataFrame(batch, schema)
+
+    ctx = [("iglu:com.acme/session/jsonschema/1-0-0", "{}")]
+    ev = lambda ts, name="page_view", d=None: (  # noqa: E731
+        ts, "com.snowplowanalytics.snowplow", name, "jsonschema", "1-0-0",
+        "site", "js-3.0", "web", d if d is not None else ctx)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in")
+        os.makedirs(src)
+        rows([ev(t0), ev(t0 + dt.timedelta(seconds=30), d=[]),
+              ev(t0 + dt.timedelta(seconds=40), name="link_click")]
+             ).write.parquet(os.path.join(src, "b0"))
+        source = (spark.readStream.schema(schema)
+                  .option("recursiveFileLookup", "true").parquet(src))
+        out = windowed_metadata_stream(source, "1 minute", "1 minute")
+        q = (out.writeStream.format("memory").queryName("meta_roll")
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+        try:
+            q.processAllAvailable()
+            # watermark has not passed the first window's end yet
+            assert spark.sql("SELECT * FROM meta_roll").count() == 0
+            # an event 5 minutes on advances the watermark past it
+            rows([ev(t0 + dt.timedelta(minutes=5))]).write.parquet(
+                os.path.join(src, "b1"))
+            q.processAllAvailable()
+            got = {(r.event_name,): r
+                   for r in spark.sql("SELECT * FROM meta_roll").collect()}
+            pv = got[("page_view",)]
+            assert pv.n_events == 2
+            assert pv.entity_schemas == ["iglu:com.acme/session/jsonschema/1-0-0"]
+            assert pv.window_start == t0 and pv.window_end == t0 + dt.timedelta(minutes=1)
+            assert got[("link_click",)].n_events == 1
+        finally:
+            q.stop()
+
+
 def test_streaming_sessionize_stateful(spark):
     import datetime as dt
 
