@@ -2317,6 +2317,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         w, h, v = 4 + did % 6, 3 + did % 4, (did * 11) % 256
                         pal = np.array([[v, v, v], [0, 0, 0]], np.uint8)
                         medias.append(encode_gif(w, h, pal, np.zeros((h, w), int)))
+                    elif did % 32 == 15:
+                        # REAL MP3 frame chain: duration from the exact
+                        # frame walk; the CBR header also parses natively
+                        from enrich_spark.datapipe.media_codecs import encode_mp3
+
+                        medias.append(encode_mp3(10 + did % 50))
                     else:
                         # no known magic (verified: no doc text collides)
                         medias.append((text or "").encode("utf-8"))
@@ -3552,44 +3558,55 @@ def oracle_sql() -> dict[str, str]:
     o["multimodal_decode"] = f"""
         WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents)
         SELECT doc_id,
-               CASE WHEN doc_id % 8 = 3 THEN 'jpeg' WHEN doc_id % 16 = 7 THEN 'gif' ELSE
+               CASE WHEN doc_id % 8 = 3 THEN 'jpeg' WHEN doc_id % 16 = 7 THEN 'gif'
+                    WHEN doc_id % 32 = 15 THEN 'mp3' ELSE
                  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
                       WHEN 2 THEN 'wav' ELSE 'unknown' END END AS format,
-               CASE WHEN doc_id % 8 = 3 OR doc_id % 16 = 7 THEN 'image' ELSE
+               CASE WHEN doc_id % 8 = 3 OR doc_id % 16 = 7 THEN 'image'
+                    WHEN doc_id % 32 = 15 THEN 'audio' ELSE
                  CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'image'
                       WHEN 2 THEN 'audio' ELSE 'unknown' END END AS media_type,
                CAST(CASE WHEN doc_id % 8 = 3 THEN 8 + doc_id % 9
-                    WHEN doc_id % 16 = 7 THEN 4 + doc_id % 6 ELSE
+                    WHEN doc_id % 16 = 7 THEN 4 + doc_id % 6
+                    WHEN doc_id % 32 = 15 THEN -1 ELSE
                  CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 13
                       WHEN 1 THEN 1 + doc_id % 9 WHEN 2 THEN -1
                       ELSE 1 + ({_sha_byte(1)} % 64) END END AS BIGINT) AS width,
                CAST(CASE WHEN doc_id % 8 = 3 THEN 8 + doc_id % 5
-                    WHEN doc_id % 16 = 7 THEN 3 + doc_id % 4 ELSE
+                    WHEN doc_id % 16 = 7 THEN 3 + doc_id % 4
+                    WHEN doc_id % 32 = 15 THEN -1 ELSE
                  CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 7
                       WHEN 1 THEN 1 + doc_id % 5 WHEN 2 THEN -1
                       ELSE 1 + ({_sha_byte(2)} % 64) END END AS BIGINT) AS height,
-               CAST(CASE WHEN doc_id % 8 = 3 OR doc_id % 16 = 7 THEN 3 ELSE
+               CAST(CASE WHEN doc_id % 8 = 3 OR doc_id % 16 = 7 THEN 3
+                    WHEN doc_id % 32 = 15 THEN 2 ELSE
                  CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 3
                       WHEN 2 THEN 1 ELSE -1 END END AS BIGINT) AS channels,
-               CAST(CASE doc_id % 4 WHEN 2 THEN 100 + doc_id % 100
+               CAST(CASE WHEN doc_id % 32 = 15
+                         THEN ((10 + doc_id % 50) * 1152000) // 44100
+                    WHEN doc_id % 4 = 2 THEN 100 + doc_id % 100
                     ELSE -1 END AS BIGINT) AS duration_ms,
                CAST(CASE WHEN doc_id % 8 = 3 THEN (doc_id * 7) % 256
-                    WHEN doc_id % 16 = 7 THEN (doc_id * 11) % 256 ELSE
+                    WHEN doc_id % 16 = 7 THEN (doc_id * 11) % 256
+                    WHEN doc_id % 32 = 15 THEN -1 ELSE
                  CASE doc_id % 4 WHEN 0 THEN doc_id % 256
                       WHEN 1 THEN (doc_id * 3) % 256
                       WHEN 2 THEN doc_id % 127 ELSE -1 END END AS DOUBLE) AS mean_val,
-               CASE WHEN doc_id % 8 = 3 THEN 'jpeg' WHEN doc_id % 16 = 7 THEN 'gif' ELSE
+               CASE WHEN doc_id % 8 = 3 THEN 'jpeg' WHEN doc_id % 16 = 7 THEN 'gif'
+                    WHEN doc_id % 32 = 15 THEN 'mp3' ELSE
                  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
                       WHEN 2 THEN 'wav' ELSE 'stub' END END AS codec,
-               CAST(CASE WHEN doc_id % 8 = 3 THEN -1
+               CAST(CASE WHEN doc_id % 8 = 3 OR doc_id % 32 = 15 THEN -1
                     WHEN doc_id % 16 = 7 THEN 4 + doc_id % 6 ELSE
                  CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 13
                       WHEN 1 THEN 1 + doc_id % 9 ELSE -1 END END AS BIGINT) AS meta_width,
-               CAST(CASE WHEN doc_id % 8 = 3 THEN -1
+               CAST(CASE WHEN doc_id % 8 = 3 OR doc_id % 32 = 15 THEN -1
                     WHEN doc_id % 16 = 7 THEN 3 + doc_id % 4 ELSE
                  CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 7
                       WHEN 1 THEN 1 + doc_id % 5 ELSE -1 END END AS BIGINT) AS meta_height,
-               CAST(CASE WHEN doc_id % 4 = 2 THEN 100 + doc_id % 100
+               CAST(CASE WHEN doc_id % 32 = 15
+                         THEN ((10 + doc_id % 50) * 417 * 8) // 128
+                    WHEN doc_id % 4 = 2 THEN 100 + doc_id % 100
                     ELSE -1 END AS BIGINT) AS meta_duration_ms
         FROM h
     """

@@ -447,3 +447,74 @@ def encode_gif(w: int, h: int, palette: np.ndarray, indices: np.ndarray) -> byte
         out += chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1/2 audio layer III): frame-header metadata, no sample decode
+
+_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112,
+                      128, 160, 192, 224, 256, 320, 0]     # kbps
+_MP3_BITRATES_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64,
+                      80, 96, 112, 128, 144, 160, 0]
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              0: [11025, 12000, 8000]}                      # by version bits
+
+
+def parse_mp3(data: bytes) -> tuple[int, int, int, int, int]:
+    """MP3 metadata → (channels, sample_rate, bitrate_bps, n_frames,
+    duration_ms). Walks the frame chain (exact duration for CBR and VBR
+    alike: frames × samples-per-frame / rate); skips a leading ID3v2 tag
+    (syncsafe size). Raises ValueError when no valid frame chain exists.
+    Sample DECODE (Huffman + IMDCT) is out of scope — this is the
+    metadata contract a 100 TB audio pipeline needs for routing and
+    duration accounting."""
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+             | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        pos = 10 + size
+    n_frames = 0
+    total_samples = 0
+    rate = bitrate = channels = 0
+    while pos + 4 <= len(data):
+        b0, b1, b2, b3 = data[pos:pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        version = (b1 >> 3) & 0x03          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 0x03            # 1 = Layer III
+        if version == 1 or layer != 1:
+            break
+        br_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 0x03
+        if sr_idx == 3 or br_idx in (0, 15):
+            break
+        table = _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
+        kbps = table[br_idx]
+        rate = _MP3_RATES[version][sr_idx]
+        padding = (b2 >> 1) & 0x01
+        channels = 1 if (b3 >> 6) == 3 else 2
+        samples = 1152 if version == 3 else 576
+        frame_len = samples // 8 * kbps * 1000 // rate + padding
+        if frame_len <= 4:
+            break
+        bitrate = kbps * 1000
+        n_frames += 1
+        total_samples += samples
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("no MPEG audio frames found")
+    return channels, rate, bitrate, n_frames, total_samples * 1000 // rate
+
+
+def encode_mp3(n_frames: int, bitrate_kbps: int = 128, rate: int = 44100,
+               stereo: bool = True) -> bytes:
+    """Fixture generator: a valid CBR MPEG-1 Layer III frame chain with
+    zeroed payloads (headers are real; audio data is not decoded by
+    parse_mp3 so silence bytes suffice)."""
+    br_idx = _MP3_BITRATES_V1L3.index(bitrate_kbps)
+    sr_idx = _MP3_RATES[3].index(rate)
+    b2 = (br_idx << 4) | (sr_idx << 2)
+    b3 = 0x00 if stereo else 0xC0
+    frame_len = 144 * bitrate_kbps * 1000 // rate
+    frame = bytes([0xFF, 0xFB, b2, b3]) + bytes(frame_len - 4)
+    return frame * n_frames

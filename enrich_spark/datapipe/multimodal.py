@@ -88,11 +88,14 @@ def attach_media_meta(df: DataFrame, binary_col: str = "media") -> DataFrame:
         .when(head.startswith("52494646") & (riff_kind == "57454250"), "webp")  # WEBP
         .when(head.startswith("52494646") & (riff_kind == "41564920"), "avi")   # 'AVI '
         .when(head.startswith("1A45DFA3"), "webm")
+        .when(head.startswith("FFFB") | head.startswith("FFFA")
+              | head.startswith("FFF3") | head.startswith("FFF2")
+              | head.startswith("494433"), "mp3")  # MPEG L3 sync / ID3
         .otherwise("unknown")
     )
     media_type = (
         F.when(fmt.isin("png", "jpeg", "gif", "bmp", "webp"), "image")
-        .when(fmt == "wav", "audio")
+        .when(fmt.isin("wav", "mp3"), "audio")
         .when(fmt.isin("webm", "avi"), "video")
         .otherwise("unknown")
     )
@@ -129,11 +132,24 @@ def attach_media_meta(df: DataFrame, binary_col: str = "media") -> DataFrame:
         .when((fmt == "webp") & vp8, le16(29) % 16384)
         .when((fmt == "avi") & avi_hdr, _le32(b, 69))
     )
+    # MPEG1-Layer3 CBR with the sync word at byte 0 (no ID3 tag): the
+    # Annex bitrate table as a CASE over the header's bitrate nibble;
+    # duration ≈ bytes·8/bitrate. VBR / ID3-prefixed files stay NULL
+    # here and get the exact frame-walk duration from the decode kernel.
+    mp3_sync = F.hex(F.substring(b, 1, 2)).isin("FFFB", "FFFA")
+    br_nibble = F.floor(_byte_at(b, 3) / 16)
+    mp3_kbps = F.lit(None).cast("long")
+    for idx, kbps in enumerate([0, 32, 40, 48, 56, 64, 80, 96, 112,
+                                128, 160, 192, 224, 256, 320, 0]):
+        if kbps:
+            mp3_kbps = F.when(br_nibble == idx, F.lit(kbps)).otherwise(mp3_kbps)
     duration_ms = (
         F.when((fmt == "wav") & wav_pcm & (byte_rate > 0),
                _le32(b, 41) * 1000 / byte_rate)
         .when((fmt == "avi") & avi_hdr,
               _le32(b, 33) * _le32(b, 49) / 1000)
+        .when((fmt == "mp3") & mp3_sync & mp3_kbps.isNotNull(),
+              F.length(b) * 8 / mp3_kbps)
     )
     return df.withColumn(
         "media_meta",
@@ -186,6 +202,14 @@ def _decode_one(data: bytes) -> dict:
                         mean_val=float(px.mean()) if px.size else 0.0,
                         features=[m / 255.0 for m in means],
                         codec=codec)
+        if data[:3] == b"ID3" or data[:2] in (b"\xff\xfb", b"\xff\xfa",
+                                              b"\xff\xf3", b"\xff\xf2"):
+            ch, rate, bitrate, n_frames, dur = mc.parse_mp3(data)
+            # metadata-only: MP3 sample decode (Huffman+IMDCT) is out of
+            # scope; duration/channels/rate are real frame-walk values
+            return dict(width=None, height=None, channels=ch,
+                        duration_ms=dur, mean_val=None,
+                        features=[], codec="mp3")
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             ch, rate, n, dur, samples = mc.decode_wav(data)
             mean = float(samples.mean()) if samples.size else 0.0

@@ -529,6 +529,48 @@ def test_wav_audio_features():
     assert row["features"][1:] == [0.0, 0.0, 0.0]
 
 
+def test_mp3_metadata():
+    import numpy as np
+    import pytest
+
+    from enrich_spark.datapipe.media_codecs import encode_mp3, parse_mp3
+    from enrich_spark.datapipe.multimodal import _decode_one
+
+    ch, rate, br, n, dur = parse_mp3(encode_mp3(40))
+    assert (ch, rate, br, n) == (2, 44100, 128000, 40)
+    assert dur == 40 * 1152 * 1000 // 44100
+    # ID3v2 prefix skipped (syncsafe size)
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10)
+    assert parse_mp3(id3 + encode_mp3(5))[3] == 5
+    # mono, other rate/bitrate
+    assert parse_mp3(encode_mp3(10, bitrate_kbps=64, rate=32000,
+                                stereo=False))[:3] == (1, 32000, 64000)
+    for bad in (b"", b"\xff\xfb", b"ID3", bytes(50)):
+        with pytest.raises((ValueError, IndexError)):
+            parse_mp3(bad)
+    # kernel routing: metadata-only decode, flagged codec='mp3'
+    row = _decode_one(encode_mp3(12))
+    assert (row["codec"], row["channels"]) == ("mp3", 2)
+    assert row["duration_ms"] == 12 * 1152 * 1000 // 44100
+    assert row["mean_val"] is None and row["features"] == []
+
+
+def test_attach_media_meta_mp3_native_duration(spark):
+    from enrich_spark.datapipe.media_codecs import encode_mp3
+    from enrich_spark.datapipe.multimodal import attach_media_meta
+
+    data = encode_mp3(40)  # 40 frames × 417 bytes at 128 kbps
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10) + encode_mp3(5)
+    df = spark.createDataFrame(
+        [(1, bytearray(data)), (2, bytearray(id3))], "id INT, media BINARY")
+    got = {r.id: r for r in attach_media_meta(df).select("id", "media_meta.*").collect()}
+    assert got[1].format == "mp3" and got[1].media_type == "audio"
+    assert got[1].duration_ms == 40 * 417 * 8 * 1000 // 128000
+    # ID3-prefixed: sniffed as mp3, but native CBR duration stays NULL
+    # (variable tag offset) — the decode kernel walks it instead
+    assert got[2].format == "mp3" and got[2].duration_ms is None
+
+
 def test_language_id_ngram_accuracy(spark):
     # held-out sentences (NOT in the seed corpora) — the trigram profile
     # model must classify all of them; plus und for non-language input
