@@ -136,10 +136,15 @@ function runOneRaw(sandbox, rawEvent, headers) {
   for (const k in event) {
     if (!(k in orig) || orig[k] !== event[k]) changed[k] = event[k];
   }
+  // contexts cross back as ONE JSON string: transferring a string
+  // column through Arrow is vectorized, per-row python dict->struct
+  // conversion is not (measured 2x on the whole stage)
   const ctxs = res.contexts.map(function (c) {
     return {schema: c.schema, data: JSON.stringify(c.data)};
   });
-  return {changed: changed, contexts: ctxs, replace: res.replace};
+  return {changed: changed,
+          contexts_json: ctxs.length ? JSON.stringify(ctxs) : null,
+          replace: res.replace};
 }
 
 const rl = readline.createInterface({input: process.stdin, terminal: false});
@@ -304,9 +309,10 @@ class NodeJsEngine:
                        events_headers: list) -> list[dict]:
         """Fast path: events_headers = [(event_json_str, headers), ...];
         the sidecar parses, diffs, and stringifies in V8 and returns
-        {"changed": {field: new}, "contexts": [{schema, data_str}],
+        {"changed": {field: new}, "contexts_json": "[{schema,data}…]"|null,
         "replace"} | {"drop"} | {"error"} — no per-event JSON work in
-        Python."""
+        Python, and contexts stay a single string so the Arrow return
+        column is vectorized."""
         return self._batch("batch2", source, params, events_headers)
 
 

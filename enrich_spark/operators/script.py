@@ -68,6 +68,21 @@ def _script_run_one(fn, params, mutable, event_json, headers):
     return _hook_result_to_row(out, mutable)
 
 
+def _ctxs_json(ctxs) -> str | None:
+    """Context list → ONE JSON string (array of {schema, data-string}).
+    The string crosses Arrow as a vectorized column and is parsed back
+    to array<struct> JVM-side by from_json — per-row python-dict→struct
+    conversion through Arrow measured ~2× slower on the whole stage."""
+    if not ctxs:
+        return None
+    return json.dumps(
+        [{"schema": c.get("schema"),
+          "data": json.dumps(c.get("data"), separators=(",", ":"))}
+         for c in ctxs],
+        separators=(",", ":"),
+    )
+
+
 def _hook_result_to_row(out, mutable):
     """Hook-contract result dict → result tuple. Mutations are expressed
     as full-string overrides; None / absent = keep the original value."""
@@ -78,11 +93,7 @@ def _hook_result_to_row(out, mutable):
         return (True, None, None, None) + nil
     if out.get("error") is not None:
         return (False, out["error"], None, None) + nil
-    ctxs = [
-        {"schema": c.get("schema"),
-         "data": json.dumps(c.get("data"), separators=(",", ":"))}
-        for c in out.get("contexts", [])
-    ] or None
+    ctxs = _ctxs_json(out.get("contexts"))
     mutations = out.get("event", {})
     muts = tuple(
         None if c not in mutations else
@@ -112,11 +123,7 @@ def _engine_result_to_row(res, orig_event, mutable):
         return (True, None, None, None) + nil
     if res.get("error") is not None:
         return (False, res["error"], None, None) + nil
-    ctxs = [
-        {"schema": c.get("schema"),
-         "data": json.dumps(c.get("data"), separators=(",", ":"))}
-        for c in res.get("contexts", [])
-    ] or None
+    ctxs = _ctxs_json(res.get("contexts"))
     ev = res.get("event") or {}
     muts = tuple(
         None if (c not in ev or ev.get(c) == orig_event.get(c)
@@ -135,7 +142,7 @@ def _raw_result_to_row(res, mutable):
         return (True, None, None, None) + nil
     if res.get("error") is not None:
         return (False, res["error"], None, None) + nil
-    ctxs = res.get("contexts") or None
+    ctxs = res.get("contexts_json")
     changed = res.get("changed") or {}
     muts = tuple(
         None if changed.get(c) is None else _mut_str(changed[c])
@@ -156,9 +163,7 @@ def script_enrichment(df: DataFrame, conf: JavascriptScriptConf,
     result_fields = [
         T.StructField("_script_drop", T.BooleanType()),
         T.StructField("_script_error", T.StringType()),
-        T.StructField("_script_contexts", T.ArrayType(
-            T.StructType([T.StructField("schema", T.StringType()),
-                          T.StructField("data", T.StringType())]))),
+        T.StructField("_script_contexts", T.StringType()),
         T.StructField("_script_replace", T.BooleanType()),
     ] + [T.StructField(f"_m_{c}", T.StringType()) for c in mutable]
     result_type = T.StructType(result_fields)
@@ -193,6 +198,12 @@ def script_enrichment(df: DataFrame, conf: JavascriptScriptConf,
         def run(event_json, headers):
             return _script_run_one(fn, params, mutable, event_json, headers)
 
+    # arbitrary user code is not provably deterministic — and marking it
+    # so stops Catalyst pushing the Python stage below an upstream
+    # repartition onto a single input split (observed: the whole script
+    # stage serialized onto one task on single-split sources)
+    run = run.asNondeterministic()
+
     event_json = F.to_json(F.struct(*[F.col(c) for c in mutable]))
     df = df.withColumn("_script", run(event_json, F.col("headers")))
 
@@ -203,7 +214,8 @@ def script_enrichment(df: DataFrame, conf: JavascriptScriptConf,
         typed = new.cast({"s": "string", "i": "int", "f": "float", "b": "byte"}[kind])
         cols[c] = F.coalesce(typed, F.col(c))
     new_ctxs = F.coalesce(
-        F.col("_script").getField("_script_contexts"),
+        F.from_json(F.col("_script").getField("_script_contexts"),
+                    "array<struct<schema:string,data:string>>"),
         F.array().cast("array<struct<schema:string,data:string>>"),
     )
     # use_derived_contexts_from_js_enrichment_only (scala:189-200): the
