@@ -518,3 +518,98 @@ def encode_mp3(n_frames: int, bitrate_kbps: int = 128, rate: int = 44100,
     frame_len = 144 * bitrate_kbps * 1000 // rate
     frame = bytes([0xFF, 0xFB, b2, b3]) + bytes(frame_len - 4)
     return frame * n_frames
+
+
+# ---------------------------------------------------------------------------
+# WebM / Matroska: EBML walk for Segment>Info duration metadata
+
+
+def _ebml_read_vint(data: bytes, pos: int, strip_marker: bool) -> tuple[int, int]:
+    """EBML variable-length integer at pos → (value, next_pos).
+    Element IDs keep the length-marker bit (strip_marker=False);
+    sizes strip it (strip_marker=True)."""
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid EBML vint")
+    length = 8 - first.bit_length() + 1
+    val = first & (0x7F >> (length - 1)) if strip_marker else first
+    for i in range(1, length):
+        val = (val << 8) | data[pos + i]
+    return val, pos + length
+
+
+def parse_webm(data: bytes) -> tuple[int | None, int | None, int | None]:
+    """WebM/Matroska header metadata → (duration_ms, width, height).
+
+    Walks the EBML tree: EBML header → Segment → Info
+    (TimestampScale × Duration) and the first Tracks>TrackEntry>Video
+    (PixelWidth/PixelHeight). Elements with unknown sizes or absent
+    fields yield None — honest partial metadata, never a guess.
+    """
+    if data[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("not an EBML stream")
+    # skip the EBML header element
+    _, p = _ebml_read_vint(data, 0, False)
+    size, p = _ebml_read_vint(data, p, True)
+    p += size
+    # expect Segment (0x18538067)
+    seg_id, p = _ebml_read_vint(data, p, False)
+    if seg_id != 0x18538067:
+        raise ValueError("no Segment element")
+    _, p = _ebml_read_vint(data, p, True)  # segment size (may be unknown)
+
+    scale = 1_000_000  # default TimestampScale: 1 ms
+    duration = width = height = None
+
+    def walk(lo: int, hi: int, depth: int):
+        nonlocal scale, duration, width, height
+        q = lo
+        while q < hi and q < len(data):
+            try:
+                eid, q2 = _ebml_read_vint(data, q, False)
+                esz, q3 = _ebml_read_vint(data, q2, True)
+            except (ValueError, IndexError):
+                return
+            body = data[q3:q3 + esz]
+            if eid in (0x1549A966, 0x1654AE6B, 0xAE, 0xE0):
+                # Info / Tracks / TrackEntry / Video: recurse
+                walk(q3, q3 + esz, depth + 1)
+            elif eid == 0x2AD7B1:  # TimestampScale (uint, ns)
+                scale = int.from_bytes(body, "big")
+            elif eid == 0x4489:    # Duration (float, in timestamp units)
+                import struct as _s
+
+                duration = _s.unpack(">f" if esz == 4 else ">d", body)[0]
+            elif eid == 0xB0:      # PixelWidth
+                width = int.from_bytes(body, "big")
+            elif eid == 0xBA:      # PixelHeight
+                height = int.from_bytes(body, "big")
+            q = q3 + esz
+
+    walk(p, len(data), 0)
+    dur_ms = int(duration * scale / 1_000_000) if duration is not None else None
+    return dur_ms, width, height
+
+
+def encode_webm_header(duration_ms: int, width: int, height: int) -> bytes:
+    """Fixture: a minimal EBML/Matroska header carrying real Info
+    (TimestampScale + Duration) and Video (PixelWidth/Height) metadata;
+    no clusters (frame decode is out of scope)."""
+    import struct as _s
+
+    def elem(eid: int, body: bytes) -> bytes:
+        eb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+        if len(body) >= 0x7F:
+            sz = bytes([0x40 | (len(body) >> 8), len(body) & 0xFF])
+        else:
+            sz = bytes([0x80 | len(body)])
+        return eb + sz + body
+
+    ebml = elem(0x1A45DFA3, elem(0x4282, b"webm"))  # DocType
+    info = elem(0x1549A966,
+                elem(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+                + elem(0x4489, _s.pack(">d", float(duration_ms))))
+    video = elem(0xE0, elem(0xB0, width.to_bytes(2, "big"))
+                 + elem(0xBA, height.to_bytes(2, "big")))
+    tracks = elem(0x1654AE6B, elem(0xAE, video))
+    return ebml + elem(0x18538067, info + tracks)

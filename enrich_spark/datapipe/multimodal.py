@@ -202,6 +202,13 @@ def _decode_one(data: bytes) -> dict:
                         mean_val=float(px.mean()) if px.size else 0.0,
                         features=[m / 255.0 for m in means],
                         codec=codec)
+        if data[:4] == b"\x1a\x45\xdf\xa3":
+            dur, w, h = mc.parse_webm(data)
+            # metadata-only (VP8/VP9/AV1 frame decode out of scope):
+            # duration/dims are real EBML Info/Tracks values
+            return dict(width=w, height=h, channels=None,
+                        duration_ms=dur, mean_val=None,
+                        features=[], codec="webm")
         if data[:3] == b"ID3" or data[:2] in (b"\xff\xfb", b"\xff\xfa",
                                               b"\xff\xf3", b"\xff\xf2"):
             ch, rate, bitrate, n_frames, dur = mc.parse_mp3(data)

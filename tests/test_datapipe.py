@@ -555,6 +555,22 @@ def test_mp3_metadata():
     assert row["mean_val"] is None and row["features"] == []
 
 
+def test_webm_metadata():
+    import pytest
+
+    from enrich_spark.datapipe.media_codecs import encode_webm_header, parse_webm
+    from enrich_spark.datapipe.multimodal import _decode_one
+
+    data = encode_webm_header(12345, 640, 360)
+    assert parse_webm(data) == (12345, 640, 360)
+    with pytest.raises(ValueError):
+        parse_webm(b"junk")
+    row = _decode_one(data)
+    assert (row["codec"], row["duration_ms"],
+            row["width"], row["height"]) == ("webm", 12345, 640, 360)
+    assert row["mean_val"] is None  # metadata-only, honestly flagged
+
+
 def test_attach_media_meta_mp3_native_duration(spark):
     from enrich_spark.datapipe.media_codecs import encode_mp3
     from enrich_spark.datapipe.multimodal import attach_media_meta
