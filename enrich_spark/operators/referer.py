@@ -75,11 +75,18 @@ def referer_db(spark: SparkSession, path: str | None = None) -> DataFrame:
     """The referer lookup table (refr_host, medium, source, term_params)."""
     if path:
         p = Path(path)
-        if p.suffix == ".json":
-            # snowplow referers.json shape: {medium: {source: {domains: [...], parameters: [...]}}}
-            doc = json.loads(p.read_text())
+        if p.suffix in (".json", ".yml", ".yaml"):
+            # the public referer-parser database shape (referers.yml /
+            # referers.json): {medium: {source: {domains: [...],
+            # parameters: [...]}}}
+            if p.suffix == ".json":
+                doc = json.loads(p.read_text())
+            else:
+                import yaml
+
+                doc = yaml.safe_load(p.read_text())
             rows = []
-            for medium, sources in doc.items():
+            for medium, sources in (doc or {}).items():
                 for source, spec in sources.items():
                     for dom in spec.get("domains", []):
                         rows.append((dom, medium, source, spec.get("parameters", [])))

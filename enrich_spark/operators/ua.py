@@ -484,3 +484,152 @@ def iab_spiders_robots(df: DataFrame, bot_patterns: list[str]) -> DataFrame:
         DERIVED_COL,
         F.when(ua.isNotNull(), F.array_append(F.col(DERIVED_COL), ctx)).otherwise(F.col(DERIVED_COL)),
     )
+
+
+# ---------------------------------------------------------------------------
+# uap-core regexes.yaml support (exact ua-parser semantics)
+#
+# The native ruleset above is the zero-dependency default; when a user
+# supplies the public uap-core regexes.yaml, `ua_parser_context_rules`
+# replays the REAL ua-parser algorithm (first matching regex per
+# category, $-substituted replacements — UaParserEnrichment.scala:96-190
+# binds the Java uap library over the same file). Scale shape: classify
+# DISTINCT useragents with an Arrow-batched walk, then broadcast-join
+# back — the regex walk cost is bounded by UA cardinality, not event
+# count (SURVEY §4's distinct-key rewrite).
+
+
+def load_uap_rules(path: str) -> dict:
+    """Parse a uap-core regexes.yaml into rule lists."""
+    import yaml
+
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    return {
+        "user_agent_parsers": doc.get("user_agent_parsers") or [],
+        "os_parsers": doc.get("os_parsers") or [],
+        "device_parsers": doc.get("device_parsers") or [],
+    }
+
+
+def _uap_sub(template, match, default_group: int):
+    """ua-parser replacement semantics: template with $1..$9 substituted
+    from the match; no template → the numbered group (or None)."""
+    import re as _re
+
+    if template is None:
+        try:
+            v = match.group(default_group)
+        except IndexError:
+            return None
+        return v if v else None
+
+    def repl(m):
+        i = int(m.group(1))
+        try:
+            return match.group(i) or ""
+        except IndexError:
+            return ""
+
+    out = _re.sub(r"\$(\d)", repl, template).strip()
+    return out or None
+
+
+def _uap_compile(rules: dict):
+    import re as _re
+
+    ua_rules = [
+        (_re.compile(r["regex"]), r) for r in rules["user_agent_parsers"]
+    ]
+    os_rules = [(_re.compile(r["regex"]), r) for r in rules["os_parsers"]]
+    dev_rules = [
+        (_re.compile(r["regex"],
+                     _re.IGNORECASE if r.get("regex_flag") == "i" else 0), r)
+        for r in rules["device_parsers"]
+    ]
+    return ua_rules, os_rules, dev_rules
+
+
+def _uap_classify_one(ua: str, compiled) -> tuple:
+    ua_rules, os_rules, dev_rules = compiled
+    fam, v1, v2, v3 = "Other", None, None, None
+    for rx, r in ua_rules:
+        m = rx.search(ua)
+        if m:
+            fam = _uap_sub(r.get("family_replacement"), m, 1) or "Other"
+            v1 = _uap_sub(r.get("v1_replacement"), m, 2)
+            v2 = _uap_sub(r.get("v2_replacement"), m, 3)
+            v3 = _uap_sub(r.get("v3_replacement"), m, 4)
+            break
+    os_fam, os_v1, os_v2 = "Other", None, None
+    for rx, r in os_rules:
+        m = rx.search(ua)
+        if m:
+            os_fam = _uap_sub(r.get("os_replacement"), m, 1) or "Other"
+            os_v1 = _uap_sub(r.get("os_v1_replacement"), m, 2)
+            os_v2 = _uap_sub(r.get("os_v2_replacement"), m, 3)
+            break
+    dev_fam = "Other"
+    for rx, r in dev_rules:
+        m = rx.search(ua)
+        if m:
+            dev_fam = _uap_sub(r.get("device_replacement"), m, 1) or "Other"
+            break
+    return fam, v1, v2, v3, os_fam, os_v1, os_v2, dev_fam
+
+
+_UAP_SCHEMA = ("useragent STRING, uap_family STRING, uap_v1 STRING, "
+               "uap_v2 STRING, uap_v3 STRING, uap_os STRING, "
+               "uap_os_v1 STRING, uap_os_v2 STRING, uap_device STRING")
+
+
+def ua_parser_context_rules(df: DataFrame, rules: dict) -> DataFrame:
+    """ua_parser_context with exact uap-core semantics from a loaded
+    regexes.yaml. Classifies DISTINCT useragents (Arrow-batched walk),
+    broadcast-joins the result back, and attaches the same
+    ua_parser_context derived context as the native path."""
+    import pandas as pd
+
+    from .sql_enrichments import DERIVED_COL, ensure_derived
+
+    df = ensure_derived(df)
+
+    def classify(batches):
+        compiled = _uap_compile(rules)
+        for pdf in batches:
+            rows = [
+                (ua, *_uap_classify_one(ua, compiled))
+                for ua in pdf["useragent"] if ua is not None
+            ]
+            yield pd.DataFrame(
+                rows, columns=["useragent", "uap_family", "uap_v1", "uap_v2",
+                               "uap_v3", "uap_os", "uap_os_v1", "uap_os_v2",
+                               "uap_device"])
+
+    distinct = df.select("useragent").where(
+        F.col("useragent").isNotNull()).distinct()
+    classified = distinct.mapInPandas(classify, _UAP_SCHEMA)
+    joined = df.join(F.broadcast(classified), "useragent", "left")
+
+    data = F.to_json(F.struct(
+        F.col("uap_family").alias("useragentFamily"),
+        F.col("uap_v1").alias("useragentMajor"),
+        F.col("uap_v2").alias("useragentMinor"),
+        F.col("uap_v3").alias("useragentPatch"),
+        F.col("uap_os").alias("osFamily"),
+        F.col("uap_os_v1").alias("osMajor"),
+        F.col("uap_os_v2").alias("osMinor"),
+        F.col("uap_device").alias("deviceFamily"),
+    ))
+    ctx = F.struct(
+        F.lit("iglu:com.snowplowanalytics.snowplow/ua_parser_context/jsonschema/1-0-0").alias("schema"),
+        data.alias("data"),
+    )
+    out = joined.withColumn(
+        DERIVED_COL,
+        F.when(F.col("useragent").isNotNull(),
+               F.array_append(F.col(DERIVED_COL), ctx))
+        .otherwise(F.col(DERIVED_COL)),
+    )
+    return out.drop("uap_family", "uap_v1", "uap_v2", "uap_v3",
+                    "uap_os", "uap_os_v1", "uap_os_v2", "uap_device")

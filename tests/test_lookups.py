@@ -22,6 +22,7 @@ from enrich_spark.functions.iglu import (
     validate_json,
     validate_sdj,
 )
+from enrich_spark.operators import referer as referer_op
 from enrich_spark.operators import ua as ua_op
 from enrich_spark.operators.asn import demo_asn_table
 from enrich_spark.operators.lookups import (
@@ -197,6 +198,85 @@ def test_yauaa_context(spark):
     assert data["layoutEngineNameVersion"] == "AppleWebKit 605.1.15"
     assert data["agentClass"] == "Browser"
     assert data["agentNameVersionMajor"] == "Mobile Safari 17"
+
+
+def test_ua_parser_rules_mode(spark, tmp_path):
+    """Exact uap-core semantics from a regexes.yaml: first-match wins,
+    $-substituted replacements, per-category walks, distinct-UA
+    broadcast join (UaParserEnrichment.scala:96-190 parity surface)."""
+    rules_yaml = """
+user_agent_parsers:
+  - regex: '(Edg)e?/(\\d+)\\.(\\d+)'
+    family_replacement: 'Edge'
+  - regex: '(Chrome)/(\\d+)\\.(\\d+)\\.(\\d+)'
+  - regex: 'Firefox/(\\d+)'
+    family_replacement: 'Firefox $1'
+os_parsers:
+  - regex: 'Windows NT 10'
+    os_replacement: 'Windows'
+    os_v1_replacement: '10'
+  - regex: 'Android (\\d+)'
+    os_replacement: 'Android'
+device_parsers:
+  - regex: 'pixel (\\d+)'
+    regex_flag: 'i'
+    device_replacement: 'Pixel $1'
+"""
+    p = tmp_path / "regexes.yaml"
+    p.write_text(rules_yaml)
+    rules = ua_op.load_uap_rules(str(p))
+
+    chrome = ("Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 "
+              "Chrome/120.0.6099.2 Safari/537.36")
+    edge = chrome + " Edg/120.0"
+    pixel = "Mozilla/5.0 (Linux; Android 14; Pixel 8) Chrome/121.0.0.0"
+    ff = "Mozilla/5.0 (X11; rv:122.0) Gecko/20100101 Firefox/122.0"
+    df = spark.createDataFrame(
+        [(1, chrome), (2, edge), (3, pixel), (4, ff), (5, "nothing"),
+         (6, None)],
+        "id INT, useragent STRING",
+    )
+    out = ua_op.ua_parser_context_rules(df, rules)
+    ctx = {}
+    for r in out.collect():
+        hits = [c for c in (r._derived or []) if "ua_parser" in c.schema]
+        ctx[r.id] = json.loads(hits[0].data) if hits else None
+    # Chrome: no family_replacement → group(1); v1..v3 from groups 2-4
+    assert ctx[1]["useragentFamily"] == "Chrome"
+    assert (ctx[1]["useragentMajor"], ctx[1]["useragentMinor"]) == ("120", "0")
+    assert ctx[1]["useragentPatch"] == "6099"
+    assert (ctx[1]["osFamily"], ctx[1]["osMajor"]) == ("Windows", "10")
+    # Edge rule listed first → wins over the Chrome rule
+    assert ctx[2]["useragentFamily"] == "Edge"
+    # $1 substitution in family_replacement
+    assert ctx[4]["useragentFamily"] == "Firefox 122"
+    # case-insensitive device rule with $1
+    assert ctx[3]["deviceFamily"] == "Pixel 8"
+    assert ctx[3]["osFamily"] == "Android"
+    # no match anywhere → Other (ua-parser default)
+    assert ctx[5]["useragentFamily"] == "Other"
+    assert ctx[5]["osFamily"] == "Other"
+    # null UA → no context (same guard as the native path)
+    assert ctx[6] is None
+
+
+def test_referer_db_yaml_loader(spark, tmp_path):
+    p = tmp_path / "referers.yml"
+    p.write_text("""
+search:
+  AcmeSearch:
+    domains: [search.acme.test, www.search.acme.test]
+    parameters: [q]
+social:
+  AcmeSocial:
+    domains: [soc.acme.test]
+""")
+    db = referer_op.referer_db(spark, str(p))
+    rows = {r.refr_host: r for r in db.collect()}
+    assert rows["search.acme.test"].r_medium == "search"
+    assert rows["search.acme.test"].r_term_params == ["q"]
+    assert rows["soc.acme.test"].r_source == "AcmeSocial"
+    assert rows["soc.acme.test"].r_term_params == []
 
 
 def test_yauaa_default_result(spark):
