@@ -406,13 +406,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["schema_fields"] = q_schema_fields
 
+    # exact uap-core rules used by the ua_classify "uap" part: tiny,
+    # deterministic, outcomes CASE-predictable per fixture UA
+    _UAP_RULES = {
+        "user_agent_parsers": [
+            {"regex": r"(Chrome)/(\d+)\.(\d+)"},
+            {"regex": r"Version/(\d+)[.\d]* Mobile.*Safari",
+             "family_replacement": "Mobile Safari", "v1_replacement": "$1"},
+            {"regex": r"(Firefox)/(\d+)"},
+            {"regex": r"(Googlebot)/(\d+)"},
+        ],
+        "os_parsers": [
+            {"regex": r"Windows NT 10", "os_replacement": "Windows",
+             "os_v1_replacement": "10"},
+            {"regex": r"Android (\d+)", "os_replacement": "Android",
+             "os_v1_replacement": "$1"},
+            {"regex": r"iPhone OS (\d+)", "os_replacement": "iOS",
+             "os_v1_replacement": "$1"},
+        ],
+        "device_parsers": [
+            {"regex": r"Pixel (\d+)", "device_replacement": "Pixel $1"},
+            {"regex": r"iPhone", "device_replacement": "iPhone"},
+        ],
+    }
+
     def q_ua(spark, sf):
+        # native ruleset through the full chain, PLUS the exact uap-core
+        # rules engine (operators/ua.ua_parser_context_rules): distinct-UA
+        # Arrow walk + broadcast join, first-match/$-substitution
+        # semantics (UaParserEnrichment.scala:96-190)
+        from enrich_spark.operators.ua import ua_parser_context_rules
+
         g = _enriched(spark, sf)
-        return g.select(
+        native = g.select(
             F.col("src_event_id").cast("long").alias("src_event_id"),
             "br_family", "br_version", "br_type", "os_family", "dvce_type",
             F.col("dvce_ismobile").cast("long").alias("dvce_ismobile"),
         )
+        fresh = g.select(F.col("src_event_id").cast("long").alias("src_event_id"),
+                         "useragent")
+        rl = ua_parser_context_rules(fresh, _UAP_RULES)
+        ctx = F.try_element_at(
+            F.filter(F.col("_derived"),
+                     lambda c: c.getField("schema").contains("ua_parser")),
+            F.lit(1),
+        ).getField("data")
+        uap = rl.select(
+            "src_event_id",
+            F.get_json_object(ctx, "$.useragentFamily").alias("uap_family"),
+            F.get_json_object(ctx, "$.useragentMajor").alias("uap_major"),
+            F.get_json_object(ctx, "$.osFamily").alias("uap_os"),
+            F.get_json_object(ctx, "$.osMajor").alias("uap_os_v1"),
+            F.get_json_object(ctx, "$.deviceFamily").alias("uap_device"),
+        )
+        return _union_parts([("native", native), ("uap", uap)],
+                            fill=("dvce_ismobile",))
 
     q["ua_classify"] = q_ua
 
@@ -2640,20 +2688,39 @@ def oracle_sql() -> dict[str, str]:
         FROM events e
     """
 
-    o["ua_classify"] = """
-        SELECT e.event_id AS src_event_id,
-               CASE e.user_id % 5 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Mobile Safari'
-                    WHEN 2 THEN 'Chrome Mobile' WHEN 3 THEN 'Other' ELSE 'Firefox' END AS br_family,
-               CASE e.user_id % 5 WHEN 0 THEN '120.0.0.0' WHEN 1 THEN '17.0'
-                    WHEN 2 THEN '121.0.0.0' WHEN 3 THEN NULL ELSE '122.0' END AS br_version,
-               CASE e.user_id % 5 WHEN 3 THEN 'Robot/Spider' ELSE 'Browser' END AS br_type,
-               CASE e.user_id % 5 WHEN 0 THEN 'Windows' WHEN 1 THEN 'iOS'
-                    WHEN 2 THEN 'Android' WHEN 3 THEN 'Other' ELSE 'Windows' END AS os_family,
-               CASE e.user_id % 5 WHEN 0 THEN 'Computer' WHEN 1 THEN 'Mobile'
-                    WHEN 2 THEN 'Mobile' WHEN 3 THEN 'Robot/Spider' ELSE 'Computer' END AS dvce_type,
-               CAST(CASE e.user_id % 5 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 0 END AS BIGINT) AS dvce_ismobile
-        FROM events e
-    """
+    o["ua_classify"] = _union_oracle([
+        ("native", """
+            SELECT e.event_id AS src_event_id,
+                   CASE e.user_id % 5 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Mobile Safari'
+                        WHEN 2 THEN 'Chrome Mobile' WHEN 3 THEN 'Other' ELSE 'Firefox' END AS br_family,
+                   CASE e.user_id % 5 WHEN 0 THEN '120.0.0.0' WHEN 1 THEN '17.0'
+                        WHEN 2 THEN '121.0.0.0' WHEN 3 THEN NULL ELSE '122.0' END AS br_version,
+                   CASE e.user_id % 5 WHEN 3 THEN 'Robot/Spider' ELSE 'Browser' END AS br_type,
+                   CASE e.user_id % 5 WHEN 0 THEN 'Windows' WHEN 1 THEN 'iOS'
+                        WHEN 2 THEN 'Android' WHEN 3 THEN 'Other' ELSE 'Windows' END AS os_family,
+                   CASE e.user_id % 5 WHEN 0 THEN 'Computer' WHEN 1 THEN 'Mobile'
+                        WHEN 2 THEN 'Mobile' WHEN 3 THEN 'Robot/Spider' ELSE 'Computer' END AS dvce_type,
+                   CAST(CASE e.user_id % 5 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 0 END AS BIGINT) AS dvce_ismobile
+            FROM events e
+        """, {"src_event_id": "num", "br_family": "str", "br_version": "str",
+              "br_type": "str", "os_family": "str", "dvce_type": "str",
+              "dvce_ismobile": "num"}),
+        ("uap", """
+            SELECT e.event_id AS src_event_id,
+                   CASE e.user_id % 5 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Mobile Safari'
+                        WHEN 2 THEN 'Chrome' WHEN 3 THEN 'Googlebot' ELSE 'Firefox' END AS uap_family,
+                   CASE e.user_id % 5 WHEN 0 THEN '120' WHEN 1 THEN '17'
+                        WHEN 2 THEN '121' WHEN 3 THEN '2' ELSE '122' END AS uap_major,
+                   CASE e.user_id % 5 WHEN 0 THEN 'Windows' WHEN 1 THEN 'iOS'
+                        WHEN 2 THEN 'Android' WHEN 3 THEN 'Other' ELSE 'Windows' END AS uap_os,
+                   CASE e.user_id % 5 WHEN 0 THEN '10' WHEN 1 THEN '17'
+                        WHEN 2 THEN '14' WHEN 3 THEN NULL ELSE '10' END AS uap_os_v1,
+                   CASE e.user_id % 5 WHEN 1 THEN 'iPhone'
+                        WHEN 2 THEN 'Pixel 8' ELSE 'Other' END AS uap_device
+            FROM events e
+        """, {"src_event_id": "num", "uap_family": "str", "uap_major": "str",
+              "uap_os": "str", "uap_os_v1": "str", "uap_device": "str"}),
+    ])
 
     o["currency_conversion"] = """
         SELECT e.event_id AS src_event_id,
