@@ -613,3 +613,52 @@ def encode_webm_header(duration_ms: int, width: int, height: int) -> bytes:
                  + elem(0xBA, height.to_bytes(2, "big")))
     tracks = elem(0x1654AE6B, elem(0xAE, video))
     return ebml + elem(0x18538067, info + tracks)
+
+
+# ---------------------------------------------------------------------------
+# TIFF: first-IFD dimension metadata (no raster decode)
+
+
+def parse_tiff(data: bytes) -> tuple[int | None, int | None]:
+    """TIFF header + first IFD → (width, height). Both byte orders;
+    SHORT/LONG tag values; raises ValueError on non-TIFF bytes."""
+    import struct as _s
+
+    if data[:4] == b"II*\x00":
+        endian = "<"
+    elif data[:4] == b"MM\x00*":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (ifd_off,) = _s.unpack(endian + "I", data[4:8])
+    (n_entries,) = _s.unpack(endian + "H", data[ifd_off:ifd_off + 2])
+    width = height = None
+    for i in range(n_entries):
+        e = data[ifd_off + 2 + 12 * i: ifd_off + 14 + 12 * i]
+        tag, typ, _cnt = _s.unpack(endian + "HHI", e[:8])
+        if typ == 3:    # SHORT: value left-justified in the 4-byte slot
+            (val,) = _s.unpack(endian + "H", e[8:10])
+        elif typ == 4:  # LONG
+            (val,) = _s.unpack(endian + "I", e[8:12])
+        else:
+            continue
+        if tag == 256:
+            width = val
+        elif tag == 257:
+            height = val
+    return width, height
+
+
+def encode_tiff_header(width: int, height: int, big_endian: bool = False) -> bytes:
+    """Fixture: minimal TIFF with one IFD carrying ImageWidth/Length."""
+    import struct as _s
+
+    endian = ">" if big_endian else "<"
+    magic = b"MM\x00*" if big_endian else b"II*\x00"
+    out = magic + _s.pack(endian + "I", 8)
+    entries = [
+        _s.pack(endian + "HHIHH", 256, 3, 1, width, 0),
+        _s.pack(endian + "HHIHH", 257, 3, 1, height, 0),
+    ]
+    return out + _s.pack(endian + "H", len(entries)) + b"".join(entries) \
+        + _s.pack(endian + "I", 0)

@@ -91,10 +91,11 @@ def attach_media_meta(df: DataFrame, binary_col: str = "media") -> DataFrame:
         .when(head.startswith("FFFB") | head.startswith("FFFA")
               | head.startswith("FFF3") | head.startswith("FFF2")
               | head.startswith("494433"), "mp3")  # MPEG L3 sync / ID3
+        .when(head.startswith("49492A00") | head.startswith("4D4D002A"), "tiff")
         .otherwise("unknown")
     )
     media_type = (
-        F.when(fmt.isin("png", "jpeg", "gif", "bmp", "webp"), "image")
+        F.when(fmt.isin("png", "jpeg", "gif", "bmp", "webp", "tiff"), "image")
         .when(fmt.isin("wav", "mp3"), "audio")
         .when(fmt.isin("webm", "avi"), "video")
         .otherwise("unknown")
@@ -202,6 +203,11 @@ def _decode_one(data: bytes) -> dict:
                         mean_val=float(px.mean()) if px.size else 0.0,
                         features=[m / 255.0 for m in means],
                         codec=codec)
+        if data[:4] in (b"II*\x00", b"MM\x00*"):
+            w, h = mc.parse_tiff(data)
+            # metadata-only (strip/compression decode out of scope)
+            return dict(width=w, height=h, channels=None, duration_ms=None,
+                        mean_val=None, features=[], codec="tiff")
         if data[:4] == b"\x1a\x45\xdf\xa3":
             dur, w, h = mc.parse_webm(data)
             # metadata-only (VP8/VP9/AV1 frame decode out of scope):

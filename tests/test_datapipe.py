@@ -555,6 +555,20 @@ def test_mp3_metadata():
     assert row["mean_val"] is None and row["features"] == []
 
 
+def test_tiff_metadata():
+    import pytest
+
+    from enrich_spark.datapipe.media_codecs import encode_tiff_header, parse_tiff
+    from enrich_spark.datapipe.multimodal import _decode_one
+
+    for be in (False, True):
+        assert parse_tiff(encode_tiff_header(1024, 768, be)) == (1024, 768)
+    with pytest.raises(ValueError):
+        parse_tiff(b"NOPE")
+    row = _decode_one(encode_tiff_header(640, 480))
+    assert (row["codec"], row["width"], row["height"]) == ("tiff", 640, 480)
+
+
 def test_webm_metadata():
     import pytest
 
