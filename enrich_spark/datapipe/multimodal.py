@@ -4,14 +4,20 @@ Design (per the engine contract): media payloads travel as BINARY
 columns with a typed metadata struct; decode/resize/frame-sample are
 Arrow-batched mapInPandas stages.
 
-The decode kernel is REAL for the stdlib-decodable containers — PNG
-(zlib inflate + numpy unfilter), BMP (24-bit BI_RGB), GIF (LZW), WAV
-(PCM via ``wave``) in ``media_codecs.py``, and baseline JPEG (Huffman +
-batched IDCT, ``jpeg.py``) — producing genuine width/height/channel/
-duration/pixel statistics. Formats that still need an external entropy decoder
-(progressive JPEG, H.264, ...) fall back to the clearly-marked
-deterministic STUB below, flagged ``codec='stub'`` in the output so
-downstream consumers can tell real measurements from placeholders.
+The decode kernel is REAL for the stdlib-decodable containers:
+
+- full pixel/sample decode: PNG (zlib inflate + numpy unfilter), BMP,
+  GIF (LZW), WAV (PCM + vectorized RMS/ZCR/spectral-centroid features)
+  in ``media_codecs.py``; baseline JPEG (Huffman + batched IDCT) in
+  ``jpeg.py``
+- metadata-only (flagged by codec, no pixel/sample claims): MP3
+  (frame-walk duration), WebM/Matroska (EBML duration + dims), TIFF
+  (first-IFD dims)
+
+Formats that still need an external entropy decoder (progressive JPEG,
+H.264/VP9 frames, ...) fall back to the clearly-marked deterministic
+STUB below, flagged ``codec='stub'`` in the output so downstream
+consumers can tell real measurements from placeholders.
 
 At 100 TB: media rows are wide (MBs); the operators repartition by
 byte-size budget before the Python stage so each Arrow batch stays
