@@ -2435,6 +2435,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bundle 2-3 operator paths for the 50-row correctness gate; the bench
     # should measure one representative path (and stay comparable round
     # over round), so expose the pre-merge callables.
+    def q_media_decode_bench(spark, sf):
+        # bench variant: persist the SYNTHESIZED media fixture so warm
+        # runs measure the decode kernel, not the fixture's own
+        # jpeg/gif/mp3 ENCODE cost (which r5 made real — and which a
+        # production input never pays; media arrives already encoded)
+        from enrich_spark.datapipe.multimodal import attach_media_meta, decode_features
+
+        media = _media_docs(spark, sf).persist()
+        df = attach_media_meta(media)
+        out = decode_features(
+            df, id_col="doc_id", binary_col="media", passthrough=("media_meta",)
+        )
+        return out.select(
+            F.col("id").alias("doc_id"), F.col("codec"),
+            F.coalesce(F.col("width").cast("long"), F.lit(-1)).alias("width"),
+            F.coalesce(F.round("mean_val", 4), F.lit(-1.0)).alias("mean_val"),
+        )
+
     global _BENCH_VARIANTS
     _BENCH_VARIANTS = {
         "ip_lookups": q_geo,
@@ -2442,6 +2460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_lookup_join": q_sql_lookup,
         "dedup_minhash_lsh": q_minhash_lsh,
         "sessionize": q_sessionize,
+        "multimodal_decode": q_media_decode_bench,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
