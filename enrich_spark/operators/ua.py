@@ -6,15 +6,18 @@ ua_parser_context derived context), re-expressed as a single native
 CASE-WHEN/regexp expression chain.
 
 DIVERGENCE NOTE (documented per SURVEY §7): the reference binds the Java
-`user-agent-utils` and `ua-parser` libraries. We re-derive the same
-output *fields* with a deterministic regex ruleset covering the major
-browser/OS/device families; exotic UA strings may classify differently
-than the Java libs. The ruleset is ordered most-specific-first, like
-ua-parser's regexes.yaml.
+`user-agent-utils` and `ua-parser` libraries. The default path
+re-derives the same output *fields* with a deterministic native regex
+ruleset covering the major browser/OS/device families; exotic UA strings
+may classify differently than the Java libs. Users who need EXACT
+ua-parser semantics supply the public uap-core regexes.yaml and use
+``ua_parser_context_rules`` (bottom of this module) — the real
+first-match/$-substitution algorithm over distinct useragents.
 
-Everything is JVM-side regexp — no Python in the hot path; at 100 TB the
-UA classification is part of the same codegen projection as the rest of
-the chain.
+The default path is JVM-side regexp — no Python in the hot path; at
+100 TB the UA classification is part of the same codegen projection as
+the rest of the chain. The rules path bounds its Python cost by UA
+cardinality via the distinct→classify→broadcast-join shape.
 """
 
 from __future__ import annotations
