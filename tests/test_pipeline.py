@@ -265,3 +265,129 @@ def test_size_violation_badrow(spark):
     f = bad["data"]["failure"]
     assert f["actualSizeBytes"] > f["maximumAllowedSizeBytes"] == 10
     assert len(bad["data"]["payload"]) <= 256  # truncated prefix only
+
+
+def test_kitchen_sink_all_enrichments(spark):
+    """EVERY enrichment enabled in one chain — the composition test the
+    reference runs as EnrichmentManager with a full registry. Verifies
+    the single-pass plan builds and executes, each family contributes
+    its context/mutation, and the tri-state split still holds."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    from enrich_spark.config import (
+        AnonIpConf, AsnLookupsConf, BotDetectionConf, CampaignAttributionConf,
+        CookieExtractorConf, CrossNavigationConf, CurrencyConversionConf,
+        EnrichmentsConfig, EventFingerprintConf, HttpHeaderExtractorConf,
+        IabConf, IgluConf, IpLookupsConf, PiiPseudonymizerConf,
+        RefererParserConf, UaParserConf, UserAgentUtilsConf, YauaaConf,
+    )
+    from enrich_spark.operators.eventspec import EntityRule, EventSpec, EventSpecConf
+    from enrich_spark.operators.identity import IdentityConf
+    from enrich_spark.operators.lookups import ApiRequestConf, SqlQueryConf, WeatherConf
+    from enrich_spark.operators.script import javascript_config_to_hook
+
+    n = 40
+    ev = spark.range(n).select(
+        F.col("id").alias("src_event_id"),
+        F.create_map(
+            F.lit("e"), F.lit("pv"),
+            F.lit("p"), F.lit("web"),
+            F.lit("aid"), F.concat(F.lit("app-"), (F.col("id") % 3).cast("string")),
+            F.lit("uid"), F.concat(F.lit("user-"), (F.col("id") % 5).cast("string")),
+            F.lit("duid"), F.concat(F.lit("du-"), (F.col("id") % 7).cast("string")),
+            F.lit("url"), F.lit("https://shop.example.com/p?utm_source=nl&utm_medium=m&utm_campaign=c"),
+            F.lit("refr"), F.lit("https://www.google.com/search?q=widgets"),
+            F.lit("dtm"), F.lit("1699999999000"),
+            F.lit("tr_cu"), F.lit("USD"),
+            F.lit("tr_tt"), F.lit("10.00"),
+            F.lit("cu"), F.lit("EUR"),
+        ).alias("parameters"),
+        F.lit("81.2.69.142").alias("ip_address"),
+        F.lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+              "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36").alias("useragent"),
+        F.array(F.lit("Cookie: sp=abc123; other=x"),
+                F.lit("X-Request-Id: r-1"),
+                F.lit('Sec-CH-UA-Platform: "Windows"')).alias("headers"),
+        F.timestamp_seconds(F.lit(1700000000)).alias("collector_tstamp"),
+    )
+
+    js = ("function process(event, params, headers) {"
+          " event.se_label = 'js:' + (event.app_id || '');"
+          " return [{schema: 'iglu:com.acme/sink/jsonschema/1-0-0',"
+          "          data: {n: headers.length}}]; }")
+    try:
+        hook = javascript_config_to_hook({"data": {"parameters": {
+            "script": base64.b64encode(js.encode()).decode()}}})
+    except NotImplementedError:
+        from enrich_spark.config import JavascriptScriptConf
+
+        def fn(event, params, headers):
+            return {"event": {"se_label": f"js:{event.get('app_id') or ''}"},
+                    "contexts": [{"schema": "iglu:com.acme/sink/jsonschema/1-0-0",
+                                  "data": {"n": len(headers)}}]}
+
+        hook = JavascriptScriptConf(function=fn)
+
+    cfg = EnrichmentsConfig(
+        campaign_attribution=CampaignAttributionConf(),
+        anon_ip=AnonIpConf(),
+        event_fingerprint=EventFingerprintConf(),
+        referer_parser=RefererParserConf(),
+        cross_navigation=CrossNavigationConf(),
+        cookie_extractor=CookieExtractorConf(cookies=["sp"]),
+        http_header_extractor=HttpHeaderExtractorConf(headers_pattern="X-.*"),
+        pii_pseudonymizer=PiiPseudonymizerConf(),
+        ip_lookups=IpLookupsConf(),
+        currency_conversion=CurrencyConversionConf(),
+        ua_parser=UaParserConf(),
+        user_agent_utils=UserAgentUtilsConf(),
+        yauaa=YauaaConf(),
+        iab=IabConf(),
+        javascript_script=hook,
+        asn_lookups=AsnLookupsConf(datacenter_asns=[209]),
+        bot_detection=BotDetectionConf(),
+        iglu=IgluConf(),
+        api_request=ApiRequestConf(
+            url_template="http://svc/{{app_id}}", inputs=["app_id"],
+            context_schema="iglu:com.acme/api/jsonschema/1-0-0",
+            transport=lambda url: '{"ok": "%s"}' % url.rsplit("/", 1)[-1],
+        ),
+        weather=WeatherConf(),
+        event_spec=EventSpecConf(specs=[EventSpec(
+            id="spec-1", name="Page view", version=1,
+            event_schema="iglu:com.snowplowanalytics.snowplow/page_view/jsonschema/1-0-0",
+            entities=[],
+        )]),
+        identity=IdentityConf(
+            transport=lambda p: {"snowplowId": "id-" + (p.get("domain_userid") or "?")},
+        ),
+    )
+    res = enrich_raw(ev, cfg, spark)
+    good = res.good.collect()
+    bad = res.bad.collect()
+    failed = res.failed.collect()
+    assert len(good) + len(bad) + len(failed) == n
+    assert len(good) == n, (
+        [r._errors for r in bad[:2]], [r._enrich_errors for r in failed[:2]])
+
+    r = good[0]
+    schemas = {c.schema.split("/")[1] for c in r._derived}
+    # event_spec only fires on matching unstruct events (these are pv),
+    # so it is exercised by its own dedicated tests, not here
+    for expected in ("ua_parser_context", "yauaa_context", "spiders_and_robots",
+                     "asn_context", "bot_detection", "sink", "api",
+                     "weather", "identity", "http_cookie", "http_header"):
+        assert any(expected in s for s in schemas), (expected, schemas)
+    # mutations from the chain composed in order
+    assert r.se_label.startswith("js:app-")
+    # anon-IP ran post-lookups, then PII hashed the masked IP (default
+    # PII fields include user_ipaddress, pipeline order anon → pii)
+    assert len(r.user_ipaddress) == 64
+    assert len(r.user_id) == 64                     # PII SHA-256
+    assert r.geo_country is not None                # ip_lookups ran
+    assert r.mkt_source == "nl"                     # campaign attribution
+    assert r.refr_medium == "search"                # referer parser
+    assert r.base_currency == "EUR"                 # currency conversion
+    assert r.event_fingerprint is not None
