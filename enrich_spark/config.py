@@ -149,6 +149,11 @@ class IgluConf:
     registry_dirs: list[str] = field(default_factory=list)
     # inline uri → schema dict entries
     schemas: dict = field(default_factory=dict)
+    # remote registries in priority order ({base}/schemas/... layout,
+    # e.g. Iglu Central) — resolved lazily with per-executor LRU caching
+    # (functions/iglu.http_registry_loader); transport injectable
+    http_registries: list[str] = field(default_factory=list)
+    http_transport: Any = None
     strict: bool = False  # unresolvable schema: error (True) or skip (False)
 
 

@@ -228,11 +228,18 @@ def enrich_raw(df: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> En
 
     # ---- output validation (EnrichmentManager.scala:209-257)
     if cfg.iglu:
-        from ..functions.iglu import SchemaRegistry, validate_sdjs
+        from ..functions.iglu import (
+            SchemaRegistry, http_registry_loader, validate_sdjs,
+        )
 
         registry = SchemaRegistry(dict(cfg.iglu.schemas))
         for d in cfg.iglu.registry_dirs:
             registry.load_dir(d)
+        if cfg.iglu.http_registries:
+            registry.loader = http_registry_loader(
+                list(cfg.iglu.http_registries),
+                transport=cfg.iglu.http_transport,
+            )
         df = validate_sdjs(df, registry, strict=cfg.iglu.strict)
 
     # ---- atomic length validation (AtomicFieldsLengthValidator.scala:34-86)
