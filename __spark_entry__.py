@@ -2057,13 +2057,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- data-pipeline side ------------------------------------------------
     def q_dedup_exact(spark, sf):
-        from enrich_spark.datapipe.dedup import exact_dedup
+        # part "exact": hash-groupBy dedup; part "substr": exact
+        # substring-duplication marking (Lee et al. 2022 style —
+        # datapipe/dedup.duplicate_substring_windows): every k-word
+        # window hashed, corpus-wide counts via one window function,
+        # duplicated fraction per doc
+        from enrich_spark.datapipe.dedup import (
+            duplicate_substring_windows, exact_dedup,
+        )
 
         docs = _load_docs(spark, sf)
-        return exact_dedup(docs).select(
+        exact = exact_dedup(docs).select(
             "content_hash",
             F.col("doc_id").cast("long").alias("keep_id"),
             F.col("dup_count").cast("long").alias("dup_count"),
+        )
+        sub = duplicate_substring_windows(docs, k=8).select(
+            F.col("doc_id").cast("long").alias("keep_id"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+            F.col("dup_window_frac").alias("dup_frac"),
+        )
+        return _union_parts(
+            [("exact", exact), ("substr", sub)],
+            fill=("dup_count", "n_windows", "n_dup_windows", "dup_frac"),
         )
 
     q["dedup_exact"] = q_dedup_exact
@@ -3295,11 +3312,40 @@ def oracle_sql() -> dict[str, str]:
               "tag_len": "num"}),
     ])
 
-    o["dedup_exact"] = """
-        SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
-               count(*) AS dup_count
-        FROM documents GROUP BY md5(text)
-    """
+    o["dedup_exact"] = _union_oracle([
+        ("exact", """
+            SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """, {"content_hash": "str", "keep_id": "num", "dup_count": "num"}),
+        ("substr", """
+            WITH d AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, t.i AS pos, array_to_string(w[t.i:t.i+7], ' ') AS gram
+              FROM d, LATERAL unnest(
+                CASE WHEN len(w) >= 8 THEN range(1, len(w) - 8 + 2) ELSE [] END
+              ) AS t(i)
+            ),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+            agg AS (
+              SELECT doc_id, count(*) AS n_windows,
+                     sum(CASE WHEN gram IN (SELECT gram FROM dup) THEN 1 ELSE 0 END) AS n_dup
+              FROM g GROUP BY doc_id
+            )
+            SELECT doc_id AS keep_id,
+                   COALESCE(a.n_windows, 0) AS n_windows,
+                   COALESCE(a.n_dup, 0) AS n_dup_windows,
+                   CASE WHEN COALESCE(a.n_windows, 0) > 0
+                        THEN round(CAST(a.n_dup AS DOUBLE) / a.n_windows, 4)
+                        ELSE 0.0 END AS dup_frac
+            FROM documents LEFT JOIN agg a USING (doc_id)
+        """, {"keep_id": "num", "n_windows": "num", "n_dup_windows": "num",
+              "dup_frac": "fnum"}),
+    ])
 
     _norm = "trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))"
     _words = f"list_distinct(string_split({_norm}, ' '))"

@@ -418,3 +418,98 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring duplication (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — word-window granularity)
+
+
+def duplicate_substring_windows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Mark exact duplicated substrings across the corpus: hash every
+    k-word window, count occurrences corpus-wide, and merge the windows
+    seen more than once into per-doc character-of-word spans.
+
+    Output per doc: n_windows, n_dup_windows, dup_window_frac, and
+    dup_spans — merged [start_word, end_word] intervals covering every
+    duplicated window (adjacent/overlapping windows chain into one
+    span, the fold is a native higher-order aggregate).
+
+    Scale shape: 2 shuffles total — a window-function count over the
+    window-hash partition (uniform 64-bit keys, no skew), then the
+    per-doc groupBy. The suffix-array of the paper is replaced by
+    fixed-k window hashing: a recall-bounded approximation (runs ≥ k
+    words are always found; shorter duplicates are not) that stays an
+    embarrassingly-parallel DataFrame plan at 100 TB.
+    """
+    words = F.split(F.trim(_normalize(F.col(text_col))), " ")
+    n = F.size(words)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.concat_ws(" ", F.slice(words, i, k))).alias("h"),
+        ),
+    )
+    exploded = docs.select(
+        F.col(id_col), n.alias("n_words"), F.explode_outer(grams).alias("g")
+    ).select(id_col, "n_words", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+
+    w = Window.partitionBy("h")
+    counted = exploded.withColumn(
+        "dup", F.col("h").isNotNull() & (F.count(F.lit(1)).over(w) > 1)
+    )
+
+    per_doc = counted.groupBy(id_col).agg(
+        F.max("n_words").alias("n_words"),
+        F.count(F.col("pos")).alias("n_windows"),
+        F.sum(F.col("dup").cast("long")).alias("n_dup_windows"),
+        F.array_sort(F.collect_list(F.when(F.col("dup"), F.col("pos"))))
+        .alias("dup_pos"),
+    )
+    # merge adjacent/overlapping duplicated windows into word spans:
+    # window at pos covers [pos, pos+k-1]; chain while next ≤ end+1
+    fold_init = F.struct(
+        F.array().cast("array<struct<start:int,end:int>>").alias("spans"),
+        F.lit(-1).cast("int").alias("cs"),
+        F.lit(-1).cast("int").alias("ce"),
+    )
+
+    def _fold(acc, p):
+        cs, ce = acc.getField("cs"), acc.getField("ce")
+        start_new = (cs < 0) | (p > ce + 1)
+        flushed = F.when(
+            (cs >= 0) & start_new,
+            F.array_append(acc.getField("spans"),
+                           F.struct(cs.alias("start"),
+                                    (ce + F.lit(k) - 1).alias("end"))),
+        ).otherwise(acc.getField("spans"))
+        return F.struct(
+            flushed.alias("spans"),
+            F.when(start_new, p).otherwise(cs).alias("cs"),
+            F.greatest(p, ce).alias("ce"),
+        )
+
+    folded = F.aggregate(
+        F.col("dup_pos").cast("array<int>"), fold_init, _fold,
+        lambda acc: F.when(
+            acc.getField("cs") >= 0,
+            F.array_append(acc.getField("spans"),
+                           F.struct(acc.getField("cs").alias("start"),
+                                    (acc.getField("ce") + F.lit(k) - 1)
+                                    .alias("end"))),
+        ).otherwise(acc.getField("spans")),
+    )
+    return per_doc.select(
+        id_col, "n_windows", "n_dup_windows",
+        F.when(F.col("n_windows") > 0,
+               F.round(F.col("n_dup_windows") / F.col("n_windows"), 4))
+        .otherwise(F.lit(0.0)).alias("dup_window_frac"),
+        folded.alias("dup_spans"),
+    )

@@ -725,6 +725,41 @@ def test_dup_clusters_connected_components(spark):
     assert fixed == out
 
 
+def test_duplicate_substring_windows(spark):
+    """Exact substring duplication (Lee et al. 2022, word windows):
+    cross-doc runs ≥ k words are found, spans merge adjacent windows,
+    short/empty/null docs yield zeros."""
+    common = "the quick brown fox jumps over the lazy dog every single day"
+    docs = spark.createDataFrame([
+        (1, f"unique prefix one {common} unique suffix alpha"),
+        (2, f"other start text {common} and a different ending here"),
+        (3, "completely different content with no repeats at all in it ok"),
+        (4, "short"),
+        (5, None),
+    ], "doc_id INT, text STRING")
+    got = {r.doc_id: r for r in
+           dedup.duplicate_substring_windows(docs, k=8).collect()}
+    # the 12-word shared run starts at word 4 in both docs → windows
+    # 4..8 (5 of them), one merged span covering words 4..15
+    for d in (1, 2):
+        assert got[d].n_dup_windows == 5
+        assert [(s.start, s.end) for s in got[d].dup_spans] == [(4, 15)]
+    assert got[1].dup_window_frac == round(5 / 11, 4)
+    assert got[3].n_dup_windows == 0 and got[3].dup_spans == []
+    assert got[4].n_windows == 0 and got[5].n_windows == 0
+
+    # two separated duplicated runs in one doc → two spans
+    run2 = "alpha beta gamma delta epsilon zeta eta theta"
+    docs2 = spark.createDataFrame([
+        (1, f"{common} xx yy zz ww vv uu tt ss {run2}"),
+        (2, f"{run2} mm nn oo pp qq rr kk jj {common}"),
+    ], "doc_id INT, text STRING")
+    got2 = {r.doc_id: r for r in
+            dedup.duplicate_substring_windows(docs2, k=8).collect()}
+    assert len(got2[1].dup_spans) == 2
+    assert len(got2[2].dup_spans) == 2
+
+
 def test_language_id_null_and_empty_are_und(spark):
     # NULL text used to score -1 as the floor (sizeOfNull), letting every
     # 0-score language "win"; both NULL and empty must stay 'und'
