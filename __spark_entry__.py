@@ -2063,7 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window hashed, corpus-wide counts via one window function,
         # duplicated fraction per doc
         from enrich_spark.datapipe.dedup import (
-            duplicate_substring_windows, exact_dedup,
+            contamination_check, duplicate_substring_windows, exact_dedup,
         )
 
         docs = _load_docs(spark, sf)
@@ -2078,9 +2078,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
             F.col("dup_window_frac").alias("dup_frac"),
         )
+        # decontamination against a benchmark slice (doc_id % 17 == 0):
+        # broadcast benchmark gram set, map-side join over corpus grams
+        bench = docs.where(F.col("doc_id") % 17 == 0).select(
+            F.col("doc_id").alias("bench_id"), "text")
+        contam = contamination_check(docs, bench, k=8).select(
+            F.col("doc_id").cast("long").alias("keep_id"),
+            F.col("contaminated_windows").cast("long").alias("contam_windows"),
+            F.col("contaminated_frac").alias("contam_frac"),
+            F.size("hit_benchmarks").cast("long").alias("n_bench_hits"),
+        )
         return _union_parts(
-            [("exact", exact), ("substr", sub)],
-            fill=("dup_count", "n_windows", "n_dup_windows", "dup_frac"),
+            [("exact", exact), ("substr", sub), ("contam", contam)],
+            fill=("dup_count", "n_windows", "n_dup_windows", "dup_frac",
+                  "contam_windows", "contam_frac", "n_bench_hits"),
         )
 
     q["dedup_exact"] = q_dedup_exact
@@ -3345,6 +3356,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents LEFT JOIN agg a USING (doc_id)
         """, {"keep_id": "num", "n_windows": "num", "n_dup_windows": "num",
               "dup_frac": "fnum"}),
+        ("contam", """
+            WITH d AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, array_to_string(w[t.i:t.i+7], ' ') AS gram
+              FROM d, LATERAL unnest(
+                CASE WHEN len(w) >= 8 THEN range(1, len(w) - 8 + 2) ELSE [] END
+              ) AS t(i)
+            ),
+            bg AS (SELECT DISTINCT doc_id AS bench_id, gram FROM g WHERE doc_id % 17 = 0),
+            agg AS (
+              SELECT g.doc_id,
+                     count(*) AS n_windows,
+                     sum(CASE WHEN EXISTS (SELECT 1 FROM bg WHERE bg.gram = g.gram)
+                              THEN 1 ELSE 0 END) AS contam_windows
+              FROM g GROUP BY g.doc_id
+            ),
+            hits AS (
+              SELECT g.doc_id, count(DISTINCT bg.bench_id) AS n_bench_hits
+              FROM g JOIN bg ON g.gram = bg.gram GROUP BY g.doc_id
+            )
+            SELECT doc_id AS keep_id,
+                   COALESCE(a.contam_windows, 0) AS contam_windows,
+                   CASE WHEN COALESCE(a.n_windows, 0) > 0
+                        THEN round(CAST(a.contam_windows AS DOUBLE) / a.n_windows, 4)
+                        ELSE 0.0 END AS contam_frac,
+                   COALESCE(h.n_bench_hits, 0) AS n_bench_hits
+            FROM documents LEFT JOIN agg a USING (doc_id)
+                           LEFT JOIN hits h USING (doc_id)
+        """, {"keep_id": "num", "contam_windows": "num",
+              "contam_frac": "fnum", "n_bench_hits": "num"}),
     ])
 
     _norm = "trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))"

@@ -513,3 +513,54 @@ def duplicate_substring_windows(
         .otherwise(F.lit(0.0)).alias("dup_window_frac"),
         folded.alias("dup_spans"),
     )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Benchmark decontamination: mark training docs that share any
+    exact k-word window with an evaluation/benchmark corpus (the
+    standard n-gram-overlap decontamination used before pretraining).
+
+    Scale shape: the benchmark side is tiny next to a 100 TB corpus —
+    its distinct (window-hash, bench_id) set BROADCASTS, so the check
+    is a map-side hash join over the corpus grams plus the one per-doc
+    groupBy. Returns per doc: n_windows, contaminated_windows,
+    contaminated_frac, and the distinct benchmark ids hit.
+    """
+    def grams(df, idc, txt):
+        words = F.split(F.trim(_normalize(F.col(txt))), " ")
+        n = F.size(words)
+        idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)) \
+            .otherwise(F.array().cast("array<int>"))
+        g = F.transform(
+            idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, k))))
+        return df.select(F.col(idc), F.explode_outer(g).alias("h"))
+
+    # one row per gram on the benchmark side (bench ids aggregated into
+    # an array) so the broadcast join NEVER fans doc windows out — a
+    # gram present in several benchmarks still counts one window
+    bench_map = (
+        grams(benchmark, bench_id_col, bench_text_col)
+        .where(F.col("h").isNotNull()).distinct()
+        .groupBy("h")
+        .agg(F.collect_set(bench_id_col).alias("_bids"))
+    )
+    doc_grams = grams(docs, id_col, text_col)
+    joined = doc_grams.join(F.broadcast(bench_map), "h", "left")
+    n_win = F.count(F.col("h"))
+    n_contam = F.count(F.col("_bids"))
+    return joined.groupBy(id_col).agg(
+        n_win.alias("n_windows"),
+        n_contam.alias("contaminated_windows"),
+        F.when(n_win > 0, F.round(n_contam / n_win, 4))
+        .otherwise(F.lit(0.0)).alias("contaminated_frac"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(F.col("_bids")))))
+        .alias("hit_benchmarks"),
+    )

@@ -760,6 +760,29 @@ def test_duplicate_substring_windows(spark):
     assert len(got2[2].dup_spans) == 2
 
 
+def test_contamination_check(spark):
+    """Benchmark decontamination: training docs sharing any exact k-word
+    window with the benchmark corpus are marked, with fraction and the
+    benchmark ids hit; clean/short docs report zeros."""
+    bench_q = "what is the capital of france and when was it founded exactly"
+    docs = spark.createDataFrame([
+        (1, f"some scraped page containing {bench_q} plus other words"),
+        (2, "a perfectly clean training document with no overlap at all here"),
+        (3, "tiny"),
+    ], "doc_id INT, text STRING")
+    bench = spark.createDataFrame(
+        [(100, bench_q), (200, "unrelated benchmark question about math")],
+        "bench_id INT, text STRING",
+    )
+    got = {r.doc_id: r for r in
+           dedup.contamination_check(docs, bench, k=8).collect()}
+    assert got[1].contaminated_windows > 0
+    assert got[1].hit_benchmarks == [100]
+    assert 0 < got[1].contaminated_frac <= 1.0
+    assert got[2].contaminated_windows == 0 and got[2].hit_benchmarks == []
+    assert got[3].n_windows == 0
+
+
 def test_language_id_null_and_empty_are_und(spark):
     # NULL text used to score -1 as the floor (sizeOfNull), letting every
     # 0-score language "win"; both NULL and empty must stay 'und'
