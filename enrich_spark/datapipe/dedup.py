@@ -1,7 +1,7 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Five strategies over a document table (doc_id, text), each designed for
-the 100 TB shape:
+Strategies over a document table (doc_id, text), each designed for the
+100 TB shape:
 
 * exact_dedup          — hash-groupBy. One shuffle on a 128-bit digest;
                          AQE handles skew (empty/boilerplate docs).
@@ -13,9 +13,17 @@ the 100 TB shape:
 * simhash_pairs        — 64-bit simhash from token hashes; Hamming-ball
                          candidate generation via band rotation.
 * ngram_jaccard_pairs  — exact n-gram Jaccard on LSH candidates (or
-                         within explicit buckets for small inputs).
+                         within explicit buckets for small inputs);
+                         ngram_jaccard_pairs_prefix is the PPJoin-style
+                         skew-free scale path.
 * embedding_dup_pairs  — cosine near-dup over an embedding column (see
                          similarity.py for the shared primitives).
+* dup_clusters         — connected components over near-dup pairs
+                         (iterative min-label propagation).
+* duplicate_substring_windows — exact substring-duplication marking
+                         (Lee et al. 2022 at word-window granularity).
+* contamination_check  — benchmark decontamination via broadcast
+                         window-hash join.
 
 All hashing is Spark-native (xxhash64 / md5-prefix) so results are
 deterministic, reproducible in SQL oracles, and JVM-side.
