@@ -2056,6 +2056,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_parity"] = q_streaming_parity
 
     # ---- data-pipeline side ------------------------------------------------
+    def _exact_part(spark, sf):
+        from enrich_spark.datapipe.dedup import exact_dedup
+
+        return exact_dedup(_load_docs(spark, sf)).select(
+            "content_hash",
+            F.col("doc_id").cast("long").alias("keep_id"),
+            F.col("dup_count").cast("long").alias("dup_count"),
+        )
+
     def q_dedup_exact(spark, sf):
         # part "exact": hash-groupBy dedup; part "substr": exact
         # substring-duplication marking (Lee et al. 2022 style —
@@ -2063,15 +2072,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window hashed, corpus-wide counts via one window function,
         # duplicated fraction per doc
         from enrich_spark.datapipe.dedup import (
-            contamination_check, duplicate_substring_windows, exact_dedup,
+            contamination_check, duplicate_substring_windows,
         )
 
         docs = _load_docs(spark, sf)
-        exact = exact_dedup(docs).select(
-            "content_hash",
-            F.col("doc_id").cast("long").alias("keep_id"),
-            F.col("dup_count").cast("long").alias("dup_count"),
-        )
+        exact = _exact_part(spark, sf)
         sub = duplicate_substring_windows(docs, k=8).select(
             F.col("doc_id").cast("long").alias("keep_id"),
             F.col("n_windows").cast("long").alias("n_windows"),
@@ -2489,6 +2494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_minhash_lsh,
         "sessionize": q_sessionize,
         "multimodal_decode": q_media_decode_bench,
+        "dedup_exact": _exact_part,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
