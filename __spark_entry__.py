@@ -3632,21 +3632,33 @@ def oracle_sql() -> dict[str, str]:
         after = [f"s_{lang} >= s_{m}" for m in order[i + 1:]]
         cond = " AND ".join([f"s_{lang} > n_grams"] + before + after)
         cases.append(f"WHEN {cond} THEN '{lang}'")
+    # unicode-script dominance pre-check mirrors text._SCRIPTS exactly
+    # (order + thresholds; ja's kana class checked before zh's han)
+    from enrich_spark.datapipe.text import _SCRIPTS
+
+    _script_whens = " ".join(
+        f"WHEN solid > 0 AND CAST(length(regexp_replace(text, '[^{cls}]', '', 'g')) "
+        f"AS DOUBLE) / solid > {thresh} THEN '{lang}'"
+        for lang, cls, thresh in _SCRIPTS
+    )
     o["text_language_id"] = f"""
         WITH nrm AS (
-          SELECT doc_id,
+          SELECT doc_id, d.text,
+                 length(regexp_replace(d.text, '\\s', '', 'g')) AS solid,
                  ' ' || regexp_replace(lower(d.text), '\\s+', ' ', 'g') || ' ' AS norm
           FROM documents d
         ),
         g AS (
-          SELECT doc_id,
+          SELECT doc_id, text, solid,
                  list_transform(range(1, greatest(length(norm) - 2, 1) + 1),
                                 i -> substr(norm, i, 3)) AS grams
           FROM nrm
         ),
-        s AS (SELECT doc_id, len(grams) AS n_grams,
+        s AS (SELECT doc_id, text, solid, len(grams) AS n_grams,
                      {', '.join(_tri_score(x) for x in order)} FROM g)
-        SELECT doc_id, CASE {' '.join(cases)} ELSE 'und' END AS detected_lang
+        SELECT doc_id,
+               CASE {_script_whens}
+                    {' '.join(cases)} ELSE 'und' END AS detected_lang
         FROM s
     """
 

@@ -87,8 +87,26 @@ LANG_PROFILES: dict[str, dict[str, int]] = {
 }
 
 
+# Unicode-script detection for non-Latin text: (lang, char-class,
+# dominance threshold over non-space chars). Checked in order — Kana
+# before Han because Japanese text mixes both; all native regexp.
+_SCRIPTS: list[tuple[str, str, float]] = [
+    ("ja", "぀-ヿ", 0.10),   # hiragana/katakana
+    ("ko", "가-힯", 0.30),   # hangul syllables
+    ("zh", "一-鿿", 0.30),   # CJK unified ideographs
+    ("ru", "Ѐ-ӿ", 0.30),   # cyrillic
+    ("ar", "؀-ۿ", 0.30),   # arabic
+    ("he", "֐-׿", 0.30),   # hebrew
+    ("el", "Ͱ-Ͽ", 0.30),   # greek
+    ("hi", "ऀ-ॿ", 0.30),   # devanagari
+]
+
+
 def detect_language(text: Column) -> Column:
-    """Character-trigram profile scorer, 'und' when nothing matches.
+    """Unicode-script dominance first (non-Latin scripts identify their
+    language family directly — Kana→ja checked before Han→zh since
+    Japanese mixes both), then the character-trigram profile scorer for
+    Latin-script languages; 'und' when nothing matches.
 
     One pass builds the text's trigram array; each language's score is a
     single native `aggregate` over it with a map-literal weight lookup —
@@ -120,7 +138,15 @@ def detect_language(text: Column) -> Column:
         is_better = score > best_score
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, score).otherwise(best_score)
-    return best_lang
+
+    n_solid = F.length(F.regexp_replace(text, "\\s", ""))
+    script_lang = F.lit(None).cast("string")
+    for lang, cls, thresh in reversed(_SCRIPTS):
+        n_in = F.length(F.regexp_replace(text, f"[^{cls}]", ""))
+        script_lang = F.when(
+            (n_solid > 0) & (n_in / n_solid > thresh), F.lit(lang)
+        ).otherwise(script_lang)
+    return F.coalesce(script_lang, best_lang)
 
 
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:

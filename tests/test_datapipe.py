@@ -783,6 +783,31 @@ def test_contamination_check(spark):
     assert got[3].n_windows == 0
 
 
+def test_language_id_nonlatin_scripts(spark):
+    """Unicode-script dominance identifies non-Latin languages natively;
+    Kana precedence keeps mixed kanji/kana Japanese out of 'zh'."""
+    from enrich_spark.datapipe.text import language_id
+
+    cases = [
+        ("Быстрая коричневая лиса прыгает через ленивую собаку", "ru"),
+        ("今天天气很好我们去公园散步吧", "zh"),
+        ("今日はとてもいい天気ですから公園へ行きましょう", "ja"),   # kanji + kana
+        ("오늘 날씨가 좋아서 공원에 갑니다", "ko"),
+        ("الطقس جميل اليوم فلنذهب إلى الحديقة", "ar"),
+        ("מזג האוויר יפה היום אז נלך לפארק", "he"),
+        ("ο καιρός είναι ωραίος σήμερα πάμε στο πάρκο", "el"),
+        ("आज मौसम अच्छा है तो चलो पार्क चलते हैं", "hi"),
+        ("the weather is nice today so let us walk to the park", "en"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "doc_id INT, text STRING"
+    )
+    got = {r.doc_id: r.detected_lang for r in language_id(df).collect()}
+    wrong = [(cases[i][0], cases[i][1], got[i])
+             for i in range(len(cases)) if got[i] != cases[i][1]]
+    assert not wrong, f"misclassified: {wrong}"
+
+
 def test_language_id_null_and_empty_are_und(spark):
     # NULL text used to score -1 as the floor (sizeOfNull), letting every
     # 0-score language "win"; both NULL and empty must stay 'und'
