@@ -2101,6 +2101,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_exact"] = q_dedup_exact
 
+    def q_dedup_despan(spark, sf):
+        # apply the Lee et al. 2022 spans: CUT corpus-duplicated runs out
+        # of the text (datapipe/dedup.remove_duplicate_spans) — cleaned
+        # text in normalized word coordinates + removal accounting
+        from enrich_spark.datapipe.dedup import remove_duplicate_spans
+
+        docs = _load_docs(spark, sf)
+        return remove_duplicate_spans(docs, k=8).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "cleaned_text",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("removed_words").cast("long").alias("removed_words"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+        )
+
+    q["dedup_despan"] = q_dedup_despan
+
+    def q_decontam_multi(spark, sf):
+        # multi-eval-set decontamination with per-set n-gram size (8 and
+        # 13 grams) and a min_overlap_windows=2 threshold — broadcast
+        # gram maps, one (doc, set) groupBy per distinct k
+        from enrich_spark.datapipe.dedup import contamination_check_multi
+
+        docs = _load_docs(spark, sf)
+        b17 = docs.where(F.col("doc_id") % 17 == 0).select("text")
+        b23 = docs.where(F.col("doc_id") % 23 == 0).select("text")
+        out = contamination_check_multi(
+            docs, [("eval17", b17, 8), ("eval23", b23, 13)],
+            min_overlap_windows=2)
+        return out.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "benchmark",
+            F.col("k").cast("long").alias("k"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.col("contaminated_windows").cast("long").alias("contam_windows"),
+            F.col("contaminated_frac").alias("contam_frac"),
+            F.col("contaminated").cast("long").alias("contaminated"),
+        )
+
+    q["decontam_multi"] = q_decontam_multi
+
     def q_minhash_sig(spark, sf):
         from enrich_spark.datapipe.dedup import md5_hash_family, minhash_signature, shingles
 
@@ -3397,6 +3438,97 @@ def oracle_sql() -> dict[str, str]:
         """, {"keep_id": "num", "contam_windows": "num",
               "contam_frac": "fnum", "n_bench_hits": "num"}),
     ])
+
+    o["dedup_despan"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, t.i AS pos, array_to_string(w[t.i:t.i+7], ' ') AS gram
+          FROM d, LATERAL unnest(
+            CASE WHEN len(w) >= 8 THEN range(1, len(w) - 8 + 2) ELSE [] END
+          ) AS t(i)
+        ),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        dp AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+        -- islands: a window chains while its coverage overlaps-or-adjoins
+        -- the previous one (gap in start positions ≤ k = 8)
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                      THEN 1 ELSE 0 END AS brk
+          FROM dp
+        ),
+        grp AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+          FROM isl
+        ),
+        spans AS (
+          SELECT doc_id, gid, min(pos) AS s, max(pos) + 7 AS e
+          FROM grp GROUP BY doc_id, gid
+        ),
+        nsp AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id),
+        covered AS (
+          SELECT DISTINCT doc_id, u.wi
+          FROM spans, LATERAL unnest(range(s, e + 1)) AS u(wi)
+        ),
+        wpos AS (
+          SELECT doc_id, t.i AS wi, w[t.i] AS word
+          FROM d, LATERAL unnest(range(1, len(w) + 1)) AS t(i)
+        ),
+        kept AS (
+          SELECT wp.doc_id, wp.wi, wp.word
+          FROM wpos wp ANTI JOIN covered c
+            ON wp.doc_id = c.doc_id AND wp.wi = c.wi
+        ),
+        cleaned AS (
+          SELECT doc_id, string_agg(word, ' ' ORDER BY wi) AS cleaned_text,
+                 count(*) AS kept_n
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id AS doc_id,
+               COALESCE(c.cleaned_text, '') AS cleaned_text,
+               len(w) AS n_words,
+               len(w) - COALESCE(c.kept_n, 0) AS removed_words,
+               COALESCE(n.n_spans, 0) AS n_spans
+        FROM d LEFT JOIN cleaned c USING (doc_id)
+               LEFT JOIN nsp n USING (doc_id)
+    """
+
+    def _dm_part(k, mod, name):
+        return f"""
+          g{k} AS (
+            SELECT doc_id, array_to_string(w[t.i:t.i+{k - 1}], ' ') AS gram,
+                   greatest(len(w) - {k - 1}, 0) AS nw
+            FROM d, LATERAL unnest(
+              CASE WHEN len(w) >= {k} THEN range(1, len(w) - {k} + 2) ELSE [] END
+            ) AS t(i)
+          ),
+          bg{k} AS (SELECT DISTINCT gram FROM g{k} WHERE doc_id % {mod} = 0),
+          hit{k} AS (
+            SELECT doc_id, '{name}' AS benchmark, {k} AS k,
+                   max(nw) AS n_windows, count(*) AS contam_windows
+            FROM g{k} WHERE gram IN (SELECT gram FROM bg{k})
+            GROUP BY doc_id
+          )"""
+
+    o["decontam_multi"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ),{_dm_part(8, 17, "eval17")},{_dm_part(13, 23, "eval23")}
+        SELECT doc_id, benchmark, CAST(k AS BIGINT) AS k,
+               CAST(n_windows AS BIGINT) AS n_windows,
+               CAST(contam_windows AS BIGINT) AS contam_windows,
+               round(CAST(contam_windows AS DOUBLE) / n_windows, 4) AS contam_frac,
+               CAST(CASE WHEN contam_windows >= 2 THEN 1 ELSE 0 END AS BIGINT)
+                 AS contaminated
+        FROM (SELECT * FROM hit8 UNION ALL SELECT * FROM hit13)
+    """
 
     _norm = "trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))"
     _words = f"list_distinct(string_split({_norm}, ' '))"

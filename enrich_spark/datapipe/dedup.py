@@ -482,7 +482,10 @@ def duplicate_substring_windows(
         .alias("dup_pos"),
     )
     # merge adjacent/overlapping duplicated windows into word spans:
-    # window at pos covers [pos, pos+k-1]; chain while next ≤ end+1
+    # window at pos covers [pos, pos+k-1] WORDS, so its coverage
+    # overlaps-or-adjoins the running span (ending at word ce+k-1)
+    # whenever pos ≤ ce+k — chaining on start positions alone (pos ≤
+    # ce+1) would emit overlapping spans that double-count words
     fold_init = F.struct(
         F.array().cast("array<struct<start:int,end:int>>").alias("spans"),
         F.lit(-1).cast("int").alias("cs"),
@@ -491,7 +494,7 @@ def duplicate_substring_windows(
 
     def _fold(acc, p):
         cs, ce = acc.getField("cs"), acc.getField("ce")
-        start_new = (cs < 0) | (p > ce + 1)
+        start_new = (cs < 0) | (p > ce + F.lit(k))
         flushed = F.when(
             (cs >= 0) & start_new,
             F.array_append(acc.getField("spans"),
@@ -520,6 +523,55 @@ def duplicate_substring_windows(
                F.round(F.col("n_dup_windows") / F.col("n_windows"), 4))
         .otherwise(F.lit(0.0)).alias("dup_window_frac"),
         folded.alias("dup_spans"),
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Apply the spans from :func:`duplicate_substring_windows`: CUT the
+    corpus-duplicated substrings out of the text — the actual output of
+    Lee et al. 2022 ("each time a substring is duplicated we remove it"),
+    where the marking operator only reports them.
+
+    Output per doc: cleaned_text (the normalized text with every word
+    inside a dup span removed, single-space joined), n_words,
+    removed_words, n_spans. cleaned_text is in NORMALIZED coordinates
+    (lowercased, whitespace collapsed) because spans are word offsets
+    into the normalized token stream.
+
+    Scale shape: the marking plan's 2 shuffles plus one doc_id-keyed
+    join to bring spans back beside the text; the cut itself is a native
+    higher-order filter (no Python). Same recall bound as the marker:
+    only duplicated runs ≥ k words are removed.
+    """
+    spans = duplicate_substring_windows(docs, text_col, id_col, k).select(
+        id_col, "dup_spans")
+    words = F.split(F.trim(_normalize(F.col(text_col))), " ")
+    sp = F.coalesce(
+        F.col("dup_spans"),
+        F.array().cast("array<struct<start:int,end:int>>"),
+    )
+    # word i (0-based lambda index; spans are 1-based) survives unless
+    # some span covers it — nested higher-order functions stay JVM-side
+    kept = F.filter(
+        words,
+        lambda w, i: ~F.exists(
+            sp, lambda s: (i + 1 >= s.getField("start"))
+            & (i + 1 <= s.getField("end"))),
+    )
+    return (
+        docs.join(spans, id_col, "left")
+        .select(
+            id_col,
+            F.concat_ws(" ", kept).alias("cleaned_text"),
+            F.size(words).alias("n_words"),
+            (F.size(words) - F.size(kept)).alias("removed_words"),
+            F.size(sp).alias("n_spans"),
+        )
     )
 
 
@@ -572,3 +624,85 @@ def contamination_check(
         F.array_sort(F.array_distinct(F.flatten(F.collect_list(F.col("_bids")))))
         .alias("hit_benchmarks"),
     )
+
+
+def contamination_check_multi(
+    docs: DataFrame,
+    benchmarks: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    min_overlap_windows: int = 1,
+) -> DataFrame:
+    """Decontamination against SEVERAL eval sets, each with its own
+    n-gram size — published recipes use per-benchmark k (typically 8–13
+    grams), and a hit threshold rather than any-overlap.
+
+    ``benchmarks`` is a list of ``(name, df, k)``; returns ONE row per
+    (doc, benchmark) pair with ≥1 shared window: doc id, benchmark name,
+    k, n_windows (doc windows at that k), contaminated_windows,
+    contaminated_frac, and ``contaminated`` (windows ≥
+    ``min_overlap_windows``). Pairs with zero overlap are omitted —
+    absence means clean.
+
+    Scale shape: benchmarks sharing a k share ONE gram pass over the
+    corpus; each distinct k costs one map-side broadcast join (the union
+    of that k's benchmark gram sets, one row per (gram, set)) plus one
+    (doc, set)-keyed groupBy. No corpus-side fan-out beyond the number
+    of sets actually hit.
+    """
+    from functools import reduce
+
+    def gram_rows(df, idc, txt, k):
+        words = F.split(F.trim(_normalize(F.col(txt))), " ")
+        n = F.size(words)
+        idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)) \
+            .otherwise(F.array().cast("array<int>"))
+        g = F.transform(
+            idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, k))))
+        return df.select(
+            F.col(idc),
+            F.greatest(n - k + 1, F.lit(0)).alias("_nw"),
+            F.explode_outer(g).alias("h"),
+        )
+
+    by_k: dict[int, list] = {}
+    for name, bdf, k in benchmarks:
+        by_k.setdefault(int(k), []).append((name, bdf))
+
+    parts = []
+    for k, sets in sorted(by_k.items()):
+        tagged = []
+        for name, bdf in sets:
+            b = bdf.select(F.lit(1).alias("_one"), F.col(bench_text_col))
+            tagged.append(
+                gram_rows(b, "_one", bench_text_col, k)
+                .where(F.col("h").isNotNull())
+                .select("h", F.lit(name).alias("_set"))
+            )
+        bench_map = (
+            reduce(DataFrame.unionByName, tagged)
+            .distinct().groupBy("h").agg(F.collect_set("_set").alias("_sets"))
+        )
+
+        doc_g = gram_rows(docs, id_col, text_col, k)
+        hit = (
+            doc_g.join(F.broadcast(bench_map), "h")
+            .select(id_col, "_nw", F.explode("_sets").alias("benchmark"))
+            .groupBy(id_col, "benchmark")
+            .agg(F.max("_nw").alias("n_windows"),
+                 F.count(F.lit(1)).alias("contaminated_windows"))
+            .select(
+                id_col,
+                "benchmark",
+                F.lit(k).alias("k"),
+                "n_windows",
+                "contaminated_windows",
+                F.round(F.col("contaminated_windows") / F.col("n_windows"), 4)
+                .alias("contaminated_frac"),
+                (F.col("contaminated_windows") >= min_overlap_windows)
+                .alias("contaminated"),
+            )
+        )
+        parts.append(hit)
+    return reduce(DataFrame.unionByName, parts)

@@ -25,9 +25,23 @@ speaking newline-delimited JSON over stdin/stdout:
 Scale design: the sidecar is spawned lazily once per executor-side Python
 worker (fork-detected via pid) and compiles each script once; a whole
 Arrow batch crosses the pipe as ONE round trip, so per-event overhead is
-a JSON encode/decode, not a process or even a syscall. User code runs in
-a ``vm`` context exposing only safe globals (no ``process``, ``require``,
-or filesystem), mirroring Nashorn's ClassFilter confinement (:71-78).
+a JSON encode/decode, not a process or even a syscall.
+
+Confinement: user code runs in a fresh ``vm`` context whose ONLY
+intrinsics are the context realm's own (``vm.createContext`` gives every
+context a brand-new global with its own Object/JSON/Math/...). No
+host-realm object or function is ever placed in — or passed into — the
+context; events, headers, and params cross as string primitives and are
+parsed *inside* the realm, and results come back as a JSON string. So
+``Object.constructor('return process')()`` resolves to the realm's own
+``Function`` and cannot reach the host ``process``/``require``,
+mirroring Nashorn's ClassFilter confinement (:71-78). Each invocation
+runs under a per-event ``vm`` timeout (default 5 s, configurable), and
+the Python side enforces a read deadline sized so it can only fire on a
+genuine sidecar hang (e.g. ``Atomics.wait``, which V8 termination cannot
+interrupt): on deadline the sidecar is killed and the batch degrades to
+per-event error rows — no retry, since re-running a hanging script would
+hang again.
 """
 
 from __future__ import annotations
@@ -35,11 +49,13 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import select
 import shutil
 import subprocess
 import threading
 
-__all__ = ["NodeJsEngine", "JsCompileError", "node_available", "shared_engine"]
+__all__ = ["NodeJsEngine", "JsCompileError", "JsSidecarDeadline",
+           "node_available", "shared_engine"]
 
 # The sidecar program. Kept dependency-free (readline + vm are Node
 # built-ins). One JSON object per line in, one per line out.
@@ -49,48 +65,35 @@ const readline = require('readline');
 const vm = require('vm');
 const scripts = new Map();
 
-function makeSandbox(params) {
-  const sandbox = {
-    JSON, Math, Date, RegExp, String, Number, Boolean, Array, Object,
-    parseInt, parseFloat, isNaN, isFinite,
-    encodeURIComponent, decodeURIComponent, encodeURI, decodeURI,
-    console: {log: function(){}, error: function(){}, warn: function(){}},
-    __params: params,
-  };
-  // reference rejection semantics (JavascriptRejectionException,
-  // JavascriptScriptEnrichment.scala:121-126,163): user code calls
-  // rejectEvent() (or throws an object with __reject) to drop the event
-  sandbox.rejectEvent = function (msg) {
-    const e = new Error(msg || 'event rejected');
-    e.__reject = true;
-    throw e;
-  };
-  vm.createContext(sandbox);
-  return sandbox;
+// ALL user-facing machinery lives INSIDE the contextified realm: the
+// sandbox object carries no host properties, so the only reachable
+// intrinsics are the context realm's own fresh copies. Host <-> context
+// traffic is string primitives exclusively (events, headers, params in;
+// one JSON result string out), so prototype-walking from any reachable
+// object (Object.constructor('return process')(), params' prototype,
+// Error instances, ...) can only reach realm-local constructors.
+const BOOTSTRAP = `
+'use strict';
+var __params = null;
+function __setup(paramsJson) { __params = JSON.parse(paramsJson); }
+// reference rejection semantics (JavascriptRejectionException,
+// JavascriptScriptEnrichment.scala:121-126,163): user code calls
+// rejectEvent() (or throws an object with __reject) to drop the event
+function rejectEvent(msg) {
+  var e = new Error(msg || 'event rejected');
+  e.__reject = true;
+  throw e;
 }
-
-function compile(id, source, params) {
-  const sandbox = makeSandbox(params);
-  // var (not bare assignment): must work when the user source opens
-  // with 'use strict'
-  const wrapped = source + "\n;var __entry = function(event, headers){" +
-    "var result = process(event, __params, headers);" +
-    "return (result === null || result === undefined) ? [] : result;};";
-  vm.runInContext(wrapped, sandbox, {timeout: 10000});
-  if (typeof sandbox.__entry !== 'function' || typeof sandbox.process !== 'function') {
-    throw new Error('script must declare function process(event, params, headers)');
-  }
-  scripts.set(id, sandbox);
-}
-
-function selfDescribingError(ctxs) {
+var console = {log: function(){}, error: function(){}, warn: function(){}};
+function __selfDescribingError(ctxs) {
   // parseContexts (JavascriptScriptEnrichment.scala:203-224): every
   // returned context must be {schema: <string>, data: <json>}
   if (!Array.isArray(ctxs)) {
     return 'Output of JavaScript function [' + JSON.stringify(ctxs) +
            '] could be parsed as JSON but is not read as an array';
   }
-  for (const c of ctxs) {
+  for (var i = 0; i < ctxs.length; i++) {
+    var c = ctxs[i];
     if (c === null || typeof c !== 'object' || typeof c.schema !== 'string' ||
         !('data' in c)) {
       return 'Resulting contexts are not self-desribing. Error(s): [json:[' +
@@ -99,52 +102,108 @@ function selfDescribingError(ctxs) {
   }
   return null;
 }
-
-function runOne(sandbox, event, headers) {
+function __runOne(event, headers) {
   // scala:189 — reset before each script so a previous enrichment's flag
   // cannot leak into this one's result
   event.use_derived_contexts_from_js_enrichment_only = false;
-  let ctxs;
+  var ctxs;
   try {
-    ctxs = sandbox.__entry(event, headers);
+    ctxs = __entry(event, headers);
   } catch (e) {
     if (e && e.__reject) return {drop: true};
-    const msg = (e && e.message !== undefined) ? e.message : String(e);
+    var msg = (e && e.message !== undefined) ? e.message : String(e);
     return {error: 'Error during execution of JavaScript function: [' + msg + ']'};
   }
-  const bad = selfDescribingError(ctxs);
+  var bad = __selfDescribingError(ctxs);
   if (bad !== null) return {error: bad};
-  const replace = !!event.use_derived_contexts_from_js_enrichment_only;
+  var replace = !!event.use_derived_contexts_from_js_enrichment_only;
   delete event.use_derived_contexts_from_js_enrichment_only;
   return {event: event, contexts: ctxs, replace: replace};
 }
-
+function __run(eventJson, headersJson) {
+  var event = eventJson ? JSON.parse(eventJson) : {};
+  var headers = headersJson ? JSON.parse(headersJson) : [];
+  return JSON.stringify(__runOne(event, headers));
+}
 // batch2: raw JSON strings in, mutation DIFF + stringified context data
 // out — keeps all JSON encode/decode in V8 instead of per-row Python
-function runOneRaw(sandbox, rawEvent, headers) {
-  let event;
+function __runRaw(eventJson, headersJson) {
+  var event;
   try {
-    event = rawEvent ? JSON.parse(rawEvent) : {};
+    event = eventJson ? JSON.parse(eventJson) : {};
   } catch (e) {
-    return {error: 'Error during execution of JavaScript function: ' +
-                   '[unparseable event: ' + e.message + ']'};
+    return JSON.stringify({error: 'Error during execution of JavaScript ' +
+                           'function: [unparseable event: ' + e.message + ']'});
   }
-  const orig = Object.assign({}, event);
-  const res = runOne(sandbox, event, headers);
-  if (res.drop || res.error !== undefined) return res;
-  const changed = {};
-  for (const k in event) {
-    if (!(k in orig) || orig[k] !== event[k]) changed[k] = event[k];
+  var headers = headersJson ? JSON.parse(headersJson) : [];
+  var orig = {};
+  for (var k0 in event) orig[k0] = event[k0];
+  var res = __runOne(event, headers);
+  if (res.drop || res.error !== undefined) return JSON.stringify(res);
+  var changed = {};
+  for (var k1 in event) {
+    if (!(k1 in orig) || orig[k1] !== event[k1]) changed[k1] = event[k1];
+  }
+  // a field the script deleted (or set to null, caught above) clears the
+  // atomic field downstream — reference semantics: in-place mutation to
+  // null removes the value (scala:176-185)
+  for (var k2 in orig) {
+    if (!(k2 in event)) changed[k2] = null;
   }
   // contexts cross back as ONE JSON string: transferring a string
   // column through Arrow is vectorized, per-row python dict->struct
   // conversion is not (measured 2x on the whole stage)
-  const ctxs = res.contexts.map(function (c) {
+  var ctxs = res.contexts.map(function (c) {
     return {schema: c.schema, data: JSON.stringify(c.data)};
   });
-  return {changed: changed,
+  return JSON.stringify({changed: changed,
           contexts_json: ctxs.length ? JSON.stringify(ctxs) : null,
-          replace: res.replace};
+          replace: res.replace});
+}
+`;
+
+// precompiled call stubs — compiled once, run per event with a vm
+// timeout (a direct cross-realm function call could not be timed out)
+const CALL_RUN = new vm.Script('__run(__e, __h)');
+const CALL_RAW = new vm.Script('__runRaw(__e, __h)');
+
+function compile(id, source, paramsJson, execTimeoutMs) {
+  const sandbox = Object.create(null);
+  const context = vm.createContext(sandbox);
+  vm.runInContext(BOOTSTRAP, context, {timeout: 10000});
+  sandbox.__pj = paramsJson;
+  vm.runInContext('__setup(__pj)', context, {timeout: 10000});
+  delete sandbox.__pj;
+  // var (not bare assignment): must work when the user source opens
+  // with 'use strict'
+  const wrapped = source + "\n;var __entry = function(event, headers){" +
+    "var result = process(event, __params, headers);" +
+    "return (result === null || result === undefined) ? [] : result;};";
+  vm.runInContext(wrapped, context, {timeout: 10000});
+  const ok = vm.runInContext(
+    "typeof __entry === 'function' && typeof process === 'function'",
+    context, {timeout: 10000});
+  if (!ok) {
+    throw new Error('script must declare function process(event, params, headers)');
+  }
+  scripts.set(id, {sandbox: sandbox, context: context,
+                   timeout: (execTimeoutMs > 0 ? execTimeoutMs : 5000)});
+}
+
+function invoke(entry, callScript, eventStr, headersStr) {
+  entry.sandbox.__e = eventStr;
+  entry.sandbox.__h = headersStr;
+  let resStr;
+  try {
+    resStr = callScript.runInContext(entry.context, {timeout: entry.timeout});
+  } catch (e) {
+    // vm timeout ("Script execution timed out...") or an uncaught
+    // realm-side throw outside __runOne's own try (e.g. circular
+    // contexts failing JSON.stringify)
+    const msg = (e && e.message !== undefined) ? e.message : String(e);
+    return {error: 'Error during execution of JavaScript function: [' + msg + ']'};
+  }
+  return JSON.parse(resStr);
 }
 
 const rl = readline.createInterface({input: process.stdin, terminal: false});
@@ -159,7 +218,7 @@ rl.on('line', function (line) {
   }
   if (msg.op === 'compile') {
     try {
-      compile(msg.id, msg.source, msg.params || {});
+      compile(msg.id, msg.source, msg.params_json || '{}', msg.exec_timeout_ms);
       process.stdout.write(JSON.stringify({ok: true}) + '\n');
     } catch (e) {
       const m = (e && e.message !== undefined) ? e.message : String(e);
@@ -167,16 +226,18 @@ rl.on('line', function (line) {
     }
     return;
   }
-  const sandbox = scripts.get(msg.id);
+  const entry = scripts.get(msg.id);
   const raw = msg.op === 'batch2';
   const out = [];
   for (const pair of msg.events) {
-    if (!sandbox) {
+    if (!entry) {
       out.push({error: 'script ' + msg.id + ' not compiled'});
       continue;
     }
-    if (raw) out.push(runOneRaw(sandbox, pair[0], pair[1] || []));
-    else out.push(runOne(sandbox, pair[0] || {}, pair[1] || []));
+    const ev = raw ? (pair[0] || '') : JSON.stringify(pair[0] || {});
+    const hd = (typeof pair[1] === 'string') ? pair[1]
+             : JSON.stringify(pair[1] || []);
+    out.push(invoke(entry, raw ? CALL_RAW : CALL_RUN, ev, hd));
   }
   process.stdout.write(JSON.stringify({results: out}) + '\n');
 });
@@ -185,6 +246,13 @@ rl.on('line', function (line) {
 
 class JsCompileError(ValueError):
     """The user script failed to compile (or lacks process())."""
+
+
+class JsSidecarDeadline(RuntimeError):
+    """The sidecar exceeded the Python-side read deadline (a hang the vm
+    timeout could not interrupt, e.g. Atomics.wait). The process has been
+    killed; the caller must NOT retry the batch — the same script would
+    hang the replacement too."""
 
 
 def node_available() -> bool:
@@ -199,7 +267,8 @@ class NodeJsEngine:
     (source, params) and memoized by content hash.
     """
 
-    def __init__(self, node_bin: str | None = None):
+    def __init__(self, node_bin: str | None = None,
+                 exec_timeout_ms: int = 5000):
         self._node = node_bin or shutil.which("node")
         if self._node is None:
             raise RuntimeError("node binary not found on PATH")
@@ -207,6 +276,10 @@ class NodeJsEngine:
         self._pid = None  # owning python pid — respawn after fork
         self._compiled: set[str] = set()
         self._lock = threading.Lock()
+        # per-event vm timeout inside the sidecar; the Python read
+        # deadline is derived from it so it can only fire on a hang the
+        # vm watchdog could not interrupt (never on a merely-slow script)
+        self._exec_timeout_ms = int(exec_timeout_ms)
 
     # -- process lifecycle --------------------------------------------------
 
@@ -229,11 +302,22 @@ class NodeJsEngine:
                 self._proc.kill()
             self._proc = None
 
-    def _roundtrip(self, obj: dict) -> dict:
+    def _roundtrip(self, obj: dict, deadline_s: float = 60.0) -> dict:
         self._ensure_proc()
         try:
             self._proc.stdin.write(json.dumps(obj, separators=(",", ":")) + "\n")
             self._proc.stdin.flush()
+            # one request line out, one response line back: between
+            # requests the read buffer is empty, so select on the fd is
+            # an accurate readiness signal for the response line
+            ready, _, _ = select.select(
+                [self._proc.stdout], [], [], deadline_s)
+            if not ready:
+                self._proc.kill()
+                self._proc = None
+                raise JsSidecarDeadline(
+                    f"node sidecar unresponsive for {deadline_s:.0f}s "
+                    "(killed; batch degraded to error rows)")
             line = self._proc.stdout.readline()
         except (BrokenPipeError, OSError):
             line = ""
@@ -261,32 +345,48 @@ class NodeJsEngine:
             self._ensure_proc()
             if sid in self._compiled:
                 return sid
-            out = self._roundtrip(
-                {"op": "compile", "id": sid, "source": source, "params": params})
+            out = self._roundtrip(self._compile_msg(sid, source, params))
             if "compile_error" in out:
                 raise JsCompileError(
                     f"Error compiling JavaScript function: [{out['compile_error']}]")
             self._compiled.add(sid)
             return sid
 
+    def _compile_msg(self, sid: str, source: str, params: dict) -> dict:
+        # params cross as a JSON STRING and are parsed inside the user
+        # context's realm — a host-parsed object would hand the script a
+        # host-realm prototype chain to escape through
+        return {"op": "compile", "id": sid, "source": source,
+                "params_json": json.dumps(params, separators=(",", ":")),
+                "exec_timeout_ms": self._exec_timeout_ms}
+
     def _batch(self, op: str, source: str, params: dict,
                events_headers: list) -> list[dict]:
         sid = self.script_id(source, params)
         pairs = [[e, h] for e, h in events_headers]
+        # worst legitimate case is every event burning its full vm
+        # timeout, so this deadline can only fire on an uninterruptible
+        # hang (Atomics.wait) — never on a slow-but-working script
+        deadline = 60.0 + len(pairs) * self._exec_timeout_ms / 1000.0
         for attempt in (0, 1):
             try:
                 with self._lock:
                     self._ensure_proc()
                     if sid not in self._compiled:
-                        out = self._roundtrip({"op": "compile", "id": sid,
-                                               "source": source, "params": params})
+                        out = self._roundtrip(self._compile_msg(sid, source, params))
                         if "compile_error" in out:
                             msg = ("Error compiling JavaScript function: "
                                    f"[{out['compile_error']}]")
                             return [{"error": msg} for _ in pairs]
                         self._compiled.add(sid)
-                    out = self._roundtrip({"op": op, "id": sid, "events": pairs})
+                    out = self._roundtrip({"op": op, "id": sid, "events": pairs},
+                                          deadline_s=deadline)
                 return out["results"]
+            except JsSidecarDeadline as e:
+                # no retry: the replacement sidecar would hang on the
+                # same script; degrade the whole batch to error rows
+                return [{"error": f"Error during execution of JavaScript "
+                                  f"function: [{e}]"} for _ in pairs]
             except RuntimeError as e:
                 if attempt == 1:
                     return [{"error": f"Error during execution of JavaScript "

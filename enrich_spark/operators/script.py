@@ -13,7 +13,9 @@ per-row JSON serialization is amortized across Arrow record batches;
         -> None                      # keep, unchanged
          | {"drop": True}            # drop the event (OptionIor None)
          | {"error": "..."}          # EnrichmentFailure with this message
-         | {"event": {...mutations}, # mutate atomic fields
+         | {"event": {...mutations}, # mutate atomic fields (absent key =
+                                     # keep; explicit None = clear, the
+                                     # reference's mutate-to-null)
             "contexts": [{"schema": ..., "data": {...}}],  # extra derived
             "replace_contexts": bool}  # use_derived_contexts_from_js_
                                        # enrichment_only (scala:189-200)
@@ -53,6 +55,13 @@ from .sql_enrichments import (
 
 _MUTABLE_KINDS = {"s": str, "i": int, "f": float, "b": int}
 
+# Mutation-override sentinel: "clear this field". The reference mutates
+# the event object in place, so setting a field to null (or deleting it)
+# removes the value (scala:176-185); an unmarked None in the override
+# column means "unchanged" instead, so explicit nulls need a distinct
+# representation that survives the string override column.
+NULL_MUT = "\x00\x00null"
+
 
 def _script_run_one(fn, params, mutable, event_json, headers):
     """Per-event hook invocation → result tuple (drop, error, contexts,
@@ -85,7 +94,9 @@ def _ctxs_json(ctxs) -> str | None:
 
 def _hook_result_to_row(out, mutable):
     """Hook-contract result dict → result tuple. Mutations are expressed
-    as full-string overrides; None / absent = keep the original value."""
+    as full-string overrides; an ABSENT key keeps the original value, an
+    explicit None clears the field (reference in-place-mutation-to-null
+    semantics, scala:176-185, carried by the NULL_MUT sentinel)."""
     nil = tuple([None] * len(mutable))
     if out is None:
         return (False, None, None, None) + nil
@@ -97,7 +108,7 @@ def _hook_result_to_row(out, mutable):
     mutations = out.get("event", {})
     muts = tuple(
         None if c not in mutations else
-        (None if mutations[c] is None else str(mutations[c]))
+        (NULL_MUT if mutations[c] is None else str(mutations[c]))
         for c in mutable
     )
     replace = bool(out.get("replace_contexts")) or None
@@ -125,11 +136,16 @@ def _engine_result_to_row(res, orig_event, mutable):
         return (False, res["error"], None, None) + nil
     ctxs = _ctxs_json(res.get("contexts"))
     ev = res.get("event") or {}
-    muts = tuple(
-        None if (c not in ev or ev.get(c) == orig_event.get(c)
-                 or ev.get(c) is None) else _mut_str(ev[c])
-        for c in mutable
-    )
+
+    def mut(c):
+        # to_json omits null struct fields, so orig_event holds exactly
+        # the non-null originals: a field the script nulled OR deleted
+        # clears the value (NULL_MUT); equal values are "unchanged"
+        if ev.get(c) is None:
+            return NULL_MUT if orig_event.get(c) is not None else None
+        return None if ev[c] == orig_event.get(c) else _mut_str(ev[c])
+
+    muts = tuple(mut(c) for c in mutable)
     replace = bool(res.get("replace")) or None
     return (False, None, ctxs, replace) + muts
 
@@ -145,7 +161,8 @@ def _raw_result_to_row(res, mutable):
     ctxs = res.get("contexts_json")
     changed = res.get("changed") or {}
     muts = tuple(
-        None if changed.get(c) is None else _mut_str(changed[c])
+        None if c not in changed else
+        (NULL_MUT if changed[c] is None else _mut_str(changed[c]))
         for c in mutable
     )
     replace = bool(res.get("replace")) or None
@@ -211,8 +228,13 @@ def script_enrichment(df: DataFrame, conf: JavascriptScriptConf,
     for c in mutable:
         new = F.col("_script").getField(f"_m_{c}")
         kind = kinds[c]
-        typed = new.cast({"s": "string", "i": "int", "f": "float", "b": "byte"}[kind])
-        cols[c] = F.coalesce(typed, F.col(c))
+        sqlt = {"s": "string", "i": "int", "f": "float", "b": "byte"}[kind]
+        typed = new.cast(sqlt)
+        # NULL_MUT = the script explicitly cleared the field; plain null
+        # = unchanged (coalesce back to the original); an uncastable
+        # mutation also keeps the original
+        cols[c] = F.when(new == F.lit(NULL_MUT), F.lit(None).cast(sqlt)) \
+                   .otherwise(F.coalesce(typed, F.col(c)))
     new_ctxs = F.coalesce(
         F.from_json(F.col("_script").getField("_script_contexts"),
                     "array<struct<schema:string,data:string>>"),
@@ -339,7 +361,17 @@ def _node_hook(source: str, extra: dict,
         res = _se().eval_batch(_src, {**_p, **p}, [(event, headers)])[0]
         if res.get("drop") or res.get("error") is not None:
             return res
-        return {"event": res.get("event") or {},
+        # the engine returns the FULL mutated event; the hook contract
+        # wants a mutation diff (absent = keep, None = clear), so diff
+        # against the original — a field the script nulled or deleted
+        # becomes an explicit None
+        ev = res.get("event") or {}
+        muts = {k: v for k, v in ev.items()
+                if k not in event or event[k] != v}
+        for k in event:
+            if k not in ev:
+                muts[k] = None
+        return {"event": muts,
                 "contexts": res.get("contexts") or [],
                 "replace_contexts": res.get("replace", False)}
 

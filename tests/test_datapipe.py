@@ -760,6 +760,66 @@ def test_duplicate_substring_windows(spark):
     assert len(got2[2].dup_spans) == 2
 
 
+def test_remove_duplicate_spans(spark):
+    """Span application (Lee et al. 2022's actual output): duplicated
+    runs are CUT from the text. Covers the boundary edges — staggered
+    overlapping windows chaining into one span, spans at the doc head
+    and tail, clean/short/null docs."""
+    docs = spark.createDataFrame([
+        (1, "x1 a1 a2 a3 a4 a5 a6 a7 a8 b1 b2 x2"),
+        (2, "a1 a2 a3 a4 a5 a6 a7 a8 yy zz"),
+        (3, "a3 a4 a5 a6 a7 a8 b1 b2 qq rr"),
+        (4, "clean words only in this document nothing repeated anywhere today"),
+        (5, "tiny"),
+        (6, None),
+    ], "doc_id INT, text STRING")
+    sub = {r.doc_id: r for r in
+           dedup.duplicate_substring_windows(docs, k=8).collect()}
+    # doc 1's dup windows sit at pos 2 (vs doc 2) and pos 4 (vs doc 3):
+    # starts differ by 2 < k but their word coverage overlaps, so they
+    # chain into ONE span [2, 11] — not two overlapping spans
+    assert [(s.start, s.end) for s in sub[1].dup_spans] == [(2, 11)]
+
+    got = {r.doc_id: r for r in
+           dedup.remove_duplicate_spans(docs, k=8).collect()}
+    assert got[1].cleaned_text == "x1 x2"
+    assert got[1].n_words == 12 and got[1].removed_words == 10
+    assert got[1].n_spans == 1
+    # span at the doc head / tail
+    assert got[2].cleaned_text == "yy zz" and got[2].removed_words == 8
+    assert got[3].cleaned_text == "qq rr" and got[3].removed_words == 8
+    assert got[4].removed_words == 0
+    assert got[4].cleaned_text.startswith("clean words")
+    assert got[5].cleaned_text == "tiny" and got[5].removed_words == 0
+    assert got[6].cleaned_text == "" and got[6].n_spans == 0
+
+
+def test_contamination_check_multi(spark):
+    """Multi-eval-set decontamination: per-set n-gram size and the
+    min_overlap_windows threshold; clean (doc, set) pairs are omitted."""
+    q1 = "what is the capital of france and when was it founded"
+    q2 = "solve for x in the equation two x plus five equals eleven yes"
+    docs = spark.createDataFrame([
+        (1, f"page with {q1} inside it plus extra padding words"),
+        (2, f"prefix {q2} trailing"),
+        (3, "clean doc nothing shared with any benchmark here at all today"),
+    ], "doc_id INT, text STRING")
+    b1 = spark.createDataFrame([(q1,)], "text STRING")
+    b2 = spark.createDataFrame([(q2,)], "text STRING")
+    rows = dedup.contamination_check_multi(
+        docs, [("qa", b1, 8), ("math", b2, 13)],
+        min_overlap_windows=2).collect()
+    got = {(r.doc_id, r.benchmark): r for r in rows}
+    assert set(got) == {(1, "qa"), (2, "math")}
+    r1 = got[(1, "qa")]
+    # the 11-word question embeds 4 of doc 1's 8-grams → over threshold
+    assert r1.k == 8 and r1.contaminated_windows == 4 and r1.contaminated
+    r2 = got[(2, "math")]
+    # exactly one 13-gram hit → marked but UNDER the threshold
+    assert r2.k == 13 and r2.contaminated_windows == 1
+    assert not r2.contaminated
+
+
 def test_contamination_check(spark):
     """Benchmark decontamination: training docs sharing any exact k-word
     window with the benchmark corpus are marked, with fraction and the

@@ -402,6 +402,82 @@ def test_javascript_node_execution(spark):
     assert any("Error compiling JavaScript" in e for e in out._enrich_errors)
 
 
+def test_javascript_sidecar_isolation_timeout_and_null_mutation(spark):
+    """Confinement + robustness of the Node sidecar: (a) prototype-walk
+    escapes resolve to realm-local objects, never the host process; (b) a
+    runaway script hits the per-event vm timeout and degrades to an error
+    row without hanging or poisoning the engine; (c) a script that nulls
+    or deletes an atomic field clears it end-to-end (reference in-place
+    mutate-to-null, JavascriptScriptEnrichment.scala:176-185)."""
+    import base64
+
+    import pytest
+
+    from enrich_spark.functions.jsengine import NodeJsEngine, node_available
+    from enrich_spark.operators.script import (
+        javascript_config_to_hook, script_enrichment,
+    )
+
+    if not node_available():
+        pytest.skip("node not on PATH")
+
+    eng = NodeJsEngine(exec_timeout_ms=1000)
+    try:
+        # (a) the advisor's exploit plus a params-prototype variant: both
+        # must come back with no pid / no env (realm-local `process` is
+        # the user's own function, not the host object)
+        esc = """function process(event, params, headers) {
+            var a = Object.constructor('return process')();
+            var b = params.constructor.constructor('return process')();
+            return [{schema: 'iglu:x/x/jsonschema/1-0-0',
+                     data: {apid: typeof a.pid, aenv: typeof a.env,
+                            bpid: typeof b.pid, benv: typeof b.env}}];
+        }"""
+        [res] = eng.eval_batch(esc, {"k": 1}, [({}, [])])
+        got = res["contexts"][0]["data"]
+        assert got == {"apid": "undefined", "aenv": "undefined",
+                       "bpid": "undefined", "benv": "undefined"}
+
+        # (b) infinite loop → timed-out error row; engine stays usable
+        loop = "function process(e, p, h) { while (true) {} }"
+        [res] = eng.eval_batch(loop, {}, [({}, [])])
+        assert "timed out" in res["error"]
+        ok = "function process(e, p, h) { e.app_id = 'alive'; return null; }"
+        [res] = eng.eval_batch(ok, {}, [({"app_id": "x"}, [])])
+        assert res["event"]["app_id"] == "alive"
+    finally:
+        eng.close()
+
+    # (c) null-out through the full operator, node batch2 path
+    js = """function process(event, params, headers) {
+        event.user_id = null;
+        delete event.app_id;
+        event.platform = 'web';
+        return null;
+    }"""
+    cfg = {"data": {"parameters": {
+        "script": base64.b64encode(js.encode()).decode()}}}
+    hook = javascript_config_to_hook(cfg)
+    df = spark.createDataFrame(
+        [("a1", "u1", "srv", None)],
+        "app_id STRING, user_id STRING, platform STRING, headers ARRAY<STRING>",
+    )
+    for batched in (True, False):
+        out = script_enrichment(df, hook, batched=batched).collect()[0]
+        assert out.user_id is None and out.app_id is None
+        assert out.platform == "web"
+
+    # same contract for the Python hook: absent = keep, None = clear
+    from enrich_spark.config import JavascriptScriptConf
+
+    def py_hook(event, params, headers):
+        return {"event": {"user_id": None}}
+
+    out = script_enrichment(
+        df, JavascriptScriptConf(function=py_hook, params={})).collect()[0]
+    assert out.user_id is None and out.app_id == "a1"
+
+
 def test_pii_json_mutator_batched_matches_row_mode(spark):
     from enrich_spark.config import PiiJsonFieldConf
 
