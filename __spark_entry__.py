@@ -36,6 +36,23 @@ def _fan(df: DataFrame, spark: SparkSession) -> DataFrame:
 US = "\x1f"  # fingerprint unit separator
 DUCK_US = "chr(31)"
 
+# Synthesized-fixture cache: queries that persist() a generated input
+# (thrift payloads, gzip archives, media bytes) must reuse ONE
+# materialized copy per (fixture, sf_dir, session) — re-persisting on
+# every invocation stacks never-freed storage blocks that squeeze
+# execution memory for every LATER query in the same JVM (measured as a
+# creeping suite-wide slowdown across a bench run).
+_FIXTURE_CACHE: dict = {}
+
+
+def _cached_fixture(spark: SparkSession, name: str, sf_dir: str, builder):
+    key = (name, sf_dir, spark.sparkContext.applicationId)
+    df = _FIXTURE_CACHE.get(key)
+    if df is None:
+        df = builder().persist()
+        _FIXTURE_CACHE[key] = df
+    return df
+
 
 def _union_parts(parts, fill=()):
     """Merge several sub-queries into ONE registered query (the driver's
@@ -405,6 +422,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["schema_fields"] = q_schema_fields
+
+    # YAUAA-format ruleset for the yauaa_classify "rules" part: real
+    # matcher YAML (require / variable / extract / confidence / LookUp /
+    # CleanVersion) over the simplified agent tree
+    # (operators/yauaa_rules.py), outcomes CASE-predictable per fixture UA
+    _YAUAA_RULES_YAML = """
+config:
+- matcher:
+    extract:
+    - 'AgentName : 1000 : agent.product.name="Chrome"^.name'
+    - 'AgentVersion : 1000 : agent.product.name="Chrome"^.version'
+    - 'LayoutEngineName : 500 : "Blink"'
+- matcher:
+    variable:
+    - 'SafVer: agent.product.name="Version"^.version'
+    require:
+    - 'agent.product.name="Mobile"'
+    extract:
+    - 'AgentName : 2000 : "Mobile Safari"'
+    - 'AgentVersion : 2000 : @SafVer'
+    - 'LayoutEngineName : 1000 : "WebKit"'
+- matcher:
+    extract:
+    - 'AgentName : 1000 : agent.product.name="Firefox"^.name'
+    - 'AgentVersion : 1000 : agent.product.name="Firefox"^.version'
+    - 'LayoutEngineName : 500 : "Gecko"'
+- matcher:
+    require:
+    - 'agent.(1)product.entry.text="Googlebot/2.1"'
+    extract:
+    - 'AgentName : 5000 : "Googlebot"'
+    - 'AgentVersion : 5000 : "2.1"'
+    - 'DeviceClass : 5000 : "Robot"'
+- matcher:
+    variable:
+    - 'WinEntry: agent.(1)product.entry.text="Windows NT 10.0"'
+    extract:
+    - 'OperatingSystemName : 1000 : LookUp[OSNames;@WinEntry]'
+    - 'OperatingSystemVersion : 1000 : "10"'
+    - 'DeviceClass : 500 : "Desktop"'
+- matcher:
+    require:
+    - 'agent.(1)product.entry.text="Android 14"'
+    extract:
+    - 'OperatingSystemName : 1000 : "Android"'
+    - 'OperatingSystemVersion : 1000 : "14"'
+- matcher:
+    require:
+    - 'agent.(1)product.entry.text="iPhone"'
+    extract:
+    - 'OperatingSystemName : 1000 : "iOS"'
+    - 'OperatingSystemVersion : 1000 : CleanVersion["17_0"]'
+    - 'DeviceClass : 1000 : "Phone"'
+    - 'DeviceName : 1000 : "iPhone"'
+    - 'DeviceBrand : 1000 : "Apple"'
+- matcher:
+    require:
+    - 'agent.(1)product.entry.text="Pixel 8"'
+    extract:
+    - 'DeviceClass : 1000 : "Phone"'
+    - 'DeviceName : 1000 : "Pixel 8"'
+    - 'DeviceBrand : 1000 : "Google"'
+- lookup:
+    name: 'OSNames'
+    map:
+      "Windows NT 10.0": "Windows"
+"""
 
     # exact uap-core rules used by the ua_classify "uap" part: tiny,
     # deterministic, outcomes CASE-predictable per fixture UA
@@ -1296,7 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         yctx = F.try_element_at(
             F.filter(F.col("_derived"), lambda c: c.getField("schema").contains("yauaa")), F.lit(1)
         ).getField("data")
-        return res.good.select(
+        native = res.good.select(
             F.col("src_event_id").cast("long").alias("src_event_id"),
             F.get_json_object(yctx, "$.deviceClass").alias("device_class"),
             F.get_json_object(yctx, "$.agentName").alias("agent_name"),
@@ -1310,6 +1394,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.get_json_object(yctx, "$.layoutEngineNameVersion").alias("engine"),
             F.get_json_object(yctx, "$.agentNameVersionMajor").alias("agent_nvm"),
         )
+
+        # "rules" part: YAUAA-format BYO ruleset through the matcher
+        # engine (operators/yauaa_rules.py) — distinct-UA Arrow walk +
+        # broadcast join, confidence-resolved extracts, LookUp /
+        # CleanVersion / variable / up-step path semantics
+        from enrich_spark.operators.yauaa_rules import (
+            load_yauaa_rules, yauaa_context_rules,
+        )
+
+        yrules = load_yauaa_rules(text=_YAUAA_RULES_YAML)
+        fresh = _raw_events(spark, sf).select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            "useragent")
+        rl = yauaa_context_rules(fresh, yrules)
+        rctx = F.try_element_at(
+            F.filter(F.col("_derived"),
+                     lambda c: c.getField("schema").contains("yauaa")),
+            F.lit(1),
+        ).getField("data")
+        rules = rl.select(
+            "src_event_id",
+            F.get_json_object(rctx, "$.agentName").alias("agent_name"),
+            F.get_json_object(rctx, "$.agentVersion").alias("agent_version"),
+            F.get_json_object(rctx, "$.operatingSystemName").alias("os_name"),
+            F.get_json_object(rctx, "$.operatingSystemVersion").alias("os_version"),
+            F.get_json_object(rctx, "$.deviceClass").alias("device_class"),
+            F.get_json_object(rctx, "$.deviceName").alias("device_name"),
+            F.get_json_object(rctx, "$.layoutEngineName").alias("engine_name"),
+        )
+        return _union_parts([("native", native), ("rules", rules)])
 
     q["yauaa_classify"] = q_yauaa
 
@@ -1664,12 +1778,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  "archive": [encode_batch(payloads)]}
             )
 
-        # persist the generated archives: they are the test FIXTURE (a few
+        # cache the generated archives: they are the test FIXTURE (a few
         # MB), not the operator under measurement — deployments read
         # already-compressed archives from the stream/object store
-        archives = base.groupBy("batch_id").applyInPandas(
-            build, "batch_id long, archive binary"
-        ).persist()
+        archives = _cached_fixture(
+            spark, "gzip_archives", sf,
+            lambda: base.groupBy("batch_id").applyInPandas(
+                build, "batch_id long, archive binary"))
         rec = explode_messages(archives, "archive", max_bytes_single_payload=4096)
         ok = F.col("decompress_error").isNull()
         return rec.groupBy("batch_id").agg(
@@ -1720,10 +1835,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             })
 
         build_udf = F.udf(build, T.BinaryType())
-        ev = _load_events(spark, sf).select(
-            F.col("event_id").alias("src_event_id"),
-            build_udf("event_id", "user_id", F.unix_micros("ts")).alias("value"),
-        ).persist()  # fixture, not the operator under measurement
+        ev = _cached_fixture(  # fixture, not the operator under measurement
+            spark, "thrift_payloads", sf,
+            lambda: _load_events(spark, sf).select(
+                F.col("event_id").alias("src_event_id"),
+                build_udf("event_id", "user_id",
+                          F.unix_micros("ts")).alias("value")))
         out = load_thrift(ev)
         return out.select(
             F.col("src_event_id").cast("long"),
@@ -2516,7 +2633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # production input never pays; media arrives already encoded)
         from enrich_spark.datapipe.multimodal import attach_media_meta, decode_features
 
-        media = _media_docs(spark, sf).persist()
+        media = _cached_fixture(
+            spark, "media_docs", sf, lambda: _media_docs(spark, sf))
         df = attach_media_meta(media)
         out = decode_features(
             df, id_col="doc_id", binary_col="media", passthrough=("media_meta",)
@@ -2536,6 +2654,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "multimodal_decode": q_media_decode_bench,
         "dedup_exact": _exact_part,
+        # bench measures the PPJoin prefix-filter path (the 100 TB scale
+        # path); the oracle bundle also re-runs blocked pairs + iterative
+        # cluster propagation, which would dominate the timing
+        "dedup_ngram_jaccard": q_ngram_prefix,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -3112,7 +3234,42 @@ def oracle_sql() -> dict[str, str]:
 
     # client hints (uid%5=0: full hint set w/ GREASE skip + brand
     # preference + platform override; uid%5=2: Chromium-only list + ?1)
-    o["yauaa_classify"] = """
+    _yauaa_oracle_parts = [
+        ("native", None,  # SQL filled in just below, where it's defined
+         {"src_event_id": "num", "device_class": "str", "agent_name": "str",
+          "agent_version": "str", "os_name": "str", "os_name_version": "str",
+          "device_name": "str", "device_brand": "str", "os_class": "str",
+          "os_version": "str", "engine": "str", "agent_nvm": "str"}),
+        ("rules", """
+            SELECT e.event_id AS src_event_id,
+                   CASE e.user_id % 5 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Mobile Safari'
+                        WHEN 2 THEN 'Chrome' WHEN 3 THEN 'Googlebot'
+                        ELSE 'Firefox' END AS agent_name,
+                   CASE e.user_id % 5 WHEN 0 THEN '120.0.0.0' WHEN 1 THEN '17.0'
+                        WHEN 2 THEN '121.0.0.0' WHEN 3 THEN '2.1'
+                        ELSE '122.0' END AS agent_version,
+                   CASE e.user_id % 5 WHEN 0 THEN 'Windows' WHEN 1 THEN 'iOS'
+                        WHEN 2 THEN 'Android' WHEN 3 THEN 'Unknown'
+                        ELSE 'Windows' END AS os_name,
+                   CASE e.user_id % 5 WHEN 0 THEN '10' WHEN 1 THEN '17.0'
+                        WHEN 2 THEN '14' WHEN 3 THEN '??'
+                        ELSE '10' END AS os_version,
+                   CASE e.user_id % 5 WHEN 0 THEN 'Desktop' WHEN 1 THEN 'Phone'
+                        WHEN 2 THEN 'Phone' WHEN 3 THEN 'Robot'
+                        ELSE 'Desktop' END AS device_class,
+                   CASE e.user_id % 5 WHEN 1 THEN 'iPhone' WHEN 2 THEN 'Pixel 8'
+                        ELSE 'Unknown' END AS device_name,
+                   CASE e.user_id % 5 WHEN 0 THEN 'Blink' WHEN 1 THEN 'WebKit'
+                        WHEN 2 THEN 'Blink' WHEN 3 THEN 'Unknown'
+                        ELSE 'Gecko' END AS engine_name
+            FROM events e
+        """,
+         {"src_event_id": "num", "agent_name": "str", "agent_version": "str",
+          "os_name": "str", "os_version": "str", "device_class": "str",
+          "device_name": "str", "engine_name": "str"}),
+    ]
+
+    _YAUAA_NATIVE_SQL = """
         SELECT e.event_id AS src_event_id,
                CASE e.user_id % 5 WHEN 0 THEN 'Desktop' WHEN 1 THEN 'Phone'
                     WHEN 2 THEN 'Phone' WHEN 3 THEN 'Robot' ELSE 'Desktop' END AS device_class,
@@ -3140,6 +3297,9 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'Firefox 122' END AS agent_nvm
         FROM events e
     """
+    _yauaa_oracle_parts[0] = ("native", _YAUAA_NATIVE_SQL,
+                              _yauaa_oracle_parts[0][2])
+    o["yauaa_classify"] = _union_oracle(_yauaa_oracle_parts)
 
     o["iglu_validation"] = """
         SELECT e.event_id AS src_event_id,

@@ -45,12 +45,18 @@ def main():
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_ngram_jaccard",    # PPJoin prefix-filter candidate join
+        "dedup_despan",           # substring-dup span CUT (Lee et al. 2022)
+        "decontam_multi",         # multi-eval-set n-gram decontamination
         "ann_cosine_topk",
         "ann_ivf_topk",           # IVF scale path: map-side list assignment
+        "ann_lsh_topk",           # hyperplane-LSH bucketed top-k
         "embedding_dup_pairs",
         "text_quality_score",
         "text_token_counts",
+        "text_language_id",       # trigram + Unicode-script language ID
         "doc_fingerprint",
+        "multimodal_frames",      # native frame-sample sequence+explode
         "multimodal_decode",      # mapInPandas media decode (real kernels)
         "script_js",              # real-JS enrichment via the Node sidecar
     ]

@@ -212,7 +212,13 @@ def yauaa_context(df: DataFrame) -> DataFrame:
 
     DIVERGENCE NOTE: YAUAA is a JVM-only analyzer; we emit the same
     context shape (deviceClass/agentName/agentVersion/osName…) from the
-    native ruleset above."""
+    native ruleset above. For rules-driven fidelity, bring a
+    YAUAA-format YAML ruleset: operators/yauaa_rules.py implements the
+    matcher file format (require/variable/extract/confidence/lookups
+    with a documented path-expression subset) over a simplified agent
+    tree, classifying DISTINCT useragents and broadcast-joining back —
+    exotic UA strings then classify exactly as the rules say, not as
+    this module's built-in regexes guess."""
     df = ensure_derived(df)
     df, cols = _ua_cols(df)
     ua = F.col("useragent")

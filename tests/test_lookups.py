@@ -260,6 +260,106 @@ device_parsers:
     assert ctx[6] is None
 
 
+def test_yauaa_rules_engine(spark):
+    """YAUAA-format BYO ruleset (operators/yauaa_rules.py): matcher
+    require/variable/extract with confidence resolution, LookUp and
+    CleanVersion functions, ^ up-steps, the no-fixed-values-alone
+    evidence rule, and loud rejection of unsupported constructs."""
+    import pytest
+
+    from enrich_spark.operators import yauaa_rules as yr
+
+    RULES = """
+config:
+- lookup:
+    name: 'OSNames'
+    map:
+      "windows nt 10.0": "Windows 10"
+- matcher:
+    extract:
+    - 'AgentName : 2000 : agent.product.name="Chrome"^.name'
+    - 'AgentVersion : 2000 : agent.product.name="Chrome"^.version'
+    - 'LayoutEngineName : 500 : "Blink"'
+- matcher:
+    require:
+    - 'agent.product.name="Edg"'
+    extract:
+    - 'AgentName : 3000 : "Edge"'
+    - 'AgentVersion : 3000 : agent.product.name="Edg"^.version'
+- matcher:
+    variable:
+    - 'WinEntry: agent.(1)product.entry.text="Windows NT 10.0"'
+    extract:
+    - 'OperatingSystemName : 1000 : LookUp[OSNames;@WinEntry;"Other OS"]'
+- matcher:
+    require:
+    - 'agent.product.name="Firefox"'
+    extract:
+    - 'AgentVersion : 1000 : CleanVersion[agent.product.name="Firefox"^.version]'
+"""
+    rules = yr.load_yauaa_rules(text=RULES)
+    assert len(rules["matchers"]) == 4 and "OSNames" in rules["lookups"]
+
+    chrome = ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+              "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36")
+    got = yr.evaluate_matchers(chrome, rules)
+    assert got["AgentName"] == "Chrome"
+    assert got["AgentVersion"] == "120.0.0.0"
+    assert got["LayoutEngineName"] == "Blink"
+    assert got["OperatingSystemName"] == "Windows 10"
+
+    # higher confidence wins: Edge (3000) shadows Chrome (2000)
+    got = yr.evaluate_matchers(chrome + " Edg/121.0.1", rules)
+    assert got["AgentName"] == "Edge" and got["AgentVersion"] == "121.0.1"
+
+    # CleanVersion underscores→dots; no Chrome product → no Blink
+    # (literal extracts need PATH evidence in the same matcher)
+    ff = "Mozilla/5.0 (X11; rv:122.0) Gecko/20100101 Firefox/122_0"
+    got = yr.evaluate_matchers(ff, rules)
+    assert got["AgentVersion"] == "122.0"
+    assert "AgentName" not in got and "LayoutEngineName" not in got
+    assert yr.evaluate_matchers("", rules) == {}
+
+    # Concat / word ranges / index ranges
+    extra = yr.load_yauaa_rules(text="""
+config:
+- matcher:
+    extract:
+    - 'ANV : 100 : Concat[agent.product.name="Chrome"^.name;" ";agent.product.name="Chrome"^.version]'
+    - 'OS2W : 100 : agent.(1)product.(1)comments.(1)entry.text[1-2]'
+    - 'P23 : 100 : agent.(2-3)product.name'
+""")
+    got = yr.evaluate_matchers(chrome, extra)
+    assert got["ANV"] == "Chrome 120.0.0.0"
+    assert got["OS2W"] == "Windows NT"  # first two words of the entry
+    assert got["P23"] == "AppleWebKit"  # first of products 2..3
+
+    # unsupported constructs fail LOUDLY at load time
+    with pytest.raises(ValueError, match="IsNull"):
+        yr.load_yauaa_rules(
+            text="config:\n- matcher:\n    require:\n    - 'IsNull[agent.product]'\n")
+    with pytest.raises(ValueError, match="unsupported YAUAA function"):
+        yr.load_yauaa_rules(
+            text="config:\n- matcher:\n    extract:\n"
+                 "    - 'AgentName : 1 : NormalizeBrand[agent.product.name]'\n")
+
+    # Spark operator: distinct-UA walk + broadcast join + defaults
+    df = spark.createDataFrame(
+        [(1, chrome), (2, "UnknownBot/1.0"), (3, None)],
+        "id INT, useragent STRING")
+    out = yr.yauaa_context_rules(df, rules)
+    ctx = {}
+    for r in out.collect():
+        hits = [c for c in (r._derived or []) if "yauaa" in c.schema]
+        ctx[r.id] = json.loads(hits[0].data) if hits else None
+    assert ctx[1]["agentName"] == "Chrome"
+    assert ctx[1]["operatingSystemName"] == "Windows 10"
+    # YAUAA defaults where no matcher fired: Unknown / ??
+    assert ctx[2]["agentName"] == "Unknown"
+    assert ctx[2]["agentVersion"] == "??"
+    assert ctx[3] is None  # null UA → no context
+
+
 def test_referer_db_yaml_loader(spark, tmp_path):
     p = tmp_path / "referers.yml"
     p.write_text("""

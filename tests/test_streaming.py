@@ -437,6 +437,62 @@ def test_streaming_sessionize_late_event_widens_session(spark):
             q.stop()
 
 
+def test_streaming_sessionize_drops_data_older_than_watermark(spark):
+    """Event-time older than the watermark is DROPPED by the watermark
+    operator before the stateful function sees it (the documented
+    at-most-once contract for stragglers): no session row, no state key.
+    Batch sessionize has no watermark and would include the event — a
+    documented streaming-only divergence, bounded by the watermark lag
+    the deployment chooses."""
+    import datetime as dt
+
+    from enrich_spark.datapipe.session import streaming_sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def rows(batch):
+        return spark.createDataFrame(batch, "user_id STRING, ts TIMESTAMP")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in")
+        os.makedirs(src)
+        # b0 advances the watermark to (t0+1h − 10min)
+        rows([("a", t0), ("w", t0 + dt.timedelta(hours=1))]).write.parquet(
+            os.path.join(src, "b0"))
+        source = (
+            spark.readStream.schema("user_id STRING, ts TIMESTAMP")
+            .option("recursiveFileLookup", "true").parquet(src)
+        )
+        out = streaming_sessionize(source, gap_seconds=1800,
+                                   watermark="10 minutes")
+        q = (out.writeStream.format("memory").queryName("sess_wm")
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+        try:
+            q.processAllAvailable()
+            # 'late' arrives with event time t0 — a full hour behind the
+            # already-advanced watermark → must be dropped entirely
+            rows([("late", t0)]).write.parquet(os.path.join(src, "b1"))
+            q.processAllAvailable()
+            # by now the watermark (t0+50min) has also timed out 'a'
+            # (timeout t0+30min) — remaining state is 'w' alone; the
+            # point: 'late' must NOT have created a state key
+            state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+            assert state_rows == 1
+            # flush everything via timeout
+            rows([("a", t0 + dt.timedelta(hours=9))]).write.parquet(
+                os.path.join(src, "b2"))
+            q.processAllAvailable()
+            rows([("a", t0 + dt.timedelta(hours=20))]).write.parquet(
+                os.path.join(src, "b3"))
+            q.processAllAvailable()
+            users = {r.user for r in spark.sql("SELECT * FROM sess_wm").collect()}
+            assert "late" not in users
+            assert {"a", "w"} <= users
+        finally:
+            q.stop()
+
+
 def test_streaming_sessionize_null_ts_does_not_leak_state(spark):
     import datetime as dt
 
