@@ -2259,6 +2259,69 @@ config:
 
     q["decontam_multi"] = q_decontam_multi
 
+    def q_text_pii_scrub(spark, sf):
+        # corpus PII scrubbing (datapipe/curation.scrub_text_pii):
+        # deterministic synthetic PII appended per doc so the oracle can
+        # replay the redaction; phones off — their boundary lookarounds
+        # are Java-regex-only (RE2/DuckDB can't mirror them; unit-tested
+        # instead)
+        from enrich_spark.datapipe.curation import scrub_text_pii
+
+        docs = _load_docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or admin@host"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.org via 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."), (F.col("doc_id") % 200).cast("string"),
+            ).alias("text"),
+        )
+        return scrub_text_pii(docs, scrub_phones=False).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "scrubbed_text",
+            F.col("n_emails").cast("long").alias("n_emails"),
+            F.col("n_ips").cast("long").alias("n_ips"),
+        )
+
+    q["text_pii_scrub"] = q_text_pii_scrub
+
+    def q_data_mix(spark, sf):
+        # part "sample": deterministic stratified sampling (md5 bucket
+        # so DuckDB replays the exact kept-set; xxhash64 is the scale
+        # default); part "pack": fixed-budget sequence packing via one
+        # window cumsum per source group
+        from enrich_spark.datapipe.curation import (
+            pack_sequences, stratified_sample,
+        )
+
+        docs = _load_docs(spark, sf)
+        bucket = (
+            F.conv(F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":7"))),
+                1, 15), 16, 10).cast("long") % 1_000_000
+        )
+        samp = stratified_sample(
+            docs, {"src0": 0.8, "src1": 0.5, "src2": 0.25},
+            seed=7, default_fraction=0.1, bucket=bucket,
+        ).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "source")
+        pack = pack_sequences(docs, budget_tokens=256).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("group").alias("source"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "seq_id",
+            F.col("seq_pos").cast("long").alias("seq_pos"),
+        )
+        return _union_parts(
+            [("sample", samp), ("pack", pack)],
+            fill=("n_tokens", "seq_pos"),
+        )
+
+    q["data_mix"] = q_data_mix
+
     def q_minhash_sig(spark, sf):
         from enrich_spark.datapipe.dedup import md5_hash_family, minhash_signature, shingles
 
@@ -3689,6 +3752,64 @@ def oracle_sql() -> dict[str, str]:
                  AS contaminated
         FROM (SELECT * FROM hit8 UNION ALL SELECT * FROM hit13)
     """
+
+    _pii_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _pii_ip = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    o["text_pii_scrub"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or admin@host' || CAST(doc_id % 7 AS VARCHAR)
+                      || '.example.org via 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.0.' || CAST(doc_id % 200 AS VARCHAR) AS t
+          FROM documents
+        ),
+        em AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(t, '{_pii_email}')) AS n_emails,
+                 regexp_replace(t, '{_pii_email}', '<EMAIL>', 'g') AS t1
+          FROM d
+        )
+        SELECT doc_id,
+               regexp_replace(t1, '{_pii_ip}', '<IP>', 'g') AS scrubbed_text,
+               CAST(n_emails AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t1, '{_pii_ip}')) AS BIGINT) AS n_ips
+        FROM em
+    """
+
+    _mix_bucket = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15)) AS BIGINT) % 1000000"
+    o["data_mix"] = _union_oracle([
+        ("sample", f"""
+            SELECT doc_id, source FROM documents
+            WHERE {_mix_bucket} <
+                  CASE source WHEN 'src0' THEN 800000 WHEN 'src1' THEN 500000
+                       WHEN 'src2' THEN 250000 ELSE 100000 END
+        """, {"doc_id": "num", "source": "str"}),
+        ("pack", """
+            WITH d AS (
+              SELECT doc_id, source,
+                     len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, source, n_tokens,
+                     COALESCE(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+              FROM d
+            ),
+            b AS (
+              SELECT doc_id, source, n_tokens,
+                     source || '#' || CAST(cum // 256 AS VARCHAR) AS seq_id
+              FROM c
+            )
+            SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, seq_id,
+                   CAST(row_number() OVER (PARTITION BY seq_id ORDER BY doc_id) - 1
+                        AS BIGINT) AS seq_pos
+            FROM b
+        """, {"doc_id": "num", "source": "str", "n_tokens": "num",
+              "seq_id": "str", "seq_pos": "num"}),
+    ])
 
     _norm = "trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))"
     _words = f"list_distinct(string_split({_norm}, ' '))"

@@ -55,6 +55,8 @@ def main():
         "text_quality_score",
         "text_token_counts",
         "text_language_id",       # trigram + Unicode-script language ID
+        "text_pii_scrub",         # native regexp PII redaction + counts
+        "data_mix",               # stratified sampling + sequence packing
         "doc_fingerprint",
         "multimodal_frames",      # native frame-sample sequence+explode
         "multimodal_decode",      # mapInPandas media decode (real kernels)

@@ -1,0 +1,165 @@
+"""Corpus-curation operators for a large-scale training-data pipeline:
+text PII scrubbing, deterministic stratified sampling, and fixed-budget
+sequence packing.
+
+Beyond-reference: the reference enriches events (its PII pseudonymizer
+mutates event fields, registry/pii/*.scala); these operators curate a
+DOCUMENT corpus before pretraining. All three are pure Catalyst plans —
+native regexp/hash/window expressions, zero Python in the data path —
+so they inherit whole-stage codegen and scale with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["scrub_text_pii", "stratified_sample", "pack_sequences"]
+
+
+# ---------------------------------------------------------------------------
+# text PII scrubbing
+
+# order matters: emails first (their local parts can look like words),
+# then IPs (dotted quads would otherwise part-match phone patterns),
+# then phone numbers
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+# international-ish phone: optional +CC, 7-15 digits with common
+# separators, anchored to non-digit boundaries to spare plain numbers
+_PHONE = r"(?<![\d.])(?:\+?\d{1,3}[ .-]?)?(?:\(\d{1,4}\)[ .-]?)?\d{2,4}(?:[ .-]\d{2,4}){1,3}(?![\d.])"
+
+
+def scrub_text_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    email_token: str = "<EMAIL>",
+    ip_token: str = "<IP>",
+    phone_token: str = "<PHONE>",
+    scrub_phones: bool = True,
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and (optionally) phone numbers
+    from a text corpus, keeping per-doc redaction counts for curation
+    stats. Everything is native ``regexp_replace`` / ``regexp_count`` —
+    the plan stays a single codegen'd projection.
+
+    Phone detection is heuristic (separated digit groups); it is OFF-able
+    because prose with many numeric ranges over-matches — the counts let
+    a pipeline quantify that before enabling it corpus-wide.
+    """
+    t = F.col(text_col)
+    n_email = F.regexp_count(t, F.lit(_EMAIL))
+    scrubbed = F.regexp_replace(t, _EMAIL, email_token)
+    n_ip = F.regexp_count(scrubbed, F.lit(_IPV4))
+    scrubbed = F.regexp_replace(scrubbed, _IPV4, ip_token)
+    if scrub_phones:
+        n_phone = F.regexp_count(scrubbed, F.lit(_PHONE))
+        scrubbed = F.regexp_replace(scrubbed, _PHONE, phone_token)
+    else:
+        n_phone = F.lit(0)
+    return docs.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed_text"),
+        F.coalesce(n_email, F.lit(0)).alias("n_emails"),
+        F.coalesce(n_ip, F.lit(0)).alias("n_ips"),
+        F.coalesce(n_phone, F.lit(0)).cast("int").alias("n_phones"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_fraction: float = 0.0,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Per-stratum sampling by DETERMINISTIC hash, not RNG: a doc is
+    kept iff ``xxhash64(id, seed) mod 1e6 < fraction·1e6``. Unlike
+    ``df.sample``, the decision is a pure function of (id, seed) — the
+    same docs survive on any cluster size, any partitioning, any retry,
+    which is what a reproducible training-data mix requires (and what
+    makes an exact SQL oracle possible).
+
+    Scale shape: one map-side filter, no shuffle, no state. Strata not
+    in ``fractions`` fall back to ``default_fraction`` (0 = drop).
+    ``bucket`` overrides the hash with any Column in [0, 1e6) — e.g. an
+    md5-derived bucket when an external system must replay the exact
+    sample in SQL (xxhash64 stays the scale default).
+    """
+    if bucket is None:
+        bucket = F.pmod(
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
+            F.lit(1_000_000))
+    frac = None
+    for name, f in sorted(fractions.items()):
+        cond = F.col(stratum_col) == name
+        thr = F.lit(int(round(f * 1_000_000)))
+        frac = F.when(cond, thr) if frac is None else frac.when(cond, thr)
+    frac = (frac.otherwise(F.lit(int(round(default_fraction * 1_000_000))))
+            if frac is not None
+            else F.lit(int(round(default_fraction * 1_000_000))))
+    return docs.where(bucket < frac)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int,
+    token_col: Column | str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = "source",
+) -> DataFrame:
+    """Assign docs to fixed-token-budget training sequences ("packing"):
+    within each group (ordered by id for determinism), running token
+    sums place each doc in bin ``floor(cumsum_before / budget)``.
+
+    This is the shuffle-free analogue of greedy first-fit: bins can
+    overflow by at most one document (the straddler stays in the bin
+    where its prefix began — the downstream loader truncates or spills
+    it), in exchange for a plan that is ONE window function over the
+    group partition instead of a sequential packer. Oversized docs
+    (> budget on their own) land in a bin alone.
+
+    Output: doc_id, group, n_tokens, seq_id (globally unique string
+    ``group#bin``), seq_pos (0-based position inside the sequence).
+
+    Scale shape: one shuffle on the group key; within-group window sums
+    are O(n log n) sort + linear scan. Groups are corpus sources —
+    hundreds, not billions — so the window partitions stay coarse; for
+    a single-source corpus pass ``group_col=None`` sparingly (one
+    partition = one task; salt the corpus into synthetic groups
+    instead).
+    """
+    if token_col is None:
+        tokens = F.size(F.split(F.trim(F.regexp_replace(
+            F.col(text_col), r"\s+", " ")), " "))
+    else:
+        tokens = F.col(token_col) if isinstance(token_col, str) else token_col
+    grp = (F.col(group_col) if group_col is not None
+           else F.lit("all")).alias("group")
+    base = docs.select(
+        F.col(id_col), grp, tokens.cast("long").alias("n_tokens"))
+    w = Window.partitionBy("group").orderBy(id_col)
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    bin_id = F.floor(cum_before / F.lit(budget_tokens))
+    out = base.select(
+        id_col, "group", "n_tokens",
+        F.concat_ws("#", F.col("group"), bin_id.cast("string")).alias("seq_id"),
+    )
+    wp = Window.partitionBy("seq_id").orderBy(id_col)
+    return out.withColumn(
+        "seq_pos", (F.row_number().over(wp) - 1).cast("long"))

@@ -984,3 +984,93 @@ def test_png_all_filters_roundtrip_and_speed():
             + chunk(b"IEND", b""))
     _, _, _, out = mc.decode_png(data)
     assert np.array_equal(out, small)
+
+
+# ---------------------------------------------------------------------------
+# curation operators (datapipe/curation.py)
+
+
+def test_scrub_text_pii(spark):
+    """Emails / IPv4 / phones redact to tokens with per-doc counts;
+    phone scrubbing is opt-out; clean and null docs pass through."""
+    from enrich_spark.datapipe import curation
+
+    docs = spark.createDataFrame([
+        (1, "mail me at jane.doe+x@example.com or bob@sub.acme.co.uk now"),
+        (2, "server 10.0.0.1 talked to 192.168.4.250 yesterday"),
+        (3, "call +1 555-123-4567 or (020) 7946 0958 today"),
+        (4, "perfectly clean prose with the number 42 and year 2024"),
+        (5, None),
+    ], "doc_id INT, text STRING")
+    got = {r.doc_id: r for r in curation.scrub_text_pii(docs).collect()}
+    assert got[1].n_emails == 2
+    assert got[1].scrubbed_text == "mail me at <EMAIL> or <EMAIL> now"
+    assert got[2].n_ips == 2
+    assert "<IP>" in got[2].scrubbed_text and "10.0.0.1" not in got[2].scrubbed_text
+    assert got[3].n_phones == 2
+    assert "555" not in got[3].scrubbed_text
+    assert got[4].scrubbed_text == docs.collect()[3].text
+    assert (got[4].n_emails, got[4].n_ips, got[4].n_phones) == (0, 0, 0)
+    assert got[5].scrubbed_text is None and got[5].n_emails == 0
+
+    # phones off: digits survive, count stays 0
+    off = {r.doc_id: r for r in
+           curation.scrub_text_pii(docs, scrub_phones=False).collect()}
+    assert "555-123-4567" in off[3].scrubbed_text and off[3].n_phones == 0
+
+
+def test_stratified_sample(spark):
+    """Hash-deterministic per-stratum sampling: reproducible across
+    runs/partitionings, fraction ≈ requested, unlisted strata drop."""
+    from enrich_spark.datapipe import curation
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "web").otherwise("books").alias("source"),
+    )
+    out = curation.stratified_sample(
+        docs, {"web": 0.25, "books": 0.75}, seed=7)
+    got = {r[0]: r[1] for r in
+           out.groupBy("source").count().collect()}
+    assert abs(got["web"] / 2000 - 0.25) < 0.05
+    assert abs(got["books"] / 2000 - 0.75) < 0.05
+    # deterministic: same ids survive on a different partitioning
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {r.doc_id for r in curation.stratified_sample(
+        docs.repartition(7), {"web": 0.25, "books": 0.75}, seed=7).collect()}
+    assert ids1 == ids2
+    # different seed → different set; unlisted stratum drops entirely
+    ids3 = {r.doc_id for r in curation.stratified_sample(
+        docs, {"web": 0.25, "books": 0.75}, seed=8).collect()}
+    assert ids1 != ids3
+    assert curation.stratified_sample(docs, {"web": 0.5}).where(
+        "source = 'books'").count() == 0
+
+
+def test_pack_sequences(spark):
+    """Fixed-budget packing: bins are cumsum // budget per group, the
+    straddler stays where its prefix began, oversized docs bin alone,
+    seq_pos is the in-sequence order."""
+    from enrich_spark.datapipe import curation
+
+    docs = spark.createDataFrame([
+        # group a: tokens 6, 6, 6 with budget 10 → cum_before 0,6,12 →
+        # bins 0,0,1 (doc 2 straddles and stays in bin 0)
+        (1, "a", "w w w w w w"),
+        (2, "a", "x x x x x x"),
+        (3, "a", "y y y y y y"),
+        # group b: an oversized doc (25 tokens) then a small one:
+        # cum_before 0,25 → bins 0,2
+        (10, "b", " ".join(["z"] * 25)),
+        (11, "b", "q q"),
+    ], "doc_id INT, source STRING, text STRING")
+    got = {r.doc_id: r for r in
+           curation.pack_sequences(docs, budget_tokens=10).collect()}
+    assert got[1].seq_id == "a#0" and got[1].seq_pos == 0
+    assert got[2].seq_id == "a#0" and got[2].seq_pos == 1
+    assert got[3].seq_id == "a#1" and got[3].seq_pos == 0
+    assert got[10].seq_id == "b#0" and got[10].n_tokens == 25
+    assert got[11].seq_id == "b#2" and got[11].seq_pos == 0
+    # single-group mode
+    one = curation.pack_sequences(docs, 100, group_col=None)
+    assert {r.seq_id for r in one.collect()} == {"all#0"}
