@@ -2322,6 +2322,33 @@ config:
 
     q["data_mix"] = q_data_mix
 
+    # quality-classifier vocabulary (terms from the synthetic corpus
+    # lexicon): shared by the Spark query and the DuckDB oracle
+    _QC_WEIGHTS = {"spark": 1.5, "join": 0.75, "merge": 0.5,
+                   "slow": -1.25, "dup": -2.0, "scan": -0.5}
+
+    def q_quality_model(spark, sf):
+        # fasttext-style linear scoring, BOTH vocab paths merged: the
+        # map-literal zero-shuffle plan ("lit") and the broadcast-join
+        # big-vocab plan ("join") must produce identical scores
+        from enrich_spark.datapipe.curation import score_linear_model
+
+        docs = _load_docs(spark, sf)
+        sel = lambda df: df.select(  # noqa: E731
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round("score", 6).alias("score"),
+        )
+        lit = sel(score_linear_model(docs, _QC_WEIGHTS, bias=0.25))
+        wdf = spark.createDataFrame(
+            sorted(_QC_WEIGHTS.items()), "token STRING, weight DOUBLE")
+        joined = sel(score_linear_model(docs, wdf, bias=0.25))
+        return _union_parts([("lit", lit), ("join", joined)],
+                            fill=("n_tokens", "n_hits"))
+
+    q["quality_model_score"] = q_quality_model
+
     def q_minhash_sig(spark, sf):
         from enrich_spark.datapipe.dedup import md5_hash_family, minhash_signature, shingles
 
@@ -3810,6 +3837,32 @@ def oracle_sql() -> dict[str, str]:
         """, {"doc_id": "num", "source": "str", "n_tokens": "num",
               "seq_id": "str", "seq_pos": "num"}),
     ])
+
+    _qc_case = ("CASE x WHEN 'spark' THEN 1.5 WHEN 'join' THEN 0.75 "
+                "WHEN 'merge' THEN 0.5 WHEN 'slow' THEN -1.25 "
+                "WHEN 'dup' THEN -2.0 WHEN 'scan' THEN -0.5 ELSE NULL END")
+    _qc_sql = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, len(w) AS n_tokens,
+                 list_filter(list_transform(w, x -> {_qc_case}),
+                             x -> x IS NOT NULL) AS tw
+          FROM d
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(len(tw) AS BIGINT) AS n_hits,
+               round(1.0 / (1.0 + exp(-(0.25 + COALESCE(list_sum(tw), 0)
+                     / greatest(n_tokens, 1)))), 6) AS score
+        FROM s
+    """
+    _qc_cols = {"doc_id": "num", "n_tokens": "num", "n_hits": "num",
+                "score": "fnum"}
+    o["quality_model_score"] = _union_oracle(
+        [("lit", _qc_sql, _qc_cols), ("join", _qc_sql, _qc_cols)])
 
     _norm = "trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))"
     _words = f"list_distinct(string_split({_norm}, ' '))"

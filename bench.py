@@ -57,6 +57,7 @@ def main():
         "text_language_id",       # trigram + Unicode-script language ID
         "text_pii_scrub",         # native regexp PII redaction + counts
         "data_mix",               # stratified sampling + sequence packing
+        "quality_model_score",    # linear bag-of-words classifier scoring
         "doc_fingerprint",
         "multimodal_frames",      # native frame-sample sequence+explode
         "multimodal_decode",      # mapInPandas media decode (real kernels)

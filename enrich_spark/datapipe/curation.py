@@ -14,7 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scrub_text_pii", "stratified_sample", "pack_sequences"]
+__all__ = ["scrub_text_pii", "stratified_sample", "pack_sequences",
+           "score_linear_model"]
 
 
 # ---------------------------------------------------------------------------
@@ -163,3 +164,72 @@ def pack_sequences(
     wp = Window.partitionBy("seq_id").orderBy(id_col)
     return out.withColumn(
         "seq_pos", (F.row_number().over(wp) - 1).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# linear quality-classifier scoring
+
+
+def score_linear_model(
+    docs: DataFrame,
+    weights,
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Score each doc with a linear bag-of-words model (the
+    fasttext-style quality classifier used to filter pretraining
+    corpora): ``sigmoid(bias + sum(weight[token]) / n_tokens)``.
+
+    ``weights`` is either a dict {token: weight} — compiled into ONE
+    map-literal expression, so scoring is a zero-shuffle projection
+    (right for curated lexicons up to a few thousand terms) — or a
+    DataFrame (token STRING, weight DOUBLE) for big vocabularies:
+    explode → broadcast hash join → per-doc sum (one shuffle on the id).
+
+    Output: doc_id, n_tokens, n_hits (tokens found in the vocabulary),
+    score in (0,1). ``normalize`` divides the logit by n_tokens (mean
+    pooling, fasttext default); off = raw sum.
+    """
+    words = F.split(F.trim(F.regexp_replace(
+        F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    n_tok = F.size(words)
+
+    if isinstance(weights, dict):
+        pairs = []
+        for k in sorted(weights):
+            pairs.extend([F.lit(k), F.lit(float(weights[k]))])
+        wmap = F.create_map(*pairs) if pairs else F.create_map()
+        per_tok = F.transform(words, lambda w: wmap.getItem(w))
+        z = F.aggregate(
+            per_tok, F.lit(0.0),
+            lambda acc, x: acc + F.coalesce(x, F.lit(0.0)))
+        hits = F.size(F.filter(per_tok, lambda x: x.isNotNull()))
+        logit = F.lit(float(bias)) + (
+            z / F.greatest(n_tok, F.lit(1)) if normalize else z)
+        return docs.select(
+            F.col(id_col),
+            n_tok.alias("n_tokens"),
+            hits.alias("n_hits"),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score"),
+        )
+
+    base = docs.select(F.col(id_col), n_tok.alias("n_tokens"),
+                       F.explode_outer(words).alias("_w"))
+    joined = base.join(
+        F.broadcast(weights.select(F.col("token").alias("_w"),
+                                   F.col("weight").alias("_wt"))),
+        "_w", "left")
+    agg = joined.groupBy(id_col).agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count("_wt").alias("n_hits"),
+        F.coalesce(F.sum("_wt"), F.lit(0.0)).alias("_z"),
+    )
+    logit = F.lit(float(bias)) + (
+        F.col("_z") / F.greatest(F.col("n_tokens"), F.lit(1))
+        if normalize else F.col("_z"))
+    return agg.select(
+        id_col, "n_tokens", "n_hits",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score"),
+    )

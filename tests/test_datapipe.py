@@ -1074,3 +1074,44 @@ def test_pack_sequences(spark):
     # single-group mode
     one = curation.pack_sequences(docs, 100, group_col=None)
     assert {r.seq_id for r in one.collect()} == {"all#0"}
+
+
+def test_score_linear_model(spark):
+    """fasttext-style linear scoring: map-literal and broadcast-join
+    vocab paths agree; hits/normalization behave; OOV-only docs sit at
+    sigmoid(bias)."""
+    import math
+
+    from enrich_spark.datapipe import curation
+
+    w = {"good": 2.0, "great": 3.0, "bad": -2.0, "awful": -4.0}
+    docs = spark.createDataFrame([
+        (1, "a good and great read"),
+        (2, "bad awful terrible stuff"),
+        (3, "totally neutral words only"),
+        (4, ""),
+    ], "doc_id INT, text STRING")
+
+    lit = {r.doc_id: r for r in
+           curation.score_linear_model(docs, w).collect()}
+    assert lit[1].n_hits == 2 and lit[1].score > 0.7
+    assert lit[2].n_hits == 2 and lit[2].score < 0.3
+    assert lit[3].n_hits == 0
+    assert math.isclose(lit[3].score, 0.5)  # sigmoid(0 + 0)
+    assert math.isclose(lit[1].score,
+                        1 / (1 + math.exp(-(2.0 + 3.0) / 5)))
+
+    wdf = spark.createDataFrame(list(w.items()), "token STRING, weight DOUBLE")
+    joined = {r.doc_id: r for r in
+              curation.score_linear_model(docs, wdf).collect()}
+    for d in (1, 2, 3, 4):
+        assert joined[d].n_hits == lit[d].n_hits
+        assert math.isclose(joined[d].score, lit[d].score, rel_tol=1e-9)
+
+    # bias shifts the OOV baseline; normalize=False uses the raw sum
+    b = {r.doc_id: r.score for r in
+         curation.score_linear_model(docs, w, bias=1.0).collect()}
+    assert math.isclose(b[3], 1 / (1 + math.exp(-1.0)))
+    raw = {r.doc_id: r.score for r in
+           curation.score_linear_model(docs, w, normalize=False).collect()}
+    assert math.isclose(raw[1], 1 / (1 + math.exp(-5.0)))

@@ -97,3 +97,54 @@ def test_sessionize_single_shuffle(spark):
     assert final.count("Exchange") == 1
     assert "hashpartitioning(user_id" in plan
     assert "EvalPython" not in plan
+
+
+def test_curation_plan_contracts(spark):
+    """scrub/sample are zero-shuffle zero-Python map plans; packing is
+    exactly the two window exchanges (group key, then seq_id)."""
+    from enrich_spark.datapipe.curation import (
+        pack_sequences, scrub_text_pii, stratified_sample,
+    )
+
+    docs = spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("source"),
+        F.lit("some words in a row here").alias("text"),
+    )
+    for df in (scrub_text_pii(docs),
+               stratified_sample(docs, {"src0": 0.5})):
+        plan = _plan(df)
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Exchange") == 0
+        assert "EvalPython" not in plan
+
+    plan = _plan(pack_sequences(docs, budget_tokens=16))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 2  # group window + seq_id window
+    assert "EvalPython" not in plan
+
+
+def test_contamination_broadcast_contract(spark):
+    """Benchmark gram maps must reach the corpus as broadcast joins —
+    never a shuffled join keyed on gram hashes."""
+    from enrich_spark.datapipe.dedup import (
+        contamination_check, contamination_check_multi,
+    )
+
+    docs = spark.range(32).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("words repeated across documents body "),
+                 (F.col("id") % 5).cast("string"),
+                 F.lit(" and more filler words to clear the k window")).alias("text"),
+    )
+    bench = docs.where(F.col("doc_id") % 8 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text")
+    plan = _plan(contamination_check(docs, bench, k=8))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = _plan(contamination_check_multi(
+        docs, [("a", bench.select("text"), 8), ("b", bench.select("text"), 13)]))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
