@@ -2277,6 +2277,8 @@ config:
                 F.lit(".example.org via 10."),
                 (F.col("doc_id") % 256).cast("string"),
                 F.lit(".0."), (F.col("doc_id") % 200).cast("string"),
+                F.lit(" and fd00:0:0:0:0:0:0:"),
+                (F.col("doc_id") % 10).cast("string"),
             ).alias("text"),
         )
         return scrub_text_pii(docs, scrub_phones=False).select(
@@ -2284,6 +2286,7 @@ config:
             "scrubbed_text",
             F.col("n_emails").cast("long").alias("n_emails"),
             F.col("n_ips").cast("long").alias("n_ips"),
+            F.col("n_ipv6").cast("long").alias("n_ipv6"),
         )
 
     q["text_pii_scrub"] = q_text_pii_scrub
@@ -3782,13 +3785,17 @@ def oracle_sql() -> dict[str, str]:
 
     _pii_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     _pii_ip = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    _pii_ip6 = ("\\b(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}\\b"
+                "|\\b(?:[0-9A-Fa-f]{1,4}:){1,7}:"
+                "(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,5}\\b)?")
     o["text_pii_scrub"] = f"""
         WITH d AS (
           SELECT doc_id,
                  text || ' contact user' || CAST(doc_id AS VARCHAR)
                       || '@example.com or admin@host' || CAST(doc_id % 7 AS VARCHAR)
                       || '.example.org via 10.' || CAST(doc_id % 256 AS VARCHAR)
-                      || '.0.' || CAST(doc_id % 200 AS VARCHAR) AS t
+                      || '.0.' || CAST(doc_id % 200 AS VARCHAR)
+                      || ' and fd00:0:0:0:0:0:0:' || CAST(doc_id % 10 AS VARCHAR) AS t
           FROM documents
         ),
         em AS (
@@ -3796,12 +3803,19 @@ def oracle_sql() -> dict[str, str]:
                  len(regexp_extract_all(t, '{_pii_email}')) AS n_emails,
                  regexp_replace(t, '{_pii_email}', '<EMAIL>', 'g') AS t1
           FROM d
+        ),
+        i6 AS (
+          SELECT doc_id, n_emails,
+                 len(regexp_extract_all(t1, '{_pii_ip6}')) AS n_ipv6,
+                 regexp_replace(t1, '{_pii_ip6}', '<IP>', 'g') AS t2
+          FROM em
         )
         SELECT doc_id,
-               regexp_replace(t1, '{_pii_ip}', '<IP>', 'g') AS scrubbed_text,
+               regexp_replace(t2, '{_pii_ip}', '<IP>', 'g') AS scrubbed_text,
                CAST(n_emails AS BIGINT) AS n_emails,
-               CAST(len(regexp_extract_all(t1, '{_pii_ip}')) AS BIGINT) AS n_ips
-        FROM em
+               CAST(len(regexp_extract_all(t2, '{_pii_ip}')) AS BIGINT) AS n_ips,
+               CAST(n_ipv6 AS BIGINT) AS n_ipv6
+        FROM i6
     """
 
     _mix_bucket = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15)) AS BIGINT) % 1000000"

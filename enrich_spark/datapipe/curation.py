@@ -26,6 +26,13 @@ __all__ = ["scrub_text_pii", "stratified_sample", "pack_sequences",
 # then phone numbers
 _EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+# colon-hex sequences: full/most-compressed IPv6 (≥4 groups, or a '::'
+# form with a leading group). Deliberately also catches MAC addresses
+# (six 2-hex groups — PII too); misses bare '::1' (no word boundary
+# before ':'). No lookarounds, so an RE2-based SQL engine can replay it.
+_IPV6 = (r"\b(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}\b"
+         r"|\b(?:[0-9A-Fa-f]{1,4}:){1,7}:"
+         r"(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,5}\b)?")
 # international-ish phone: optional +CC, 7-15 digits with common
 # separators, anchored to non-digit boundaries to spare plain numbers
 _PHONE = r"(?<![\d.])(?:\+?\d{1,3}[ .-]?)?(?:\(\d{1,4}\)[ .-]?)?\d{2,4}(?:[ .-]\d{2,4}){1,3}(?![\d.])"
@@ -52,6 +59,8 @@ def scrub_text_pii(
     t = F.col(text_col)
     n_email = F.regexp_count(t, F.lit(_EMAIL))
     scrubbed = F.regexp_replace(t, _EMAIL, email_token)
+    n_ip6 = F.regexp_count(scrubbed, F.lit(_IPV6))
+    scrubbed = F.regexp_replace(scrubbed, _IPV6, ip_token)
     n_ip = F.regexp_count(scrubbed, F.lit(_IPV4))
     scrubbed = F.regexp_replace(scrubbed, _IPV4, ip_token)
     if scrub_phones:
@@ -64,6 +73,7 @@ def scrub_text_pii(
         scrubbed.alias("scrubbed_text"),
         F.coalesce(n_email, F.lit(0)).alias("n_emails"),
         F.coalesce(n_ip, F.lit(0)).alias("n_ips"),
+        F.coalesce(n_ip6, F.lit(0)).alias("n_ipv6"),
         F.coalesce(n_phone, F.lit(0)).cast("int").alias("n_phones"),
     )
 

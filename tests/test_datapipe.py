@@ -1001,6 +1001,7 @@ def test_scrub_text_pii(spark):
         (3, "call +1 555-123-4567 or (020) 7946 0958 today"),
         (4, "perfectly clean prose with the number 42 and year 2024"),
         (5, None),
+        (6, "host 2001:0db8:85a3:0000:0000:8a2e:0370:7334 and fe80::1 up"),
     ], "doc_id INT, text STRING")
     got = {r.doc_id: r for r in curation.scrub_text_pii(docs).collect()}
     assert got[1].n_emails == 2
@@ -1012,6 +1013,9 @@ def test_scrub_text_pii(spark):
     assert got[4].scrubbed_text == docs.collect()[3].text
     assert (got[4].n_emails, got[4].n_ips, got[4].n_phones) == (0, 0, 0)
     assert got[5].scrubbed_text is None and got[5].n_emails == 0
+    assert got[6].n_ipv6 == 2
+    assert "0db8" not in got[6].scrubbed_text
+    assert got[6].scrubbed_text == "host <IP> and <IP> up"
 
     # phones off: digits survive, count stays 0
     off = {r.doc_id: r for r in
