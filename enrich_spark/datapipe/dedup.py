@@ -22,8 +22,13 @@ Strategies over a document table (doc_id, text), each designed for the
                          (iterative min-label propagation).
 * duplicate_substring_windows — exact substring-duplication marking
                          (Lee et al. 2022 at word-window granularity).
+* remove_duplicate_spans — applies those spans: cuts duplicated runs
+                         out of the text (the paper's actual output).
 * contamination_check  — benchmark decontamination via broadcast
-                         window-hash join.
+                         window-hash join; contamination_check_multi
+                         for several eval sets with per-set n-gram size.
+* streaming_dedup      — cross-micro-batch first-arrival dedup
+                         (dropDuplicatesWithinWatermark, bounded state).
 
 All hashing is Spark-native (xxhash64 / md5-prefix) so results are
 deterministic, reproducible in SQL oracles, and JVM-side.
@@ -740,3 +745,39 @@ def contamination_check_multi(
         )
         parts.append(hit)
     return reduce(DataFrame.unionByName, parts)
+
+
+# ---------------------------------------------------------------------------
+# streaming cross-batch dedup
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: tuple = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Cross-micro-batch exact dedup for at-least-once sources
+    (re-delivered collector payloads): keep the first arrival of each
+    key, drop re-deliveries within the watermark horizon.
+
+    The reference pipeline relies on the event fingerprint + downstream
+    warehouse dedup for this (fingerprint enrichment,
+    registry/EventFingerprintEnrichment.scala); on Spark the streaming-
+    native form is ``dropDuplicatesWithinWatermark`` — state holds one
+    entry per key seen within the watermark and is evicted as event time
+    advances, so state is bounded by (keys per watermark window), not by
+    stream lifetime. A duplicate arriving AFTER its key's state expired
+    is re-admitted — at-least-once delivery lag beyond the watermark is
+    the deployment's explicit trade-off knob, same contract as the
+    sessionize watermark.
+
+    Works on batch DataFrames too (falls back to plain dropDuplicates —
+    no watermark semantics needed when the whole input is present).
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates(list(key_cols))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(key_cols))
+    )

@@ -599,3 +599,47 @@ def test_streaming_checkpoint_recovery(spark):
         replayed = {t for t, n in counts.items() if n == 2}
         assert set(counts) == {str(i) for i in range(20)}  # still no loss
         assert replayed == {str(i) for i in range(10, 20)}  # exactly batch 2
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """Cross-micro-batch exact dedup: a re-delivered key within the
+    watermark horizon is dropped; batch fallback is plain
+    dropDuplicates."""
+    import datetime as dt
+
+    from enrich_spark.datapipe.dedup import streaming_dedup
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def rows(batch):
+        return spark.createDataFrame(batch, "event_id STRING, ts TIMESTAMP")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in")
+        os.makedirs(src)
+        rows([("e1", t0), ("e2", t0)]).write.parquet(os.path.join(src, "b0"))
+        source = (
+            spark.readStream.schema("event_id STRING, ts TIMESTAMP")
+            .option("recursiveFileLookup", "true").parquet(src)
+        )
+        out = streaming_dedup(source, key_cols=("event_id",),
+                              ts_col="ts", watermark="1 hour")
+        q = (out.writeStream.format("memory").queryName("dedup_wm")
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+        try:
+            q.processAllAvailable()
+            # re-delivery of e1 in a later micro-batch + a fresh key
+            rows([("e1", t0 + dt.timedelta(minutes=5)),
+                  ("e3", t0 + dt.timedelta(minutes=5))]).write.parquet(
+                os.path.join(src, "b1"))
+            q.processAllAvailable()
+            got = [r.event_id for r in
+                   spark.sql("SELECT * FROM dedup_wm").collect()]
+            assert sorted(got) == ["e1", "e2", "e3"]  # one e1 only
+        finally:
+            q.stop()
+
+    # batch fallback: same API, plain dropDuplicates
+    b = rows([("e1", t0), ("e1", t0), ("e2", t0)])
+    assert streaming_dedup(b).count() == 2
