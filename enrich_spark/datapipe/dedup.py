@@ -118,11 +118,17 @@ def minhash_lsh_pairs(
     (band_id, band_hash) is near-uniform, so the self-join per bucket
     touches only true near-duplicate clusters.
     """
+    from ..plans.stagecut import stage_boundary
+
     rows_per_band = num_hashes // bands
-    base = docs.select(
+    # boundary: each of the `bands` structs below slices `_sig`, and
+    # CollapseProject would otherwise re-inline the full num_hashes-wide
+    # minhash expression (itself over the shingle expression) into every
+    # band — an O(bands × num_hashes) expression blowup
+    base = stage_boundary(docs.select(
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), shingle_k).alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes, family))
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes, family)))
 
     banded = base.select(
         "_id", "_sh",
@@ -229,10 +235,20 @@ def ngram_jaccard_pairs_prefix(
     the Zipf-head first token, so no hot-block skew.
     """
     t = float(threshold)
-    base = docs.select(
+    # NO .where(size(_sh) > 0) here: shingles() never yields an empty
+    # array (short docs collapse to one whole-doc shingle), and Catalyst
+    # pushes such a filter BELOW the upstream repartition, recomputing
+    # the full shingle expression single-threaded on the raw scan split
+    # (measured: 3.8 s of the old 4.9 s total was that pushed filter)
+    from ..plans.stagecut import stage_boundary
+
+    # boundary: without it CollapseProject inlines the shingle
+    # expression into BOTH its consumers (size() and the explode
+    # Generate), doubling the most expensive scalar work of the plan
+    base = stage_boundary(docs.select(
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), shingle_k).alias("_sh"),
-    ).where(F.size("_sh") > 0)
+    ))
     tok = base.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_t"))
     len_ok = ((F.col("a._n") * t <= F.col("b._n"))
               & (F.col("b._n") * t <= F.col("a._n")))
@@ -434,9 +450,14 @@ def simhash_pairs(
     Candidate generation: split the 64-bit hash into `bands` 16-bit bands;
     by pigeonhole any pair within Hamming ≤ bands-1 collides on ≥1 band.
     """
-    sh = docs.select(
+    from ..plans.stagecut import stage_boundary
+
+    # boundary: the 4 band structs + the carried `_sim` column would
+    # otherwise each re-inline the whole simhash aggregate (5× the
+    # plan's most expensive expression)
+    sh = stage_boundary(docs.select(
         F.col(id_col).alias("_id"), simhash64(F.col(text_col), hasher=hasher).alias("_sim")
-    )
+    ))
     banded = sh.select(
         "_id", "_sim",
         F.explode(
@@ -494,7 +515,16 @@ def duplicate_substring_windows(
     words are always found; shorter duplicates are not) that stays an
     embarrassingly-parallel DataFrame plan at 100 TB.
     """
-    words = F.split(F.trim(_normalize(F.col(text_col))), " ")
+    from ..plans.stagecut import stage_boundary
+
+    # materialize the word array behind a boundary: the window-hash
+    # Generate and the n_words column otherwise BOTH re-inline the
+    # normalize+split expression (no CSE across Generate/Project nodes)
+    base = stage_boundary(docs.select(
+        F.col(id_col),
+        F.split(F.trim(_normalize(F.col(text_col))), " ").alias("_w"),
+    ))
+    words = F.col("_w")
     n = F.size(words)
     idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)) \
         .otherwise(F.array().cast("array<int>"))
@@ -504,7 +534,7 @@ def duplicate_substring_windows(
             F.xxhash64(F.concat_ws(" ", F.slice(words, i, k))).alias("h"),
         ),
     )
-    exploded = docs.select(
+    exploded = base.select(
         F.col(id_col), n.alias("n_words"), F.explode_outer(grams).alias("g")
     ).select(id_col, "n_words", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
 
@@ -692,14 +722,22 @@ def contamination_check_multi(
     """
     from functools import reduce
 
+    from ..plans.stagecut import stage_boundary
+
     def gram_rows(df, idc, txt, k):
-        words = F.split(F.trim(_normalize(F.col(txt))), " ")
+        # boundary: _nw and the gram Generate both consume the word
+        # array — materialize it once (see duplicate_substring_windows)
+        base = stage_boundary(df.select(
+            F.col(idc),
+            F.split(F.trim(_normalize(F.col(txt))), " ").alias("_w"),
+        ))
+        words = F.col("_w")
         n = F.size(words)
         idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)) \
             .otherwise(F.array().cast("array<int>"))
         g = F.transform(
             idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, k))))
-        return df.select(
+        return base.select(
             F.col(idc),
             F.greatest(n - k + 1, F.lit(0)).alias("_nw"),
             F.explode_outer(g).alias("h"),
