@@ -225,8 +225,13 @@ def score_linear_model(
             (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score"),
         )
 
-    base = docs.select(F.col(id_col), n_tok.alias("n_tokens"),
-                       F.explode_outer(words).alias("_w"))
+    from ..plans.stagecut import stage_boundary
+
+    # boundary: n_tokens and the token Generate both consume the word
+    # array — materialize the split once (SCALE.md §7e)
+    pre = stage_boundary(docs.select(F.col(id_col), words.alias("_ws")))
+    base = pre.select(F.col(id_col), F.size("_ws").alias("n_tokens"),
+                      F.explode_outer("_ws").alias("_w"))
     joined = base.join(
         F.broadcast(weights.select(F.col("token").alias("_w"),
                                    F.col("weight").alias("_wt"))),

@@ -158,7 +158,13 @@ def attach_media_meta(df: DataFrame, binary_col: str = "media") -> DataFrame:
         .when((fmt == "mp3") & mp3_sync & mp3_kbps.isNotNull(),
               F.length(b) * 8 / mp3_kbps)
     )
-    return df.withColumn(
+    from ..plans.stagecut import stage_boundary
+
+    # boundary: downstream consumers pick several media_meta FIELDS plus
+    # a frame-plan Generate — without the barrier CollapseProject
+    # re-inlines this whole byte-parse struct into every consumer
+    # (measured 3× on the frame-sampling plan)
+    return stage_boundary(df.withColumn(
         "media_meta",
         F.struct(
             media_type.alias("media_type"), fmt.alias("format"),
@@ -167,7 +173,7 @@ def attach_media_meta(df: DataFrame, binary_col: str = "media") -> DataFrame:
             duration_ms.cast("int").alias("duration_ms"),
             F.length(b).cast("long").alias("n_bytes"),
         ),
-    )
+    ))
 
 
 def _fake_decode(data: bytes) -> tuple[int, int, list[float]]:
