@@ -2352,6 +2352,24 @@ config:
 
     q["quality_model_score"] = q_quality_model
 
+    def q_corpus_stats(spark, sf):
+        # per-source corpus profile with EXACT percentiles (replayable
+        # as quantile_cont, unlike percentile_approx) + dup fraction
+        from enrich_spark.datapipe.text import corpus_stats
+
+        return corpus_stats(_load_docs(spark, sf)).select(
+            F.col("group").alias("source"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            "mean_tokens",
+            F.col("p50_tokens").cast("double").alias("p50_tokens"),
+            F.col("p90_tokens").cast("double").alias("p90_tokens"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+            F.col("dup_docs").cast("long").alias("dup_docs"),
+        )
+
+    q["corpus_stats"] = q_corpus_stats
+
     def q_minhash_sig(spark, sf):
         from enrich_spark.datapipe.dedup import md5_hash_family, minhash_signature, shingles
 
@@ -3851,6 +3869,24 @@ def oracle_sql() -> dict[str, str]:
         """, {"doc_id": "num", "source": "str", "n_tokens": "num",
               "seq_id": "str", "seq_pos": "num"}),
     ])
+
+    o["corpus_stats"] = """
+        WITH d AS (
+          SELECT source AS grp,
+                 len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS nt,
+                 length(text) AS nc, md5(text) AS h
+          FROM documents
+        )
+        SELECT grp AS source,
+               count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS total_tokens,
+               round(avg(nt), 4) AS mean_tokens,
+               CAST(quantile_cont(nt, 0.5) AS DOUBLE) AS p50_tokens,
+               CAST(quantile_cont(nt, 0.9) AS DOUBLE) AS p90_tokens,
+               CAST(sum(nc) AS BIGINT) AS total_chars,
+               CAST(count(*) - count(DISTINCT h) AS BIGINT) AS dup_docs
+        FROM d GROUP BY grp
+    """
 
     _qc_case = ("CASE x WHEN 'spark' THEN 1.5 WHEN 'join' THEN 0.75 "
                 "WHEN 'merge' THEN 0.5 WHEN 'slow' THEN -1.25 "

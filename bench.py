@@ -58,6 +58,7 @@ def main():
         "text_pii_scrub",         # native regexp PII redaction + counts
         "data_mix",               # stratified sampling + sequence packing
         "quality_model_score",    # linear bag-of-words classifier scoring
+        "corpus_stats",           # per-source profile, exact percentiles
         "doc_fingerprint",
         "multimodal_frames",      # native frame-sample sequence+explode
         "multimodal_decode",      # mapInPandas media decode (real kernels)

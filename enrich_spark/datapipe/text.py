@@ -291,3 +291,40 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", window: int = 8) ->
         "content_hash": F.md5(norm),
         "winnow_hash": winnow,
     })
+
+
+def corpus_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group corpus profile: doc/token/char totals, token-length
+    mean and EXACT percentiles (p50/p90 via `percentile`, linear
+    interpolation — replayable as ANSI quantile_cont, unlike
+    percentile_approx), and the duplicate-text fraction within the
+    group. The pretraining-mix dashboard numbers.
+
+    Scale shape: one map-side token-count projection → one shuffle on
+    the group key. Exact percentiles hold the group's counts in memory
+    on the reducer — fine for coarse groups (sources); swap
+    percentile_approx in if groups ever reach billions of docs.
+    """
+    from ..plans.stagecut import stage_boundary
+
+    words = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    base = stage_boundary(docs.select(
+        F.col(group_col).alias("group"),
+        F.size(words).cast("long").alias("_nt"),
+        F.length(text_col).cast("long").alias("_nc"),
+        F.md5(F.col(text_col)).alias("_h"),
+    ))
+    return base.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        F.round(F.avg("_nt"), 4).alias("mean_tokens"),
+        F.expr("percentile(_nt, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(_nt, 0.9)").alias("p90_tokens"),
+        F.sum("_nc").alias("total_chars"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("_h")))
+        .alias("dup_docs"),
+    )

@@ -1119,3 +1119,83 @@ def test_score_linear_model(spark):
     raw = {r.doc_id: r.score for r in
            curation.score_linear_model(docs, w, normalize=False).collect()}
     assert math.isclose(raw[1], 1 / (1 + math.exp(-5.0)))
+
+
+def test_dedup_and_packing_invariants_random_corpus(spark):
+    """Seeded random corpus: structural invariants that must hold for
+    ANY input — span bookkeeping consistency, packing bin arithmetic,
+    sampling subset determinism."""
+    import random
+
+    from enrich_spark.datapipe import curation
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(30)]
+    run = " ".join(rng.choice(vocab) for _ in range(12))
+    rows = []
+    for i in range(120):
+        words = [rng.choice(vocab) for _ in range(rng.randint(1, 40))]
+        if i % 3 == 0:
+            words = words[:5] + run.split() + words[5:]
+        rows.append((i, f"s{i % 4}", " ".join(words)))
+    rows.append((120, "s0", ""))  # empty text: the [''] split artifact
+    docs = spark.createDataFrame(rows, "doc_id INT, source STRING, text STRING")
+
+    # remove_duplicate_spans bookkeeping: removed + kept == total, and
+    # the cleaned text has exactly the kept words (the empty doc counts
+    # one empty-string "word" — split('') semantics, same in the oracle)
+    for r in dedup.remove_duplicate_spans(docs, k=8).collect():
+        kept = len(r.cleaned_text.split()) if r.cleaned_text else 0
+        if r.doc_id == 120:
+            assert (r.n_words, r.removed_words, kept) == (1, 0, 0)
+        else:
+            assert r.n_words - r.removed_words == kept
+        assert 0 <= r.removed_words <= r.n_words
+
+    # spans are sorted, non-overlapping, within the doc (last window
+    # starts at n_words-k+1 = n_windows, so end ≤ n_windows + k - 1)
+    for r in dedup.duplicate_substring_windows(docs, k=8).collect():
+        prev_end = 0
+        for s in r.dup_spans:
+            assert s.start > prev_end and s.end >= s.start
+            assert s.end <= r.n_windows + 8 - 1
+            prev_end = s.end
+
+    # packing: bin index == floor(cum_before / budget); positions are
+    # 0..n-1 contiguous per sequence
+    budget = 64
+    packed = curation.pack_sequences(docs, budget).collect()
+    by_group = {}
+    for r in sorted(packed, key=lambda r: (r.group, r.doc_id)):
+        cum = by_group.get(r.group, 0)
+        assert r.seq_id == f"{r.group}#{cum // budget}"
+        by_group[r.group] = cum + r.n_tokens
+    by_seq = {}
+    for r in packed:
+        by_seq.setdefault(r.seq_id, []).append(r.seq_pos)
+    for poss in by_seq.values():
+        assert sorted(poss) == list(range(len(poss)))
+
+    # sampling is a deterministic subset
+    kept = curation.stratified_sample(docs, {"s0": 0.5, "s1": 1.0})
+    ids = {r.doc_id for r in kept.collect()}
+    assert ids <= {r[0] for r in rows}
+    assert {r.doc_id for r in kept.collect()} == ids
+    assert all(i % 4 != 2 and i % 4 != 3 for i in ids)  # default 0 drops
+
+
+def test_corpus_stats(spark):
+    """Per-group rollup: totals, exact interpolated percentiles, and
+    within-group duplicate count."""
+    docs = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, "a", "x y z"), (3, "a", "one two"),
+         (4, "a", "w1 w2 w3 w4 w5 w6"), (5, "b", "solo words here now")],
+        "doc_id INT, source STRING, text STRING")
+    got = {r.group: r for r in text.corpus_stats(docs).collect()}
+    a = got["a"]
+    assert a.n_docs == 4 and a.total_tokens == 3 + 3 + 2 + 6
+    assert a.dup_docs == 1  # docs 1,2 identical
+    # exact linear interpolation over [2,3,3,6]: p50 = 3.0, p90 = 5.1
+    assert a.p50_tokens == 3.0
+    assert abs(a.p90_tokens - 5.1) < 1e-9
+    assert got["b"].n_docs == 1 and got["b"].dup_docs == 0

@@ -207,3 +207,27 @@ def test_decode_one_new_codecs_never_throw(data):
         row = _decode_one(prefix + data)
         assert row["codec"] in ("jpeg", "gif", "stub")
         assert isinstance(row["features"], list)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_yauaa_tree_and_matchers_total(ua):
+    """parse_ua_tree / evaluate_matchers are total over arbitrary input:
+    no exception, tree value preserved, matcher output is a plain dict."""
+    from enrich_spark.operators.yauaa_rules import (
+        evaluate_matchers, load_yauaa_rules, parse_ua_tree,
+    )
+
+    tree = parse_ua_tree(ua)
+    assert tree.kind == "agent" and tree.value == ua
+    rules = load_yauaa_rules(text="""
+config:
+- matcher:
+    extract:
+    - 'AgentName : 100 : agent.(1)product.name'
+    - 'OS : 50 : agent.(1)product.(1)comments.(1)entry.text[1-2]'
+""")
+    out = evaluate_matchers(ua, rules)
+    assert isinstance(out, dict)
+    for v in out.values():
+        assert isinstance(v, str)
