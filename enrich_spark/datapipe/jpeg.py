@@ -1,21 +1,25 @@
-"""Baseline JPEG codec, pure stdlib + numpy.
+"""Baseline + progressive JPEG codec, pure stdlib + numpy.
 
 Upgrades the multimodal decode kernel (multimodal.py) from "JPEG falls
-back to the digest stub" to a real baseline decoder:
+back to the digest stub" to a real decoder:
 
-- marker parse: SOI/APPn/COM/DQT/SOF0/SOF1/DHT/SOS/DRI/EOI
+- marker parse: SOI/APPn/COM/DQT/SOF0/SOF1/SOF2/DHT/SOS/DRI/EOI
 - entropy decode: canonical Huffman via a 16-bit peek table (one numpy
   lookup per symbol), byte destuffing and restart-interval segmentation
   done vectorized up front
 - the heavy math is batch-vectorized across ALL blocks of a component:
   dezigzag (fancy index), dequantize (broadcast), 2-D IDCT as two
-  matrix products (M.T @ blocks @ M), MCU assembly as a single
+  matrix products (M.T @ blocks @ M), grid assembly as a single
   reshape/transpose, chroma upsampling via np.repeat
 - 4:4:4 / 4:2:2 / 4:2:0 sampling, grayscale, restart markers
+- PROGRESSIVE (SOF2): multi-scan coefficient accumulation with both
+  spectral selection and successive approximation — DC first/refine,
+  AC first/refine with EOB runs and correction bits (T.81 G.2);
+  captured-at-SOS Huffman tables so mid-stream DHT redefinition works
 
-Progressive (SOF2), arithmetic coding, 12-bit precision, and 4-channel
-(CMYK) files raise NotImplementedError — callers (multimodal._decode_one)
-fall back to the flagged stub, same honesty contract as before.
+Arithmetic coding, 12-bit precision, and 4-channel (CMYK) files raise
+NotImplementedError — callers (multimodal._decode_one) fall back to the
+flagged stub, same honesty contract as before.
 
 The bit-serial Huffman loop is Python: ~0.5-1 Mcoef/s, i.e. ~0.2-1 s
 per megapixel depending on quality. That is the documented throughput
@@ -23,11 +27,13 @@ bound of this kernel; it is a correctness/lineage baseline, not a
 libjpeg-turbo replacement (which would be a Pandas-UDF + native-lib
 swap behind the same ``decode_features`` contract).
 
-``encode_jpeg`` exists to build test fixtures without external tools.
-It writes legal baseline streams using uniform-length canonical Huffman
-tables (every DC size symbol at 4 bits, every AC run/size at 8 bits) —
-valid DHT segments any decoder accepts, chosen so this repo need not
-transcribe the Annex-K typical tables.
+``encode_jpeg`` exists to build test fixtures without external tools
+(baseline AND progressive — the progressive decoder is validated by
+pixel-identity against the baseline path, which carries identical
+coefficients). It writes legal streams using uniform-length canonical
+Huffman tables (every DC size symbol at 4 bits, every AC run/size at
+8 bits) — valid DHT segments any decoder accepts, chosen so this repo
+need not transcribe the Annex-K typical tables.
 
 Reference parity note: the reference pipeline treats media as opaque
 bytes; this module is part of the beyond-reference LLM-data-pipeline
@@ -186,43 +192,18 @@ class _Component:
     h: int
     v: int
     tq: int
-    td: int = 0
-    ta: int = 0
-    blocks: list = field(default_factory=list)   # transmit-order coef rows
     pred: int = 0
+    gw: int = 0          # coefficient-grid width/height in blocks
+    gh: int = 0          # (MCU-padded; AC scans cover only bw × bh)
+    bw: int = 0
+    bh: int = 0
+    coef: np.ndarray = field(default=None)  # (gh*gw, 64) transmit order
 
 
-def _parse_segments(data: bytes):
-    """Yield (marker, payload, scan_start) for each marker segment; scan
-    data handling happens in the caller once SOS arrives."""
-    if data[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG: missing SOI")
-    i = 2
-    while i < len(data):
-        if data[i] != 0xFF:
-            i += 1
-            continue
-        marker = data[i + 1]
-        if marker in (0xFF, 0x00):
-            i += 1
-            continue
-        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
-            i += 2
-            if marker == 0xD9:
-                return
-            continue
-        if i + 4 > len(data):
-            return
-        seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
-        payload = data[i + 4:i + 2 + seg_len]
-        yield marker, payload, i + 2 + seg_len
-        if marker == 0xDA:
-            return
-        i = i + 2 + seg_len
-
-
-def _split_scan(data: bytes, start: int) -> list[bytes]:
-    """Destuff the entropy-coded scan and split on restart markers.
+def _split_scan(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Destuff the entropy-coded scan and split on restart markers;
+    also return the ABSOLUTE offset of the terminating marker so a
+    multi-scan (progressive) caller can resume parsing there.
     Vectorized: one np.frombuffer pass finds every 0xFF."""
     buf = np.frombuffer(data, dtype=np.uint8, count=len(data), offset=0)[start:]
     ff = np.flatnonzero(buf == 0xFF)
@@ -257,7 +238,7 @@ def _split_scan(data: bytes, start: int) -> list[bytes]:
                 mask[stuffed] = False
                 chunk = chunk[mask]
         segments.append(chunk.tobytes())
-    return segments
+    return segments, start + int(end)
 
 
 def _decode_block(br: _BitReader, dc: _HuffTable, ac: _HuffTable,
@@ -293,10 +274,177 @@ def _decode_block(br: _BitReader, dc: _HuffTable, ac: _HuffTable,
     return coefs, pred
 
 
+def _scan_units(sel, comps, mcus_x, mcus_y):
+    """Block visit order for one scan: (component, grid_index) pairs.
+    ns > 1 → interleaved MCU order over the full (padded) grid; ns == 1
+    → the component's own data-unit raster (bw × bh, no padding blocks)
+    — the JPEG non-interleaved rule (B.2.3)."""
+    if len(sel) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for comp, _, _ in sel:
+                    for dv in range(comp.v):
+                        for dh in range(comp.h):
+                            yield comp, ((my * comp.v + dv) * comp.gw
+                                         + mx * comp.h + dh)
+    else:
+        comp = sel[0][0]
+        for by in range(comp.bh):
+            for bx in range(comp.bw):
+                yield comp, by * comp.gw + bx
+
+
+def _decode_scan_baseline(sel, segments, restart_interval, comps,
+                          mcus_x, mcus_y):
+    units = list(_scan_units(sel, comps, mcus_x, mcus_y))
+    per_unit = sum(c.h * c.v for c, _, _ in sel) if len(sel) > 1 else 1
+    tables = {c.cid: (dc, ac) for c, dc, ac in sel}
+    br = _BitReader(segments[0])
+    seg_idx = 0
+    done = 0
+    for comp, gi in units:
+        if restart_interval and done and \
+                done % (restart_interval * per_unit) == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart segment")
+            br = _BitReader(segments[seg_idx])
+            for c, _, _ in sel:
+                c.pred = 0
+        dc, ac = tables[comp.cid]
+        coefs, comp.pred = _decode_block(br, dc, ac, comp.pred)
+        comp.coef[gi] = coefs
+        done += 1
+
+
+def _decode_scan_progressive(sel, ss, se, ah, al, segments,
+                             restart_interval, comps, mcus_x, mcus_y):
+    """One progressive scan into the coefficient grids: DC first/refine
+    (may be interleaved), AC first/refine (always one component), with
+    EOB-run and successive-approximation semantics (ITU-T T.81 G.2)."""
+    if ss == 0 and se != 0:
+        raise ValueError("malformed progressive DC scan (Se must be 0)")
+    if ss > 0 and len(sel) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    br = _BitReader(segments[0])
+    seg_idx = 0
+    eobrun = 0
+    p1 = 1 << al
+
+    units = list(_scan_units(sel, comps, mcus_x, mcus_y))
+    # restart counts MCUs when interleaved, data units otherwise
+    per_unit = sum(c.h * c.v for c, _, _ in sel) if len(sel) > 1 else 1
+    done = 0
+    for comp, gi in units:
+        if restart_interval and done and \
+                done % (restart_interval * per_unit) == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart segment")
+            br = _BitReader(segments[seg_idx])
+            eobrun = 0
+            for c, _, _ in sel:
+                c.pred = 0
+        done += 1
+        cf = comp.coef[gi]
+        if ss == 0:  # DC scan
+            if ah == 0:
+                dc_tbl = next(d for c, d, _ in sel if c is comp)
+                w16 = br.peek16()
+                length = dc_tbl.lengths[w16]
+                if length == 0:
+                    raise ValueError("invalid DC Huffman code")
+                br.skip(int(length))
+                size = int(dc_tbl.syms[w16])
+                comp.pred += _extend(br.get(size), size)
+                cf[0] = comp.pred << al
+            else:  # DC refine: one appended bit per block
+                if br.get(1):
+                    cf[0] |= p1
+            continue
+
+        ac_tbl = next(a for c, _, a in sel if c is comp)
+        if ah == 0:  # AC first (or only) scan for this band
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                w16 = br.peek16()
+                length = ac_tbl.lengths[w16]
+                if length == 0:
+                    raise ValueError("invalid AC Huffman code")
+                br.skip(int(length))
+                rs = int(ac_tbl.syms[w16])
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:  # EOBn
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.get(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC run past end of band")
+                cf[k] = _extend(br.get(s), s) << al
+                k += 1
+        else:  # AC refine (G.1.2.3): corrections + newly-significant ±1
+            m1 = -p1
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    w16 = br.peek16()
+                    length = ac_tbl.lengths[w16]
+                    if length == 0:
+                        raise ValueError("invalid AC Huffman code")
+                    br.skip(int(length))
+                    rs = int(ac_tbl.syms[w16])
+                    r, s = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError("AC refine size must be 1")
+                        newval = p1 if br.get(1) else m1
+                    elif r < 15:  # EOBn (covers this block too)
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.get(r)
+                        break
+                    # advance past r zero-history coefficients, emitting
+                    # a correction bit at every nonzero-history one
+                    while k <= se:
+                        v = int(cf[k])
+                        if v != 0:
+                            if br.get(1) and (v & p1) == 0:
+                                cf[k] = v + (p1 if v >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        cf[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    v = int(cf[k])
+                    if v != 0:
+                        if br.get(1) and (v & p1) == 0:
+                            cf[k] = v + (p1 if v >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
 def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode a baseline JPEG → (width, height, channels, uint8 pixels
-    of shape (h, w, channels)). Raises ValueError on malformed input and
-    NotImplementedError on progressive/arithmetic/12-bit/CMYK streams.
+    """Decode a baseline OR progressive JPEG → (width, height, channels,
+    uint8 pixels of shape (h, w, channels)). Raises ValueError on
+    malformed input and NotImplementedError on arithmetic/12-bit/CMYK
+    streams. Progressive support covers spectral selection AND
+    successive approximation (DC+AC first/refine scans, EOB runs),
+    accumulated into per-component coefficient grids; the IDCT/assembly
+    path is shared with baseline.
     """
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _HuffTable] = {}
@@ -304,24 +452,45 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     comps: list[_Component] = []
     width = height = 0
     restart_interval = 0
-    scan_start = None
-    scan_order: list[_Component] = []
+    progressive = False
+    scans: list[tuple] = []
 
-    for marker, payload, after in _parse_segments(data):
-        if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(payload):
-                pq, tq = payload[i] >> 4, payload[i] & 0x0F
-                i += 1
-                if pq:
-                    vals = np.frombuffer(payload[i:i + 128], dtype=">u2")
-                    i += 128
-                else:
-                    vals = np.frombuffer(payload[i:i + 64], dtype=np.uint8)
-                    i += 64
-                quant[tq] = vals.astype(np.int64)
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    i, n = 2, len(data)
+    while i < n - 1:
+        if data[i] != 0xFF:
+            i += 1
             continue
-        if marker in (0xC0, 0xC1):  # SOF0 / SOF1 (identical decode)
+        marker = data[i + 1]
+        if marker in (0xFF, 0x00):
+            i += 1
+            continue
+        if marker == 0xD9:
+            break
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > n:
+            break
+        seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
+        payload = data[i + 4:i + 2 + seg_len]
+        i = i + 2 + seg_len
+
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(payload):
+                pq, tq = payload[j] >> 4, payload[j] & 0x0F
+                j += 1
+                if pq:
+                    vals = np.frombuffer(payload[j:j + 128], dtype=">u2")
+                    j += 128
+                else:
+                    vals = np.frombuffer(payload[j:j + 64], dtype=np.uint8)
+                    j += 64
+                quant[tq] = vals.astype(np.int64)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+            progressive = marker == 0xC2
             prec, height, width, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -330,81 +499,66 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
             for c in range(nc):
                 cid, hv, tq = payload[6 + c * 3: 9 + c * 3]
                 comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq))
-            continue
-        if marker == 0xC2:
-            raise NotImplementedError("progressive JPEG not supported")
-        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                      0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
             raise NotImplementedError("unsupported SOF variant")
-        if marker == 0xC4:  # DHT
-            i = 0
-            while i < len(payload):
-                tc, th = payload[i] >> 4, payload[i] & 0x0F
-                counts = list(payload[i + 1:i + 17])
-                n = sum(counts)
-                symbols = list(payload[i + 17:i + 17 + n])
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(payload):
+                tc, th = payload[j] >> 4, payload[j] & 0x0F
+                counts = list(payload[j + 1:j + 17])
+                cnt = sum(counts)
+                symbols = list(payload[j + 17:j + 17 + cnt])
                 (huff_ac if tc else huff_dc)[th] = _HuffTable(counts, symbols)
-                i += 17 + n
-            continue
-        if marker == 0xDD:  # DRI
+                j += 17 + cnt
+        elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", payload[:2])[0]
-            continue
-        if marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — capture tables NOW (redefinable)
             ns = payload[0]
+            sel = []
             for s in range(ns):
                 cs, tdta = payload[1 + s * 2:3 + s * 2]
                 comp = next(c for c in comps if c.cid == cs)
-                comp.td, comp.ta = tdta >> 4, tdta & 0x0F
-                scan_order.append(comp)
-            scan_start = after
-            break
+                sel.append((comp, huff_dc.get(tdta >> 4),
+                            huff_ac.get(tdta & 0x0F)))
+            ss, se, ahal = payload[1 + 2 * ns:4 + 2 * ns]
+            segments, i = _split_scan(data, i)
+            scans.append((sel, ss, se, ahal >> 4, ahal & 0x0F,
+                          segments, restart_interval))
+            if not progressive:
+                break
 
-    if scan_start is None or not comps or not width:
+    if not scans or not comps or not width:
         raise ValueError("truncated JPEG: no SOS/SOF")
 
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = -(-width // mcu_w)
-    mcus_y = -(-height // mcu_h)
-    if len(scan_order) == 1 and len(comps) == 1:
-        # non-interleaved single component: MCU = one block
-        c = comps[0]
-        c.h = c.v = 1
-        hmax = vmax = 1
-        mcus_x = -(-width // 8)
-        mcus_y = -(-height // 8)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    for c in comps:
+        c.gw = mcus_x * c.h
+        c.gh = mcus_y * c.v
+        cw = -(-(width * c.h) // hmax)   # component sample dimensions
+        chh = -(-(height * c.v) // vmax)
+        c.bw = -(-cw // 8)               # data units per row/col (B.2.3)
+        c.bh = -(-chh // 8)
+        c.coef = np.zeros((c.gh * c.gw, 64), dtype=np.int64)
 
-    segments = _split_scan(data, scan_start)
-    seg_idx = 0
-    br = _BitReader(segments[0])
-    n_mcus = mcus_x * mcus_y
-    for m in range(n_mcus):
-        if restart_interval and m and m % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                raise ValueError("missing restart segment")
-            br = _BitReader(segments[seg_idx])
-            for c in comps:
-                c.pred = 0
-        for c in scan_order:
-            dc, ac = huff_dc[c.td], huff_ac[c.ta]
-            for _ in range(c.h * c.v):
-                coefs, c.pred = _decode_block(br, dc, ac, c.pred)
-                c.blocks.append(coefs)
+    for sel, ss, se, ah, al, segments, ri in scans:
+        if progressive:
+            _decode_scan_progressive(sel, ss, se, ah, al, segments, ri,
+                                     comps, mcus_x, mcus_y)
+        else:
+            _decode_scan_baseline(sel, segments, ri, comps, mcus_x, mcus_y)
 
     planes = []
     for c in comps:
-        blocks = np.array(c.blocks, dtype=np.int64)      # (n, 64) transmit order
-        blocks *= quant[c.tq][None, :]                   # dequant (same order)
+        blocks = c.coef * quant[c.tq][None, :]            # dequant
         natural = blocks[:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
-        spatial = DCT_M.T @ natural @ DCT_M              # batched 2-D IDCT
+        spatial = DCT_M.T @ natural @ DCT_M               # batched 2-D IDCT
         spatial = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
-        # MCU-order blocks -> plane: (my, mx, v, h, 8, 8) -> rows/cols
-        plane = (spatial
-                 .reshape(mcus_y, mcus_x, c.v, c.h, 8, 8)
-                 .transpose(0, 2, 4, 1, 3, 5)
-                 .reshape(mcus_y * c.v * 8, mcus_x * c.h * 8))
+        plane = (spatial.reshape(c.gh, c.gw, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(c.gh * 8, c.gw * 8))
         plane = np.repeat(np.repeat(plane, vmax // c.v, axis=0),
                           hmax // c.h, axis=1)
         planes.append(plane[:height, :width])
@@ -492,6 +646,95 @@ def _encode_block(bw: _BitWriter, coefs: np.ndarray, pred: int,
     return int(coefs[0])
 
 
+def _sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+    sos = bytes([len(comp_ids)]) \
+        + b"".join(bytes([cid, 0]) for cid in comp_ids) \
+        + bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+
+def _emit_ac_first_block(bw: _BitWriter, cf: np.ndarray, ss: int, se: int,
+                         al: int):
+    """AC first scan, one block: point-transformed band coefficients
+    with run/size coding and a 1-block EOB (no cross-block EOB runs —
+    valid, just slightly less compact than libjpeg's batching)."""
+    def pt(k):
+        v = int(cf[k])
+        m = abs(v) >> al
+        return m if v >= 0 else -m
+
+    vals = [pt(k) for k in range(ss, se + 1)]
+    nz = [i for i, v in enumerate(vals) if v]
+    if not nz:
+        c, ln = _ENC_AC.codes[0x00]
+        bw.put(c, ln)
+        return
+    run = 0
+    for i in range(nz[-1] + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = _ENC_AC.codes[0xF0]
+            bw.put(c, ln)
+            run -= 16
+        size = _size_of(v)
+        c, ln = _ENC_AC.codes[(run << 4) | size]
+        bw.put(c, ln)
+        bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if ss + nz[-1] < se:
+        c, ln = _ENC_AC.codes[0x00]
+        bw.put(c, ln)
+
+
+def _emit_ac_refine_block(bw: _BitWriter, cf: np.ndarray, ss: int, se: int,
+                          ah: int, al: int):
+    """AC refine scan, one block (mirror of the G.1.2.3 decoder):
+    newly-significant coefficients as (run,1)+sign, correction bits for
+    previously-nonzero ones buffered and flushed with the next emitted
+    symbol, ZRL emitted AS SOON AS the zero run passes 15 (so the
+    buffer at that moment matches what the decoder's ZRL walk reads)."""
+    def mag(k):
+        return abs(int(cf[k])) >> al
+
+    newpos = [k for k in range(ss, se + 1)
+              if (abs(int(cf[k])) >> ah) == 0 and mag(k) == 1]
+    last_new = newpos[-1] if newpos else ss - 1
+    run = 0
+    buf: list[int] = []
+    for k in range(ss, se + 1):
+        a = mag(k)
+        if a == 0:
+            run += 1
+            continue
+        while run > 15 and k <= last_new:
+            c, ln = _ENC_AC.codes[0xF0]
+            bw.put(c, ln)
+            run -= 16
+            for b in buf:
+                bw.put(b, 1)
+            buf = []
+        if a > 1:  # previously nonzero → one correction bit, run intact
+            buf.append(a & 1)
+            continue
+        c, ln = _ENC_AC.codes[(run << 4) | 1]
+        bw.put(c, ln)
+        bw.put(1 if int(cf[k]) >= 0 else 0, 1)
+        for b in buf:
+            bw.put(b, 1)
+        buf = []
+        run = 0
+    if last_new < se:
+        # EOB (run of 1 block) + correction bits for every remaining
+        # previously-nonzero position — the decoder's EOBRUN walk
+        c, ln = _ENC_AC.codes[0x00]
+        bw.put(c, ln)
+        for b in buf:
+            bw.put(b, 1)
+
+
 def _quant_for_quality(base: np.ndarray, quality: int) -> np.ndarray:
     quality = min(100, max(1, quality))
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
@@ -519,9 +762,16 @@ def _component_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(w: int, h: int, pixels: np.ndarray, quality: int = 85,
-                subsample: str = "444", restart_interval: int = 0) -> bytes:
-    """Baseline JPEG encoder for fixtures. pixels: (h, w, 3) RGB or
-    (h, w)/(h, w, 1) grayscale uint8. subsample: '444' or '420'."""
+                subsample: str = "444", restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """Baseline or progressive JPEG encoder for fixtures. pixels:
+    (h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8. subsample: '444'
+    or '420'. ``progressive=True`` writes an SOF2 stream exercising the
+    full progressive feature set: interleaved DC first (Al=1) + DC
+    refine, per-component spectral-band AC first scans (Al=1), and AC
+    refine scans (Ah=1 → Al=0) with buffered correction bits."""
+    if progressive and restart_interval:
+        raise ValueError("restart_interval not supported with progressive")
     px = np.asarray(pixels, dtype=np.float64)
     gray = px.ndim == 2 or px.shape[2] == 1
     if gray and px.ndim == 3:
@@ -560,15 +810,13 @@ def encode_jpeg(w: int, h: int, pixels: np.ndarray, quality: int = 85,
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for idx, (_, _, tq, ch, cv) in enumerate(planes):
         sof += bytes([idx + 1, (ch << 4) | cv, tq])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") \
+        + struct.pack(">H", 2 + len(sof)) + sof
     for tc, th, t in ((0, 0, _ENC_DC), (1, 0, _ENC_AC)):
         payload = _dht_payload(tc, th, t)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    sos = bytes([nc]) + b"".join(bytes([i + 1, 0]) for i in range(nc)) \
-        + bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
     hmax = max(p[3] for p in planes)
     vmax = max(p[4] for p in planes)
@@ -587,6 +835,16 @@ def encode_jpeg(w: int, h: int, pixels: np.ndarray, quality: int = 85,
         cb_ = _component_blocks(padded, q)
         # raster block order -> indexable (row, col)
         comp_blocks.append((cb_, tw // 8, ch, cv))
+
+    if progressive:
+        out += _encode_progressive_scans(
+            w, h, nc, comp_blocks, hmax, vmax, mcus_x, mcus_y)
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    sos = bytes([nc]) + b"".join(bytes([i + 1, 0]) for i in range(nc)) \
+        + bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
     bw = _BitWriter()
     preds = [0] * len(planes)
@@ -612,4 +870,86 @@ def encode_jpeg(w: int, h: int, pixels: np.ndarray, quality: int = 85,
     bw.flush()
     out += bytes(bw.out)
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_progressive_scans(w, h, nc, comp_blocks, hmax, vmax,
+                              mcus_x, mcus_y) -> bytes:
+    """Scan sequence for the progressive encoder: interleaved (or
+    single-component) DC first at Al=1, DC refine, then per-component
+    AC first scans over two spectral bands at Al=1 and an AC refine
+    scan (Ah=1 → Al=0) over the full band."""
+    out = bytearray()
+
+    def du_dims(ch, cv):
+        cw = -(-(w * ch) // hmax)
+        chh = -(-(h * cv) // vmax)
+        return -(-cw // 8), -(-chh // 8)  # bw, bh (data units, B.2.3)
+
+    def dc_units():
+        if nc > 1:  # interleaved MCU order
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci, (cb_, cols, ch, cv) in enumerate(comp_blocks):
+                        for dv in range(cv):
+                            for dh in range(ch):
+                                yield ci, cb_[(my * cv + dv) * cols
+                                              + mx * ch + dh]
+        else:
+            cb_, cols, ch, cv = comp_blocks[0]
+            bw_, bh_ = du_dims(ch, cv)
+            for by in range(bh_):
+                for bx in range(bw_):
+                    yield 0, cb_[by * cols + bx]
+
+    all_ids = list(range(1, nc + 1))
+
+    # DC first, Al=1
+    out += _sos_header(all_ids, 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * nc
+    for ci, cf in dc_units():
+        d = int(cf[0]) >> 1
+        diff = d - preds[ci]
+        preds[ci] = d
+        size = _size_of(diff)
+        code, ln = _ENC_DC.codes[size]
+        bw.put(code, ln)
+        if size:
+            bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    bw.flush()
+    out += bytes(bw.out)
+
+    # DC refine, Ah=1 → Al=0: one appended bit per block
+    out += _sos_header(all_ids, 0, 0, 1, 0)
+    bw = _BitWriter()
+    for _, cf in dc_units():
+        bw.put(int(cf[0]) & 1, 1)
+    bw.flush()
+    out += bytes(bw.out)
+
+    # AC first per component, two spectral bands, Al=1
+    for band in ((1, 5), (6, 63)):
+        for ci, (cb_, cols, ch, cv) in enumerate(comp_blocks):
+            bw_, bh_ = du_dims(ch, cv)
+            out += _sos_header([ci + 1], band[0], band[1], 0, 1)
+            bw = _BitWriter()
+            for by in range(bh_):
+                for bx in range(bw_):
+                    _emit_ac_first_block(bw, cb_[by * cols + bx],
+                                         band[0], band[1], 1)
+            bw.flush()
+            out += bytes(bw.out)
+
+    # AC refine per component, full band, Ah=1 → Al=0
+    for ci, (cb_, cols, ch, cv) in enumerate(comp_blocks):
+        bw_, bh_ = du_dims(ch, cv)
+        out += _sos_header([ci + 1], 1, 63, 1, 0)
+        bw = _BitWriter()
+        for by in range(bh_):
+            for bx in range(bw_):
+                _emit_ac_refine_block(bw, cb_[by * cols + bx], 1, 63, 1, 0)
+        bw.flush()
+        out += bytes(bw.out)
+
     return bytes(out)

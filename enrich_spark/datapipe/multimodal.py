@@ -205,7 +205,7 @@ def _decode_one(data: bytes) -> dict:
             elif data[:3] == b"GIF":
                 codec, dec = "gif", mc.decode_gif
             else:
-                from .jpeg import decode_jpeg as dec  # baseline only
+                from .jpeg import decode_jpeg as dec  # baseline + progressive
 
                 codec = "jpeg"
             w, h, ch, px = dec(data)

@@ -353,10 +353,21 @@ def test_jpeg_codec():
                             KeyError, StopIteration)):
             decode_jpeg(bad)
 
-    # progressive marker → NotImplementedError (stub fallback upstream)
-    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(prog)
+    # progressive: full feature set (interleaved DC first/refine,
+    # spectral-band AC first, AC refine with correction bits) must be
+    # PIXEL-IDENTICAL to baseline — both carry the same coefficients
+    for kwargs in ({"subsample": "444"}, {"subsample": "420"}):
+        base_px = decode_jpeg(encode_jpeg(53, 37, img, quality=92, **kwargs))[3]
+        prog_px = decode_jpeg(encode_jpeg(53, 37, img, quality=92,
+                                          progressive=True, **kwargs))[3]
+        assert np.array_equal(base_px, prog_px), kwargs
+    gb = decode_jpeg(encode_jpeg(53, 37, g, quality=90))[3]
+    gp = decode_jpeg(encode_jpeg(53, 37, g, quality=90, progressive=True))[3]
+    assert np.array_equal(gb, gp)
+    # a baseline stream RELABELED as SOF2 is malformed (DC scan with
+    # Se=63) and must fail loudly, not decode garbage
+    with pytest.raises(ValueError):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
 
     # documented throughput bound: a 256×256 photo-like image decodes
     # within the ~1 s/MP envelope the module docstring claims

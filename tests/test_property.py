@@ -194,6 +194,10 @@ def test_jpeg_roundtrip_property(w, h, quality, sub, data):
                                                subsample=sub))
     assert (ww, hh, cc) == (w, h, 3)
     assert np.abs(back.astype(int) - px.astype(int)).max() <= 120
+    # progressive carries the SAME coefficients → pixel-identical
+    prog = decode_jpeg(encode_jpeg(w, h, px, quality=quality,
+                                   subsample=sub, progressive=True))[3]
+    assert np.array_equal(back, prog)
 
 
 @given(data=st.binary(min_size=0, max_size=300))
