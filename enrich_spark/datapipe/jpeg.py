@@ -17,9 +17,12 @@ back to the digest stub" to a real decoder:
   AC first/refine with EOB runs and correction bits (T.81 G.2);
   captured-at-SOS Huffman tables so mid-stream DHT redefinition works
 
-Arithmetic coding, 12-bit precision, and 4-channel (CMYK) files raise
-NotImplementedError — callers (multimodal._decode_one) fall back to the
-flagged stub, same honesty contract as before.
+- CMYK / Adobe YCCK (4-component, APP14 transform flag): decoded to RGB
+  via the Adobe inverted-channel convention
+
+Arithmetic coding and 12-bit precision raise NotImplementedError —
+callers (multimodal._decode_one) fall back to the flagged stub, same
+honesty contract as before.
 
 The bit-serial Huffman loop is Python: ~0.5-1 Mcoef/s, i.e. ~0.2-1 s
 per megapixel depending on quality. That is the documented throughput
@@ -440,11 +443,12 @@ def _decode_scan_progressive(sel, ss, se, ah, al, segments,
 def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """Decode a baseline OR progressive JPEG → (width, height, channels,
     uint8 pixels of shape (h, w, channels)). Raises ValueError on
-    malformed input and NotImplementedError on arithmetic/12-bit/CMYK
+    malformed input and NotImplementedError on arithmetic/12-bit
     streams. Progressive support covers spectral selection AND
     successive approximation (DC+AC first/refine scans, EOB runs),
     accumulated into per-component coefficient grids; the IDCT/assembly
-    path is shared with baseline.
+    path is shared with baseline. 4-component CMYK/YCCK (Adobe APP14)
+    converts to RGB using the Adobe inverted-channel convention.
     """
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _HuffTable] = {}
@@ -453,6 +457,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     width = height = 0
     restart_interval = 0
     progressive = False
+    adobe_transform = 0  # APP14: 0=direct, 1=YCbCr, 2=YCCK
     scans: list[tuple] = []
 
     if data[:2] != b"\xff\xd8":
@@ -494,8 +499,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
             prec, height, width, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
-            if nc not in (1, 3):
-                raise NotImplementedError("only grayscale / YCbCr supported")
+            if nc not in (1, 3, 4):
+                raise NotImplementedError(
+                    "only grayscale / YCbCr / CMYK(YCCK) supported")
             for c in range(nc):
                 cid, hv, tq = payload[6 + c * 3: 9 + c * 3]
                 comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq))
@@ -511,6 +517,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 symbols = list(payload[j + 17:j + 17 + cnt])
                 (huff_ac if tc else huff_dc)[th] = _HuffTable(counts, symbols)
                 j += 17 + cnt
+        elif marker == 0xEE and payload[:5] == b"Adobe":  # APP14
+            adobe_transform = payload[11] if len(payload) > 11 else 0
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:  # SOS — capture tables NOW (redefinable)
@@ -565,14 +573,32 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
 
     if len(planes) == 1:
         return width, height, 1, planes[0][:, :, None]
-    y = planes[0].astype(np.float64)
-    cb = planes[1].astype(np.float64) - 128.0
-    cr = planes[2].astype(np.float64) - 128.0
-    rgb = np.stack([
-        y + 1.402 * cr,
-        y - 0.344136 * cb - 0.714136 * cr,
-        y + 1.772 * cb,
-    ], axis=-1)
+
+    def ycc_inverse(p0, p1, p2):
+        y = p0.astype(np.float64)
+        cb = p1.astype(np.float64) - 128.0
+        cr = p2.astype(np.float64) - 128.0
+        return np.stack([
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ], axis=-1)
+
+    if len(planes) == 4:
+        # Adobe CMYK: stored channels are INVERTED (255-C …); YCCK
+        # (transform 2) additionally runs YCbCr over the inverted CMY.
+        # Output RGB via R = (255-C)·(255-K)/255 on the inverted values.
+        if adobe_transform == 2:
+            inv_cmy = np.clip(np.round(
+                ycc_inverse(planes[0], planes[1], planes[2])), 0, 255)
+        else:
+            inv_cmy = np.stack(
+                [p.astype(np.float64) for p in planes[:3]], axis=-1)
+        inv_k = planes[3].astype(np.float64)[:, :, None]
+        rgb = inv_cmy * inv_k / 255.0
+        return width, height, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+    rgb = ycc_inverse(planes[0], planes[1], planes[2])
     return width, height, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
@@ -774,6 +800,7 @@ def encode_jpeg(w: int, h: int, pixels: np.ndarray, quality: int = 85,
         raise ValueError("restart_interval not supported with progressive")
     px = np.asarray(pixels, dtype=np.float64)
     gray = px.ndim == 2 or px.shape[2] == 1
+    cmyk = px.ndim == 3 and px.shape[2] == 4
     if gray and px.ndim == 3:
         px = px[:, :, 0]
     ql = _quant_for_quality(_QUANT_LUMA, quality)
@@ -781,6 +808,18 @@ def encode_jpeg(w: int, h: int, pixels: np.ndarray, quality: int = 85,
 
     if gray:
         planes = [(px, ql, 0, 1, 1)]
+    elif cmyk:
+        # Adobe YCCK: invert CMYK (Adobe stores 255-v), run the RGB→
+        # YCbCr transform over the inverted CMY, keep inverted K as the
+        # 4th component; an APP14 marker with transform=2 labels it
+        if subsample != "444":
+            raise ValueError("CMYK fixtures are 4:4:4 only")
+        ic, im, iy2, ik = (255.0 - px[:, :, c] for c in range(4))
+        y = 0.299 * ic + 0.587 * im + 0.114 * iy2
+        cb = -0.168736 * ic - 0.331264 * im + 0.5 * iy2 + 128.0
+        cr = 0.5 * ic - 0.418688 * im - 0.081312 * iy2 + 128.0
+        planes = [(y, ql, 0, 1, 1), (cb, qc, 1, 1, 1),
+                  (cr, qc, 1, 1, 1), (ik, ql, 0, 1, 1)]
     else:
         r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -803,10 +842,13 @@ def encode_jpeg(w: int, h: int, pixels: np.ndarray, quality: int = 85,
             raise ValueError(f"unsupported subsample {subsample!r}")
 
     out = bytearray(b"\xff\xd8")
+    if cmyk:
+        adobe = b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 2)
+        out += b"\xff\xee" + struct.pack(">H", 2 + len(adobe)) + adobe
     for tq, q in ((0, ql), (1, qc))[: 1 if gray else 2]:
         payload = bytes([tq]) + bytes(int(v) for v in q)
         out += b"\xff\xdb" + struct.pack(">H", 2 + len(payload)) + payload
-    nc = 1 if gray else 3
+    nc = len(planes)
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for idx, (_, _, tq, ch, cv) in enumerate(planes):
         sof += bytes([idx + 1, (ch << 4) | cv, tq])

@@ -369,6 +369,19 @@ def test_jpeg_codec():
     with pytest.raises(ValueError):
         decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
 
+    # CMYK / Adobe YCCK: 4-component stream with APP14 transform=2 →
+    # RGB via the inverted-channel convention, baseline == progressive
+    cm = np.stack([(xx * 8) % 256, (yy * 11) % 256, ((xx + yy) * 5) % 256,
+                   np.full_like(xx, 40)], axis=-1).astype(np.uint8)
+    ref = np.clip(np.round(
+        (255.0 - cm[..., :3]) * (255.0 - cm[..., 3:4]) / 255.0), 0, 255)
+    cb_px = decode_jpeg(encode_jpeg(53, 37, cm, quality=95))
+    assert cb_px[:3] == (53, 37, 3)
+    assert np.abs(cb_px[3].astype(float) - ref).max() <= 16
+    cp_px = decode_jpeg(encode_jpeg(53, 37, cm, quality=95,
+                                    progressive=True))[3]
+    assert np.array_equal(cb_px[3], cp_px)
+
     # documented throughput bound: a 256×256 photo-like image decodes
     # within the ~1 s/MP envelope the module docstring claims
     big = rng.integers(0, 64, (256, 256, 3), dtype=np.uint8).astype(np.uint8)
