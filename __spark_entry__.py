@@ -2499,12 +2499,17 @@ config:
         queries_df = vecs.where(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
-        out = lsh_topk(vecs, queries_df, dim=64, k=10, num_tables=4, bits=6,
-                       round_digits=4)
-        return out.select(
+        sel = lambda df: df.select(  # noqa: E731
             F.col("query_id").cast("long"), F.col("vec_id").cast("long"),
             "cosine_sim",
         )
+        plain = sel(lsh_topk(vecs, queries_df, dim=64, k=10, num_tables=4,
+                             bits=6, round_digits=4))
+        # multiprobe: per table also probe the two Hamming-1 buckets on
+        # the low signature bits — query-side-only fan-out recall lever
+        probe = sel(lsh_topk(vecs, queries_df, dim=64, k=10, num_tables=4,
+                             bits=6, round_digits=4, multiprobe=2))
+        return _union_parts([("plain", plain), ("probe", probe)])
 
     q["ann_lsh_topk"] = q_ann_lsh
 
@@ -4061,24 +4066,36 @@ def oracle_sql() -> dict[str, str]:
             for t in range(4)
         )
 
-    o["ann_lsh_topk"] = f"""
+    def _ann_lsh_sql(probe_bits):
+        probes = "SELECT query_id, emb, tbl, sig FROM qs"
+        for b in range(probe_bits):
+            probes += (f"\n          UNION ALL SELECT query_id, emb, tbl, "
+                       f"xor(sig, {1 << b}) AS sig FROM qs")
+        return f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb0 FROM embeddings),
              q AS (SELECT vec_id AS query_id, emb0 AS qemb0 FROM v WHERE vec_id < 3),
         vs AS ({_lsh_sigs_union('v', 'vec_id', 'emb0')}),
         qs AS ({_lsh_sigs_union('q', 'query_id', 'qemb0')}),
+        qp AS ({probes}),
         cand AS (
-          SELECT DISTINCT qs.query_id, vs.vec_id,
-                 round(list_dot_product(vs.emb, qs.emb)
+          SELECT DISTINCT qp.query_id, vs.vec_id,
+                 round(list_dot_product(vs.emb, qp.emb)
                        / (sqrt(list_dot_product(vs.emb, vs.emb))
-                          * sqrt(list_dot_product(qs.emb, qs.emb))), 4) AS cosine_sim
-          FROM vs JOIN qs ON vs.tbl = qs.tbl AND vs.sig = qs.sig),
+                          * sqrt(list_dot_product(qp.emb, qp.emb))), 4) AS cosine_sim
+          FROM vs JOIN qp ON vs.tbl = qp.tbl AND vs.sig = qp.sig),
         ranked AS (
           SELECT query_id, vec_id, cosine_sim,
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY cosine_sim DESC, vec_id ASC) AS rank
           FROM cand)
         SELECT query_id, vec_id, cosine_sim FROM ranked WHERE rank <= 10
-    """
+        """
+
+    _ann_cols = {"query_id": "num", "vec_id": "num", "cosine_sim": "fnum"}
+    o["ann_lsh_topk"] = _union_oracle([
+        ("plain", _ann_lsh_sql(0), _ann_cols),
+        ("probe", _ann_lsh_sql(2), _ann_cols),
+    ])
 
     o["ann_ivf_topk"] = """
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -120,10 +120,17 @@ def lsh_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     round_digits: int | None = None,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: equi-join on (table, signature) then exact rescore.
     round_digits rounds the cosine BEFORE ranking so rank order is stable
     across engines at float ties (needed for SQL-oracle parity).
+
+    ``multiprobe`` additionally probes, per table, the buckets whose
+    signature differs from the query's in one of the first ``multiprobe``
+    bits — the classic recall lever that multiplies only the (tiny)
+    QUERY side by (1+multiprobe) instead of adding whole hash tables on
+    the corpus side; candidate dedup keeps rescoring each vector once.
 
     Shuffle key (table, sig) has num_tables × 2^bits buckets — uniform for
     normalized embeddings; per-bucket candidate lists are small, so the
@@ -143,6 +150,13 @@ def lsh_topk(
 
     v = with_sigs(vectors, vec_col, id_col)
     q = with_sigs(queries, query_vec_col, query_id_col)
+    if multiprobe:
+        probes = F.array(F.col("sig"), *[
+            F.col("sig").bitwiseXOR(F.lit(1 << b))
+            for b in range(min(multiprobe, bits))
+        ])
+        q = q.select(query_id_col, query_vec_col, "tbl",
+                     F.explode(probes).alias("sig"))
     cand = (
         v.join(
             F.broadcast(q),

@@ -1223,3 +1223,25 @@ def test_corpus_stats(spark):
     assert a.p50_tokens == 3.0
     assert abs(a.p90_tokens - 5.1) < 1e-9
     assert got["b"].n_docs == 1 and got["b"].dup_docs == 0
+
+
+def test_lsh_topk_multiprobe_superset(spark):
+    """Multiprobe adds Hamming-1 query buckets: with k large enough to
+    keep every candidate, the probed candidate set contains the plain
+    one — more recall, same rescoring exactness."""
+    import random
+
+    rng = random.Random(5)
+    vecs = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+        "vec_id INT, embedding ARRAY<DOUBLE>")
+    q = vecs.where("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    kw = dict(dim=8, k=60, num_tables=2, bits=4)
+    plain = {(r.query_id, r.vec_id) for r in
+             similarity.lsh_topk(vecs, q, **kw).collect()}
+    probe = {(r.query_id, r.vec_id) for r in
+             similarity.lsh_topk(vecs, q, multiprobe=4, **kw).collect()}
+    assert plain <= probe
+    assert len(probe) > len(plain)  # the extra buckets found someone new
