@@ -250,6 +250,12 @@ _SNAKE = {
     "user_agent_utils_config": "user_agent_utils",
     "yauaa_enrichment_config": "yauaa",
     "iab_spiders_and_robots_enrichment": "iab",
+    "asn_lookups": "asn_lookups",
+    "bot_detection_enrichment_config": "bot_detection",
+    "javascript_script_config": "javascript_script",
+    "api_request_enrichment_config": "api_request",
+    "sql_query_enrichment_config": "sql_query",
+    "weather_enrichment_config": "weather",
 }
 
 
@@ -319,6 +325,85 @@ def parse_enrichment_sdj(doc: dict) -> tuple[str, Any] | None:
         return slot, YauaaConf()
     if slot == "iab":
         return slot, IabConf()
+    if slot == "asn_lookups":
+        return slot, AsnLookupsConf(
+            ranges_path=(params.get("botAsnsFile") or {}).get("uri"),
+            datacenter_asns=[int(a["asn"])
+                             for a in params.get("botAsns", [])],
+        )
+    if slot == "bot_detection":
+        return slot, BotDetectionConf(enabled=True)
+    if slot == "javascript_script":
+        # base64 script + compile semantics live in operators/script
+        # (lazy import: script.py imports JavascriptScriptConf from here)
+        from .operators.script import javascript_config_to_hook
+
+        return slot, javascript_config_to_hook(doc)
+    if slot == "api_request":
+        # reference Input keys {{key}} → our column-name template: remap
+        # each key to its pojo field (JSON inputs keep the key name and
+        # need a json_inputs entry downstream; documented divergence)
+        http = ((params.get("api") or {}).get("http") or {})
+        uri = http.get("uri", "")
+        fields, seen = [], set()
+        for inp in params.get("inputs", []):
+            pojo = inp.get("pojo")
+            if pojo and inp.get("key") not in seen:
+                seen.add(inp["key"])
+                uri = uri.replace("{{%s}}" % inp["key"],
+                                  "{{%s}}" % pojo["field"])
+                fields.append(pojo["field"])
+        out0 = (params.get("outputs") or [{}])[0]
+        cache = params.get("cache") or {}
+        from .operators.lookups import ApiRequestConf
+
+        return slot, ApiRequestConf(
+            url_template=uri,
+            inputs=fields,
+            context_schema=out0.get("schema",
+                                    ApiRequestConf().context_schema),
+            json_path=((out0.get("json") or {}).get("jsonPath") or "$")
+            .lstrip("$").lstrip(".") or None,
+            cache_size=int(cache.get("size", 1000)),
+            cache_ttl_s=float(cache.get("ttl", 3600)),
+            ignore_on_error=bool(params.get("ignoreOnError", False)),
+            timeout_s=float(http.get("timeout", 5000)) / 1000.0,
+        )
+    if slot == "sql_query":
+        # the reference binds ?-placeholders in arbitrary SQL against a
+        # JDBC source; our broadcast path joins a lookup TABLE instead —
+        # parse inputs/output into key_map + json_inputs, leaving the
+        # table/provider to sql_query_table / sql_query_fn (the SQL text
+        # and JDBC creds are deployment wiring, not plan shape)
+        from .operators.lookups import SqlJsonInput, SqlQueryConf
+
+        key_map: dict[str, str] = {}
+        json_inputs: dict[str, Any] = {}
+        for inp in params.get("inputs", []):
+            if "pojo" in inp:
+                f = inp["pojo"]["field"]
+                key_map[f] = f
+            elif "json" in inp:
+                j = inp["json"]
+                name = f"p{inp.get('placeholder', len(json_inputs) + 1)}"
+                json_inputs[name] = SqlJsonInput(
+                    field=j.get("field", "contexts"),
+                    schema_criterion=j.get("schemaCriterion", ""),
+                    json_path=j.get("jsonPath", "$"),
+                )
+                key_map.setdefault(name, name)
+        out = params.get("output") or {}
+        return slot, SqlQueryConf(
+            key_map=key_map,
+            context_schema=(out.get("json") or {}).get(
+                "schema", SqlQueryConf().context_schema),
+            expected_rows=out.get("expectedRows", "AT_MOST_ONE"),
+            json_inputs=json_inputs,
+        )
+    if slot == "weather":
+        from .operators.lookups import WeatherConf
+
+        return slot, WeatherConf(cache_size=int(params.get("cacheSize", 5000)))
     return None
 
 

@@ -170,13 +170,32 @@ def test_enrichment_config_files_parse(spark):
 
     files = sorted(glob.glob("/root/reference/config/enrichments/*.json"))
     assert files, "reference enrichment configs present"
-    parsed = 0
+    parsed = {}
     for f in files:
         doc = json.load(open(f))
+        doc.get("data", doc)["enabled"] = True  # coverage, not policy
         out = parse_enrichment_sdj(doc)
-        if out is not None:
-            parsed += 1
-    assert parsed >= 8  # the mainstream enrichments all map to a slot
+        assert out is not None, f  # EVERY reference config file maps
+        parsed[out[0]] = out[1]
+    assert len(parsed) == len(files)
+
+    # spot-check the non-trivial mappings
+    api = parsed["api_request"]
+    # {{key}} placeholders remapped to pojo column names
+    assert "{{app_id}}" in api.url_template and "{{user_id}}" in api.url_template
+    assert api.inputs == ["user_id", "app_id"]
+    assert api.context_schema == "iglu:com.acme/user/jsonschema/1-0-0"
+    assert api.json_path == "record" and api.timeout_s == 2.0
+    sqlc = parsed["sql_query"]
+    assert sqlc.key_map["user_id"] == "user_id"
+    assert "p1" in sqlc.json_inputs
+    assert sqlc.json_inputs["p1"].json_path == "$.userId"
+    assert sqlc.expected_rows == "AT_MOST_ONE"
+    asn = parsed["asn_lookups"]
+    assert asn.datacenter_asns == [123, 456]
+    # disabled files still return None through the policy gate
+    doc = json.load(open(files[1]))  # api_request: enabled=false upstream
+    assert parse_enrichment_sdj(doc) is None
 
 
 def test_tri_state_failed_split(spark):
