@@ -102,13 +102,35 @@ function __selfDescribingError(ctxs) {
   }
   return null;
 }
+// Nashorn exposed the mutable event BEAN, so reference scripts call
+// event.getApp_id() / event.setPlatform(v); shim those accessor names
+// onto the plain JSON event (getXyz -> field "xyz" with the first
+// letter lowered, absent fields read as null — bean semantics). Plain
+// property access still passes through.
+function __beanify(event) {
+  return new Proxy(event, {
+    get: function (t, prop) {
+      if (typeof prop === 'string' && !(prop in t)) {
+        var m = /^(get|set)([A-Za-z_].*)$/.exec(prop);
+        if (m) {
+          var f = m[2].charAt(0).toLowerCase() + m[2].slice(1);
+          if (m[1] === 'get') {
+            return function () { return (f in t) ? t[f] : null; };
+          }
+          return function (v) { t[f] = v; };
+        }
+      }
+      return t[prop];
+    }
+  });
+}
 function __runOne(event, headers) {
   // scala:189 — reset before each script so a previous enrichment's flag
   // cannot leak into this one's result
   event.use_derived_contexts_from_js_enrichment_only = false;
   var ctxs;
   try {
-    ctxs = __entry(event, headers);
+    ctxs = __entry(__beanify(event), headers);
   } catch (e) {
     if (e && e.__reject) return {drop: true};
     var msg = (e && e.message !== undefined) ? e.message : String(e);

@@ -461,3 +461,61 @@ def test_iglu_http_registry_through_pipeline(spark):
     assert any("sku" in e for r in bad for e in r._errors)
     # the resolver was actually consulted (per-executor cache bounds calls)
     assert any("com.acme/order" in u for u in calls) or True  # calls happen on executors
+
+
+def test_reference_config_directory_drives_chain(spark):
+    """Switch-over proof: parse the reference's OWN config/enrichments/
+    directory (enabled-forced), inject only the deployment wiring a JSON
+    file cannot carry (lookup table, API transport, asset paths), and
+    run the full chain — including the reference's unmodified
+    Nashorn-style JavaScript (bean accessors via the sidecar shim)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from enrich_spark.config import EnrichmentsConfig, parse_enrichment_sdj
+
+    cfg = EnrichmentsConfig()
+    for f in sorted(glob.glob("/root/reference/config/enrichments/*.json")):
+        doc = json.load(open(f))
+        doc.get("data", doc)["enabled"] = True
+        slot, conf = parse_enrichment_sdj(doc)
+        setattr(cfg, slot, conf)
+
+    # deployment wiring: external assets/services the JSON only names
+    cfg.ip_lookups.geo_path = None
+    cfg.ip_lookups.mmdb_path = None        # demo geo table
+    cfg.asn_lookups.ranges_path = None     # demo ASN table
+    cfg.api_request.transport = lambda url: '{"record": {"src": "%s"}}' % url
+    cfg.sql_query_table = lambda s: s.createDataFrame(
+        [("user-1", None, "app-0", "gold")],
+        "user_id STRING, p1 STRING, app_id STRING, tier STRING")
+
+    raw = spark.range(6).select(
+        F.col("id").alias("src_event_id"),
+        F.create_map(
+            F.lit("e"), F.lit("pv"),
+            F.lit("p"), F.lit("web"),
+            F.lit("aid"), F.concat(F.lit("app-"), (F.col("id") % 2).cast("string")),
+            F.lit("uid"), F.concat(F.lit("user-"), (F.col("id") % 3).cast("string")),
+            F.lit("url"), F.lit("https://shop.example.com/p?utm_source=nl&utm_medium=m"),
+            F.lit("refr"), F.lit("https://www.google.com/search?q=x"),
+            F.lit("dtm"), F.lit("1699999999000"),
+        ).alias("parameters"),
+        F.lit("81.2.69.142").alias("ip_address"),
+        F.lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+              "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36").alias("useragent"),
+        F.array(F.lit("Cookie: sp=abc"), F.lit("X-Id: 1")).alias("headers"),
+        F.timestamp_seconds(F.lit(1700000000)).alias("collector_tstamp"),
+    )
+    res = enrich_raw(raw, cfg, spark)
+    good = res.good.collect()
+    assert len(good) == 6 and res.bad.count() == 0
+    schemas = {c.schema for r in good for c in r._derived}
+    # the reference's own JS emitted its context with the bean accessors
+    assert "iglu:com.acme/foo/jsonschema/1-0-0" in schemas
+    js_ctx = [c for c in good[0]._derived if "acme/foo" in c.schema][0]
+    assert json.loads(js_ctx.data)["appIdUpper"] in ("APP-0", "APP-1")
+    # ua_parser + yauaa + geo families contributed too
+    assert any("ua_parser_context" in s for s in schemas)
+    assert any("yauaa_context" in s for s in schemas)
