@@ -417,3 +417,10 @@ def load_enrichments_config(paths: list[str | Path]) -> EnrichmentsConfig:
             slot, conf = parsed
             setattr(cfg, slot, conf)
     return cfg
+
+
+def load_enrichments_dir(path: str | Path) -> EnrichmentsConfig:
+    """The reference deployment shape: point at a config/enrichments/
+    directory of SDJ JSON files; disabled files are skipped (their
+    ``enabled`` flag is the policy switch, same as the reference)."""
+    return load_enrichments_config(sorted(Path(path).glob("*.json")))
