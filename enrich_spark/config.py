@@ -424,3 +424,29 @@ def load_enrichments_dir(path: str | Path) -> EnrichmentsConfig:
     directory of SDJ JSON files; disabled files are skipped (their
     ``enabled`` flag is the policy switch, same as the reference)."""
     return load_enrichments_config(sorted(Path(path).glob("*.json")))
+
+
+def parse_iglu_resolver(doc: dict) -> IgluConf:
+    """Reference resolver-config SDJ → IgluConf: http repositories in
+    priority order become the remote-registry chain, embedded
+    repositories become static registry dirs (their ``path`` points at
+    a resource root whose ``schemas/`` holds the Iglu layout).
+    vendorPrefixes are a routing OPTIMIZATION in the reference resolver
+    (which registry to ask first) — our chain tries registries in
+    priority order for every schema, a correctness-equivalent
+    superset."""
+    data = doc.get("data", doc)
+    repos = sorted(data.get("repositories", []),
+                   key=lambda r: r.get("priority", 0))
+    http, dirs = [], []
+    for r in repos:
+        conn = r.get("connection", {})
+        if "http" in conn and conn["http"].get("uri"):
+            http.append(conn["http"]["uri"])
+        elif "embedded" in conn and conn["embedded"].get("path"):
+            dirs.append(str(Path(conn["embedded"]["path"]) / "schemas"))
+    return IgluConf(registry_dirs=dirs, http_registries=http)
+
+
+def load_iglu_resolver(path: str | Path) -> IgluConf:
+    return parse_iglu_resolver(json.loads(Path(path).read_text()))

@@ -519,3 +519,22 @@ def test_reference_config_directory_drives_chain(spark):
     # ua_parser + yauaa + geo families contributed too
     assert any("ua_parser_context" in s for s in schemas)
     assert any("yauaa_context" in s for s in schemas)
+
+
+def test_iglu_resolver_config_parses():
+    """The reference's iglu_resolver.json maps to the IgluConf registry
+    chain: http repos in priority order, embedded repos as static dirs."""
+    from enrich_spark.config import load_iglu_resolver, parse_iglu_resolver
+
+    conf = load_iglu_resolver("/root/reference/config/iglu_resolver.json")
+    assert conf.http_registries == [
+        "http://iglucentral.com", "http://mirror01.iglucentral.com"]
+    assert conf.registry_dirs == []
+
+    mixed = parse_iglu_resolver({"data": {"repositories": [
+        {"priority": 2, "connection": {"http": {"uri": "http://b"}}},
+        {"priority": 0, "connection": {"embedded": {"path": "/iglu"}}},
+        {"priority": 1, "connection": {"http": {"uri": "http://a"}}},
+    ]}})
+    assert mixed.http_registries == ["http://a", "http://b"]
+    assert mixed.registry_dirs == ["/iglu/schemas"]
