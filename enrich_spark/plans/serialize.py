@@ -61,6 +61,14 @@ def to_tsv(
 
     `keep` carries pass-through columns (e.g. a source row id) alongside
     the serialized line for correlation in tests/queries."""
+    from .stagecut import stage_boundary
+
+    # boundary: without it CollapseProject folds the 131-column concat_ws
+    # (each column's full enrichment expression re-inlined) into the
+    # upstream chain projection and the fused method blows Janino's 64KB
+    # limit — whole-stage codegen then silently falls back to interpreted
+    # eval on the hottest full-width path
+    df = stage_boundary(df)
     rendered = [F.coalesce(_rendered(n, k, df), F.lit("")) for n, k in ATOMIC_FIELDS]
     out = df.select(*keep, F.concat_ws("\t", *rendered).alias("tsv"))
     if max_bytes is not None:
@@ -115,6 +123,12 @@ def bad_rows_json(df: DataFrame, processor: str = "enrich-spark", version: str =
     {field, message, value} triples (the reference's per-subtype message
     unions collapse onto this shape — documented divergence, byte-parity
     is not claimed for message internals)."""
+    from .stagecut import stage_boundary
+
+    # boundary before the envelope projection: the to_json over the full
+    # partially-enriched atomic struct re-inlines every enrichment
+    # expression otherwise (same 64KB fallback as to_tsv above)
+    df = stage_boundary(df)
     has_schema_violations = F.size(F.col("_errors")) > 0
     failure_type = (
         F.when(F.col("loader_error").isNotNull(), F.lit("collector_payload_format_violation"))

@@ -31,10 +31,52 @@ def _p(key: str) -> Column:
     return F.col("parameters").getItem(key)
 
 
+def _pc(key: str) -> Column:
+    """Read from the pre-cleaned map (tsv-safe keys already cleaned +
+    ''→NULL applied) — a tiny element_at, not an inlined regexp tree."""
+    return F.col("_pclean").getItem(key)
+
+
+# the transform-map keys the reference passes through toTsvSafe
+# (Transform.scala simpleTransform list + the legacy se_*/ev_*/ti_*
+# pairs + ua/tnuid/nuid/cv) — cleaned ONCE at the map level below
+_TSV_SAFE_KEYS = [
+    "aid", "uid", "duid", "fp", "tna", "tv", "lang", "cd", "tz", "refr",
+    "url", "page", "cs", "tr_id", "tr_af", "tr_ci", "tr_st", "tr_co",
+    "ti_id", "ti_sk", "ti_ca", "tr_cu", "ti_cu",
+    "se_ca", "ev_ca", "se_ac", "ev_ac", "se_la", "ev_la", "se_pr", "ev_pr",
+    "ti_nm", "ti_na", "ua", "tnuid", "nuid", "cv",
+]
+
+
 def transform_params(df: DataFrame, v_collector_default: str | None = "unknown") -> DataFrame:
-    """Apply the full transform map. Pure column expressions."""
+    """Apply the full transform map. Pure column expressions.
+
+    The ~37 toTsvSafe fields are cleaned ONCE at the map level
+    (transform_values behind a stage boundary): inlining the double
+    regexp_replace per atomic column made the fused transform projection
+    exceed Janino's 64KB method limit (whole-stage codegen then silently
+    fell back to interpreted eval for the full-width stage), and it also
+    re-ran each regexp 2-4× per column reference. One pass over ~30 map
+    entries replaces ~74 inlined regexp trees — smaller code AND less
+    per-row work at 100 TB."""
     cols: dict[str, Column] = {}
     errs: list[Column] = []
+
+    cleaned = F.transform_values(
+        "parameters",
+        lambda k, v: F.when(
+            k.isin(_TSV_SAFE_KEYS),
+            F.nullif(
+                F.regexp_replace(F.regexp_replace(v, "\t", "    "),
+                                 "[\\x00-\\x1f\\x7f]", ""),
+                F.lit(""),
+            ),
+        ).otherwise(v),
+    )
+    # boundary: without it CollapseProject re-inlines the map transform
+    # into every consuming column, recreating the blow-up it removes
+    df = stage_boundary(df.withColumn("_pclean", cleaned))
 
     def fallible(name: str, pair):
         val, err = pair
@@ -53,15 +95,15 @@ def transform_params(df: DataFrame, v_collector_default: str | None = "unknown")
         ("ti_id", "ti_orderid"), ("ti_sk", "ti_sku"), ("ti_ca", "ti_category"),
         ("tr_cu", "tr_currency"), ("ti_cu", "ti_currency"),
     ]:
-        cols[field] = C.make_tsv_safe(_p(key))
+        cols[field] = _pc(key)
 
     # legacy pairs: se_* wins over ev_*, ti_nm over ti_na (Transform.scala:186-207)
     for se_key, ev_key, field in [
         ("se_ca", "ev_ca", "se_category"), ("se_ac", "ev_ac", "se_action"),
         ("se_la", "ev_la", "se_label"), ("se_pr", "ev_pr", "se_property"),
     ]:
-        cols[field] = C.make_tsv_safe(F.coalesce(_p(se_key), _p(ev_key)))
-    cols["ti_name"] = C.make_tsv_safe(F.coalesce(_p("ti_nm"), _p("ti_na")))
+        cols[field] = F.coalesce(_pc(se_key), _pc(ev_key))
+    cols["ti_name"] = F.coalesce(_pc("ti_nm"), _pc("ti_na"))
 
     # --- typed casts
     fallible("event", C.extract_event_type(_p("e")))
@@ -118,12 +160,12 @@ def transform_params(df: DataFrame, v_collector_default: str | None = "unknown")
 
     # ua param overrides payload useragent (Transform 'ua' + setup :417-419)
     cols["useragent"] = F.coalesce(
-        C.make_tsv_safe(_p("ua")), C.make_tsv_safe(F.col("useragent"))
+        _pc("ua"), C.make_tsv_safe(F.col("useragent"))
     )
 
     # network_userid: tnuid > nuid > payload networkUserId (Transform.scala:52-54)
     cols["network_userid"] = F.coalesce(
-        C.make_tsv_safe(_p("tnuid")), C.make_tsv_safe(_p("nuid")),
+        _pc("tnuid"), _pc("nuid"),
         F.col("network_user_id"),
     )
 
@@ -138,7 +180,7 @@ def transform_params(df: DataFrame, v_collector_default: str | None = "unknown")
     # cv param wins over the payload's collector name (transform map 'cv'
     # runs after setupEnrichedEvent seeds it from source.name)
     cols["v_collector"] = F.coalesce(
-        C.make_tsv_safe(_p("cv")), F.col("collector_name"),
+        _pc("cv"), F.col("collector_name"),
         F.lit(v_collector_default).cast("string"),
     )
     cols["v_etl"] = F.lit(V_ETL)
@@ -171,4 +213,4 @@ def transform_params(df: DataFrame, v_collector_default: str | None = "unknown")
         "_errors",
         C.opaque(F.array_compact(F.array(*[F.col(c) for c in err_cols]))),
     )
-    return out.drop(*err_cols)
+    return out.drop("_pclean", *err_cols)

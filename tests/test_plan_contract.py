@@ -148,3 +148,26 @@ def test_contamination_broadcast_contract(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_split_serialize_codegen_compiles(spark):
+    """The tri-state split + sink serialization stages must COMPILE under
+    whole-stage codegen — r6's full-suite runs logged 7× Janino 'Code
+    grows beyond 64 KB' fallbacks (the 131-column transform projection
+    inlined a double regexp_replace per toTsvSafe column), silently
+    running the hottest full-width path interpreted. With
+    spark.sql.codegen.fallback=false a compile failure raises instead of
+    degrading, so this test pins the fix (transform.py map-level
+    cleaning + serialize.py stage boundaries)."""
+    from enrich_spark.plans.serialize import bad_rows_json, to_tsv
+
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        cfg = EnrichmentsConfig.default()
+        cfg.yauaa = YauaaConf()
+        cfg.ip_lookups = IpLookupsConf()
+        res = enrich_raw(_raw(spark), cfg, spark)
+        assert to_tsv(res.good, max_bytes=1_000_000).collect()
+        bad_rows_json(res.all.limit(8)).collect()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
