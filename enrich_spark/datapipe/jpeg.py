@@ -523,13 +523,23 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
             restart_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:  # SOS — capture tables NOW (redefinable)
             ns = payload[0]
+            ss, se, ahal = payload[1 + 2 * ns:4 + 2 * ns]
             sel = []
             for s in range(ns):
                 cs, tdta = payload[1 + s * 2:3 + s * 2]
                 comp = next(c for c in comps if c.cid == cs)
-                sel.append((comp, huff_dc.get(tdta >> 4),
-                            huff_ac.get(tdta & 0x0F)))
-            ss, se, ahal = payload[1 + 2 * ns:4 + 2 * ns]
+                dc, ac = huff_dc.get(tdta >> 4), huff_ac.get(tdta & 0x0F)
+                # a scan referencing an undefined table the entropy
+                # decode will actually use must fail as a ValueError
+                # (the documented hostile-bytes contract), not surface
+                # later as an AttributeError on the None table. DC
+                # refinement scans (ss==0, ah>0) read raw bits — no DC
+                # table needed; AC scans (se>0) always decode AC symbols.
+                if ss == 0 and (ahal >> 4) == 0 and dc is None:
+                    raise ValueError("SOS references undefined DC Huffman table")
+                if se > 0 and ac is None:
+                    raise ValueError("SOS references undefined AC Huffman table")
+                sel.append((comp, dc, ac))
             segments, i = _split_scan(data, i)
             scans.append((sel, ss, se, ahal >> 4, ahal & 0x0F,
                           segments, restart_interval))

@@ -53,6 +53,7 @@ import select
 import shutil
 import subprocess
 import threading
+import time
 
 __all__ = ["NodeJsEngine", "JsCompileError", "JsSidecarDeadline",
            "node_available", "shared_engine"]
@@ -111,7 +112,11 @@ function __beanify(event) {
   return new Proxy(event, {
     get: function (t, prop) {
       if (typeof prop === 'string' && !(prop in t)) {
-        var m = /^(get|set)([A-Za-z_].*)$/.exec(prop);
+        // capital required after the prefix: real Nashorn bean accessors
+        // are getApp_id/setPlatform; a plain read of an absent field that
+        // merely STARTS with 'get'/'set' (e.g. a truthiness check on
+        // event.settings) must stay undefined, not a synthesized function
+        var m = /^(get|set)([A-Z].*)$/.exec(prop);
         if (m) {
           var f = m[2].charAt(0).toLowerCase() + m[2].slice(1);
           if (m[1] === 'get') {
@@ -182,12 +187,34 @@ function __runRaw(eventJson, headersJson) {
           contexts_json: ctxs.length ? JSON.stringify(ctxs) : null,
           replace: res.replace});
 }
+
+// whole-batch runner: lets the host arm ONE vm watchdog per batch
+// instead of one per event (the per-event watchdog cost ~45% of the
+// whole script stage, measured). Progress lands in __bout/__bidx so a
+// tripped watchdog can harvest the completed prefix and the host only
+// re-isolates the remainder per event.
+var __bout = null, __bidx = 0;
+function __runBatch(batchJson, raw) {
+  var pairs = JSON.parse(batchJson);
+  __bout = []; __bidx = 0;
+  for (var i = 0; i < pairs.length; i++) {
+    __bout.push(raw ? __runRaw(pairs[i][0], pairs[i][1])
+                    : __run(pairs[i][0], pairs[i][1]));
+    __bidx = i + 1;
+  }
+  return JSON.stringify(__bout);
+}
+function __harvest() {
+  return JSON.stringify({idx: __bidx, out: __bout || []});
+}
 `;
 
 // precompiled call stubs — compiled once, run per event with a vm
 // timeout (a direct cross-realm function call could not be timed out)
 const CALL_RUN = new vm.Script('__run(__e, __h)');
 const CALL_RAW = new vm.Script('__runRaw(__e, __h)');
+const CALL_BATCH = new vm.Script('__runBatch(__b, __raw)');
+const CALL_HARVEST = new vm.Script('__harvest()');
 
 function compile(id, source, paramsJson, execTimeoutMs) {
   const sandbox = Object.create(null);
@@ -250,16 +277,48 @@ rl.on('line', function (line) {
   }
   const entry = scripts.get(msg.id);
   const raw = msg.op === 'batch2';
-  const out = [];
-  for (const pair of msg.events) {
-    if (!entry) {
-      out.push({error: 'script ' + msg.id + ' not compiled'});
-      continue;
+  if (!entry) {
+    const errs = msg.events.map(function () {
+      return {error: 'script ' + msg.id + ' not compiled'};
+    });
+    process.stdout.write(JSON.stringify({results: errs}) + '\n');
+    return;
+  }
+  const pairs = msg.events.map(function (pair) {
+    return [raw ? (pair[0] || '') : JSON.stringify(pair[0] || {}),
+            (typeof pair[1] === 'string') ? pair[1]
+                                          : JSON.stringify(pair[1] || [])];
+  });
+  // fast path: the WHOLE batch under ONE vm watchdog (measured: a
+  // per-event watchdog cost +45% on the script stage). Budget = the
+  // per-event timeout plus 2 ms/event; a legitimate batch that still
+  // trips it just falls back to the exact per-event path below.
+  let out;
+  entry.sandbox.__b = JSON.stringify(pairs);
+  entry.sandbox.__raw = raw;
+  try {
+    out = JSON.parse(CALL_BATCH.runInContext(
+      entry.context,
+      {timeout: entry.timeout + Math.ceil(pairs.length * 2)}
+    )).map(function (s) { return JSON.parse(s); });
+  } catch (e) {
+    // watchdog fired (or a realm-side throw outside __runOne): harvest
+    // the completed prefix, then isolate the remainder per event with
+    // the per-event timeout so only the offending event errors. The
+    // event that tripped the watchdog may have partially executed
+    // before its isolated re-run — visible only to scripts that keep
+    // realm-global state across events.
+    let done = 0, prefix = [];
+    try {
+      const h = JSON.parse(
+        CALL_HARVEST.runInContext(entry.context, {timeout: 1000}));
+      prefix = h.out.slice(0, h.idx).map(function (s) { return JSON.parse(s); });
+      done = prefix.length;
+    } catch (e2) { done = 0; prefix = []; }
+    out = prefix;
+    for (let i = done; i < pairs.length; i++) {
+      out.push(invoke(entry, raw ? CALL_RAW : CALL_RUN, pairs[i][0], pairs[i][1]));
     }
-    const ev = raw ? (pair[0] || '') : JSON.stringify(pair[0] || {});
-    const hd = (typeof pair[1] === 'string') ? pair[1]
-             : JSON.stringify(pair[1] || []);
-    out.push(invoke(entry, raw ? CALL_RAW : CALL_RUN, ev, hd));
   }
   process.stdout.write(JSON.stringify({results: out}) + '\n');
 });
@@ -296,6 +355,7 @@ class NodeJsEngine:
             raise RuntimeError("node binary not found on PATH")
         self._proc: subprocess.Popen | None = None
         self._pid = None  # owning python pid — respawn after fork
+        self._rbuf = b""  # raw-fd read buffer (deadline-aware reads)
         self._compiled: set[str] = set()
         self._lock = threading.Lock()
         # per-event vm timeout inside the sidecar; the Python read
@@ -315,6 +375,7 @@ class NodeJsEngine:
                 stdin=subprocess.PIPE, stdout=subprocess.PIPE,
                 stderr=subprocess.DEVNULL, text=True, bufsize=1,
             )
+            self._rbuf = b""
             self._pid = os.getpid()
             self._compiled = set()
 
@@ -324,23 +385,42 @@ class NodeJsEngine:
                 self._proc.kill()
             self._proc = None
 
+    def _read_response(self, deadline_s: float) -> str:
+        """Deadline-aware response read. select() readiness only
+        guarantees ONE byte — a sidecar that emits a partial line and
+        then hangs (dies mid-write with the pipe held by a forked child,
+        stalls after a partial flush) would make a blocking readline()
+        bypass the deadline entirely. Read the raw fd in a re-selecting
+        loop until the newline or the deadline; bytes past the newline
+        (never expected — one response line per request) stay buffered."""
+        fd = self._proc.stdout.fileno()
+        end = time.monotonic() + deadline_s
+        while b"\n" not in self._rbuf:
+            remaining = end - time.monotonic()
+            if remaining <= 0:
+                self._proc.kill()
+                self._proc = None
+                self._rbuf = b""
+                raise JsSidecarDeadline(
+                    f"node sidecar unresponsive for {deadline_s:.0f}s "
+                    "(killed; batch degraded to error rows)")
+            ready, _, _ = select.select([fd], [], [], remaining)
+            if not ready:
+                continue
+            chunk = os.read(fd, 1 << 16)
+            if not chunk:  # EOF — sidecar died
+                self._rbuf = b""
+                return ""
+            self._rbuf += chunk
+        line, _, self._rbuf = self._rbuf.partition(b"\n")
+        return line.decode("utf-8")
+
     def _roundtrip(self, obj: dict, deadline_s: float = 60.0) -> dict:
         self._ensure_proc()
         try:
             self._proc.stdin.write(json.dumps(obj, separators=(",", ":")) + "\n")
             self._proc.stdin.flush()
-            # one request line out, one response line back: between
-            # requests the read buffer is empty, so select on the fd is
-            # an accurate readiness signal for the response line
-            ready, _, _ = select.select(
-                [self._proc.stdout], [], [], deadline_s)
-            if not ready:
-                self._proc.kill()
-                self._proc = None
-                raise JsSidecarDeadline(
-                    f"node sidecar unresponsive for {deadline_s:.0f}s "
-                    "(killed; batch degraded to error rows)")
-            line = self._proc.stdout.readline()
+            line = self._read_response(deadline_s)
         except (BrokenPipeError, OSError):
             line = ""
         if not line:  # sidecar died mid-request

@@ -62,6 +62,16 @@ _MUTABLE_KINDS = {"s": str, "i": int, "f": float, "b": int}
 # representation that survives the string override column.
 NULL_MUT = "\x00\x00null"
 
+# Escape prefix for the same channel: a script could legitimately set a
+# string field to the exact NULL_MUT bytes (or any \x00-prefixed value);
+# encode prefixes such strings with ESC_MUT and the JVM decode strips it,
+# so the clear-marker can never collide with a real value (ADVICE r6).
+ESC_MUT = "\x00\x01"
+
+
+def _escape_mut(s: str) -> str:
+    return ESC_MUT + s if s.startswith("\x00") else s
+
 
 def _script_run_one(fn, params, mutable, event_json, headers):
     """Per-event hook invocation → result tuple (drop, error, contexts,
@@ -108,7 +118,7 @@ def _hook_result_to_row(out, mutable):
     mutations = out.get("event", {})
     muts = tuple(
         None if c not in mutations else
-        (NULL_MUT if mutations[c] is None else str(mutations[c]))
+        (NULL_MUT if mutations[c] is None else _escape_mut(str(mutations[c])))
         for c in mutable
     )
     replace = bool(out.get("replace_contexts")) or None
@@ -143,7 +153,7 @@ def _engine_result_to_row(res, orig_event, mutable):
         # clears the value (NULL_MUT); equal values are "unchanged"
         if ev.get(c) is None:
             return NULL_MUT if orig_event.get(c) is not None else None
-        return None if ev[c] == orig_event.get(c) else _mut_str(ev[c])
+        return None if ev[c] == orig_event.get(c) else _escape_mut(_mut_str(ev[c]))
 
     muts = tuple(mut(c) for c in mutable)
     replace = bool(res.get("replace")) or None
@@ -162,7 +172,7 @@ def _raw_result_to_row(res, mutable):
     changed = res.get("changed") or {}
     muts = tuple(
         None if c not in changed else
-        (NULL_MUT if changed[c] is None else _mut_str(changed[c]))
+        (NULL_MUT if changed[c] is None else _escape_mut(_mut_str(changed[c])))
         for c in mutable
     )
     replace = bool(res.get("replace")) or None
@@ -229,10 +239,13 @@ def script_enrichment(df: DataFrame, conf: JavascriptScriptConf,
         new = F.col("_script").getField(f"_m_{c}")
         kind = kinds[c]
         sqlt = {"s": "string", "i": "int", "f": "float", "b": "byte"}[kind]
-        typed = new.cast(sqlt)
+        unesc = F.when(new.startswith(ESC_MUT),
+                       F.substring(new, 3, 2147483647)).otherwise(new)
+        typed = unesc.cast(sqlt)
         # NULL_MUT = the script explicitly cleared the field; plain null
         # = unchanged (coalesce back to the original); an uncastable
-        # mutation also keeps the original
+        # mutation also keeps the original; ESC_MUT-prefixed values are
+        # real strings that collided with the marker prefix
         cols[c] = F.when(new == F.lit(NULL_MUT), F.lit(None).cast(sqlt)) \
                    .otherwise(F.coalesce(typed, F.col(c)))
     new_ctxs = F.coalesce(

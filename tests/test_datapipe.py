@@ -1245,3 +1245,20 @@ def test_lsh_topk_multiprobe_superset(spark):
              similarity.lsh_topk(vecs, q, multiprobe=4, **kw).collect()}
     assert plain <= probe
     assert len(probe) > len(plain)  # the extra buckets found someone new
+
+
+def test_jpeg_sos_undefined_huffman_table_is_value_error():
+    """A scan referencing a never-defined Huffman table must raise the
+    documented ValueError at SOS parse time — not an AttributeError on
+    the None table deep in the entropy decode (ADVICE r6)."""
+    import numpy as np
+    import pytest
+
+    from enrich_spark.datapipe.jpeg import decode_jpeg, encode_jpeg
+
+    b = bytearray(encode_jpeg(16, 16, np.full((16, 16, 3), 77, np.uint8),
+                              quality=90))
+    i = b.find(b"\xff\xda")
+    b[i + 6] = 0x33  # comp0 -> DC table 3 / AC table 3, never defined
+    with pytest.raises(ValueError, match="undefined DC Huffman"):
+        decode_jpeg(bytes(b))

@@ -576,3 +576,85 @@ def test_script_enrichment_batched_matches_row_mode(spark):
     a1 = b[0]
     assert a1[1] == "a1:1:v"
     assert any("boom" in e for e in b[1][3])
+
+
+def test_javascript_batch_watchdog_fallback(spark):
+    """The sidecar arms ONE vm watchdog per batch (per-event watchdogs
+    cost +45% on the script stage, measured via tools/bench_one.py); a
+    batch that trips it harvests the completed prefix and re-isolates
+    the remainder per event — so one hostile event errors alone and
+    every other event in its batch still succeeds."""
+    import pytest
+
+    from enrich_spark.functions.jsengine import NodeJsEngine, node_available
+
+    if not node_available():
+        pytest.skip("node not on PATH")
+
+    eng = NodeJsEngine(exec_timeout_ms=500)
+    try:
+        src = """function process(e, p, h) {
+            if (e.app_id === 'bad') { while (true) {} }
+            e.app_id = 'OK-' + e.app_id; return null;
+        }"""
+        out = eng.eval_batch(src, {}, [
+            ({"app_id": "a"}, []), ({"app_id": "bad"}, []),
+            ({"app_id": "b"}, []),
+        ])
+        assert out[0]["event"]["app_id"] == "OK-a"   # harvested prefix
+        assert "timed out" in out[1]["error"]        # isolated offender
+        assert out[2]["event"]["app_id"] == "OK-b"   # per-event rerun
+    finally:
+        eng.close()
+
+
+def test_sidecar_partial_line_read_deadline():
+    """A sidecar that emits a PARTIAL line and then hangs must still trip
+    the read deadline: select() readiness only guarantees one byte, so a
+    blocking readline() after it would hang forever (ADVICE r6). The
+    deadline-aware raw-fd loop kills the process and raises."""
+    import os
+    import subprocess as sp
+
+    import pytest
+
+    from enrich_spark.functions.jsengine import (
+        JsSidecarDeadline, NodeJsEngine, node_available,
+    )
+
+    if not node_available():
+        pytest.skip("node not on PATH")
+
+    eng = NodeJsEngine()
+    eng._proc = sp.Popen(
+        ["/bin/sh", "-c", "printf '{\"results\": '; sleep 100"],
+        stdin=sp.PIPE, stdout=sp.PIPE, stderr=sp.DEVNULL,
+        text=True, bufsize=1,
+    )
+    eng._pid = os.getpid()
+    try:
+        with pytest.raises(JsSidecarDeadline):
+            eng._roundtrip({"op": "batch", "id": "x", "events": []},
+                           deadline_s=1.0)
+    finally:
+        eng.close()
+
+
+def test_script_null_mut_sentinel_collision_free(spark):
+    """A script that sets a string field to the exact NULL_MUT bytes must
+    store that VALUE, not clear the field (in-band marker escaped via
+    ESC_MUT, ADVICE r6); an explicit null still clears."""
+    from enrich_spark.config import JavascriptScriptConf
+    from enrich_spark.operators.script import NULL_MUT, script_enrichment
+
+    def fn(event, params, headers):
+        if event["app_id"] == "clear-me":
+            return {"event": {"app_id": None}}
+        return {"event": {"app_id": NULL_MUT}}
+
+    df = spark.createDataFrame(
+        [("clear-me",), ("keep",)], "app_id STRING"
+    ).withColumn("headers", F.array().cast("array<string>"))
+    out = script_enrichment(df, JavascriptScriptConf(function=fn))
+    rows = {r.app_id for r in out.collect()}
+    assert rows == {None, NULL_MUT}
