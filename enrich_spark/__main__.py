@@ -1,0 +1,116 @@
+"""CLI entry point: ``python -m enrich_spark --config app.hocon …``.
+
+Mirrors the reference's boot path (core/EnrichApp.scala:49 → Run.scala:
+parse the HOCON app config, load the enrichments directory + iglu
+resolver, build the Environment, run the stream). Transports without a
+broker in this environment (kinesis/kafka/pubsub) assemble and PRINT the
+resolved plan config; the ``file`` transport (input.path in the config,
+or --input on the command line) actually runs the pipeline — batch by
+default, Structured Streaming with --stream — writing good TSV, bad
+JSON, and failed TSV under --output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def _json_default(o):
+    if dataclasses.is_dataclass(o) and not isinstance(o, type):
+        return dataclasses.asdict(o)
+    return str(o)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m enrich_spark",
+        description="Spark-native snowplow/enrich: run the enrichment "
+                    "pipeline from the reference's HOCON app config.")
+    ap.add_argument("--config", required=True, help="HOCON app config file")
+    ap.add_argument("--enrichments", help="directory of enrichment JSON configs")
+    ap.add_argument("--iglu-resolver", help="iglu_resolver.json path")
+    ap.add_argument("--input", help="override: directory of parquet files "
+                                    "with a `value BINARY` column")
+    ap.add_argument("--output", help="output directory (good/ bad/ failed/)")
+    ap.add_argument("--stream", action="store_true",
+                    help="run as a Structured Streaming job (file transport)")
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    ap.add_argument("--dry-run", action="store_true",
+                    help="parse + assemble only; print the resolved config")
+    args = ap.parse_args(argv)
+
+    from .appconfig import assemble_plan, load_app_config
+
+    app = load_app_config(args.config)
+    if not app.license_accepted:
+        print("license.accept must be true (reference Run.scala refuses "
+              "to boot otherwise)", file=sys.stderr)
+        return 2
+
+    cfg = assemble_plan(app, args.enrichments, args.iglu_resolver)
+
+    input_path = args.input or (
+        app.source.get("path") if isinstance(app.source, dict) else None)
+    runnable = input_path is not None
+
+    summary = {
+        "transport": app.transport,
+        "source": app.source,
+        "sinks": app.sinks,
+        "cpu_parallelism_fraction": app.cpu_parallelism_fraction,
+        "sink_parallelism_fraction": app.sink_parallelism_fraction,
+        "unhealthy_latency_s": app.health_probe.unhealthy_latency_s,
+        "validation": app.validation,
+        "decompression": app.decompression,
+        "metadata": app.metadata,
+        "runnable_in_this_environment": bool(runnable),
+    }
+    print(json.dumps(summary, default=_json_default, indent=2))
+    if args.dry_run or not runnable:
+        if not runnable and not args.dry_run:
+            print(f"\ninput transport '{app.transport}' needs a broker — "
+                  "assembled the plan config only. Pass --input DIR to run "
+                  "the same pipeline over files.", file=sys.stderr)
+        return 0
+
+    if not args.output:
+        print("--output is required to run", file=sys.stderr)
+        return 2
+
+    from .session import get_spark
+    from .streaming.runner import StreamSinks, run_batch, run_stream
+
+    spark = get_spark("enrich-spark-cli", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    out = args.output
+    if args.stream:
+        sinks = StreamSinks(
+            good_path=os.path.join(out, "good"),
+            bad_path=os.path.join(out, "bad"),
+            failed_path=os.path.join(out, "failed"),
+            metadata_path=os.path.join(out, "metadata"),
+        )
+        source = (spark.readStream.schema("value BINARY")
+                  .option("recursiveFileLookup", "true").parquet(input_path))
+        cfg.checkpoint = cfg.checkpoint or os.path.join(out, "_checkpoint")
+        sq = run_stream(spark, source, sinks, cfg)
+        sq.processAllAvailable()
+        sq.stop()
+    else:
+        good, bad, failed, meta, _ = run_batch(
+            spark, spark.read.parquet(input_path), cfg)
+        good.write.mode("overwrite").text(os.path.join(out, "good"))
+        bad.withColumnRenamed("bad_row", "value") \
+           .write.mode("overwrite").text(os.path.join(out, "bad"))
+        failed.write.mode("overwrite").text(os.path.join(out, "failed"))
+    print(f"done: outputs under {out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
