@@ -89,6 +89,42 @@ def main(argv=None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     out = args.output
     if args.stream:
+        # observability floor from the app config (statsd metrics, the
+        # 2-minute-default health probe on its HTTP port, the iglu
+        # metadata webhook reporter)
+        from .streaming.observability import (
+            BatchObservers, HealthProbe, MetadataReporter, Metrics,
+            udp_sender,
+        )
+
+        metrics = None
+        if app.statsd is not None and app.statsd.hostname:
+            metrics = Metrics(
+                prefix=app.statsd.prefix, tags=app.statsd.tags,
+                period_s=app.statsd.period_s,
+                sender=udp_sender(app.statsd.hostname, app.statsd.port))
+        health = HealthProbe(app.health_probe.unhealthy_latency_s)
+        health.serve(app.health_probe.port)
+        reporter = None
+        if app.metadata is not None and app.metadata.endpoint:
+            import urllib.request
+
+            def _post(url, body):
+                req = urllib.request.Request(
+                    url, data=body.encode(), method="POST",
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req, timeout=5) as r:
+                    return r.status
+
+            reporter = MetadataReporter(
+                endpoint=app.metadata.endpoint,
+                organization_id=app.metadata.organization_id,
+                pipeline_id=app.metadata.pipeline_id,
+                interval_s=app.metadata.interval_s,
+                max_body_size=app.metadata.max_body_size,
+                post=_post)
+        cfg.observers = BatchObservers(
+            metrics=metrics, health=health, metadata=reporter)
         sinks = StreamSinks(
             good_path=os.path.join(out, "good"),
             bad_path=os.path.join(out, "bad"),

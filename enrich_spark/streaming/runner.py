@@ -57,6 +57,9 @@ class StreamConfig:
     # the new local files — in-flight batches finish on the old snapshot
     assets: object | None = None         # sources.assets.AssetManager
     rebuild: object | None = None        # Callable[[AssetManager], EnrichmentsConfig]
+    # observability floor (streaming/observability.py): metrics + health
+    # probe + metadata reporter updated per micro-batch; None = zero cost
+    observers: object | None = None      # observability.BatchObservers
 
 
 def collect_metadata(good: DataFrame) -> DataFrame:
@@ -175,6 +178,8 @@ def run_stream(
     cfg = cfg or StreamConfig()
 
     def process(batch_df: DataFrame, batch_id: int):
+        if cfg.observers is not None and cfg.observers.health is not None:
+            cfg.observers.health.batch_started()
         if cfg.assets is not None:
             changed = cfg.assets.maybe_refresh()
             if changed and cfg.rebuild is not None:
@@ -194,6 +199,20 @@ def run_stream(
                 meta.withColumn("batch_id", F.lit(batch_id)).write.mode("append").json(
                     sinks.metadata_path
                 )
+            if cfg.observers is not None:
+                from .observability import attach_observers
+
+                obs = cfg.observers
+                counts = {"raw": batch_df.count(), "good": good.count(),
+                          "bad": bad.count(), "failed": failed.count()}
+                # e2e latency = now − OLDEST collector_tstamp in the
+                # batch (Processing.scala:281-291); all filters over the
+                # persisted `annotated`, so these are cheap re-reads
+                oldest = annotated.agg(F.min("collector_tstamp")).first()[0]
+                meta_rows = (meta.collect()
+                             if obs.metadata is not None else None)
+                attach_observers(obs, counts, oldest_collector_ts=oldest,
+                                 meta_rows=meta_rows)
         finally:
             annotated.unpersist()
 
