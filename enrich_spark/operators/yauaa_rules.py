@@ -26,15 +26,22 @@ load time rather than silently misread):
   equal), ``variable`` (``Name: expr``, referenced as ``@Name``),
   ``extract`` (``Field : confidence : expr``).
 - expressions: a path, a ``"quoted literal"``, ``@variable``,
-  ``LookUp[MapName;expr]`` (with optional ``;"default"``),
-  ``CleanVersion[expr]`` (underscores → dots), and
+  ``LookUp[MapName;expr]`` / ``LookUpPrefix[MapName;expr]`` (with
+  optional ``;"default"``; prefix form = longest-prefix key match),
+  ``CleanVersion[expr]`` (underscores → dots), ``NormalizeBrand[expr]``
+  (≤3-char tokens uppercase, longer tokens first-letter capitalized —
+  the documented YAUAA brand normalization), and
   ``Concat[expr;expr;...]``.
+- requires: positive paths/conditions, ``!=`` negative value
+  conditions, and ``IsNull[expr]`` (passes when the expression does NOT
+  resolve; require-only, and never counts as PATH evidence).
 - ``lookup`` entries with a ``name`` and ``map``.
 
 NOT supported (load_yauaa_rules raises ValueError so divergence is
-visible): ``IsNull``/negative requires, NormalizeBrand/LookUpPrefix and
-other functions, sub-product trees inside comment entries; the
-test-only sections of real rule files are skipped.
+visible): other matcher functions (WordRangeVisitor specials,
+BackToFull, segment ranges beyond word ranges), sub-product trees
+inside comment entries; the test-only sections of real rule files are
+skipped.
 """
 
 from __future__ import annotations
@@ -173,6 +180,16 @@ def _parse_path(expr: str):
             j = expr.index('"', i + 2)
             steps.append({"op": "eq", "value": expr[i + 2:j]})
             i = j + 1
+        elif c == "!" and i + 1 < n and expr[i + 1] == "=":
+            # negative value condition (YAUAA matcher-format !=): keep
+            # nodes whose value differs from the literal
+            flush(buf)
+            buf = ""
+            if i + 2 >= n or expr[i + 2] != '"':
+                raise ValueError(f"unsupported condition in path: {expr!r}")
+            j = expr.index('"', i + 3)
+            steps.append({"op": "ne", "value": expr[i + 3:j]})
+            i = j + 1
         else:
             buf += c
             i += 1
@@ -189,6 +206,10 @@ def _walk(agent: _Node, steps) -> list[_Node]:
             want = st["value"].lower()
             nodes = [n for n in nodes
                      if (n.value or "").lower() == want]
+        elif st["op"] == "ne":
+            want = st["value"].lower()
+            nodes = [n for n in nodes
+                     if (n.value or "").lower() != want]
         else:
             name, idx = st["name"], st["index"]
             if name == "agent":
@@ -251,16 +272,19 @@ def load_yauaa_rules(path: str | None = None, text: str | None = None) -> dict:
                     raise ValueError(f"unsupported matcher key: {bad}")
             parsed = {"require": [], "variable": [], "extract": []}
             for r in m.get("require") or []:
-                if r.strip().startswith("IsNull"):
-                    raise ValueError("unsupported require: IsNull[...]")
                 parsed["require"].append(_parse_expr(r))
             for v in m.get("variable") or []:
                 name, _, ex = v.partition(":")
-                parsed["variable"].append((name.strip(), _parse_expr(ex.strip())))
+                pe = _parse_expr(ex.strip())
+                if pe["op"] == "isnull":
+                    raise ValueError("IsNull[...] is require-only")
+                parsed["variable"].append((name.strip(), pe))
             for e in m.get("extract") or []:
                 field, conf, ex = (s.strip() for s in e.split(":", 2))
-                parsed["extract"].append(
-                    (field, int(conf), _parse_expr(ex)))
+                pe = _parse_expr(ex)
+                if pe["op"] == "isnull":
+                    raise ValueError("IsNull[...] is require-only")
+                parsed["extract"].append((field, int(conf), pe))
             matchers.append(parsed)
         elif "test" in item:
             continue  # test fixtures in real rule files — not rules
@@ -279,9 +303,19 @@ def _parse_expr(ex: str):
     if m:
         return {"op": "lookup", "map": m.group(1),
                 "expr": _parse_expr(m.group(2)), "default": m.group(3)}
+    m = re.match(r"^LookUpPrefix\[\s*([A-Za-z0-9_]+)\s*;(.*?)(?:;\s*\"([^\"]*)\"\s*)?\]$", ex)
+    if m:
+        return {"op": "lookupprefix", "map": m.group(1),
+                "expr": _parse_expr(m.group(2)), "default": m.group(3)}
     m = re.match(r"^CleanVersion\[(.*)\]$", ex)
     if m:
         return {"op": "clean", "expr": _parse_expr(m.group(1))}
+    m = re.match(r"^NormalizeBrand\[(.*)\]$", ex)
+    if m:
+        return {"op": "normbrand", "expr": _parse_expr(m.group(1))}
+    m = re.match(r"^IsNull\[(.*)\]$", ex)
+    if m:
+        return {"op": "isnull", "expr": _parse_expr(m.group(1))}
     m = re.match(r"^Concat\[(.*)\]$", ex)
     if m:
         # split on top-level ';' only (quoted literals may contain ;)
@@ -313,9 +347,44 @@ def _eval_expr(expr, agent, variables, lookups):
         if v is None:
             return expr["default"]
         return lookups.get(expr["map"], {}).get(v.lower(), expr["default"])
+    if op == "lookupprefix":
+        # value of the LONGEST map key that prefixes the argument (the
+        # documented LookUpPrefix semantics — device-brand files key on
+        # model-number prefixes like "GT-", "SM-")
+        v = _eval_expr(expr["expr"], agent, variables, lookups)
+        if v is None:
+            return expr["default"]
+        lv = v.lower()
+        best_key = None
+        for k in lookups.get(expr["map"], {}):
+            if lv.startswith(k) and (best_key is None or len(k) > len(best_key)):
+                best_key = k
+        if best_key is None:
+            return expr["default"]
+        return lookups[expr["map"]][best_key]
     if op == "clean":
         v = _eval_expr(expr["expr"], agent, variables, lookups)
         return v.replace("_", ".") if v is not None else None
+    if op == "normbrand":
+        # documented YAUAA brand normalization: short tokens (≤3 chars)
+        # are brand acronyms and go fully uppercase (LG, HTC); longer
+        # tokens get first-letter capitalization; -, _ and spaces all
+        # delimit tokens and are preserved
+        v = _eval_expr(expr["expr"], agent, variables, lookups)
+        if v is None:
+            return None
+        out, tok = [], ""
+        for ch in v + "\0":
+            if ch in " -_\0":
+                if tok:
+                    out.append(tok.upper() if len(tok) <= 3
+                               else tok[0].upper() + tok[1:].lower())
+                    tok = ""
+                if ch != "\0":
+                    out.append(ch)
+            else:
+                tok += ch
+        return "".join(out)
     if op == "concat":
         vs = [_eval_expr(e, agent, variables, lookups)
               for e in expr["exprs"]]
@@ -329,7 +398,7 @@ def _has_path(expr) -> bool:
     op = expr["op"]
     if op == "path":
         return True
-    if op in ("lookup", "clean"):
+    if op in ("lookup", "lookupprefix", "clean", "normbrand", "isnull"):
         return _has_path(expr["expr"])
     if op == "concat":
         return any(_has_path(e) for e in expr["exprs"])
@@ -360,6 +429,15 @@ def evaluate_matchers(ua: str, rules: dict) -> dict:
         if not ok:
             continue
         for ex in m["require"]:
+            if ex["op"] == "isnull":
+                # negative require: passes when the inner expression does
+                # NOT resolve; absence is not PATH evidence (a matcher
+                # still needs at least one positive fact to fire)
+                if _eval_expr(ex["expr"], agent, variables,
+                              rules["lookups"]) is not None:
+                    ok = False
+                    break
+                continue
             if _eval_expr(ex, agent, variables, rules["lookups"]) is None:
                 ok = False
                 break

@@ -334,14 +334,13 @@ config:
     assert got["OS2W"] == "Windows NT"  # first two words of the entry
     assert got["P23"] == "AppleWebKit"  # first of products 2..3
 
-    # unsupported constructs fail LOUDLY at load time
-    with pytest.raises(ValueError, match="IsNull"):
-        yr.load_yauaa_rules(
-            text="config:\n- matcher:\n    require:\n    - 'IsNull[agent.product]'\n")
+    # unsupported constructs still fail LOUDLY at load time
+    # (IsNull/NormalizeBrand/LookUpPrefix are now supported — see
+    # test_yauaa_rules_widened_constructs)
     with pytest.raises(ValueError, match="unsupported YAUAA function"):
         yr.load_yauaa_rules(
             text="config:\n- matcher:\n    extract:\n"
-                 "    - 'AgentName : 1 : NormalizeBrand[agent.product.name]'\n")
+                 "    - 'AgentName : 1 : BackToFull[agent.product.name]'\n")
 
     # Spark operator: distinct-UA walk + broadcast join + defaults
     df = spark.createDataFrame(
@@ -676,3 +675,72 @@ def test_identity_broadcast_matches_per_event(spark):
     assert len(by[("du-3", "nu-3", "srv")][3]) == 0      # filtered: no ctx
     assert len(by[("", "", "web")][3]) == 0              # all-null: no ctx
     assert by[("bad-x", "nu-9", "web")][4] == "identity"  # failure recorded
+
+
+def test_yauaa_rules_widened_constructs(spark):
+    """r6 ADVICE widening: IsNull / negative requires, NormalizeBrand and
+    LookUpPrefix (publicly documented YAUAA matcher semantics) — a
+    real-format device-brand matcher file loads and classifies without
+    ValueError; IsNull stays require-only and is never PATH evidence."""
+    import pytest
+
+    from enrich_spark.operators import yauaa_rules as yr
+
+    RULES = """
+config:
+- lookup:
+    name: 'BrandPrefixes'
+    map:
+      "sm-": "Samsung"
+      "sm-x": "Samsung Tab"
+      "pixel": "Google"
+- matcher:
+    require:
+    - 'IsNull[agent.product.name="Chrome"]'
+    extract:
+    - 'AgentName : 100 : agent.product.name="Firefox"'
+- matcher:
+    require:
+    - 'agent.(1)product.name!="Opera"'
+    extract:
+    - 'FirstProduct : 50 : agent.(1)product.name'
+- matcher:
+    variable:
+    - 'Model: agent.(1)product.(1)comments.(3)entry.text'
+    extract:
+    - 'DeviceBrand : 200 : NormalizeBrand[LookUpPrefix[BrandPrefixes;@Model;"Unknown"]]'
+    - 'DeviceName : 200 : NormalizeBrand[@Model]'
+- matcher:
+    require:
+    - 'IsNull[agent.product.name="NothingHasThisName"]'
+    extract:
+    - 'OnlyLiteral : 999 : "should-not-fire"'
+"""
+    rules = yr.load_yauaa_rules(text=RULES)
+
+    android = ("Mozilla/5.0 (Linux; Android 14; SM-X910 buildx) "
+               "AppleWebKit/537.36 Firefox/122.0")
+    got = yr.evaluate_matchers(android, rules)
+    # IsNull[Chrome] passes (no Chrome product) → Firefox extract fires
+    assert got["AgentName"] == "Firefox"
+    # != condition resolves (Mozilla/5.0 != Opera) with path evidence
+    assert got["FirstProduct"] == "Mozilla"
+    # longest-prefix match: sm-x beats sm-; NormalizeBrand capitalizes
+    # per documented rules (<=3-char tokens uppercase, longer title-case)
+    assert got["DeviceBrand"] == "Samsung TAB"
+    assert got["DeviceName"] == "SM-X910 Buildx"
+    # IsNull is NOT evidence: matcher of IsNull + literal never fires
+    assert "OnlyLiteral" not in got
+
+    chrome = ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/120.0.0.0")
+    got = yr.evaluate_matchers(chrome, rules)
+    assert "AgentName" not in got          # IsNull[Chrome] now fails
+
+    # require-only: IsNull in variable/extract rejects at load
+    with pytest.raises(ValueError, match="require-only"):
+        yr.load_yauaa_rules(text="""
+config:
+- matcher:
+    extract:
+    - 'X : 1 : IsNull[agent.product.name]'
+""")
