@@ -2664,24 +2664,48 @@ config:
         )
 
 
+    def q_repetition(spark, sf):
+        # Gopher repetition-filter suite (datapipe/text.repetition_signals):
+        # all-integer basis points, zero shuffles
+        from enrich_spark.datapipe.text import repetition_signals
+
+        out = repetition_signals(_load_docs(spark, sf))
+        return out.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+    def q_bigram_lm(spark, sf):
+        # CCNet-style bigram-LM surprisal, quantized to whole bits so the
+        # result is exact (no float log-sum): model trained on the corpus
+        # via two groupBys, broadcast back, one per-doc agg
+        from enrich_spark.datapipe.text import bigram_lm_score
+
+        out = bigram_lm_score(_load_docs(spark, sf))
+        return out.withColumn("doc_id", F.col("doc_id").cast("long"))
+
     def q_text_analysis(spark, sf):
         # the text-analysis operator family bundled into ONE oracle row
         # (driver caps the correctness gate at 50 queries — standalone
         # rows rotated OUT of the r6 gate and went driver-unverified):
         # language-ID, Gopher quality signals, token counts, winnowing
-        # fingerprint, and the per-source corpus-stats rollup
+        # fingerprint, per-source corpus-stats rollup, the full Gopher
+        # repetition suite, and bigram-LM surprisal scoring
         return _union_parts(
             [("lang", q_lang_id(spark, sf)),
              ("quality", q_quality(spark, sf)),
              ("tokens", q_tokens(spark, sf)),
              ("fprint", q_fingerprint_doc(spark, sf)),
-             ("stats", q_corpus_stats(spark, sf))],
+             ("stats", q_corpus_stats(spark, sf)),
+             ("rep", q_repetition(spark, sf)),
+             ("lm", q_bigram_lm(spark, sf))],
             fill=("doc_id", "n_chars", "n_words", "mean_word_len",
                   "punct_ratio", "stopword_ratio", "distinct_word_ratio",
                   "dup_line_ratio", "top_bigram_char_ratio", "quality_score",
                   "ws_tokens", "bpe_est_tokens", "winnow_hash", "n_docs",
                   "total_tokens", "mean_tokens", "p50_tokens", "p90_tokens",
-                  "total_chars", "dup_docs"),
+                  "total_chars", "dup_docs",
+                  "n_lines", "n_paras", "dup_line_bp", "dup_line_char_bp",
+                  "dup_para_bp", "dup_para_char_bp", "top2gram_bp",
+                  "top3gram_bp", "top4gram_bp", "dup5gram_bp", "dup10gram_bp",
+                  "n_bigrams", "oov_bigrams", "info_bits", "avg_info_bp"),
         )
 
     q["text_analysis"] = q_text_analysis
@@ -2853,6 +2877,8 @@ config:
         # stay stable round over round
         "text_language_id": q_lang_id,
         "text_quality_score": q_quality,
+        "text_repetition": q_repetition,
+        "text_bigram_lm": q_bigram_lm,
         "text_token_counts": q_tokens,
         "doc_fingerprint": q_fingerprint_doc,
         "multimodal_frames": q_media_frames,
@@ -4448,6 +4474,119 @@ def oracle_sql() -> dict[str, str]:
         FROM documents WHERE doc_id % 4 = 2
     """
 
+    # Gopher repetition suite — all-integer basis points, mirrored with
+    # DuckDB list functions (range(a,b) is half-open; Spark sequence is
+    # inclusive, hence the +2/+nn offsets)
+    def _rep_grams(nn):
+        return (f"list_transform(range(1, greatest(len(w) - {nn} + 2, 1)), "
+                f"i -> array_to_string(list_transform(range({nn}), "
+                f"j -> w[i + j]), ' '))")
+
+    def _rep_top(nn):
+        g = f"g{nn}"
+        return (f"COALESCE(list_max(list_transform(list_distinct({g}), "
+                f"x -> CASE WHEN len(list_filter({g}, y -> y = x)) >= 2 "
+                f"THEN len(list_filter({g}, y -> y = x)) * length(x) "
+                f"ELSE 0 END)), 0)")
+
+    def _rep_dupcov(nn):
+        g = f"g{nn}"
+        starts = (f"list_filter(range(1, greatest(len(w) - {nn} + 2, 1)), "
+                  f"i -> len(list_filter({g}, y -> y = {g}[i])) >= 2)")
+        covered = (f"list_distinct(flatten(list_transform({starts}, "
+                   f"p -> range(p, p + {nn}))))")
+        return (f"COALESCE(list_sum(list_transform({covered}, "
+                f"p -> length(w[p]))), 0)")
+
+    _rep_bp = lambda num, den: (  # noqa: E731
+        f"CAST(CASE WHEN {den} > 0 THEN least(({num} * 10000) // {den}, 10000) "
+        f"ELSE 0 END AS BIGINT)")
+    _seg_len = lambda col: (  # noqa: E731
+        f"COALESCE(list_sum(list_transform({col}, s -> length(s))), 0)")
+    _rep_sql = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm,
+                 string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                                            s -> trim(s)), s -> s <> '') AS lines,
+                 list_filter(list_transform(string_split_regex(text, '\\n{{2,}}'),
+                                            s -> trim(s)), s -> s <> '') AS paras
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, norm, w, lines, paras,
+                 {_rep_grams(2)} AS g2, {_rep_grams(3)} AS g3,
+                 {_rep_grams(4)} AS g4, {_rep_grams(5)} AS g5,
+                 {_rep_grams(10)} AS g10
+          FROM d
+        ),
+        n AS (
+          SELECT doc_id,
+                 CAST(len(lines) AS BIGINT) AS n_lines,
+                 CAST(len(paras) AS BIGINT) AS n_paras,
+                 len(lines) - len(list_distinct(lines)) AS dup_lines,
+                 {_seg_len('lines')} AS line_ch,
+                 {_seg_len('lines')} - {_seg_len('list_distinct(lines)')} AS dup_line_ch,
+                 len(paras) - len(list_distinct(paras)) AS dup_paras,
+                 {_seg_len('paras')} AS para_ch,
+                 {_seg_len('paras')} - {_seg_len('list_distinct(paras)')} AS dup_para_ch,
+                 length(norm) AS nc,
+                 COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS wc,
+                 {_rep_top(2)} AS top2, {_rep_top(3)} AS top3,
+                 {_rep_top(4)} AS top4,
+                 {_rep_dupcov(5)} AS dup5, {_rep_dupcov(10)} AS dup10
+          FROM g
+        )
+        SELECT doc_id, n_lines, n_paras,
+               {_rep_bp('dup_lines', 'n_lines')} AS dup_line_bp,
+               {_rep_bp('dup_line_ch', 'line_ch')} AS dup_line_char_bp,
+               {_rep_bp('dup_paras', 'n_paras')} AS dup_para_bp,
+               {_rep_bp('dup_para_ch', 'para_ch')} AS dup_para_char_bp,
+               {_rep_bp('top2', 'nc')} AS top2gram_bp,
+               {_rep_bp('top3', 'nc')} AS top3gram_bp,
+               {_rep_bp('top4', 'nc')} AS top4gram_bp,
+               {_rep_bp('dup5', 'wc')} AS dup5gram_bp,
+               {_rep_bp('dup10', 'wc')} AS dup10gram_bp
+        FROM n
+    """
+
+    # bigram-LM surprisal in whole bits: floor(log2 n) = length(bin(n))-1
+    # is pure integer arithmetic on both engines — no float log anywhere
+    _lm_sql = """
+        WITH d AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, w[t.i] AS prev, w[t.i + 1] AS cur
+          FROM d, LATERAL unnest(
+            CASE WHEN len(w) >= 2 THEN range(1, len(w)) ELSE [] END
+          ) AS t(i)
+        ),
+        bc AS (SELECT prev, cur, count(*) AS c_big FROM bg GROUP BY prev, cur),
+        cc AS (SELECT prev, count(*) AS c_ctx FROM bg GROUP BY prev),
+        j AS (
+          SELECT bg.doc_id,
+                 (length(bin(cc.c_ctx)) - 1) - (length(bin(bc.c_big)) - 1) AS bits,
+                 CASE WHEN bc.c_big = 1 THEN 1 ELSE 0 END AS oov
+          FROM bg JOIN bc ON bg.prev = bc.prev AND bg.cur = bc.cur
+                  JOIN cc ON bg.prev = cc.prev
+        ),
+        a AS (
+          SELECT doc_id, count(*) AS n_bigrams,
+                 CAST(sum(oov) AS BIGINT) AS oov_bigrams,
+                 CAST(sum(bits) AS BIGINT) AS info_bits
+          FROM j GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams, oov_bigrams, info_bits,
+               CAST(CASE WHEN n_bigrams > 0
+                    THEN (info_bits * 10000) // n_bigrams
+                    ELSE 0 END AS BIGINT) AS avg_info_bp
+        FROM a
+    """
+
     # ---- 50-cap bundles: fold the text/multimodal singles into ONE
     # oracle row each (standalone rows rotated out of the driver's
     # 50-query gate in r6 and went driver-unverified)
@@ -4468,6 +4607,15 @@ def oracle_sql() -> dict[str, str]:
          {"source": "str", "n_docs": "num", "total_tokens": "num",
           "mean_tokens": "fnum", "p50_tokens": "fnum", "p90_tokens": "fnum",
           "total_chars": "num", "dup_docs": "num"}),
+        ("rep", _rep_sql,
+         {"doc_id": "num", "n_lines": "num", "n_paras": "num",
+          "dup_line_bp": "num", "dup_line_char_bp": "num",
+          "dup_para_bp": "num", "dup_para_char_bp": "num",
+          "top2gram_bp": "num", "top3gram_bp": "num", "top4gram_bp": "num",
+          "dup5gram_bp": "num", "dup10gram_bp": "num"}),
+        ("lm", _lm_sql,
+         {"doc_id": "num", "n_bigrams": "num", "oov_bigrams": "num",
+          "info_bits": "num", "avg_info_bp": "num"}),
     ])
     o["multimodal"] = _union_oracle([
         ("decode", o.pop("multimodal_decode"),

@@ -328,3 +328,193 @@ def corpus_stats(
         (F.count(F.lit(1)) - F.count_distinct(F.col("_h")))
         .alias("dup_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (Rae et al. 2021, Appendix A repetition
+# filters — the dup-line/paragraph and n-gram coverage gates)
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """The Gopher repetition-filter signal suite, exact and ALL-INTEGER
+    (fractions as basis points via integer floor division, so every
+    value replays bit-identically on any engine — the dedup_exact
+    lesson):
+
+    - ``dup_line_bp`` / ``dup_para_bp``: duplicate line / paragraph
+      fraction by count; ``dup_line_char_bp`` / ``dup_para_char_bp``
+      by character mass (occurrences beyond the first of each distinct
+      segment)
+    - ``top{2,3,4}gram_bp``: character coverage of the most frequent
+      word n-gram (only n-grams occurring ≥ 2 times count)
+    - ``dup{5,10}gram_bp``: characters of word positions covered by ANY
+      n-gram occurring ≥ 2 times within the doc
+
+    Scale shape: pure per-doc map-side higher-order array expressions —
+    zero shuffles, no Python; O(L²) worst-case gram counting bounded by
+    per-document length (documents, not corpora, set L).
+    """
+    from ..plans.stagecut import stage_boundary
+
+    text = F.col(text_col)
+    norm = F.trim(F.regexp_replace(text, r"\s+", " "))
+    words = F.split(norm, " ")
+
+    lines = F.filter(F.transform(F.split(text, "\n"), F.trim),
+                     lambda s: s != "")
+    paras = F.filter(F.transform(F.split(text, "\n{2,}"), F.trim),
+                     lambda s: s != "")
+
+    def seg_len(segs):
+        return F.aggregate(segs, F.lit(0).cast("long"),
+                           lambda a, s: a + F.length(s))
+
+    def grams(nn):
+        idx = F.when(F.size(words) >= nn,
+                     F.sequence(F.lit(1), F.size(words) - nn + 1)) \
+            .otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(words, i, nn)))
+
+    def top_gram_chars(nn):
+        """count × gram-length of the most frequent n-gram (count ≥ 2)."""
+        g = grams(nn)
+        return F.aggregate(
+            F.array_distinct(g), F.lit(0).cast("long"),
+            lambda acc, x: F.greatest(
+                acc,
+                F.when(F.size(F.filter(g, lambda y: y == x)) >= 2,
+                       F.size(F.filter(g, lambda y: y == x)).cast("long")
+                       * F.length(x)).otherwise(F.lit(0).cast("long"))))
+
+    def dup_gram_word_chars(nn):
+        """chars of word positions covered by any ≥2× n-gram: mark each
+        start position whose gram repeats, expand to [p, p+n-1], sum the
+        lengths of covered (distinct) word positions."""
+        g = grams(nn)
+        dup_starts = F.filter(
+            F.when(F.size(words) >= nn,
+                   F.sequence(F.lit(1), F.size(words) - nn + 1))
+            .otherwise(F.array().cast("array<int>")),
+            lambda i: F.size(F.filter(
+                g, lambda y: y == F.element_at(g, i))) >= 2)
+        covered = F.array_distinct(F.flatten(F.transform(
+            dup_starts, lambda p: F.sequence(p, p + nn - 1))))
+        return F.aggregate(
+            covered, F.lit(0).cast("long"),
+            lambda a, p: a + F.length(F.element_at(words, p)))
+
+    word_chars = F.aggregate(words, F.lit(0).cast("long"),
+                             lambda a, w: a + F.length(w))
+
+    # stage 1: every numerator/denominator as a NAMED integer column
+    # (boundary: stop CollapseProject re-inlining the word array into
+    # each consumer — the dedup-family lesson, SCALE.md §7e)
+    base = stage_boundary(docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(F.array_distinct(lines)))
+        .cast("long").alias("_dup_lines"),
+        seg_len(lines).alias("_line_ch"),
+        (seg_len(lines) - seg_len(F.array_distinct(lines))).alias("_dup_line_ch"),
+        F.size(paras).cast("long").alias("n_paras"),
+        (F.size(paras) - F.size(F.array_distinct(paras)))
+        .cast("long").alias("_dup_paras"),
+        seg_len(paras).alias("_para_ch"),
+        (seg_len(paras) - seg_len(F.array_distinct(paras))).alias("_dup_para_ch"),
+        F.length(norm).cast("long").alias("_nc"),
+        word_chars.alias("_wc"),
+        top_gram_chars(2).alias("_top2"),
+        top_gram_chars(3).alias("_top3"),
+        top_gram_chars(4).alias("_top4"),
+        dup_gram_word_chars(5).alias("_dup5"),
+        dup_gram_word_chars(10).alias("_dup10"),
+    ))
+    # stage 2: basis points by integer division over the named columns
+    bp = lambda num, den: (  # noqa: E731
+        f"CAST(CASE WHEN {den} > 0 THEN least({num} * 10000 div {den}, 10000) "
+        f"ELSE 0 END AS BIGINT)")
+    return base.selectExpr(
+        id_col, "n_lines", "n_paras",
+        bp("_dup_lines", "n_lines") + " AS dup_line_bp",
+        bp("_dup_line_ch", "_line_ch") + " AS dup_line_char_bp",
+        bp("_dup_paras", "n_paras") + " AS dup_para_bp",
+        bp("_dup_para_ch", "_para_ch") + " AS dup_para_char_bp",
+        bp("_top2", "_nc") + " AS top2gram_bp",
+        bp("_top3", "_nc") + " AS top3gram_bp",
+        bp("_top4", "_nc") + " AS top4gram_bp",
+        bp("_dup5", "_wc") + " AS dup5gram_bp",
+        bp("_dup10", "_wc") + " AS dup10gram_bp",
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM surprisal scoring (CCNet-style LM quality signal, exact)
+
+
+def bigram_lm_score(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    train: DataFrame | None = None,
+                    broadcast_model: bool = True) -> DataFrame:
+    """Corpus-trained bigram language-model scoring (the CCNet recipe
+    scores documents with an LM and filters on perplexity; this is the
+    same signal computed EXACTLY): per document, the mean MLE bigram
+    surprisal quantized to whole bits —
+
+        bits(pos) = floor(log2 c(w_{i-1})) - floor(log2 c(w_{i-1}, w_i))
+
+    summed over bigram positions (``info_bits``) and averaged as basis
+    points (``avg_info_bp``). floor(log2 n) is computed as
+    ``length(bin(n)) - 1`` — pure integer arithmetic, so unlike a
+    float log-sum the result is identical on every engine and immune to
+    summation-order nondeterminism. High avg bits = improbable word
+    transitions (gibberish/noise); low = repetitive boilerplate.
+
+    ``oov_bigrams`` counts positions whose bigram occurs ONLY in this
+    document's own occurrences... corpus-min count is 1, so count==1
+    marks corpus-unique transitions.
+
+    Scale shape: two groupBy counts over exploded bigrams (the model),
+    then ONE join from doc bigrams to the model — broadcast when
+    ``broadcast_model`` (vocab ≪ corpus, the common case), else a
+    shuffle hash join on the gram key — and a final per-doc groupBy.
+    """
+    from .dedup import _normalize
+
+    model_src = train if train is not None else docs
+
+    def bigram_rows(df, keep_id):
+        w = F.split(F.trim(_normalize(F.col(text_col))), " ")
+        idx = F.when(F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)) \
+            .otherwise(F.array().cast("array<int>"))
+        pairs = F.transform(
+            idx, lambda i: F.struct(
+                F.element_at(w, i).alias("prev"),
+                F.element_at(w, i + 1).alias("cur")))
+        cols = [F.col(id_col)] if keep_id else []
+        return df.select(*cols, F.explode(pairs).alias("p")) \
+            .select(*([id_col] if keep_id else []),
+                    F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+
+    big_counts = bigram_rows(model_src, False).groupBy("prev", "cur") \
+        .agg(F.count(F.lit(1)).alias("c_big"))
+    ctx_counts = bigram_rows(model_src, False).groupBy("prev") \
+        .agg(F.count(F.lit(1)).alias("c_ctx"))
+    model = big_counts.join(ctx_counts, "prev")
+    if broadcast_model:
+        model = F.broadcast(model)
+
+    doc_bigrams = bigram_rows(docs, True)
+    joined = doc_bigrams.join(model, ["prev", "cur"], "left")
+    bits = (F.length(F.expr("bin(c_ctx)")) - 1) \
+        - (F.length(F.expr("bin(c_big)")) - 1)
+    agg = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum((F.col("c_big") == 1).cast("long")).alias("oov_bigrams"),
+        F.sum(bits.cast("long")).alias("info_bits"),
+    )
+    return agg.withColumn(
+        "avg_info_bp",
+        F.expr("CASE WHEN n_bigrams > 0 THEN info_bits * 10000 div n_bigrams "
+               "ELSE 0 END").cast("long"))
