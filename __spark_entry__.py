@@ -89,9 +89,15 @@ def _union_oracle(parts):
         for c, k in all_cols.items():
             if c in cols:
                 if k == "num":
-                    exprs.append(f"COALESCE({c}, -1) AS {c}")
+                    # CAST, not just COALESCE: DuckDB sum() over integers
+                    # yields HUGEINT (int128), which pandas renders as
+                    # float64 — a pandas-level comparator then sees -1.0
+                    # vs Spark's int64 -1 and hash-mismatches even though
+                    # fetchall() values are identical Python ints (the
+                    # r5-r7 dedup_exact driver-red root cause)
+                    exprs.append(f"CAST(COALESCE({c}, -1) AS BIGINT) AS {c}")
                 elif k == "fnum":
-                    exprs.append(f"COALESCE({c}, -1.0) AS {c}")
+                    exprs.append(f"CAST(COALESCE({c}, -1.0) AS DOUBLE) AS {c}")
                 else:
                     exprs.append(f"{c}")
             elif k == "num":

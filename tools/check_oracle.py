@@ -89,6 +89,29 @@ def main():
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
+        # dtype-kind parity: a pandas-level comparator (the driver) renders
+        # DuckDB HUGEINT/DECIMAL as float64 ("-1.0") while Spark longs stay
+        # int64 ("-1") — fetchall() hides this (int128 -> Python int), which
+        # kept the replica green while the driver was red for 3 rounds on
+        # dedup_exact. Flag any numeric-kind mismatch or int128/decimal.
+        skinds = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+
+        def kind(t):
+            t = t.lower()
+            if t in ("tinyint", "smallint", "int", "bigint", "integer",
+                     "ubigint", "uinteger", "usmallint", "utinyint"):
+                return "i"
+            if t in ("float", "double", "real"):
+                return "f"
+            return t
+
+        for d in res.description:
+            cname, dt = d[0], str(d[1])
+            if dt in ("HUGEINT", "UHUGEINT") or "DECIMAL" in dt:
+                problems.append(f"duck col {cname} is {dt} (float64 in pandas)")
+            st = skinds.get(cname)
+            if st and kind(dt) in "if" and kind(st) in "if" and kind(dt) != kind(st):
+                problems.append(f"dtype-kind {cname}: spark {st} vs duck {dt}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
         if not problems:
