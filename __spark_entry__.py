@@ -2341,7 +2341,48 @@ config:
             F.col("n_ipv6").cast("long").alias("n_ipv6"),
         )
 
-    q["text_pii_scrub"] = q_text_pii_scrub
+    # known test PANs (public card-brand test numbers): 4 Luhn-valid,
+    # 2 Luhn-invalid — the fixture interleaves them by doc_id so the
+    # oracle replays exactly which candidates survive the checksum
+    _CC_FIXTURE = [
+        "4111 1111 1111 1111",      # valid (Visa test)
+        "5500-0000-0000-0004",      # valid (MC test, dashed)
+        "378282246310005",          # valid (Amex, 15 digits)
+        "4111 1111 1111 1112",      # invalid (checksum off by one)
+        "6011000000000004",         # valid (Discover)
+        "1234 5678 9012 3456",      # invalid
+    ]
+
+    def q_fin_pii(spark, sf):
+        # Luhn-validated credit-card + SSN scrubbing
+        # (datapipe/curation.scrub_financial_pii)
+        from enrich_spark.datapipe.curation import scrub_financial_pii
+
+        cc = F.element_at(
+            F.array(*[F.lit(c) for c in _CC_FIXTURE]),
+            (F.col("doc_id") % 6 + 1).cast("int"))
+        docs = _load_docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" pay "), cc, F.lit(" ssn 123-45-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" end"),
+            ).alias("text"),
+        )
+        return scrub_financial_pii(docs).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "scrubbed_text",
+            F.col("n_ccs").cast("long").alias("n_ccs"),
+            F.col("n_cc_cands").cast("long").alias("n_cc_cands"),
+            F.col("n_ssns").cast("long").alias("n_ssns"),
+        )
+
+    q["text_pii_scrub"] = lambda spark, sf: _union_parts(
+        [("base", q_text_pii_scrub(spark, sf)),
+         ("fin", q_fin_pii(spark, sf))],
+        fill=("doc_id", "n_emails", "n_ips", "n_ipv6",
+              "n_ccs", "n_cc_cands", "n_ssns"),
+    )
 
     # quality-classifier vocabulary (terms from the synthetic corpus
     # lexicon): shared by the Spark query and the DuckDB oracle
@@ -2388,10 +2429,17 @@ config:
         wdf = spark.createDataFrame(
             sorted(_QC_WEIGHTS.items()), "token STRING, weight DOUBLE")
         joined = qsel(score_linear_model(docs, wdf, bias=0.25))
+        # part "mix": inverse-sqrt temperature-smoothed domain weights
+        # (datapipe/curation.domain_mix_weights) — all-integer basis
+        # points, so the mix replays bit-identically in the oracle
+        from enrich_spark.datapipe.curation import domain_mix_weights
+
+        mix = domain_mix_weights(docs, budget_docs=10000)
         return _union_parts(
             [("sample", samp), ("pack", pack),
-             ("q_lit", lit), ("q_join", joined)],
-            fill=("n_tokens", "seq_pos", "n_hits", "score"),
+             ("q_lit", lit), ("q_join", joined), ("mix", mix)],
+            fill=("n_tokens", "seq_pos", "n_hits", "score",
+                  "doc_id", "n_docs", "isqrt_n", "weight_bp", "epochs_mbp"),
         )
 
     q["data_mix"] = q_data_mix
@@ -2493,13 +2541,33 @@ config:
             F.col("is_keeper").cast("long").alias("is_keeper"),
         )
 
+    def q_dedup_policy(spark, sf):
+        # apply-side keep-policy: clusters + quality-ranked representative
+        # (datapipe/dedup.apply_dedup_policy; quality = n_chars, ties to
+        # the lowest doc_id — deterministic on any engine)
+        from enrich_spark.datapipe.dedup import (
+            apply_dedup_policy, ngram_jaccard_pairs,
+        )
+
+        docs = _load_docs(spark, sf)
+        pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.15)
+        return apply_dedup_policy(docs, pairs, quality_col="n_chars").select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("is_kept").cast("long").alias("is_kept"),
+        )
+
     # blocked pairs ('blocked'), exact prefix-filter pairs ('prefix'),
-    # and connected-component clusters ('clusters') in one oracle row
+    # connected-component clusters ('clusters'), and the quality-ranked
+    # keep-policy verdict ('policy') in one oracle row
     q["dedup_ngram_jaccard"] = lambda spark, sf: _union_parts(
         [("blocked", q_ngram_jaccard(spark, sf)),
          ("prefix", q_ngram_prefix(spark, sf)),
-         ("clusters", q_dup_clusters(spark, sf))],
-        fill=("id_a", "id_b", "jaccard", "doc_id", "cluster_id", "is_keeper"),
+         ("clusters", q_dup_clusters(spark, sf)),
+         ("policy", q_dedup_policy(spark, sf))],
+        fill=("id_a", "id_b", "jaccard", "doc_id", "cluster_id", "is_keeper",
+              "cluster_size", "is_kept"),
     )
 
     def q_simhash(spark, sf):
@@ -2687,6 +2755,44 @@ config:
         out = bigram_lm_score(_load_docs(spark, sf))
         return out.withColumn("doc_id", F.col("doc_id").cast("long"))
 
+    def q_html_extract(spark, sf):
+        # web-page text extraction + boilerplate signals
+        # (datapipe/webtext.html_extract): deterministic HTML synthesized
+        # around each doc's text (nav-chrome-heavy every 7th doc) so the
+        # oracle replays the exact extraction chain; RE2-safe regexes by
+        # construction, all-integer density signals
+        from enrich_spark.datapipe.webtext import html_extract
+
+        docs = _load_docs(spark, sf)
+        body = F.substring(F.col("text"), 1, 400)
+        html = F.concat(
+            F.lit('<html><head><title>Doc '), F.col("doc_id").cast("string"),
+            F.lit('</title><script type="text/javascript">var x = 1 < 2 && "a";</script>'
+                  '<style>p { color: red }</style></head><body><!-- nav -->'
+                  '<NAV><ul>'),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit('<li><a href="/a">Home &amp; more</a></li>'
+                      '<li><a href="/b">About &nbsp;us</a></li>'
+                      '<li><a href="/c">Contact</a></li>'
+                      '<li><a href="/d">Shop &lt;new&gt;</a></li>'),
+            ).otherwise(F.lit('<li><a href="/a">Home</a></li>')),
+            F.lit('</ul></nav><h1>Title &quot;h&#39;s&quot;</h1><p>'), body,
+            F.lit('</p><div>tail &#160;x</div></body></html>'))
+        src = docs.select("doc_id", html.alias("html"))
+        return html_extract(src).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "extracted_text",
+            F.col("html_len").cast("long").alias("html_len"),
+            F.col("text_len").cast("long").alias("text_len"),
+            F.col("n_tags").cast("long").alias("n_tags"),
+            F.col("n_links").cast("long").alias("n_links"),
+            F.col("anchor_chars").cast("long").alias("anchor_chars"),
+            F.col("text_density_bp").cast("long").alias("text_density_bp"),
+            F.col("link_density_bp").cast("long").alias("link_density_bp"),
+            F.col("is_boilerplate").cast("long").alias("is_boilerplate"),
+        )
+
     def q_text_analysis(spark, sf):
         # the text-analysis operator family bundled into ONE oracle row
         # (driver caps the correctness gate at 50 queries — standalone
@@ -2701,7 +2807,8 @@ config:
              ("fprint", q_fingerprint_doc(spark, sf)),
              ("stats", q_corpus_stats(spark, sf)),
              ("rep", q_repetition(spark, sf)),
-             ("lm", q_bigram_lm(spark, sf))],
+             ("lm", q_bigram_lm(spark, sf)),
+             ("html", q_html_extract(spark, sf))],
             fill=("doc_id", "n_chars", "n_words", "mean_word_len",
                   "punct_ratio", "stopword_ratio", "distinct_word_ratio",
                   "dup_line_ratio", "top_bigram_char_ratio", "quality_score",
@@ -2711,7 +2818,10 @@ config:
                   "n_lines", "n_paras", "dup_line_bp", "dup_line_char_bp",
                   "dup_para_bp", "dup_para_char_bp", "top2gram_bp",
                   "top3gram_bp", "top4gram_bp", "dup5gram_bp", "dup10gram_bp",
-                  "n_bigrams", "oov_bigrams", "info_bits", "avg_info_bp"),
+                  "n_bigrams", "oov_bigrams", "info_bits", "avg_info_bp",
+                  "html_len", "text_len", "n_tags", "n_links",
+                  "anchor_chars", "text_density_bp", "link_density_bp",
+                  "is_boilerplate"),
         )
 
     q["text_analysis"] = q_text_analysis
@@ -3941,7 +4051,7 @@ def oracle_sql() -> dict[str, str]:
     _pii_ip6 = ("\\b(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}\\b"
                 "|\\b(?:[0-9A-Fa-f]{1,4}:){1,7}:"
                 "(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,5}\\b)?")
-    o["text_pii_scrub"] = f"""
+    _pii_base_sql = f"""
         WITH d AS (
           SELECT doc_id,
                  text || ' contact user' || CAST(doc_id AS VARCHAR)
@@ -3970,6 +4080,70 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_ipv6 AS BIGINT) AS n_ipv6
         FROM i6
     """
+
+    # Luhn fold mirrored natively: list_filter + list_transform over the
+    # reversed digit string; list_reduce with the text PREPENDED as the
+    # seed (DuckDB 1.0's list_reduce has no seed argument) replays the
+    # per-candidate literal replacement
+    _luhn_digits = "regexp_replace(c, '[^0-9]', '', 'g')"
+    _luhn_dv = f"(ascii(substr(reverse({_luhn_digits}), i, 1)) - 48)"
+    _pii_fin_sql = rf"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || ' pay ' ||
+                 CASE doc_id % 6
+                   WHEN 0 THEN '4111 1111 1111 1111'
+                   WHEN 1 THEN '5500-0000-0000-0004'
+                   WHEN 2 THEN '378282246310005'
+                   WHEN 3 THEN '4111 1111 1111 1112'
+                   WHEN 4 THEN '6011000000000004'
+                   ELSE '1234 5678 9012 3456' END
+                 || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 || ' end' AS t
+          FROM documents
+        ),
+        cand AS (
+          SELECT doc_id, t,
+                 regexp_extract_all(t, '\b\d(?:[ -]?\d){{12,18}}\b') AS cands
+          FROM d
+        ),
+        val AS (
+          SELECT doc_id, t, cands,
+                 list_filter(cands, c ->
+                   length({_luhn_digits}) BETWEEN 13 AND 19
+                   AND list_sum(list_transform(
+                         range(1, length({_luhn_digits}) + 1),
+                         i -> CASE WHEN i % 2 = 1 THEN {_luhn_dv}
+                              ELSE CASE WHEN {_luhn_dv} * 2 > 9
+                                   THEN {_luhn_dv} * 2 - 9
+                                   ELSE {_luhn_dv} * 2 END END)) % 10 = 0
+                 ) AS valid
+          FROM cand
+        ),
+        scr AS (
+          SELECT doc_id, cands, valid,
+                 list_reduce(list_prepend(t, valid),
+                             (acc, x) -> replace(acc, x, '<CC>')) AS t1
+          FROM val
+        )
+        SELECT doc_id,
+               regexp_replace(t1, '\b\d{{3}}-\d{{2}}-\d{{4}}\b', '<SSN>', 'g')
+                 AS scrubbed_text,
+               CAST(len(valid) AS BIGINT) AS n_ccs,
+               CAST(len(cands) AS BIGINT) AS n_cc_cands,
+               CAST(len(regexp_extract_all(t1, '\b\d{{3}}-\d{{2}}-\d{{4}}\b'))
+                 AS BIGINT) AS n_ssns
+        FROM scr
+    """
+
+    o["text_pii_scrub"] = _union_oracle([
+        ("base", _pii_base_sql,
+         {"doc_id": "num", "scrubbed_text": "str", "n_emails": "num",
+          "n_ips": "num", "n_ipv6": "num"}),
+        ("fin", _pii_fin_sql,
+         {"doc_id": "num", "scrubbed_text": "str", "n_ccs": "num",
+          "n_cc_cands": "num", "n_ssns": "num"}),
+    ])
 
     _mix_bucket = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15)) AS BIGINT) % 1000000"
     _mix_parts = [
@@ -4003,6 +4177,29 @@ def oracle_sql() -> dict[str, str]:
             FROM b
         """, {"doc_id": "num", "source": "str", "n_tokens": "num",
               "seq_id": "str", "seq_pos": "num"}),
+        # inverse-sqrt temperature mixing: isqrt = floor(sqrt(n)) is
+        # exact below 2^52 docs, weights/epochs all-integer basis points
+        ("mix", """
+            WITH s AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS isqrt_n
+              FROM documents GROUP BY source
+            ),
+            t AS (
+              SELECT source, n_docs, isqrt_n,
+                     CAST(sum(isqrt_n) OVER () AS BIGINT) AS tot
+              FROM s
+            ),
+            w AS (
+              SELECT source, n_docs, isqrt_n,
+                     CAST((isqrt_n * 10000) // tot AS BIGINT) AS weight_bp
+              FROM t
+            )
+            SELECT source, CAST(n_docs AS BIGINT) AS n_docs, isqrt_n, weight_bp,
+                   CAST((10000 * weight_bp) // (10 * n_docs) AS BIGINT) AS epochs_mbp
+            FROM w
+        """, {"source": "str", "n_docs": "num", "isqrt_n": "num",
+              "weight_bp": "num", "epochs_mbp": "num"}),
     ]
 
     _corpus_stats_sql = """
@@ -4593,6 +4790,62 @@ def oracle_sql() -> dict[str, str]:
         FROM a
     """
 
+    # webtext.html_extract mirror: same RE2-safe chain, same synthetic
+    # page fixture as q_html_extract; chr(9)/chr(10) stand in for \t/\n
+    # literals inside SQL
+    _html_sql = r"""
+        WITH src AS (
+          SELECT doc_id,
+            '<html><head><title>Doc ' || doc_id ||
+            '</title><script type="text/javascript">var x = 1 < 2 && "a";</script>' ||
+            '<style>p { color: red }</style></head><body><!-- nav -->' ||
+            '<NAV><ul>' ||
+            CASE WHEN doc_id % 7 = 0
+              THEN '<li><a href="/a">Home &amp; more</a></li><li><a href="/b">About &nbsp;us</a></li><li><a href="/c">Contact</a></li><li><a href="/d">Shop &lt;new&gt;</a></li>'
+              ELSE '<li><a href="/a">Home</a></li>' END ||
+            '</ul></nav><h1>Title &quot;h&#39;s&quot;</h1><p>' || substr(text, 1, 400) ||
+            '</p><div>tail &#160;x</div></body></html>' AS html
+          FROM documents
+        ), ext AS (
+          SELECT doc_id, html,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              replace(replace(replace(replace(replace(replace(replace(
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  html,
+                  '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                  '(?s)<!--.*?-->', ' ', 'g'),
+                  '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote|section|article|header|footer|nav)[^>]*>', chr(10), 'g'),
+                  '<[^>]*>', ' ', 'g'),
+                '&nbsp;', ' '), '&#160;', ' '), '&lt;', '<'), '&gt;', '>'),
+                '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+              '[ ' || chr(9) || ']+', ' ', 'g'),
+              ' ?' || chr(10) || ' ?', chr(10), 'g'),
+              chr(10) || '{3,}', chr(10) || chr(10), 'g'),
+              '^\s+|\s+$', '', 'g') AS text
+          FROM src
+        ), sig AS (
+          SELECT doc_id, html, text,
+            CAST(length(html) AS BIGINT) AS html_len,
+            CAST(length(text) AS BIGINT) AS text_len,
+            CAST(COALESCE(list_sum(list_transform(
+                   regexp_extract_all(html, '(?is)<a[^>]*>(.*?)</a>', 1),
+                   a -> length(regexp_replace(a, '<[^>]*>', '', 'g')))), 0)
+              AS BIGINT) AS anchor_chars
+          FROM ext
+        )
+        SELECT doc_id, text AS extracted_text, html_len, text_len,
+               CAST(len(regexp_extract_all(html, '<[A-Za-z/][^>]*>')) AS BIGINT) AS n_tags,
+               CAST(len(regexp_extract_all(html, '(?i)<a[\s>]')) AS BIGINT) AS n_links,
+               anchor_chars,
+               (text_len * 10000) // greatest(html_len, 1) AS text_density_bp,
+               (anchor_chars * 10000) // greatest(text_len, 1) AS link_density_bp,
+               CAST(CASE WHEN (text_len * 10000) // greatest(html_len, 1) < 2500
+                          OR (anchor_chars * 10000) // greatest(text_len, 1) > 3333
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_boilerplate
+        FROM sig
+    """
+
     # ---- 50-cap bundles: fold the text/multimodal singles into ONE
     # oracle row each (standalone rows rotated out of the driver's
     # 50-query gate in r6 and went driver-unverified)
@@ -4622,6 +4875,11 @@ def oracle_sql() -> dict[str, str]:
         ("lm", _lm_sql,
          {"doc_id": "num", "n_bigrams": "num", "oov_bigrams": "num",
           "info_bits": "num", "avg_info_bp": "num"}),
+        ("html", _html_sql,
+         {"doc_id": "num", "extracted_text": "str", "html_len": "num",
+          "text_len": "num", "n_tags": "num", "n_links": "num",
+          "anchor_chars": "num", "text_density_bp": "num",
+          "link_density_bp": "num", "is_boilerplate": "num"}),
     ])
     o["multimodal"] = _union_oracle([
         ("decode", o.pop("multimodal_decode"),
@@ -4774,6 +5032,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(n = min(m) AS BIGINT) AS is_keeper
         FROM reach GROUP BY n
     """
+    policy_sql = f"""
+        WITH RECURSIVE prs AS (SELECT id_a, id_b FROM ({blocked_sql})),
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM prs
+          UNION SELECT id_b, id_a FROM prs
+        ),
+        reach(n, m) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
+        ),
+        clus AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+        lab AS (
+          SELECT d.doc_id,
+                 COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                 COALESCE(d.n_chars, 0) AS q
+          FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
+        )
+        SELECT doc_id,
+               CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                 AS cluster_size,
+               CAST(CASE WHEN row_number() OVER (
+                      PARTITION BY cluster_id ORDER BY q DESC, doc_id ASC) = 1
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+        FROM lab
+    """
     o["dedup_ngram_jaccard"] = _union_oracle([
         ("blocked", blocked_sql,
          {"id_a": "num", "id_b": "num", "jaccard": "fnum"}),
@@ -4781,6 +5066,9 @@ def oracle_sql() -> dict[str, str]:
          {"id_a": "num", "id_b": "num", "jaccard": "fnum"}),
         ("clusters", clusters_sql,
          {"doc_id": "num", "cluster_id": "num", "is_keeper": "num"}),
+        ("policy", policy_sql,
+         {"doc_id": "num", "cluster_id": "num", "cluster_size": "num",
+          "is_kept": "num"}),
     ])
 
     return o

@@ -14,8 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scrub_text_pii", "stratified_sample", "pack_sequences",
-           "score_linear_model"]
+__all__ = ["scrub_text_pii", "scrub_financial_pii", "stratified_sample",
+           "domain_mix_weights", "pack_sequences", "score_linear_model"]
 
 
 # ---------------------------------------------------------------------------
@@ -248,3 +248,123 @@ def score_linear_model(
         id_col, "n_tokens", "n_hits",
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# financial PII — credit cards (Luhn-validated) and SSNs
+
+# 13-19 digits with optional single space/dash separators between them.
+# Luhn validation below cuts the false positives a bare digit-run regex
+# would flag (timestamps, ids); RE2-safe (no lookarounds) so the exact
+# candidate set replays in SQL engines.
+_CC_CAND = r"\b\d(?:[ -]?\d){12,18}\b"
+_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+def _digit(s: Column, i: Column) -> Column:
+    return F.ascii(F.substr(s, i, F.lit(1))) - 48
+
+
+def _luhn_valid(digits: Column) -> Column:
+    """Luhn checksum over a digit string, as ONE native fold: from the
+    rightmost digit, double every second digit (−9 when > 9), total
+    ≡ 0 (mod 10). Zero Python — the whole check inlines into the
+    filter lambda and stays in codegen."""
+    r = F.reverse(digits)
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.length(digits)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.when(
+            i % 2 == 1, _digit(r, i)
+        ).otherwise(
+            F.when(_digit(r, i) * 2 > 9, _digit(r, i) * 2 - 9)
+            .otherwise(_digit(r, i) * 2)
+        ),
+    )
+    return (F.length(digits).between(13, 19)) & (total % 10 == 0)
+
+
+def scrub_financial_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cc_token: str = "<CC>",
+    ssn_token: str = "<SSN>",
+) -> DataFrame:
+    """Redact Luhn-valid credit-card numbers and SSN-shaped ids.
+
+    Cards: extract digit-run candidates (13-19 digits, optional single
+    space/dash separators), keep only those whose digits pass the Luhn
+    checksum, then literal-replace each surviving candidate — so
+    ``4111 1111 1111 1111`` is scrubbed while a 16-digit order id that
+    fails the checksum is left alone. The candidate extraction, the
+    checksum fold, and the replacement fold are all native Catalyst
+    expressions: one map-side projection, no shuffle, no Python.
+
+    Output: doc_id, scrubbed_text, n_ccs (Luhn-valid cards), n_cc_cands
+    (candidates seen), n_ssns.
+    """
+    t = F.col(text_col)
+    cands = F.regexp_extract_all(t, F.lit(_CC_CAND), 0)
+    valid = F.filter(
+        cands, lambda c: _luhn_valid(F.regexp_replace(c, "[^0-9]", "")))
+    scrubbed = F.aggregate(
+        valid, t, lambda acc, c: F.replace(acc, c, F.lit(cc_token)))
+    n_ssn = F.size(F.regexp_extract_all(scrubbed, F.lit(_SSN), 0))
+    scrubbed = F.regexp_replace(scrubbed, _SSN, ssn_token)
+    return docs.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed_text"),
+        F.size(valid).cast("long").alias("n_ccs"),
+        F.size(cands).cast("long").alias("n_cc_cands"),
+        n_ssn.cast("long").alias("n_ssns"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature-smoothed domain mixing
+
+
+def domain_mix_weights(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    budget_docs: int | None = None,
+) -> DataFrame:
+    """Inverse-sqrt temperature smoothing of domain sampling weights
+    (the α=0.5 multilingual-sampling standard: small domains are
+    up-weighted relative to their share, large ones damped).
+
+    All-integer discipline: isqrt_n = floor(sqrt(n)) is exact for any
+    corpus size below 2^52 docs, and weights are basis points via
+    integer floor division — so the mix replays bit-identically on any
+    engine (the dedup_exact lesson: no float column ever reaches a
+    comparator). With ``budget_docs``, adds ``epochs_mbp`` — how many
+    milli-epochs of each domain the budget consumes at its weight
+    (> 1000 means the domain repeats).
+
+    Scale shape: one groupBy over the corpus (partial-agg, one
+    shuffle) down to a per-domain table of hundreds of rows; the
+    scalar Σ isqrt is a window over that tiny frame, not the corpus.
+    """
+    stats = docs.groupBy(F.col(stratum_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    isqrt = F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long")
+    stats = stats.select("source", "n_docs", isqrt.alias("isqrt_n"))
+    total = F.sum("isqrt_n").over(Window.partitionBy())
+    out = stats.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "isqrt_n",
+        F.expr("isqrt_n * 10000").cast("long").alias("_w_num"),
+        total.alias("_w_den"),
+    ).select(
+        "source", "n_docs", "isqrt_n",
+        F.expr("_w_num div _w_den").alias("weight_bp"),
+    )
+    if budget_docs is not None:
+        out = out.withColumn(
+            "epochs_mbp",
+            F.expr(f"CAST({int(budget_docs)} AS BIGINT) * weight_bp "
+                   f"div (10 * n_docs)"))
+    return out

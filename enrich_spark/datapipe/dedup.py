@@ -819,3 +819,59 @@ def streaming_dedup(
         events.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(list(key_cols))
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup keep-policy: clusters → one surviving representative each
+
+
+def apply_dedup_policy(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str | Column | None = None,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """The apply-side of near-dedup: given the corpus and a near-dup
+    pair list (from any candidate family — minhash LSH, simhash,
+    n-gram Jaccard, embedding cosine), produce the kept/dropped verdict
+    per document with its cluster accounting.
+
+    Representative selection: within each connected component, keep the
+    highest-``quality_col`` member (ties and the no-quality default
+    fall back to the lowest doc_id — deterministic on any engine and
+    partitioning). This is the policy real pipelines want — "keep the
+    best-quality copy", not "keep an arbitrary copy".
+
+    Plan shape: pairs → min-label propagation (``dup_clusters``,
+    key-bounded joins, diameter-bounded rounds) → ONE left join of the
+    corpus against the cluster labels (documents in no pair stay
+    singletons without ever entering the propagation) → one window
+    rank per cluster. Two shuffles beyond clustering; the window
+    partitions are cluster-sized (shallow near-dup clusters), so no
+    skewed sort.
+
+    Output: doc_id, cluster_id, cluster_size, is_kept.
+    """
+    labels = dup_clusters(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    joined = docs.join(
+        labels.select(F.col("doc_id").alias(id_col), "cluster_id"),
+        id_col, "left",
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        (F.lit(0) - F.coalesce(
+            F.col(quality_col) if isinstance(quality_col, str) else quality_col,
+            F.lit(0),
+        )).alias("_neg_q") if quality_col is not None else F.lit(0).alias("_neg_q"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy("_neg_q", id_col)
+    return joined.select(
+        id_col,
+        "cluster_id",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        .cast("long").alias("cluster_size"),
+        (F.row_number().over(w) == 1).cast("int").alias("is_kept"),
+    )

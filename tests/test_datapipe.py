@@ -1262,3 +1262,99 @@ def test_jpeg_sos_undefined_huffman_table_is_value_error():
     b[i + 6] = 0x33  # comp0 -> DC table 3 / AC table 3, never defined
     with pytest.raises(ValueError, match="undefined DC Huffman"):
         decode_jpeg(bytes(b))
+
+
+def test_scrub_financial_pii_luhn(spark):
+    from enrich_spark.datapipe.curation import scrub_financial_pii
+
+    rows = [
+        (1, "pay with 4111 1111 1111 1111 now"),          # Luhn-valid Visa test PAN
+        (2, "order id 4111 1111 1111 1112 shipped"),      # fails Luhn -> untouched
+        (3, "card 5500-0000-0000-0004 and ssn 123-45-6789"),
+        (4, "amex 378282246310005 inline"),
+        (5, "no pii here, just the number 12345"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r.doc_id: r for r in scrub_financial_pii(df).collect()}
+    assert out[1].n_ccs == 1 and "<CC>" in out[1].scrubbed_text
+    assert "4111" not in out[1].scrubbed_text
+    assert out[2].n_ccs == 0 and out[2].n_cc_cands == 1
+    assert "1112" in out[2].scrubbed_text                  # invalid left alone
+    assert out[3].n_ccs == 1 and out[3].n_ssns == 1
+    assert "<SSN>" in out[3].scrubbed_text and "6789" not in out[3].scrubbed_text
+    assert out[4].n_ccs == 1                               # 15-digit Amex
+    assert out[5].n_ccs == 0 and out[5].n_cc_cands == 0 and out[5].n_ssns == 0
+    assert out[5].scrubbed_text == rows[4][1]
+
+
+def test_domain_mix_weights(spark):
+    from enrich_spark.datapipe.curation import domain_mix_weights
+
+    rows = ([(i, "web") for i in range(100)]
+            + [(i + 100, "books") for i in range(9)]
+            + [(200, "code")])
+    df = spark.createDataFrame(rows, "doc_id INT, source STRING")
+    out = {r.source: r for r in
+           domain_mix_weights(df, budget_docs=1000).collect()}
+    # isqrt: web=10, books=3, code=1 -> total 14
+    assert out["web"].isqrt_n == 10 and out["books"].isqrt_n == 3
+    assert out["web"].weight_bp == 10 * 10000 // 14
+    assert out["books"].weight_bp == 3 * 10000 // 14
+    assert out["code"].weight_bp == 1 * 10000 // 14
+    # smoothing: books' mix share (21.4%) >> its corpus share (8.2%)
+    assert out["books"].weight_bp > 9 * 10000 // 110
+    # epochs: budget 1000 at weight w_bp over n docs = w_bp*1000/(10000*n) epochs
+    assert out["code"].epochs_mbp == 1000 * out["code"].weight_bp // 10
+    assert out["web"].epochs_mbp == 1000 * out["web"].weight_bp // (10 * 100)
+
+
+def test_apply_dedup_policy_quality_keeper(spark):
+    from enrich_spark.datapipe.dedup import apply_dedup_policy
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (4, 0.1), (5, 0.7)],
+        "doc_id INT, q DOUBLE")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a INT, id_b INT")     # {1,2,3} one cluster
+    out = {r.doc_id: r for r in
+           apply_dedup_policy(docs, pairs, quality_col="q").collect()}
+    assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id == 1
+    assert out[2].is_kept == 1                       # best quality wins
+    assert out[1].is_kept == 0 and out[3].is_kept == 0
+    assert out[1].cluster_size == 3
+    assert out[4].is_kept == 1 and out[4].cluster_size == 1   # singleton
+    assert out[5].is_kept == 1
+
+    # no-quality default: lowest id survives
+    out2 = {r.doc_id: r for r in apply_dedup_policy(docs, pairs).collect()}
+    assert out2[1].is_kept == 1 and out2[2].is_kept == 0
+
+
+def test_html_extract(spark):
+    from enrich_spark.datapipe.webtext import html_extract
+
+    rows = [
+        (1, '<html><head><script>var x = "<p>"; </script><style>p{}</style>'
+            '</head><body><h1>Title</h1><p>Hello &amp; welcome to a page '
+            'with enough actual prose that the text density clears the '
+            'boilerplate gate comfortably</p>'
+            '<div>Second &lt;line&gt;</div></body></html>'),
+        (2, '<ul><li><a href="/a">Home</a></li><li><a href="/b">About</a>'
+            '</li><li><a href="/c">More links</a></li></ul><p>x</p>'),
+        (3, 'no markup at all'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, html STRING")
+    out = {r.doc_id: r for r in html_extract(df).collect()}
+    # adjacent block close+open => blank line between blocks (paragraph
+    # separation preserved; runs of 3+ newlines collapse to exactly 2)
+    assert out[1].extracted_text == (
+        "Title\n\nHello & welcome to a page with enough actual prose that "
+        "the text density clears the boilerplate gate comfortably"
+        "\n\nSecond <line>")
+    assert out[1].n_links == 0 and out[1].is_boilerplate == 0
+    # page 2 is nav chrome: high link density
+    assert out[2].n_links == 3
+    assert out[2].anchor_chars == len("Home") + len("About") + len("More links")
+    assert out[2].is_boilerplate == 1
+    assert out[3].extracted_text == "no markup at all"
+    assert out[3].n_tags == 0 and out[3].text_density_bp == 10000
