@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from enrich_spark.datapipe.bpe import apply_bpe_sql as _bpe_apply_sql
+
 SF001 = "/root/testdata/sf0.001"
 
 
@@ -43,6 +45,25 @@ DUCK_US = "chr(31)"
 # execution memory for every LATER query in the same JVM (measured as a
 # creeping suite-wide slowdown across a bench run).
 _FIXTURE_CACHE: dict = {}
+
+# BPE merge table learned by datapipe/bpe.train_bpe from the sf0.001
+# documents corpus (48 merges, deterministic tie-break; golden-tested in
+# tests/test_datapipe.py) — a fixed vocabulary literal shared by the
+# Spark query and the DuckDB oracle, same pattern as the quality-
+# classifier weights below
+_BPE_MERGES = [
+    ("e", "r"), ("e", "_"), ("n", "_"), ("o", "r"), ("t", "_"),
+    ("er", "_"), ("o", "w"), ("ow", "_"), ("l", "u"), ("i", "n"),
+    ("y", "_"), ("a", "r"), ("p", "ar"), ("g", "_"), ("a", "s"),
+    ("h", "_"), ("a", "_"), ("s", "t"), ("a", "t"), ("a", "n_"),
+    ("c", "an_"), ("s", "can_"), ("c", "o"), ("co", "lu"), ("colu", "m"),
+    ("colum", "n_"), ("d", "ow_"), ("in", "dow_"), ("w", "indow_"),
+    ("d", "er_"), ("or", "der_"), ("or", "t_"), ("s", "ort_"),
+    ("p", "_"), ("par", "t_"), ("u", "p_"), ("a", "g"), ("ag", "g_"),
+    ("a", "lu"), ("alu", "e_"), ("v", "alue_"), ("in", "e_"),
+    ("l", "ine_"), ("e", "y_"), ("k", "ey_"), ("i", "n_"), ("j", "o"),
+    ("jo", "in_"),
+]
 
 
 def _cached_fixture(spark: SparkSession, name: str, sf_dir: str, builder):
@@ -2793,13 +2814,25 @@ config:
             F.col("is_boilerplate").cast("long").alias("is_boilerplate"),
         )
 
+    def q_bpe(spark, sf):
+        # BPE tokenization with the fixed _BPE_MERGES table (trained by
+        # datapipe/bpe.train_bpe — distributed word-freq agg + bounded
+        # driver merge loop; apply is a zero-Python literal replace
+        # chain, one stage boundary per pass)
+        from enrich_spark.datapipe.bpe import apply_bpe
+
+        return apply_bpe(_load_docs(spark, sf), _BPE_MERGES).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_words", "n_tokens", "tokens_head")
+
     def q_text_analysis(spark, sf):
         # the text-analysis operator family bundled into ONE oracle row
         # (driver caps the correctness gate at 50 queries — standalone
         # rows rotated OUT of the r6 gate and went driver-unverified):
         # language-ID, Gopher quality signals, token counts, winnowing
         # fingerprint, per-source corpus-stats rollup, the full Gopher
-        # repetition suite, and bigram-LM surprisal scoring
+        # repetition suite, bigram-LM surprisal scoring, and BPE
+        # subword tokenization
         return _union_parts(
             [("lang", q_lang_id(spark, sf)),
              ("quality", q_quality(spark, sf)),
@@ -2808,7 +2841,8 @@ config:
              ("stats", q_corpus_stats(spark, sf)),
              ("rep", q_repetition(spark, sf)),
              ("lm", q_bigram_lm(spark, sf)),
-             ("html", q_html_extract(spark, sf))],
+             ("html", q_html_extract(spark, sf)),
+             ("bpe", q_bpe(spark, sf))],
             fill=("doc_id", "n_chars", "n_words", "mean_word_len",
                   "punct_ratio", "stopword_ratio", "distinct_word_ratio",
                   "dup_line_ratio", "top_bigram_char_ratio", "quality_score",
@@ -2821,7 +2855,7 @@ config:
                   "n_bigrams", "oov_bigrams", "info_bits", "avg_info_bp",
                   "html_len", "text_len", "n_tags", "n_links",
                   "anchor_chars", "text_density_bp", "link_density_bp",
-                  "is_boilerplate"),
+                  "is_boilerplate", "n_tokens"),
         )
 
     q["text_analysis"] = q_text_analysis
@@ -4880,6 +4914,9 @@ def oracle_sql() -> dict[str, str]:
           "text_len": "num", "n_tags": "num", "n_links": "num",
           "anchor_chars": "num", "text_density_bp": "num",
           "link_density_bp": "num", "is_boilerplate": "num"}),
+        ("bpe", _bpe_apply_sql("documents", "doc_id", "text", _BPE_MERGES),
+         {"doc_id": "num", "n_words": "num", "n_tokens": "num",
+          "tokens_head": "str"}),
     ])
     o["multimodal"] = _union_oracle([
         ("decode", o.pop("multimodal_decode"),

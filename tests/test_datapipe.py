@@ -1358,3 +1358,96 @@ def test_html_extract(spark):
     assert out[2].is_boilerplate == 1
     assert out[3].extracted_text == "no markup at all"
     assert out[3].n_tags == 0 and out[3].text_density_bp == 10000
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer (datapipe/bpe.py)
+
+
+_BPE_DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the cats sat"),
+    (3, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),   # 32-run: pass-count stress
+    (4, "ab ab ab ab ababab abab"),            # adjacent-merge stress
+    (5, ""),
+    (6, "!!! ??? ..."),                        # normalizes to empty
+    (7, "Mixed CASE, punct-uation; and 123 numbers!"),
+]
+
+
+def _bpe_docs(spark):
+    return spark.createDataFrame(_BPE_DOCS, "doc_id INT, text STRING")
+
+
+def test_bpe_train_deterministic_and_golden(spark):
+    from enrich_spark.datapipe import bpe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = bpe.train_bpe(docs, num_merges=48)
+    assert merges == bpe.train_bpe(docs, num_merges=48)
+    # the entry file embeds this exact table as _BPE_MERGES
+    import __spark_entry__ as entry
+
+    assert [tuple(m) for m in entry._BPE_MERGES] == merges
+    # corpus vocabulary should surface as whole-word merges
+    merged_syms = {a + b for a, b in merges}
+    assert {"scan_", "column_", "window_", "join_"} <= merged_syms
+
+
+def test_bpe_apply_matches_python_reference(spark):
+    from enrich_spark.datapipe import bpe
+
+    # train on the tiny inline corpus so merges hit the stress docs
+    docs = _bpe_docs(spark)
+    merges = bpe.train_bpe(docs, num_merges=12)
+    out = {r.doc_id: r for r in bpe.apply_bpe(docs, merges).collect()}
+    for doc_id, raw in _BPE_DOCS:
+        toks = bpe.tokenize_py(raw, merges)
+        assert out[doc_id].n_tokens == len(toks), (doc_id, merges)
+        assert out[doc_id].tokens_head == " ".join(toks)[:160]
+    assert out[5].n_words == 0 and out[5].n_tokens == 0
+    assert out[6].n_words == 0 and out[6].n_tokens == 0
+
+
+def test_bpe_run_merges_match_reference(spark):
+    from enrich_spark.datapipe import bpe
+
+    # self-pair merges over long runs are where a naive separator-only
+    # encoding (/a/b/) permanently diverges from leftmost-greedy BPE —
+    # the /sym; self-contained encoding must match the reference exactly
+    docs = spark.createDataFrame(
+        [(1, "a" * 32), (2, "a" * 7)], "doc_id INT, text STRING")
+    merges = [("a", "a"), ("aa", "aa")]
+    out = {r.doc_id: r for r in bpe.apply_bpe(docs, merges).collect()}
+    for doc_id, raw in ((1, "a" * 32), (2, "a" * 7)):
+        toks = bpe.tokenize_py(raw, merges)
+        assert out[doc_id].n_tokens == len(toks)
+        assert out[doc_id].tokens_head == " ".join(toks)[:160]
+
+
+def test_bpe_duckdb_oracle_parity(spark):
+    import duckdb
+
+    from enrich_spark.datapipe import bpe
+
+    docs = _bpe_docs(spark)
+    merges = bpe.train_bpe(docs, num_merges=12)
+    srows = sorted(
+        (r.doc_id, r.n_words, r.n_tokens, r.tokens_head)
+        for r in bpe.apply_bpe(docs, merges).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", _BPE_DOCS)
+    q = bpe.apply_bpe_sql("d", "doc_id", "text", merges)
+    drows = sorted(tuple(t) for t in con.execute(q).fetchall())
+    assert drows == srows
+
+
+def test_bpe_word_freqs_single_shuffle(spark):
+    from enrich_spark.datapipe import bpe
+
+    docs = _bpe_docs(spark)
+    plan = bpe.word_freqs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1      # groupBy(word) only
+    assert "partial_count" in plan          # map-side combine
