@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from enrich_spark.datapipe.bpe import apply_bpe_sql as _bpe_apply_sql
+from enrich_spark.datapipe.webtext import url_normalize_sql as _url_norm_sql
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -2814,6 +2815,32 @@ config:
             F.col("is_boilerplate").cast("long").alias("is_boilerplate"),
         )
 
+    def q_url_normalize(spark, sf):
+        # crawl-frontier URL canonicalization (datapipe/webtext
+        # .url_normalize): deterministic URL synthesized per doc —
+        # mixed case, default + explicit ports, duplicate slashes,
+        # tracking params, fragments, multi-label public suffixes
+        from enrich_spark.datapipe.webtext import url_normalize
+
+        docs = _load_docs(spark, sf)
+        host = F.element_at(
+            F.array(F.lit("WWW.Example.CO.UK:80"), F.lit("Shop.Example.COM"),
+                    F.lit("news.example.com.au:443"), F.lit("example.org:8080"),
+                    F.lit("a.b.co.jp"), F.lit("www.foo.net")),
+            (F.col("doc_id") % 6 + 1).cast("int"))
+        scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("https://")) \
+            .otherwise(F.lit("HTTP://"))
+        url = F.concat(
+            scheme, host, F.lit("/Docs//"), F.col("source"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?utm_source=feed&id="), F.col("doc_id").cast("string"),
+            F.lit("&b=2&a=1&gclid=x#sec"))
+        src = docs.select("doc_id", url.alias("url"))
+        return url_normalize(src).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "canonical_url", "host", "reg_domain",
+            "path_depth", "n_params", "n_tracking")
+
     def q_bpe(spark, sf):
         # BPE tokenization with the fixed _BPE_MERGES table (trained by
         # datapipe/bpe.train_bpe — distributed word-freq agg + bounded
@@ -2842,7 +2869,8 @@ config:
              ("rep", q_repetition(spark, sf)),
              ("lm", q_bigram_lm(spark, sf)),
              ("html", q_html_extract(spark, sf)),
-             ("bpe", q_bpe(spark, sf))],
+             ("bpe", q_bpe(spark, sf)),
+             ("url", q_url_normalize(spark, sf))],
             fill=("doc_id", "n_chars", "n_words", "mean_word_len",
                   "punct_ratio", "stopword_ratio", "distinct_word_ratio",
                   "dup_line_ratio", "top_bigram_char_ratio", "quality_score",
@@ -2855,7 +2883,8 @@ config:
                   "n_bigrams", "oov_bigrams", "info_bits", "avg_info_bp",
                   "html_len", "text_len", "n_tags", "n_links",
                   "anchor_chars", "text_density_bp", "link_density_bp",
-                  "is_boilerplate", "n_tokens"),
+                  "is_boilerplate", "n_tokens",
+                  "path_depth", "n_params", "n_tracking"),
         )
 
     q["text_analysis"] = q_text_analysis
@@ -4917,6 +4946,19 @@ def oracle_sql() -> dict[str, str]:
         ("bpe", _bpe_apply_sql("documents", "doc_id", "text", _BPE_MERGES),
          {"doc_id": "num", "n_words": "num", "n_tokens": "num",
           "tokens_head": "str"}),
+        ("url", _url_norm_sql(
+            "(select doc_id, "
+            "(case when doc_id % 2 = 0 then 'https://' else 'HTTP://' end)"
+            " || list_extract(['WWW.Example.CO.UK:80', 'Shop.Example.COM', "
+            "'news.example.com.au:443', 'example.org:8080', 'a.b.co.jp', "
+            "'www.foo.net'], cast(doc_id % 6 as int) + 1)"
+            " || '/Docs//' || source || '/' || cast(doc_id as varchar)"
+            " || '/?utm_source=feed&id=' || cast(doc_id as varchar)"
+            " || '&b=2&a=1&gclid=x#sec' as url from documents)",
+            "doc_id", "url"),
+         {"doc_id": "num", "canonical_url": "str", "host": "str",
+          "reg_domain": "str", "path_depth": "num", "n_params": "num",
+          "n_tracking": "num"}),
     ])
     o["multimodal"] = _union_oracle([
         ("decode", o.pop("multimodal_decode"),

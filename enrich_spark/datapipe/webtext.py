@@ -98,3 +98,167 @@ def html_extract(
         ((density < min_text_density_bp) | (linkd > max_link_density_bp))
         .cast("int").alias("is_boilerplate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — crawl-frontier / dedup-key normalization
+
+# tracking parameters stripped during canonicalization (the public
+# "UTM + click-id" families every crawl pipeline drops)
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)="
+)
+
+# multi-label public suffixes recognized by registered_domain — a small
+# embedded subset of the public-suffix list covering the common ccTLD
+# second-level registries; single-label TLDs need no table (fallback =
+# last two labels)
+MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "net.br", "co.in", "net.in",
+    "com.cn", "net.cn", "co.nz", "co.za", "com.mx", "com.ar", "com.tr",
+    "co.kr", "com.sg", "com.hk", "com.tw",
+)
+
+_MULTI_RE = "|".join(s.replace(".", r"\.") for s in MULTI_SUFFIXES)
+_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://"
+
+
+def registered_domain(host: Column) -> Column:
+    """eTLD+1: last 3 labels when the host ends in a known multi-label
+    suffix, else last 2. Empty string when the host has no dot."""
+    multi = F.regexp_extract(host, rf"([^.]+\.(?:{_MULTI_RE}))$", 1)
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(multi != "", multi).otherwise(two)
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Normalize an absolute http(s) URL to its canonical dedup key.
+
+    Contract (each step mirrored 1:1 in :func:`url_normalize_sql`):
+    fragment dropped; scheme + host lowercased; ``www.`` and default
+    ports (``:80`` http, ``:443`` https) dropped, other ports kept;
+    duplicate path slashes collapsed; trailing slash dropped (root
+    stays ``/``; empty path becomes ``/``); tracking params removed;
+    remaining params sorted bytewise and rejoined.
+    """
+    u = F.regexp_replace(F.trim(url), "#.*$", "")  # fragment
+    scheme = F.lower(
+        F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    hostport = F.lower(F.regexp_extract(rest, "^([^/?]*)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, ":[0-9]+$", ""), r"^www\.", "")
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    pathq = F.regexp_replace(rest, "^[^/?]*", "")
+    path = F.regexp_replace(
+        F.regexp_extract(pathq, "^([^?]*)", 1), "/{2,}", "/")
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, "(.)/$", "$1"))
+    params = sorted_params(pathq)
+    return F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(F.size(params) > 0,
+               F.concat(F.lit("?"), F.array_join(params, "&")))
+        .otherwise(F.lit("")),
+    )
+
+
+def sorted_params(pathq: Column) -> Column:
+    """Query params minus tracking params, sorted bytewise."""
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    return F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    ))
+
+
+def url_normalize(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical URL + structural signals, one native projection.
+
+    Output: id, canonical_url, host, reg_domain, path_depth, n_params,
+    n_tracking. Zero Python, zero shuffles — a crawl-frontier dedup key
+    computed at scan speed.
+    """
+    u = F.regexp_replace(F.trim(F.col(url_col)), "#.*$", "")
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    hostport = F.lower(F.regexp_extract(rest, "^([^/?]*)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, ":[0-9]+$", ""), r"^www\.", "")
+    pathq = F.regexp_replace(rest, "^[^/?]*", "")
+    path = F.regexp_replace(
+        F.regexp_extract(pathq, "^([^?]*)", 1), "/{2,}", "/")
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    all_params = F.filter(F.split(query, "&"), lambda p: p != "")
+    kept = sorted_params(pathq)
+    return df.select(
+        F.col(id_col),
+        canonicalize_url(F.col(url_col)).alias("canonical_url"),
+        host.alias("host"),
+        registered_domain(host).alias("reg_domain"),
+        F.regexp_count(path, F.lit("[^/]+")).cast("long").alias("path_depth"),
+        F.size(kept).cast("long").alias("n_params"),
+        (F.size(all_params) - F.size(kept)).cast("long").alias("n_tracking"),
+    )
+
+
+def url_normalize_sql(from_sql: str, id_expr: str, url_expr: str,
+                      id_alias: str = "doc_id") -> str:
+    """ANSI-SQL (DuckDB) mirror of :func:`url_normalize`."""
+    scheme_re = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
+    u = f"regexp_replace(trim({url_expr}), '#.*$', '')"
+    scheme = (f"lower(regexp_extract({u}, "
+              "'^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))")
+    rest = f"regexp_replace({u}, '{scheme_re}', '')"
+    base = (
+        f"select {id_expr} as {id_alias}, {scheme} as sch, {rest} as rest "
+        f"from {from_sql}")
+    hp = "lower(regexp_extract(rest, '^([^/?]*)', 1))"
+    l2 = (
+        f"select {id_alias}, sch, {hp} as hostport, "
+        "regexp_replace(rest, '^[^/?]*', '') as pathq from (" + base + ")")
+    host = ("regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), "
+            r"'^www\.', '')")
+    port = "regexp_extract(hostport, ':([0-9]+)$', 1)"
+    path0 = ("regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), "
+             "'/{2,}', '/', 'g')")
+    l3 = (
+        f"select {id_alias}, sch, {host} as host, {port} as port, "
+        f"{path0} as path0, "
+        "regexp_extract(pathq, '\\?(.*)$', 1) as query from (" + l2 + ")")
+    path = ("case when path0 = '' then '/' else "
+            "regexp_replace(path0, '(.)/$', '\\1') end")
+    allp = "list_filter(string_split(query, '&'), p -> p <> '')"
+    kept = ("list_sort(list_filter(string_split(query, '&'), "
+            f"p -> p <> '' and not regexp_matches(p, '{TRACKING_PARAM_RE}')))")
+    keep_port = ("port <> '' and not (sch = 'http' and port = '80') "
+                 "and not (sch = 'https' and port = '443')")
+    l4 = (
+        f"select {id_alias}, sch, host, port, {path} as path, "
+        f"{allp} as allp, {kept} as kept, {keep_port} as keep_port "
+        "from (" + l3 + ")")
+    canon = (
+        "sch || '://' || host || "
+        "(case when keep_port then ':' || port else '' end) || path || "
+        "(case when len(kept) > 0 then '?' || list_aggregate(kept, "
+        "'string_agg', '&') else '' end)")
+    reg = (
+        f"coalesce(nullif(regexp_extract(host, '([^.]+\\.({_MULTI_RE}))$', 1)"
+        ", ''), regexp_extract(host, '([^.]+\\.[^.]+)$', 1))")
+    return (
+        f"select {id_alias}, {canon} as canonical_url, host, "
+        f"{reg} as reg_domain, "
+        "cast(len(regexp_extract_all(path, '[^/]+')) as bigint) "
+        "as path_depth, "
+        "cast(len(kept) as bigint) as n_params, "
+        "cast(len(allp) - len(kept) as bigint) as n_tracking "
+        "from (" + l4 + ")")

@@ -1451,3 +1451,51 @@ def test_bpe_word_freqs_single_shuffle(spark):
     plan = bpe.word_freqs(docs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1      # groupBy(word) only
     assert "partial_count" in plan          # map-side combine
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (datapipe/webtext.url_normalize)
+
+
+_URLS = [
+    (1, "HTTP://WWW.Example.CO.UK:80/Path//To/page/?utm_source=x&b=2&a=1&gclid=zz#frag"),
+    (2, "https://sub.shop.example.com:443/"),
+    (3, "https://example.com:8443/a/b/c?z=1&y=2&utm_campaign=s"),
+    (4, "http://example.org"),
+    (5, "https://www.foo.com.au/x/?ref=tw"),
+    (6, "http://localhost:8080/test?x=1"),
+]
+
+
+def test_url_normalize_semantics(spark):
+    from enrich_spark.datapipe import webtext as wt
+
+    df = spark.createDataFrame(_URLS, "doc_id INT, url STRING")
+    out = {r.doc_id: r for r in wt.url_normalize(df).collect()}
+    # case, www, default port, dup slashes, trailing slash, tracking
+    # params, param sort, fragment — all normalized in one pass
+    assert out[1].canonical_url == "http://example.co.uk/Path/To/page?a=1&b=2"
+    assert out[1].reg_domain == "example.co.uk"      # multi-label suffix
+    assert out[1].n_tracking == 2 and out[1].n_params == 2
+    assert out[2].canonical_url == "https://sub.shop.example.com/"
+    assert out[2].reg_domain == "example.com"
+    assert out[3].canonical_url == "https://example.com:8443/a/b/c?y=2&z=1"
+    assert out[4].canonical_url == "http://example.org/"
+    assert out[5].canonical_url == "https://foo.com.au/x"
+    assert out[6].reg_domain == ""                   # dotless host
+    assert out[6].canonical_url == "http://localhost:8080/test?x=1"
+
+
+def test_url_normalize_duckdb_parity(spark):
+    import duckdb
+
+    from enrich_spark.datapipe import webtext as wt
+
+    df = spark.createDataFrame(_URLS, "doc_id INT, url STRING")
+    srows = sorted(tuple(r) for r in wt.url_normalize(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u (doc_id INT, url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", _URLS)
+    drows = sorted(tuple(t) for t in con.execute(
+        wt.url_normalize_sql("u", "doc_id", "url")).fetchall())
+    assert drows == srows
