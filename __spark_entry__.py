@@ -2457,11 +2457,28 @@ config:
         from enrich_spark.datapipe.curation import domain_mix_weights
 
         mix = domain_mix_weights(docs, budget_docs=10000)
+        # part "salted": two-phase skew-safe aggregation
+        # (plans/bucketing.salted_agg) — algebraic aggregates compose
+        # across the salt phases, so the oracle is a plain GROUP BY
+        from enrich_spark.plans.bucketing import salted_agg
+
+        salted = salted_agg(
+            docs.select("source", "n_chars"), ["source"],
+            sums=["n_chars"], mins=["n_chars"], maxs=["n_chars"], salt=8,
+        ).select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("sum_n_chars").cast("long").alias("sum_chars"),
+            F.col("min_n_chars").cast("long").alias("min_chars"),
+            F.col("max_n_chars").cast("long").alias("max_chars"),
+        )
         return _union_parts(
             [("sample", samp), ("pack", pack),
-             ("q_lit", lit), ("q_join", joined), ("mix", mix)],
+             ("q_lit", lit), ("q_join", joined), ("mix", mix),
+             ("salted", salted)],
             fill=("n_tokens", "seq_pos", "n_hits", "score",
-                  "doc_id", "n_docs", "isqrt_n", "weight_bp", "epochs_mbp"),
+                  "doc_id", "n_docs", "isqrt_n", "weight_bp", "epochs_mbp",
+                  "sum_chars", "min_chars", "max_chars"),
         )
 
     q["data_mix"] = q_data_mix
@@ -4308,9 +4325,20 @@ def oracle_sql() -> dict[str, str]:
                 "score": "fnum"}
     # data_mix bundles sampling + packing + both quality-scoring vocab
     # paths (mirrors the Spark-side 50-cap bundle)
+    _salted_sql = """
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY source
+    """
     o["data_mix"] = _union_oracle(
         _mix_parts + [("q_lit", _qc_sql, _qc_cols),
-                      ("q_join", _qc_sql, _qc_cols)])
+                      ("q_join", _qc_sql, _qc_cols),
+                      ("salted", _salted_sql,
+                       {"source": "str", "n_docs": "num",
+                        "sum_chars": "num", "min_chars": "num",
+                        "max_chars": "num"})])
 
     _norm = "trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))"
     _words = f"list_distinct(string_split({_norm}, ' '))"
