@@ -1862,7 +1862,63 @@ config:
             ).cast("long").alias("digit_sum"),
         ).select(F.col("batch_id").cast("long"), "n_ok", "n_too_big", "bytes_ok", "digit_sum")
 
-    q["payload_decompress"] = q_decompress
+    def q_warc(spark, sf):
+        # WARC source-format round-trip (sources/warc.parse_warc):
+        # docs are packed into real WARC/1.0 files (20 records/file;
+        # every 5th payload gets a decoy version-line + CRLF CRLF
+        # prefix so only a Content-Length-honoring parser survives),
+        # then parsed back; the oracle predicts every record field
+        # arithmetically from documents (same discipline as the gzip
+        # fixture above)
+        import pandas as pd
+
+        from enrich_spark.sources.warc import parse_warc
+
+        docs = _load_docs(spark, sf).select(
+            "doc_id", "text", F.expr("doc_id DIV 20").alias("file_id"))
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("doc_id")
+            buf = bytearray()
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                payload = (text or "").replace("\r", "").encode("utf-8")
+                if did % 5 == 0:
+                    payload = b"decoy WARC/1.0\r\n\r\n" + payload
+                rtype = b"metadata" if did % 7 == 0 else b"response"
+                buf += b"WARC/1.0\r\nWARC-Type: " + rtype
+                buf += b"\r\nWARC-Target-URI: http://docs.example/"
+                buf += str(did).encode()
+                buf += b"\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+                buf += b"Content-Length: " + str(len(payload)).encode()
+                buf += b"\r\n\r\n" + payload + b"\r\n\r\n"
+            return pd.DataFrame(
+                {"file_id": [int(pdf["file_id"].iloc[0])],
+                 "content": [bytes(buf)]})
+
+        files = _cached_fixture(
+            spark, "warc_files", sf,
+            lambda: docs.groupBy("file_id").applyInPandas(
+                build, "file_id long, content binary"))
+        rec = parse_warc(files)
+        return rec.select(
+            F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long")
+            .alias("doc_id"),
+            "warc_type",
+            F.col("content_length").cast("long").alias("content_length"),
+            F.col("payload_len").cast("long").alias("payload_len"),
+            F.substring("payload", 1, 24).alias("payload_head"),
+            F.col("n_headers").cast("long").alias("n_headers"),
+            F.col("parse_error").isNotNull().cast("long").alias("has_err"),
+        )
+
+    # gzip de-batch + WARC source formats in one oracle row
+    q["payload_decompress"] = lambda spark, sf: _union_parts(
+        [("gzip", q_decompress(spark, sf)), ("warc", q_warc(spark, sf))],
+        fill=("batch_id", "n_ok", "n_too_big", "bytes_ok", "digit_sum",
+              "doc_id", "content_length", "payload_len", "n_headers",
+              "has_err"),
+    )
 
     def q_thrift(spark, sf):
         # §2.2 ThriftLoader end-to-end: TBinaryProtocol collector payloads
@@ -3751,7 +3807,7 @@ def oracle_sql() -> dict[str, str]:
                 "ELSE '192.0.x.x' END")
     # decompression: payload sizes/content are event_id arithmetic, so the
     # oracle predicts every per-batch aggregate without touching gzip
-    o["payload_decompress"] = """
+    _gzip_sql = """
         WITH p AS (
           SELECT e.event_id // 100 AS batch_id,
                  CASE WHEN e.event_id % 331 = 0 THEN 5000
@@ -3765,6 +3821,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(sum(digit) FILTER (WHERE plen <= 4096), 0) AS BIGINT) AS digit_sum
         FROM p GROUP BY batch_id
     """
+    # WARC round-trip prediction: the parser must recover exactly the
+    # payload the fixture wrote (decoy prefix = 18 bytes, ASCII);
+    # strlen = BYTE length (Content-Length semantics), substr = chars
+    _warc_sql = """
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0
+                      THEN 'decoy WARC/1.0' || chr(13) || chr(10)
+                           || chr(13) || chr(10) END AS pfx,
+                 replace(text, chr(13), '') AS clean
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN 'metadata'
+                    ELSE 'response' END AS warc_type,
+               CAST(strlen(COALESCE(pfx, '')) + strlen(clean) AS BIGINT)
+                 AS content_length,
+               CAST(strlen(COALESCE(pfx, '')) + strlen(clean) AS BIGINT)
+                 AS payload_len,
+               substr(COALESCE(pfx, '') || clean, 1, 24) AS payload_head,
+               CAST(4 AS BIGINT) AS n_headers,
+               CAST(0 AS BIGINT) AS has_err
+        FROM d
+    """
+    o["payload_decompress"] = _union_oracle([
+        ("gzip", _gzip_sql,
+         {"batch_id": "num", "n_ok": "num", "n_too_big": "num",
+          "bytes_ok": "num", "digit_sum": "num"}),
+        ("warc", _warc_sql,
+         {"doc_id": "num", "warc_type": "str", "content_length": "num",
+          "payload_len": "num", "payload_head": "str", "n_headers": "num",
+          "has_err": "num"}),
+    ])
 
     # GA adapter: 2 hit lines per payload → 2 RawEvents (page_view + event
     # schemas, directMappings), unknown hit type (eid%13=0) → 1 failure row
