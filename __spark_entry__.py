@@ -2747,7 +2747,33 @@ config:
             "cosine_sim", F.col("rank").cast("long"),
         )
 
-    q["ann_ivf_topk"] = q_ann_ivf
+    def q_cluster_stats(spark, sf):
+        # k-means document clustering rollup (similarity.cluster_stats):
+        # literal-centroid map-side assignment + one bounded groupBy;
+        # same deterministic centroids (vec_id < 16) as the IVF oracle,
+        # all-integer cohesion stats
+        from enrich_spark.datapipe.similarity import cluster_stats
+
+        emb = _load_emb(spark, sf)
+        vecs = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double"))
+            .alias("embedding"))
+        cents = [
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in vecs.where(F.col("vec_id") < 16).collect()
+        ]
+        return cluster_stats(vecs, cents).select(
+            F.col("cid").cast("long").alias("cid"),
+            "n", "sum_sim_bp", "mean_sim_bp", "min_sim_bp", "max_sim_bp")
+
+    # IVF top-k + the clustering rollup in one oracle row
+    q["ann_ivf_topk"] = lambda spark, sf: _union_parts(
+        [("ivf", q_ann_ivf(spark, sf)),
+         ("cluster", q_cluster_stats(spark, sf))],
+        fill=("query_id", "vec_id", "cosine_sim", "rank", "cid", "n",
+              "sum_sim_bp", "mean_sim_bp", "min_sim_bp", "max_sim_bp"),
+    )
 
     def q_embedding_dup(spark, sf):
         from enrich_spark.datapipe.similarity import dot, norm
@@ -4645,6 +4671,41 @@ def oracle_sql() -> dict[str, str]:
           FROM cand)
         SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 10
     """
+    # clustering rollup: same assignment CTE as the IVF oracle, then a
+    # per-centroid integer rollup (floor-division mean)
+    _cluster_sql = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+             c AS (SELECT vec_id AS cid, emb AS cvec FROM v WHERE vec_id < 16),
+        assign AS (
+          SELECT vec_id, cid, sim_bp FROM (
+            SELECT v.vec_id, c.cid,
+                   CAST(round(round(list_dot_product(v.emb, c.cvec)
+                        / (sqrt(list_dot_product(v.emb, v.emb))
+                           * sqrt(list_dot_product(c.cvec, c.cvec))), 6)
+                        * 10000, 0) AS BIGINT) AS sim_bp,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY round(list_dot_product(v.emb, c.cvec)
+                              / (sqrt(list_dot_product(v.emb, v.emb))
+                                 * sqrt(list_dot_product(c.cvec, c.cvec))), 6) DESC,
+                              c.cid ASC) AS r
+            FROM v, c)
+          WHERE r = 1)
+        SELECT cid, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(sim_bp) AS BIGINT) AS sum_sim_bp,
+               CAST(floor(sum(sim_bp) * 1.0 / count(*)) AS BIGINT) AS mean_sim_bp,
+               CAST(min(sim_bp) AS BIGINT) AS min_sim_bp,
+               CAST(max(sim_bp) AS BIGINT) AS max_sim_bp
+        FROM assign GROUP BY cid
+    """
+    o["ann_ivf_topk"] = _union_oracle([
+        ("ivf", o["ann_ivf_topk"],
+         {"query_id": "num", "vec_id": "num", "cosine_sim": "fnum",
+          "rank": "num"}),
+        ("cluster", _cluster_sql,
+         {"cid": "num", "n": "num", "sum_sim_bp": "num",
+          "mean_sim_bp": "num", "min_sim_bp": "num", "max_sim_bp": "num"}),
+    ])
 
     o["embedding_dup_pairs"] = """
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)

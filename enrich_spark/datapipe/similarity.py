@@ -362,3 +362,90 @@ def embedding_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means document clustering (centroid assignment + rollup)
+
+
+def _sql_norm(col: str) -> str:
+    return f"sqrt(aggregate({col}, 0.0D, (a, x) -> a + x * x))"
+
+
+def _affinity_array_sql(centroids, col: str, vnorm_col: str) -> str:
+    """Literal-centroid cosine affinities as ONE expr() string — the
+    same driver-bound-cost rationale as ivf_topk: a py4j Column per
+    literal costs seconds to build; a single array-literal expression
+    parses JVM-side in ms. Rounded to 6dp, ties break to the lower cid
+    (struct(csim, -cid) under array_max's lexicographic max)."""
+    import math
+
+    def d(v: float) -> str:
+        return f"{float(v)!r}D"
+
+    parts = []
+    for cid, cvec in centroids:
+        cnorm = math.sqrt(sum(x * x for x in cvec))
+        arr = "array(" + ", ".join(d(v) for v in cvec) + ")"
+        dot_s = (
+            f"aggregate(zip_with({col}, {arr}, (x, y) -> x * y), 0.0D,"
+            f" (a, v) -> a + v)"
+        )
+        parts.append(
+            f"struct(round(({dot_s}) / ({vnorm_col} * {d(cnorm)}), 6) AS csim, "
+            f"{-cid} AS ncid)"
+        )
+    return "array(" + ", ".join(parts) + ")"
+
+
+def cluster_assign(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid — pure map-side.
+
+    Centroids (from :func:`train_centroids`, or any fixed list) fold
+    into the plan as literals, so assignment is a single codegen'd
+    projection over the scan: NO shuffle, NO broadcast, at any corpus
+    size. Output: id, cid, sim_bp (cosine to the winning centroid in
+    integer basis points — the all-integer discipline that keeps
+    downstream aggregates bit-identical across engines).
+    """
+    best = f"array_max({_affinity_array_sql(centroids, vec_col, '_vn')})"
+    return (
+        vectors.withColumn("_vn", F.expr(_sql_norm(vec_col)))
+        .select(
+            F.col(id_col),
+            F.expr(f"-({best}.ncid)").cast("long").alias("cid"),
+            F.expr(f"cast(round(({best}).csim * 10000, 0) as long)")
+            .alias("sim_bp"),
+        )
+    )
+
+
+def cluster_stats(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster rollup of a k-means assignment: size, cohesion.
+
+    One shuffle (groupBy cid, map-side combined, ≤ K groups). All
+    outputs integer: n, sum/mean/min/max of sim_bp (mean = integer
+    division) — deterministic on any engine regardless of float sum
+    order.
+    """
+    a = cluster_assign(vectors, centroids, id_col, vec_col)
+    return a.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("sim_bp").cast("long").alias("sum_sim_bp"),
+        # floor(double) mean: identical IEEE division + floor on every
+        # engine (a bare cast diverges — Spark truncates, DuckDB rounds)
+        F.floor(F.sum("sim_bp") / F.count(F.lit(1))).cast("long")
+        .alias("mean_sim_bp"),
+        F.min("sim_bp").cast("long").alias("min_sim_bp"),
+        F.max("sim_bp").cast("long").alias("max_sim_bp"),
+    )

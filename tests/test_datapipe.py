@@ -1499,3 +1499,51 @@ def test_url_normalize_duckdb_parity(spark):
     drows = sorted(tuple(t) for t in con.execute(
         wt.url_normalize_sql("u", "doc_id", "url")).fetchall())
     assert drows == srows
+
+
+# ---------------------------------------------------------------------------
+# k-means clustering (datapipe/similarity.cluster_assign / cluster_stats)
+
+
+def test_cluster_assign_separable(spark):
+    # two orthogonal bundles: every vector must land on its own axis
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 0.0, float(i % 3) * 0.01]) for i in range(10)]
+        + [(i, [0.0, 1.0, float(i % 3) * 0.01]) for i in range(10, 20)],
+        "vec_id INT, embedding ARRAY<DOUBLE>")
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    out = {r.vec_id: r for r in similarity.cluster_assign(vecs, cents).collect()}
+    assert all(out[i].cid == 0 for i in range(10))
+    assert all(out[i].cid == 1 for i in range(10, 20))
+    assert all(9990 <= out[i].sim_bp <= 10000 for i in range(20))
+
+
+def test_cluster_assign_tie_breaks_low_cid(spark):
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 1.0])], "vec_id INT, embedding ARRAY<DOUBLE>")
+    cents = [(3, [1.0, 0.0]), (7, [0.0, 1.0])]
+    out = similarity.cluster_assign(vecs, cents).collect()[0]
+    assert out.cid == 3  # equal cosine, lower cid wins
+
+
+def test_cluster_stats_partition_of_corpus(spark):
+    import random
+
+    rng = random.Random(5)
+    vecs = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)],
+        "vec_id INT, embedding ARRAY<DOUBLE>")
+    cents = similarity.train_centroids(vecs, n_centroids=4, sample=200)
+    stats = similarity.cluster_stats(vecs, cents).collect()
+    assert sum(r.n for r in stats) == 200          # exact partition
+    for r in stats:
+        assert r.min_sim_bp <= r.mean_sim_bp <= r.max_sim_bp
+        assert r.mean_sim_bp == r.sum_sim_bp // r.n  # floor-div contract
+
+
+def test_cluster_assign_is_map_side(spark):
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id INT, embedding ARRAY<DOUBLE>")
+    plan = (similarity.cluster_assign(vecs, [(0, [1.0, 0.0])])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Join" not in plan
