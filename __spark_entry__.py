@@ -3166,6 +3166,12 @@ config:
         # path); the oracle bundle also re-runs blocked pairs + iterative
         # cluster propagation, which would dominate the timing
         "dedup_ngram_jaccard": q_ngram_prefix,
+        # r8 operators (merged into bundles for the 50-cap gate)
+        "bpe_tokenize": q_bpe,
+        "url_normalize": q_url_normalize,
+        "html_extract": q_html_extract,
+        "warc_parse": q_warc,
+        "cluster_stats": q_cluster_stats,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are

@@ -63,6 +63,11 @@ def main():
         "multimodal_frames",      # native frame-sample sequence+explode
         "multimodal_decode",      # mapInPandas media decode (real kernels)
         "script_js",              # real-JS enrichment via the Node sidecar
+        "bpe_tokenize",           # literal-replace-chain subword tokenize
+        "url_normalize",          # crawl-frontier URL canonicalization
+        "html_extract",           # WET-style boilerplate extraction
+        "warc_parse",             # WARC record explode (mapInPandas)
+        "cluster_stats",          # k-means assignment + integer rollup
     ]
 
     # warm the JVM + parquet footers with one cheap action
