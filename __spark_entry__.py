@@ -2528,13 +2528,29 @@ config:
             F.col("min_n_chars").cast("long").alias("min_chars"),
             F.col("max_n_chars").cast("long").alias("max_chars"),
         )
+        # part "c4": the published C4 line/document heuristics
+        # (terminal-punctuation lines, sentence floor, structural
+        # marker blocklist) — every 4th doc gets injected chaff so both
+        # verdict branches are exercised
+        from enrich_spark.datapipe.curation import c4_filters
+
+        chaff = F.when(F.col("doc_id") % 4 == 0, F.lit(
+            "\nshort\nfunction x() { bad }\nlorem ipsum dolor sit."
+        )).otherwise(F.lit("\ntail line with words but no period"))
+        c4 = c4_filters(docs.select(
+            "doc_id", F.concat(F.col("text"), chaff).alias("text"))).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_lines", "n_kept_lines", "kept_chars", "n_sentences",
+            "has_brace", "has_lorem", "has_jswarn", "is_kept")
         return _union_parts(
             [("sample", samp), ("pack", pack),
              ("q_lit", lit), ("q_join", joined), ("mix", mix),
-             ("salted", salted)],
+             ("salted", salted), ("c4", c4)],
             fill=("n_tokens", "seq_pos", "n_hits", "score",
                   "doc_id", "n_docs", "isqrt_n", "weight_bp", "epochs_mbp",
-                  "sum_chars", "min_chars", "max_chars"),
+                  "sum_chars", "min_chars", "max_chars",
+                  "n_lines", "n_kept_lines", "kept_chars", "n_sentences",
+                  "has_brace", "has_lorem", "has_jswarn", "is_kept"),
         )
 
     q["data_mix"] = q_data_mix
@@ -4452,13 +4468,27 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(n_chars) AS BIGINT) AS max_chars
         FROM documents GROUP BY source
     """
+    from enrich_spark.datapipe.curation import c4_filters_sql as _c4_sql
+
+    _c4_fixture = (
+        "(select doc_id, text || (case when doc_id % 4 = 0 then "
+        "chr(10) || 'short' || chr(10) || 'function x() { bad }' || "
+        "chr(10) || 'lorem ipsum dolor sit.' else "
+        "chr(10) || 'tail line with words but no period' end) as text "
+        "from documents)")
     o["data_mix"] = _union_oracle(
         _mix_parts + [("q_lit", _qc_sql, _qc_cols),
                       ("q_join", _qc_sql, _qc_cols),
                       ("salted", _salted_sql,
                        {"source": "str", "n_docs": "num",
                         "sum_chars": "num", "min_chars": "num",
-                        "max_chars": "num"})])
+                        "max_chars": "num"}),
+                      ("c4", _c4_sql(_c4_fixture, "doc_id", "text"),
+                       {"doc_id": "num", "n_lines": "num",
+                        "n_kept_lines": "num", "kept_chars": "num",
+                        "n_sentences": "num", "has_brace": "num",
+                        "has_lorem": "num", "has_jswarn": "num",
+                        "is_kept": "num"})])
 
     _norm = "trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))"
     _words = f"list_distinct(string_split({_norm}, ' '))"

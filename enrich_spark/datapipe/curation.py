@@ -368,3 +368,98 @@ def domain_mix_weights(
             F.expr(f"CAST({int(budget_docs)} AS BIGINT) * weight_bp "
                    f"div (10 * n_docs)"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# C4-style heuristic cleanup (Raffel et al. 2020, §2.2 — public rules)
+
+# a "kept" line ends in terminal punctuation and has ≥ MIN_LINE_WORDS
+# words; a kept document has ≥ MIN_SENTENCES sentences and none of the
+# blocklist markers. The blocklist here is the C4 paper's published
+# structural markers (code braces, lorem ipsum, JS warnings) — not a
+# bad-words list, which would be deployment policy, not engine.
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+_C4_TERMINAL = r'[.!?"]$'
+_C4_LOREM = "lorem ipsum"
+_C4_JSWARN = "enable javascript"
+
+
+def c4_filters(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4 line + document filters as one native projection.
+
+    Output per doc: n_lines, n_kept_lines, kept_chars (size of the
+    retained text), n_sentences, has_brace / has_lorem / has_jswarn
+    flags, and the final ``is_kept`` verdict. Line filtering is a
+    higher-order ``filter`` over ``split(text, '\\n')`` — zero Python,
+    zero shuffles, mirrored by DuckDB list_filter in the oracle.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike(_C4_TERMINAL)
+        & (F.size(F.split(F.trim(ln), " +")) >= C4_MIN_LINE_WORDS),
+    )
+    kept_text = F.array_join(kept, "\n")
+    low = F.lower(t)
+    n_sent = F.regexp_count(kept_text, F.lit("[.!?]"))
+    has_brace = F.col(text_col).contains("{").cast("int")
+    has_lorem = low.contains(_C4_LOREM).cast("int")
+    has_jswarn = low.contains(_C4_JSWARN).cast("int")
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.length(kept_text).cast("long").alias("kept_chars"),
+        n_sent.cast("long").alias("n_sentences"),
+        has_brace.cast("long").alias("has_brace"),
+        has_lorem.cast("long").alias("has_lorem"),
+        has_jswarn.cast("long").alias("has_jswarn"),
+        ((n_sent >= C4_MIN_SENTENCES)
+         & (has_brace + has_lorem + has_jswarn == 0))
+        .cast("long").alias("is_kept"),
+    )
+
+
+def c4_filters_sql(from_sql: str, id_expr: str, text_expr: str,
+                   id_alias: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`c4_filters` (1:1 per step)."""
+    lines = rf"string_split({text_expr}, chr(10))"
+    kept = (
+        f"list_filter({lines}, ln -> "
+        rf"""regexp_matches(trim(ln), '[.!?"]$') and """
+        f"len(string_split_regex(trim(ln), ' +')) >= {C4_MIN_LINE_WORDS})"
+    )
+    base = (
+        f"select {id_expr} as {id_alias}, {lines} as lines, {kept} as kept, "
+        f"lower({text_expr}) as low, {text_expr} as t from {from_sql}")
+    kt = "list_aggregate(kept, 'string_agg', chr(10))"
+    # string_agg over an empty list is NULL; the Spark side's
+    # array_join gives '' — coalesce to keep the engines identical
+    l2 = (
+        f"select {id_alias}, lines, kept, low, t, "
+        f"coalesce({kt}, '') as kept_text from (" + base + ")")
+    n_sent = "len(regexp_extract_all(kept_text, '[.!?]'))"
+    flags = (
+        "(case when contains(t, '{') then 1 else 0 end) as has_brace, "
+        f"(case when contains(low, '{_C4_LOREM}') then 1 else 0 end) "
+        "as has_lorem, "
+        f"(case when contains(low, '{_C4_JSWARN}') then 1 else 0 end) "
+        "as has_jswarn")
+    l3 = (
+        f"select {id_alias}, cast(len(lines) as bigint) as n_lines, "
+        f"cast(len(kept) as bigint) as n_kept_lines, "
+        f"cast(length(kept_text) as bigint) as kept_chars, "
+        f"cast({n_sent} as bigint) as n_sentences, {flags} "
+        "from (" + l2 + ")")
+    return (
+        f"select {id_alias}, n_lines, n_kept_lines, kept_chars, "
+        "n_sentences, cast(has_brace as bigint) as has_brace, "
+        "cast(has_lorem as bigint) as has_lorem, "
+        "cast(has_jswarn as bigint) as has_jswarn, "
+        f"cast(case when n_sentences >= {C4_MIN_SENTENCES} "
+        "and has_brace + has_lorem + has_jswarn = 0 then 1 else 0 end "
+        "as bigint) as is_kept from (" + l3 + ")")

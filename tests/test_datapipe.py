@@ -1547,3 +1547,49 @@ def test_cluster_assign_is_map_side(spark):
     plan = (similarity.cluster_assign(vecs, [(0, [1.0, 0.0])])
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristic filters (datapipe/curation.c4_filters)
+
+
+_C4_DOCS = [
+    (1, "This is a good sentence with seven words.\nShort line\n"
+        "Another proper sentence right here with words!\n"
+        "And a third full sentence for the doc."),
+    (2, "function f() { return 1; }\nGood sentence here with five words."),
+    (3, "Lorem Ipsum dolor sit amet something.\nMore words in a sentence here."),
+    (4, "Please enable JavaScript to view this page.\n"
+        "Some other sentence with enough words here."),
+    (5, ""),
+    (6, "No terminal punctuation at all\njust words"),
+]
+
+
+def test_c4_filters_semantics(spark):
+    from enrich_spark.datapipe.curation import c4_filters
+
+    df = spark.createDataFrame(_C4_DOCS, "doc_id INT, text STRING")
+    out = {r.doc_id: r for r in c4_filters(df).collect()}
+    assert out[1].is_kept == 1 and out[1].n_kept_lines == 3
+    assert out[1].n_lines == 4          # the short line is dropped
+    assert out[2].is_kept == 0 and out[2].has_brace == 1
+    assert out[3].is_kept == 0 and out[3].has_lorem == 1
+    assert out[4].is_kept == 0 and out[4].has_jswarn == 1
+    assert out[5].is_kept == 0 and out[5].n_kept_lines == 0
+    assert out[6].is_kept == 0 and out[6].n_sentences == 0
+
+
+def test_c4_filters_duckdb_parity(spark):
+    import duckdb
+
+    from enrich_spark.datapipe.curation import c4_filters, c4_filters_sql
+
+    df = spark.createDataFrame(_C4_DOCS, "doc_id INT, text STRING")
+    srows = sorted(tuple(r) for r in c4_filters(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", _C4_DOCS)
+    drows = sorted(tuple(t) for t in con.execute(
+        c4_filters_sql("d", "doc_id", "text")).fetchall())
+    assert drows == srows
