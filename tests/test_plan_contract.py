@@ -171,3 +171,48 @@ def test_split_serialize_codegen_compiles(spark):
         bad_rows_json(res.all.limit(8)).collect()
     finally:
         spark.conf.set("spark.sql.codegen.fallback", "true")
+
+
+def test_r8_text_ops_plan_contracts(spark):
+    """html_extract / url_normalize / c4_filters / apply_bpe are
+    zero-shuffle zero-Python map plans (scan-speed at any corpus
+    size); BPE additionally may not collapse into one oversized
+    projection (stage boundaries between replace layers)."""
+    from enrich_spark.datapipe.bpe import apply_bpe
+    from enrich_spark.datapipe.curation import c4_filters
+    from enrich_spark.datapipe.webtext import html_extract, url_normalize
+
+    docs = spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        F.lit("<p>Some words. In a row here!</p>").alias("html"),
+        F.lit("Some words. In a row here!").alias("text"),
+        F.lit("https://www.example.com/a//b/?utm_source=x&b=1").alias("url"),
+    )
+    merges = [("e", "r"), ("o", "w"), ("er", "_")]
+    for df in (html_extract(docs), url_normalize(docs),
+               c4_filters(docs), apply_bpe(docs, merges)):
+        plan = _plan(df)
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Exchange") == 0, plan
+        assert "EvalPython" not in plan
+    # the pure replace/regexp chain (BPE) stays in whole-stage codegen;
+    # html/url/c4 use higher-order array functions, which are
+    # CodegenFallback by Spark design — JVM-interpreted expressions,
+    # still zero-Python and map-side (documented cost of HOFs)
+    bpe_final = _plan(apply_bpe(docs, merges)).split("== Initial Plan ==")[0]
+    assert "codegen id" in bpe_final
+
+
+def test_warc_parse_plan_contract(spark):
+    """parse_warc is exactly one Arrow-batched python stage over a
+    pruned (file_id, content) input — no shuffle before or after."""
+    import pandas as pd
+
+    from enrich_spark.sources.warc import parse_warc
+
+    files = spark.createDataFrame(
+        pd.DataFrame({"file_id": [1], "content": [b""]}))
+    plan = _plan(parse_warc(files))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 0
+    assert plan.count("MapInPandas (") == 1  # tree node, once

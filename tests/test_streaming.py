@@ -643,3 +643,48 @@ def test_streaming_dedup_within_watermark(spark):
     # batch fallback: same API, plain dropDuplicates
     b = rows([("e1", t0), ("e1", t0), ("e2", t0)])
     assert streaming_dedup(b).count() == 2
+
+
+def test_datapipe_projections_run_in_streaming(spark, tmp_path):
+    """The r8 curation projections (BPE tokenize, C4 filters, URL
+    normalize) are stateless map plans — the SAME code must run under
+    Structured Streaming unchanged (including apply_bpe's observe()
+    stage boundaries, which are streaming-legal by design)."""
+    from pyspark.sql import functions as F
+
+    from enrich_spark.datapipe.bpe import apply_bpe
+    from enrich_spark.datapipe.curation import c4_filters
+    from enrich_spark.datapipe.webtext import url_normalize
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "the cat sat on the mat. and then some more words here.",
+          "https://www.Example.com/a//b?utm_source=x&b=1"),
+         (2, "ab ab ab.", "http://foo.co.uk:80/x/")],
+        "doc_id INT, text STRING, url STRING",
+    ).write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(
+        "doc_id INT, text STRING, url STRING").parquet(src)
+
+    merges = [("t", "h"), ("th", "e"), ("e", "_")]
+    for name, df in (
+        ("bpe_s", apply_bpe(stream, merges)),
+        ("c4_s", c4_filters(stream)),
+        ("url_s", url_normalize(stream, url_col="url")),
+    ):
+        q = (df.writeStream.format("memory").queryName(name)
+             .option("checkpointLocation", str(tmp_path / ("ck_" + name)))
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    bpe_rows = {r.doc_id: r for r in spark.sql("select * from bpe_s").collect()}
+    assert bpe_rows[1].n_words == 12 and bpe_rows[1].n_tokens > 0
+    assert "the_" in bpe_rows[1].tokens_head.split()  # merges applied
+    c4_rows = {r.doc_id: r for r in spark.sql("select * from c4_s").collect()}
+    assert c4_rows[1].n_kept_lines == 1
+    url_rows = {r.doc_id: r for r in spark.sql("select * from url_s").collect()}
+    assert url_rows[2].canonical_url == "http://foo.co.uk/x"
+    assert url_rows[1].reg_domain == "example.com"
