@@ -2542,15 +2542,25 @@ config:
             F.col("doc_id").cast("long").alias("doc_id"),
             "n_lines", "n_kept_lines", "kept_chars", "n_sentences",
             "has_brace", "has_lorem", "has_jswarn", "is_kept")
+        # part "chunk": RAG-ingestion sentence chunking (same packing
+        # contract as pack_sequences, sentence granularity)
+        from enrich_spark.datapipe.curation import chunk_documents
+
+        chunk = chunk_documents(docs, chunk_tokens=64).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "n_sentences", "n_tokens",
+            F.substring("chunk_text", 1, 80).alias("chunk_head"))
         return _union_parts(
             [("sample", samp), ("pack", pack),
              ("q_lit", lit), ("q_join", joined), ("mix", mix),
-             ("salted", salted), ("c4", c4)],
+             ("salted", salted), ("c4", c4), ("chunk", chunk)],
             fill=("n_tokens", "seq_pos", "n_hits", "score",
                   "doc_id", "n_docs", "isqrt_n", "weight_bp", "epochs_mbp",
                   "sum_chars", "min_chars", "max_chars",
                   "n_lines", "n_kept_lines", "kept_chars", "n_sentences",
-                  "has_brace", "has_lorem", "has_jswarn", "is_kept"),
+                  "has_brace", "has_lorem", "has_jswarn", "is_kept",
+                  "chunk_id"),
         )
 
     q["data_mix"] = q_data_mix
@@ -4469,6 +4479,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY source
     """
     from enrich_spark.datapipe.curation import c4_filters_sql as _c4_sql
+    from enrich_spark.datapipe.curation import chunk_documents_sql as _chunk_sql
 
     _c4_fixture = (
         "(select doc_id, text || (case when doc_id % 4 = 0 then "
@@ -4488,7 +4499,14 @@ def oracle_sql() -> dict[str, str]:
                         "n_kept_lines": "num", "kept_chars": "num",
                         "n_sentences": "num", "has_brace": "num",
                         "has_lorem": "num", "has_jswarn": "num",
-                        "is_kept": "num"})])
+                        "is_kept": "num"}),
+                      ("chunk",
+                       "select doc_id, chunk_id, n_sentences, n_tokens, "
+                       "substr(chunk_text, 1, 80) as chunk_head from ("
+                       + _chunk_sql("documents", "doc_id", "text", 64) + ")",
+                       {"doc_id": "num", "chunk_id": "num",
+                        "n_sentences": "num", "n_tokens": "num",
+                        "chunk_head": "str"})])
 
     _norm = "trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))"
     _words = f"list_distinct(string_split({_norm}, ' '))"

@@ -463,3 +463,90 @@ def c4_filters_sql(from_sql: str, id_expr: str, text_expr: str,
         f"cast(case when n_sentences >= {C4_MIN_SENTENCES} "
         "and has_brace + has_lorem + has_jswarn = 0 then 1 else 0 end "
         "as bigint) as is_kept from (" + l3 + ")")
+
+
+# ---------------------------------------------------------------------------
+# document chunking (RAG-ingestion segmentation)
+
+# RE2-safe sentence segmentation: a run up to terminal punctuation
+# (inclusive, plus trailing spaces), or a final unpunctuated remnant.
+# Leftmost-alternation is identical in java.util.regex and RE2, so the
+# split replays bit-for-bit in the SQL oracle.
+_SENT_RE = r"[^.!?]*[.!?]+[ ]*|[^.!?]+$"
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into sentence-aligned, token-budgeted chunks —
+    the retrieval-ingestion step of a RAG pipeline.
+
+    Same packing contract as :func:`pack_sequences` (bin =
+    ``floor(cumsum_before / budget)``: shuffle-free-greedy, a chunk may
+    overflow by one sentence, an oversized sentence chunks alone).
+    Output: id, chunk_id, n_sentences, n_tokens, chunk_text.
+
+    Scale shape: one window shuffle on the doc id (chunking is per-doc,
+    so partitions are naturally balanced — no hot keys by
+    construction), then the rollup reuses the same key prefix. Sentence
+    order inside a chunk is restored via sort_array over (pos, sent)
+    structs — never a bare collect_list, whose order is
+    partition-nondeterministic.
+    """
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(_SENT_RE), 0),
+            lambda s: F.trim(s)),
+        lambda s: s != "")
+    ex = docs.select(
+        F.col(id_col), F.posexplode(sents).alias("pos", "sent"))
+    n_tok = F.size(F.split(F.regexp_replace(F.col("sent"), r"\s+", " "), " "))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cum_before = F.coalesce(
+        F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0))
+    assigned = (
+        ex.withColumn("n_tok", n_tok.cast("long"))
+        .withColumn("chunk_id", F.floor(cum_before / F.lit(chunk_tokens)))
+    )
+    return assigned.groupBy(id_col, "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sentences"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                lambda x: x["sent"]),
+            " ").alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    from_sql: str, id_expr: str, text_expr: str,
+    chunk_tokens: int = 128, id_alias: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`chunk_documents`."""
+    sents = (
+        f"list_filter(list_transform(regexp_extract_all({text_expr}, "
+        rf"'{_SENT_RE}'), s -> trim(s)), s -> s <> '')")
+    base = (
+        f"select {id_expr} as {id_alias}, unnest(range(len({sents}))) "
+        f"as pos, unnest({sents}) as sent from {from_sql}")
+    ntok = ("cast(len(string_split(regexp_replace(sent, '\\s+', ' ', 'g'), "
+            "' ')) as bigint)")
+    l2 = (f"select {id_alias}, pos, sent, {ntok} as n_tok "
+          "from (" + base + ")")
+    l3 = (
+        f"select {id_alias}, pos, sent, n_tok, "
+        "cast(floor(coalesce(sum(n_tok) over (partition by "
+        f"{id_alias} order by pos rows between unbounded preceding and "
+        f"1 preceding), 0) * 1.0 / {chunk_tokens}) as bigint) as chunk_id "
+        "from (" + l2 + ")")
+    return (
+        f"select {id_alias}, chunk_id, "
+        "cast(count(*) as bigint) as n_sentences, "
+        "cast(sum(n_tok) as bigint) as n_tokens, "
+        "string_agg(sent, ' ' order by pos) as chunk_text "
+        f"from (" + l3 + f") group by {id_alias}, chunk_id")

@@ -1593,3 +1593,49 @@ def test_c4_filters_duckdb_parity(spark):
     drows = sorted(tuple(t) for t in con.execute(
         c4_filters_sql("d", "doc_id", "text")).fetchall())
     assert drows == srows
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking (datapipe/curation.chunk_documents)
+
+
+def test_chunk_documents_semantics(spark):
+    from enrich_spark.datapipe.curation import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "First sentence here. Second one follows! Third is a "
+             "question? Fourth keeps going with more words. Fifth ends"),
+         (2, ""), (3, "no punctuation twelve words " * 3)],
+        "doc_id INT, text STRING")
+    out = chunk_documents(df, chunk_tokens=8).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by[1], key=lambda r: r.chunk_id)
+    # sentence-aligned: first chunk takes 3 sentences (10 tokens,
+    # overflow-by-one allowed), never splits mid-sentence
+    assert c1[0].n_sentences == 3 and c1[0].n_tokens == 10
+    assert c1[0].chunk_text.startswith("First sentence here. Second")
+    assert 2 not in by                    # empty doc → no chunks
+    assert len(by[3]) == 1                # unpunctuated remnant = 1 sent
+    # token mass is partitioned exactly
+    assert sum(r.n_tokens for r in by[1]) == 18
+
+
+def test_chunk_documents_duckdb_parity(spark):
+    import duckdb
+
+    from enrich_spark.datapipe.curation import (
+        chunk_documents, chunk_documents_sql,
+    )
+
+    cases = [(1, "A b c. D e f! G h? " * 10), (2, "One short doc."),
+             (3, "x " * 300)]
+    df = spark.createDataFrame(cases, "doc_id INT, text STRING")
+    srows = sorted(tuple(r) for r in chunk_documents(df, 16).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", cases)
+    drows = sorted(tuple(t) for t in con.execute(
+        chunk_documents_sql("d", "doc_id", "text", 16)).fetchall())
+    assert drows == srows
