@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from enrich_spark.datapipe.bpe import apply_bpe_sql as _bpe_apply_sql
+from enrich_spark.datapipe.text import bm25_score_sql as _bm25_sql
 from enrich_spark.datapipe.webtext import url_normalize_sql as _url_norm_sql
 
 SF001 = "/root/testdata/sf0.001"
@@ -2940,6 +2941,19 @@ config:
             F.col("is_boilerplate").cast("long").alias("is_boilerplate"),
         )
 
+    _BM25_TERMS = ["window", "join", "scan", "zebra"]  # last one absent
+
+    def q_bm25(spark, sf):
+        # Okapi BM25 relevance vs a fixed query (datapipe/text
+        # .bm25_score): one single-row stats agg broadcast back,
+        # map-side scoring with literal-chain float order
+        from enrich_spark.datapipe.text import bm25_score
+
+        return bm25_score(_load_docs(spark, sf), _BM25_TERMS).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("dl").alias("bm_dl"), F.col("bm25"),
+            F.col("n_hit_terms"))
+
     def q_url_normalize(spark, sf):
         # crawl-frontier URL canonicalization (datapipe/webtext
         # .url_normalize): deterministic URL synthesized per doc —
@@ -2995,7 +3009,8 @@ config:
              ("lm", q_bigram_lm(spark, sf)),
              ("html", q_html_extract(spark, sf)),
              ("bpe", q_bpe(spark, sf)),
-             ("url", q_url_normalize(spark, sf))],
+             ("url", q_url_normalize(spark, sf)),
+             ("bm25", q_bm25(spark, sf))],
             fill=("doc_id", "n_chars", "n_words", "mean_word_len",
                   "punct_ratio", "stopword_ratio", "distinct_word_ratio",
                   "dup_line_ratio", "top_bigram_char_ratio", "quality_score",
@@ -3009,7 +3024,8 @@ config:
                   "html_len", "text_len", "n_tags", "n_links",
                   "anchor_chars", "text_density_bp", "link_density_bp",
                   "is_boilerplate", "n_tokens",
-                  "path_depth", "n_params", "n_tracking"),
+                  "path_depth", "n_params", "n_tracking",
+                  "bm_dl", "bm25", "n_hit_terms"),
         )
 
     q["text_analysis"] = q_text_analysis
@@ -5177,6 +5193,12 @@ def oracle_sql() -> dict[str, str]:
         ("bpe", _bpe_apply_sql("documents", "doc_id", "text", _BPE_MERGES),
          {"doc_id": "num", "n_words": "num", "n_tokens": "num",
           "tokens_head": "str"}),
+        ("bm25",
+         "select doc_id, dl as bm_dl, bm25, n_hit_terms from ("
+         + _bm25_sql("documents", "doc_id", "text",
+                     ["window", "join", "scan", "zebra"]) + ")",
+         {"doc_id": "num", "bm_dl": "num", "bm25": "fnum",
+          "n_hit_terms": "num"}),
         ("url", _url_norm_sql(
             "(select doc_id, "
             "(case when doc_id % 2 = 0 then 'https://' else 'HTTP://' end)"

@@ -518,3 +518,101 @@ def bigram_lm_score(docs: DataFrame, text_col: str = "text",
         "avg_info_bp",
         F.expr("CASE WHEN n_bigrams > 0 THEN info_bits * 10000 div n_bigrams "
                "ELSE 0 END").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring (Robertson-Spärck Jones, the Okapi formula)
+
+
+def bm25_score(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document against a fixed query with Okapi BM25.
+
+    Scale shape: corpus statistics (N, avgdl, per-term document
+    frequencies) are ONE single-row aggregation — computed in the same
+    job, broadcast back via a 1-row crossJoin (the canonical scalar
+    pattern; no driver round-trip in the plan). Scoring itself is a
+    map-side projection: per-term tf via higher-order ``filter`` over
+    the split words, the summation a fixed literal chain so float
+    order is deterministic on every engine. Output: id, dl, score
+    (rounded 4dp), n_hit_terms.
+    """
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                "[^a-z0-9]+", " ")), " ")
+    base = docs.select(
+        F.col(id_col), words.alias("w"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(words)).cast("long").alias("dl"))
+
+    def tf(t: str):
+        return F.size(F.filter(F.col("w"), lambda x: x == F.lit(t)))
+
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("dl").alias("_avgdl"),
+        *[F.sum((tf(t) > 0).cast("int")).cast("double").alias(f"_df_{i}")
+          for i, t in enumerate(query_terms)],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    n_hit = F.lit(0)
+    for i, t in enumerate(query_terms):
+        tf_t = tf(t).cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df_{i}") + 0.5)
+            / (F.col(f"_df_{i}") + 0.5))
+        denom = tf_t + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+        score = score + idf * tf_t * (k1 + 1.0) / denom
+        n_hit = n_hit + (tf_t > 0).cast("int")
+    return scored.select(
+        F.col(id_col), F.col("dl"),
+        F.round(score, 4).alias("bm25"),
+        n_hit.cast("long").alias("n_hit_terms"),
+    )
+
+
+def bm25_score_sql(
+    from_sql: str, id_expr: str, text_expr: str,
+    query_terms: list[str], k1: float = 1.2, b: float = 0.75,
+    id_alias: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`bm25_score` — identical operation order
+    so IEEE doubles match bit-for-bit before the 4dp round."""
+    norm = (f"trim(regexp_replace(lower({text_expr}), '[^a-z0-9]+', "
+            "' ', 'g'))")
+    base = (
+        f"select {id_expr} as {id_alias}, string_split({norm}, ' ') as w, "
+        f"cast(case when length(trim({text_expr})) = 0 then 0 else "
+        f"len(string_split({norm}, ' ')) end as bigint) as dl "
+        f"from {from_sql}")
+
+    def tf(t: str) -> str:
+        return f"len(list_filter(w, x -> x = '{t}'))"
+
+    dfs = ", ".join(
+        f"cast(sum(case when {tf(t)} > 0 then 1 else 0 end) as double) "
+        f"as df_{i}"
+        for i, t in enumerate(query_terms))
+    stats = (f"select cast(count(*) as double) as n, avg(dl) as avgdl, "
+             f"{dfs} from (" + base + ")")
+    score_terms = []
+    hit_terms = []
+    for i, t in enumerate(query_terms):
+        tf_t = f"cast({tf(t)} as double)"
+        idf = f"ln(1.0 + (s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
+        denom = f"({tf_t} + {k1} * (1.0 - {b} + {b} * d.dl / s.avgdl))"
+        score_terms.append(f"{idf} * {tf_t} * ({k1} + 1.0) / {denom}")
+        hit_terms.append(f"(case when {tf_t} > 0 then 1 else 0 end)")
+    score = "0.0 + " + " + ".join(score_terms)
+    return (
+        f"select d.{id_alias}, d.dl, round({score}, 4) as bm25, "
+        f"cast({' + '.join(hit_terms)} as bigint) as n_hit_terms "
+        f"from (" + base + ") d cross join (" + stats + ") s")

@@ -1639,3 +1639,41 @@ def test_chunk_documents_duckdb_parity(spark):
     drows = sorted(tuple(t) for t in con.execute(
         chunk_documents_sql("d", "doc_id", "text", 16)).fetchall())
     assert drows == srows
+
+
+# ---------------------------------------------------------------------------
+# BM25 (datapipe/text.bm25_score)
+
+
+def test_bm25_semantics(spark):
+    from enrich_spark.datapipe.text import bm25_score
+
+    df = spark.createDataFrame(
+        [(1, "spark spark spark window"), (2, "spark window"),
+         (3, "nothing relevant here"), (4, "")],
+        "doc_id INT, text STRING")
+    out = {r.doc_id: r for r in bm25_score(df, ["spark", "window"]).collect()}
+    # tf saturation: doc 1 has 3x 'spark' but must NOT score 3x doc 2
+    assert out[1].bm25 > out[2].bm25
+    assert out[1].bm25 < 3 * out[2].bm25
+    assert out[3].bm25 == 0.0 and out[3].n_hit_terms == 0
+    assert out[4].bm25 == 0.0
+    assert out[1].n_hit_terms == 2
+    # rarer term scores higher: 'window' appears in 2 docs, 'spark' in 2
+    # — equal df here, so doc 2's two singleton tfs beat one doc's pair
+    assert out[2].n_hit_terms == 2
+
+
+def test_bm25_duckdb_parity(spark):
+    import duckdb
+
+    from enrich_spark.datapipe.text import bm25_score, bm25_score_sql
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ["window", "join", "scan", "zebra"]
+    srows = sorted(tuple(r) for r in bm25_score(docs, terms).collect())
+    q = bm25_score_sql(
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')",
+        "doc_id", "text", terms)
+    drows = sorted(tuple(t) for t in duckdb.sql(q).fetchall())
+    assert drows == srows
