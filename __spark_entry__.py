@@ -3214,6 +3214,7 @@ config:
         "html_extract": q_html_extract,
         "warc_parse": q_warc,
         "cluster_stats": q_cluster_stats,
+        "bm25_rank": q_bm25,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are

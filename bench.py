@@ -68,6 +68,7 @@ def main():
         "html_extract",           # WET-style boilerplate extraction
         "warc_parse",             # WARC record explode (mapInPandas)
         "cluster_stats",          # k-means assignment + integer rollup
+        "bm25_rank",              # Okapi BM25 vs fixed query terms
     ]
 
     # warm the JVM + parquet footers with one cheap action

@@ -1677,3 +1677,30 @@ def test_bm25_duckdb_parity(spark):
         "doc_id", "text", terms)
     drows = sorted(tuple(t) for t in duckdb.sql(q).fetchall())
     assert drows == srows
+
+
+# ---------------------------------------------------------------------------
+# sketches (datapipe/sketches.py) — contract is the error bound
+
+
+def test_approx_distinct_error_bound(spark):
+    from enrich_spark.datapipe.sketches import approx_distinct
+
+    df = spark.range(50000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") % 7919).alias("v"))
+    exact = {r.g: r.n for r in df.groupBy("g").agg(
+        F.countDistinct("v").alias("n")).collect()}
+    approx = {r.g: r.approx_distinct
+              for r in approx_distinct(df, ["g"], "v", rsd=0.02).collect()}
+    for g, n in exact.items():
+        assert abs(approx[g] - n) / n < 0.08  # 4 sigma of rsd=2%
+
+
+def test_approx_quantiles_rank_bound(spark):
+    from enrich_spark.datapipe.sketches import approx_quantiles
+
+    df = spark.range(100000).select(F.lit("a").alias("g"),
+                                    F.col("id").alias("v"))
+    row = approx_quantiles(df, ["g"], "v", [0.5, 0.9]).collect()[0]
+    assert abs(row.q_0_5 - 50000) <= 100000 / 10000 + 1
+    assert abs(row.q_0_9 - 90000) <= 100000 / 10000 + 1
