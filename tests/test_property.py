@@ -235,3 +235,82 @@ config:
     assert isinstance(out, dict)
     for v in out.values():
         assert isinstance(v, str)
+
+
+# ---------------------------------------------------------------------------
+# r8 operator properties
+
+
+@given(st.lists(st.binary(min_size=0, max_size=120), min_size=1, max_size=6))
+@settings(max_examples=60, deadline=None)
+def test_warc_roundtrip_property(payloads):
+    """Any payload bytes — CRLFs, fake version lines, binary — must
+    round-trip exactly through a well-formed WARC file."""
+    from enrich_spark.sources.warc import parse_warc_bytes
+
+    buf = bytearray()
+    for p in payloads:
+        buf += (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"Content-Length: " + str(len(p)).encode() + b"\r\n\r\n"
+                + p + b"\r\n\r\n")
+    recs = parse_warc_bytes(bytes(buf))
+    assert len(recs) == len(payloads)
+    for rec, p in zip(recs, payloads):
+        assert rec["payload"] == p.decode("utf-8", "replace")
+        assert rec["payload_len"] == len(p)
+        assert rec["parse_error"] is None
+
+
+@given(st.lists(
+    st.text(alphabet=st.characters(codec="ascii"), max_size=60),
+    min_size=1, max_size=5))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_bpe_native_equals_reference_property(texts):
+    """apply_bpe (native replace chain) == tokenize_py (reference
+    leftmost-greedy) for arbitrary ASCII text under a merge table
+    trained on that same text."""
+    from collections import Counter
+
+    from enrich_spark.datapipe import bpe
+
+    vocab = Counter()
+    for t in texts:
+        for w in bpe._normalize_py(t):
+            vocab[tuple(w) + (bpe.END,)] += 1
+    merges = bpe._train_merges(dict(vocab), num_merges=8)
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id INT, text STRING")
+    out = {r.doc_id: r for r in bpe.apply_bpe(df, merges).collect()}
+    for i, t in enumerate(texts):
+        toks = bpe.tokenize_py(t, merges)
+        assert out[i].n_tokens == len(toks), (t, merges)
+        assert out[i].tokens_head == " ".join(toks)[:160]
+
+
+@given(st.lists(st.sampled_from([
+    "https://www.Example.COM:443/a//b/?z=1&utm_source=x&a=2#f",
+    "HTTP://foo.co.uk:8080/PATH/?b=2&a=1&gclid=g",
+    "https://a.b.c.com.au/",
+    "http://example.org/x/y/z",
+    "https://www.test.net/?utm_campaign=c&utm_medium=m",
+]), min_size=1, max_size=5))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_url_canonicalize_idempotent_property(urls):
+    """canonicalize(canonicalize(u)) == canonicalize(u) — the dedup
+    key must be a fixpoint."""
+    from pyspark.sql import functions as F
+
+    from enrich_spark.datapipe.webtext import canonicalize_url
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        list(enumerate(urls)), "i INT, url STRING")
+    rows = df.select(
+        canonicalize_url(F.col("url")).alias("c1"),
+        canonicalize_url(canonicalize_url(F.col("url"))).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r.c1 == r.c2
