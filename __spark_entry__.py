@@ -3147,15 +3147,53 @@ config:
         )
 
 
+    def q_audio_features(spark, sf):
+        # real-DSP audio features (multimodal.audio_features): each doc
+        # carries an on-bin int16 sine (N=2000, rate=8000, bin k from
+        # doc_id), so dominant bin/frequency are exact integer
+        # arithmetic the oracle predicts without decoding anything
+        import numpy as np
+        import pandas as pd
+
+        from enrich_spark.datapipe.media_codecs import encode_wav
+        from enrich_spark.datapipe.multimodal import audio_features
+
+        docs = _load_docs(spark, sf).select("doc_id")
+
+        def gen(it):
+            for pdf in it:
+                medias = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    n, rate, k = 2000, 8000, 3 + did % 97
+                    amp = 4000 + (did % 10) * 100
+                    t = np.arange(n)
+                    sig = (amp * np.sin(2 * np.pi * k * t / n)).astype("<i2")
+                    medias.append(encode_wav(rate, sig))
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"].astype("int64"),
+                     "media": medias})
+
+        wavs = _cached_fixture(
+            spark, "audio_docs", sf,
+            lambda: docs.mapInPandas(gen, "doc_id long, media binary"))
+        return audio_features(wavs).select(
+            "doc_id", "rate", "n_samples",
+            F.col("channels").alias("a_channels"),
+            "dominant_bin", "dominant_freq_mhz")
+
     def q_multimodal(spark, sf):
-        # decode + frame-sampling merged into one oracle row (50-cap)
+        # decode + frame-sampling + audio features in one oracle row
         return _union_parts(
             [("decode", q_media_decode(spark, sf)),
-             ("frames", q_media_frames(spark, sf))],
+             ("frames", q_media_frames(spark, sf)),
+             ("audio", q_audio_features(spark, sf))],
             fill=("doc_id", "width", "height", "channels", "duration_ms",
                   "mean_val", "meta_width", "meta_height",
                   "meta_duration_ms", "frame_ts_ms", "vid_width",
-                  "vid_duration_ms"),
+                  "vid_duration_ms",
+                  "rate", "n_samples", "a_channels", "dominant_bin",
+                  "dominant_freq_mhz"),
         )
 
     q["multimodal"] = q_multimodal
@@ -5224,6 +5262,18 @@ def oracle_sql() -> dict[str, str]:
         ("frames", o.pop("multimodal_frames"),
          {"doc_id": "num", "frame_ts_ms": "num", "vid_width": "num",
           "vid_duration_ms": "num"}),
+        # on-bin sine fixtures: dominant bin/freq are exact integers
+        # (bin k = 3 + doc_id % 97; mhz = k * rate * 1000 // n)
+        ("audio",
+         "SELECT doc_id, CAST(8000 AS BIGINT) AS rate, "
+         "CAST(2000 AS BIGINT) AS n_samples, "
+         "CAST(1 AS BIGINT) AS a_channels, "
+         "CAST(3 + doc_id % 97 AS BIGINT) AS dominant_bin, "
+         "CAST((3 + doc_id % 97) * 4000 AS BIGINT) AS dominant_freq_mhz "
+         "FROM documents",
+         {"doc_id": "num", "rate": "num", "n_samples": "num",
+          "a_channels": "num", "dominant_bin": "num",
+          "dominant_freq_mhz": "num"}),
     ])
 
     o["api_request"] = """

@@ -340,3 +340,87 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     duration = F.coalesce(F.col("media_meta.duration_ms"), F.lit(0))
     ts = F.sequence(F.lit(0), F.greatest(duration - 1, F.lit(0)), F.lit(every_ms))
     return df.withColumn("frame_ts_ms", F.explode(ts))
+
+
+# ---------------------------------------------------------------------------
+# audio feature extraction (real DSP over decoded PCM)
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("rate", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("channels", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zcr", T.LongType()),
+    T.StructField("dominant_bin", T.LongType()),
+    T.StructField("dominant_freq_mhz", T.LongType()),
+    T.StructField("spectral_centroid_mhz", T.LongType()),
+    T.StructField("audio_error", T.StringType()),
+])
+
+
+def audio_feature_row(data: bytes) -> dict:
+    """Pure kernel: WAV bytes → spectral/temporal features.
+
+    Real DSP (numpy rFFT, no stubs): RMS energy, zero-crossing count,
+    dominant frequency (argmax magnitude bin, DC excluded; exact for
+    on-bin tones, which is what makes the driver oracle possible), and
+    spectral centroid. Frequencies reported in integer millihertz —
+    ``bin * rate * 1000 // n`` is exact integer arithmetic, so a SQL
+    oracle predicts it without touching floats.
+    """
+    import numpy as np
+
+    from enrich_spark.datapipe.media_codecs import decode_wav
+
+    try:
+        ch, rate, n, _dur, samples = decode_wav(bytes(data))
+    except Exception as e:  # noqa: BLE001 — feature op must not kill a task
+        return {"audio_error": f"{type(e).__name__}: {e}"}
+    if ch > 1:
+        samples = samples.reshape(-1, ch).mean(axis=1)
+    x = samples.astype(np.float64)
+    n_s = len(x)
+    if n_s:
+        x = x - x.mean()  # removes DC (incl. the uint8 +128 bias)
+    if n_s == 0:
+        return {"rate": rate, "n_samples": 0, "channels": ch,
+                "audio_error": "empty"}
+    mag = np.abs(np.fft.rfft(x))
+    dom = int(mag[1:].argmax()) + 1 if len(mag) > 1 else 0
+    centroid = (
+        float((mag[1:] * np.arange(1, len(mag))).sum() / mag[1:].sum())
+        if len(mag) > 1 and mag[1:].sum() > 0 else 0.0)
+    return {
+        "rate": rate,
+        "n_samples": n_s,
+        "channels": ch,
+        "rms": float(np.sqrt((x * x).mean())),
+        "zcr": int(((x[:-1] * x[1:]) < 0).sum()),
+        "dominant_bin": dom,
+        "dominant_freq_mhz": dom * rate * 1000 // n_s,
+        "spectral_centroid_mhz": int(centroid * rate * 1000 / n_s),
+        "audio_error": None,
+    }
+
+
+def audio_features(
+    df: DataFrame, binary_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched audio feature extraction over a binary column —
+    same mapInPandas shape as decode_features: bounded batches, no
+    shuffle, failures become rows (audio_error), never task deaths."""
+    cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[binary_col]):
+                rec = audio_feature_row(blob)
+                rec["doc_id"] = int(did)
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)

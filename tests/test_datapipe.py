@@ -1704,3 +1704,46 @@ def test_approx_quantiles_rank_bound(spark):
     row = approx_quantiles(df, ["g"], "v", [0.5, 0.9]).collect()[0]
     assert abs(row.q_0_5 - 50000) <= 100000 / 10000 + 1
     assert abs(row.q_0_9 - 90000) <= 100000 / 10000 + 1
+
+
+# ---------------------------------------------------------------------------
+# audio features (datapipe/multimodal.audio_features)
+
+
+def test_audio_features_sine_detection():
+    import numpy as np
+
+    from enrich_spark.datapipe.media_codecs import encode_wav
+    from enrich_spark.datapipe.multimodal import audio_feature_row
+
+    # on-bin tone, k coprime to N (no exact-zero samples): all features
+    # analytically predictable
+    N, rate, k, A = 2000, 8000, 111, 8000
+    t = np.arange(N)
+    sig = (A * np.sin(2 * np.pi * k * t / N)).astype("<i2")
+    rec = audio_feature_row(encode_wav(rate, sig))
+    assert rec["dominant_bin"] == k
+    assert rec["dominant_freq_mhz"] == k * rate * 1000 // N  # 444 Hz
+    assert abs(rec["rms"] - A / np.sqrt(2)) < 10
+    assert abs(rec["zcr"] - 2 * k) <= 2
+    assert abs(rec["spectral_centroid_mhz"] - 444_000) < 2_000
+    # stereo collapses to mono mean
+    stereo = np.column_stack([sig, sig]).reshape(-1)
+    rec2 = audio_feature_row(encode_wav(rate, stereo, channels=2))
+    assert rec2["channels"] == 2 and rec2["dominant_bin"] == k
+
+
+def test_audio_features_errors_are_rows(spark):
+    import pandas as pd
+
+    from enrich_spark.datapipe.media_codecs import encode_wav
+    from enrich_spark.datapipe.multimodal import audio_features
+    import numpy as np
+
+    good = encode_wav(8000, (1000 * np.sin(
+        2 * np.pi * 50 * np.arange(400) / 400)).astype("<i2"))
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2], "media": [good, b"garbage"]}))
+    out = {r.doc_id: r for r in audio_features(df).collect()}
+    assert out[1].audio_error is None and out[1].dominant_bin == 50
+    assert out[2].audio_error is not None and out[2].rate is None
