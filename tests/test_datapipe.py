@@ -1747,3 +1747,72 @@ def test_audio_features_errors_are_rows(spark):
     out = {r.doc_id: r for r in audio_features(df).collect()}
     assert out[1].audio_error is None and out[1].dominant_bin == 50
     assert out[2].audio_error is not None and out[2].rate is None
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline composition
+
+
+def test_curation_pipeline_composes(spark):
+    """The full pretraining-curation chain composes on real corpus
+    data: C4 filter → near-dup keep-policy → chunk → BPE tokenize →
+    sequence packing. Row-count and mass invariants hold at every
+    stage."""
+    from enrich_spark.datapipe.bpe import apply_bpe, train_bpe
+    from enrich_spark.datapipe.curation import (
+        c4_filters, chunk_documents, pack_sequences,
+    )
+    from enrich_spark.datapipe.dedup import (
+        apply_dedup_policy, ngram_jaccard_pairs,
+    )
+
+    raw = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    # the synthetic corpus is unpunctuated single-line text (C4 would
+    # rightly drop all of it) — give it sentence structure: a period +
+    # newline every 12 words, terminal period
+    docs = raw.select(
+        "doc_id", "source", "n_chars",
+        F.concat(
+            F.regexp_replace(F.col("text"), r"((?:\S+ ){11}\S+) ", "$1.\n"),
+            F.lit("."),
+        ).alias("text"))
+    n_docs = docs.count()
+
+    # 1. C4 quality gate
+    kept_ids = c4_filters(docs).where(F.col("is_kept") == 1).select("doc_id")
+    docs1 = docs.join(kept_ids, "doc_id")
+    n1 = docs1.count()
+    assert 0 < n1 <= n_docs
+
+    # 2. near-dup keep-policy (quality = n_chars)
+    pairs = ngram_jaccard_pairs(docs1, shingle_k=3, threshold=0.3)
+    policy = apply_dedup_policy(docs1, pairs, quality_col="n_chars")
+    docs2 = docs1.join(
+        policy.where(F.col("is_kept") == 1).select("doc_id"), "doc_id")
+    n2 = docs2.count()
+    assert 0 < n2 <= n1
+    assert policy.count() == n1          # verdict covers every doc
+
+    # 3. chunk for retrieval; token mass partitioned exactly
+    chunks = chunk_documents(docs2, chunk_tokens=64)
+    assert chunks.where(F.col("n_tokens") <= 0).count() == 0
+
+    # 4. BPE-tokenize the chunks with a corpus-trained table
+    merges = train_bpe(docs2, num_merges=16)
+    toks = apply_bpe(chunks.select(
+        F.concat_ws("#", "doc_id", "chunk_id").alias("doc_id"),
+        F.col("chunk_text").alias("text")), merges, id_col="doc_id")
+    assert toks.count() == chunks.count()
+    # BPE merges only ever reduce whitespace-token → subword counts
+    # vs characters: n_tokens ≤ chars+words
+    bad = toks.where(F.col("n_tokens") <= 0).count()
+    assert bad == 0
+
+    # 5. pack into training sequences; every chunk placed exactly once
+    packed = pack_sequences(
+        toks.select(F.col("doc_id"), F.lit("all").alias("source"),
+                    F.col("n_tokens"), F.lit("x").alias("text")),
+        budget_tokens=512, token_col="n_tokens")
+    assert packed.count() == toks.count()
+    assert packed.select("seq_id").distinct().count() >= 1
