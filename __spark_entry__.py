@@ -2552,16 +2552,27 @@ config:
             F.col("chunk_id").cast("long").alias("chunk_id"),
             "n_sentences", "n_tokens",
             F.substring("chunk_text", 1, 80).alias("chunk_head"))
+        # part "hh": EXACT heavy-hitter tokens at bounded memory
+        # (datapipe/sketches.heavy_hitters) — per-partition Misra-Gries
+        # candidates + exact-confirm pass, so the output is the plain
+        # GROUP BY … HAVING semantics and hash-matches the oracle
+        from enrich_spark.datapipe.sketches import heavy_hitters
+
+        toks = docs.select(F.explode(F.split(F.trim(F.regexp_replace(
+            F.lower(F.col("text")), r"\s+", " ")), " ")).alias("token"))
+        hh = heavy_hitters(toks, "token", support=0.005).select(
+            "token", F.col("cnt").cast("long").alias("cnt"))
         return _union_parts(
             [("sample", samp), ("pack", pack),
              ("q_lit", lit), ("q_join", joined), ("mix", mix),
-             ("salted", salted), ("c4", c4), ("chunk", chunk)],
+             ("salted", salted), ("c4", c4), ("chunk", chunk),
+             ("hh", hh)],
             fill=("n_tokens", "seq_pos", "n_hits", "score",
                   "doc_id", "n_docs", "isqrt_n", "weight_bp", "epochs_mbp",
                   "sum_chars", "min_chars", "max_chars",
                   "n_lines", "n_kept_lines", "kept_chars", "n_sentences",
                   "has_brace", "has_lorem", "has_jswarn", "is_kept",
-                  "chunk_id"),
+                  "chunk_id", "cnt"),
         )
 
     q["data_mix"] = q_data_mix
@@ -4561,7 +4572,19 @@ def oracle_sql() -> dict[str, str]:
                        + _chunk_sql("documents", "doc_id", "text", 64) + ")",
                        {"doc_id": "num", "chunk_id": "num",
                         "n_sentences": "num", "n_tokens": "num",
-                        "chunk_head": "str"})])
+                        "chunk_head": "str"}),
+                      ("hh", """
+        WITH t AS (
+          SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) AS token
+          FROM documents
+        ), n AS (SELECT count(*) AS total FROM t)
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        FROM t GROUP BY token
+        HAVING count(*) >= (SELECT CAST(ceil(total * 0.005) AS BIGINT)
+                            FROM n)
+                       """,
+                       {"token": "str", "cnt": "num"})])
 
     _norm = "trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))"
     _words = f"list_distinct(string_split({_norm}, ' '))"

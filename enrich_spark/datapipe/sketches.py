@@ -11,16 +11,34 @@ policy layer over them, so pipelines choose the sketch consciously:
   merge — the shuffle carries sketches, not keys.
 - ``approx_quantiles``: Greenwald-Khanna (``percentile_approx``).
   Bounded rank error, mergeable, one pass.
-- ``freq_items``: native ``count_min_sketch``-style frequent-items via
-  Spark's ``freqItems`` (one pass, no shuffle of the value space).
+- ``heavy_hitters``: EXACT frequent values at bounded memory — the
+  sketch-to-prune / exact-to-confirm pattern. Pass 1 runs a
+  Misra-Gries summary (k counters) per partition, map-only: no
+  shuffle ever carries the value space. Pass 2 exact-counts only the
+  union of per-partition candidates (a set bounded by
+  k × numPartitions, independent of data size). Pigeonhole gives the
+  completeness proof: if a value's global count exceeds N/(k+1), its
+  count in at least one partition exceeds n_p/(k+1) there (else the
+  sum could not reach N/(k+1)), and Misra-Gries with k counters never
+  evicts a value whose partition count exceeds n_p/(k+1). So every
+  value meeting ``support ≥ 1/(k+1)`` survives pass 1, and pass 2
+  makes the reported counts exact — the output is a deterministic SQL
+  semantics (GROUP BY … HAVING count ≥ ceil(support·N)) and sits in
+  the driver oracle gate, unlike the two approximations above.
 
-These are deliberately NOT in the driver oracle gate: sketch outputs
-are algorithm-defined approximations, not portable SQL semantics.
-Their contract is the error bound, asserted against exact answers in
-tests/test_datapipe.py on data where exact is cheap.
+``approx_distinct`` / ``approx_quantiles`` are deliberately NOT in the
+driver oracle gate: sketch outputs are algorithm-defined
+approximations, not portable SQL semantics. Their contract is the
+error bound, asserted against exact answers in tests/test_datapipe.py
+on data where exact is cheap.
 """
 
 from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -50,3 +68,67 @@ def approx_quantiles(
         for p in probs
     ]
     return df.groupBy(*keys).agg(*aggs)
+
+
+def _mg_candidates(col: str, k: int):
+    """mapInPandas kernel: one Misra-Gries summary (≤ k counters) per
+    partition, merged batch-by-batch so state never exceeds k entries
+    regardless of partition size. Emits the surviving candidate values
+    (counters are NOT emitted — MG counts are lower bounds, the exact
+    pass recomputes them)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            # vectorized per-batch pre-aggregation, then MG merge
+            for val, cnt in pdf[col].dropna().value_counts().items():
+                if val in counters:
+                    counters[val] += int(cnt)
+                elif len(counters) < k:
+                    counters[val] = int(cnt)
+                else:
+                    # decrement-all by the smallest deficit that frees
+                    # a slot (batched form of the classic -1 step)
+                    dec = min(int(cnt), min(counters.values()))
+                    counters = {
+                        v: c - dec for v, c in counters.items() if c > dec
+                    }
+                    if int(cnt) > dec and len(counters) < k:
+                        counters[val] = int(cnt) - dec
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return run
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    support: float = 0.001,
+    k: int | None = None,
+) -> DataFrame:
+    """EXACT values of ``col`` with count ≥ ceil(support · N), found at
+    bounded memory (see module docstring for the completeness proof).
+
+    Pass 1 is map-only (zero shuffle of the value space); the
+    candidate set is ≤ k·numPartitions rows and is broadcast into a
+    semi-join; pass 2 aggregates only candidate rows. Output:
+    (value, cnt) exact, so the operator carries a full SQL oracle —
+    ``GROUP BY col HAVING count(*) >= ceil(support*N)``.
+    """
+    if k is None:
+        k = max(8, int(2.0 / support))
+    if k < int(1.0 / support):
+        raise ValueError(
+            f"k={k} counters cannot guarantee support={support}: "
+            f"need k >= 1/support")
+    src = df.select(F.col(col).cast("string").alias(col))
+    cands = src.mapInPandas(
+        _mg_candidates(col, k), schema=f"{col} string").distinct()
+    total = src.count()
+    threshold = max(1, math.ceil(total * support))
+    return (
+        src.join(F.broadcast(cands), on=col, how="left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= F.lit(threshold))
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from enrich_spark.datapipe import dedup, similarity, text
@@ -1704,6 +1705,31 @@ def test_approx_quantiles_rank_bound(spark):
     row = approx_quantiles(df, ["g"], "v", [0.5, 0.9]).collect()[0]
     assert abs(row.q_0_5 - 50000) <= 100000 / 10000 + 1
     assert abs(row.q_0_9 - 90000) <= 100000 / 10000 + 1
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    # skewed synthetic: a handful of hot values + a long uniform tail
+    from enrich_spark.datapipe.sketches import heavy_hitters
+
+    df = spark.range(40000).select(
+        F.when(F.col("id") % 100 < 60, F.concat(F.lit("hot_"),
+                                                (F.col("id") % 3)))
+        .otherwise(F.concat(F.lit("cold_"), (F.col("id") % 5000)))
+        .alias("v")).repartition(16)
+    got = {(r.v, r.cnt) for r in heavy_hitters(df, "v", support=0.01).collect()}
+    thr = math.ceil(40000 * 0.01)
+    want = {(r.v, r.cnt) for r in df.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") >= thr).collect()}
+    assert got == want and len(want) == 3
+
+
+def test_heavy_hitters_k_guard(spark):
+    from enrich_spark.datapipe.sketches import heavy_hitters
+
+    df = spark.range(10).select(F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "v", support=0.001, k=10)
 
 
 # ---------------------------------------------------------------------------
