@@ -2836,7 +2836,32 @@ config:
         )
         return pairs.where(F.col("cosine_sim") >= 0.4)
 
-    q["embedding_dup_pairs"] = q_embedding_dup
+    def q_semantic_dedup(spark, sf):
+        # SemDeDup (similarity.semantic_dedup): literal-centroid
+        # assignment (same deterministic vec_id<16 centroids as the
+        # IVF/cluster oracles) + cluster-bounded pair prune
+        from enrich_spark.datapipe.similarity import semantic_dedup
+
+        emb = _load_emb(spark, sf)
+        vecs = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double"))
+            .alias("embedding"))
+        cents = [
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in vecs.where(F.col("vec_id") < 16).collect()
+        ]
+        return semantic_dedup(vecs, cents, threshold=0.55).select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "cid", "sim_bp", "n_dups",
+            F.round("max_sim", 4).alias("max_sim"), "is_kept")
+
+    q["embedding_dup_pairs"] = lambda spark, sf: _union_parts(
+        [("pairs", q_embedding_dup(spark, sf)),
+         ("semdedup", q_semantic_dedup(spark, sf))],
+        fill=("id_a", "id_b", "cosine_sim", "vec_id", "cid", "sim_bp",
+              "n_dups", "max_sim", "is_kept"),
+    )
 
     def q_lang_id(spark, sf):
         from enrich_spark.datapipe.text import language_id
@@ -4839,7 +4864,7 @@ def oracle_sql() -> dict[str, str]:
           "mean_sim_bp": "num", "min_sim_bp": "num", "max_sim_bp": "num"}),
     ])
 
-    o["embedding_dup_pairs"] = """
+    _emb_pairs_sql = """
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_dot_product(a.emb, b.emb)
@@ -4848,6 +4873,49 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(list_dot_product(a.emb, b.emb)
                     / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) >= 0.4
     """
+    # SemDeDup: same assignment CTE discipline as the cluster oracle,
+    # then the deterministic lower-id-keeps rule within each cluster
+    _semdedup_sql = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                          sqrt(list_dot_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[])) AS vn
+                   FROM embeddings),
+             c AS (SELECT vec_id AS cid, emb AS cvec, vn AS cn
+                   FROM v WHERE vec_id < 16),
+        assign AS (
+          SELECT vec_id, emb, vn, cid, sim_bp FROM (
+            SELECT v.vec_id, v.emb, v.vn, c.cid,
+                   CAST(round(round(list_dot_product(v.emb, c.cvec)
+                        / (v.vn * c.cn), 6) * 10000, 0) AS BIGINT) AS sim_bp,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY round(list_dot_product(v.emb, c.cvec)
+                              / (v.vn * c.cn), 6) DESC, c.cid ASC) AS r
+            FROM v, c)
+          WHERE r = 1),
+        earlier AS (
+          SELECT a.vec_id, CAST(count(*) AS BIGINT) AS n_dups,
+                 max(round(list_dot_product(a.emb, b.emb)
+                     / (a.vn * b.vn), 4)) AS max_sim
+          FROM assign a JOIN assign b
+            ON a.cid = b.cid AND a.vec_id > b.vec_id
+          WHERE round(list_dot_product(a.emb, b.emb)
+                / (a.vn * b.vn), 4) >= 0.55
+          GROUP BY a.vec_id)
+        SELECT a.vec_id, a.cid, a.sim_bp,
+               CAST(COALESCE(e.n_dups, 0) AS BIGINT) AS n_dups,
+               round(COALESCE(e.max_sim, -1.0), 4) AS max_sim,
+               CAST(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_kept
+        FROM assign a LEFT JOIN earlier e USING (vec_id)
+    """
+    o["embedding_dup_pairs"] = _union_oracle([
+        ("pairs", _emb_pairs_sql,
+         {"id_a": "num", "id_b": "num", "cosine_sim": "fnum"}),
+        ("semdedup", _semdedup_sql,
+         {"vec_id": "num", "cid": "num", "sim_bp": "num", "n_dups": "num",
+          "max_sim": "fnum", "is_kept": "num"}),
+    ])
 
     # language-ID: replay the character-trigram profile model bit-for-bit
     # — the SAME LANG_PROFILES constants drive both sides; first language

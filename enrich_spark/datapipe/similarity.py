@@ -425,6 +425,65 @@ def cluster_assign(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embeddings, then prune semantic near-duplicates WITHIN each
+    cluster only — never across the corpus.
+
+    Scale shape: assignment is the same literal-centroid map-side
+    projection as :func:`cluster_assign` (zero shuffle); the pair join
+    shuffles on ``cid`` alone, so the quadratic term is bounded by the
+    cluster size — sizing K with the corpus (the paper uses 50k
+    clusters at web scale) keeps per-cluster work constant as data
+    grows. Keep rule is deterministic, no iterative connectivity: a
+    vector is pruned iff a LOWER-id member of its cluster is within
+    ``threshold`` cosine, so every duplicate group keeps exactly its
+    minimum id.
+
+    Output: id, cid, sim_bp (cosine-to-centroid in basis points),
+    n_dups (earlier in-cluster near-dups), max_sim (4dp, -1.0 when
+    none), is_kept (0/1).
+    """
+    best = f"array_max({_affinity_array_sql(centroids, vec_col, '_vn')})"
+    av = (
+        vectors.withColumn("_vn", F.expr(_sql_norm(vec_col)))
+        .select(
+            F.col(id_col), F.col(vec_col), F.col("_vn"),
+            F.expr(f"-({best}.ncid)").cast("long").alias("cid"),
+            F.expr(f"cast(round(({best}).csim * 10000, 0) as long)")
+            .alias("sim_bp"),
+        )
+    )
+    l, r = av.alias("l"), av.alias("r")
+    sim = F.round(
+        dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+        / (F.col("l._vn") * F.col("r._vn")), 4)
+    earlier = (
+        l.join(r, (F.col("l.cid") == F.col("r.cid"))
+               & (F.col(f"l.{id_col}") > F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias(id_col), sim.alias("sim"))
+        .where(F.col("sim") >= threshold)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dups"),
+             F.max("sim").alias("max_sim"))
+    )
+    return (
+        av.join(earlier, [id_col], "left")
+        .select(
+            F.col(id_col), "cid", "sim_bp",
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+            F.coalesce("max_sim", F.lit(-1.0)).alias("max_sim"),
+            F.col("n_dups").isNull().cast("long").alias("is_kept"),
+        )
+    )
+
+
 def cluster_stats(
     vectors: DataFrame,
     centroids: list[tuple[int, list[float]]],

@@ -1550,6 +1550,46 @@ def test_cluster_assign_is_map_side(spark):
     assert "Exchange" not in plan and "Join" not in plan
 
 
+def test_semantic_dedup_keeps_min_id_per_group(spark):
+    import math
+    import random
+
+    # cluster 0 (x-axis): ids 0,1,2 nearly identical + id 3 distinct;
+    # cluster 1 (y-axis): ids 10,11 nearly identical
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.999, 0.001, 0.0]),
+            (2, [0.998, 0.002, 0.0]), (3, [0.8, 0.0, 0.6]),
+            (10, [0.0, 1.0, 0.0]), (11, [0.001, 0.999, 0.0])]
+    vecs = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    out = {r.vec_id: r for r in similarity.semantic_dedup(
+        vecs, cents, threshold=0.99).collect()}
+    assert [i for i in sorted(out) if out[i].is_kept] == [0, 3, 10]
+    assert out[1].n_dups == 1 and out[2].n_dups == 2
+    assert out[3].n_dups == 0 and out[3].max_sim == -1.0
+    # brute-force replay of the keep rule
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(d / (math.sqrt(sum(x * x for x in a))
+                          * math.sqrt(sum(x * x for x in b))), 4)
+    byid = dict(rows)
+    for i, r in out.items():
+        exp_dups = [j for j, v in rows if j < i and out[j].cid == r.cid
+                    and cos(byid[i], v) >= 0.99]
+        assert r.n_dups == len(exp_dups)
+        assert bool(r.is_kept) == (not exp_dups)
+
+
+def test_semantic_dedup_pairs_join_is_cluster_bounded(spark):
+    # the pair join must key on cid (no cartesian / BNLJ anywhere)
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id INT, embedding ARRAY<DOUBLE>")
+    plan = (similarity.semantic_dedup(vecs, [(0, [1.0, 0.0])])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 # ---------------------------------------------------------------------------
 # C4 heuristic filters (datapipe/curation.c4_filters)
 
