@@ -2388,7 +2388,38 @@ config:
             F.col("contaminated").cast("long").alias("contaminated"),
         )
 
-    q["decontam_multi"] = q_decontam_multi
+    def q_decontam_bloom(spark, sf):
+        # Bloom-filter decontamination scale path
+        # (dedup.contamination_check_bloom): fixed-size bit-array
+        # broadcast + exact confirm join — output is bit-identical to
+        # the exact operator, so the oracle is the PLAIN decontam SQL
+        from enrich_spark.datapipe.dedup import contamination_check_bloom
+
+        docs = _load_docs(spark, sf)
+        bench = docs.where(F.col("doc_id") % 17 == 0).select(
+            F.col("doc_id").alias("bench_id"), "text")
+        out = contamination_check_bloom(docs, bench, k=8, m_bits=1 << 16)
+        nw = F.col("n_windows")
+        return out.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit(8).cast("long").alias("k"),
+            nw.cast("long").alias("n_windows"),
+            F.col("contaminated_windows").cast("long")
+            .alias("contam_windows"),
+            F.when(nw > 0,
+                   F.expr("contaminated_windows * 10000 div n_windows"))
+            .otherwise(F.lit(0)).cast("long").alias("contam_frac_bp"),
+            F.size("hit_benchmarks").cast("long").alias("n_hit_sets"),
+            F.coalesce(F.get("hit_benchmarks", 0), F.lit(-1))
+            .cast("long").alias("first_hit"),
+        )
+
+    q["decontam_multi"] = lambda spark, sf: _union_parts(
+        [("multi", q_decontam_multi(spark, sf)),
+         ("bloom", q_decontam_bloom(spark, sf))],
+        fill=("doc_id", "k", "n_windows", "contam_windows",
+              "contam_frac_bp", "contaminated", "n_hit_sets", "first_hit"),
+    )
 
     def q_text_pii_scrub(spark, sf):
         # corpus PII scrubbing (datapipe/curation.scrub_text_pii):
@@ -4348,7 +4379,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
           )"""
 
-    o["decontam_multi"] = f"""
+    _decontam_multi_sql = f"""
         WITH d AS (
           SELECT doc_id,
                  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
@@ -4362,6 +4393,52 @@ def oracle_sql() -> dict[str, str]:
                  AS contaminated
         FROM (SELECT * FROM hit8 UNION ALL SELECT * FROM hit13)
     """
+    # bloom part: the Bloom path's output contract is exact equality
+    # with plain decontamination, so its oracle is the PLAIN SQL
+    _decontam_bloom_sql = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, {_gram(8)} AS gram
+          FROM d, LATERAL unnest(
+            CASE WHEN len(w) >= 8 THEN range(1, len(w) - 8 + 2) ELSE [] END
+          ) AS t(i)
+        ),
+        bg AS (SELECT DISTINCT gram, doc_id AS bench_id
+               FROM g WHERE doc_id % 17 = 0),
+        contam AS (
+          SELECT doc_id, count(*) AS contam_windows
+          FROM g WHERE gram IN (SELECT gram FROM bg) GROUP BY doc_id
+        ),
+        hitset AS (
+          SELECT g.doc_id, count(DISTINCT b.bench_id) AS n_hit_sets,
+                 min(b.bench_id) AS first_hit
+          FROM g JOIN bg b ON g.gram = b.gram GROUP BY g.doc_id
+        )
+        SELECT d.doc_id, CAST(8 AS BIGINT) AS k,
+               CAST(greatest(len(d.w) - 7, 0) AS BIGINT) AS n_windows,
+               CAST(COALESCE(c.contam_windows, 0) AS BIGINT) AS contam_windows,
+               CAST(CASE WHEN len(d.w) - 7 > 0
+                    THEN (COALESCE(c.contam_windows, 0) * 10000) // (len(d.w) - 7)
+                    ELSE 0 END AS BIGINT) AS contam_frac_bp,
+               CAST(COALESCE(h.n_hit_sets, 0) AS BIGINT) AS n_hit_sets,
+               CAST(COALESCE(h.first_hit, -1) AS BIGINT) AS first_hit
+        FROM d LEFT JOIN contam c USING (doc_id)
+               LEFT JOIN hitset h USING (doc_id)
+    """
+    o["decontam_multi"] = _union_oracle([
+        ("multi", _decontam_multi_sql,
+         {"doc_id": "num", "benchmark": "str", "k": "num",
+          "n_windows": "num", "contam_windows": "num",
+          "contam_frac_bp": "num", "contaminated": "num"}),
+        ("bloom", _decontam_bloom_sql,
+         {"doc_id": "num", "k": "num", "n_windows": "num",
+          "contam_windows": "num", "contam_frac_bp": "num",
+          "n_hit_sets": "num", "first_hit": "num"}),
+    ])
 
     _pii_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     _pii_ip = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"

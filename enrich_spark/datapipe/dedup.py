@@ -785,6 +785,110 @@ def contamination_check_multi(
     return reduce(DataFrame.unionByName, parts)
 
 
+def contamination_check_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    m_bits: int = 1 << 17,
+    n_hashes: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """:func:`contamination_check` with a BLOOM-FILTER broadcast instead
+    of the full benchmark gram map — the artifact every executor holds
+    shrinks from 8 bytes × |distinct grams| (plus the id arrays) to a
+    fixed ``m_bits/8`` bytes, while the OUTPUT stays bit-identical to
+    the exact operator.
+
+    Two-stage sketch-to-prune / exact-to-confirm:
+
+    1. The benchmark grams fold into an m-bit Bloom filter with one
+       distributed ``bit_or`` aggregate (≤ m/64 rows ever reach the
+       driver); the filter embeds in the plan as a literal long array,
+       so the membership probe is a pure map-side codegen'd expression
+       over the corpus scan — no join, no shuffle.
+    2. Only bloom-POSITIVE doc grams (true hits + the ~(1/2)^n_hashes
+       false-positive trickle) enter the exact confirm join against the
+       benchmark gram table. That join shuffles just the candidate
+       slice, so Bloom false positives cost bandwidth, never
+       correctness: the confirm join removes them all.
+
+    Per-doc counters (n_windows) aggregate the UNPRUNED gram stream
+    map-side, so the result schema and values match
+    :func:`contamination_check` exactly — same oracle SQL.
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    n_words = m_bits // 64
+
+    def grams(df, idc, txt):
+        words = F.split(F.trim(_normalize(F.col(txt))), " ")
+        n = F.size(words)
+        idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)) \
+            .otherwise(F.array().cast("array<int>"))
+        g = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+        return df.select(F.col(idc), F.explode_outer(g).alias("_g"))
+
+    # double hashing (Kirsch–Mitzenheimer): position_j = h1 + j·h2 mod m.
+    # mod-first keeps every intermediate inside int64 under ANSI mode.
+    h1 = "pmod(xxhash64(_g), {m})"
+    h2 = "pmod(xxhash64(_g, 1), {m})"
+    pos = f"pmod({h1} + j * {h2}, {{m}})".replace("{m}", str(m_bits))
+
+    bench_g = grams(benchmark, bench_id_col, bench_text_col) \
+        .where(F.col("_g").isNotNull())
+    bits = (
+        bench_g.select(F.explode(F.expr(
+            f"transform(sequence(0, {n_hashes - 1}), j -> {pos})"
+        )).alias("p"))
+        .select((F.col("p") / 64).cast("int").alias("w"),
+                F.expr("shiftleft(1L, cast(p % 64 as int))").alias("m"))
+        .groupBy("w").agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in bits:
+        words[r["w"]] = r["bits"]
+    bloom = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    probe = (
+        f"forall(sequence(0, {n_hashes - 1}), j -> "
+        f"(element_at({bloom}, cast(({pos}) div 64 as int) + 1)"
+        f" & shiftleft(1L, cast(({pos}) % 64 as int))) != 0)"
+    )
+
+    bench_map = (
+        bench_g.select(F.xxhash64("_g").alias("h"), F.col(bench_id_col))
+        .distinct()
+        .groupBy("h").agg(F.collect_set(bench_id_col).alias("_bids"))
+    )
+    doc_g = grams(docs, id_col, text_col)
+    per_doc = doc_g.groupBy(id_col).agg(
+        F.count(F.col("_g")).alias("n_windows"))
+    confirmed = (
+        doc_g.where(F.col("_g").isNotNull()).where(F.expr(probe))
+        .select(F.col(id_col), F.xxhash64("_g").alias("h"))
+        .join(bench_map, "h")  # exact confirm: kills bloom FPs
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("contaminated_windows"),
+             F.array_sort(F.array_distinct(F.flatten(
+                 F.collect_list("_bids")))).alias("hit_benchmarks"))
+    )
+    n_win = F.col("n_windows")
+    n_contam = F.coalesce("contaminated_windows", F.lit(0))
+    return per_doc.join(confirmed, [id_col], "left").select(
+        F.col(id_col),
+        n_win.alias("n_windows"),
+        n_contam.alias("contaminated_windows"),
+        F.when(n_win > 0, F.round(n_contam / n_win, 4))
+        .otherwise(F.lit(0.0)).alias("contaminated_frac"),
+        F.coalesce("hit_benchmarks",
+                   F.array().cast("array<string>")).alias("hit_benchmarks"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming cross-batch dedup
 

@@ -868,6 +868,42 @@ def test_contamination_check(spark):
     assert got[3].n_windows == 0
 
 
+def test_contamination_check_bloom_matches_exact(spark):
+    """The Bloom scale path must be OUTPUT-identical to the exact
+    operator on arbitrary data — false positives exist only between the
+    probe and the confirm join."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(60)]
+    bench_rows = [(100 + b, " ".join(rng.choice(vocab) for _ in range(20)))
+                  for b in range(4)]
+    doc_rows = [(i, " ".join(rng.choice(vocab) for _ in range(40)))
+                for i in range(30)]
+    # plant guaranteed overlaps: splice a benchmark 8-gram into some docs
+    planted = bench_rows[0][1].split()[3:11]
+    for i in (5, 17):
+        doc_rows[i] = (i, doc_rows[i][1] + " " + " ".join(planted))
+    docs = spark.createDataFrame(doc_rows, "doc_id INT, text STRING")
+    bench = spark.createDataFrame(bench_rows, "bench_id INT, text STRING")
+    exact = {r.doc_id: (r.n_windows, r.contaminated_windows,
+                        r.contaminated_frac, r.hit_benchmarks)
+             for r in dedup.contamination_check(docs, bench, k=8).collect()}
+    bloom = {r.doc_id: (r.n_windows, r.contaminated_windows,
+                        r.contaminated_frac, r.hit_benchmarks)
+             for r in dedup.contamination_check_bloom(
+                 docs, bench, k=8, m_bits=1 << 12).collect()}
+    assert bloom == exact
+    assert bloom[5][1] > 0 and bloom[17][1] > 0
+
+
+def test_contamination_bloom_m_bits_guard(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id INT, text STRING")
+    with pytest.raises(ValueError):
+        dedup.contamination_check_bloom(docs, docs.withColumnRenamed(
+            "doc_id", "bench_id"), m_bits=100)
+
+
 def test_language_id_nonlatin_scripts(spark):
     """Unicode-script dominance identifies non-Latin languages natively;
     Kana precedence keeps mixed kanji/kana Japanese out of 'zh'."""
