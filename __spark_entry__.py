@@ -2057,7 +2057,43 @@ config:
             F.get_json_object(ctx, "$.snowplowId").alias("snowplow_id"),
         )
 
-    q["identity_stitch"] = q_identity
+    def q_cdc_merge(spark, sf):
+        # CDC latest-wins snapshot merge (plans/merge.merge_snapshot):
+        # upserts, a stale change that must lose, tombstones, inserts —
+        # all derived deterministically from the orders table so the
+        # oracle replays the same change stream
+        from enrich_spark.plans.merge import merge_snapshot
+
+        base = _fan(spark.read.parquet(f"{sf}/orders.parquet"), spark) \
+            .select(F.col("o_orderkey").cast("long").alias("okey"),
+                    F.col("o_orderstatus").alias("status"),
+                    F.lit(0).cast("long").alias("seq"))
+        k = F.col("okey")
+        ups = base.where(k % 7 == 0).select(
+            "okey", F.lit("U").alias("status"),
+            F.lit(10).cast("long").alias("seq"),
+            F.lit(False).alias("deleted"))
+        stale = base.where(k % 13 == 0).select(
+            "okey", F.lit("S").alias("status"),
+            F.lit(-5).cast("long").alias("seq"),
+            F.lit(False).alias("deleted"))
+        dels = base.where(k % 11 == 0).select(
+            "okey", F.lit(None).cast("string").alias("status"),
+            F.lit(20).cast("long").alias("seq"),
+            F.lit(True).alias("deleted"))
+        ins = base.where(k % 17 == 0).select(
+            (k + 10000000).alias("okey"), F.lit("N").alias("status"),
+            F.lit(10).cast("long").alias("seq"),
+            F.lit(False).alias("deleted"))
+        updates = ups.unionByName(stale).unionByName(dels).unionByName(ins)
+        return merge_snapshot(base, updates, ["okey"], "seq",
+                              delete_col="deleted")
+
+    q["identity_stitch"] = lambda spark, sf: _union_parts(
+        [("identity", q_identity(spark, sf)),
+         ("merge", q_cdc_merge(spark, sf))],
+        fill=("src_event_id", "okey", "seq"),
+    )
 
     def q_script(spark, sf):
         # §2.5 #21: the user-extension hook with the JS-enrichment contract
@@ -4199,11 +4235,36 @@ def oracle_sql() -> dict[str, str]:
         FROM events e
     """
 
-    o["identity_stitch"] = """
+    _identity_sql = """
         SELECT e.event_id AS src_event_id,
                md5('du-' || (e.user_id % 50) || '|nu-' || e.user_id) AS snowplow_id
         FROM events e
     """
+    from enrich_spark.plans.merge import merge_snapshot_sql as _merge_sql
+
+    _cdc_sql = _merge_sql(
+        "SELECT o_orderkey AS okey, o_orderstatus AS status, "
+        "CAST(0 AS BIGINT) AS seq FROM orders",
+        """
+        SELECT o_orderkey AS okey, 'U' AS status, CAST(10 AS BIGINT) AS seq,
+               FALSE AS deleted FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, 'S', CAST(-5 AS BIGINT), FALSE FROM orders
+        WHERE o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey, NULL, CAST(20 AS BIGINT), TRUE FROM orders
+        WHERE o_orderkey % 11 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', CAST(10 AS BIGINT), FALSE
+        FROM orders WHERE o_orderkey % 17 = 0
+        """,
+        ["okey"], "seq", ["okey", "status", "seq"], delete_col="deleted")
+    o["identity_stitch"] = _union_oracle([
+        ("identity", _identity_sql,
+         {"src_event_id": "num", "snowplow_id": "str"}),
+        ("merge", _cdc_sql,
+         {"okey": "num", "status": "str", "seq": "num"}),
+    ])
 
     o["script_hook"] = _union_oracle([
         ("py", """

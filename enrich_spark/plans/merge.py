@@ -1,0 +1,113 @@
+"""Snapshot maintenance: CDC latest-wins merge (upsert + tombstones).
+
+A 100 TB training corpus is not static — crawls re-fetch URLs, labels
+get corrected, takedown/right-to-erasure requests delete documents.
+The standard answer is a periodically compacted snapshot:
+``base ⊎ changes → one row per key``, highest sequence wins, tombstone
+rows drop the key. This is the MERGE semantics of the lakehouse table
+formats, expressed as a plain deterministic DataFrame plan so the
+result (not the storage format) is the contract.
+
+Scale shape — the interesting part is what does NOT shuffle:
+
+- ``prune_untouched=True`` (default) splits the base with a broadcast
+  semi/anti join on the update keys. Rows whose key has no change
+  stream entry pass through MAP-SIDE — zero shuffle for the unchanged
+  99.9% of a 100 TB snapshot. Only (touched base rows ∪ updates) enter
+  the one row_number window, so the shuffle is proportional to the
+  DELTA, not the snapshot. This is the copy-on-write discipline of the
+  table formats, minus the file bookkeeping.
+- ``prune_untouched=False`` is the full-shuffle fallback for change
+  streams too large to broadcast; same semantics, one wide shuffle.
+
+Determinism contract: ties on ``(seq_col)`` break toward the change
+stream (updates beat base), then toward the tombstone (a delete at the
+same seq wins over an upsert — erasure must dominate), so the merge is
+a pure function of the inputs; callers needing total determinism keep
+``seq_col`` unique per key, which every real CDC stream provides
+(log offset / LSN).
+
+No reference analogue (the reference enriches an event stream); part
+of the beyond-reference training-data pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_snapshot(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    delete_col: str | None = None,
+    prune_untouched: bool = True,
+) -> DataFrame:
+    """Latest-wins merge of a change stream into a snapshot.
+
+    ``updates`` rows carry the same schema as ``base`` plus optionally
+    ``delete_col`` (boolean tombstone marker). Output: one row per
+    surviving key, the columns of ``base``.
+    """
+    del_flag = (
+        F.coalesce(F.col(delete_col), F.lit(False)) if delete_col
+        else F.lit(False)
+    )
+    b = base
+    if delete_col and delete_col not in base.columns:
+        b = b.withColumn(delete_col, F.lit(False))
+    b = b.withColumn("_src", F.lit(0))
+    u = updates.withColumn("_src", F.lit(1))
+
+    def window_merge(rows: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(seq_col).desc(), del_flag.desc(), F.col("_src").desc())
+        out = (
+            rows.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .where(~del_flag)
+            .drop("_rn", "_src")
+        )
+        return out.drop(delete_col) if delete_col else out
+
+    if not prune_untouched:
+        return window_merge(b.unionByName(u, allowMissingColumns=True))
+
+    keys = updates.select(*key_cols).distinct()
+    untouched = (
+        base.join(F.broadcast(keys), key_cols, "left_anti")
+        .drop(*([delete_col] if delete_col in base.columns else []))
+    )
+    touched = b.join(F.broadcast(keys), key_cols, "left_semi")
+    return untouched.unionByName(
+        window_merge(touched.unionByName(u, allowMissingColumns=True)))
+
+
+def merge_snapshot_sql(
+    base_sql: str,
+    updates_sql: str,
+    key_cols: list[str],
+    seq_col: str,
+    out_cols: list[str],
+    delete_col: str | None = None,
+) -> str:
+    """ANSI-SQL mirror of :func:`merge_snapshot` (oracle parity)."""
+    keys = ", ".join(key_cols)
+    dflag = (f"COALESCE({delete_col}, FALSE)" if delete_col else "FALSE")
+    cols = ", ".join(out_cols)
+    return f"""
+        SELECT {cols} FROM (
+          SELECT u.*, row_number() OVER (
+                   PARTITION BY {keys}
+                   ORDER BY {seq_col} DESC, {dflag} DESC, _src DESC
+                 ) AS _rn
+          FROM (
+            SELECT *, {'FALSE AS ' + delete_col + ',' if delete_col else ''}
+                   0 AS _src FROM ({base_sql})
+            UNION ALL BY NAME
+            SELECT *, 1 AS _src FROM ({updates_sql})
+          ) u
+        ) WHERE _rn = 1 AND NOT {dflag}
+    """
