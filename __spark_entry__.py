@@ -1748,10 +1748,44 @@ config:
 
     # scalar mutators ('scalar'), JsonPath mutators ('json'), and the
     # pii_transformation companion event stream ('companion') in one row
+    def q_kanon(spark, sf):
+        # k-anonymity / l-diversity audit (curation.k_anonymity_audit):
+        # QI = (segment, banded balance), sensitive = nationkey; one
+        # groupBy shuffle, audit + corpus rollup in the same row
+        from enrich_spark.datapipe.curation import (generalize_numeric,
+                                                    k_anonymity_audit)
+
+        cust = _fan(spark.read.parquet(f"{sf}/customer.parquet"), spark)
+        qi = cust.select(
+            F.col("c_mktsegment").alias("segment"),
+            generalize_numeric(F.col("c_acctbal"), 1000).alias("bal_band"),
+            F.col("c_nationkey").alias("nat"))
+        return k_anonymity_audit(
+            qi, ["segment", "bal_band"], k=20, sensitive_col="nat").select(
+            "segment", F.col("bal_band").cast("long").alias("bal_band"),
+            "n", "l_div", "at_risk", "homogeneous")
+
+    def q_kanon_report(spark, sf):
+        from enrich_spark.datapipe.curation import (generalize_numeric,
+                                                    k_anonymity_report)
+
+        cust = _fan(spark.read.parquet(f"{sf}/customer.parquet"), spark)
+        qi = cust.select(
+            F.col("c_mktsegment").alias("segment"),
+            generalize_numeric(F.col("c_acctbal"), 1000).alias("bal_band"),
+            F.col("c_nationkey").alias("nat"))
+        return k_anonymity_report(
+            qi, ["segment", "bal_band"], k=20, sensitive_col="nat")
+
     q["pii_pseudonymize"] = lambda spark, sf: _union_parts(
         [("scalar", q_pii(spark, sf)), ("json", q_pii_json(spark, sf)),
-         ("companion", q_pii_companion(spark, sf))],
-        fill=("src_event_id", "n_json"),
+         ("companion", q_pii_companion(spark, sf)),
+         ("kanon", q_kanon(spark, sf)),
+         ("kanon_rpt", q_kanon_report(spark, sf))],
+        fill=("src_event_id", "n_json", "bal_band", "n", "l_div",
+              "at_risk", "homogeneous", "n_classes", "at_risk_classes",
+              "at_risk_rows", "total_rows", "risk_bp", "min_class_size",
+              "homogeneous_classes"),
     )
 
     def q_cookie_header(spark, sf):
@@ -5590,6 +5624,29 @@ def oracle_sql() -> dict[str, str]:
          {"src_event_id": "num", "is_bad": "num", "has_vinfo": "num",
           "ue_schema": "str"}),
     ])
+    _kanon_audit_sql = """
+        SELECT c_mktsegment AS segment,
+               CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_band,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT c_nationkey) AS BIGINT) AS l_div,
+               CAST(CASE WHEN count(*) < 20 THEN 1 ELSE 0 END AS BIGINT)
+                 AS at_risk,
+               CAST(CASE WHEN count(DISTINCT c_nationkey) = 1 THEN 1
+                    ELSE 0 END AS BIGINT) AS homogeneous
+        FROM customer GROUP BY 1, 2
+    """
+    _kanon_report_sql = f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(at_risk) AS BIGINT) AS at_risk_classes,
+               CAST(sum(CASE WHEN at_risk = 1 THEN n ELSE 0 END) AS BIGINT)
+                 AS at_risk_rows,
+               CAST(sum(n) AS BIGINT) AS total_rows,
+               CAST(sum(CASE WHEN at_risk = 1 THEN n ELSE 0 END) * 10000
+                    // sum(n) AS BIGINT) AS risk_bp,
+               CAST(min(n) AS BIGINT) AS min_class_size,
+               CAST(sum(homogeneous) AS BIGINT) AS homogeneous_classes
+        FROM ({_kanon_audit_sql})
+    """
     o["pii_pseudonymize"] = _union_oracle([
         ("scalar", o.pop("pii_pseudonymize"),
          {"src_event_id": "num", "uid_hash": "str", "ip_hash": "str",
@@ -5602,6 +5659,13 @@ def oracle_sql() -> dict[str, str]:
          {"parent_event_id": "str", "event": "str", "event_name": "str",
           "platform": "str", "app_id": "str", "pii_schema": "str",
           "field_name": "str", "orig_value": "str"}),
+        ("kanon", _kanon_audit_sql,
+         {"segment": "str", "bal_band": "num", "n": "num", "l_div": "num",
+          "at_risk": "num", "homogeneous": "num"}),
+        ("kanon_rpt", _kanon_report_sql,
+         {"n_classes": "num", "at_risk_classes": "num",
+          "at_risk_rows": "num", "total_rows": "num", "risk_bp": "num",
+          "min_class_size": "num", "homogeneous_classes": "num"}),
     ])
     o["dedup_minhash_lsh"] = _union_oracle([
         ("sig", o.pop("dedup_minhash_signature"),

@@ -550,3 +550,79 @@ def chunk_documents_sql(
         "cast(sum(n_tok) as bigint) as n_tokens, "
         "string_agg(sent, ' ' order by pos) as chunk_text "
         f"from (" + l3 + f") group by {id_alias}, chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / quasi-identifier re-identification risk
+
+
+def generalize_numeric(col: Column, width: int) -> Column:
+    """Band a numeric quasi-identifier into fixed-width buckets (the
+    standard generalization step: age → decade, balance → band).
+    Emits the bucket FLOOR so the value stays ordinal and joinable."""
+    return (F.floor(col / F.lit(width)) * width).cast("long")
+
+
+def generalize_prefix(col: Column, n: int) -> Column:
+    """Truncate a string quasi-identifier to its first ``n`` chars
+    (zip → zip3, ip → /16-ish, date → month)."""
+    return F.substring(col, 1, n)
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Per-equivalence-class re-identification risk: one row per
+    distinct quasi-identifier tuple with its population ``n`` and
+    ``at_risk = n < k`` (a released row in such a class narrows to
+    fewer than k candidate individuals). With ``sensitive_col``, also
+    the class's distinct sensitive-value count (``l_div``) — classes
+    with ``l_div = 1`` leak the sensitive attribute even at n ≥ k
+    (homogeneity attack; Machanavajjhala et al. 2007 l-diversity).
+
+    Scale shape: ONE shuffle (groupBy the QI tuple, map-side combined);
+    the distinct-count for l-diversity rides the same aggregate. The
+    audit output is ≤ |distinct QI tuples| rows — by construction far
+    smaller than the corpus (that is what anonymity means).
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    if sensitive_col:
+        aggs.append(
+            F.countDistinct(sensitive_col).cast("long").alias("l_div"))
+    out = df.groupBy(*qi_cols).agg(*aggs)
+    out = out.withColumn("at_risk", (F.col("n") < k).cast("long"))
+    if sensitive_col:
+        out = out.withColumn(
+            "homogeneous", (F.col("l_div") == 1).cast("long"))
+    return out
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Corpus-level rollup of :func:`k_anonymity_audit`: class count,
+    at-risk classes, at-risk ROWS (the release-blocking number), and
+    risk fraction in integer basis points (engine-portable)."""
+    audit = k_anonymity_audit(df, qi_cols, k, sensitive_col)
+    at_risk_rows = F.sum(F.when(F.col("at_risk") == 1, F.col("n"))
+                         .otherwise(F.lit(0)))
+    total_rows = F.sum(F.col("n"))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("at_risk").cast("long").alias("at_risk_classes"),
+        at_risk_rows.cast("long").alias("at_risk_rows"),
+        total_rows.cast("long").alias("total_rows"),
+        F.expr("sum(case when at_risk = 1 then n else 0 end) * 10000"
+               " div sum(n)").cast("long").alias("risk_bp"),
+        F.min("n").cast("long").alias("min_class_size"),
+    ]
+    if sensitive_col:
+        aggs.append(F.sum("homogeneous").cast("long")
+                    .alias("homogeneous_classes"))
+    return audit.agg(*aggs)

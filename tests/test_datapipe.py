@@ -1918,3 +1918,43 @@ def test_curation_pipeline_composes(spark):
         budget_tokens=512, token_col="n_tokens")
     assert packed.count() == toks.count()
     assert packed.select("seq_id").distinct().count() >= 1
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (datapipe/curation.k_anonymity_audit)
+
+
+def test_k_anonymity_audit_flags_small_classes(spark):
+    from enrich_spark.datapipe import curation
+
+    rows = ([("35-39", "eng", "flu")] * 6
+            + [("35-39", "law", "flu"), ("35-39", "law", "cold")]
+            + [("40-44", "med", "flu")])
+    df = spark.createDataFrame(rows, "age STRING, job STRING, dx STRING")
+    out = {(r.age, r.job): r for r in curation.k_anonymity_audit(
+        df, ["age", "job"], k=5, sensitive_col="dx").collect()}
+    big = out[("35-39", "eng")]
+    assert big.n == 6 and big.at_risk == 0
+    assert big.l_div == 1 and big.homogeneous == 1   # homogeneity leak
+    small = out[("35-39", "law")]
+    assert small.n == 2 and small.at_risk == 1 and small.l_div == 2
+    assert out[("40-44", "med")].at_risk == 1
+
+
+def test_k_anonymity_report_and_generalization(spark):
+    from enrich_spark.datapipe import curation
+    from enrich_spark.datapipe.curation import (generalize_numeric,
+                                                generalize_prefix)
+
+    # raw zip+age is fully identifying; generalizing must cut risk
+    rows = [(i, f"9410{i % 10}", 20 + i % 37) for i in range(100)]
+    df = spark.createDataFrame(rows, "id INT, zip STRING, age INT")
+    raw = curation.k_anonymity_report(df, ["zip", "age"], k=5).collect()[0]
+    gen = curation.k_anonymity_report(
+        df.select(generalize_prefix(F.col("zip"), 4).alias("zip3"),
+                  generalize_numeric(F.col("age"), 10).alias("age_band")),
+        ["zip3", "age_band"], k=5).collect()[0]
+    assert raw.at_risk_rows > gen.at_risk_rows
+    assert gen.at_risk_classes == 0          # generalized classes all ≥ 5
+    assert raw.total_rows == gen.total_rows == 100
+    assert 0 <= raw.risk_bp <= 10000 and gen.risk_bp == 0
