@@ -2569,6 +2569,19 @@ config:
     _QC_WEIGHTS = {"spark": 1.5, "join": 0.75, "merge": 0.5,
                    "slow": -1.25, "dup": -2.0, "scan": -0.5}
 
+    def q_heavy_hitters(spark, sf):
+        # EXACT heavy-hitter tokens at bounded memory
+        # (datapipe/sketches.heavy_hitters) — per-partition Misra-Gries
+        # candidates + exact-confirm pass, so the output is the plain
+        # GROUP BY … HAVING semantics and hash-matches the oracle
+        from enrich_spark.datapipe.sketches import heavy_hitters
+
+        docs = _load_docs(spark, sf)
+        toks = docs.select(F.explode(F.split(F.trim(F.regexp_replace(
+            F.lower(F.col("text")), r"\s+", " ")), " ")).alias("token"))
+        return heavy_hitters(toks, "token", support=0.005).select(
+            "token", F.col("cnt").cast("long").alias("cnt"))
+
     def q_data_mix(spark, sf):
         # part "sample": deterministic stratified sampling (md5 bucket
         # so DuckDB replays the exact kept-set; xxhash64 is the scale
@@ -2653,16 +2666,7 @@ config:
             F.col("chunk_id").cast("long").alias("chunk_id"),
             "n_sentences", "n_tokens",
             F.substring("chunk_text", 1, 80).alias("chunk_head"))
-        # part "hh": EXACT heavy-hitter tokens at bounded memory
-        # (datapipe/sketches.heavy_hitters) — per-partition Misra-Gries
-        # candidates + exact-confirm pass, so the output is the plain
-        # GROUP BY … HAVING semantics and hash-matches the oracle
-        from enrich_spark.datapipe.sketches import heavy_hitters
-
-        toks = docs.select(F.explode(F.split(F.trim(F.regexp_replace(
-            F.lower(F.col("text")), r"\s+", " ")), " ")).alias("token"))
-        hh = heavy_hitters(toks, "token", support=0.005).select(
-            "token", F.col("cnt").cast("long").alias("cnt"))
+        hh = q_heavy_hitters(spark, sf)
         return _union_parts(
             [("sample", samp), ("pack", pack),
              ("q_lit", lit), ("q_join", joined), ("mix", mix),
@@ -3390,6 +3394,13 @@ config:
         "warc_parse": q_warc,
         "cluster_stats": q_cluster_stats,
         "bm25_rank": q_bm25,
+        # r8 wave 2 (merged into data_mix / embedding_dup_pairs /
+        # decontam_multi / identity_stitch / pii_pseudonymize bundles)
+        "heavy_hitters": q_heavy_hitters,
+        "semantic_dedup": q_semantic_dedup,
+        "decontam_bloom": q_decontam_bloom,
+        "cdc_merge": q_cdc_merge,
+        "k_anonymity": q_kanon,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are

@@ -69,6 +69,11 @@ def main():
         "warc_parse",             # WARC record explode (mapInPandas)
         "cluster_stats",          # k-means assignment + integer rollup
         "bm25_rank",              # Okapi BM25 vs fixed query terms
+        "heavy_hitters",          # Misra-Gries candidates + exact confirm
+        "semantic_dedup",         # SemDeDup cluster-bounded cosine prune
+        "decontam_bloom",         # Bloom broadcast + exact confirm join
+        "cdc_merge",              # latest-wins snapshot merge (delta shuffle)
+        "k_anonymity",            # QI equivalence-class risk audit
     ]
 
     # warm the JVM + parquet footers with one cheap action

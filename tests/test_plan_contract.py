@@ -216,3 +216,36 @@ def test_warc_parse_plan_contract(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange") == 0
     assert plan.count("MapInPandas (") == 1  # tree node, once
+
+
+def test_heavy_hitters_plan_contract(spark):
+    """Pass 1 is the ONLY Python stage (one mapInPandas Misra-Gries
+    summary per partition); the exact confirm pass joins the candidate
+    set by BROADCAST — the value space itself is never sort-merge
+    joined or shuffled wholesale."""
+    from enrich_spark.datapipe.sketches import heavy_hitters
+
+    df = spark.range(2000).select(
+        (F.col("id") % 50).cast("string").alias("v")).repartition(4)
+    plan = _plan(heavy_hitters(df, "v", support=0.02))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas (") == 1
+    assert "SortMergeJoin" not in final
+    assert "BroadcastHashJoin" in final
+
+
+def test_bloom_decontam_probe_is_native(spark):
+    """The Bloom membership probe is a pure JVM expression over the
+    corpus scan — no Python stage anywhere in the plan (the filter is
+    a literal long array folded into the plan)."""
+    from enrich_spark.datapipe.dedup import contamination_check_bloom
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "k l m n o p q r s t")],
+        "doc_id INT, text STRING")
+    bench = spark.createDataFrame(
+        [(9, "a b c d e f g h")], "bench_id INT, text STRING")
+    plan = _plan(contamination_check_bloom(docs, bench, k=8,
+                                           m_bits=1 << 10))
+    assert "EvalPython" not in plan
+    assert "MapInPandas" not in plan
