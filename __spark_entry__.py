@@ -2098,28 +2098,31 @@ config:
         # oracle replays the same change stream
         from enrich_spark.plans.merge import merge_snapshot
 
-        base = _fan(spark.read.parquet(f"{sf}/orders.parquet"), spark) \
+        # no _fan here: the fixture re-scans orders for base / updates /
+        # update-keys, and a round-robin Exchange per scan would be pure
+        # scaffolding cost (the merge's own shuffle is the delta window)
+        base = spark.read.parquet(f"{sf}/orders.parquet") \
             .select(F.col("o_orderkey").cast("long").alias("okey"),
                     F.col("o_orderstatus").alias("status"),
                     F.lit(0).cast("long").alias("seq"))
         k = F.col("okey")
-        ups = base.where(k % 7 == 0).select(
-            "okey", F.lit("U").alias("status"),
-            F.lit(10).cast("long").alias("seq"),
-            F.lit(False).alias("deleted"))
-        stale = base.where(k % 13 == 0).select(
-            "okey", F.lit("S").alias("status"),
-            F.lit(-5).cast("long").alias("seq"),
-            F.lit(False).alias("deleted"))
-        dels = base.where(k % 11 == 0).select(
-            "okey", F.lit(None).cast("string").alias("status"),
-            F.lit(20).cast("long").alias("seq"),
-            F.lit(True).alias("deleted"))
-        ins = base.where(k % 17 == 0).select(
-            (k + 10000000).alias("okey"), F.lit("N").alias("status"),
-            F.lit(10).cast("long").alias("seq"),
-            F.lit(False).alias("deleted"))
-        updates = ups.unionByName(stale).unionByName(dels).unionByName(ins)
+
+        def upd(cond, key, status, seq, deleted):
+            return F.when(cond, F.struct(
+                key.alias("okey"), status.alias("status"),
+                seq.cast("long").alias("seq"), deleted.alias("deleted")))
+
+        # single-pass change-stream derivation: one scan, explode the
+        # per-row applicable changes (upsert / stale / tombstone / insert)
+        changes = F.array_compact(F.array(
+            upd(k % 7 == 0, k, F.lit("U"), F.lit(10), F.lit(False)),
+            upd(k % 13 == 0, k, F.lit("S"), F.lit(-5), F.lit(False)),
+            upd(k % 11 == 0, k, F.lit(None).cast("string"), F.lit(20),
+                F.lit(True)),
+            upd(k % 17 == 0, k + 10000000, F.lit("N"), F.lit(10),
+                F.lit(False)),
+        ))
+        updates = base.select(F.explode(changes).alias("u")).select("u.*")
         return merge_snapshot(base, updates, ["okey"], "seq",
                               delete_col="deleted")
 
