@@ -441,7 +441,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.unix_micros("refr_dvce_tstamp").alias("refr_dvce_us"),
         )
 
-    q["cross_navigation"] = q_cross_nav
+    def q_pagerank(spark, sf):
+        # fixed-point PageRank (datapipe/graph.pagerank): all-integer
+        # power iteration, exact on any engine — the oracle unrolls the
+        # same 5 iterations in SQL. Edge list derived deterministically
+        # from events (41-node domain graph with natural skew).
+        from enrich_spark.datapipe.graph import pagerank
+
+        ev = _load_events(spark, sf)
+        edges = ev.select(
+            (F.col("user_id") % 41).cast("long").alias("src"),
+            ((F.col("user_id") * 7 + F.col("event_id")) % 41)
+            .cast("long").alias("dst"))
+        return pagerank(edges, iters=5).select(
+            F.col("node").cast("long").alias("node"), "rank")
+
+    q["cross_navigation"] = lambda spark, sf: _union_parts(
+        [("nav", q_cross_nav(spark, sf)),
+         ("pagerank", q_pagerank(spark, sf))],
+        fill=("src_event_id", "refr_dvce_us", "node", "rank"),
+    )
 
     def q_schema_fields(spark, sf):
         g = _enriched(spark, sf)
@@ -3404,6 +3423,7 @@ config:
         "decontam_bloom": q_decontam_bloom,
         "cdc_merge": q_cdc_merge,
         "k_anonymity": q_kanon,
+        "pagerank": q_pagerank,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -3632,12 +3652,21 @@ def oracle_sql() -> dict[str, str]:
         FROM events e
     """
 
-    o["cross_navigation"] = """
+    from enrich_spark.datapipe.graph import pagerank_sql as _pr_sql
+
+    o["cross_navigation"] = _union_oracle([
+        ("nav", """
         SELECT e.event_id AS src_event_id,
                'u' || e.user_id AS refr_domain_userid,
                epoch_ms(e.ts) * 1000 AS refr_dvce_us
         FROM events e
-    """
+        """, {"src_event_id": "num", "refr_domain_userid": "str",
+              "refr_dvce_us": "num"}),
+        ("pagerank", _pr_sql(
+            "SELECT user_id % 41 AS src, (user_id * 7 + event_id) % 41"
+            " AS dst FROM events", iters=5),
+         {"node": "num", "rank": "num"}),
+    ])
 
     o["schema_fields"] = """
         SELECT e.event_id AS src_event_id,

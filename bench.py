@@ -74,6 +74,7 @@ def main():
         "decontam_bloom",         # Bloom broadcast + exact confirm join
         "cdc_merge",              # latest-wins snapshot merge (delta shuffle)
         "k_anonymity",            # QI equivalence-class risk audit
+        "pagerank",               # fixed-point link-graph power iteration
     ]
 
     # warm the JVM + parquet footers with one cheap action
