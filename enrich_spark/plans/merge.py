@@ -85,6 +85,65 @@ def merge_snapshot(
         window_merge(touched.unionByName(u, allowMissingColumns=True)))
 
 
+def read_snapshot(spark, snapshot_dir: str) -> DataFrame | None:
+    """Read the current committed version of a streaming-maintained
+    snapshot (None before the first commit)."""
+    import os
+
+    ptr = os.path.join(snapshot_dir, "_VERSION")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        version = fh.read().strip()
+    return spark.read.parquet(os.path.join(snapshot_dir, version))
+
+
+def streaming_merge_sink(
+    changes: DataFrame,
+    snapshot_dir: str,
+    key_cols: list[str],
+    seq_col: str,
+    delete_col: str | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Maintain a parquet snapshot from a CDC change STREAM.
+
+    Each micro-batch folds into the stored snapshot via
+    :func:`merge_snapshot` (latest-wins, delta-proportional shuffle),
+    writes a NEW ``v<batch_id>`` directory, then atomically flips the
+    ``_VERSION`` pointer — readers never observe a half-written
+    snapshot (write-new-then-swap, the minimal lakehouse commit
+    protocol). Replays are safe: foreachBatch re-delivery merges the
+    same rows again, and latest-wins over identical (key, seq) rows is
+    idempotent, so a crash between write and pointer flip loses
+    nothing. Old versions are retained for readers in flight;
+    compaction/GC is the deployment's retention policy.
+
+    Returns the started StreamingQuery.
+    """
+    import os
+
+    def fold(batch: DataFrame, batch_id: int):
+        spark = batch.sparkSession
+        cur = read_snapshot(spark, snapshot_dir)
+        drop = [delete_col] if delete_col else []
+        base = cur if cur is not None else batch.drop(*drop).limit(0)
+        merged = merge_snapshot(base, batch, key_cols, seq_col,
+                                delete_col=delete_col)
+        vdir = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_dir, vdir))
+        tmp = os.path.join(snapshot_dir, "_VERSION.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(vdir)
+        os.replace(tmp, os.path.join(snapshot_dir, "_VERSION"))
+
+    writer = changes.writeStream.foreachBatch(fold).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def merge_snapshot_sql(
     base_sql: str,
     updates_sql: str,

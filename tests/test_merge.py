@@ -85,3 +85,40 @@ def test_merge_snapshot_sql_mirror_matches(spark):
         ["id"], "seq", ["id", "val", "seq"], delete_col="deleted")
     drows = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert drows == srows
+
+
+def test_streaming_merge_sink_maintains_snapshot(spark):
+    import os
+    import tempfile
+
+    from enrich_spark.plans.merge import read_snapshot, streaming_merge_sink
+
+    schema = "id INT, val STRING, seq INT, deleted BOOLEAN"
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in")
+        snap = os.path.join(tmp, "snap")
+        os.makedirs(src)
+        os.makedirs(snap)
+        # batch 0: initial inserts
+        spark.createDataFrame(
+            [(1, "a", 1, False), (2, "b", 1, False)], schema
+        ).write.parquet(os.path.join(src, "b0"))
+        changes = (spark.readStream.schema(schema)
+                   .option("recursiveFileLookup", "true").parquet(src))
+        q = streaming_merge_sink(
+            changes, snap, ["id"], "seq", delete_col="deleted",
+            checkpoint_dir=os.path.join(tmp, "ckpt"))
+        try:
+            q.processAllAvailable()
+            s0 = {tuple(r) for r in read_snapshot(spark, snap).collect()}
+            assert s0 == {(1, "a", 1), (2, "b", 1)}
+
+            # batch 1: upsert id=2, delete id=1, insert id=3
+            spark.createDataFrame(
+                [(2, "B", 2, False), (1, None, 2, True), (3, "c", 2, False)],
+                schema).write.parquet(os.path.join(src, "b1"))
+            q.processAllAvailable()
+            s1 = {tuple(r) for r in read_snapshot(spark, snap).collect()}
+            assert s1 == {(2, "B", 2), (3, "c", 2)}
+        finally:
+            q.stop()
