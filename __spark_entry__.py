@@ -1128,7 +1128,23 @@ config:
             F.array_join("entity_schemas", ",").alias("entity_schemas"),
         )
 
-    q["metadata_aggregation"] = q_metadata_agg
+    def q_manifest(spark, sf):
+        # dataset manifest (plans/manifest.dataset_manifest, md5 mode):
+        # order/partitioning-independent content commitment per source
+        # group — the same xor/count/bytes algebra replays in DuckDB
+        from enrich_spark.plans.manifest import dataset_manifest
+
+        docs = _load_docs(spark, sf).select(
+            "source", F.col("doc_id").cast("long").alias("doc_id"), "text")
+        return dataset_manifest(
+            docs, cols=["doc_id", "text"], group_cols=["source"],
+            hash="md5")
+
+    q["metadata_aggregation"] = lambda spark, sf: _union_parts(
+        [("meta", q_metadata_agg(spark, sf)),
+         ("manifest", q_manifest(spark, sf))],
+        fill=("n_events", "n_rows", "content_xor", "bytes_total"),
+    )
 
     def q_sessionize(spark, sf):
         # gap-based sessionization as an engine operator (datapipe/session.py):
@@ -3424,6 +3440,7 @@ config:
         "cdc_merge": q_cdc_merge,
         "k_anonymity": q_kanon,
         "pagerank": q_pagerank,
+        "dataset_manifest": q_manifest,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -3785,7 +3802,10 @@ def oracle_sql() -> dict[str, str]:
     # fields derive from event_type (struct events map to the legacy GA
     # vendor), app/platform from user_id % 3, and the derived-entity set is
     # the constant ua_parser context attached by the default config
-    o["metadata_aggregation"] = """
+    from enrich_spark.plans.manifest import dataset_manifest_sql as _mf_sql
+
+    o["metadata_aggregation"] = _union_oracle([
+        ("meta", """
         WITH g AS (
           SELECT CASE WHEN e.event_type IN ('view','click','purchase')
                       THEN 'com.snowplowanalytics.snowplow'
@@ -3805,7 +3825,16 @@ def oracle_sql() -> dict[str, str]:
                'iglu:com.snowplowanalytics.snowplow/ua_parser_context/jsonschema/1-0-0'
                  AS entity_schemas
         FROM g GROUP BY ALL
-    """
+        """, {"event_vendor": "str", "event_name": "str",
+              "event_format": "str", "event_version": "str",
+              "app_id": "str", "v_tracker": "str", "platform": "str",
+              "n_events": "num", "entity_schemas": "str"}),
+        ("manifest", _mf_sql(
+            "SELECT source, doc_id, text FROM documents",
+            ["doc_id", "text"], group_cols=["source"]),
+         {"source": "str", "n_rows": "num", "content_xor": "num",
+          "bytes_total": "num"}),
+    ])
 
     o["sessionize"] = """
         WITH g AS (

@@ -75,6 +75,7 @@ def main():
         "cdc_merge",              # latest-wins snapshot merge (delta shuffle)
         "k_anonymity",            # QI equivalence-class risk audit
         "pagerank",               # fixed-point link-graph power iteration
+        "dataset_manifest",       # order-independent content commitment
     ]
 
     # warm the JVM + parquet footers with one cheap action
