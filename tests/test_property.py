@@ -314,3 +314,75 @@ def test_url_canonicalize_idempotent_property(urls):
     ).collect()
     for r in rows:
         assert r.c1 == r.c2
+
+
+@given(st.lists(st.integers(0, 30), min_size=1, max_size=300),
+       st.integers(2, 8))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_heavy_hitters_equals_exact_groupby_property(vals, nparts):
+    """heavy_hitters == plain GROUP BY … HAVING on arbitrary skew and
+    partitioning — the exactness contract of the sketch+confirm pattern."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from enrich_spark.datapipe.sketches import heavy_hitters
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(str(v),) for v in vals], "v STRING").repartition(nparts)
+    support = 0.05
+    got = {(r.v, r.cnt)
+           for r in heavy_hitters(df, "v", support=support).collect()}
+    thr = max(1, math.ceil(len(vals) * support))
+    want = {(r.v, r.cnt) for r in df.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") >= thr).collect()}
+    assert got == want
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 9),            # key
+              st.integers(0, 5),            # seq
+              st.sampled_from(["a", "b", "c"]),
+              st.booleans()),               # tombstone
+    min_size=0, max_size=40))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_merge_snapshot_matches_brute_force_property(changes):
+    """merge_snapshot == a per-key brute-force replay for arbitrary
+    change streams (unique (key, seq) enforced by dedup, as real CDC
+    logs provide)."""
+    from enrich_spark.plans.merge import merge_snapshot
+
+    spark = _get_spark()
+    seen = {}
+    for k, s, v, d in changes:
+        seen[(k, s)] = (k, v, s + 10, d)   # updates live at seq ≥ 10
+    ups = list(seen.values())
+    base = [(k, f"base{k}", 0) for k in range(10)]
+    bdf = spark.createDataFrame(base, "id INT, val STRING, seq INT")
+    udf_ = spark.createDataFrame(
+        ups or [(None, None, None, None)],
+        "id INT, val STRING, seq INT, deleted BOOLEAN")
+    if not ups:
+        udf_ = udf_.where("id IS NOT NULL")
+    got = {tuple(r) for r in merge_snapshot(
+        bdf, udf_, ["id"], "seq", delete_col="deleted").collect()}
+    # brute force: per key, max-seq change wins over base; tombstone drops
+    want = set()
+    for k, bv, bs in base:
+        cand = [(s, v, d) for (kk, v, s, d) in ups if kk == k]
+        if not cand:
+            want.add((k, bv, bs))
+            continue
+        s, v, d = max(cand)
+        if not d:
+            want.add((k, v, s))
+    for kk in {u[0] for u in ups} - {b[0] for b in base}:
+        cand = [(s, v, d) for (k2, v, s, d) in ups if k2 == kk]
+        s, v, d = max(cand)
+        if not d:
+            want.add((kk, v, s))
+    assert got == want
