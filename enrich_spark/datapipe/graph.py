@@ -39,6 +39,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     broadcast_ranks: bool = True,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Fixed-point power-iteration PageRank over an edge list.
 
@@ -47,6 +48,13 @@ def pagerank(
     ``scale``; sum over nodes ≤ scale (truncation/dangling loss).
     Duplicate edges contribute multiply (multigraph semantics —
     consistent with counting repeated links).
+
+    ``checkpoint_every``: iterative plans grow lineage — without a cut,
+    iteration i re-derives every earlier join and the total work is
+    O(iters²). A ``localCheckpoint`` every few iterations truncates the
+    lineage so long runs stay linear (0 disables — fine for ≤ ~8
+    iterations, and required where plan purity matters more than
+    speed, e.g. explain-based tests).
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     nodes = (
@@ -61,7 +69,7 @@ def pagerank(
     ew = e.join(deg, "_s")  # out-degree attached once, reused per iter
     base = ((10000 - damping_bp) * scale // 10000) // n
     ranks = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
-    for _ in range(iters):
+    for it in range(iters):
         r = F.broadcast(ranks) if broadcast_ranks else ranks
         contribs = (
             ew.join(r, ew["_s"] == r["node"])
@@ -78,6 +86,9 @@ def pagerank(
                 (F.lit(base) + F.coalesce(F.col("_in"), F.lit(0)))
                 .cast("long").alias("rank"))
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 \
+                and it + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
