@@ -1983,11 +1983,42 @@ config:
         )
 
     # gzip de-batch + WARC source formats in one oracle row
+    def q_robots(spark, sf):
+        # robots.txt politeness filter (webtext.parse_robots_rules +
+        # robots_filter): deterministic per-domain rule bodies, parsed
+        # by the REAL parser; the oracle predicts the end-to-end
+        # allow/deny + deciding-rule length from the same formulas
+        from enrich_spark.datapipe.webtext import (parse_robots_rules,
+                                                   robots_filter)
+
+        docs = _load_docs(spark, sf).select(
+            F.col("doc_id").cast("long").alias("doc_id"))
+        k = (F.col("doc_id") % 10).cast("string")
+        m = F.col("doc_id") % 4
+        path = (
+            F.when(m == 0, F.concat(F.lit("/p"), k, F.lit("/x")))
+            .when(m == 1, F.concat(F.lit("/p"), k, F.lit("/pub/y")))
+            .when(m == 2, F.concat(F.lit("/t"), k, F.lit("z")))
+            .otherwise(F.concat(F.lit("/ok/"),
+                                F.col("doc_id").cast("string"))))
+        urls = docs.select(
+            "doc_id",
+            F.concat(F.lit("https://d"), k, F.lit(".example"), path)
+            .alias("url"))
+        robots = spark.createDataFrame(
+            [(f"d{i}.example",
+              f"User-agent: *\nDisallow: /p{i}/\nAllow: /p{i}/pub/\n"
+              f"Disallow: /t{i}*\n")
+             for i in range(10)], "domain STRING, content STRING")
+        return robots_filter(urls, parse_robots_rules(robots)).select(
+            "doc_id", "host", "path", "allowed", "deciding_rule_len")
+
     q["payload_decompress"] = lambda spark, sf: _union_parts(
-        [("gzip", q_decompress(spark, sf)), ("warc", q_warc(spark, sf))],
+        [("gzip", q_decompress(spark, sf)), ("warc", q_warc(spark, sf)),
+         ("robots", q_robots(spark, sf))],
         fill=("batch_id", "n_ok", "n_too_big", "bytes_ok", "digit_sum",
               "doc_id", "content_length", "payload_len", "n_headers",
-              "has_err"),
+              "has_err", "allowed", "deciding_rule_len"),
     )
 
     def q_thrift(spark, sf):
@@ -3441,6 +3472,7 @@ config:
         "k_anonymity": q_kanon,
         "pagerank": q_pagerank,
         "dataset_manifest": q_manifest,
+        "robots_filter": q_robots,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -4174,6 +4206,23 @@ def oracle_sql() -> dict[str, str]:
          {"doc_id": "num", "warc_type": "str", "content_length": "num",
           "payload_len": "num", "payload_head": "str", "n_headers": "num",
           "has_err": "num"}),
+        ("robots", """
+        SELECT doc_id,
+               'd' || (doc_id % 10) || '.example' AS host,
+               CASE doc_id % 4
+                 WHEN 0 THEN '/p' || (doc_id % 10) || '/x'
+                 WHEN 1 THEN '/p' || (doc_id % 10) || '/pub/y'
+                 WHEN 2 THEN '/t' || (doc_id % 10) || 'z'
+                 ELSE '/ok/' || doc_id END AS path,
+               CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+                    WHEN 2 THEN 0 ELSE 1 END AS BIGINT) AS allowed,
+               CAST(CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 8
+                    WHEN 2 THEN 4 ELSE 0 END AS BIGINT)
+                 AS deciding_rule_len
+        FROM documents
+        """,
+         {"doc_id": "num", "host": "str", "path": "str",
+          "allowed": "num", "deciding_rule_len": "num"}),
     ])
 
     # GA adapter: 2 hit lines per payload → 2 RawEvents (page_view + event

@@ -76,6 +76,7 @@ def main():
         "k_anonymity",            # QI equivalence-class risk audit
         "pagerank",               # fixed-point link-graph power iteration
         "dataset_manifest",       # order-independent content commitment
+        "robots_filter",          # RFC 9309 longest-match frontier filter
     ]
 
     # warm the JVM + parquet footers with one cheap action

@@ -262,3 +262,148 @@ def url_normalize_sql(from_sql: str, id_expr: str, url_expr: str,
         "cast(len(kept) as bigint) as n_params, "
         "cast(len(allp) - len(kept) as bigint) as n_tracking "
         "from (" + l4 + ")")
+
+
+# ---------------------------------------------------------------------------
+# robots.txt — crawl-frontier politeness filtering (RFC 9309)
+
+
+def _parse_robots_text(content: str, agent: str) -> list[tuple[str, int, int]]:
+    """Parse ONE robots.txt body → [(like_pattern, allow, rule_len)].
+
+    RFC 9309 subset: User-agent grouping (most-specific group wins —
+    an exact ``agent`` group shadows ``*``), Allow/Disallow with ``*``
+    wildcards and the ``$`` end anchor; other directives ignored.
+    ``like_pattern`` is the rule pre-compiled to a SQL LIKE pattern so
+    the MATCH side stays native (no Python in the per-URL path);
+    ``rule_len`` is the raw rule length for longest-match precedence.
+    """
+    groups: list[tuple[list[str], list[tuple[str, int]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, int]] = []
+    in_group_body = False
+    for raw in (content or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_body:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                in_group_body = False
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_group_body = True
+            if value:
+                cur_rules.append((value, 1 if field == "allow" else 0))
+            # empty Disallow/Allow = no rule (RFC: allows everything)
+    if cur_agents or cur_rules:
+        groups.append((cur_agents, cur_rules))
+
+    agent = agent.lower()
+    exact = [r for agents, rs in groups for r in rs if agent in agents]
+    star = [r for agents, rs in groups for r in rs if "*" in agents]
+    chosen = exact if any(agent in agents for agents, _ in groups) else star
+
+    out = []
+    for rule, allow in chosen:
+        pat = rule.replace("\\", "\\\\").replace("%", "\\%") \
+                  .replace("_", "\\_")
+        anchored = pat.endswith("$")
+        if anchored:
+            pat = pat[:-1]
+        pat = pat.replace("*", "%")
+        if not anchored:
+            pat = pat + "%"
+        out.append((pat, allow, len(rule)))
+    return out
+
+
+def parse_robots_rules(
+    robots: DataFrame,
+    agent: str = "*",
+    domain_col: str = "domain",
+    content_col: str = "content",
+) -> DataFrame:
+    """Explode robots.txt bodies into per-domain rule rows:
+    (domain, like_pattern, allow, rule_len).
+
+    Scale shape: robots bodies are small and per-domain; parsing is one
+    Arrow-batched pass (mapInPandas), and the OUTPUT — a few rules per
+    domain — is the thing that broadcasts into the frontier join, not
+    the bodies."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            doms, pats, allows, lens = [], [], [], []
+            for dom, content in zip(pdf[domain_col], pdf[content_col]):
+                for pat, allow, ln in _parse_robots_text(
+                        content or "", agent):
+                    doms.append(dom)
+                    pats.append(pat)
+                    allows.append(allow)
+                    lens.append(ln)
+            yield pd.DataFrame({
+                "domain": doms, "like_pattern": pats,
+                "allow": allows, "rule_len": lens})
+
+    return robots.mapInPandas(
+        run, "domain string, like_pattern string, allow int, rule_len int")
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Crawl-frontier politeness: per URL, the LONGEST matching rule
+    decides (allow wins exact-length ties, per RFC 9309 §2.2.2); no
+    matching rule → allowed.
+
+    Plan: extract (host, path) natively, BROADCAST-join the per-domain
+    rule table (rules ≪ frontier, always), evaluate the pre-compiled
+    LIKE patterns JVM-side, take the per-URL max of
+    (rule_len, allow) — one window-free groupBy. Output: the input
+    columns + host, path, allowed, deciding_rule_len. A frontier is a
+    SET of URLs: duplicate input rows collapse into one output row
+    (the groupBy is the dedup a frontier wants anyway).
+    """
+    from pyspark.sql import functions as F
+
+    u = urls.withColumn(
+        "host", F.lower(F.expr(f"parse_url({url_col}, 'HOST')"))
+    ).withColumn(
+        "path", F.coalesce(F.expr(f"parse_url({url_col}, 'PATH')"),
+                           F.lit("/"))
+    ).withColumn(
+        "path", F.when(F.col("path") == "", "/").otherwise(F.col("path")))
+    joined = (
+        u.join(F.broadcast(rules), u["host"] == rules["domain"], "left")
+        .withColumn(
+            "_hit",
+            F.col("like_pattern").isNotNull()
+            & F.expr("path LIKE like_pattern"))
+        # (rule_len, allow) max = longest rule, allow on ties
+        .withColumn(
+            "_vote",
+            F.when(F.col("_hit"),
+                   F.struct(F.col("rule_len"), F.col("allow")))
+        )
+    )
+    keys = [F.col(c) for c in urls.columns] + [F.col("host"),
+                                               F.col("path")]
+    return (
+        joined.groupBy(*keys)
+        .agg(F.max("_vote").alias("_best"))
+        .select(
+            *urls.columns, "host", "path",
+            F.coalesce(F.col("_best.allow") == 1, F.lit(True))
+            .cast("long").alias("allowed"),
+            F.coalesce(F.col("_best.rule_len"), F.lit(0))
+            .cast("long").alias("deciding_rule_len"),
+        )
+    )

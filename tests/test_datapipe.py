@@ -1958,3 +1958,79 @@ def test_k_anonymity_report_and_generalization(spark):
     assert gen.at_risk_classes == 0          # generalized classes all ≥ 5
     assert raw.total_rows == gen.total_rows == 100
     assert 0 <= raw.risk_bp <= 10000 and gen.risk_bp == 0
+
+
+# ---------------------------------------------------------------------------
+# robots.txt parsing + crawl-frontier filter (datapipe/webtext)
+
+
+_ROBOTS = """
+# example file
+User-agent: googlebot
+Disallow: /private/
+
+User-agent: *
+Disallow: /admin/
+Allow: /admin/public/
+Disallow: /tmp*
+Disallow: /exact$
+Crawl-delay: 10
+"""
+
+
+def test_parse_robots_rules_groups_and_agent_choice(spark):
+    from enrich_spark.datapipe.webtext import parse_robots_rules
+
+    robots = spark.createDataFrame(
+        [("example.com", _ROBOTS)], "domain STRING, content STRING")
+    star = {(r.like_pattern, r.allow) for r in
+            parse_robots_rules(robots, agent="*").collect()}
+    assert ("/admin/%", 0) in star and ("/admin/public/%", 1) in star
+    assert ("/tmp%%", 0) in star                         # '*' → '%', + suffix
+    assert ("/exact", 0) in star                         # '$' anchored
+    assert all("/private/" not in p for p, _ in star)    # googlebot group
+    goog = {(r.like_pattern, r.allow) for r in
+            parse_robots_rules(robots, agent="googlebot").collect()}
+    assert goog == {("/private/%", 0)}                   # exact shadows *
+
+
+def test_robots_filter_longest_match_wins(spark):
+    from enrich_spark.datapipe.webtext import (parse_robots_rules,
+                                               robots_filter)
+
+    robots = spark.createDataFrame(
+        [("example.com", _ROBOTS)], "domain STRING, content STRING")
+    rules = parse_robots_rules(robots, agent="*")
+    urls = spark.createDataFrame(
+        [(1, "https://example.com/admin/secret"),       # disallow
+         (2, "https://example.com/admin/public/x"),     # allow (longer)
+         (3, "https://example.com/tmpfile"),            # wildcard disallow
+         (4, "https://example.com/exact"),              # $-anchored
+         (5, "https://example.com/exactly"),            # past anchor → ok
+         (6, "https://example.com/open/page"),          # no rule → ok
+         (7, "https://other.org/admin/secret")],        # other domain → ok
+        "id INT, url STRING")
+    got = {r.id: (r.allowed, r.deciding_rule_len)
+           for r in robots_filter(urls, rules).collect()}
+    assert got[1] == (0, len("/admin/"))
+    assert got[2] == (1, len("/admin/public/"))
+    assert got[3] == (0, len("/tmp*"))
+    assert got[4] == (0, len("/exact$"))
+    assert got[5][0] == 1
+    assert got[6] == (1, 0) and got[7] == (1, 0)
+
+
+def test_robots_filter_is_broadcast_native(spark):
+    from enrich_spark.datapipe.webtext import (parse_robots_rules,
+                                               robots_filter)
+
+    robots = spark.createDataFrame(
+        [("example.com", _ROBOTS)], "domain STRING, content STRING")
+    urls = spark.createDataFrame([(1, "https://example.com/a")],
+                                 "id INT, url STRING")
+    out = robots_filter(urls, parse_robots_rules(robots))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one Python stage: the robots-body parse, never the URLs
+    assert plan.count("MapInPandas") == 1
