@@ -20,9 +20,15 @@ back to the digest stub" to a real decoder:
 - CMYK / Adobe YCCK (4-component, APP14 transform flag): decoded to RGB
   via the Adobe inverted-channel convention
 
-Arithmetic coding and 12-bit precision raise NotImplementedError —
-callers (multimodal._decode_one) fall back to the flagged stub, same
-honesty contract as before.
+- 12-BIT precision (extended sequential, SOF0/SOF1): decoded to uint16
+  samples with the 2048 level shift / 4095 clamp; the fixture encoder
+  writes SOF1 streams with the wider DC (0..15 @5-bit) / AC (size≤14
+  @8-bit) uniform canonical alphabets. 12-bit progressive and 12-bit
+  CMYK remain out of scope (loud NotImplementedError).
+
+Arithmetic coding raises NotImplementedError — callers
+(multimodal._decode_one) fall back to the flagged stub, same honesty
+contract as before.
 
 The bit-serial Huffman loop is Python: ~0.5-1 Mcoef/s, i.e. ~0.2-1 s
 per megapixel depending on quality. That is the documented throughput
@@ -457,6 +463,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     width = height = 0
     restart_interval = 0
     progressive = False
+    precision = 8
     adobe_transform = 0  # APP14: 0=direct, 1=YCbCr, 2=YCCK
     scans: list[tuple] = []
 
@@ -497,8 +504,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             progressive = marker == 0xC2
             prec, height, width, nc = struct.unpack(">BHHB", payload[:6])
-            if prec != 8:
-                raise NotImplementedError("only 8-bit precision supported")
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    "only 8/12-bit precision supported")
+            if prec == 12 and progressive:
+                raise NotImplementedError("12-bit progressive unsupported")
+            if prec == 12 and nc == 4:
+                raise NotImplementedError("12-bit CMYK unsupported")
+            precision = prec
             if nc not in (1, 3, 4):
                 raise NotImplementedError(
                     "only grayscale / YCbCr / CMYK(YCCK) supported")
@@ -569,12 +582,16 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
         else:
             _decode_scan_baseline(sel, segments, ri, comps, mcus_x, mcus_y)
 
+    half = 1 << (precision - 1)
+    maxv = (1 << precision) - 1
+    sample_dtype = np.uint8 if precision == 8 else np.uint16
     planes = []
     for c in comps:
         blocks = c.coef * quant[c.tq][None, :]            # dequant
         natural = blocks[:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
         spatial = DCT_M.T @ natural @ DCT_M               # batched 2-D IDCT
-        spatial = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+        spatial = np.clip(np.round(spatial) + half, 0, maxv) \
+            .astype(sample_dtype)
         plane = (spatial.reshape(c.gh, c.gw, 8, 8)
                  .transpose(0, 2, 1, 3).reshape(c.gh * 8, c.gw * 8))
         plane = np.repeat(np.repeat(plane, vmax // c.v, axis=0),
@@ -586,8 +603,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
 
     def ycc_inverse(p0, p1, p2):
         y = p0.astype(np.float64)
-        cb = p1.astype(np.float64) - 128.0
-        cr = p2.astype(np.float64) - 128.0
+        cb = p1.astype(np.float64) - float(half)
+        cr = p2.astype(np.float64) - float(half)
         return np.stack([
             y + 1.402 * cr,
             y - 0.344136 * cb - 0.714136 * cr,
@@ -609,7 +626,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
         return width, height, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
     rgb = ycc_inverse(planes[0], planes[1], planes[2])
-    return width, height, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return width, height, 3, np.clip(np.round(rgb), 0, maxv) \
+        .astype(sample_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -622,6 +640,14 @@ _ENC_DC = _HuffTable([0, 0, 0, 12] + [0] * 12, list(range(12)))
 _AC_SYMBOLS = sorted(
     {(r << 4) | s for r in range(16) for s in range(1, 11)} | {0x00, 0xF0})
 _ENC_AC = _HuffTable([0] * 7 + [len(_AC_SYMBOLS)] + [0] * 8, _AC_SYMBOLS)
+# 12-bit (extended sequential, SOF1): DC categories 0..15 at 5 bits,
+# AC run/size with size 1..14 at 8 bits (226 of 256 codes — still an
+# incomplete, therefore legal, uniform-length canonical tree)
+_ENC_DC12 = _HuffTable([0, 0, 0, 0, 16] + [0] * 11, list(range(16)))
+_AC12_SYMBOLS = sorted(
+    {(r << 4) | s for r in range(16) for s in range(1, 15)} | {0x00, 0xF0})
+_ENC_AC12 = _HuffTable([0] * 7 + [len(_AC12_SYMBOLS)] + [0] * 8,
+                       _AC12_SYMBOLS)
 
 
 class _BitWriter:
@@ -781,7 +807,8 @@ def _dht_payload(tc: int, th: int, t: _HuffTable) -> bytes:
     return bytes([(tc << 4) | th] + t.counts + t.symbols)
 
 
-def _component_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+def _component_blocks(plane: np.ndarray, q: np.ndarray,
+                      shift: float = 128.0) -> np.ndarray:
     """Pad to 8, FDCT every block at once, quantize, return (n, 64)
     coefficient rows in TRANSMIT (zigzag) order, raster block order."""
     h, w = plane.shape
@@ -791,7 +818,7 @@ def _component_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     padded[h:, :w] = plane[-1:, :]
     padded[:, w:] = padded[:, w - 1:w]
     blocks = (padded.reshape(ph // 8, 8, pw // 8, 8)
-              .transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0)
+              .transpose(0, 2, 1, 3).reshape(-1, 8, 8) - shift)
     freq = DCT_M @ blocks @ DCT_M.T
     coefs = np.round(freq.reshape(-1, 64) / q[UNZIGZAG][None, :])
     return coefs[:, ZIGZAG].astype(np.int64)  # natural -> transmit order
@@ -799,18 +826,28 @@ def _component_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
 
 def encode_jpeg(w: int, h: int, pixels: np.ndarray, quality: int = 85,
                 subsample: str = "444", restart_interval: int = 0,
-                progressive: bool = False) -> bytes:
+                progressive: bool = False, precision: int = 8) -> bytes:
     """Baseline or progressive JPEG encoder for fixtures. pixels:
     (h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8. subsample: '444'
     or '420'. ``progressive=True`` writes an SOF2 stream exercising the
     full progressive feature set: interleaved DC first (Al=1) + DC
     refine, per-component spectral-band AC first scans (Al=1), and AC
-    refine scans (Ah=1 → Al=0) with buffered correction bits."""
+    refine scans (Ah=1 → Al=0) with buffered correction bits.
+    ``precision=12`` writes an EXTENDED SEQUENTIAL (SOF1) stream with
+    12-bit samples (pixels uint16 in 0..4095) and the wider DC/AC
+    Huffman alphabets; 12-bit is sequential gray/RGB only."""
     if progressive and restart_interval:
         raise ValueError("restart_interval not supported with progressive")
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     px = np.asarray(pixels, dtype=np.float64)
     gray = px.ndim == 2 or px.shape[2] == 1
     cmyk = px.ndim == 3 and px.shape[2] == 4
+    if precision == 12 and (progressive or cmyk):
+        raise ValueError("12-bit fixtures are sequential gray/RGB only")
+    half = float(1 << (precision - 1))
+    enc_dc = _ENC_DC12 if precision == 12 else _ENC_DC
+    enc_ac = _ENC_AC12 if precision == 12 else _ENC_AC
     if gray and px.ndim == 3:
         px = px[:, :, 0]
     ql = _quant_for_quality(_QUANT_LUMA, quality)
@@ -833,8 +870,8 @@ def encode_jpeg(w: int, h: int, pixels: np.ndarray, quality: int = 85,
     else:
         r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + half
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + half
         if subsample == "420":
             ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
             def pad2(p):
@@ -859,12 +896,13 @@ def encode_jpeg(w: int, h: int, pixels: np.ndarray, quality: int = 85,
         payload = bytes([tq]) + bytes(int(v) for v in q)
         out += b"\xff\xdb" + struct.pack(">H", 2 + len(payload)) + payload
     nc = len(planes)
-    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sof = struct.pack(">BHHB", precision, h, w, nc)
     for idx, (_, _, tq, ch, cv) in enumerate(planes):
         sof += bytes([idx + 1, (ch << 4) | cv, tq])
-    out += (b"\xff\xc2" if progressive else b"\xff\xc0") \
-        + struct.pack(">H", 2 + len(sof)) + sof
-    for tc, th, t in ((0, 0, _ENC_DC), (1, 0, _ENC_AC)):
+    sof_marker = (b"\xff\xc2" if progressive
+                  else b"\xff\xc1" if precision == 12 else b"\xff\xc0")
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, th, t in ((0, 0, enc_dc), (1, 0, enc_ac)):
         payload = _dht_payload(tc, th, t)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
     if restart_interval:
@@ -884,7 +922,7 @@ def encode_jpeg(w: int, h: int, pixels: np.ndarray, quality: int = 85,
             padded[ph_:, :pw_] = plane[-1:, :]
         if tw > pw_:
             padded[:, pw_:] = padded[:, pw_ - 1:pw_]
-        cb_ = _component_blocks(padded, q)
+        cb_ = _component_blocks(padded, q, shift=half)
         # raster block order -> indexable (row, col)
         comp_blocks.append((cb_, tw // 8, ch, cv))
 
@@ -917,7 +955,7 @@ def encode_jpeg(w: int, h: int, pixels: np.ndarray, quality: int = 85,
                     for bx in range(ch):
                         bi = (my * cv + by) * cols + (mx * ch + bx)
                         preds[ci] = _encode_block(
-                            bw, cb_[bi], preds[ci], _ENC_DC, _ENC_AC)
+                            bw, cb_[bi], preds[ci], enc_dc, enc_ac)
             mcu_count += 1
     bw.flush()
     out += bytes(bw.out)

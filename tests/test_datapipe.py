@@ -2034,3 +2034,37 @@ def test_robots_filter_is_broadcast_native(spark):
     assert "SortMergeJoin" not in plan
     # exactly one Python stage: the robots-body parse, never the URLs
     assert plan.count("MapInPandas") == 1
+
+
+def test_jpeg_12bit_extended_sequential():
+    import numpy as np
+    import pytest
+
+    from enrich_spark.datapipe.jpeg import decode_jpeg, encode_jpeg
+
+    # solid 12-bit gray: DC-only → exact through quantization
+    flat = np.full((16, 24), 1234, dtype=np.uint16)
+    w, h, ch, out = decode_jpeg(encode_jpeg(24, 16, flat, quality=100,
+                                            precision=12))
+    assert (w, h, ch) == (24, 16, 1) and out.dtype == np.uint16
+    assert np.array_equal(out[:, :, 0], flat)
+
+    # 12-bit RGB gradient: PSNR bound against the 4095 peak
+    yy, xx = np.mgrid[0:21, 0:33]
+    img = np.stack([(xx * 101) % 4096, (yy * 157) % 4096,
+                    ((xx + yy) * 71) % 4096], axis=-1).astype(np.uint16)
+    w, h, ch, out = decode_jpeg(encode_jpeg(33, 21, img, quality=95,
+                                            precision=12))
+    assert (w, h, ch) == (33, 21, 3) and out.dtype == np.uint16
+    mse = np.mean((out.astype(float) - img.astype(float)) ** 2)
+    assert 10 * np.log10(4095**2 / mse) > 25
+
+    # the stream really is SOF1 (extended sequential)
+    data = encode_jpeg(24, 16, flat, quality=90, precision=12)
+    assert b"\xff\xc1" in data and b"\xff\xc0" not in data
+
+    # loud boundaries: 12-bit progressive / CMYK fixtures rejected
+    with pytest.raises(ValueError):
+        encode_jpeg(8, 8, flat[:8, :8], precision=12, progressive=True)
+    with pytest.raises(ValueError):
+        encode_jpeg(8, 8, np.zeros((8, 8, 4), np.uint16), precision=12)
