@@ -3299,6 +3299,16 @@ config:
                         from enrich_spark.datapipe.media_codecs import encode_mp3
 
                         medias.append(encode_mp3(10 + did % 50))
+                    elif did % 32 == 31:
+                        # REAL 12-BIT JPEG (extended sequential SOF1):
+                        # flat gray at q=100 has unit quant tables and
+                        # DC-only blocks → decodes bit-exact to uint16,
+                        # so the oracle predicts the 12-bit mean
+                        w, h = 8 + did % 9, 8 + did % 5
+                        v12 = (did * 13) % 4096
+                        medias.append(encode_jpeg(
+                            w, h, np.full((h, w), v12, np.uint16),
+                            quality=100, precision=12))
                     else:
                         # no known magic (verified: no doc text collides)
                         medias.append((text or "").encode("utf-8"))
@@ -5350,27 +5360,32 @@ def oracle_sql() -> dict[str, str]:
         WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents)
         SELECT doc_id,
                CASE WHEN doc_id % 8 = 3 THEN 'jpeg' WHEN doc_id % 16 = 7 THEN 'gif'
-                    WHEN doc_id % 32 = 15 THEN 'mp3' ELSE
+                    WHEN doc_id % 32 = 15 THEN 'mp3'
+                    WHEN doc_id % 32 = 31 THEN 'jpeg' ELSE
                  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
                       WHEN 2 THEN 'wav' ELSE 'unknown' END END AS format,
                CASE WHEN doc_id % 8 = 3 OR doc_id % 16 = 7 THEN 'image'
-                    WHEN doc_id % 32 = 15 THEN 'audio' ELSE
+                    WHEN doc_id % 32 = 15 THEN 'audio'
+                    WHEN doc_id % 32 = 31 THEN 'image' ELSE
                  CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'image'
                       WHEN 2 THEN 'audio' ELSE 'unknown' END END AS media_type,
                CAST(CASE WHEN doc_id % 8 = 3 THEN 8 + doc_id % 9
                     WHEN doc_id % 16 = 7 THEN 4 + doc_id % 6
-                    WHEN doc_id % 32 = 15 THEN -1 ELSE
+                    WHEN doc_id % 32 = 15 THEN -1
+                    WHEN doc_id % 32 = 31 THEN 8 + doc_id % 9 ELSE
                  CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 13
                       WHEN 1 THEN 1 + doc_id % 9 WHEN 2 THEN -1
                       ELSE 1 + ({_sha_byte(1)} % 64) END END AS BIGINT) AS width,
                CAST(CASE WHEN doc_id % 8 = 3 THEN 8 + doc_id % 5
                     WHEN doc_id % 16 = 7 THEN 3 + doc_id % 4
-                    WHEN doc_id % 32 = 15 THEN -1 ELSE
+                    WHEN doc_id % 32 = 15 THEN -1
+                    WHEN doc_id % 32 = 31 THEN 8 + doc_id % 5 ELSE
                  CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 7
                       WHEN 1 THEN 1 + doc_id % 5 WHEN 2 THEN -1
                       ELSE 1 + ({_sha_byte(2)} % 64) END END AS BIGINT) AS height,
                CAST(CASE WHEN doc_id % 8 = 3 OR doc_id % 16 = 7 THEN 3
-                    WHEN doc_id % 32 = 15 THEN 2 ELSE
+                    WHEN doc_id % 32 = 15 THEN 2
+                    WHEN doc_id % 32 = 31 THEN 1 ELSE
                  CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 3
                       WHEN 2 THEN 1 ELSE -1 END END AS BIGINT) AS channels,
                CAST(CASE WHEN doc_id % 32 = 15
@@ -5379,19 +5394,21 @@ def oracle_sql() -> dict[str, str]:
                     ELSE -1 END AS BIGINT) AS duration_ms,
                CAST(CASE WHEN doc_id % 8 = 3 THEN (doc_id * 7) % 256
                     WHEN doc_id % 16 = 7 THEN (doc_id * 11) % 256
-                    WHEN doc_id % 32 = 15 THEN -1 ELSE
+                    WHEN doc_id % 32 = 15 THEN -1
+                    WHEN doc_id % 32 = 31 THEN (doc_id * 13) % 4096 ELSE
                  CASE doc_id % 4 WHEN 0 THEN doc_id % 256
                       WHEN 1 THEN (doc_id * 3) % 256
                       WHEN 2 THEN doc_id % 127 ELSE -1 END END AS DOUBLE) AS mean_val,
                CASE WHEN doc_id % 8 = 3 THEN 'jpeg' WHEN doc_id % 16 = 7 THEN 'gif'
-                    WHEN doc_id % 32 = 15 THEN 'mp3' ELSE
+                    WHEN doc_id % 32 = 15 THEN 'mp3'
+                    WHEN doc_id % 32 = 31 THEN 'jpeg' ELSE
                  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
                       WHEN 2 THEN 'wav' ELSE 'stub' END END AS codec,
-               CAST(CASE WHEN doc_id % 8 = 3 OR doc_id % 32 = 15 THEN -1
+               CAST(CASE WHEN doc_id % 8 = 3 OR doc_id % 32 = 15 OR doc_id % 32 = 31 THEN -1
                     WHEN doc_id % 16 = 7 THEN 4 + doc_id % 6 ELSE
                  CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 13
                       WHEN 1 THEN 1 + doc_id % 9 ELSE -1 END END AS BIGINT) AS meta_width,
-               CAST(CASE WHEN doc_id % 8 = 3 OR doc_id % 32 = 15 THEN -1
+               CAST(CASE WHEN doc_id % 8 = 3 OR doc_id % 32 = 15 OR doc_id % 32 = 31 THEN -1
                     WHEN doc_id % 16 = 7 THEN 3 + doc_id % 4 ELSE
                  CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 7
                       WHEN 1 THEN 1 + doc_id % 5 ELSE -1 END END AS BIGINT) AS meta_height,
