@@ -3276,6 +3276,20 @@ config:
                         from enrich_spark.datapipe.media_codecs import encode_avi
 
                         medias.append(encode_avi(64, 48, 25, did % 120))
+                    elif m == 2 and did % 16 == 6:
+                        # REAL ISO-BMFF container (media_codecs.
+                        # encode_mp4_header): mvhd duration, video-trak
+                        # tkhd dims and stsd codec fourcc all pure
+                        # doc_id arithmetic the oracle predicts
+                        from enrich_spark.datapipe.media_codecs import (
+                            encode_mp4_header,
+                        )
+
+                        vc = ["avc1", "hev1", "av01", "vp09"][(did // 16) % 4]
+                        medias.append(encode_mp4_header(
+                            1000 + did % 977, 16 * (1 + did % 60),
+                            9 * (1 + did % 60), vc, audio=True,
+                            mvhd_version=(did // 32) % 2))
                     elif m == 2:
                         n, v = 800 + (did % 100) * 8, did % 127
                         medias.append(encode_wav(8000, np.full(n, v, np.uint8)))
@@ -5361,59 +5375,73 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CASE WHEN doc_id % 8 = 3 THEN 'jpeg' WHEN doc_id % 16 = 7 THEN 'gif'
                     WHEN doc_id % 32 = 15 THEN 'mp3'
-                    WHEN doc_id % 32 = 31 THEN 'jpeg' ELSE
+                    WHEN doc_id % 32 = 31 THEN 'jpeg'
+                    WHEN doc_id % 16 = 6 THEN 'mp4' ELSE
                  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
                       WHEN 2 THEN 'wav' ELSE 'unknown' END END AS format,
                CASE WHEN doc_id % 8 = 3 OR doc_id % 16 = 7 THEN 'image'
                     WHEN doc_id % 32 = 15 THEN 'audio'
-                    WHEN doc_id % 32 = 31 THEN 'image' ELSE
+                    WHEN doc_id % 32 = 31 THEN 'image'
+                    WHEN doc_id % 16 = 6 THEN 'video' ELSE
                  CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'image'
                       WHEN 2 THEN 'audio' ELSE 'unknown' END END AS media_type,
                CAST(CASE WHEN doc_id % 8 = 3 THEN 8 + doc_id % 9
                     WHEN doc_id % 16 = 7 THEN 4 + doc_id % 6
                     WHEN doc_id % 32 = 15 THEN -1
-                    WHEN doc_id % 32 = 31 THEN 8 + doc_id % 9 ELSE
+                    WHEN doc_id % 32 = 31 THEN 8 + doc_id % 9
+                    WHEN doc_id % 16 = 6 THEN 16 * (1 + doc_id % 60) ELSE
                  CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 13
                       WHEN 1 THEN 1 + doc_id % 9 WHEN 2 THEN -1
                       ELSE 1 + ({_sha_byte(1)} % 64) END END AS BIGINT) AS width,
                CAST(CASE WHEN doc_id % 8 = 3 THEN 8 + doc_id % 5
                     WHEN doc_id % 16 = 7 THEN 3 + doc_id % 4
                     WHEN doc_id % 32 = 15 THEN -1
-                    WHEN doc_id % 32 = 31 THEN 8 + doc_id % 5 ELSE
+                    WHEN doc_id % 32 = 31 THEN 8 + doc_id % 5
+                    WHEN doc_id % 16 = 6 THEN 9 * (1 + doc_id % 60) ELSE
                  CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 7
                       WHEN 1 THEN 1 + doc_id % 5 WHEN 2 THEN -1
                       ELSE 1 + ({_sha_byte(2)} % 64) END END AS BIGINT) AS height,
                CAST(CASE WHEN doc_id % 8 = 3 OR doc_id % 16 = 7 THEN 3
                     WHEN doc_id % 32 = 15 THEN 2
-                    WHEN doc_id % 32 = 31 THEN 1 ELSE
+                    WHEN doc_id % 32 = 31 THEN 1
+                    WHEN doc_id % 16 = 6 THEN -1 ELSE
                  CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 3
                       WHEN 2 THEN 1 ELSE -1 END END AS BIGINT) AS channels,
                CAST(CASE WHEN doc_id % 32 = 15
                          THEN ((10 + doc_id % 50) * 1152000) // 44100
+                    WHEN doc_id % 16 = 6 THEN 1000 + doc_id % 977
                     WHEN doc_id % 4 = 2 THEN 100 + doc_id % 100
                     ELSE -1 END AS BIGINT) AS duration_ms,
                CAST(CASE WHEN doc_id % 8 = 3 THEN (doc_id * 7) % 256
                     WHEN doc_id % 16 = 7 THEN (doc_id * 11) % 256
                     WHEN doc_id % 32 = 15 THEN -1
-                    WHEN doc_id % 32 = 31 THEN (doc_id * 13) % 4096 ELSE
+                    WHEN doc_id % 32 = 31 THEN (doc_id * 13) % 4096
+                    WHEN doc_id % 16 = 6 THEN -1 ELSE
                  CASE doc_id % 4 WHEN 0 THEN doc_id % 256
                       WHEN 1 THEN (doc_id * 3) % 256
                       WHEN 2 THEN doc_id % 127 ELSE -1 END END AS DOUBLE) AS mean_val,
                CASE WHEN doc_id % 8 = 3 THEN 'jpeg' WHEN doc_id % 16 = 7 THEN 'gif'
                     WHEN doc_id % 32 = 15 THEN 'mp3'
-                    WHEN doc_id % 32 = 31 THEN 'jpeg' ELSE
+                    WHEN doc_id % 32 = 31 THEN 'jpeg'
+                    WHEN doc_id % 16 = 6 THEN 'mp4/' ||
+                      CASE (doc_id // 16) % 4 WHEN 0 THEN 'avc1'
+                           WHEN 1 THEN 'hev1' WHEN 2 THEN 'av01'
+                           ELSE 'vp09' END ELSE
                  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
                       WHEN 2 THEN 'wav' ELSE 'stub' END END AS codec,
-               CAST(CASE WHEN doc_id % 8 = 3 OR doc_id % 32 = 15 OR doc_id % 32 = 31 THEN -1
+               CAST(CASE WHEN doc_id % 8 = 3 OR doc_id % 32 = 15 OR doc_id % 32 = 31
+                         OR doc_id % 16 = 6 THEN -1
                     WHEN doc_id % 16 = 7 THEN 4 + doc_id % 6 ELSE
                  CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 13
                       WHEN 1 THEN 1 + doc_id % 9 ELSE -1 END END AS BIGINT) AS meta_width,
-               CAST(CASE WHEN doc_id % 8 = 3 OR doc_id % 32 = 15 OR doc_id % 32 = 31 THEN -1
+               CAST(CASE WHEN doc_id % 8 = 3 OR doc_id % 32 = 15 OR doc_id % 32 = 31
+                         OR doc_id % 16 = 6 THEN -1
                     WHEN doc_id % 16 = 7 THEN 3 + doc_id % 4 ELSE
                  CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 7
                       WHEN 1 THEN 1 + doc_id % 5 ELSE -1 END END AS BIGINT) AS meta_height,
                CAST(CASE WHEN doc_id % 32 = 15
                          THEN ((10 + doc_id % 50) * 417 * 8) // 128
+                    WHEN doc_id % 16 = 6 THEN -1
                     WHEN doc_id % 4 = 2 THEN 100 + doc_id % 100
                     ELSE -1 END AS BIGINT) AS meta_duration_ms
         FROM h

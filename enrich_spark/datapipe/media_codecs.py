@@ -662,3 +662,165 @@ def encode_tiff_header(width: int, height: int, big_endian: bool = False) -> byt
     ]
     return out + _s.pack(endian + "H", len(entries)) + b"".join(entries) \
         + _s.pack(endian + "I", 0)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF (public ISO/IEC 14496-12 box structure): moov metadata
+# walk — duration, presentation dims, track inventory, sample-entry
+# fourccs. Frame decode (H.264/HEVC/AV1) is out of scope; this is the
+# container layer a 100 TB video-curation pass routes and filters on.
+
+
+def _iter_boxes(data: bytes, lo: int, hi: int):
+    """Yield (fourcc, body_start, box_end) for each box in [lo, hi).
+    Handles 64-bit largesize (size==1) and to-end boxes (size==0);
+    stops at the first malformed/truncated box — partial metadata over
+    an exception, matching the other container parsers here."""
+    p = lo
+    while p + 8 <= hi:
+        size = int.from_bytes(data[p:p + 4], "big")
+        fourcc = data[p + 4:p + 8]
+        body = p + 8
+        if size == 1:
+            if p + 16 > hi:
+                return
+            size = int.from_bytes(data[p + 8:p + 16], "big")
+            body = p + 16
+        elif size == 0:
+            size = hi - p
+        if size < 8 or p + size > hi:
+            return
+        yield fourcc, body, p + size
+        p += size
+
+
+def _find_box(data: bytes, lo: int, hi: int, path: list[bytes]):
+    """First box at `path` (e.g. [b'moov', b'mvhd']) → (body, end) or None."""
+    for fourcc, body, end in _iter_boxes(data, lo, hi):
+        if fourcc == path[0]:
+            if len(path) == 1:
+                return body, end
+            return _find_box(data, body, end, path[1:])
+    return None
+
+
+def parse_mp4(data: bytes) -> tuple[int | None, int | None, int | None,
+                                    int, str | None, str | None]:
+    """ISO-BMFF metadata → (duration_ms, width, height, n_tracks,
+    video_codec, major_brand).
+
+    duration: moov>mvhd timescale+duration (version 0 and 1 layouts);
+    width/height: the video trak's tkhd 16.16 fixed-point presentation
+    size; video_codec: that trak's first stsd sample-entry fourcc
+    (avc1/hev1/vp09/av01...). Absent boxes yield None — honest partial
+    metadata, never a guess."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF stream: missing ftyp")
+    major_brand = data[8:12].decode("ascii", "replace")
+    n = len(data)
+
+    moov = _find_box(data, 0, n, [b"moov"])
+    if moov is None:
+        return None, None, None, 0, None, major_brand
+    mlo, mhi = moov
+
+    duration_ms = width = height = None
+    video_codec = None
+    n_tracks = 0
+
+    mvhd = _find_box(data, mlo, mhi, [b"mvhd"])
+    if mvhd is not None:
+        b, _ = mvhd
+        version = data[b]
+        if version == 1 and b + 32 <= mhi:
+            timescale = int.from_bytes(data[b + 20:b + 24], "big")
+            duration = int.from_bytes(data[b + 24:b + 32], "big")
+        elif b + 24 <= mhi:
+            timescale = int.from_bytes(data[b + 12:b + 16], "big")
+            duration = int.from_bytes(data[b + 16:b + 20], "big")
+        else:
+            timescale = 0
+            duration = 0
+        if timescale > 0:
+            duration_ms = duration * 1000 // timescale
+
+    for fourcc, tlo, thi in _iter_boxes(data, mlo, mhi):
+        if fourcc != b"trak":
+            continue
+        n_tracks += 1
+        hdlr = _find_box(data, tlo, thi, [b"mdia", b"hdlr"])
+        handler = data[hdlr[0] + 8:hdlr[0] + 12] if hdlr else b""
+        if handler != b"vide":
+            continue
+        tkhd = _find_box(data, tlo, thi, [b"tkhd"])
+        if tkhd is not None:
+            b, e = tkhd
+            off = b + (88 if data[b] == 1 else 76)  # v1: 64-bit times
+            if off + 8 <= e:
+                w = int.from_bytes(data[off:off + 4], "big") >> 16
+                h = int.from_bytes(data[off + 4:off + 8], "big") >> 16
+                if w and h:
+                    width, height = w, h
+        stsd = _find_box(data, tlo, thi,
+                         [b"mdia", b"minf", b"stbl", b"stsd"])
+        if stsd is not None and video_codec is None:
+            b, e = stsd
+            entry_count = int.from_bytes(data[b + 4:b + 8], "big")
+            if entry_count > 0 and b + 16 <= e:
+                video_codec = data[b + 12:b + 16].decode("ascii", "replace")
+    return duration_ms, width, height, n_tracks, video_codec, major_brand
+
+
+def encode_mp4_header(duration_ms: int, width: int, height: int,
+                      video_codec: str = "avc1", timescale: int = 1000,
+                      audio: bool = False, mvhd_version: int = 0) -> bytes:
+    """Fixture: a structurally valid ftyp+moov (no mdat — frame decode
+    is out of scope) carrying real mvhd duration, tkhd dims, hdlr
+    handler types, and stsd sample-entry fourccs."""
+    import struct as _s
+
+    def box(t: bytes, *parts: bytes) -> bytes:
+        body = b"".join(parts)
+        return _s.pack(">I", len(body) + 8) + t + body
+
+    duration = duration_ms * timescale // 1000
+    matrix = _s.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0,
+                     0, 0, 0x40000000)
+    if mvhd_version == 1:
+        mvhd = box(b"mvhd", bytes([1, 0, 0, 0]), _s.pack(">QQIQ", 0, 0,
+                   timescale, duration), _s.pack(">ihhQ", 0x00010000,
+                   0x0100, 0, 0), matrix, b"\x00" * 24,
+                   _s.pack(">I", audio + 2))
+    else:
+        mvhd = box(b"mvhd", bytes(4), _s.pack(">IIII", 0, 0, timescale,
+                   duration), _s.pack(">ihhQ", 0x00010000, 0x0100, 0, 0),
+                   matrix, b"\x00" * 24, _s.pack(">I", audio + 2))
+
+    def trak(track_id: int, handler: bytes, entry_fourcc: str,
+             w: int = 0, h: int = 0) -> bytes:
+        tkhd = box(b"tkhd", bytes([0, 0, 0, 7]),
+                   _s.pack(">IIIII", 0, 0, track_id, 0, duration),
+                   bytes(8), _s.pack(">hhhh", 0, 0, 0x0100, 0), matrix,
+                   _s.pack(">II", w << 16, h << 16))
+        hdlr = box(b"hdlr", bytes(8), handler, bytes(12), b"\x00")
+        # VisualSampleEntry body: 6 reserved + data_ref_index(2) + 16
+        # pre_defined/reserved + width/height(2+2) + resolutions etc.
+        entry_body = (bytes(6) + _s.pack(">H", 1) + bytes(16)
+                      + _s.pack(">HH", w, h) + _s.pack(">II", 0x00480000,
+                      0x00480000) + bytes(4) + _s.pack(">H", 1)
+                      + bytes(32) + _s.pack(">Hh", 0x18, -1))
+        stsd = box(b"stsd", bytes(4), _s.pack(">I", 1),
+                   box(entry_fourcc.encode("ascii"), entry_body))
+        mdhd = box(b"mdhd", bytes(4), _s.pack(">IIII", 0, 0, timescale,
+                   duration), _s.pack(">HH", 0x55C4, 0))
+        stbl = box(b"stbl", stsd)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd, hdlr, minf)
+        return box(b"trak", tkhd, mdia)
+
+    traks = trak(1, b"vide", video_codec, width, height)
+    if audio:
+        traks += trak(2, b"soun", "mp4a")
+    ftyp = box(b"ftyp", b"isom", _s.pack(">I", 0x200),
+               b"isomiso2" + video_codec.encode("ascii")[:4].ljust(4, b" "))
+    return ftyp + box(b"moov", mvhd, traks)

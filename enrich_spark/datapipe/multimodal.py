@@ -94,6 +94,7 @@ def attach_media_meta(df: DataFrame, binary_col: str = "media") -> DataFrame:
         .when(head.startswith("52494646") & (riff_kind == "57454250"), "webp")  # WEBP
         .when(head.startswith("52494646") & (riff_kind == "41564920"), "avi")   # 'AVI '
         .when(head.startswith("1A45DFA3"), "webm")
+        .when(F.hex(F.substring(b, 5, 4)) == "66747970", "mp4")  # ....ftyp
         .when(head.startswith("FFFB") | head.startswith("FFFA")
               | head.startswith("FFF3") | head.startswith("FFF2")
               | head.startswith("494433"), "mp3")  # MPEG L3 sync / ID3
@@ -103,7 +104,7 @@ def attach_media_meta(df: DataFrame, binary_col: str = "media") -> DataFrame:
     media_type = (
         F.when(fmt.isin("png", "jpeg", "gif", "bmp", "webp", "tiff"), "image")
         .when(fmt.isin("wav", "mp3"), "audio")
-        .when(fmt.isin("webm", "avi"), "video")
+        .when(fmt.isin("webm", "avi", "mp4"), "video")
         .otherwise("unknown")
     )
     # canonical-layout guards
@@ -220,6 +221,13 @@ def _decode_one(data: bytes) -> dict:
             # metadata-only (strip/compression decode out of scope)
             return dict(width=w, height=h, channels=None, duration_ms=None,
                         mean_val=None, features=[], codec="tiff")
+        if len(data) >= 12 and data[4:8] == b"ftyp":
+            dur, w, h, n_tracks, vcodec, _brand = mc.parse_mp4(data)
+            # metadata-only (H.264/HEVC/AV1 frame decode out of scope):
+            # duration/dims/codec are real ISO-BMFF moov values
+            return dict(width=w, height=h, channels=None,
+                        duration_ms=dur, mean_val=None, features=[],
+                        codec=f"mp4/{vcodec}" if vcodec else "mp4")
         if data[:4] == b"\x1a\x45\xdf\xa3":
             dur, w, h = mc.parse_webm(data)
             # metadata-only (VP8/VP9/AV1 frame decode out of scope):

@@ -2068,3 +2068,49 @@ def test_jpeg_12bit_extended_sequential():
         encode_jpeg(8, 8, flat[:8, :8], precision=12, progressive=True)
     with pytest.raises(ValueError):
         encode_jpeg(8, 8, np.zeros((8, 8, 4), np.uint16), precision=12)
+
+
+def test_mp4_metadata():
+    """ISO-BMFF box walk (media_codecs.parse_mp4): mvhd v0/v1 duration,
+    video-trak tkhd dims, stsd codec fourcc, track inventory; hostile
+    bytes reject as ValueError and truncated moov yields partial
+    metadata, never an exception."""
+    import pytest
+
+    from enrich_spark.datapipe.media_codecs import (encode_mp4_header,
+                                                    parse_mp4)
+    from enrich_spark.datapipe.multimodal import _decode_one
+
+    for version in (0, 1):
+        blob = encode_mp4_header(125000, 1920, 1080, "avc1", audio=True,
+                                 mvhd_version=version)
+        assert parse_mp4(blob) == (125000, 1920, 1080, 2, "avc1", "isom")
+    dur, w, h, n, codec, brand = parse_mp4(
+        encode_mp4_header(30000, 640, 360, "av01"))
+    assert (dur, w, h, n, codec) == (30000, 640, 360, 1, "av01")
+    with pytest.raises(ValueError):
+        parse_mp4(b"not an mp4 at all")
+    # truncated mid-moov: partial metadata, no exception
+    blob = encode_mp4_header(9000, 320, 240)
+    assert parse_mp4(blob[:40])[5] == "isom"
+
+    row = _decode_one(encode_mp4_header(125000, 1920, 1080, "hev1"))
+    assert (row["codec"], row["duration_ms"], row["width"],
+            row["height"]) == ("mp4/hev1", 125000, 1920, 1080)
+    assert row["mean_val"] is None  # metadata-only, honestly flagged
+
+
+def test_attach_media_meta_mp4_routing(spark):
+    """The native planner routes ftyp streams as video/mp4 with zero
+    Python (box layouts vary, so dims stay NULL for the kernel)."""
+    from enrich_spark.datapipe.media_codecs import encode_mp4_header
+    from enrich_spark.datapipe.multimodal import attach_media_meta
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_mp4_header(5000, 640, 480)))],
+        "id INT, media BINARY")
+    out = attach_media_meta(df).select("id", "media_meta.*")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    row = out.collect()[0]
+    assert (row.format, row.media_type) == ("mp4", "video")
