@@ -3263,7 +3263,19 @@ config:
                 medias = []
                 for did, text in zip(pdf["doc_id"], pdf["text"]):
                     did, m = int(did), int(did) % 4
-                    if m == 0:
+                    if m == 0 and did % 32 == 20:
+                        # REAL LOSSLESS JPEG (SOF3 predictive, jpeg.py):
+                        # a flat gray plane round-trips bit-exact by
+                        # definition, so the oracle predicts the mean
+                        from enrich_spark.datapipe.jpeg import (
+                            encode_jpeg_lossless,
+                        )
+
+                        w, h, v = 1 + did % 11, 1 + did % 6, did % 256
+                        medias.append(encode_jpeg_lossless(
+                            w, h, np.full((h, w), v, np.uint16),
+                            predictor=1 + did % 7))
+                    elif m == 0:
                         w, h, v = 1 + did % 13, 1 + did % 7, did % 256
                         medias.append(encode_png(w, h, np.full((h, w * 3), v, np.uint8)))
                     elif m == 1:
@@ -5376,20 +5388,23 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN doc_id % 8 = 3 THEN 'jpeg' WHEN doc_id % 16 = 7 THEN 'gif'
                     WHEN doc_id % 32 = 15 THEN 'mp3'
                     WHEN doc_id % 32 = 31 THEN 'jpeg'
-                    WHEN doc_id % 16 = 6 THEN 'mp4' ELSE
+                    WHEN doc_id % 16 = 6 THEN 'mp4'
+                    WHEN doc_id % 32 = 20 THEN 'jpeg' ELSE
                  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
                       WHEN 2 THEN 'wav' ELSE 'unknown' END END AS format,
                CASE WHEN doc_id % 8 = 3 OR doc_id % 16 = 7 THEN 'image'
                     WHEN doc_id % 32 = 15 THEN 'audio'
                     WHEN doc_id % 32 = 31 THEN 'image'
-                    WHEN doc_id % 16 = 6 THEN 'video' ELSE
+                    WHEN doc_id % 16 = 6 THEN 'video'
+                    WHEN doc_id % 32 = 20 THEN 'image' ELSE
                  CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'image'
                       WHEN 2 THEN 'audio' ELSE 'unknown' END END AS media_type,
                CAST(CASE WHEN doc_id % 8 = 3 THEN 8 + doc_id % 9
                     WHEN doc_id % 16 = 7 THEN 4 + doc_id % 6
                     WHEN doc_id % 32 = 15 THEN -1
                     WHEN doc_id % 32 = 31 THEN 8 + doc_id % 9
-                    WHEN doc_id % 16 = 6 THEN 16 * (1 + doc_id % 60) ELSE
+                    WHEN doc_id % 16 = 6 THEN 16 * (1 + doc_id % 60)
+                    WHEN doc_id % 32 = 20 THEN 1 + doc_id % 11 ELSE
                  CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 13
                       WHEN 1 THEN 1 + doc_id % 9 WHEN 2 THEN -1
                       ELSE 1 + ({_sha_byte(1)} % 64) END END AS BIGINT) AS width,
@@ -5397,14 +5412,16 @@ def oracle_sql() -> dict[str, str]:
                     WHEN doc_id % 16 = 7 THEN 3 + doc_id % 4
                     WHEN doc_id % 32 = 15 THEN -1
                     WHEN doc_id % 32 = 31 THEN 8 + doc_id % 5
-                    WHEN doc_id % 16 = 6 THEN 9 * (1 + doc_id % 60) ELSE
+                    WHEN doc_id % 16 = 6 THEN 9 * (1 + doc_id % 60)
+                    WHEN doc_id % 32 = 20 THEN 1 + doc_id % 6 ELSE
                  CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 7
                       WHEN 1 THEN 1 + doc_id % 5 WHEN 2 THEN -1
                       ELSE 1 + ({_sha_byte(2)} % 64) END END AS BIGINT) AS height,
                CAST(CASE WHEN doc_id % 8 = 3 OR doc_id % 16 = 7 THEN 3
                     WHEN doc_id % 32 = 15 THEN 2
                     WHEN doc_id % 32 = 31 THEN 1
-                    WHEN doc_id % 16 = 6 THEN -1 ELSE
+                    WHEN doc_id % 16 = 6 THEN -1
+                    WHEN doc_id % 32 = 20 THEN 1 ELSE
                  CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 3
                       WHEN 2 THEN 1 ELSE -1 END END AS BIGINT) AS channels,
                CAST(CASE WHEN doc_id % 32 = 15
@@ -5416,7 +5433,8 @@ def oracle_sql() -> dict[str, str]:
                     WHEN doc_id % 16 = 7 THEN (doc_id * 11) % 256
                     WHEN doc_id % 32 = 15 THEN -1
                     WHEN doc_id % 32 = 31 THEN (doc_id * 13) % 4096
-                    WHEN doc_id % 16 = 6 THEN -1 ELSE
+                    WHEN doc_id % 16 = 6 THEN -1
+                    WHEN doc_id % 32 = 20 THEN doc_id % 256 ELSE
                  CASE doc_id % 4 WHEN 0 THEN doc_id % 256
                       WHEN 1 THEN (doc_id * 3) % 256
                       WHEN 2 THEN doc_id % 127 ELSE -1 END END AS DOUBLE) AS mean_val,
@@ -5426,16 +5444,17 @@ def oracle_sql() -> dict[str, str]:
                     WHEN doc_id % 16 = 6 THEN 'mp4/' ||
                       CASE (doc_id // 16) % 4 WHEN 0 THEN 'avc1'
                            WHEN 1 THEN 'hev1' WHEN 2 THEN 'av01'
-                           ELSE 'vp09' END ELSE
+                           ELSE 'vp09' END
+                    WHEN doc_id % 32 = 20 THEN 'jpeg' ELSE
                  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
                       WHEN 2 THEN 'wav' ELSE 'stub' END END AS codec,
                CAST(CASE WHEN doc_id % 8 = 3 OR doc_id % 32 = 15 OR doc_id % 32 = 31
-                         OR doc_id % 16 = 6 THEN -1
+                         OR doc_id % 16 = 6 OR doc_id % 32 = 20 THEN -1
                     WHEN doc_id % 16 = 7 THEN 4 + doc_id % 6 ELSE
                  CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 13
                       WHEN 1 THEN 1 + doc_id % 9 ELSE -1 END END AS BIGINT) AS meta_width,
                CAST(CASE WHEN doc_id % 8 = 3 OR doc_id % 32 = 15 OR doc_id % 32 = 31
-                         OR doc_id % 16 = 6 THEN -1
+                         OR doc_id % 16 = 6 OR doc_id % 32 = 20 THEN -1
                     WHEN doc_id % 16 = 7 THEN 3 + doc_id % 4 ELSE
                  CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 7
                       WHEN 1 THEN 1 + doc_id % 5 ELSE -1 END END AS BIGINT) AS meta_height,

