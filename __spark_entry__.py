@@ -23,6 +23,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from enrich_spark.datapipe.bpe import apply_bpe_sql as _bpe_apply_sql
+from enrich_spark.datapipe.unigram import (
+    apply_unigram_sql as _unigram_apply_sql,
+)
 from enrich_spark.datapipe.text import bm25_score_sql as _bm25_sql
 from enrich_spark.datapipe.webtext import url_normalize_sql as _url_norm_sql
 
@@ -65,6 +68,46 @@ _BPE_MERGES = [
     ("a", "lu"), ("alu", "e_"), ("v", "alue_"), ("in", "e_"),
     ("l", "ine_"), ("e", "y_"), ("k", "ey_"), ("i", "n_"), ("j", "o"),
     ("jo", "in_"),
+]
+
+# Unigram-LM piece table learned by datapipe/unigram.train_unigram from
+# the sf0.001 documents corpus (vocab 96, seed 2000, max piece 5, 4 EM
+# iterations — deterministic; golden-tested in tests/test_datapipe.py).
+# Costs are integer micro-nats; shared verbatim by the native Viterbi
+# plan and the DuckDB recursive-CTE oracle.
+_UNIGRAM_PIECES = [
+    ("a", 3586297), ("agg", 3562950), ("am", 20590579), ("b", 104178431),
+    ("batch", 3609119), ("big", 3631342), ("c", 4312793), ("co", 16667866),
+    ("col", 17068104), ("colu", 15955125), ("colum", 4153916),
+    ("ctor", 28878211), ("cus", 9404456), ("cust", 9292526),
+    ("custo", 3639085), ("d", 7055267), ("dat", 17628549),
+    ("data", 3624624), ("dow", 19807510), ("e", 24055558),
+    ("eam", 19428573), ("ector", 23276503), ("er", 14670650),
+    ("f", 23840725), ("fast", 3605828), ("fi", 29730563),
+    ("fil", 29243424), ("filt", 15527752), ("filte", 3601463),
+    ("g", 48608821), ("gg", 17566874), ("group", 3583087),
+    ("h", 67085451), ("hash", 3594934), ("i", 33641810),
+    ("ilter", 24082917), ("indow", 4234042), ("j", 96979470),
+    ("join", 3580948), ("k", 51327436), ("key", 3571379),
+    ("l", 33127291), ("line", 3570321), ("lter", 29730563),
+    ("lumn", 16667440), ("m", 8620095), ("mer", 3639094),
+    ("merge", 3582017), ("mn", 16733475), ("n", 4153903),
+    ("ndow", 19820322), ("o", 19397334), ("olumn", 4312806),
+    ("omer", 9292538), ("or", 19526337), ("order", 3540126),
+    ("ow", 8986297), ("p", 7055268), ("par", 36151623),
+    ("part", 3552510), ("q", 132368623), ("query", 3583087),
+    ("r", 2899379), ("ream", 12845560), ("row", 3661519),
+    ("s", 3605978), ("scan", 3530943), ("slow", 3597104),
+    ("small", 3622394), ("sort", 3541152), ("spark", 3609119),
+    ("st", 12844404), ("str", 21045236), ("stre", 17858014),
+    ("strea", 8621897), ("t", 22966354), ("table", 3616841),
+    ("ter", 29243731), ("the", 3609119), ("tomer", 9404229),
+    ("tor", 28662429), ("tream", 3605984), ("u", 7055246),
+    ("umn", 17070189), ("v", 23276503), ("value", 3566102),
+    ("ve", 28862716), ("vec", 28675067), ("vect", 19523130),
+    ("vecto", 3586304), ("w", 3540894), ("wi", 19803153),
+    ("win", 19692314), ("wind", 9863699), ("windo", 4234042),
+    ("y", 99478368),
 ]
 
 
@@ -3201,6 +3244,17 @@ config:
             F.col("doc_id").cast("long").alias("doc_id"),
             "n_words", "n_tokens", "tokens_head")
 
+    def q_unigram(spark, sf):
+        # unigram-LM tokenization with the fixed _UNIGRAM_PIECES table
+        # (datapipe/unigram.train_unigram — distributed word-freq agg +
+        # bounded driver EM; apply is a zero-Python aggregate-fold
+        # Viterbi with the piece table as ONE map literal)
+        from enrich_spark.datapipe.unigram import apply_unigram
+
+        return apply_unigram(_load_docs(spark, sf), _UNIGRAM_PIECES).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_words", "n_tokens", "cost_unats")
+
     def q_text_analysis(spark, sf):
         # the text-analysis operator family bundled into ONE oracle row
         # (driver caps the correctness gate at 50 queries — standalone
@@ -3219,6 +3273,7 @@ config:
              ("lm", q_bigram_lm(spark, sf)),
              ("html", q_html_extract(spark, sf)),
              ("bpe", q_bpe(spark, sf)),
+             ("unigram", q_unigram(spark, sf)),
              ("url", q_url_normalize(spark, sf)),
              ("bm25", q_bm25(spark, sf))],
             fill=("doc_id", "n_chars", "n_words", "mean_word_len",
@@ -3235,7 +3290,7 @@ config:
                   "anchor_chars", "text_density_bp", "link_density_bp",
                   "is_boilerplate", "n_tokens",
                   "path_depth", "n_params", "n_tracking",
-                  "bm_dl", "bm25", "n_hit_terms"),
+                  "bm_dl", "bm25", "n_hit_terms", "cost_unats"),
         )
 
     q["text_analysis"] = q_text_analysis
@@ -3494,6 +3549,7 @@ config:
         "dedup_ngram_jaccard": q_ngram_prefix,
         # r8 operators (merged into bundles for the 50-cap gate)
         "bpe_tokenize": q_bpe,
+        "unigram_tokenize": q_unigram,
         "url_normalize": q_url_normalize,
         "html_extract": q_html_extract,
         "warc_parse": q_warc,
@@ -5680,6 +5736,10 @@ def oracle_sql() -> dict[str, str]:
         ("bpe", _bpe_apply_sql("documents", "doc_id", "text", _BPE_MERGES),
          {"doc_id": "num", "n_words": "num", "n_tokens": "num",
           "tokens_head": "str"}),
+        ("unigram", _unigram_apply_sql("documents", "doc_id", "text",
+                                       _UNIGRAM_PIECES),
+         {"doc_id": "num", "n_words": "num", "n_tokens": "num",
+          "cost_unats": "num"}),
         ("bm25",
          "select doc_id, dl as bm_dl, bm25, n_hit_terms from ("
          + _bm25_sql("documents", "doc_id", "text",
