@@ -764,3 +764,28 @@ def make_remote_adapter(transport):
 
     return remote
 
+
+def http_transport(url: str, timeout: float = 10.0,
+                   headers: dict | None = None):
+    """The production transport: POST the payload JSON to the remote
+    adapter's HTTP endpoint and return the response body
+    (RemoteAdapter.scala:76-100 does the same over http4s). Returned
+    callable is picklable, so it works inside the adapter UDF on
+    executors."""
+    return _HttpTransport(url, timeout, dict(headers or {}))
+
+
+class _HttpTransport:
+    def __init__(self, url: str, timeout: float, headers: dict):
+        self.url, self.timeout, self.headers = url, timeout, headers
+
+    def __call__(self, payload_json: str) -> str:
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url, data=payload_json.encode("utf-8"),
+            headers={"Content-Type": "application/json", **self.headers},
+            method="POST")
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return resp.read().decode("utf-8")
+

@@ -1114,15 +1114,24 @@ def _decode_lossless_stream(data: bytes) -> tuple[int, int, int, np.ndarray]:
                     huff_dc[th] = _HuffTable(counts, symbols)
                 j += 17 + cnt
         elif marker == 0xDD:  # DRI
+            if len(payload) < 2:
+                raise ValueError("truncated DRI segment")
             restart_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:  # SOS
+            if len(payload) < 1:
+                raise ValueError("truncated SOS segment")
             ns = payload[0]
+            if len(payload) < 4 + 2 * ns:
+                raise ValueError("truncated SOS segment")
             predictor, _se, ahal = payload[1 + 2 * ns:4 + 2 * ns]
             pt = ahal & 0x0F
             sel = []
             for s in range(ns):
                 cs, tdta = payload[1 + s * 2:3 + s * 2]
-                idx = next(k for k, c in enumerate(comps) if c[0] == cs)
+                idx = next(
+                    (k for k, c in enumerate(comps) if c[0] == cs), None)
+                if idx is None:
+                    raise ValueError("SOS references unknown component")
                 table = huff_dc.get(tdta >> 4)
                 if table is None:
                     raise ValueError("SOS references undefined DC table")

@@ -730,12 +730,15 @@ def parse_mp4(data: bytes) -> tuple[int | None, int | None, int | None,
 
     mvhd = _find_box(data, mlo, mhi, [b"mvhd"])
     if mvhd is not None:
-        b, _ = mvhd
-        version = data[b]
-        if version == 1 and b + 32 <= mhi:
+        # bound reads against the mvhd box's OWN end, not the enclosing
+        # moov end — a truncated mvhd must yield None, never bytes of
+        # the next sibling box misread as timescale/duration
+        b, e = mvhd
+        version = data[b] if b < e else 0xFF
+        if version == 1 and b + 32 <= e:
             timescale = int.from_bytes(data[b + 20:b + 24], "big")
             duration = int.from_bytes(data[b + 24:b + 32], "big")
-        elif b + 24 <= mhi:
+        elif version == 0 and b + 24 <= e:
             timescale = int.from_bytes(data[b + 12:b + 16], "big")
             duration = int.from_bytes(data[b + 16:b + 20], "big")
         else:

@@ -255,7 +255,11 @@ def apply_unigram(
         F.col(id_col),
         F.size(words).cast("long").alias("n_words"),
         n_tok.alias("n_tokens"),
-        ((tot - n_tok) / _PIECES_BITS).cast("long").alias("cost_unats"),
+        # integer shift, NOT `/` + cast: float division round-trips
+        # through double and loses exactness past 2^53, diverging from
+        # the oracle's integer (tot - n_tok) // 64; the packed sum is
+        # non-negative so >> 6 IS floor-division by _PIECES_BITS
+        F.shiftright((tot - n_tok).cast("long"), 6).alias("cost_unats"),
     )
 
 

@@ -55,10 +55,12 @@ class EnrichResult:
     all: DataFrame  # annotated superset, for tests/metrics
 
 
-def enrich(payloads: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> EnrichResult:
+def enrich(payloads: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession,
+           observation=None) -> EnrichResult:
     """Full pipeline: CollectorPayload rows → adapter explode → enrich_raw."""
     return enrich_raw(
-        adapters.adapt(payloads, remote_adapters=cfg.remote_adapters), cfg, spark
+        adapters.adapt(payloads, remote_adapters=cfg.remote_adapters), cfg,
+        spark, observation=observation
     )
 
 
@@ -71,7 +73,8 @@ _CONTEXT_DEFAULTS = {
 }
 
 
-def enrich_raw(df: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> EnrichResult:
+def enrich_raw(df: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession,
+               observation=None) -> EnrichResult:
     """Pipeline from RawEvent rows (`parameters MAP<STRING,STRING>` +
     payload context columns; missing context columns default to NULL)."""
     df = df.withColumns({
@@ -289,6 +292,17 @@ def enrich_raw(df: DataFrame, cfg: EnrichmentsConfig, spark: SparkSession) -> En
             F.array_append(F.col(sql_ops.DERIVED_COL), failure_entity),
         ).otherwise(F.col(sql_ops.DERIVED_COL)),
     )
+    if observation is not None:
+        # batch-level metrics (oldest event, failed count) ride the
+        # annotated frame as a CollectMetrics node BELOW the tri-state
+        # split, so a caller that persists `all` and writes the three
+        # sinks gets them for free from the cache-materializing job —
+        # and cache-fragment substitution still matches, because the
+        # sink filters are built OVER the observed plan
+        annotated = annotated.observe(
+            observation,
+            F.min("collector_tstamp").alias("oldest"),
+            F.sum(F.col("_is_failed").cast("long")).alias("n_failed"))
     return EnrichResult(
         good=annotated.where(~F.col("_is_bad") & ~F.col("_is_failed")),
         bad=annotated.where(F.col("_is_bad")),

@@ -87,21 +87,28 @@ def _drain(stream, max_single: int):
         yield (payload, None)
 
 
+def debatch_bytes(data, max_bytes_single_payload: int = 1 << 20):
+    """One message → list of (payload, error) records. Kernel of the
+    de-batch UDF, module-level so the protocol logic (including the
+    zstd drain path) is testable without an executor round trip."""
+    if data is None:
+        return [(None, "null message bytes")]
+    raw = bytes(data)
+    stream = _open_stream(raw)
+    if stream is False:
+        return [(raw, None)]  # plain single payload
+    if stream is None:
+        return [(None, "zstd-compressed message but no zstd decoder available")]
+    try:
+        return list(_drain(stream, max_bytes_single_payload))
+    except (OSError, EOFError, struct.error) as e:
+        return [(None, f"corrupt compressed input: {e}")]
+
+
 def make_debatch_udf(max_bytes_single_payload: int = 1 << 20):
     @F.udf(returnType=RESULT_TYPE)
     def debatch(data):
-        if data is None:
-            return [(None, "null message bytes")]
-        raw = bytes(data)
-        stream = _open_stream(raw)
-        if stream is False:
-            return [(raw, None)]  # plain single payload
-        if stream is None:
-            return [(None, "zstd-compressed message but no zstd decoder available")]
-        try:
-            return list(_drain(stream, max_bytes_single_payload))
-        except (OSError, EOFError, struct.error) as e:
-            return [(None, f"corrupt compressed input: {e}")]
+        return debatch_bytes(data, max_bytes_single_payload)
 
     return debatch
 

@@ -76,14 +76,17 @@ def nsq_sink_conf_from_dict(d: dict) -> NsqSinkConf:
     from .connectors import sink_conf_from_dict
     # reuse the HOCON-duration logic via the kinesis decoder by mapping
     # NSQ's `backoffPolicy` onto the field it reads
-    base = sink_conf_from_dict(
-        {**d, "throttledBackoffPolicy": d.get("backoffPolicy", {})})
+    backoff = d.get("backoffPolicy", {}) or {}
+    base = sink_conf_from_dict({**d, "throttledBackoffPolicy": backoff})
     return NsqSinkConf(
         topic=d.get("topic", ""),
         nsqd_host=d.get("nsqdHost", "127.0.0.1"),
         nsqd_port=int(d.get("nsqdPort", 4150)),
         byte_limit=int(d.get("byteLimit", 5_000_000)),
-        max_retries=int(d.get("maxRetries", 10)),
+        # the reference nests maxRetries INSIDE backoffPolicy
+        # (config.nsq.reference.hocon:40-44), unlike kinesis where it is
+        # a sibling of throttledBackoffPolicy — read nested first
+        max_retries=int(backoff.get("maxRetries", d.get("maxRetries", 10))),
         min_backoff_s=base.min_backoff_s,
         max_backoff_s=base.max_backoff_s,
     )
@@ -319,10 +322,15 @@ def nsq_microbatch(spark, source_conf, nsqd: tuple[str, int] | None = None,
                    max_messages: int = 1000, poll_timeout_s: float = 1.0,
                    parallelism: int = 1):
     """Drain up to `max_messages` from (topic, channel) into a DataFrame
-    with the connector-normal shape (value binary + metadata), FINing
-    each message on receipt. `nsqd` overrides lookupd discovery (tests,
-    or a direct-nsqd deployment). `parallelism` opens k connections on
-    the SAME channel — NSQ's unit of consumer scale-out."""
+    with the connector-normal shape (value binary + metadata).
+
+    At-least-once: FIN is DEFERRED until the whole drain succeeds — a
+    failure mid-drain REQs (requeues) every received-but-unacked message
+    so nsqd redelivers it, matching the reference app's process-then-ack
+    flow (modules/nsq/.../Source.scala acks after the batch is handed to
+    the pipeline, never on receipt). `nsqd` overrides lookupd discovery
+    (tests, or a direct-nsqd deployment). `parallelism` opens k
+    connections on the SAME channel — NSQ's unit of consumer scale-out."""
     from pyspark.sql import types as T
 
     if nsqd is None:
@@ -334,6 +342,7 @@ def nsq_microbatch(spark, source_conf, nsqd: tuple[str, int] | None = None,
 
     rows = []
     clients = []
+    pending: list[tuple[NsqdClient, str]] = []  # (conn, msg_id) to ack
     try:
         for _ in range(max(1, parallelism)):
             c = NsqdClient(*nsqd).connect()
@@ -350,9 +359,29 @@ def nsq_microbatch(spark, source_conf, nsqd: tuple[str, int] | None = None,
             msg = c.read_message(timeout=0.05)
             if msg is None:
                 continue
-            c.fin(msg.id)
+            pending.append((c, msg.id))
             rows.append((bytearray(msg.body), msg.id, msg.attempts,
                          msg.timestamp_ns))
+        # drain complete → ack everything on its own connection
+        for c, mid in pending:
+            c.fin(mid)
+        pending.clear()
+    except BaseException:
+        # requeue everything we received but never acked so nsqd
+        # redelivers (attempts increments); best-effort — a dead socket
+        # requeues via nsqd's msg_timeout anyway. RDY 0 first so nsqd
+        # stops pushing to this dying connection (standard client flow).
+        for c in clients:
+            try:
+                c.rdy(0)
+            except Exception:
+                pass
+        for c, mid in pending:
+            try:
+                c.req(mid, 0)
+            except Exception:
+                pass
+        raise
     finally:
         for c in clients:
             c.close()

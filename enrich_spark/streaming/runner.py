@@ -125,7 +125,8 @@ def windowed_metadata_stream(
     )
 
 
-def enrich_batch(batch_df: DataFrame, cfg: StreamConfig, spark: SparkSession):
+def enrich_batch(batch_df: DataFrame, cfg: StreamConfig, spark: SparkSession,
+                 observation=None):
     """One micro-batch through the full pipeline. Returns (good_tsv, bad_json,
     failed_tsv, metadata, annotated) DataFrames — shared by the streaming and
     batch entry points. All four outputs are filters over `annotated`;
@@ -136,7 +137,7 @@ def enrich_batch(batch_df: DataFrame, cfg: StreamConfig, spark: SparkSession):
     loaded = loaded.withColumn(
         "loader_error", F.coalesce(F.col("loader_error"), F.col("decompress_error"))
     )
-    res = enrich(loaded, cfg.enrichments, spark)
+    res = enrich(loaded, cfg.enrichments, spark, observation=observation)
 
     good_tsv = to_tsv(res.good, max_bytes=cfg.sink_max_bytes)
     # OptionIor.Both: failed events → failed TSV sink AND an
@@ -168,23 +169,43 @@ def enrich_batch(batch_df: DataFrame, cfg: StreamConfig, spark: SparkSession):
     )
 
 
-def run_stream(
-    spark: SparkSession,
-    source: DataFrame,
-    sinks: StreamSinks,
-    cfg: StreamConfig | None = None,
-):
-    """Wire the pipeline into a foreachBatch streaming query and start it."""
-    cfg = cfg or StreamConfig()
+def make_batch_processor(spark: SparkSession, sinks: StreamSinks,
+                         cfg: StreamConfig):
+    """The foreachBatch body, exposed for direct (job-countable) tests."""
 
     def process(batch_df: DataFrame, batch_id: int):
+        from pyspark.sql import Observation
+
         if cfg.observers is not None and cfg.observers.health is not None:
             cfg.observers.health.batch_started()
         if cfg.assets is not None:
             changed = cfg.assets.maybe_refresh()
             if changed and cfg.rebuild is not None:
                 cfg.enrichments = cfg.rebuild(cfg.assets)
-        good, bad, failed, meta, annotated = enrich_batch(batch_df, cfg, spark)
+        # per-batch counters ride the sink writes as observe() metrics
+        # (CollectMetrics plan nodes) — ZERO extra jobs, and no re-read
+        # of the raw source just to count it (a Kafka/NSQ micro-batch
+        # re-pull is not free the way a parquet re-scan is)
+        want_obs = cfg.observers is not None
+        raw_obs = ann_obs = good_obs = bad_obs = failed_obs = None
+        if want_obs:
+            raw_obs = Observation()
+            batch_df = batch_df.observe(
+                raw_obs, F.count(F.lit(1)).alias("n"))
+            # ann_obs rides the annotated frame BELOW the tri-state
+            # split (pipeline.enrich_raw) — oldest collector_tstamp and
+            # the failed-count fallback come out of the same job that
+            # materializes the annotated cache, not an aggregate of
+            # their own
+            ann_obs = Observation()
+        good, bad, failed, meta, annotated = enrich_batch(
+            batch_df, cfg, spark, observation=ann_obs)
+        if want_obs:
+            good_obs, bad_obs, failed_obs = (
+                Observation(), Observation(), Observation())
+            good = good.observe(good_obs, F.count(F.lit(1)).alias("n"))
+            bad = bad.observe(bad_obs, F.count(F.lit(1)).alias("n"))
+            failed = failed.observe(failed_obs, F.count(F.lit(1)).alias("n"))
         # every sink is a filter over `annotated` — cache it so the enrichment
         # chain runs ONCE per micro-batch, not once per sink (the reference is
         # single-pass by construction, Processing.scala:47-58; Spark's plan-
@@ -199,22 +220,44 @@ def run_stream(
                 meta.withColumn("batch_id", F.lit(batch_id)).write.mode("append").json(
                     sinks.metadata_path
                 )
-            if cfg.observers is not None:
+            if want_obs:
                 from .observability import attach_observers
 
                 obs = cfg.observers
-                counts = {"raw": batch_df.count(), "good": good.count(),
-                          "bad": bad.count(), "failed": failed.count()}
+                ann = ann_obs.get
+                # failed: the sink-level observe when the failed sink
+                # ran (matches what was written, post-oversize filter);
+                # otherwise the annotated-level count from ann_obs —
+                # either way, zero extra jobs
+                n_failed = (int(failed_obs.get["n"])
+                            if sinks.failed_path is not None
+                            else int(ann["n_failed"] or 0))
+                counts = {"raw": int(raw_obs.get["n"]),
+                          "good": int(good_obs.get["n"]),
+                          "bad": int(bad_obs.get["n"]),
+                          "failed": n_failed}
                 # e2e latency = now − OLDEST collector_tstamp in the
-                # batch (Processing.scala:281-291); all filters over the
-                # persisted `annotated`, so these are cheap re-reads
-                oldest = annotated.agg(F.min("collector_tstamp")).first()[0]
+                # batch (Processing.scala:281-291)
                 meta_rows = (meta.collect()
                              if obs.metadata is not None else None)
-                attach_observers(obs, counts, oldest_collector_ts=oldest,
+                attach_observers(obs, counts,
+                                 oldest_collector_ts=ann["oldest"],
                                  meta_rows=meta_rows)
         finally:
             annotated.unpersist()
+
+    return process
+
+
+def run_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    sinks: StreamSinks,
+    cfg: StreamConfig | None = None,
+):
+    """Wire the pipeline into a foreachBatch streaming query and start it."""
+    cfg = cfg or StreamConfig()
+    process = make_batch_processor(spark, sinks, cfg)
 
     writer = source.writeStream.foreachBatch(process).outputMode("append")
     if cfg.checkpoint:

@@ -2094,6 +2094,19 @@ def test_mp4_metadata():
     blob = encode_mp4_header(9000, 320, 240)
     assert parse_mp4(blob[:40])[5] == "isom"
 
+    # a truncated mvhd followed by a sibling box must NOT read the
+    # sibling's bytes as timescale/duration (bound = mvhd's own end,
+    # not the enclosing moov's)
+    import struct as _s
+
+    def _box(t, body):
+        return _s.pack(">I", len(body) + 8) + t + body
+
+    ftyp = _box(b"ftyp", b"isom" + _s.pack(">I", 0x200) + b"isomiso2")
+    short_mvhd = _box(b"mvhd", bytes(4) + _s.pack(">II", 0, 0))  # 12 < 24
+    sibling = _box(b"free", _s.pack(">IIII", 9999, 9999, 9999, 9999))
+    assert parse_mp4(ftyp + _box(b"moov", short_mvhd + sibling))[0] is None
+
     row = _decode_one(encode_mp4_header(125000, 1920, 1080, "hev1"))
     assert (row["codec"], row["duration_ms"], row["width"],
             row["height"]) == ("mp4/hev1", 125000, 1920, 1080)
@@ -2148,3 +2161,20 @@ def test_jpeg_lossless_roundtrip():
     assert (out[:, :, 0] == (px >> 3) << 3).all()
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xc3\x00\x04\x08\x00")
+
+    # hostile-bytes contract holds on the paths a blanket fuzz misses:
+    # SOS naming a component the SOF3 never declared (was StopIteration),
+    # truncated DRI, truncated SOS header (were struct.error/IndexError)
+    good = encode_jpeg_lossless(
+        5, 5, rng.integers(0, 256, size=(5, 5), dtype=np.uint16))
+    sos_at = good.find(b"\xff\xda")
+    assert sos_at > 0
+    bad_comp = bytearray(good)
+    bad_comp[sos_at + 5] = 0x99  # scan component id -> undeclared
+    with pytest.raises(ValueError, match="unknown component"):
+        decode_jpeg(bytes(bad_comp))
+    head = good[:sos_at]
+    with pytest.raises(ValueError):
+        decode_jpeg(head + b"\xff\xdd\x00\x03\x00")  # DRI, 1-byte payload
+    with pytest.raises(ValueError):
+        decode_jpeg(head + b"\xff\xda\x00\x04\x02\x01")  # SOS cut short

@@ -122,6 +122,67 @@ def test_remote_adapter(spark):
     assert out[0]._adapter_error is None
 
 
+def test_remote_adapter_over_real_http(spark):
+    """E2E over an actual socket: the adapter UDF on executors POSTs the
+    payload envelope to a localhost translator (RemoteAdapter.scala's
+    http4s flow) and explodes the returned events; a 500 surfaces as an
+    _adapter_error, not an exception."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from enrich_spark.adapters.vendors import http_transport
+
+    class Translator(BaseHTTPRequestHandler):
+        def do_POST(self):
+            req = json.loads(
+                self.rfile.read(int(self.headers["Content-Length"])))
+            if self.path != "/translate":
+                self.send_response(404)
+                self.end_headers()
+                return
+            if json.loads(req["body"]).get("boom"):
+                self.send_response(500)
+                self.end_headers()
+                return
+            body = json.dumps({"events": [
+                {"e": "pv", "aid": "http-app",
+                 "url": f"qs={req['queryString'] or ''}"},
+                {"e": "se", "aid": "http-app"},
+            ]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Translator)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/translate"
+        df = spark.createDataFrame(
+            [("com.example.sidecar", "v1", None, "application/json", "{}"),
+             ("com.example.sidecar", "v1", None, "application/json",
+              '{"boom": true}')],
+            "api_vendor STRING, api_version STRING, "
+            "querystring ARRAY<STRUCT<name:STRING,value:STRING>>, "
+            "content_type STRING, body STRING",
+        )
+        out = adapt(df, remote_adapters={
+            ("com.example.sidecar", "v1"): http_transport(url)}).collect()
+        ok = [r for r in out if r._adapter_error is None]
+        bad = [r for r in out if r._adapter_error is not None]
+        # 1 good payload → 2 exploded events over the wire
+        assert len(ok) == 2
+        assert {r.parameters["e"] for r in ok} == {"pv", "se"}
+        assert all(r.parameters["aid"] == "http-app" for r in ok)
+        assert len(bad) == 1 and "HTTPError" in bad[0]._adapter_error
+    finally:
+        srv.shutdown()
+
+
 def test_remote_adapter_error(spark):
     df = spark.createDataFrame(
         [("com.example.bad", "v1", None, None, "{}")],

@@ -152,6 +152,21 @@ def test_sink_conf_from_reference_hocon():
     assert good.max_retries == 10
 
 
+def test_sink_conf_nested_max_retries_not_default():
+    # the reference nests maxRetries inside backoffPolicy; a NON-default
+    # value must survive (regression: top-level read silently ignored it
+    # and the reference hocon's 10 masked the bug by equalling the default)
+    conf = nsq_sink_conf_from_dict({
+        "topic": "enriched",
+        "backoffPolicy": {"minBackoff": "50 milliseconds",
+                          "maxBackoff": "2 seconds",
+                          "maxRetries": 7},
+    })
+    assert conf.max_retries == 7
+    assert conf.min_backoff_s == pytest.approx(0.05)
+    assert conf.max_backoff_s == pytest.approx(2.0)
+
+
 def test_microbatch_source_dataframe(nsqd, spark):
     from enrich_spark.appconfig import NsqSourceConf
 
@@ -171,6 +186,56 @@ def test_microbatch_source_dataframe(nsqd, spark):
     assert {r.attempts for r in rows} == {1}
     assert df.columns == ["value", "message_id", "attempts", "timestamp_ns"]
     assert nsqd.depth("collector-payloads", "collector-payloads-channel") == 0
+
+
+def test_microbatch_requeues_on_failure(nsqd, spark):
+    """At-least-once: a drain that dies mid-batch REQs every unacked
+    message so nsqd redelivers it (attempts increments)."""
+    from enrich_spark.appconfig import NsqSourceConf
+    import enrich_spark.sources.nsq as nsqmod
+
+    with NsqdClient("127.0.0.1", nsqd.port) as sub:
+        sub.sub("reqtopic", "reqchan")
+    with NsqdClient("127.0.0.1", nsqd.port) as pub:
+        pub.mpub("reqtopic", [f"rq-{i}".encode() for i in range(5)])
+    src = NsqSourceConf(topic="reqtopic", channel="reqchan")
+
+    # sabotage: blow up after all 5 messages are received but before ack
+    real_read = NsqdClient.read_message
+    seen = {"n": 0}
+
+    def poisoned(self, timeout=0.05):
+        if seen["n"] >= 5:
+            raise RuntimeError("boom after receipt, before ack")
+        m = real_read(self, timeout)
+        if m is not None:
+            seen["n"] += 1
+        return m
+
+    NsqdClient.read_message = poisoned
+    try:
+        with pytest.raises(RuntimeError):
+            nsqmod.nsq_microbatch(spark, src, nsqd=("127.0.0.1", nsqd.port),
+                                  max_messages=10, poll_timeout_s=5.0)
+    finally:
+        NsqdClient.read_message = real_read
+
+    # all 5 must be back in the channel queue and redeliverable (the
+    # fake nsqd handler thread processes REQ/close asynchronously — poll)
+    deadline = time.monotonic() + 5.0
+    while nsqd.depth("reqtopic", "reqchan") != 5 and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert nsqd.depth("reqtopic", "reqchan") == 5
+    df = nsq_microbatch(spark, src, nsqd=("127.0.0.1", nsqd.port),
+                        max_messages=5, poll_timeout_s=10.0)
+    rows = df.collect()
+    assert sorted(bytes(r.value) for r in rows) == sorted(
+        f"rq-{i}".encode() for i in range(5))
+    # at-least-once: every message redelivered (attempts incremented);
+    # a push-model race can redeliver to the dying connection once more,
+    # so >= 2, not == 2
+    assert all(r.attempts >= 2 for r in rows)
+    assert nsqd.depth("reqtopic", "reqchan") == 0
 
 
 def test_transient_failure_retries_with_backoff(nsqd):

@@ -181,6 +181,60 @@ def test_metadata_reporter_unknowns_batching_and_retry():
     assert rep3.maybe_flush(force=True) == 1  # attempted, dropped quietly
 
 
+def test_batch_metrics_cost_zero_extra_jobs(spark, tmp_path):
+    """Per-batch raw/good/bad/failed counters AND the oldest
+    collector_tstamp ride the sink writes as observe() metrics
+    (CollectMetrics nodes, including one below the persist cut inside
+    enrich_raw) — enabling observers adds ZERO Spark jobs, vs the old
+    re-read of the raw source plus three filter-count jobs plus a
+    min-agg."""
+    from enrich_spark.loaders.thrift import encode_payload
+    from enrich_spark.streaming.runner import (
+        StreamConfig, StreamSinks, make_batch_processor,
+    )
+
+    payload = dict(
+        path="/com.snowplowanalytics.snowplow/tp2",
+        timestamp=1700000000000,
+        collector="ssc-test",
+        body=json.dumps({
+            "schema": "iglu:com.snowplowanalytics.snowplow/payload_data/jsonschema/1-0-4",
+            "data": [{"e": "pv", "aid": "jobs-app", "p": "web",
+                      "tv": "js-3.0.0"}],
+        }),
+        content_type="application/json",
+    )
+    batch = spark.createDataFrame([(encode_payload(payload),)],
+                                  "value BINARY")
+
+    def jobs_for(observers, tag):
+        sinks = StreamSinks(
+            good_path=str(tmp_path / tag / "good"),
+            bad_path=str(tmp_path / tag / "bad"),
+            failed_path=str(tmp_path / tag / "failed"))
+        cfg = StreamConfig(observers=observers)
+        proc = make_batch_processor(spark, sinks, cfg)
+        sc = spark.sparkContext
+        sc.setJobGroup(tag, tag)
+        try:
+            proc(batch, 0)
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    base = jobs_for(None, "noobs")
+    sent = []
+    obs = BatchObservers(metrics=Metrics(period_s=0.0, sender=sent.append))
+    with_obs = jobs_for(obs, "withobs")
+    assert with_obs - base == 0, (
+        f"observers cost {with_obs - base} extra jobs "
+        f"({base} -> {with_obs}); all counters must ride the sink "
+        "writes as observe() metrics")
+    lines = [ln.decode() for ln in sent]
+    assert any(l.startswith("snowplow.enrich.raw:1|c") for l in lines)
+    assert any(l.startswith("snowplow.enrich.good:1|c") for l in lines)
+
+
 def test_observers_wired_into_streaming_runner(spark, tmp_path):
     """foreachBatch integration: one real micro-batch updates counters,
     e2e latency, health, and the metadata accumulator."""

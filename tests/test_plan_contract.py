@@ -232,6 +232,15 @@ def test_heavy_hitters_plan_contract(spark):
     assert final.count("MapInPandas (") == 1
     assert "SortMergeJoin" not in final
     assert "BroadcastHashJoin" in final
+    # two scans TOTAL of the input: the MG pass ran eagerly (N comes
+    # from its per-partition summary rows — no separate count() scan),
+    # the candidate side reads the CACHED MG output, and the returned
+    # plan reads the input exactly once (confirm pass). Everything after
+    # the InMemoryRelation marker is the cache's replay plan (printed,
+    # not executed).
+    assert "InMemoryTableScan" in final
+    executed = final.split("InMemoryRelation")[0]
+    assert executed.count("Range (") == 1
 
 
 def test_bloom_decontam_probe_is_native(spark):

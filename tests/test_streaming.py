@@ -76,6 +76,62 @@ def test_debatch_truncated_archive(spark):
     assert any(r.decompress_error and "corrupt" in r.decompress_error for r in out)
 
 
+def test_debatch_zstd_without_decoder_yields_error_record():
+    """A zstd-magic archive in an environment without the `zstandard`
+    lib must surface as the documented error record, never raise
+    (Decompressor.scala:164 supports zstd; this sandbox has no codec)."""
+    import sys
+
+    from enrich_spark.sources.decompress import ZSTD_MAGIC, debatch_bytes
+
+    assert "zstandard" not in sys.modules  # the sandbox premise
+    out = debatch_bytes(ZSTD_MAGIC + b"\x01\x01whatever")
+    assert out == [(None,
+                    "zstd-compressed message but no zstd decoder available")]
+
+
+def test_debatch_zstd_drain_path_with_stubbed_decoder(monkeypatch):
+    """With a zstandard module present, the zstd branch must run the
+    SAME drain protocol as gzip: header check, per-record sizes,
+    too-big skip, truncation. The stub 'decompresses' by stripping the
+    magic — the protocol logic under test is ours, not the codec's."""
+    import io
+    import struct
+    import sys
+    import types
+
+    from enrich_spark.sources.decompress import ZSTD_MAGIC, debatch_bytes
+
+    class _FakeDecompressor:
+        def stream_reader(self, fileobj):
+            data = fileobj.read()
+            assert data[:4] == ZSTD_MAGIC
+            return io.BytesIO(data[4:])
+
+    stub = types.ModuleType("zstandard")
+    stub.ZstdDecompressor = _FakeDecompressor
+    monkeypatch.setitem(sys.modules, "zstandard", stub)
+
+    body = bytearray([1, 1])
+    for p in (b"first", b"x" * 50, b"second"):
+        body += struct.pack(">i", len(p)) + p
+    out = debatch_bytes(ZSTD_MAGIC + bytes(body),
+                        max_bytes_single_payload=20)
+    assert out[0] == (b"first", None)
+    assert out[1][0] is None and "too big" in out[1][1]
+    assert out[2] == (b"second", None)
+
+    # bad protocol version inside a zstd archive
+    out = debatch_bytes(ZSTD_MAGIC + bytes([9, 9]) + b"rest")
+    assert out == [(None,
+                    "Unsupported versions in compressed record header: 9, 9")]
+
+    # truncated record inside a zstd archive
+    out = debatch_bytes(
+        ZSTD_MAGIC + bytes([1, 1]) + struct.pack(">i", 10) + b"shrt")
+    assert out == [(None, "corrupt input: truncated record")]
+
+
 def test_run_batch_end_to_end(spark):
     msg = encode_batch([encode_payload(PAYLOAD)] * 3, "gzip")
     df = spark.createDataFrame([(msg,), (encode_payload(PAYLOAD),)], "value BINARY")
