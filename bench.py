@@ -122,12 +122,28 @@ def _run_group(names: list[str], sf_dir: str) -> None:
     entrymod._load_events(spark, sf_dir).limit(1).collect()
 
     n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    # Phase A: one cold pass over the WHOLE group before any timing —
+    # JIT (C2) compiles the Spark scan/codegen hot paths across all the
+    # group's plans, so short queries measured in phase B see the same
+    # warmed JVM they'd see mid-suite in a long-running deployment.
+    # (Measured: without this, sub-0.3 s rows read ~2× their steady
+    # state in a fresh group JVM — SCALE.md "r9 suite-order".)
+    cold: dict[str, float] = {}
+    fixture_keys: dict[str, set] = {}
     for name in names:
-        fn = queries[name]
         before = set(entrymod._FIXTURE_CACHE)
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        cold = round(time.perf_counter() - t0, 3)
+        queries[name](spark, sf_dir).count()
+        cold[name] = round(time.perf_counter() - t0, 3)
+        fixture_keys[name] = set(entrymod._FIXTURE_CACHE) - before
+
+    # Phase B: timed warm runs, then per-query fixture teardown —
+    # synthesized fixtures are per-query (one consumer each), and
+    # leaving them persisted squeezes execution memory for every later
+    # query (the r8 suite-wide regression)
+    for name in names:
+        fn = queries[name]
         samples = []
         for _ in range(n_warm):
             t0 = time.perf_counter()
@@ -136,15 +152,16 @@ def _run_group(names: list[str], sf_dir: str) -> None:
         samples.sort()
         median = round(samples[len(samples) // 2], 3)
         spread = round(samples[-1] - samples[0], 3)
-        # synthesized fixtures are per-query (one consumer each):
-        # unpersist as soon as the samples are in so their storage
-        # blocks never squeeze later queries' execution memory
-        for key in set(entrymod._FIXTURE_CACHE) - before:
-            entrymod._FIXTURE_CACHE.pop(key).unpersist()
+        for key in fixture_keys[name]:
+            df = entrymod._FIXTURE_CACHE.pop(key, None)
+            if df is not None:
+                df.unpersist()
         print(f"# {name}: warm median {median}s (spread {spread}s over "
-              f"{n_warm} runs, cold {cold}s, {n} rows)", file=sys.stderr)
+              f"{n_warm} runs, cold {cold[name]}s, {n} rows)",
+              file=sys.stderr)
         print(json.dumps({"query": name, "warm_median": median,
-                          "cold": cold, "spread": spread}), flush=True)
+                          "cold": cold[name], "spread": spread}),
+              flush=True)
 
 
 def main():

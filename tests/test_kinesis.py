@@ -1,0 +1,149 @@
+"""Kinesis transport E2E against the fake broker (public JSON API):
+PutRecords batching limits, per-record throttle → retry/backoff,
+shard-iterator drain round trip, source-conf plumbing from the
+reference HOCON. Mirrors the NSQ fake-broker suite."""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from enrich_spark.sources.connectors import (
+    KinesisSourceConf, InitialPosition, StreamSinkConf,
+    kinesis_conf_from_dict, kinesis_source_options, sink_conf_from_dict,
+)
+from enrich_spark.sources.kinesis import (
+    KinesisError, KinesisHttpClient, kinesis_microbatch, ship_to_kinesis,
+)
+from tests.fake_kinesis import FakeKinesis
+
+REF_CONFIG = "/root/reference/config/config.kinesis.reference.hocon"
+
+
+@pytest.fixture()
+def broker():
+    b = FakeKinesis(nshards=2)
+    b.create_stream("enriched")
+    yield b
+    b.stop()
+
+
+def test_put_records_batching_limits(broker):
+    """1200 records with recordLimit 500 → 3 PutRecords requests, none
+    above 500 records; a tight byteLimit splits further."""
+    rows = [(f"k{i}", f"payload-{i}".encode()) for i in range(1200)]
+    conf = StreamSinkConf(stream_name="enriched", record_limit=500,
+                          byte_limit=5 * 1024 * 1024)
+    ship_to_kinesis(rows, conf, broker.endpoint, sleep=lambda s: None)
+    sizes = [len(r["Records"]) for r in broker.put_requests]
+    assert sizes == [500, 500, 200]
+    assert len(broker.all_records("enriched")) == 1200
+
+    # byte limit: 10 × 1 KiB records with a 2.5 KiB budget → 2 per call
+    broker.put_requests.clear()
+    rows = [(f"b{i}", b"x" * 1024) for i in range(10)]
+    conf = StreamSinkConf(stream_name="enriched", record_limit=500,
+                          byte_limit=2560)
+    ship_to_kinesis(rows, conf, broker.endpoint, sleep=lambda s: None)
+    assert all(len(r["Records"]) <= 2 for r in broker.put_requests)
+
+
+def test_api_limit_ceilings_validated():
+    with pytest.raises(ValueError, match="recordLimit"):
+        ship_to_kinesis([], StreamSinkConf(record_limit=501), "http://x")
+    with pytest.raises(ValueError, match="byteLimit"):
+        ship_to_kinesis(
+            [], StreamSinkConf(byte_limit=6 * 1024 * 1024), "http://x")
+
+
+def test_partial_failure_retries_only_failed_records(broker):
+    """AWS partial-failure semantics: the first request throttles
+    records 2 and 5; ONLY those are resent, after a backoff."""
+    broker.throttle_plan = lambda req, i: req == 0 and i in (2, 5)
+    rows = [(f"k{i}", f"p-{i}".encode()) for i in range(8)]
+    sleeps = []
+    conf = StreamSinkConf(stream_name="enriched", record_limit=500,
+                          byte_limit=1 << 20, max_retries=3,
+                          min_backoff_s=0.1, max_backoff_s=1.0)
+    ship_to_kinesis(rows, conf, broker.endpoint, sleep=sleeps.append)
+    assert len(broker.put_requests) == 2
+    retried = [r["PartitionKey"] for r in broker.put_requests[1]["Records"]]
+    assert retried == ["k2", "k5"]
+    assert sleeps == [0.1]
+    got = {r["PartitionKey"] for r in broker.all_records("enriched")}
+    assert got == {f"k{i}" for i in range(8)}
+
+
+def test_exhausted_retries_raise(broker):
+    broker.throttle_plan = lambda req, i: True  # everything, always
+    conf = StreamSinkConf(stream_name="enriched", max_retries=2,
+                          min_backoff_s=0.01, max_backoff_s=0.02)
+    sleeps = []
+    with pytest.raises(RuntimeError, match="still\\s+throttled|throttled"):
+        ship_to_kinesis([("k", b"v")], conf, broker.endpoint,
+                        sleep=sleeps.append)
+    # exponential: 0.01, 0.02 (capped)
+    assert sleeps == [0.01, 0.02]
+
+
+def test_round_trip_via_shard_iterators(broker, spark):
+    rows = [(f"key-{i}", f"event-{i}".encode()) for i in range(50)]
+    ship_to_kinesis(rows, StreamSinkConf(stream_name="enriched"),
+                    broker.endpoint, sleep=lambda s: None)
+    conf = KinesisSourceConf(stream_name="enriched",
+                             endpoint_url=broker.endpoint,
+                             max_records=7)  # forces iterator paging
+    df = kinesis_microbatch(spark, conf)
+    got = df.collect()
+    assert sorted(bytes(r.value) for r in got) == sorted(
+        f"event-{i}".encode() for i in range(50))
+    # per-shard sequence ordering is preserved by the drain
+    for sid in {r.shard_id for r in got}:
+        seqs = [int(r.sequence_number) for r in got if r.shard_id == sid]
+        assert seqs == sorted(seqs)
+    # both shards participated (md5 routing spread the keys)
+    assert len({r.shard_id for r in got}) == 2
+
+
+def test_latest_position_skips_backlog(broker, spark):
+    ship_to_kinesis([("a", b"old")], StreamSinkConf(stream_name="enriched"),
+                    broker.endpoint, sleep=lambda s: None)
+    conf = KinesisSourceConf(
+        stream_name="enriched", endpoint_url=broker.endpoint,
+        initial_position=InitialPosition(type="LATEST"))
+    assert kinesis_microbatch(spark, conf).count() == 0
+
+
+def test_microbatch_requires_custom_endpoint(spark):
+    with pytest.raises(KinesisError, match="customEndpoint"):
+        kinesis_microbatch(spark, KinesisSourceConf(stream_name="s"))
+
+
+def test_conf_and_options_from_reference_hocon(monkeypatch):
+    from enrich_spark.appconfig import load_app_config
+
+    if not os.path.exists(REF_CONFIG):
+        pytest.skip("reference config not present")
+    monkeypatch.setenv("HOSTNAME", "worker-1")  # ${HOSTNAME} substitution
+    app = load_app_config(REF_CONFIG)
+    src = kinesis_conf_from_dict(app.raw["input"])
+    assert src.stream_name == "snowplow-collector-payloads"
+    assert src.initial_position.type == "TRIM_HORIZON"
+    assert src.retrieval_mode == "Polling"
+    opts = kinesis_source_options(src)
+    assert opts["streamName"] == "snowplow-collector-payloads"
+    good = sink_conf_from_dict(app.raw["output"]["good"])
+    assert good.stream_name == "snowplow-enriched"
+    assert good.max_retries == 10
+    assert good.min_backoff_s == pytest.approx(0.1)
+
+
+def test_error_body_surfaces_as_kinesis_error(broker):
+    client = KinesisHttpClient(broker.endpoint)
+    with pytest.raises(KinesisError, match="UnknownOperationException"):
+        client.call("DeleteEverything", {})

@@ -1,0 +1,123 @@
+"""Pub/Sub transport E2E against the fake broker (public v1 REST API):
+batched publish with batchSize/requestByteThreshold, whole-batch
+transient retry, pull → ack round trip, ack-deadline extension,
+reference-HOCON conf decode."""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from enrich_spark.sources.connectors import StreamSinkConf
+from enrich_spark.sources.pubsub import (
+    PubSubError, PubSubHttpClient, PubSubPullConf,
+    pubsub_microbatch, pubsub_pull_conf_from_dict, ship_to_pubsub,
+)
+from tests.fake_pubsub import FakePubSub
+
+REF_CONFIG = "/root/reference/config/config.pubsub.reference.hocon"
+TOPIC = "projects/p/topics/enriched"
+SUB = "projects/p/subscriptions/enriched-sub"
+
+
+@pytest.fixture()
+def broker():
+    b = FakePubSub()
+    b.create(TOPIC, SUB)
+    yield b
+    b.stop()
+
+
+def test_publish_batching_limits(broker):
+    """batchSize 100 / requestByteThreshold (reference values) bound
+    each publish request."""
+    rows = [(f"k{i}", f"payload-{i}".encode()) for i in range(250)]
+    conf = StreamSinkConf(stream_name=TOPIC, record_limit=100,
+                          byte_limit=1_000_000)
+    ship_to_pubsub(rows, conf, broker.host, sleep=lambda s: None)
+    sizes = [len(r["messages"]) for r in broker.publish_requests]
+    assert sizes == [100, 100, 50]
+
+    broker.publish_requests.clear()
+    rows = [(f"b{i}", b"x" * 1024) for i in range(6)]
+    conf = StreamSinkConf(stream_name=TOPIC, record_limit=100,
+                          byte_limit=2200)
+    ship_to_pubsub(rows, conf, broker.host, sleep=lambda s: None)
+    assert all(len(r["messages"]) <= 2 for r in broker.publish_requests)
+
+
+def test_transient_publish_failure_retries_whole_batch(broker):
+    """Pub/Sub has no per-record partial failure: a 503 fails the whole
+    request and the whole batch is retried after a backoff
+    (transientErrors.delay/attempts in the reference config)."""
+    broker.fail_next_publishes = 2
+    sleeps = []
+    conf = StreamSinkConf(stream_name=TOPIC, record_limit=100,
+                          byte_limit=1 << 20, max_retries=5,
+                          min_backoff_s=0.1, max_backoff_s=1.0)
+    ship_to_pubsub([(f"k{i}", f"p-{i}".encode()) for i in range(3)],
+                   conf, broker.host, sleep=sleeps.append)
+    assert sleeps == [0.1, 0.2]             # exponential from minBackoff
+    assert len(broker.publish_requests) == 1  # only the success recorded
+    assert len(broker.topics[TOPIC]) == 3
+
+
+def test_exhausted_retries_raise(broker):
+    broker.fail_next_publishes = 99
+    conf = StreamSinkConf(stream_name=TOPIC, max_retries=2,
+                          min_backoff_s=0.01, max_backoff_s=0.02)
+    with pytest.raises(RuntimeError, match="throttled"):
+        ship_to_pubsub([("k", b"v")], conf, broker.host,
+                       sleep=lambda s: None)
+
+
+def test_pull_round_trip_and_ack(broker, spark):
+    rows = [(f"key-{i}", f"event-{i}".encode()) for i in range(30)]
+    ship_to_pubsub(rows, StreamSinkConf(stream_name=TOPIC, record_limit=10),
+                   broker.host, sleep=lambda s: None)
+    conf = PubSubPullConf(subscription=SUB, emulator_host=broker.host)
+    df = pubsub_microbatch(spark, conf, max_messages=100)
+    got = df.collect()
+    assert sorted(bytes(r.value) for r in got) == sorted(
+        f"event-{i}".encode() for i in range(30))
+    assert {r.ordering_key for r in got} == {f"key-{i}" for i in range(30)}
+    assert broker.backlog(SUB) == 0        # everything acked post-drain
+
+
+def test_ack_deadline_extension(broker, spark):
+    ship_to_pubsub([("k", b"v")], StreamSinkConf(stream_name=TOPIC),
+                   broker.host, sleep=lambda s: None)
+    conf = PubSubPullConf(subscription=SUB, emulator_host=broker.host,
+                          duration_per_ack_extension_s=15.0)
+    pubsub_microbatch(spark, conf, extend_if_longer_than_s=0.0)
+    assert broker.deadline_extensions == [("ack-1", 15)]
+
+
+def test_microbatch_requires_emulator(spark):
+    with pytest.raises(PubSubError, match="emulator_host"):
+        pubsub_microbatch(spark, PubSubPullConf(subscription=SUB))
+
+
+def test_pull_conf_from_reference_hocon():
+    from enrich_spark.appconfig import load_app_config
+
+    if not os.path.exists(REF_CONFIG):
+        pytest.skip("reference config not present")
+    app = load_app_config(REF_CONFIG)
+    conf = pubsub_pull_conf_from_dict(app.raw["input"])
+    assert conf.subscription.endswith("snowplow-collector-payloads")
+    assert conf.duration_per_ack_extension_s == pytest.approx(15.0)
+    assert conf.min_remaining_ack_deadline == pytest.approx(0.1)
+    assert conf.retry_delay_s == pytest.approx(0.1)   # "100 millis"
+    assert conf.retry_attempts == 10
+
+
+def test_error_surfaces_as_pubsub_error(broker):
+    client = PubSubHttpClient(broker.host)
+    with pytest.raises(PubSubError, match="404"):
+        client.call(f"{SUB}:frobnicate", {})
