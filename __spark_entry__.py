@@ -26,6 +26,7 @@ from enrich_spark.datapipe.bpe import apply_bpe_sql as _bpe_apply_sql
 from enrich_spark.datapipe.unigram import (
     apply_unigram_sql as _unigram_apply_sql,
 )
+from enrich_spark.datapipe.dsir import apply_dsir_sql as _dsir_sql
 from enrich_spark.datapipe.text import bm25_score_sql as _bm25_sql
 from enrich_spark.datapipe.webtext import url_normalize_sql as _url_norm_sql
 
@@ -108,6 +109,45 @@ _UNIGRAM_PIECES = [
     ("vecto", 3586304), ("w", 3540894), ("wi", 19803153),
     ("win", 19692314), ("wind", 9863699), ("windo", 4234042),
     ("y", 99478368),
+]
+
+
+# DSIR importance log-ratio table (datapipe/dsir.train_dsir on the
+# sf0.001 documents corpus: target = sources src0/src1/src2, source =
+# full corpus; 128 md5-prefix hash buckets, Laplace alpha=1, integer
+# micro-nats — deterministic; same fixed-literal pattern as _BPE_MERGES
+# / _UNIGRAM_PIECES so the Spark plan and the DuckDB oracle replay the
+# identical integers)
+_DSIR_RATIOS = [
+    (0, -10959), (1, 62303), (2, 116274), (3, -17309), (4, -9828),
+    (5, -10041), (6, 233464), (7, -147702), (8, 114458), (9, 15470),
+    (10, -6903), (11, 80556), (12, -98785), (13, 45465), (14, -140115),
+    (15, -113213), (16, 37071), (17, 279685), (18, -1815), (19, 92979),
+    (20, 14456), (21, 113617), (22, -69063), (23, -37227), (24, -34755),
+    (25, -81725), (26, -253646), (27, 228192), (28, -56418),
+    (29, -62956), (30, -90261), (31, -183706), (32, -31922),
+    (33, -31070), (34, 59937), (35, 420639), (36, 143387), (37, -181808),
+    (38, -283666), (39, 112992), (40, 295213), (41, 64427), (42, 65052),
+    (43, -245445), (44, -180253), (45, 116550), (46, -262836),
+    (47, -59206), (48, 139053), (49, -20796), (50, 77982), (51, 59937),
+    (52, 57026), (53, 38950), (54, -80067), (55, -125296), (56, 156929),
+    (57, 4304), (58, 121227), (59, 53157), (60, 494679), (61, 65518),
+    (62, -42504), (63, 97948), (64, 23861), (65, -51371), (66, 185917),
+    (67, -283666), (68, 123116), (69, 179929), (70, 68722), (71, 3477),
+    (72, 270313), (73, 123116), (74, -110184), (75, -262388),
+    (76, -34578), (77, -83993), (78, 73636), (79, -4001), (80, -298933),
+    (81, -36168), (82, 32123), (83, 145459), (84, -435519),
+    (85, -122473), (86, -43876), (87, -168183), (88, 47766),
+    (89, -51102), (90, -51371), (91, -212321), (92, -90592),
+    (93, -101765), (94, 53157), (95, 45005), (96, -42169), (97, -60522),
+    (98, 11147), (99, 121874), (100, 176404), (101, 314171),
+    (102, 144206), (103, 25294), (104, 44189), (105, 61138),
+    (106, 44087), (107, 60556), (108, -87108), (109, 97709),
+    (110, 57026), (111, -30344), (112, -134713), (113, 25421),
+    (114, 329179), (115, -55110), (116, 17377), (117, -49756),
+    (118, 517770), (119, -47144), (120, -289569), (121, 150666),
+    (122, -162005), (123, -98492), (124, 5049), (125, -116612),
+    (126, -146501), (127, -60361)
 ]
 
 
@@ -2694,6 +2734,19 @@ config:
         return heavy_hitters(toks, "token", support=0.005).select(
             "token", F.col("cnt").cast("long").alias("cnt"))
 
+    def q_dsir(spark, sf):
+        # DSIR importance weights (datapipe/dsir.apply_dsir, Xie et al.
+        # 2023): explode hashed grams → broadcast join the fixed
+        # 128-row _DSIR_RATIOS table → one map-side-combined groupBy.
+        # Integer micro-nats end-to-end, so the row is value-hash exact.
+        from enrich_spark.datapipe.dsir import apply_dsir
+
+        return apply_dsir(_load_docs(spark, sf), _DSIR_RATIOS,
+                          n_buckets=128).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("weight_unats").cast("long").alias("weight_unats"))
+
     def q_data_mix(spark, sf):
         # part "sample": deterministic stratified sampling (md5 bucket
         # so DuckDB replays the exact kept-set; xxhash64 is the scale
@@ -2783,13 +2836,13 @@ config:
             [("sample", samp), ("pack", pack),
              ("q_lit", lit), ("q_join", joined), ("mix", mix),
              ("salted", salted), ("c4", c4), ("chunk", chunk),
-             ("hh", hh)],
+             ("hh", hh), ("dsir", q_dsir(spark, sf))],
             fill=("n_tokens", "seq_pos", "n_hits", "score",
                   "doc_id", "n_docs", "isqrt_n", "weight_bp", "epochs_mbp",
                   "sum_chars", "min_chars", "max_chars",
                   "n_lines", "n_kept_lines", "kept_chars", "n_sentences",
                   "has_brace", "has_lorem", "has_jswarn", "is_kept",
-                  "chunk_id", "cnt"),
+                  "chunk_id", "cnt", "n_grams", "weight_unats"),
         )
 
     q["data_mix"] = q_data_mix
@@ -3565,6 +3618,8 @@ config:
         "pagerank": q_pagerank,
         "dataset_manifest": q_manifest,
         "robots_filter": q_robots,
+        # r9 (merged into the data_mix bundle)
+        "dsir_select": q_dsir,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -4994,7 +5049,12 @@ def oracle_sql() -> dict[str, str]:
         HAVING count(*) >= (SELECT CAST(ceil(total * 0.005) AS BIGINT)
                             FROM n)
                        """,
-                       {"token": "str", "cnt": "num"})])
+                       {"token": "str", "cnt": "num"}),
+                      ("dsir",
+                       _dsir_sql("documents", "doc_id", "text",
+                                 _DSIR_RATIOS, n_buckets=128),
+                       {"doc_id": "num", "n_grams": "num",
+                        "weight_unats": "num"})])
 
     _norm = "trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))"
     _words = f"list_distinct(string_split({_norm}, ' '))"

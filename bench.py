@@ -77,6 +77,7 @@ HEADLINE = [
     "pagerank",               # fixed-point link-graph power iteration
     "dataset_manifest",       # order-independent content commitment
     "robots_filter",          # RFC 9309 longest-match frontier filter
+    "dsir_select",            # DSIR importance weights (broadcast join)
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -103,7 +104,7 @@ GROUPS = [
     # data-mix / graph / merge / multimodal
     ["data_mix", "heavy_hitters", "k_anonymity", "pagerank",
      "dataset_manifest", "cdc_merge", "multimodal_frames",
-     "multimodal_decode", "warc_parse"],
+     "multimodal_decode", "warc_parse", "dsir_select"],
 ]
 assert sorted(n for g in GROUPS for n in g) == sorted(HEADLINE)
 

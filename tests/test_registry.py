@@ -72,6 +72,7 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "k_anonymity": "pii_pseudonymize",
         "pagerank": "cross_navigation",
         "dataset_manifest": "metadata_aggregation",
+        "dsir_select": "data_mix",
         "script_js": "script_hook",  # bench-only throughput variant
     }
     for name in benchmod.HEADLINE:
