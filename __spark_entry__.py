@@ -151,6 +151,157 @@ _DSIR_RATIOS = [
 ]
 
 
+# Product-quantization codebook (datapipe/pq.train_pq on the sf0.001
+# embeddings, m=8 subspaces x 16 centroids x 8 dims, fixed-point 1e4
+# integers, seed 7 — deterministic; plan-literal model like _DSIR_RATIOS)
+_PQ_MODEL = [
+    [  # subspace 0
+        [-1337, 432, 596, 481, 1062, -28, -553, 788],
+        [-307, -315, 839, -212, 481, 1302, 364, -1356],
+        [401, 221, 1310, -95, -1061, 1473, 1318, 707],
+        [917, 1085, 101, 410, 654, -865, 548, -2228],
+        [184, -1114, -396, 1941, -874, 762, 771, -49],
+        [-360, -59, -1867, -263, 68, 1135, 524, -515],
+        [-454, -287, 753, 1434, -670, -408, -755, -1256],
+        [710, 896, -903, -319, 237, -1017, 560, 74],
+        [-459, -767, -321, -158, -1358, -590, -799, 959],
+        [-142, -231, 1167, -609, 1308, -309, 1116, 930],
+        [856, -836, 729, -1718, -284, -117, -8, -256],
+        [-1339, -409, -1308, -230, -402, -897, 1609, 345],
+        [-1515, -762, -149, -1320, 131, 2023, -1777, -2201],
+        [1617, 662, -307, 576, 102, 1334, -151, 980],
+        [-409, 1283, 976, -399, -925, -671, -539, -422],
+        [1034, -481, -756, 882, 795, -871, -1675, -329],
+    ],
+    [  # subspace 1
+        [-1190, 520, 1173, 398, 492, 1231, -680, 353],
+        [151, 756, 38, -735, 1581, 250, -343, 899],
+        [1225, -1052, -666, -766, -840, 472, -352, 255],
+        [-552, -1311, 711, 317, 765, -1766, -768, 222],
+        [382, 628, 1148, 572, -1150, -1607, 542, 84],
+        [-297, -37, -41, -898, -820, -375, 1539, -888],
+        [-2141, 373, -552, 737, -105, -368, -276, -801],
+        [437, -444, 1349, 180, -240, 144, -1101, -1508],
+        [804, 2045, -827, 454, -221, 90, -1323, 104],
+        [125, -1156, 313, 688, 1391, 269, 1519, -122],
+        [-1136, -1254, -488, -1284, -392, -600, 505, 766],
+        [-1183, -520, 1342, -205, -1729, -323, -312, 1236],
+        [1566, 148, 432, -303, 352, 813, 619, 325],
+        [-118, -2, -1721, -407, 132, -1220, -869, -663],
+        [-731, -396, -1062, -615, 514, 2163, -206, 41],
+        [-193, 1407, -369, 477, -821, 1529, 1080, 154],
+    ],
+    [  # subspace 2
+        [-681, 567, 213, -1560, 752, -505, 1379, 432],
+        [-808, -149, -425, -489, 1030, 916, -103, -266],
+        [317, -106, 955, -579, -191, 1969, 24, 649],
+        [-70, -749, -177, 1265, 1208, -21, 1335, -675],
+        [1518, -1261, -800, -618, 1376, -128, -910, 1353],
+        [-739, -1350, -461, -430, -1787, -534, 377, 283],
+        [538, 701, -1350, 156, -507, -117, -80, 1166],
+        [555, -193, -394, 2013, -1074, 436, 677, -256],
+        [392, -94, 1673, 434, 444, -1262, 569, 1359],
+        [1194, -518, -359, 320, -45, 633, -1671, -1042],
+        [-281, -62, 535, 637, -546, -1047, -94, -1631],
+        [-327, -153, -847, 164, -1052, 1114, 605, -2001],
+        [1820, -802, 402, -717, -181, 108, 331, -349],
+        [33, 946, 457, -588, 571, -740, -1616, -334],
+        [-1743, 1246, 642, 509, 243, -95, -289, 616],
+        [-686, 1020, -1635, -552, -946, -1136, 233, -871],
+    ],
+    [  # subspace 3
+        [-560, -397, 996, 166, -640, 1491, -1439, -483],
+        [-654, 1522, 407, -1449, 415, 531, 161, -1177],
+        [945, -1006, -500, 658, 134, 718, 611, -1214],
+        [155, 1381, -706, -380, 512, 277, -1132, 838],
+        [359, 1079, 478, -1065, -1576, -492, -69, -968],
+        [50, -346, -1150, -976, 1115, -1039, -660, -849],
+        [-574, -1082, 269, -331, 745, 278, 376, 1688],
+        [129, -432, -882, -1842, -1031, 828, -545, 482],
+        [-577, -830, -815, 1031, 1459, 156, -859, -415],
+        [-269, -420, -442, -90, -1483, -449, -578, 1035],
+        [1784, -1204, 389, 957, -200, -1468, -12, -214],
+        [-1125, 293, -919, 725, -574, 279, 1489, 561],
+        [675, 840, -989, 1627, -687, 87, -713, -628],
+        [-1020, 111, 471, 748, 750, -2291, 38, 568],
+        [527, 785, 1248, 432, 77, 925, 559, 1122],
+        [-54, -799, 1348, -583, 322, -632, 620, -905],
+    ],
+    [  # subspace 4
+        [-1013, -121, -772, 360, -154, 1280, 88, -1127],
+        [935, -1345, -698, 799, 1115, 191, -555, -737],
+        [-1159, 878, -796, -1101, -930, 39, 808, -41],
+        [773, 1537, -674, 790, -1674, -738, -345, -59],
+        [8, 1360, 1461, -346, 795, 975, 548, 420],
+        [1201, 522, -1399, 277, 748, 561, -103, 606],
+        [-822, -556, -243, -1404, 782, -12, -16, 1507],
+        [70, 542, -167, 768, 1185, -924, 1106, -319],
+        [727, 885, 653, -1759, -115, 903, -1631, 241],
+        [1270, -677, -135, -992, -600, -482, -651, -864],
+        [114, -982, 290, 619, -520, 1059, -1407, 1397],
+        [-259, -268, 1880, 39, -60, -856, -171, -536],
+        [320, -695, 546, 360, -1030, -355, 758, 758],
+        [-576, 130, -802, 770, 315, -1226, -1340, -340],
+        [707, -549, -985, -316, -597, 1000, 2021, -304],
+        [-622, -41, 735, 1954, 890, -545, -358, 1145],
+    ],
+    [  # subspace 5
+        [-94, 672, 197, -769, -341, 1309, 334, -1535],
+        [-170, -1421, 411, 457, 349, -519, -633, 1409],
+        [-1369, 1011, 1012, -397, 860, -518, -190, 216],
+        [-539, 12, -1278, -639, -989, 195, 1063, 332],
+        [-50, 300, 1073, 1001, -828, 150, -937, 185],
+        [538, -1291, 930, -1476, -317, 688, 390, 647],
+        [-350, -1133, -135, 525, 1651, 559, 571, -1218],
+        [48, -1966, -417, 62, -918, 587, -56, -751],
+        [-1166, 359, -254, 225, -496, -1371, -438, -1750],
+        [1027, -635, 200, 1324, 409, -1775, 1171, 288],
+        [15, -601, 183, 2286, -1889, 1505, -463, -1247],
+        [62, -581, -193, -864, -831, -2084, -437, 310],
+        [-926, 551, -1629, 816, 1767, 87, -342, 255],
+        [864, 933, -68, 93, -120, 135, 149, 2009],
+        [1377, 664, -462, -645, 315, 264, -1291, -465],
+        [562, 1108, 106, 1036, 88, 395, 1460, -67],
+    ],
+    [  # subspace 6
+        [1341, 279, -206, -131, 506, -350, -854, 1237],
+        [184, -405, 1098, -1816, -620, 971, 1095, -198],
+        [-1562, 1390, -132, 492, 8, -269, 1190, -904],
+        [-841, -1384, -373, -644, 571, -201, 243, -841],
+        [1546, -1266, -1090, -866, -894, 505, -429, -1056],
+        [-79, 848, -211, 483, -1575, 60, -896, -169],
+        [-87, 683, -536, 89, -147, 1795, 751, 820],
+        [996, 391, 423, -1406, -1076, -1675, -101, -894],
+        [803, -1058, 1309, 119, 870, 1020, 153, 500],
+        [-139, 1173, -465, -1634, 1398, 311, -1276, -221],
+        [713, 225, -82, 1551, -588, -180, 1267, -109],
+        [559, 147, 771, 643, 93, 871, -792, -1859],
+        [-507, -1287, -738, 1141, -173, -162, -170, 746],
+        [-1048, 402, 999, 42, -304, -632, -411, 834],
+        [-72, 24, -1945, -1068, -431, -366, 853, 261],
+        [35, 51, 418, 392, 2096, 13, 795, 182],
+    ],
+    [  # subspace 7
+        [188, -1363, 224, -317, -166, 935, -679, -822],
+        [14, 51, -906, -201, -887, 2072, -535, 1074],
+        [-58, -298, -1324, 612, -170, 1295, 1728, -77],
+        [366, 229, -2327, 136, -552, -654, 54, -627],
+        [93, 916, 542, -245, -1715, -100, -878, 166],
+        [737, 790, 156, -1003, 419, 768, -878, 1353],
+        [-323, -696, -190, 531, 1483, 4, 502, 970],
+        [-1122, 614, 3074, -559, 228, -694, 626, -880],
+        [8, -183, 95, -497, 599, -1169, -1984, 544],
+        [910, -183, 1592, 1140, -622, 182, 1193, 380],
+        [353, 2122, -403, -75, 119, -484, 709, -143],
+        [-1383, 35, -40, -340, -216, -1077, 473, -920],
+        [294, -1623, 150, -102, -790, -969, 797, 782],
+        [1125, -450, 75, -1576, 568, -118, 1207, -307],
+        [-185, 46, -432, 1949, -723, -55, -1391, 376],
+        [-412, 750, 47, 675, 1130, 213, -629, -1351],
+    ],
+]
+
+
 def _cached_fixture(spark: SparkSession, name: str, sf_dir: str, builder):
     key = (name, sf_dir, spark.sparkContext.applicationId)
     df = _FIXTURE_CACHE.get(key)
@@ -3075,12 +3226,50 @@ config:
             F.col("cid").cast("long").alias("cid"),
             "n", "sum_sim_bp", "mean_sim_bp", "min_sim_bp", "max_sim_bp")
 
-    # IVF top-k + the clustering rollup in one oracle row
+    def q_pq_codes(spark, sf):
+        # PQ compression (datapipe/pq.apply_pq): map-side code
+        # assignment against the fixed _PQ_MODEL codebook; codes joined
+        # to one string so the value-hash comparator sees a scalar
+        from enrich_spark.datapipe.pq import apply_pq
+
+        emb = _load_emb(spark, sf).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double"))
+            .alias("embedding"))
+        return apply_pq(emb, _PQ_MODEL).select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.array_join(
+                F.transform("codes", lambda c: c.cast("string")), ","
+            ).alias("codes_str"))
+
+    def q_pq_adc(spark, sf):
+        # asymmetric-distance top-k over the compressed corpus
+        # (datapipe/pq.adc_topk): per-query integer LUT broadcast, m
+        # array lookups per (vector, query) pair
+        from enrich_spark.datapipe.pq import adc_topk
+
+        emb = _load_emb(spark, sf).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double"))
+            .alias("embedding"))
+        queries = emb.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        return adc_topk(emb, queries, _PQ_MODEL, k=10).select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("adc_dist").cast("long").alias("adc_dist"),
+            F.col("rank").cast("long").alias("rank"))
+
+    # IVF top-k + clustering rollup + PQ compression/ADC in one row
     q["ann_ivf_topk"] = lambda spark, sf: _union_parts(
         [("ivf", q_ann_ivf(spark, sf)),
-         ("cluster", q_cluster_stats(spark, sf))],
+         ("cluster", q_cluster_stats(spark, sf)),
+         ("pq_codes", q_pq_codes(spark, sf)),
+         ("pq_adc", q_pq_adc(spark, sf))],
         fill=("query_id", "vec_id", "cosine_sim", "rank", "cid", "n",
-              "sum_sim_bp", "mean_sim_bp", "min_sim_bp", "max_sim_bp"),
+              "sum_sim_bp", "mean_sim_bp", "min_sim_bp", "max_sim_bp",
+              "adc_dist"),
     )
 
     def q_embedding_dup(spark, sf):
@@ -3618,8 +3807,9 @@ config:
         "pagerank": q_pagerank,
         "dataset_manifest": q_manifest,
         "robots_filter": q_robots,
-        # r9 (merged into the data_mix bundle)
+        # r9 (merged into the data_mix / ann_ivf_topk bundles)
         "dsir_select": q_dsir,
+        "pq_adc_topk": q_pq_adc,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -5300,6 +5490,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(sim_bp) AS BIGINT) AS max_sim_bp
         FROM assign GROUP BY cid
     """
+    from enrich_spark.datapipe.pq import (
+        adc_topk_sql as _adc_sql, pq_codes_sql as _pqc_sql,
+    )
+
+    _emb_dbl = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
     o["ann_ivf_topk"] = _union_oracle([
         ("ivf", o["ann_ivf_topk"],
          {"query_id": "num", "vec_id": "num", "cosine_sim": "fnum",
@@ -5307,6 +5502,12 @@ def oracle_sql() -> dict[str, str]:
         ("cluster", _cluster_sql,
          {"cid": "num", "n": "num", "sum_sim_bp": "num",
           "mean_sim_bp": "num", "min_sim_bp": "num", "max_sim_bp": "num"}),
+        ("pq_codes", _pqc_sql("embeddings", "vec_id", _emb_dbl, _PQ_MODEL),
+         {"vec_id": "num", "codes_str": "str"}),
+        ("pq_adc", _adc_sql("embeddings", "vec_id", _emb_dbl,
+                            "vec_id < 4", _PQ_MODEL, k=10),
+         {"query_id": "num", "vec_id": "num", "adc_dist": "num",
+          "rank": "num"}),
     ])
 
     _emb_pairs_sql = """

@@ -78,6 +78,7 @@ HEADLINE = [
     "dataset_manifest",       # order-independent content commitment
     "robots_filter",          # RFC 9309 longest-match frontier filter
     "dsir_select",            # DSIR importance weights (broadcast join)
+    "pq_adc_topk",            # product-quantization ADC top-k
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -95,7 +96,8 @@ GROUPS = [
      "decontam_bloom", "semantic_dedup"],
     # embeddings / ANN / clustering
     ["ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
-     "embedding_dup_pairs", "cluster_stats", "sessionize"],
+     "embedding_dup_pairs", "cluster_stats", "sessionize",
+     "pq_adc_topk"],
     # text analysis (all native-regexp, cheap)
     ["text_quality_score", "text_token_counts", "text_language_id",
      "text_pii_scrub", "quality_model_score", "corpus_stats",

@@ -73,6 +73,7 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "pagerank": "cross_navigation",
         "dataset_manifest": "metadata_aggregation",
         "dsir_select": "data_mix",
+        "pq_adc_topk": "ann_ivf_topk",
         "script_js": "script_hook",  # bench-only throughput variant
     }
     for name in benchmod.HEADLINE:
