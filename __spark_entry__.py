@@ -327,7 +327,9 @@ def _union_parts(parts, fill=()):
         d = stage_boundary(df.withColumn("part", F.lit(label)))
         out = d if out is None else out.unionByName(d, allowMissingColumns=True)
     if fill:
-        out = out.na.fill(-1, subset=list(fill))
+        # tolerate fill names absent from this union (a core-parts bench
+        # variant shares the full bundle's fill tuple)
+        out = out.na.fill(-1, subset=[c for c in fill if c in out.columns])
     return out
 
 
@@ -2898,7 +2900,7 @@ config:
             F.col("n_grams").cast("long").alias("n_grams"),
             F.col("weight_unats").cast("long").alias("weight_unats"))
 
-    def q_data_mix(spark, sf):
+    def _data_mix_core_parts(spark, sf):
         # part "sample": deterministic stratified sampling (md5 bucket
         # so DuckDB replays the exact kept-set; xxhash64 is the scale
         # default); part "pack": fixed-budget sequence packing via one
@@ -2982,18 +2984,31 @@ config:
             F.col("chunk_id").cast("long").alias("chunk_id"),
             "n_sentences", "n_tokens",
             F.substring("chunk_text", 1, 80).alias("chunk_head"))
-        hh = q_heavy_hitters(spark, sf)
+        return [("sample", samp), ("pack", pack),
+                ("q_lit", lit), ("q_join", joined), ("mix", mix),
+                ("salted", salted), ("c4", c4), ("chunk", chunk)]
+
+    _DATA_MIX_FILL = (
+        "n_tokens", "seq_pos", "n_hits", "score",
+        "doc_id", "n_docs", "isqrt_n", "weight_bp", "epochs_mbp",
+        "sum_chars", "min_chars", "max_chars",
+        "n_lines", "n_kept_lines", "kept_chars", "n_sentences",
+        "has_brace", "has_lorem", "has_jswarn", "is_kept",
+        "chunk_id", "cnt", "n_grams", "weight_unats")
+
+    def q_data_mix_core(spark, sf):
+        # bench variant: the original mixing/sampling/packing operator
+        # family alone — heavy_hitters and dsir have their own bench
+        # rows, so the bundle-only parts are what this row measures
+        return _union_parts(_data_mix_core_parts(spark, sf),
+                            fill=_DATA_MIX_FILL)
+
+    def q_data_mix(spark, sf):
         return _union_parts(
-            [("sample", samp), ("pack", pack),
-             ("q_lit", lit), ("q_join", joined), ("mix", mix),
-             ("salted", salted), ("c4", c4), ("chunk", chunk),
-             ("hh", hh), ("dsir", q_dsir(spark, sf))],
-            fill=("n_tokens", "seq_pos", "n_hits", "score",
-                  "doc_id", "n_docs", "isqrt_n", "weight_bp", "epochs_mbp",
-                  "sum_chars", "min_chars", "max_chars",
-                  "n_lines", "n_kept_lines", "kept_chars", "n_sentences",
-                  "has_brace", "has_lorem", "has_jswarn", "is_kept",
-                  "chunk_id", "cnt", "n_grams", "weight_unats"),
+            _data_mix_core_parts(spark, sf)
+            + [("hh", q_heavy_hitters(spark, sf)),
+               ("dsir", q_dsir(spark, sf))],
+            fill=_DATA_MIX_FILL,
         )
 
     q["data_mix"] = q_data_mix
@@ -3810,6 +3825,17 @@ config:
         # r9 (merged into the data_mix / ann_ivf_topk bundles)
         "dsir_select": q_dsir,
         "pq_adc_topk": q_pq_adc,
+        # r9: single-operator variants for the bundle-grown rows, so
+        # each bench row measures ONE operator (the r8-added parts —
+        # warc/robots/heavy-hitters/manifest/bloom — already have their
+        # own bench rows; measuring the bundles double-counted them and
+        # broke round-over-round comparability)
+        "payload_decompress": q_decompress,
+        "metadata_aggregation": q_metadata_agg,
+        "decontam_multi": q_decontam_multi,
+        "adapter_explode": q_adapter_explode,
+        "remote_adapter": q_adapter_remote,
+        "data_mix": q_data_mix_core,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are

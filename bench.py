@@ -79,6 +79,7 @@ HEADLINE = [
     "robots_filter",          # RFC 9309 longest-match frontier filter
     "dsir_select",            # DSIR importance weights (broadcast join)
     "pq_adc_topk",            # product-quantization ADC top-k
+    "remote_adapter",         # HTTP-translator adapter path
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -89,7 +90,8 @@ GROUPS = [
      "bad_row_split", "adapter_explode", "metadata_aggregation"],
     # lookup/range-join enrichments + loaders
     ["ip_lookups", "asn_bot_detection", "sql_lookup_join",
-     "thrift_loader", "payload_decompress", "script_js"],
+     "thrift_loader", "payload_decompress", "script_js",
+     "remote_adapter"],
     # dedup family
     ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
      "dedup_ngram_jaccard", "dedup_despan", "decontam_multi",

@@ -74,6 +74,7 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "dataset_manifest": "metadata_aggregation",
         "dsir_select": "data_mix",
         "pq_adc_topk": "ann_ivf_topk",
+        "remote_adapter": "adapter_explode",
         "script_js": "script_hook",  # bench-only throughput variant
     }
     for name in benchmod.HEADLINE:
