@@ -925,6 +925,174 @@ def streaming_dedup(
     )
 
 
+def streaming_near_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 5,
+    sim_threshold: float = 0.8,
+    watermark: str = "1 hour",
+    max_bucket_state: int = 64,
+    family=xxhash_family,
+) -> DataFrame:
+    """Cross-micro-batch NEAR-duplicate candidates: the streaming twin
+    of :func:`minhash_lsh_pairs`, via ``applyInPandasWithState``.
+
+    Signatures are computed map-side (the same minhash family as the
+    batch path) and exploded into LSH bands; state is keyed by
+    ``(band_id, band_hash)`` and holds the bucket's recent members —
+    ids + full signatures, LRU-capped at ``max_bucket_state`` and
+    event-time-evicted past the watermark, so state is bounded by
+    (buckets live within the watermark) × (cap), not stream lifetime.
+    A new document emits ``(doc_id, matched_id, est_jaccard_bp,
+    band_id)`` for every stored member whose signature agreement ≥
+    ``sim_threshold`` (estimated Jaccard = matching minhash fraction,
+    in basis points — integer, engine-stable).
+
+    Contract notes mirroring the batch operator:
+    - a pair colliding in SEVERAL bands is emitted once per colliding
+      band (kernels are band-local); consumers that need set semantics
+      drop duplicates inside their foreachBatch
+    - estimation, not verification: the batch path re-checks exact
+      shingle Jaccard; a streaming kernel only has signatures, so the
+      threshold applies to the estimate (documented approximation)
+    - a duplicate arriving after its bucket's state expired is
+      re-admitted — the same watermark trade-off as streaming_dedup
+
+    Works on batch frames too (falls back to minhash candidates with
+    the same signature-agreement semantics for parity tests).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    need = int(sim_threshold * num_hashes + 0.9999)  # min matching comps
+
+    sig = minhash_signature(shingles(F.col(text_col), shingle_k),
+                            num_hashes, family)
+    exploded = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(ts_col).alias("_ts"),
+            sig.alias("_sig"))
+        .where(F.size("_sig") == num_hashes)  # empty text → no shingles
+        .select(
+            "doc_id", "_ts", "_sig",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.xxhash64(F.concat_ws(
+                        ",",
+                        F.lit(b),
+                        *[F.element_at("_sig", b * rows_per_band + j + 1)
+                          for j in range(rows_per_band)],
+                    )).alias("band_hash"))
+                for b in range(bands)
+            ])).alias("_band"))
+        .select("doc_id", "_ts", "_sig",
+                F.col("_band.band_id").alias("band_id"),
+                F.col("_band.band_hash").alias("band_hash"))
+    )
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("matched_id", T.LongType()),
+        T.StructField("est_jaccard_bp", T.LongType()),
+        T.StructField("band_id", T.IntegerType()),
+    ])
+
+    if not docs.isStreaming:
+        # batch parity path: self-join per bucket, same agreement rule
+        a, b = exploded.alias("a"), exploded.alias("b")
+        agree = F.size(F.filter(
+            F.zip_with(F.col("a._sig"), F.col("b._sig"),
+                       lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1))
+        return (
+            a.join(b, ["band_id", "band_hash"])
+            .where(F.col("a.doc_id") > F.col("b.doc_id"))
+            .where(agree >= need)
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.col("b.doc_id").alias("matched_id"),
+                (agree * 10000 / num_hashes).cast("long")
+                .alias("est_jaccard_bp"),
+                F.col("band_id").cast("int").alias("band_id"))
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    state_schema = T.StructType([
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("sigs", T.ArrayType(T.StringType())),
+        T.StructField("last_us", T.LongType()),
+    ])
+    wm_us = _parse_duration_us(watermark)
+
+    def fn(key, pdfs, state):
+        band = int(key[0])
+        ids, sigs, last_us = (
+            state.get if state.exists else ([], [], None))
+        ids, sigs = list(ids), list(sigs)
+        if state.hasTimedOut:
+            state.remove()
+            return
+        hits: list[tuple] = []
+        rows: list[tuple] = []
+        for pdf in pdfs:
+            for did, ts, s in zip(pdf["doc_id"], pdf["_ts"], pdf["_sig"]):
+                if pd.isna(ts):
+                    continue
+                rows.append((int(pd.Timestamp(ts).value // 1000),
+                             int(did), [int(x) for x in s]))
+        for t_us, did, s in sorted(rows):
+            for mid, stored in zip(ids, sigs):
+                if mid == did:
+                    continue
+                comp = stored.split(",")
+                match = sum(1 for x, y in zip(comp, s)
+                            if int(x) == y)
+                if match >= need:
+                    hits.append((did, mid,
+                                 match * 10000 // num_hashes, band))
+            ids.append(did)
+            sigs.append(",".join(str(x) for x in s))
+            if len(ids) > max_bucket_state:  # LRU cap
+                ids.pop(0), sigs.pop(0)
+            last_us = t_us if last_us is None else max(last_us, t_us)
+        if last_us is None:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((ids, sigs, last_us))
+            state.setTimeoutTimestamp((last_us + wm_us) // 1000)
+        if hits:
+            yield pd.DataFrame(
+                hits, columns=["doc_id", "matched_id",
+                               "est_jaccard_bp", "band_id"])
+
+    return (
+        exploded.withWatermark("_ts", watermark)
+        .groupBy("band_id", "band_hash")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _parse_duration_us(s: str) -> int:
+    """'1 hour' / '30 minutes' / '15 seconds' → microseconds."""
+    n, unit = s.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600}[unit]
+    return int(float(n) * mult * 1_000_000)
+
+
 # ---------------------------------------------------------------------------
 # dedup keep-policy: clusters → one surviving representative each
 

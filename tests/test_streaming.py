@@ -744,3 +744,107 @@ def test_datapipe_projections_run_in_streaming(spark, tmp_path):
     url_rows = {r.doc_id: r for r in spark.sql("select * from url_s").collect()}
     assert url_rows[2].canonical_url == "http://foo.co.uk/x"
     assert url_rows[1].reg_domain == "example.com"
+
+
+def test_streaming_near_dedup_cross_batch(spark):
+    """Near-dup candidates survive ACROSS micro-batches: a re-worded
+    copy arriving in a later batch matches the original held in the
+    band-bucket state; unrelated text never matches; batch mode agrees
+    with the streaming emissions on replayed data."""
+    import datetime as dt
+
+    from enrich_spark.datapipe.dedup import streaming_near_dedup
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    base = ("the quick brown fox jumps over the lazy dog "
+            "while the spark executor shuffles partitions")
+    near = base + " happily"                 # high-Jaccard variant
+    far = "completely different content about cooking pasta at home"
+
+    def rows(batch):
+        return spark.createDataFrame(
+            batch, "doc_id LONG, text STRING, ts TIMESTAMP")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in")
+        os.makedirs(src)
+        rows([(1, base, t0), (2, far, t0)]).write.parquet(
+            os.path.join(src, "b0"))
+        source = (
+            spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+            .option("recursiveFileLookup", "true").parquet(src))
+        out = streaming_near_dedup(source, sim_threshold=0.7,
+                                   watermark="1 hour")
+        q = (out.writeStream.format("memory").queryName("neardup")
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .start())
+        try:
+            q.processAllAvailable()
+            assert spark.sql("SELECT * FROM neardup").count() == 0
+
+            # batch 1: the near-copy arrives 10 min later → must match
+            # doc 1 from batch-0 state; doc 4 is fresh unrelated text
+            rows([(3, near, t0 + dt.timedelta(minutes=10)),
+                  (4, "unrelated fresh text about gardening tools", t0)]
+                 ).write.parquet(os.path.join(src, "b1"))
+            q.processAllAvailable()
+            got = spark.sql("SELECT * FROM neardup").collect()
+            pairs = {(r.doc_id, r.matched_id) for r in got}
+            assert pairs == {(3, 1)}
+            assert all(r.est_jaccard_bp >= 7000 for r in got)
+        finally:
+            q.stop()
+
+    # batch-mode parity: same corpus in one frame, same contract
+    batch_pairs = streaming_near_dedup(
+        rows([(1, base, t0), (2, far, t0),
+              (3, near, t0 + dt.timedelta(minutes=10)),
+              (4, "unrelated fresh text about gardening tools", t0)]),
+        sim_threshold=0.7)
+    got = {(r.doc_id, r.matched_id) for r in batch_pairs.collect()}
+    assert got == {(3, 1)}
+
+
+def test_streaming_near_dedup_state_eviction(spark):
+    """A duplicate arriving past the watermark horizon is re-admitted
+    (bucket state evicted) — the documented trade-off knob."""
+    import datetime as dt
+
+    from enrich_spark.datapipe.dedup import streaming_near_dedup
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    text = ("some moderately long piece of text that produces stable "
+            "shingles for the minhash signature family")
+
+    def rows(batch):
+        return spark.createDataFrame(
+            batch, "doc_id LONG, text STRING, ts TIMESTAMP")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in")
+        os.makedirs(src)
+        rows([(1, text, t0)]).write.parquet(os.path.join(src, "b0"))
+        source = (
+            spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+            .option("recursiveFileLookup", "true").parquet(src))
+        out = streaming_near_dedup(source, sim_threshold=0.7,
+                                   watermark="10 seconds")
+        q = (out.writeStream.format("memory").queryName("neardup2")
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .start())
+        try:
+            q.processAllAvailable()
+            # advance the watermark far past doc 1's bucket timeout
+            rows([(9, "watermark pusher with totally distinct words",
+                   t0 + dt.timedelta(hours=3))]).write.parquet(
+                os.path.join(src, "b1"))
+            q.processAllAvailable()
+            # the exact same text again: state evicted → NO pair emitted
+            rows([(5, text, t0 + dt.timedelta(hours=3, minutes=1))]
+                 ).write.parquet(os.path.join(src, "b2"))
+            q.processAllAvailable()
+            assert spark.sql("SELECT * FROM neardup2").count() == 0
+        finally:
+            q.stop()
