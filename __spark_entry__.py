@@ -26,6 +26,9 @@ from enrich_spark.datapipe.bpe import apply_bpe_sql as _bpe_apply_sql
 from enrich_spark.datapipe.unigram import (
     apply_unigram_sql as _unigram_apply_sql,
 )
+from enrich_spark.datapipe.curation import (
+    leakage_safe_split_sql as _lss_sql,
+)
 from enrich_spark.datapipe.dsir import apply_dsir_sql as _dsir_sql
 from enrich_spark.datapipe.text import bm25_score_sql as _bm25_sql
 from enrich_spark.datapipe.webtext import url_normalize_sql as _url_norm_sql
@@ -2677,6 +2680,21 @@ config:
             F.col("dup_count").cast("long").alias("dup_count"),
         )
 
+    def q_leakage_split(spark, sf):
+        # leakage-safe train/val/test assignment (datapipe/curation
+        # .leakage_safe_split) — deterministic pair fixture (2k ~ 2k+1
+        # for k < 10) so near-dup clusters land in ONE split;
+        # md5-bucket assignment, DuckDB-replayable
+        from enrich_spark.datapipe.curation import leakage_safe_split
+
+        pair_fix = spark.createDataFrame(
+            [(2 * k, 2 * k + 1) for k in range(10)], "id_a LONG, id_b LONG")
+        return leakage_safe_split(
+            _load_docs(spark, sf).select("doc_id"), pair_fix).select(
+            F.col("doc_id").cast("long").alias("keep_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "split")
+
     def q_dedup_exact(spark, sf):
         # part "exact": hash-groupBy dedup; part "substr": exact
         # substring-duplication marking (Lee et al. 2022 style —
@@ -2715,9 +2733,11 @@ config:
             F.size("hit_benchmarks").cast("long").alias("n_bench_hits"),
         )
         return _union_parts(
-            [("exact", exact), ("substr", sub), ("contam", contam)],
+            [("exact", exact), ("substr", sub), ("contam", contam),
+             ("split", q_leakage_split(spark, sf))],
             fill=("dup_count", "n_windows", "n_dup_windows", "dup_frac_bp",
-                  "contam_windows", "contam_frac_bp", "n_bench_hits"),
+                  "contam_windows", "contam_frac_bp", "n_bench_hits",
+                  "cluster_id"),
         )
 
     q["dedup_exact"] = q_dedup_exact
@@ -3836,6 +3856,7 @@ config:
         "adapter_explode": q_adapter_explode,
         "remote_adapter": q_adapter_remote,
         "data_mix": q_data_mix_core,
+        "leakage_split": q_leakage_split,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -4879,6 +4900,14 @@ def oracle_sql() -> dict[str, str]:
                            LEFT JOIN hits h USING (doc_id)
         """, {"keep_id": "num", "contam_windows": "num",
               "contam_frac_bp": "num", "n_bench_hits": "num"}),
+        ("split", _lss_sql(
+            "documents", "doc_id",
+            "SELECT doc_id AS keep_id, cluster_id FROM (VALUES "
+            + ", ".join(f"({2 * k}, {2 * k}), ({2 * k + 1}, {2 * k})"
+                        for k in range(10))
+            + ") t(doc_id, cluster_id)",
+            id_alias="keep_id"),
+         {"keep_id": "num", "cluster_id": "num", "split": "str"}),
     ])
 
     o["dedup_despan"] = """

@@ -80,6 +80,7 @@ HEADLINE = [
     "dsir_select",            # DSIR importance weights (broadcast join)
     "pq_adc_topk",            # product-quantization ADC top-k
     "remote_adapter",         # HTTP-translator adapter path
+    "leakage_split",          # cluster-aware train/val/test split
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -95,7 +96,7 @@ GROUPS = [
     # dedup family
     ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
      "dedup_ngram_jaccard", "dedup_despan", "decontam_multi",
-     "decontam_bloom", "semantic_dedup"],
+     "decontam_bloom", "semantic_dedup", "leakage_split"],
     # embeddings / ANN / clustering
     ["ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
      "embedding_dup_pairs", "cluster_stats", "sessionize",

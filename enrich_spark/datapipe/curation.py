@@ -626,3 +626,110 @@ def k_anonymity_report(
         aggs.append(F.sum("homogeneous").cast("long")
                     .alias("homogeneous_classes"))
     return audit.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe dataset splitting
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 7,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Deterministic train/val/test assignment that near-duplicate
+    clusters can never straddle — the split-leakage guard a training
+    pipeline needs before eval-set construction (a near-copy of a test
+    document in train silently inflates eval scores; splitting by
+    CLUSTER representative, not by document, makes that impossible by
+    construction).
+
+    ``pairs`` is any near-dup pair list (minhash LSH / simhash /
+    n-gram Jaccard / embedding cosine / SemDeDup); documents in no
+    pair are their own singleton cluster. The split key is the md5
+    bucket of the cluster representative (minimum member id via
+    dedup.dup_clusters), so: (a) every member of a cluster lands in
+    the SAME split, (b) assignment is independent of partitioning and
+    engine (the md5-prefix idiom every sampler here uses), (c) adding
+    unrelated documents never moves an existing cluster.
+
+    Output: (id, cluster_id, split). Fractions default to
+    train/val/test = 0.9/0.05/0.05 and are consumed in sorted-name
+    order over a 1e6 bucket space.
+
+    100 TB shape: cluster labels come from the key-bounded dup_clusters
+    propagation (pairs only — the full corpus never enters the loop);
+    the corpus itself pays ONE left join against the label table and a
+    map-side md5. No other shuffle.
+    """
+    from .dedup import dup_clusters
+
+    fractions = dict(fractions or {"train": 0.90, "val": 0.05, "test": 0.05})
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+
+    base = docs.select(F.col(id_col).cast("long").alias(id_col))
+    if pairs is not None:
+        labels = dup_clusters(pairs, id_a=id_a, id_b=id_b).select(
+            F.col("doc_id").alias(id_col),
+            F.col("cluster_id").cast("long").alias("cluster_id"))
+        base = base.join(labels, on=id_col, how="left")
+        rep = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    else:
+        rep = F.col(id_col)
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.concat(rep.cast("string"), F.lit(f":{seed}"))),
+            1, 15), 16, 10).cast("long") % 1_000_000
+    )
+    expr = None
+    lo = 0.0
+    names = sorted(fractions)
+    for name in names[:-1]:
+        lo += fractions[name]
+        cond = bucket < F.lit(int(lo * 1_000_000))
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    expr = (expr.otherwise(F.lit(names[-1])) if expr is not None
+            else F.lit(names[-1]))
+    return base.select(
+        F.col(id_col),
+        rep.alias("cluster_id"),
+        expr.alias("split"))
+
+
+def leakage_safe_split_sql(
+    docs_sql: str,
+    id_expr: str,
+    cluster_sql: str | None,
+    fractions: dict[str, float] | None = None,
+    seed: int = 7,
+    id_alias: str = "doc_id",
+) -> str:
+    """DuckDB mirror. ``cluster_sql`` yields (doc_id, cluster_id) for
+    paired documents (or None for the no-pairs case)."""
+    fractions = dict(fractions or {"train": 0.90, "val": 0.05, "test": 0.05})
+    names = sorted(fractions)
+    rep = (f"COALESCE(c.cluster_id, d.{id_alias})" if cluster_sql
+           else f"d.{id_alias}")
+    bucket = (f"CAST(('0x' || substr(md5(CAST({rep} AS VARCHAR) "
+              f"|| ':{seed}'), 1, 15)) AS BIGINT) % 1000000")
+    case, lo = "CASE", 0.0
+    for name in names[:-1]:
+        lo += fractions[name]
+        case += f" WHEN {bucket} < {int(lo * 1_000_000)} THEN '{name}'"
+    case += f" ELSE '{names[-1]}' END"
+    join = (f"LEFT JOIN ({cluster_sql}) c ON c.{id_alias} = d.{id_alias}"
+            if cluster_sql else "")
+    return f"""
+        SELECT d.{id_alias} AS {id_alias},
+               {rep} AS cluster_id,
+               {case} AS split
+        FROM (SELECT {id_expr} AS {id_alias} FROM {docs_sql}) d
+        {join}
+    """

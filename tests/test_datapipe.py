@@ -2178,3 +2178,56 @@ def test_jpeg_lossless_roundtrip():
         decode_jpeg(head + b"\xff\xdd\x00\x03\x00")  # DRI, 1-byte payload
     with pytest.raises(ValueError):
         decode_jpeg(head + b"\xff\xda\x00\x04\x02\x01")  # SOS cut short
+
+
+def test_leakage_safe_split(spark):
+    """Cluster-aware splitting: every near-dup cluster member lands in
+    the SAME split; fractions roughly hold; deterministic across calls
+    and independent of unrelated additions; DuckDB mirror agrees."""
+    import duckdb
+
+    from enrich_spark.datapipe.curation import (
+        leakage_safe_split, leakage_safe_split_sql,
+    )
+
+    docs = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (50, 51)], "id_a LONG, id_b LONG")
+    out = leakage_safe_split(docs, pairs).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(out) == 400
+    # chained cluster {0,1,2} — one split, one cluster id (the min)
+    assert {by_id[i].cluster_id for i in (0, 1, 2)} == {0}
+    assert len({by_id[i].split for i in (0, 1, 2)}) == 1
+    assert len({by_id[i].split for i in (10, 11)}) == 1
+    assert len({by_id[i].split for i in (50, 51)}) == 1
+    # fractions ~0.9/0.05/0.05 over 400 docs
+    from collections import Counter
+
+    c = Counter(r.split for r in out)
+    assert c["train"] > 300 and 0 < c["val"] < 60 and 0 < c["test"] < 60
+    # determinism
+    again = {r.doc_id: r.split for r in
+             leakage_safe_split(docs, pairs).collect()}
+    assert again == {r.doc_id: r.split for r in out}
+    # unrelated additions don't move existing assignments
+    bigger = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    wider = {r.doc_id: r.split for r in
+             leakage_safe_split(bigger, pairs).collect()}
+    assert all(wider[i] == by_id[i].split for i in range(400))
+
+    # DuckDB mirror parity (cluster table fed explicitly)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs AS SELECT range AS doc_id FROM range(400)")
+    con.execute("CREATE TABLE clus (doc_id BIGINT, cluster_id BIGINT)")
+    con.executemany("INSERT INTO clus VALUES (?, ?)",
+                    [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10),
+                     (50, 50), (51, 50)])
+    sql = leakage_safe_split_sql(
+        "docs", "doc_id", "SELECT doc_id, cluster_id FROM clus")
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    got = sorted((r.doc_id, r.cluster_id, r.split) for r in out)
+    assert got == want
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(docs, None, fractions={"train": 0.5})
