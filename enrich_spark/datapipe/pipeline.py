@@ -1,0 +1,223 @@
+"""Declarative curation pipelines — config-driven chaining of the
+datapipe operators, the training-data analog of the reference's
+enrichments-directory design (snowplow/enrich configures its 28
+enrichment steps from JSON configs, EnrichmentRegistry; here a JSON
+list configures the corpus-curation steps the same way).
+
+A pipeline is a list of steps; each step names a registered op and its
+params. Ops come in three kinds:
+
+- **annotate** — add columns (language, quality score, token counts,
+  importance weight, split assignment). Never changes row count.
+- **filter** — keep a subset (language allowlist, quality floor, C4
+  verdict, deterministic sample, exact/near dedup keep, benchmark
+  decontamination). Never changes columns the user selected.
+- **transform** — rewrite the text column (PII scrub, duplicate-span
+  removal).
+
+Everything stays one lazy DataFrame plan end-to-end — a 10-step
+pipeline is still ONE Spark job when written to a sink, with Catalyst
+free to reorder filters below annotations it doesn't need. The
+optional report mode materializes per-step retention counts (one
+count() per step — diagnostics, not the production path).
+
+Example::
+
+    steps = [
+        {"op": "language_id"},
+        {"op": "keep_languages", "languages": ["en"]},
+        {"op": "quality_score"},
+        {"op": "min_quality", "threshold": 0.7},
+        {"op": "c4_keep"},
+        {"op": "pii_scrub"},
+        {"op": "exact_dedup_keep"},
+        {"op": "decontaminate", "benchmark": bench_df, "k": 8},
+        {"op": "stratified_sample", "fractions": {"web": 0.5}},
+        {"op": "leakage_split", "pairs": pairs_df},
+    ]
+    out = run_pipeline(docs, steps)
+"""
+
+from __future__ import annotations
+
+import json as _json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# op implementations (thin adapters over the datapipe modules)
+
+
+def _op_language_id(docs, text_col="text", **_):
+    from .text import detect_language
+
+    return docs.withColumn("language", detect_language(F.col(text_col)))
+
+
+def _op_keep_languages(docs, languages, text_col="text", **_):
+    if "language" not in docs.columns:
+        docs = _op_language_id(docs, text_col)
+    return docs.where(F.col("language").isin(*languages))
+
+
+def _op_quality_score(docs, text_col="text", **_):
+    from .text import quality_score
+
+    return quality_score(docs, text_col)
+
+
+def _op_min_quality(docs, threshold=0.5, text_col="text", **_):
+    if "quality_score" not in docs.columns:
+        docs = _op_quality_score(docs, text_col)
+    return docs.where(F.col("quality_score") >= float(threshold))
+
+
+def _op_token_counts(docs, text_col="text", **_):
+    from .text import token_counts
+
+    return token_counts(docs, text_col)
+
+
+def _op_c4_keep(docs, text_col="text", id_col="doc_id", **_):
+    from .curation import c4_filters
+
+    verdict = c4_filters(docs, text_col, id_col).select(id_col, "is_kept")
+    return (docs.join(verdict, on=id_col, how="inner")
+            .where(F.col("is_kept") == 1).drop("is_kept"))
+
+
+def _op_pii_scrub(docs, text_col="text", id_col="doc_id", **kw):
+    from .curation import scrub_text_pii
+
+    scrubbed = scrub_text_pii(docs, text_col, id_col, **kw).select(
+        id_col, F.col("scrubbed_text"))
+    return (docs.join(scrubbed, on=id_col, how="inner")
+            .drop(text_col)
+            .withColumnRenamed("scrubbed_text", text_col))
+
+
+def _op_exact_dedup_keep(docs, text_col="text", id_col="doc_id", **_):
+    # deterministic keeper: the minimum id per content hash
+    keep = (docs.groupBy(F.md5(F.col(text_col)).alias("_h"))
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    return docs.join(keep, on=id_col, how="left_semi")
+
+
+def _op_near_dedup_keep(docs, text_col="text", id_col="doc_id",
+                        jaccard_threshold=0.8, num_hashes=32, bands=8,
+                        shingle_k=5, **_):
+    from .dedup import apply_dedup_policy, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        docs, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_k=shingle_k, jaccard_threshold=jaccard_threshold)
+    verdict = apply_dedup_policy(docs, pairs, id_col=id_col).select(
+        F.col(id_col), "is_kept")
+    return (docs.join(verdict, on=id_col, how="inner")
+            .where(F.col("is_kept") == 1).drop("is_kept"))
+
+
+def _op_decontaminate(docs, benchmark, k=8, text_col="text",
+                      id_col="doc_id", **_):
+    from .dedup import contamination_check
+
+    hits = contamination_check(docs, benchmark, k=k).select(
+        id_col, "contaminated_windows")
+    return (docs.join(hits, on=id_col, how="left")
+            .where(F.coalesce(F.col("contaminated_windows"), F.lit(0)) == 0)
+            .drop("contaminated_windows"))
+
+
+def _op_stratified_sample(docs, fractions, stratum_col="source",
+                          id_col="doc_id", seed=42, default_fraction=0.0,
+                          **_):
+    from .curation import stratified_sample
+
+    return stratified_sample(docs, fractions, stratum_col, id_col,
+                             seed=seed, default_fraction=default_fraction)
+
+
+def _op_dsir_weight(docs, ratios, n_buckets=512, text_col="text",
+                    id_col="doc_id", **_):
+    from .dsir import apply_dsir
+
+    w = apply_dsir(docs, ratios, id_col=id_col, text_col=text_col,
+                   n_buckets=n_buckets).select(id_col, "weight_unats")
+    return docs.join(w, on=id_col, how="left")
+
+
+def _op_leakage_split(docs, pairs=None, fractions=None, id_col="doc_id",
+                      seed=7, **_):
+    from .curation import leakage_safe_split
+
+    s = leakage_safe_split(
+        docs.select(id_col), pairs, fractions, id_col=id_col,
+        seed=seed).select(id_col, "split")
+    return docs.join(s, on=id_col, how="inner")
+
+
+def _op_despan(docs, k=8, text_col="text", id_col="doc_id", **_):
+    from .dedup import remove_duplicate_spans
+
+    cleaned = remove_duplicate_spans(
+        docs, k=k, text_col=text_col, id_col=id_col).select(
+        id_col, "cleaned_text")
+    return (docs.join(cleaned, on=id_col, how="inner")
+            .drop(text_col)
+            .withColumnRenamed("cleaned_text", text_col))
+
+
+CURATION_OPS = {
+    # annotate
+    "language_id": _op_language_id,
+    "quality_score": _op_quality_score,
+    "token_counts": _op_token_counts,
+    "dsir_weight": _op_dsir_weight,
+    "leakage_split": _op_leakage_split,
+    # filter
+    "keep_languages": _op_keep_languages,
+    "min_quality": _op_min_quality,
+    "c4_keep": _op_c4_keep,
+    "exact_dedup_keep": _op_exact_dedup_keep,
+    "near_dedup_keep": _op_near_dedup_keep,
+    "decontaminate": _op_decontaminate,
+    "stratified_sample": _op_stratified_sample,
+    # transform
+    "pii_scrub": _op_pii_scrub,
+    "despan": _op_despan,
+}
+
+
+def run_pipeline(
+    docs: DataFrame,
+    steps: list[dict] | str,
+    registry: dict | None = None,
+    report: list | None = None,
+) -> DataFrame:
+    """Apply `steps` (a list of {"op": name, **params} dicts, or a path
+    to a JSON file holding one) in order. Unknown ops fail fast with
+    the available names. Pass ``report=[]`` to collect per-step
+    retention counts into it — each entry (op, rows_after); this
+    materializes one count per step and is meant for diagnostics."""
+    registry = registry or CURATION_OPS
+    if isinstance(steps, str):
+        with open(steps) as f:
+            steps = _json.load(f)
+    out = docs
+    for i, step in enumerate(steps):
+        if "op" not in step:
+            raise ValueError(f"step {i} has no 'op': {step}")
+        name = step["op"]
+        fn = registry.get(name)
+        if fn is None:
+            raise ValueError(
+                f"unknown op {name!r} at step {i}; available: "
+                + ", ".join(sorted(registry)))
+        params = {k: v for k, v in step.items() if k != "op"}
+        out = fn(out, **params)
+        if report is not None:
+            report.append((name, out.count()))
+    return out

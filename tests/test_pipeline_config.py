@@ -1,0 +1,103 @@
+"""Declarative curation pipelines (datapipe/pipeline.py): config-driven
+chaining equals the hand-written chain, JSON file loading, retention
+report, unknown-op fail-fast — the datapipe analog of the reference's
+enrichments-directory configuration."""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from enrich_spark.datapipe.pipeline import CURATION_OPS, run_pipeline
+
+GOOD = ("The quick brown fox jumps over the lazy dog while the keen "
+        "spark executor shuffles partitions and the optimizer prunes "
+        "columns for every stage in the long pipeline today.")
+JUNK = "{ } { } { } 1 2 3 4 5 6 7 8 9 0 !!! ???"
+
+
+def _docs(spark):
+    rows = [
+        (0, GOOD + " alpha", "web"),
+        (1, GOOD + " alpha", "web"),          # exact dup of 0
+        (2, GOOD + " mail me at a@b.com", "web"),
+        (3, JUNK, "web"),                     # fails quality gates
+        (4, GOOD + " gamma variant", "books"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+
+
+def test_pipeline_matches_manual_chain(spark):
+    docs = _docs(spark)
+    steps = [
+        {"op": "language_id"},
+        {"op": "min_quality", "threshold": 0.8},
+        {"op": "pii_scrub"},
+        {"op": "exact_dedup_keep"},
+        {"op": "leakage_split"},
+    ]
+    out = run_pipeline(docs, steps)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {0, 2, 4}             # 1 deduped, 3 junk-filtered
+    assert "<EMAIL>" in rows[2].text
+    assert all(r.split in ("train", "val", "test") for r in rows.values())
+    assert all(r.language is not None for r in rows.values())
+
+    # equals the hand-written chain
+    manual = CURATION_OPS["leakage_split"](
+        CURATION_OPS["exact_dedup_keep"](
+            CURATION_OPS["pii_scrub"](
+                CURATION_OPS["min_quality"](
+                    CURATION_OPS["language_id"](docs), threshold=0.8))))
+    got = sorted((r.doc_id, r.text, r.split) for r in out.collect())
+    want = sorted((r.doc_id, r.text, r.split) for r in manual.collect())
+    assert got == want
+
+
+def test_pipeline_from_json_file_and_report(spark, tmp_path):
+    docs = _docs(spark)
+    cfg = tmp_path / "pipe.json"
+    cfg.write_text(json.dumps([
+        {"op": "min_quality", "threshold": 0.8},
+        {"op": "exact_dedup_keep"},
+        {"op": "stratified_sample",
+         "fractions": {"web": 1.0, "books": 0.0}},
+    ]))
+    report: list = []
+    out = run_pipeline(docs, str(cfg), report=report)
+    assert [n for n, _ in report] == ["min_quality", "exact_dedup_keep",
+                                      "stratified_sample"]
+    counts = [c for _, c in report]
+    assert counts[0] == 4 and counts[1] == 3 and counts[2] == 2
+    assert {r.doc_id for r in out.collect()} == {0, 2}
+
+
+def test_pipeline_unknown_op_fails_fast(spark):
+    with pytest.raises(ValueError, match="unknown op 'frobnicate'"):
+        run_pipeline(_docs(spark), [{"op": "frobnicate"}])
+    with pytest.raises(ValueError, match="no 'op'"):
+        run_pipeline(_docs(spark), [{"threshold": 1}])
+
+
+def test_pipeline_stays_lazy_single_plan(spark):
+    """No report → zero jobs during construction; the 4-step pipeline
+    is one plan (filters/joins visible, no mid-pipeline actions)."""
+    docs = _docs(spark)
+    sc = spark.sparkContext
+    sc.setJobGroup("lazy_pipe", "x")
+    out = run_pipeline(docs, [
+        {"op": "language_id"},
+        {"op": "min_quality", "threshold": 0.8},
+        {"op": "exact_dedup_keep"},
+    ])
+    sc.setJobGroup("", "")
+    assert sc.statusTracker().getJobIdsForGroup("lazy_pipe") == []
+    assert out.count() == 3  # and it actually runs
