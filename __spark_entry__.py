@@ -305,6 +305,19 @@ _PQ_MODEL = [
 ]
 
 
+# sparse rate-validity windows for the as-of join part (literal shared
+# with the DuckDB ASOF JOIN oracle): GBP re-rates twice mid-month, USD
+# has NO rate before Jan 5 (unmatched period), JPY never changes
+_ASOF_RATES = [
+    ("GBP", "2024-01-01 00:00:00", 1.15),
+    ("GBP", "2024-01-10 00:00:00", 1.16),
+    ("GBP", "2024-01-20 00:00:00", 1.17),
+    ("USD", "2024-01-05 00:00:00", 0.90),
+    ("USD", "2024-01-15 00:00:00", 0.91),
+    ("JPY", "2024-01-01 00:00:00", 0.0064),
+]
+
+
 def _cached_fixture(spark: SparkSession, name: str, sf_dir: str, builder):
     key = (name, sf_dir, spark.sparkContext.applicationId)
     df = _FIXTURE_CACHE.get(key)
@@ -862,7 +875,39 @@ config:
             "base_currency",
         )
 
-    q["currency_conversion"] = q_currency
+    def q_asof(spark, sf):
+        # general-purpose as-of join (plans/asof.asof_join, union-sort
+        # scale path): each event picks the latest rate whose
+        # valid_from <= ts — sparse validity windows, keys with gaps,
+        # and an unmatched period (USD before Jan 5). DuckDB's native
+        # ASOF LEFT JOIN is the oracle: two independent engines, one
+        # hash-checked result.
+        from enrich_spark.plans.asof import asof_join
+
+        ev = _load_events(spark, sf)
+        trades = ev.select(
+            F.col("event_id").alias("src_event_id"),
+            F.element_at(
+                F.array(F.lit("GBP"), F.lit("USD"), F.lit("JPY")),
+                (F.col("user_id") % 3 + 1).cast("int")).alias("ccy"),
+            F.col("ts").alias("t"))
+        rates = spark.createDataFrame(
+            _ASOF_RATES, "ccy string, valid_from_s string, rate double"
+        ).select("ccy", F.col("valid_from_s").cast("timestamp")
+                 .alias("valid_from"), "rate")
+        out = asof_join(trades, rates, on=["ccy"], left_ts="t",
+                        right_ts="valid_from")
+        return out.select(
+            F.col("src_event_id").cast("long").alias("src_event_id"),
+            "ccy", F.col("rate").alias("rate"),
+            F.col("_asof_ts").cast("date").cast("string")
+            .alias("rate_day"))
+
+    q["currency_conversion"] = lambda spark, sf: _union_parts(
+        [("convert", q_currency(spark, sf)),
+         ("asof", q_asof(spark, sf))],
+        fill=("tr_total", "tr_total_base", "rate"),
+    )
 
     def q_adapter_explode(spark, sf):
         from enrich_spark.adapters.registry import adapt
@@ -3857,6 +3902,8 @@ config:
         "remote_adapter": q_adapter_remote,
         "data_mix": q_data_mix_core,
         "leakage_split": q_leakage_split,
+        "asof_join": q_asof,
+        "currency_conversion": q_currency,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -4146,7 +4193,10 @@ def oracle_sql() -> dict[str, str]:
               "uap_os": "str", "uap_os_v1": "str", "uap_device": "str"}),
     ])
 
-    o["currency_conversion"] = """
+    _asof_vals = ", ".join(
+        f"('{c}', TIMESTAMP '{t}', {r})" for c, t, r in _ASOF_RATES)
+    o["currency_conversion"] = _union_oracle([
+        ("convert", """
         SELECT e.event_id AS src_event_id,
                CASE e.user_id % 3 WHEN 0 THEN 'GBP' WHEN 1 THEN 'USD' ELSE 'JPY' END AS tr_currency,
                CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) AS tr_total,
@@ -4156,7 +4206,26 @@ def oracle_sql() -> dict[str, str]:
                              ELSE CAST(0.0064 AS DECIMAL(18,8)) END), 2) AS DOUBLE) AS tr_total_base,
                'EUR' AS base_currency
         FROM events e
-    """
+        """, {"src_event_id": "num", "tr_currency": "str",
+              "tr_total": "fnum", "tr_total_base": "fnum",
+              "base_currency": "str"}),
+        ("asof", f"""
+        WITH t AS (
+            SELECT event_id AS src_event_id,
+                   CASE user_id % 3 WHEN 0 THEN 'GBP' WHEN 1 THEN 'USD'
+                        ELSE 'JPY' END AS ccy,
+                   ts
+            FROM events
+        ),
+        r(ccy, valid_from, rate) AS (VALUES {_asof_vals})
+        SELECT t.src_event_id, t.ccy,
+               CAST(r.rate AS DOUBLE) AS rate,
+               CAST(CAST(r.valid_from AS DATE) AS VARCHAR) AS rate_day
+        FROM t ASOF LEFT JOIN r
+          ON t.ccy = r.ccy AND t.ts >= r.valid_from
+        """, {"src_event_id": "num", "ccy": "str", "rate": "fnum",
+              "rate_day": "str"}),
+    ])
 
     o["adapter_explode"] = """
         SELECT e.event_id AS src_event_id, x.e AS e, x.aid AS aid,

@@ -81,6 +81,7 @@ HEADLINE = [
     "pq_adc_topk",            # product-quantization ADC top-k
     "remote_adapter",         # HTTP-translator adapter path
     "leakage_split",          # cluster-aware train/val/test split
+    "asof_join",              # point-in-time join (union-sort path)
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -92,7 +93,7 @@ GROUPS = [
     # lookup/range-join enrichments + loaders
     ["ip_lookups", "asn_bot_detection", "sql_lookup_join",
      "thrift_loader", "payload_decompress", "script_js",
-     "remote_adapter"],
+     "remote_adapter", "asof_join"],
     # dedup family
     ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
      "dedup_ngram_jaccard", "dedup_despan", "decontam_multi",

@@ -76,6 +76,7 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "pq_adc_topk": "ann_ivf_topk",
         "remote_adapter": "adapter_explode",
         "leakage_split": "dedup_exact",
+        "asof_join": "currency_conversion",
         "script_js": "script_hook",  # bench-only throughput variant
     }
     for name in benchmod.HEADLINE:
