@@ -1003,9 +1003,19 @@ def test_png_all_filters_roundtrip_and_speed():
         assert np.array_equal(out, px), f"filter {f} roundtrip"
     # fully-vectorized filters decode a 1000x1000 RGB in well under 100ms;
     # Average/Paeth go through the wavefront path (~0.2s measured, 40x
-    # over the per-pixel loop) — generous CI bounds
-    assert timings[1] < 0.1 and timings[2] < 0.1
-    assert timings[3] < 1.0 and timings[4] < 1.0
+    # over the per-pixel loop). The floor is a regression tripwire for
+    # an accidental per-pixel fallback (that is ~8 s), so the bound can
+    # be generous: best-of-2 under 5x the steady-state numbers rides
+    # out CPU contention from parallel suites without masking a real
+    # 40x regression.
+    for f in (1, 2, 3, 4):
+        if timings[f] >= (0.5 if f in (1, 2) else 2.0):
+            data = mc.encode_png(w, h, px, color=2, filter_type=f)
+            t0 = time.time()
+            mc.decode_png(data)
+            timings[f] = min(timings[f], time.time() - t0)
+    assert timings[1] < 0.5 and timings[2] < 0.5
+    assert timings[3] < 2.0 and timings[4] < 2.0
 
     # adaptive-encoder style: a different filter on every scanline
     ch, size = 3, 64
