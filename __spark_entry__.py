@@ -29,6 +29,7 @@ from enrich_spark.datapipe.unigram import (
 from enrich_spark.datapipe.curation import (
     leakage_safe_split_sql as _lss_sql,
 )
+from enrich_spark.datapipe.datacard import data_card_sql as _dc_sql
 from enrich_spark.datapipe.dsir import apply_dsir_sql as _dsir_sql
 from enrich_spark.datapipe.text import bm25_score_sql as _bm25_sql
 from enrich_spark.datapipe.webtext import url_normalize_sql as _url_norm_sql
@@ -1424,10 +1425,32 @@ config:
             docs, cols=["doc_id", "text"], group_cols=["source"],
             hash="md5")
 
+    def q_datacard(spark, sf):
+        # corpus data card (datapipe/datacard.data_card): one algebraic
+        # global aggregate — the dataset-documentation artifact
+        from enrich_spark.datapipe.datacard import data_card
+
+        return data_card(_load_docs(spark, sf))
+
+    def q_datacard_comp(spark, sf):
+        # the card's per-source composition table (integer share bp)
+        from enrich_spark.datapipe.datacard import source_table
+
+        return source_table(_load_docs(spark, sf)).select(
+            "source", F.col("n_docs").alias("src_docs"),
+            F.col("n_tokens").alias("src_tokens"), "share_bp")
+
     q["metadata_aggregation"] = lambda spark, sf: _union_parts(
         [("meta", q_metadata_agg(spark, sf)),
-         ("manifest", q_manifest(spark, sf))],
-        fill=("n_events", "n_rows", "content_xor", "bytes_total"),
+         ("manifest", q_manifest(spark, sf)),
+         ("card", q_datacard(spark, sf)),
+         ("comp", q_datacard_comp(spark, sf))],
+        fill=("n_events", "n_rows", "content_xor", "bytes_total",
+              "n_docs", "total_chars", "total_bytes", "total_tokens",
+              "n_sources", "n_langs", "n_unique_texts", "n_exact_dups",
+              "min_tokens", "max_tokens", "p50_tokens", "p90_tokens",
+              "pii_emails", "pii_ipv4", "n_docs_10plus_tokens",
+              "src_docs", "src_tokens", "share_bp"),
     )
 
     def q_sessionize(spark, sf):
@@ -3904,6 +3927,7 @@ config:
         "leakage_split": q_leakage_split,
         "asof_join": q_asof,
         "currency_conversion": q_currency,
+        "data_card": q_datacard,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -4319,6 +4343,32 @@ def oracle_sql() -> dict[str, str]:
             ["doc_id", "text"], group_cols=["source"]),
          {"source": "str", "n_rows": "num", "content_xor": "num",
           "bytes_total": "num"}),
+        ("card", _dc_sql("documents"),
+         {"n_docs": "num", "total_chars": "num", "total_bytes": "num",
+          "total_tokens": "num", "n_sources": "num", "n_langs": "num",
+          "n_unique_texts": "num", "n_exact_dups": "num",
+          "min_tokens": "num", "max_tokens": "num", "p50_tokens": "num",
+          "p90_tokens": "num", "pii_emails": "num", "pii_ipv4": "num",
+          "n_docs_10plus_tokens": "num"}),
+        ("comp", """
+        WITH w AS (
+          SELECT source,
+                 len(list_filter(string_split(trim(regexp_replace(text,
+                     '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS _w
+          FROM documents
+        ),
+        per AS (
+          SELECT source, count(*) AS src_docs,
+                 CAST(sum(_w) AS BIGINT) AS src_tokens
+          FROM w GROUP BY source
+        ),
+        tot AS (SELECT sum(src_docs) AS t FROM per)
+        SELECT source, src_docs, src_tokens,
+               CAST(src_docs * 10000 // (SELECT greatest(t, 1) FROM tot)
+                    AS BIGINT) AS share_bp
+        FROM per
+        """, {"source": "str", "src_docs": "num", "src_tokens": "num",
+              "share_bp": "num"}),
     ])
 
     o["sessionize"] = """

@@ -82,6 +82,7 @@ HEADLINE = [
     "remote_adapter",         # HTTP-translator adapter path
     "leakage_split",          # cluster-aware train/val/test split
     "asof_join",              # point-in-time join (union-sort path)
+    "data_card",              # one-row corpus documentation aggregate
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -110,7 +111,7 @@ GROUPS = [
     # data-mix / graph / merge / multimodal
     ["data_mix", "heavy_hitters", "k_anonymity", "pagerank",
      "dataset_manifest", "cdc_merge", "multimodal_frames",
-     "multimodal_decode", "warc_parse", "dsir_select"],
+     "multimodal_decode", "warc_parse", "dsir_select", "data_card"],
 ]
 assert sorted(n for g in GROUPS for n in g) == sorted(HEADLINE)
 

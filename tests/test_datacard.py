@@ -1,0 +1,72 @@
+"""Data card (datapipe/datacard.py): one-row corpus documentation
+aggregate — values, DuckDB parity, composition table, one-job plan."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from enrich_spark.datapipe.datacard import (
+    data_card, data_card_json, data_card_sql, source_table,
+)
+
+ROWS = [
+    (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+     "en", "web"),
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+     "en", "web"),                                   # exact dup of 0
+    (2, "short doc", "en", "web"),
+    (3, "mail me at someone@example.com from 10.1.2.3 please thanks "
+     "and goodbye", "de", "books"),
+    (4, "", "de", "books"),                          # empty text
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        ROWS, "doc_id long, text string, lang string, source string")
+
+
+def test_data_card_values(spark):
+    card = data_card(_docs(spark)).collect()[0]
+    assert card.n_docs == 5
+    assert card.n_sources == 2 and card.n_langs == 2
+    assert card.n_unique_texts == 4 and card.n_exact_dups == 1
+    assert card.total_tokens == 10 + 10 + 2 + 10 + 0
+    assert card.min_tokens == 0 and card.max_tokens == 10
+    assert card.pii_emails == 1 and card.pii_ipv4 == 1
+    assert card.n_docs_10plus_tokens == 3
+
+
+def test_data_card_matches_duckdb(spark):
+    got = tuple(data_card(_docs(spark)).collect()[0])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR, "
+                "lang VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?, ?)", ROWS)
+    want = con.execute(data_card_sql("docs")).fetchall()[0]
+    assert got == tuple(want)
+
+
+def test_source_table_and_json(spark):
+    srcs = {r.source: r for r in source_table(_docs(spark)).collect()}
+    assert srcs["web"].n_docs == 3 and srcs["books"].n_docs == 2
+    assert srcs["web"].share_bp == 6000 and srcs["books"].share_bp == 4000
+    card = data_card_json(_docs(spark))
+    assert card["n_docs"] == 5
+    assert [s["source"] for s in card["sources"]] == ["web", "books"]
+
+
+def test_data_card_is_one_aggregation(spark):
+    """The card plan: map-side projection → ONE global aggregate (two
+    exchanges for the partial/final split, no joins, no Python)."""
+    plan = (data_card(_docs(spark))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan
+    assert "EvalPython" not in plan

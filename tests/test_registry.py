@@ -77,6 +77,7 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "remote_adapter": "adapter_explode",
         "leakage_split": "dedup_exact",
         "asof_join": "currency_conversion",
+        "data_card": "metadata_aggregation",
         "script_js": "script_hook",  # bench-only throughput variant
     }
     for name in benchmod.HEADLINE:
