@@ -2499,9 +2499,31 @@ config:
         return merge_snapshot(base, updates, ["okey"], "seq",
                               delete_col="deleted")
 
+    def q_snapdiff(spark, sf):
+        # corpus snapshot diff (plans/merge.snapshot_diff): old = the
+        # documents table; new = deterministic mutations (doc_id%13
+        # removed, %7 text-changed, %11 re-added under +1e6 ids) — one
+        # full-outer join, md5 change detection, engine-exact statuses
+        from enrich_spark.plans.merge import snapshot_diff
+
+        docs = _load_docs(spark, sf).select("doc_id", "text")
+        new = (docs.where(F.col("doc_id") % 13 != 0)
+               .select("doc_id",
+                       F.when(F.col("doc_id") % 7 == 0,
+                              F.concat(F.col("text"), F.lit("!")))
+                       .otherwise(F.col("text")).alias("text"))
+               .unionByName(
+                   docs.where(F.col("doc_id") % 11 == 0).select(
+                       (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                       "text")))
+        return snapshot_diff(docs, new, ["doc_id"]).select(
+            F.col("doc_id").cast("long").alias("okey"),
+            "status", "hash_old", "hash_new")
+
     q["identity_stitch"] = lambda spark, sf: _union_parts(
         [("identity", q_identity(spark, sf)),
-         ("merge", q_cdc_merge(spark, sf))],
+         ("merge", q_cdc_merge(spark, sf)),
+         ("snapdiff", q_snapdiff(spark, sf))],
         fill=("src_event_id", "okey", "seq"),
     )
 
@@ -3928,6 +3950,7 @@ config:
         "asof_join": q_asof,
         "currency_conversion": q_currency,
         "data_card": q_datacard,
+        "snapshot_diff": q_snapdiff,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -4922,6 +4945,32 @@ def oracle_sql() -> dict[str, str]:
          {"src_event_id": "num", "snowplow_id": "str"}),
         ("merge", _cdc_sql,
          {"okey": "num", "status": "str", "seq": "num"}),
+        ("snapdiff", """
+        WITH old AS (SELECT doc_id, text FROM documents),
+        new AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text || '!' ELSE text END
+                       AS text
+            FROM documents WHERE doc_id % 13 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents
+            WHERE doc_id % 11 = 0
+        ),
+        ho AS (SELECT doc_id,
+                      md5(COALESCE(CAST(text AS VARCHAR), chr(0)))
+                          AS hash_old FROM old),
+        hn AS (SELECT doc_id,
+                      md5(COALESCE(CAST(text AS VARCHAR), chr(0)))
+                          AS hash_new FROM new)
+        SELECT COALESCE(ho.doc_id, hn.doc_id) AS okey,
+               CASE WHEN ho.doc_id IS NULL THEN 'added'
+                    WHEN hn.doc_id IS NULL THEN 'removed'
+                    WHEN hash_old <> hash_new THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               hash_old, hash_new
+        FROM ho FULL OUTER JOIN hn ON ho.doc_id = hn.doc_id
+        """, {"okey": "num", "status": "str", "hash_old": "str",
+              "hash_new": "str"}),
     ])
 
     o["script_hook"] = _union_oracle([

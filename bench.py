@@ -83,6 +83,7 @@ HEADLINE = [
     "leakage_split",          # cluster-aware train/val/test split
     "asof_join",              # point-in-time join (union-sort path)
     "data_card",              # one-row corpus documentation aggregate
+    "snapshot_diff",          # corpus version audit (one outer join)
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -90,7 +91,8 @@ HEADLINE = [
 GROUPS = [
     # full enrichment chains (heaviest codegen: 131-col projections)
     ["transform_atomic", "event_fingerprint", "tsv_serialize",
-     "bad_row_split", "adapter_explode", "metadata_aggregation"],
+     "bad_row_split", "adapter_explode", "metadata_aggregation",
+     "snapshot_diff"],
     # lookup/range-join enrichments + loaders
     ["ip_lookups", "asn_bot_detection", "sql_lookup_join",
      "thrift_loader", "payload_decompress", "script_js",

@@ -170,3 +170,60 @@ def merge_snapshot_sql(
           ) u
         ) WHERE _rn = 1 AND NOT {dflag}
     """
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two corpus snapshots: for each key, status ∈
+    {added, removed, changed, unchanged} plus content hashes — the
+    audit a pipeline runs between dataset versions (pairs with
+    plans/manifest.dataset_manifest, which commits WHAT a snapshot is;
+    this explains HOW it moved).
+
+    ``compare_cols`` defaults to every shared non-key column; change
+    detection is md5 over the concatenated compared columns (NULL-safe
+    via a unit separator), so two engines agree byte-for-byte.
+
+    Scale shape: ONE full outer join on the keys — both sides shuffle
+    once; the hash is map-side. Skewless by construction when keys are
+    ids. Output is one row per key in either snapshot; feed it to
+    ``groupBy("status").count()`` for the summary.
+    """
+    if compare_cols is None:
+        shared = [c for c in old.columns
+                  if c in new.columns and c not in key_cols]
+        compare_cols = shared
+
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        h = F.md5(F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                      for c in compare_cols]))
+        return df.select(*key_cols, h.alias(alias))
+
+    o = hashed(old, "_h_old")
+    n = hashed(new, "_h_new")
+    joined = o.join(n, on=key_cols, how="full_outer")
+    status = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(*key_cols, status.alias("status"),
+                         F.col("_h_old").alias("hash_old"),
+                         F.col("_h_new").alias("hash_new"))
+
+
+def snapshot_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """→ (status, n) — the four-line audit record."""
+    return (snapshot_diff(old, new, key_cols, compare_cols)
+            .groupBy("status").agg(F.count(F.lit(1)).alias("n")))

@@ -122,3 +122,35 @@ def test_streaming_merge_sink_maintains_snapshot(spark):
             assert s1 == {(2, "B", 2), (3, "c", 2)}
         finally:
             q.stop()
+
+
+def test_snapshot_diff_statuses(spark):
+    """Row-level version audit: added/removed/changed/unchanged, change
+    detection NULL-safe, one full-outer join."""
+    from enrich_spark.plans.merge import snapshot_diff, snapshot_diff_summary
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, v string, x long")
+    new = spark.createDataFrame(
+        [(1, "a", 10),            # unchanged
+         (2, "B", 20),            # changed (v)
+         (4, None, 41),           # changed (x; NULL v on both sides)
+         (5, "e", 50)],           # added       (3 removed)
+        "k long, v string, x long")
+    got = {r.k: r.status for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "changed", 5: "added"}
+    summary = {r.status: r.n for r in
+               snapshot_diff_summary(old, new, ["k"]).collect()}
+    assert summary == {"unchanged": 1, "changed": 2, "removed": 1,
+                       "added": 1}
+    # compare_cols subset: x ignored -> row 4 becomes unchanged
+    got = {r.k: r.status
+           for r in snapshot_diff(old, new, ["k"],
+                                  compare_cols=["v"]).collect()}
+    assert got[4] == "unchanged" and got[2] == "changed"
+    # plan: exactly one equi-join, no Python
+    plan = (snapshot_diff(old, new, ["k"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Join") == 1 and "EvalPython" not in plan

@@ -78,6 +78,7 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "leakage_split": "dedup_exact",
         "asof_join": "currency_conversion",
         "data_card": "metadata_aggregation",
+        "snapshot_diff": "identity_stitch",
         "script_js": "script_hook",  # bench-only throughput variant
     }
     for name in benchmod.HEADLINE:
