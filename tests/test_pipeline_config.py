@@ -101,3 +101,49 @@ def test_pipeline_stays_lazy_single_plan(spark):
     sc.setJobGroup("", "")
     assert sc.statusTracker().getJobIdsForGroup("lazy_pipe") == []
     assert out.count() == 3  # and it actually runs
+
+
+def test_pipeline_dedup_decontam_and_transform_ops(spark):
+    """The heavier registered ops compose too: near-dup keep (MinHash +
+    keep-policy), benchmark decontamination, duplicate-span removal,
+    and DSIR weight annotation."""
+    from enrich_spark.datapipe.dsir import train_dsir
+
+    body = ("the quick brown fox jumps over the lazy dog while the "
+            "spark executor shuffles partitions and prunes columns "
+            "for every stage today")
+    rows = [
+        (0, body, "web"),
+        (1, body + " slightly", "web"),       # near-dup of 0
+        (2, "completely different content about cooking pasta dishes "
+            "at home with friends on a sunday afternoon", "web"),
+        (3, "leaked benchmark sentence the model must never train on "
+            "plus some padding words to form windows", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [(100, "leaked benchmark sentence the model must never train on")],
+        "bench_id long, text string")
+    ratios = train_dsir(docs.where(F.col("doc_id") == 2), docs,
+                        n_buckets=64)
+
+    out = run_pipeline(docs, [
+        {"op": "near_dedup_keep", "jaccard_threshold": 0.5,
+         "num_hashes": 16, "bands": 8},
+        {"op": "decontaminate", "benchmark": bench, "k": 8},
+        {"op": "dsir_weight", "ratios": ratios, "n_buckets": 64},
+    ])
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {0, 2}          # 1 near-deduped, 3 contaminated
+    assert rows[2].weight_unats > rows[0].weight_unats  # target-like up
+
+    # despan: corpus-duplicated k-gram runs get CUT from the text
+    dup_run = "alpha beta gamma delta epsilon zeta eta theta "
+    spanned = spark.createDataFrame(
+        [(0, dup_run * 2 + "unique tail one two three four five six"),
+         (1, dup_run * 2 + "other ending seven eight nine ten eleven")],
+        "doc_id long, text string")
+    cleaned = {r.doc_id: r.text for r in run_pipeline(
+        spanned, [{"op": "despan", "k": 8}]).collect()}
+    assert all("alpha beta gamma" not in t for t in cleaned.values())
+    assert "unique tail" in cleaned[0] and "other ending" in cleaned[1]
