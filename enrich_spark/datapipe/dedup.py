@@ -1019,7 +1019,10 @@ def streaming_near_dedup(
             .select(
                 F.col("a.doc_id").alias("doc_id"),
                 F.col("b.doc_id").alias("matched_id"),
-                (agree * 10000 / num_hashes).cast("long")
+                # floor, not truncating cast, so this path matches the
+                # streaming kernel's integer `match * 10000 //
+                # num_hashes` on quotients inexact in binary
+                F.floor(agree * 10000 / num_hashes).cast("long")
                 .alias("est_jaccard_bp"),
                 F.col("band_id").cast("int").alias("band_id"))
         )
@@ -1086,10 +1089,21 @@ def streaming_near_dedup(
 
 
 def _parse_duration_us(s: str) -> int:
-    """'1 hour' / '30 minutes' / '15 seconds' → microseconds."""
-    n, unit = s.split()
-    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-            "hour": 3600, "hours": 3600}[unit]
+    """'1 hour' / '30 Minutes' / '2 days' → microseconds.  Accepts the
+    same unit set Spark's CalendarInterval watermark parser does
+    (ms/second/minute/hour/day/week, any case, singular or plural)."""
+    parts = s.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"duration must be '<n> <unit>': {s!r}")
+    n, unit = parts
+    unit = unit.lower()
+    if unit != "ms":
+        unit = unit.rstrip("s")
+    mult = {"millisecond": 0.001, "ms": 0.001, "second": 1,
+            "minute": 60, "hour": 3600, "day": 86400,
+            "week": 604800}.get(unit)
+    if mult is None:
+        raise ValueError(f"unsupported duration unit in {s!r}")
     return int(float(n) * mult * 1_000_000)
 
 

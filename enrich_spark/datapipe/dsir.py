@@ -133,11 +133,25 @@ def apply_dsir(
     )
     if top_k is None:
         return scored
+    return _ranked_top_k(
+        scored, top_k,
+        [F.col("weight_unats").desc(), F.col(id_col).asc()])
+
+
+def _ranked_top_k(df: DataFrame, k: int, order: list) -> DataFrame:
+    """Distributed top-k with a rank column, WITHOUT sorting the whole
+    frame in one partition: ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject (per-partition top-k, then a k-row merge on
+    the driver side of the exchange), and only the surviving ≤k rows
+    pass through the single-partition rank window — bounded by the
+    user's k, never by the corpus. (r9 verdict: the old unpartitioned
+    ``Window.orderBy`` over the full scored corpus was the classic
+    single-reducer sort scale-killer.)"""
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("weight_unats").desc(), F.col(id_col).asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= top_k))
+    top = df.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def gumbel_top_k(
@@ -152,8 +166,6 @@ def gumbel_top_k(
     -ln(-ln(u)) transform is float, so this variant is NOT in the
     value-hash gate (use apply_dsir(top_k=...) there); it exists for
     the statistical behavior the paper specifies."""
-    from pyspark.sql import Window
-
     u = (
         F.conv(F.substring(
             F.md5(F.concat(F.lit(f"{seed}:"),
@@ -163,9 +175,10 @@ def gumbel_top_k(
     g = -F.log(-F.log(u))
     perturbed = scored.withColumn(
         "gumbel_key", F.col("weight_unats") / UNATS + g)
-    w = Window.orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
-    return (perturbed.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k).drop("gumbel_key"))
+    return _ranked_top_k(
+        perturbed, k,
+        [F.col("gumbel_key").desc(), F.col(id_col).asc()],
+    ).drop("gumbel_key")
 
 
 # ---------------------------------------------------------------------------

@@ -124,8 +124,9 @@ def _op_decontaminate(docs, benchmark, k=8, text_col="text",
                       id_col="doc_id", **_):
     from .dedup import contamination_check
 
-    hits = contamination_check(docs, benchmark, k=k).select(
-        id_col, "contaminated_windows")
+    hits = contamination_check(
+        docs, benchmark, k=k, text_col=text_col, id_col=id_col,
+    ).select(id_col, "contaminated_windows")
     return (docs.join(hits, on=id_col, how="left")
             .where(F.coalesce(F.col("contaminated_windows"), F.lit(0)) == 0)
             .drop("contaminated_windows"))

@@ -122,9 +122,9 @@ def heavy_hitters(
     Exactly TWO scans of ``df``: pass 1 is map-only (zero shuffle of
     the value space) and emits the MG candidates PLUS one summary row
     per partition carrying its row count — so N needs no separate
-    ``count()`` scan; the ≤ (k+1)·numPartitions-row result is cached
-    and reused for both the total and the broadcast semi-join. Pass 2
-    aggregates only candidate rows. Output: (value, cnt) exact, so the
+    ``count()`` scan; the ≤ (k+1)·numPartitions-row result is collected
+    once and serves both the total and the broadcast semi-join (no
+    lingering persist). Pass 2 aggregates only candidate rows. Output: (value, cnt) exact, so the
     operator carries a full SQL oracle —
     ``GROUP BY col HAVING count(*) >= ceil(support*N)``.
     """
@@ -135,14 +135,20 @@ def heavy_hitters(
             f"k={k} counters cannot guarantee support={support}: "
             f"need k >= 1/support")
     src = df.select(F.col(col).cast("string").alias(col))
-    # bounded: ≤ (k+1)·numPartitions rows; persisted so the eager
-    # total-N action below and the candidate broadcast share ONE MG
-    # pass (ContextCleaner reclaims the blocks when the plan is GC'd)
-    mg = src.mapInPandas(
+    # bounded: ≤ (k+1)·numPartitions rows, so collect it ONCE and build
+    # both the total N and the candidate list driver-side — one MG pass,
+    # no persist() left behind to squeeze executor storage in a
+    # long-lived session (the exact cumulative-state mechanism behind
+    # the r8 suite-wide bench regression)
+    mg_rows = src.mapInPandas(
         _mg_candidates(col, k),
-        schema=f"{col} string, part_rows long").persist()
-    total = mg.agg(F.sum("part_rows")).collect()[0][0] or 0
-    cands = mg.where(F.col(col).isNotNull()).select(col).distinct()
+        schema=f"{col} string, part_rows long").collect()
+    total = sum(r["part_rows"] for r in mg_rows
+                if r["part_rows"] is not None)
+    cand_vals = sorted({r[col] for r in mg_rows if r[col] is not None})
+    spark = df.sparkSession
+    cands = spark.createDataFrame(
+        [(v,) for v in cand_vals], schema=f"{col} string")
     threshold = max(1, math.ceil(total * support))
     return (
         src.join(F.broadcast(cands), on=col, how="left_semi")

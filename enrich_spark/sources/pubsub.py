@@ -140,20 +140,28 @@ def ship_to_pubsub(rows, conf: StreamSinkConf, emulator_host: str,
 
 def pubsub_microbatch(spark, conf: PubSubPullConf,
                       max_messages: int = 1000,
-                      extend_if_longer_than_s: float | None = None):
+                      extend_if_longer_than_s: float | None = None,
+                      clock=None):
     """Pull up to `max_messages` into the connector-normal DataFrame.
 
     At-least-once: acknowledge is DEFERRED until the pull drain
-    succeeds (PubsubApp's process-then-ack flow); a long drain first
-    extends the ack deadline by durationPerAckExtension, the reference's
-    deadline-management behavior, before the final acknowledge."""
+    succeeds (PubsubApp's process-then-ack flow).  If the drain took
+    longer than ``extend_if_longer_than_s`` seconds — i.e. the pulled
+    messages are close to their ack deadline — the deadline is
+    re-extended by durationPerAckExtension (the reference's
+    deadline-management behavior) before the final acknowledge; a
+    fast drain skips the extra RPC."""
+    import time as _time
+
     from pyspark.sql import types as T
 
     if not conf.emulator_host:
         raise PubSubError(
             "pubsub_microbatch needs emulator_host (in production the "
             "managed connector consumes the subscription)")
+    clock = clock or _time.monotonic
     client = PubSubHttpClient(conf.emulator_host)
+    started = clock()
     pulled = []
     while len(pulled) < max_messages:
         page = client.pull(conf.subscription,
@@ -162,8 +170,8 @@ def pubsub_microbatch(spark, conf: PubSubPullConf,
             break
         pulled.extend(page)
     ack_ids = [p[0] for p in pulled]
-    if extend_if_longer_than_s is not None:
-        # close-to-deadline messages get their deadline re-extended
+    if (extend_if_longer_than_s is not None and ack_ids
+            and clock() - started > extend_if_longer_than_s):
         client.modify_ack_deadline(
             conf.subscription, ack_ids,
             conf.duration_per_ack_extension_s)

@@ -147,3 +147,27 @@ def test_pipeline_dedup_decontam_and_transform_ops(spark):
         spanned, [{"op": "despan", "k": 8}]).collect()}
     assert all("alpha beta gamma" not in t for t in cleaned.values())
     assert "unique tail" in cleaned[0] and "other ending" in cleaned[1]
+
+
+def test_pipeline_decontaminate_custom_columns(spark):
+    """decontaminate must forward text_col/id_col to the checker: with
+    a custom text column AND a decoy 'text' column present, the hit
+    must be found in the custom column (regression: the op used to
+    silently check the default 'text')."""
+    leaked = ("leaked benchmark sentence the model must never train on "
+              "plus padding words to form enough windows here")
+    clean = ("totally original prose about gardening tomatoes in clay "
+             "pots on a rainy tuesday afternoon with good drainage")
+    docs = spark.createDataFrame(
+        [(0, leaked, clean), (1, clean, leaked)],
+        "my_id long, body string, text string")  # 'text' is the DECOY
+    bench = spark.createDataFrame(
+        [(100, "leaked benchmark sentence the model must never train on")],
+        "bench_id long, text string")
+    out = run_pipeline(docs, [
+        {"op": "decontaminate", "benchmark": bench, "k": 8,
+         "text_col": "body", "id_col": "my_id"},
+    ])
+    # doc 0's BODY is contaminated (dropped); doc 1's body is clean
+    # even though its decoy 'text' column holds the leaked sentence
+    assert [r.my_id for r in out.collect()] == [1]

@@ -229,18 +229,19 @@ def test_heavy_hitters_plan_contract(spark):
         (F.col("id") % 50).cast("string").alias("v")).repartition(4)
     plan = _plan(heavy_hitters(df, "v", support=0.02))
     final = plan.split("== Initial Plan ==")[0]
-    assert final.count("MapInPandas (") == 1
     assert "SortMergeJoin" not in final
     assert "BroadcastHashJoin" in final
-    # two scans TOTAL of the input: the MG pass ran eagerly (N comes
-    # from its per-partition summary rows — no separate count() scan),
-    # the candidate side reads the CACHED MG output, and the returned
-    # plan reads the input exactly once (confirm pass). Everything after
-    # the InMemoryRelation marker is the cache's replay plan (printed,
-    # not executed).
-    assert "InMemoryTableScan" in final
-    executed = final.split("InMemoryRelation")[0]
-    assert executed.count("Range (") == 1
+    # two scans TOTAL of the input: the MG pass ran eagerly and was
+    # collected driver-side (bounded, ≤(k+1)·numPartitions rows — N
+    # comes from its per-partition summary rows, no separate count()
+    # scan, and nothing stays persisted to squeeze executor storage);
+    # the candidate side is therefore a driver-local table
+    # (LocalTableScan), and the returned confirm plan reads the input
+    # exactly once with ZERO Python stages.
+    assert "MapInPandas" not in final
+    assert "Scan ExistingRDD" in final  # driver-built candidate table
+    tree = final.split("\n\n")[0]       # tree section, not the details
+    assert tree.count("Range") == 1     # input read exactly once
 
 
 def test_bloom_decontam_probe_is_native(spark):
@@ -258,3 +259,56 @@ def test_bloom_decontam_probe_is_native(spark):
                                            m_bits=1 << 10))
     assert "EvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_dsir_topk_plan_contract(spark):
+    """apply_dsir(top_k=…) must NOT sort the whole scored corpus in one
+    partition: the top-k compiles to TakeOrderedAndProject (distributed
+    per-partition top-k + k-row merge) and the only single-partition
+    window ranks the ≤k survivors."""
+    from enrich_spark.datapipe.dsir import apply_dsir, gumbel_top_k
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma doc "),
+                 F.col("id").cast("string")).alias("text"))
+    ratios = [(b, (b % 7) - 3) for b in range(64)]
+    for df in (
+        apply_dsir(docs, ratios, n_buckets=64, top_k=10),
+        gumbel_top_k(apply_dsir(docs, ratios, n_buckets=64), k=10),
+    ):
+        plan = _plan(df)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "TakeOrderedAndProject" in final
+        # the rank Window (single-partition by nature) must sit ABOVE
+        # the top-k, i.e. its subtree input is the k-row limit — a
+        # Window directly over the corpus aggregate is the r9 bug
+        tree = final.split("\n\n")[0]
+        lines = tree.splitlines()
+        win = next(i for i, ln in enumerate(lines) if "Window" in ln)
+        assert any("TakeOrderedAndProject" in ln for ln in lines[win:])
+        assert not any("TakeOrderedAndProject" in ln for ln in lines[:win])
+
+
+def test_no_unpartitioned_window_in_datapipe_source():
+    """Source-level lockout: `Window.orderBy(...)` with no partitionBy
+    moves the whole frame through ONE partition — forbidden across the
+    datapipe/plans operator modules except the bounded-input helper
+    `_ranked_top_k` (its window input is capped at k rows by a
+    TakeOrderedAndProject, asserted above)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "enrich_spark"
+    offenders = []
+    for sub in ("datapipe", "plans"):
+        for p in sorted((root / sub).glob("*.py")):
+            src = p.read_text()
+            for m in re.finditer(r"Window\s*\.\s*orderBy", src):
+                line = src[:m.start()].count("\n") + 1
+                ctx = src[max(0, m.start() - 2000):m.start()]
+                if "_ranked_top_k" in ctx.rsplit("def ", 1)[-1]:
+                    continue  # the one audited bounded-input site
+                offenders.append(f"{p.name}:{line}")
+    assert offenders == [], (
+        f"unpartitioned Window.orderBy outside _ranked_top_k: {offenders}")

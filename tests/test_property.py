@@ -386,3 +386,69 @@ def test_merge_snapshot_matches_brute_force_property(changes):
         if not d:
             want.add((kk, v, s))
     assert got == want
+
+
+_NEARDUP_VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+                  "eta", "theta", "iota", "kappa"]
+
+
+@given(st.lists(
+    st.tuples(st.lists(st.sampled_from(_NEARDUP_VOCAB),
+                       min_size=6, max_size=14),    # base words
+              st.integers(0, 3)),                   # words appended to copy
+    min_size=1, max_size=8),
+    st.sampled_from([0.5, 0.75, 1.0]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_streaming_near_dedup_batch_parity_property(docs_spec, thresh):
+    """streaming_near_dedup's batch-fallback emissions EXACTLY match the
+    documented signature-agreement model on generated corpora: a pair is
+    emitted once per colliding LSH band iff its minhash agreement ≥
+    ceil(threshold · num_hashes), with est_jaccard_bp =
+    floor(agree · 10000 / num_hashes) — integer, matching the streaming
+    kernel's // semantics (the documented parity contract)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from enrich_spark.datapipe.dedup import (
+        minhash_signature, shingles, streaming_near_dedup)
+
+    NUM_HASHES, BANDS, K = 8, 4, 3
+    rows_per_band = NUM_HASHES // BANDS
+    need = int(thresh * NUM_HASHES + 0.9999)
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows, i = [], 0
+    for words, extra in docs_spec:
+        rows.append((i, " ".join(words), t0))
+        # a perturbed copy: same prefix + `extra` appended vocab words
+        rows.append((i + 1, " ".join(words + _NEARDUP_VOCAB[:extra]), t0))
+        i += 2
+    spark = _get_spark()
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, ts TIMESTAMP")
+
+    got = sorted(
+        (r.doc_id, r.matched_id, r.est_jaccard_bp, r.band_id)
+        for r in streaming_near_dedup(
+            df, num_hashes=NUM_HASHES, bands=BANDS, shingle_k=K,
+            sim_threshold=thresh).collect())
+
+    # reference model from the engine's own signature primitives,
+    # evaluated per-doc then compared pure-Python (no band join reuse)
+    sigs = {r.doc_id: r.sig for r in df.select(
+        "doc_id", minhash_signature(
+            shingles(F.col("text"), K), NUM_HASHES).alias("sig"))
+        .where(F.size("sig") == NUM_HASHES).collect()}
+    want = []
+    ids = sorted(sigs)
+    for ai, a in enumerate(ids):
+        for b in ids[:ai]:
+            agree = sum(x == y for x, y in zip(sigs[a], sigs[b]))
+            if agree < need:
+                continue
+            for band in range(BANDS):
+                lo, hi = band * rows_per_band, (band + 1) * rows_per_band
+                if sigs[a][lo:hi] == sigs[b][lo:hi]:
+                    want.append((a, b, agree * 10000 // NUM_HASHES, band))
+    assert got == sorted(want)

@@ -98,6 +98,20 @@ def test_ack_deadline_extension(broker, spark):
     assert broker.deadline_extensions == [("ack-1", 15)]
 
 
+def test_ack_deadline_not_extended_on_fast_drain(broker, spark):
+    ship_to_pubsub([("k", b"v")], StreamSinkConf(stream_name=TOPIC),
+                   broker.host, sleep=lambda s: None)
+    conf = PubSubPullConf(subscription=SUB, emulator_host=broker.host,
+                          duration_per_ack_extension_s=15.0)
+    # frozen clock → drain elapsed 0s, under the 5s threshold: the
+    # extension RPC must be SKIPPED (the parameter is a threshold,
+    # not a boolean flag)
+    pubsub_microbatch(spark, conf, extend_if_longer_than_s=5.0,
+                      clock=lambda: 100.0)
+    assert broker.deadline_extensions == []
+    assert broker.backlog(SUB) == 0
+
+
 def test_microbatch_requires_emulator(spark):
     with pytest.raises(PubSubError, match="emulator_host"):
         pubsub_microbatch(spark, PubSubPullConf(subscription=SUB))

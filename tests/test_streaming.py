@@ -848,3 +848,22 @@ def test_streaming_near_dedup_state_eviction(spark):
             assert spark.sql("SELECT * FROM neardup2").count() == 0
         finally:
             q.stop()
+
+
+def test_watermark_duration_parser_units():
+    """All Spark CalendarInterval watermark units parse (case-insensitive,
+    singular/plural) instead of KeyError-ing at plan-build time."""
+    import pytest
+
+    from enrich_spark.datapipe.dedup import _parse_duration_us
+
+    assert _parse_duration_us("1 hour") == 3_600_000_000
+    assert _parse_duration_us("30 Seconds") == 30_000_000
+    assert _parse_duration_us("1 day") == 86_400_000_000
+    assert _parse_duration_us("2 weeks") == 2 * 604_800_000_000
+    assert _parse_duration_us("250 ms") == 250_000
+    assert _parse_duration_us("5 Minutes") == 300_000_000
+    with pytest.raises(ValueError, match="unit"):
+        _parse_duration_us("3 fortnights")
+    with pytest.raises(ValueError, match="duration"):
+        _parse_duration_us("1hour")
