@@ -3935,6 +3935,11 @@ config:
         # r9 (merged into the data_mix / ann_ivf_topk bundles)
         "dsir_select": q_dsir,
         "pq_adc_topk": q_pq_adc,
+        # r10: the ann_ivf_topk bundle gained pq_codes/pq_adc parts in
+        # r9, double-counting PQ (which has its own pq_adc_topk row) —
+        # bench measures the IVF search alone, like the other de-bundled
+        # rows; the bundle stays intact for the oracle gate
+        "ann_ivf_topk": q_ann_ivf,
         # r9: single-operator variants for the bundle-grown rows, so
         # each bench row measures ONE operator (the r8-added parts —
         # warc/robots/heavy-hitters/manifest/bloom — already have their

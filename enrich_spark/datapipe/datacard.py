@@ -38,9 +38,27 @@ def data_card(
     id_col: str = "doc_id",
     source_col: str = "source",
     lang_col: str | None = "lang",
+    approx: bool = False,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """→ ONE row: the corpus data card. All integers / exact
-    percentiles — hash-gate stable."""
+    percentiles — hash-gate stable.
+
+    Memory contract of the percentile columns:
+
+    - ``approx=False`` (default, the hash-gated form): exact
+      ``F.percentile`` buffers EVERY ``_words`` value in one final
+      aggregation buffer — O(n_docs) driver-adjacent memory. Fine at
+      test scale; at 10¹⁰ documents that is tens of GB on one
+      executor, so the full-corpus publication run should use
+      ``approx=True``.
+    - ``approx=True``: Greenwald–Khanna ``percentile_approx`` with a
+      FIXED-SIZE buffer (O(accuracy) per partial, mergeable map-side),
+      so the final buffer is bounded regardless of corpus size. Error
+      ≤ 1/accuracy of rank; the result is still an integer column, but
+      it is NOT value-hash-reproducible against the exact oracle, so
+      the gate keeps exact mode.
+    """
     words = F.filter(
         F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")),
                 " "),
@@ -58,6 +76,14 @@ def data_card(
         F.regexp_count(F.col(text_col), F.lit(_EMAIL)).alias("_emails"),
         F.regexp_count(F.col(text_col), F.lit(_IPV4)).alias("_ips"),
     )
+    if approx:
+        p50 = F.percentile_approx("_words", F.lit(0.5),
+                                  F.lit(approx_accuracy))
+        p90 = F.percentile_approx("_words", F.lit(0.9),
+                                  F.lit(approx_accuracy))
+    else:
+        p50 = F.floor(F.percentile("_words", F.lit(0.5)))
+        p90 = F.floor(F.percentile("_words", F.lit(0.9)))
     return base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_chars").cast("long").alias("total_chars"),
@@ -70,12 +96,10 @@ def data_card(
         .alias("n_exact_dups"),
         F.min("_words").cast("long").alias("min_tokens"),
         F.max("_words").cast("long").alias("max_tokens"),
-        # exact percentiles (quantile_cont-replayable), floored to
-        # integers for the hash gate
-        F.floor(F.percentile("_words", F.lit(0.5))).cast("long")
-        .alias("p50_tokens"),
-        F.floor(F.percentile("_words", F.lit(0.9))).cast("long")
-        .alias("p90_tokens"),
+        # exact mode: quantile_cont-replayable, floored to integers for
+        # the hash gate; approx mode: bounded-buffer GK (see docstring)
+        p50.cast("long").alias("p50_tokens"),
+        p90.cast("long").alias("p90_tokens"),
         F.sum("_emails").cast("long").alias("pii_emails"),
         F.sum("_ips").cast("long").alias("pii_ipv4"),
         F.sum(F.when(F.col("_words") >= 10, 1).otherwise(0)).cast("long")

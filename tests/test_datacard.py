@@ -70,3 +70,27 @@ def test_data_card_is_one_aggregation(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_data_card_approx_mode(spark):
+    """approx=True swaps exact percentiles for bounded-buffer GK
+    percentile_approx — same schema, every non-percentile column
+    identical, percentiles within the documented rank-error (exact
+    here, since GK at accuracy≫n is lossless on tiny inputs)."""
+    exact = data_card(_docs(spark)).collect()[0]
+    approx = data_card(_docs(spark), approx=True).collect()[0]
+    assert exact.__fields__ == approx.__fields__
+    for f in exact.__fields__:
+        if f in ("p50_tokens", "p90_tokens"):
+            continue
+        assert exact[f] == approx[f], f
+    # GK with default accuracy is exact on 5 rows, and its result must
+    # be a real data point (percentile_approx returns an OBSERVED value,
+    # exact interpolates) — both land on integers here
+    assert abs(approx.p50_tokens - exact.p50_tokens) <= 1
+    assert abs(approx.p90_tokens - exact.p90_tokens) <= 1
+    # plan stays ONE aggregation in approx mode too
+    plan = (data_card(_docs(spark), approx=True)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert plan.count("Aggregate") <= 2  # partial + final
+    assert "percentile_approx" in plan
