@@ -96,11 +96,14 @@ class KinesisHttpClient:
 
     def shard_iterator(self, stream: str, shard_id: str,
                        position: str = "TRIM_HORIZON",
-                       timestamp: str | None = None) -> str:
+                       timestamp: str | None = None,
+                       sequence_number: str | None = None) -> str:
         payload = {"StreamName": stream, "ShardId": shard_id,
                    "ShardIteratorType": position}
         if position == "AT_TIMESTAMP" and timestamp is not None:
             payload["Timestamp"] = timestamp
+        if position in ("AT_SEQUENCE_NUMBER", "AFTER_SEQUENCE_NUMBER"):
+            payload["StartingSequenceNumber"] = sequence_number
         return self.call("GetShardIterator", payload)["ShardIterator"]
 
     def get_records(self, iterator: str, limit: int = 750):

@@ -97,6 +97,10 @@ class FakeKinesis:
                 seq = body["StartingSequenceNumber"]
                 pos = next((i for i, r in enumerate(recs)
                             if r["SequenceNumber"] == seq), len(recs))
+            elif t == "AFTER_SEQUENCE_NUMBER":
+                seq = body["StartingSequenceNumber"]
+                pos = next((i + 1 for i, r in enumerate(recs)
+                            if r["SequenceNumber"] == seq), len(recs))
             else:  # AT_TIMESTAMP
                 ts = float(body.get("Timestamp", 0))
                 pos = next((i for i, r in enumerate(recs)
