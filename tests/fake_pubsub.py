@@ -41,7 +41,15 @@ class FakePubSub:
         with self.lock:
             s = self.subs[subscription]
             return (len(self.topics[s["topic"]]) - s["cursor"]
-                    + len(s["unacked"]))
+                    + len(s["unacked"]) + len(s.get("redeliver", [])))
+
+    def expire_leases(self, subscription: str):
+        """Simulate the ack deadline passing: every unacked message
+        becomes pullable again (what real Pub/Sub does automatically)."""
+        with self.lock:
+            s = self.subs[subscription]
+            s.setdefault("redeliver", []).extend(s["unacked"].values())
+            s["unacked"].clear()
 
     # -- protocol ---------------------------------------------------------
     def _publish(self, name: str, body: dict):
@@ -68,13 +76,16 @@ class FakePubSub:
             s = self.subs[name]
             msgs = self.topics[s["topic"]]
             n = int(body.get("maxMessages", 100))
-            page = msgs[s["cursor"]:s["cursor"] + n]
+            # expired leases are served first (redelivery)
+            page = s.get("redeliver", [])[:n]
+            s["redeliver"] = s.get("redeliver", [])[len(page):]
+            fresh = msgs[s["cursor"]:s["cursor"] + (n - len(page))]
+            s["cursor"] += len(fresh)
             out = []
-            for m in page:
+            for m in page + fresh:
                 ack = f"ack-{m['messageId']}"
                 s["unacked"][ack] = m
                 out.append({"ackId": ack, "message": m})
-            s["cursor"] += len(page)
             return {"receivedMessages": out}, 200
 
     def _ack(self, name: str, body: dict):

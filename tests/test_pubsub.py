@@ -135,3 +135,63 @@ def test_error_surfaces_as_pubsub_error(broker):
     client = PubSubHttpClient(broker.host)
     with pytest.raises(PubSubError, match="404"):
         client.call(f"{SUB}:frobnicate", {})
+
+
+# -- pull-runner: ack-after-sinks streaming over the wire client ---------
+
+
+def test_pull_stream_acks_after_process(broker, spark, tmp_path):
+    """The pull runner defers acknowledge until the batch processor
+    succeeds — then the broker backlog is empty and a further
+    process_available is a no-op."""
+    from enrich_spark.streaming.pull_runner import (
+        PubSubPullSource, PullStreamQuery,
+    )
+
+    ship_to_pubsub([(f"k{i}", f"m-{i}".encode()) for i in range(6)],
+                   StreamSinkConf(stream_name=TOPIC),
+                   broker.host, sleep=lambda s: None)
+    conf = PubSubPullConf(subscription=SUB, emulator_host=broker.host)
+    seen: list = []
+    q = PullStreamQuery(
+        spark, PubSubPullSource(conf),
+        lambda df, bid: seen.append(
+            (bid, sorted(bytes(r.value) for r in df.collect()))),
+        str(tmp_path / "ckpt"))
+    assert q.process_available() == 1
+    assert seen == [(0, sorted(f"m-{i}".encode() for i in range(6)))]
+    assert broker.backlog(SUB) == 0
+    assert q.process_available() == 0
+
+
+def test_pull_stream_crash_before_ack_redelivers(broker, spark, tmp_path):
+    """Crash inside the batch processor → nothing acked; after the ack
+    deadline expires the broker redelivers to a fresh query instance
+    (the broker IS the checkpoint for Pub/Sub)."""
+    import pytest as _pytest
+
+    from enrich_spark.streaming.pull_runner import (
+        PubSubPullSource, PullStreamQuery,
+    )
+
+    ship_to_pubsub([("k", b"precious")], StreamSinkConf(stream_name=TOPIC),
+                   broker.host, sleep=lambda s: None)
+    conf = PubSubPullConf(subscription=SUB, emulator_host=broker.host)
+    calls: list = []
+
+    def flaky(df, bid):
+        calls.append([bytes(r.value) for r in df.collect()])
+        if len(calls) == 1:
+            raise RuntimeError("sink exploded")
+
+    q = PullStreamQuery(spark, PubSubPullSource(conf), flaky,
+                        str(tmp_path / "ckpt"))
+    with _pytest.raises(RuntimeError, match="sink exploded"):
+        q.process_available()
+    assert broker.backlog(SUB) == 1        # NOT acked
+    broker.expire_leases(SUB)              # deadline passes
+    q2 = PullStreamQuery(spark, PubSubPullSource(conf), flaky,
+                         str(tmp_path / "ckpt"))
+    assert q2.process_available() == 1
+    assert calls == [[b"precious"], [b"precious"]]
+    assert broker.backlog(SUB) == 0
