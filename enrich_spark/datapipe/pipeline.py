@@ -202,7 +202,9 @@ def run_pipeline(
     to a JSON file holding one) in order. Unknown ops fail fast with
     the available names. Pass ``report=[]`` to collect per-step
     retention counts into it — each entry (op, rows_after); this
-    materializes one count per step and is meant for diagnostics."""
+    materializes one count per step and is meant for diagnostics.
+    For retention counts from the SINGLE production pass, use
+    :func:`run_pipeline_observed` instead."""
     registry = registry or CURATION_OPS
     if isinstance(steps, str):
         with open(steps) as f:
@@ -222,3 +224,53 @@ def run_pipeline(
         if report is not None:
             report.append((name, out.count()))
     return out
+
+
+def run_pipeline_observed(
+    docs: DataFrame,
+    steps: list[dict] | str,
+    registry: dict | None = None,
+):
+    """:func:`run_pipeline` with per-step retention counts riding the
+    production pass itself: each step's output gets an ``observe()``
+    (CollectMetrics) node, so when the CALLER runs their one sink
+    action, every step's row count is collected map-side in that same
+    job — zero extra jobs, unlike ``report=[]`` which pays one count()
+    scan per step (the streaming runner's per-batch counters use the
+    identical pattern, streaming/runner.py).
+
+    Returns ``(out, get_report)``; call ``get_report()`` AFTER an
+    action has run on ``out`` (it delegates to Observation.get, which
+    waits for the metrics) → ``[(op_name, rows_after), ...]``.
+
+    Trade-off: CollectMetrics is a plan barrier — Catalyst won't
+    reorder filters across a step boundary, so the observed plan can
+    be marginally slower than the un-observed one (it is still one
+    single pass)."""
+    from pyspark.sql import Observation
+
+    registry = registry or CURATION_OPS
+    if isinstance(steps, str):
+        with open(steps) as f:
+            steps = _json.load(f)
+    out = docs
+    observations: list[tuple[str, Observation]] = []
+    for i, step in enumerate(steps):
+        if "op" not in step:
+            raise ValueError(f"step {i} has no 'op': {step}")
+        name = step["op"]
+        fn = registry.get(name)
+        if fn is None:
+            raise ValueError(
+                f"unknown op {name!r} at step {i}; available: "
+                + ", ".join(sorted(registry)))
+        params = {k: v for k, v in step.items() if k != "op"}
+        out = fn(out, **params)
+        obs = Observation(f"pipeline_step_{i}_{name}")
+        out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+        observations.append((name, obs))
+
+    def get_report() -> list[tuple[str, int]]:
+        return [(name, obs.get["rows"]) for name, obs in observations]
+
+    return out, get_report

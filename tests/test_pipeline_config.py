@@ -15,7 +15,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F
 
-from enrich_spark.datapipe.pipeline import CURATION_OPS, run_pipeline
+from enrich_spark.datapipe.pipeline import (
+    CURATION_OPS, run_pipeline, run_pipeline_observed,
+)
 
 GOOD = ("The quick brown fox jumps over the lazy dog while the keen "
         "spark executor shuffles partitions and the optimizer prunes "
@@ -171,3 +173,45 @@ def test_pipeline_decontaminate_custom_columns(spark):
     # doc 0's BODY is contaminated (dropped); doc 1's body is clean
     # even though its decoy 'text' column holds the leaked sentence
     assert [r.my_id for r in out.collect()] == [1]
+
+
+def test_pipeline_observed_report_single_job(spark, tmp_path):
+    """run_pipeline_observed: retention counts ride the ONE production
+    action as observe() metrics (zero extra jobs), and match the
+    count()-per-step report exactly."""
+    docs = _docs(spark)
+    steps = [
+        {"op": "min_quality", "threshold": 0.8},
+        {"op": "exact_dedup_keep"},
+        {"op": "stratified_sample",
+         "fractions": {"web": 1.0, "books": 0.0}},
+    ]
+    # reference numbers from the count()-per-step mode
+    want: list = []
+    run_pipeline(docs, steps, report=want)
+
+    sc = spark.sparkContext
+
+    def jobs_for(tag, action):
+        sc.setJobGroup(tag, tag)
+        try:
+            return action(), len(
+                sc.statusTracker().getJobIdsForGroup(tag))
+        except Exception:
+            raise
+        finally:
+            sc.setJobGroup("", "")
+
+    # baseline: the SAME pipeline without observation (AQE may split
+    # one action into several jobs — the contract is zero EXTRA jobs)
+    plain = run_pipeline(docs, steps)
+    _, base_jobs = jobs_for("plain-pipe", lambda: plain.collect())
+
+    out, get_report = run_pipeline_observed(docs, steps)
+    rows, obs_jobs = jobs_for(
+        "observed-pipe", lambda: {r.doc_id for r in out.collect()})
+    assert obs_jobs <= base_jobs, (
+        f"observed report must add zero jobs: {obs_jobs} vs "
+        f"baseline {base_jobs}")
+    assert rows == {0, 2}
+    assert get_report() == want
