@@ -2225,6 +2225,11 @@ config:
             spark, "gzip_archives", sf,
             lambda: base.groupBy("batch_id").applyInPandas(
                 build, "batch_id long, archive binary"))
+        return _debatch_aggregate(archives)
+
+    def _debatch_aggregate(archives):
+        from enrich_spark.sources.decompress import explode_messages
+
         rec = explode_messages(archives, "archive", max_bytes_single_payload=4096)
         ok = F.col("decompress_error").isNull()
         return rec.groupBy("batch_id").agg(
@@ -2238,6 +2243,37 @@ config:
                 F.lit(0),
             ).cast("long").alias("digit_sum"),
         ).select(F.col("batch_id").cast("long"), "n_ok", "n_too_big", "bytes_ok", "digit_sum")
+
+    def q_decompress_zstd(spark, sf):
+        # the REAL zstd codec path (core/Decompressor.scala:164, via
+        # pyarrow's zstd): same batching protocol + payload arithmetic
+        # as the gzip part, on the event_id % 5 == 0 slice — a decode
+        # divergence anywhere would break bytes_ok/digit_sum
+        import pandas as pd
+
+        from enrich_spark.sources.decompress import encode_batch
+
+        base = _load_events(spark, sf).where(
+            F.expr("event_id % 5 = 0")).select(
+            "event_id", F.expr("event_id DIV 100").alias("batch_id"))
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("event_id")
+            payloads = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                plen = 5000 if eid % 331 == 0 else 50 + eid % 200
+                payloads.append((str(eid % 10) * plen).encode())
+            return pd.DataFrame(
+                {"batch_id": [int(pdf["batch_id"].iloc[0])],
+                 "archive": [encode_batch(payloads, "zstd")]}
+            )
+
+        archives = _cached_fixture(
+            spark, "zstd_archives", sf,
+            lambda: base.groupBy("batch_id").applyInPandas(
+                build, "batch_id long, archive binary"))
+        return _debatch_aggregate(archives)
 
     def q_warc(spark, sf):
         # WARC source-format round-trip (sources/warc.parse_warc):
@@ -2321,7 +2357,9 @@ config:
             "doc_id", "host", "path", "allowed", "deciding_rule_len")
 
     q["payload_decompress"] = lambda spark, sf: _union_parts(
-        [("gzip", q_decompress(spark, sf)), ("warc", q_warc(spark, sf)),
+        [("gzip", q_decompress(spark, sf)),
+         ("zstd", q_decompress_zstd(spark, sf)),
+         ("warc", q_warc(spark, sf)),
          ("robots", q_robots(spark, sf))],
         fill=("batch_id", "n_ok", "n_too_big", "bytes_ok", "digit_sum",
               "doc_id", "content_length", "payload_len", "n_headers",
@@ -4729,8 +4767,13 @@ def oracle_sql() -> dict[str, str]:
                CAST(0 AS BIGINT) AS has_err
         FROM d
     """
+    _zstd_sql = _gzip_sql.replace(
+        "FROM events e)", "FROM events e WHERE e.event_id % 5 = 0)")
     o["payload_decompress"] = _union_oracle([
         ("gzip", _gzip_sql,
+         {"batch_id": "num", "n_ok": "num", "n_too_big": "num",
+          "bytes_ok": "num", "digit_sum": "num"}),
+        ("zstd", _zstd_sql,
          {"batch_id": "num", "n_ok": "num", "n_too_big": "num",
           "bytes_ok": "num", "digit_sum": "num"}),
         ("warc", _warc_sql,

@@ -17,8 +17,11 @@ the rest of the archive is still drained (Decompressor.getNextRecord:48-59).
 Spark shape: one UDF BINARY → ARRAY<STRUCT<payload BINARY, error STRING>>
 followed by a native ``explode`` — the 1→N fan-out happens on executors,
 so a 1000-payload archive never materializes on the driver and archives
-decompress in parallel across the cluster. zstd is gated behind an
-import-try (the container has no zstandard lib; gzip is stdlib).
+decompress in parallel across the cluster. zstd decodes through
+``zstandard`` when installed, else pyarrow's built-in zstd codec
+(streaming CompressedInputStream — pyarrow is already an engine
+dependency for Arrow-batched UDFs), so the real-codec path runs in
+this container; gzip is stdlib.
 """
 
 from __future__ import annotations
@@ -48,9 +51,24 @@ def _open_stream(data: bytes):
     if data[:4] == ZSTD_MAGIC:
         try:
             import zstandard  # type: ignore
+
+            return zstandard.ZstdDecompressor().stream_reader(
+                io.BytesIO(data))
         except ImportError:
-            return None  # surfaced as an error record by the caller
-        return zstandard.ZstdDecompressor().stream_reader(io.BytesIO(data))
+            pass
+        try:
+            # pyarrow ships a real zstd codec (and is already an engine
+            # dependency for Arrow-batched UDFs): its
+            # CompressedInputStream is a file-like streaming reader, so
+            # the drain never materializes the whole archive
+            import pyarrow as pa
+
+            if pa.Codec.is_available("zstd"):
+                return pa.CompressedInputStream(
+                    pa.BufferReader(data), "zstd")
+        except ImportError:
+            pass
+        return None  # surfaced as an error record by the caller
     return False  # not compressed
 
 
@@ -101,7 +119,9 @@ def debatch_bytes(data, max_bytes_single_payload: int = 1 << 20):
         return [(None, "zstd-compressed message but no zstd decoder available")]
     try:
         return list(_drain(stream, max_bytes_single_payload))
-    except (OSError, EOFError, struct.error) as e:
+    except (OSError, EOFError, struct.error, ValueError) as e:
+        # OSError covers gzip + pyarrow's ArrowIOError; ValueError
+        # covers pyarrow's ArrowInvalid on corrupt zstd frames
         return [(None, f"corrupt compressed input: {e}")]
 
 
@@ -145,7 +165,12 @@ def encode_batch(payloads: list[bytes], codec: str = "gzip") -> bytes:
     if codec == "gzip":
         return gzip.compress(bytes(body))
     if codec == "zstd":
-        import zstandard  # type: ignore
+        try:
+            import zstandard  # type: ignore
 
-        return zstandard.ZstdCompressor().compress(bytes(body))
+            return zstandard.ZstdCompressor().compress(bytes(body))
+        except ImportError:
+            import pyarrow as pa
+
+            return pa.Codec("zstd").compress(bytes(body), asbytes=True)
     raise ValueError(codec)

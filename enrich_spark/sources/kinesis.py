@@ -12,11 +12,13 @@ partial-failure retry and the shard-iterator drain are exercised
 against a real HTTP broker in-sandbox (tests/fake_kinesis.py), the
 same way the NSQ transport is (sources/nsq.py + fake_nsqd).
 
-Scope: request signing (SigV4) is deliberately out — a custom endpoint
-is an unsigned/dev endpoint; against real AWS you run the managed
-connector, not this client. Batching limits, per-record failure
-semantics, backoff, iterator paging and sequence ordering are the
-protocol logic that matters to the engine and they are all here.
+Signing: unsigned by default (a custom endpoint is a dev endpoint);
+pass ``credentials=AwsCredentials(...)`` + ``region`` to SigV4-sign
+every request (sources/sigv4.py, stdlib implementation of the public
+signing spec, cross-validated against botocore in tests/test_sigv4.py)
+— the real-AWS path for environments without the managed connector.
+Batching limits, per-record failure semantics, backoff, iterator
+paging and sequence ordering are all here either way.
 """
 
 from __future__ import annotations
@@ -43,20 +45,35 @@ class KinesisError(RuntimeError):
 
 class KinesisHttpClient:
     """Minimal x-amz-json-1.1 client for one endpoint. Picklable, so
-    senders built on it can ship from executors."""
+    senders built on it can ship from executors.
 
-    def __init__(self, endpoint_url: str, timeout: float = 10.0):
+    Unsigned by default (dev/localstack endpoints); pass credentials +
+    region to SigV4-sign every request (sources/sigv4.py — the real-AWS
+    path)."""
+
+    def __init__(self, endpoint_url: str, timeout: float = 10.0,
+                 credentials=None, region: str | None = None):
         self.endpoint_url = endpoint_url.rstrip("/")
         self.timeout = timeout
+        self.credentials = credentials
+        self.region = region
 
     def call(self, action: str, payload: dict) -> dict:
+        body = json.dumps(payload).encode("utf-8")
+        headers = {
+            "Content-Type": "application/x-amz-json-1.1",
+            "X-Amz-Target": f"{_TARGET_PREFIX}.{action}",
+        }
+        if self.credentials is not None:
+            from .sigv4 import sign_request
+
+            headers = sign_request(
+                "POST", self.endpoint_url, headers, body,
+                self.credentials, self.region or "us-east-1", "kinesis")
         req = urllib.request.Request(
             self.endpoint_url,
-            data=json.dumps(payload).encode("utf-8"),
-            headers={
-                "Content-Type": "application/x-amz-json-1.1",
-                "X-Amz-Target": f"{_TARGET_PREFIX}.{action}",
-            },
+            data=body,
+            headers=headers,
             method="POST",
         )
         try:

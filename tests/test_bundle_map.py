@@ -124,7 +124,7 @@ EXPECTED_BUNDLE_PARTS = {
     "iglu_validation": ["basic", "advanced"],
     "pii_pseudonymize": ["scalar", "json", "companion", "kanon",
                          "kanon_rpt"],
-    "payload_decompress": ["gzip", "warc", "robots"],
+    "payload_decompress": ["gzip", "zstd", "warc", "robots"],
     "identity_stitch": ["identity", "merge", "snapdiff"],
     "script_hook": ["py", "js"],
     "streaming_parity": ["stream", "batch"],

@@ -76,15 +76,67 @@ def test_debatch_truncated_archive(spark):
     assert any(r.decompress_error and "corrupt" in r.decompress_error for r in out)
 
 
-def test_debatch_zstd_without_decoder_yields_error_record():
-    """A zstd-magic archive in an environment without the `zstandard`
-    lib must surface as the documented error record, never raise
-    (Decompressor.scala:164 supports zstd; this sandbox has no codec)."""
+def test_debatch_zstd_real_codec_roundtrip():
+    """The REAL zstd path (Decompressor.scala:164): encode an archive
+    with pyarrow's zstd codec, drain it through the batching protocol —
+    genuine frames, not a stubbed decoder."""
+    from enrich_spark.sources.decompress import (
+        ZSTD_MAGIC, debatch_bytes, encode_batch,
+    )
+
+    payloads = [b"first", b"second payload", b"x" * 10_000]
+    msg = encode_batch(payloads, "zstd")
+    assert msg[:4] == ZSTD_MAGIC           # a real zstd frame
+    assert debatch_bytes(msg) == [(p, None) for p in payloads]
+
+    # too-big skip + continue, through the real codec
+    out = debatch_bytes(encode_batch(payloads, "zstd"),
+                        max_bytes_single_payload=100)
+    assert out[0] == (b"first", None)
+    assert out[1] == (b"second payload", None)
+    assert out[2][0] is None and "too big" in out[2][1]
+
+
+def test_debatch_zstd_corrupt_frame_yields_error_record():
+    """Bit-flipped zstd frames surface as the documented error record,
+    never an exception."""
+    from enrich_spark.sources.decompress import (
+        ZSTD_MAGIC, debatch_bytes, encode_batch,
+    )
+
+    # big, highly compressible archive → real compressed blocks (tiny
+    # inputs get stored as raw blocks, where a flipped bit is data, not
+    # a framing error); flipping a bit inside a compressed block must
+    # surface as an error record
+    msg = bytearray(encode_batch([b"abcdefgh" * 5000], "zstd"))
+    msg[8] ^= 0xFF                         # inside the block header
+    out = debatch_bytes(bytes(msg))
+    assert all(p is not None or err is not None for p, err in out)
+    assert any(err and ("corrupt" in err or "truncated" in err)
+               for _, err in out), out
+
+    # zstd magic followed by garbage (not a valid frame at all)
+    out = debatch_bytes(ZSTD_MAGIC + b"\x00garbage-not-a-frame")
+    assert len(out) == 1 and out[0][0] is None
+
+
+def test_debatch_zstd_without_any_decoder_yields_error_record(monkeypatch):
+    """With BOTH zstandard and pyarrow's zstd unavailable, the archive
+    surfaces as the documented error record, never raises."""
     import sys
+    import types
 
     from enrich_spark.sources.decompress import ZSTD_MAGIC, debatch_bytes
 
-    assert "zstandard" not in sys.modules  # the sandbox premise
+    stub = types.ModuleType("pyarrow")
+
+    class _NoCodec:
+        @staticmethod
+        def is_available(name):
+            return False
+
+    stub.Codec = _NoCodec
+    monkeypatch.setitem(sys.modules, "pyarrow", stub)
     out = debatch_bytes(ZSTD_MAGIC + b"\x01\x01whatever")
     assert out == [(None,
                     "zstd-compressed message but no zstd decoder available")]
