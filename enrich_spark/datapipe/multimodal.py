@@ -191,7 +191,64 @@ def _fake_decode(data: bytes) -> tuple[int, int, list[float]]:
     return w, h, feats
 
 
-def _decode_one(data: bytes) -> dict:
+_NATIVE_JPEG = None  # pluggable native decoder (see set_native_jpeg_decoder)
+
+
+def set_native_jpeg_decoder(dec) -> None:
+    """Install a NATIVE JPEG decoder behind the same ``decode_features``
+    contract — the documented scale path for image-heavy corpora (the
+    pure-Python T.81 kernel is the no-dependency correctness baseline
+    at ~0.5-1 Mcoef/s, jpeg.py:20-42; a libjpeg-turbo-backed callable
+    is 100-1000× that).
+
+    ``dec(data: bytes) -> (width, height, channels, ndarray)`` — the
+    pure kernel's signature. Pass ``"auto"`` to probe for Pillow and
+    install it if importable (no-op otherwise); ``None`` to reset to
+    the pure-Python kernel.
+
+    OPT-IN by design: different IDCT implementations legitimately
+    differ by ±1 in pixel values, so the value-hash-gated oracle rows
+    always run the pure kernel; a production cluster with Pillow/
+    libjpeg installed flips this switch once at startup.
+
+    Executor semantics: the setting is captured into the
+    ``decode_features`` closure at PLAN BUILD time. ``"auto"`` is
+    resolved per executor process (the PIL import happens where the
+    decode runs); a callable must be picklable (top-level function or
+    ``functools.partial``)."""
+    global _NATIVE_JPEG
+    _NATIVE_JPEG = dec
+
+
+def _probe_pil():
+    """→ a PIL-backed ``(data) -> (w, h, ch, ndarray)`` decoder, or
+    None when Pillow is not importable in THIS process."""
+    try:
+        import io as _io
+
+        import numpy as _np
+        from PIL import Image  # type: ignore
+    except ImportError:
+        return None
+
+    def _pil_decode(data: bytes):
+        img = Image.open(_io.BytesIO(data))
+        if img.mode not in ("L", "RGB"):
+            img = img.convert("RGB")
+        arr = _np.asarray(img)
+        ch = 1 if arr.ndim == 2 else arr.shape[2]
+        return img.width, img.height, ch, arr
+
+    return _pil_decode
+
+
+def _resolve_native(cfg):
+    if cfg == "auto":
+        return _probe_pil()
+    return cfg
+
+
+def _decode_one(data: bytes, native_jpeg=None) -> dict:
     """Real-first decode: PNG/BMP/WAV via media_codecs, stub fallback.
     Returns a plain dict row; NEVER throws on hostile bytes."""
     from . import media_codecs as mc
@@ -205,6 +262,8 @@ def _decode_one(data: bytes) -> dict:
                 codec, dec = "bmp", mc.decode_bmp
             elif data[:3] == b"GIF":
                 codec, dec = "gif", mc.decode_gif
+            elif native_jpeg is not None:
+                codec, dec = "jpeg", native_jpeg
             else:
                 from .jpeg import decode_jpeg as dec  # baseline + progressive
 
@@ -281,6 +340,7 @@ def decode_features(
     binary_col: str = "media",
     target_batch_bytes: int | None = None,
     passthrough: tuple[str, ...] = (),
+    use_native: bool | None = None,
 ) -> DataFrame:
     """Media decode + feature extraction via mapInPandas (Arrow batches).
 
@@ -298,10 +358,23 @@ def decode_features(
     extra pass measuring total binary bytes and repartitioning so each
     partition (hence each worker's batch stream) carries ≲ that budget.
     Default None: no extra pass, inherit upstream partitioning.
+
+    ``use_native``: True forces the installed native JPEG decoder
+    (see :func:`set_native_jpeg_decoder`), False forces the pure
+    kernel; None (default) follows the global setting. The effective
+    config is captured into the closure HERE, so it ships to executors
+    with the plan.
     """
     import math
 
     import pandas as pd
+
+    if use_native is False:
+        native_cfg = None
+    elif use_native is True:
+        native_cfg = _NATIVE_JPEG or "auto"
+    else:
+        native_cfg = _NATIVE_JPEG
 
     out_cols = ("id", "width", "height", "channels", "duration_ms",
                 "mean_val", "features", "codec")
@@ -320,10 +393,12 @@ def decode_features(
     )
 
     def run(batches):
+        native = _resolve_native(native_cfg)   # per executor process
         for pdf in batches:
             out: dict[str, list] = {c: [] for c in out_cols}
             for i, data in zip(pdf[id_col], pdf[binary_col]):
-                row = _decode_one(bytes(data) if data is not None else b"")
+                row = _decode_one(bytes(data) if data is not None else b"",
+                                  native_jpeg=native)
                 out["id"].append(i)
                 for c in out_cols[1:]:
                     out[c].append(row[c])

@@ -2241,3 +2241,53 @@ def test_leakage_safe_split(spark):
 
     with pytest.raises(ValueError, match="sum to 1"):
         leakage_safe_split(docs, None, fractions={"train": 0.5})
+
+
+def _fake_native_jpeg(data):
+    """Picklable stand-in for a libjpeg-backed decoder: fixed 2x2 gray
+    42s, so its output is distinguishable from the pure kernel's."""
+    import numpy as np
+
+    return 2, 2, 1, np.full((2, 2), 42, np.uint8)
+
+
+def test_native_jpeg_decoder_seam(spark):
+    """set_native_jpeg_decoder installs a native decoder behind the
+    decode_features contract; the config ships to executors in the
+    closure; the pure kernel stays the default (the hash-gated path)."""
+    import numpy as np
+
+    from enrich_spark.datapipe import multimodal
+    from enrich_spark.datapipe.jpeg import encode_jpeg
+
+    jpg = encode_jpeg(10, 6, np.full((6, 10, 3), 55, np.uint8), quality=90)
+    df = spark.createDataFrame([(1, bytearray(jpg))], "id INT, media BINARY")
+
+    def decode(**kw):
+        return multimodal.decode_features(df, **kw).collect()[0]
+
+    try:
+        # default: pure kernel
+        assert decode().mean_val == 55.0
+        # installed: routed through the native callable (executor-side)
+        multimodal.set_native_jpeg_decoder(_fake_native_jpeg)
+        got = decode()
+        assert (got.width, got.height, got.mean_val) == (2, 2, 42.0)
+        # per-call opt-out beats the global
+        assert decode(use_native=False).mean_val == 55.0
+        # non-JPEG codecs never touch the seam
+        from enrich_spark.datapipe import media_codecs as mc
+
+        png = mc.encode_png(4, 3, np.full((3, 12), 7, np.uint8))
+        pdf = spark.createDataFrame([(1, bytearray(png))],
+                                    "id INT, media BINARY")
+        assert multimodal.decode_features(pdf).collect()[0].mean_val == 7.0
+    finally:
+        multimodal.set_native_jpeg_decoder(None)
+    # "auto" with no Pillow in this container → falls back to the pure
+    # kernel (probe returns None executor-side)
+    try:
+        multimodal.set_native_jpeg_decoder("auto")
+        assert decode().mean_val == 55.0
+    finally:
+        multimodal.set_native_jpeg_decoder(None)
