@@ -3215,11 +3215,35 @@ config:
             F.round("jaccard", 4).alias("jaccard"),
         )
 
+    def q_incremental_dedup(spark, sf):
+        # incremental ingest: docs with doc_id%4==0 are the NEW crawl
+        # batch, the rest are the stored corpus index — only the new
+        # side pays signature compute (the production recurring shape)
+        from enrich_spark.datapipe.dedup import (
+            build_minhash_index, incremental_dedup_pairs, md5_hash_family,
+        )
+
+        docs = _load_docs(spark, sf)
+        corpus = docs.where(F.expr("doc_id % 4 != 0"))
+        new = docs.where(F.expr("doc_id % 4 = 0"))
+        index = build_minhash_index(corpus, num_hashes=8, bands=4,
+                                    shingle_k=2, family=md5_hash_family)
+        return incremental_dedup_pairs(
+            new, index, num_hashes=8, bands=4, shingle_k=2,
+            sim_threshold=0.5, family=md5_hash_family,
+        ).select(F.col("new_id").cast("long").alias("new_id"),
+                 F.col("corpus_id").cast("long").alias("corpus_id"),
+                 "est_jaccard_bp")
+
     # map-only signature ('sig' part) + band-bucket candidate join with
-    # exact-jaccard verify ('lsh' part) in one oracle row
+    # exact-jaccard verify ('lsh' part) + new-batch-vs-stored-index join
+    # ('incr' part) in one oracle row
     q["dedup_minhash_lsh"] = lambda spark, sf: _union_parts(
-        [("sig", q_minhash_sig(spark, sf)), ("lsh", q_minhash_lsh(spark, sf))],
-        fill=("doc_id", "mh0", "mh1", "mh2", "mh3", "id_a", "id_b", "jaccard"),
+        [("sig", q_minhash_sig(spark, sf)),
+         ("lsh", q_minhash_lsh(spark, sf)),
+         ("incr", q_incremental_dedup(spark, sf))],
+        fill=("doc_id", "mh0", "mh1", "mh2", "mh3", "id_a", "id_b",
+              "jaccard", "new_id", "corpus_id", "est_jaccard_bp"),
     )
 
     def q_ngram_jaccard(spark, sf):
@@ -3978,6 +4002,8 @@ config:
         # bench measures the IVF search alone, like the other de-bundled
         # rows; the bundle stays intact for the oracle gate
         "ann_ivf_topk": q_ann_ivf,
+        # r10 operator (merged into the dedup_minhash_lsh bundle)
+        "incremental_dedup": q_incremental_dedup,
         # r9: single-operator variants for the bundle-grown rows, so
         # each bench row measures ONE operator (the r8-added parts —
         # warc/robots/heavy-hitters/manifest/bloom — already have their
@@ -6444,12 +6470,41 @@ def oracle_sql() -> dict[str, str]:
           "at_risk_rows": "num", "total_rows": "num", "risk_bp": "num",
           "min_class_size": "num", "homogeneous_classes": "num"}),
     ])
+    # incremental dedup: same md5-minhash sigs; NEW batch (doc_id%4=0)
+    # vs corpus index (the rest); any-band collision + signature
+    # agreement >= ceil(0.5*8)=4; distinct pairs; integer bp estimate
+    _incr_agree = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(8))
+    _incr_sql = f"""
+        WITH base AS (
+          SELECT d.doc_id,
+                 string_split(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')), ' ') AS words
+          FROM documents d
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(words) >= 2
+                   THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+                   ELSE [array_to_string(words, ' ')] END) AS grams
+          FROM base
+        ),
+        sigs AS (SELECT doc_id, {sig_cols} FROM sh)
+        SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+               CAST(({_incr_agree}) * 10000 // 8 AS BIGINT) AS est_jaccard_bp
+        FROM sigs a JOIN sigs b
+          ON a.doc_id % 4 = 0 AND b.doc_id % 4 != 0
+         AND ((a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3)
+           OR (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))
+        WHERE ({_incr_agree}) >= 4
+    """
     o["dedup_minhash_lsh"] = _union_oracle([
         ("sig", o.pop("dedup_minhash_signature"),
          {"doc_id": "num", "mh0": "num", "mh1": "num", "mh2": "num",
           "mh3": "num"}),
         ("lsh", o.pop("dedup_minhash_lsh"),
          {"id_a": "num", "id_b": "num", "jaccard": "fnum"}),
+        ("incr", _incr_sql,
+         {"new_id": "num", "corpus_id": "num", "est_jaccard_bp": "num"}),
     ])
 
     # ngram jaccard: blocked pairs + exact prefix-filter pairs (oracle =

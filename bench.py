@@ -84,6 +84,7 @@ HEADLINE = [
     "asof_join",              # point-in-time join (union-sort path)
     "data_card",              # one-row corpus documentation aggregate
     "snapshot_diff",          # corpus version audit (one outer join)
+    "incremental_dedup",      # new-batch join vs stored minhash index
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -100,7 +101,8 @@ GROUPS = [
     # dedup family
     ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
      "dedup_ngram_jaccard", "dedup_despan", "decontam_multi",
-     "decontam_bloom", "semantic_dedup", "leakage_split"],
+     "decontam_bloom", "semantic_dedup", "leakage_split",
+     "incremental_dedup"],
     # embeddings / ANN / clustering
     ["ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
      "embedding_dup_pairs", "cluster_stats", "sessionize",

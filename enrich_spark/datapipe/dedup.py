@@ -1111,6 +1111,93 @@ def _parse_duration_us(s: str) -> int:
 # dedup keep-policy: clusters → one surviving representative each
 
 
+def build_minhash_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    family=xxhash_family,
+) -> DataFrame:
+    """The persistable side of INCREMENTAL near-dedup: the corpus's
+    banded minhash table — ``(doc_id, band_id, band_hash, sig)``, one
+    row per (doc, band).
+
+    Production shape: compute ONCE per corpus snapshot and write it out
+    (``.write.bucketBy(N, "band_id", "band_hash")`` or partitioned
+    parquet); every subsequent crawl increment joins against the stored
+    index instead of re-hashing the full corpus — at 100 TB that is the
+    difference between an O(increment) job and an O(corpus) one per
+    ingest."""
+    rows_per_band = num_hashes // bands
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(shingles(F.col(text_col), shingle_k),
+                          num_hashes, family).alias("sig"))
+    return base.where(F.size("sig") == num_hashes).select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(F.slice("sig", b * rows_per_band + 1,
+                                   rows_per_band)).alias("band_hash"))
+            for b in range(bands)
+        ])).alias("_b"),
+    ).select("doc_id", F.col("_b.band_id").alias("band_id"),
+             F.col("_b.band_hash").alias("band_hash"), "sig")
+
+
+def incremental_dedup_pairs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    sim_threshold: float = 0.8,
+    family=xxhash_family,
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against an existing corpus
+    index (from :func:`build_minhash_index`, same parameters) — the
+    recurring-ingest twin of :func:`minhash_lsh_pairs`: only the new
+    batch pays signature compute; the corpus side is a stored table.
+
+    Semantics match :func:`streaming_near_dedup`'s batch contract:
+    a (new, corpus) pair is emitted (once, distinct) when some band
+    collides AND signature agreement ≥ ``ceil(sim_threshold ·
+    num_hashes)``; ``est_jaccard_bp`` is the integer basis-point
+    agreement estimate (floor, engine-stable).
+
+    Scale shape: banded equi-join on (band_id, band_hash) — with the
+    index bucketed on those keys the corpus side never reshuffles; the
+    increment side (small) is the one that moves.
+    """
+    need = int(sim_threshold * num_hashes + 0.9999)
+    fresh = build_minhash_index(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_k, family)
+    n, c = fresh.alias("n"), index.alias("c")
+    agree = F.size(F.filter(
+        F.zip_with(F.col("n.sig"), F.col("c.sig"),
+                   lambda x, y: (x == y).cast("int")),
+        lambda v: v == 1))
+    return (
+        n.join(c, ["band_id", "band_hash"])
+        .where(F.col("n.doc_id") != F.col("c.doc_id"))
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+            agree.alias("_agree"))
+        .dropDuplicates(["new_id", "corpus_id"])
+        .where(F.col("_agree") >= need)
+        .select(
+            "new_id", "corpus_id",
+            F.floor(F.col("_agree") * 10000 / num_hashes).cast("long")
+            .alias("est_jaccard_bp"))
+    )
+
+
 def apply_dedup_policy(
     docs: DataFrame,
     pairs: DataFrame,

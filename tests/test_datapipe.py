@@ -2291,3 +2291,61 @@ def test_native_jpeg_decoder_seam(spark):
         assert decode().mean_val == 55.0
     finally:
         multimodal.set_native_jpeg_decoder(None)
+
+
+def test_incremental_dedup_pairs(spark):
+    """New-batch-vs-stored-index near-dedup: only new docs pay
+    signature compute; matches are found across (never within) the
+    batch/corpus boundary; agreement semantics match the streaming
+    kernel's integer bp estimate."""
+    from enrich_spark.datapipe.dedup import (
+        build_minhash_index, incremental_dedup_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "spark executor shuffles partitions and prunes columns")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different content about pasta "
+                        "dishes cooked at home on sunday")],
+        "doc_id long, text string")
+    index = build_minhash_index(corpus, num_hashes=16, bands=8,
+                                shingle_k=3)
+    # persistable: write + read back, the production index shape
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        index.write.parquet(f"{tmp}/idx")
+        stored = spark.read.parquet(f"{tmp}/idx")
+        new = spark.createDataFrame(
+            [(10, base + " happily"),            # near-dup of corpus 1
+             (11, "fresh unrelated text about gardening tools and "
+                  "compost in the spring"),
+             (12, base + " happily")],           # near-dup of 1 AND 10
+            "doc_id long, text string")
+        got = incremental_dedup_pairs(
+            new, stored, num_hashes=16, bands=8, shingle_k=3,
+            sim_threshold=0.6).collect()
+    pairs = {(r.new_id, r.corpus_id) for r in got}
+    # 10 and 12 match corpus doc 1; NOT each other (both are new-side;
+    # an intra-batch check is minhash_lsh_pairs' job)
+    assert pairs == {(10, 1), (12, 1)}
+    assert all(6000 <= r.est_jaccard_bp <= 10000 for r in got)
+
+
+def test_incremental_dedup_plan_contract(spark):
+    """The candidate join is a banded equi-join on (band_id,
+    band_hash) — never a cartesian/nested-loop explosion."""
+    from enrich_spark.datapipe.dedup import (
+        build_minhash_index, incremental_dedup_pairs,
+    )
+
+    docs = spark.range(32).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("words repeated across documents body text "),
+                 (F.col("id") % 5).cast("string")).alias("text"))
+    plan = incremental_dedup_pairs(
+        docs.where("doc_id % 4 = 0"),
+        build_minhash_index(docs.where("doc_id % 4 != 0")),
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
