@@ -1440,17 +1440,55 @@ config:
             "source", F.col("n_docs").alias("src_docs"),
             F.col("n_tokens").alias("src_tokens"), "share_bp")
 
+    def q_zorder(spark, sf):
+        # Z-order (Morton) clustering key — the lakehouse ZORDER BY
+        # layout primitive (datapipe/layout.py): pure integer bit
+        # interleave, native shift/and/or, zero Python
+        from enrich_spark.datapipe.layout import zorder_key
+
+        docs = _load_docs(spark, sf)
+        return docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            zorder_key(F.col("doc_id") % 65536,
+                       F.col("n_chars") % 65536)
+            .cast("long").alias("zkey"))
+
+    def q_ksample(spark, sf):
+        # deterministic exact-k sample (TakeOrderedAndProject top-k on
+        # a seeded md5 rank — never a single-partition sort)
+        from enrich_spark.datapipe.layout import sample_exact_k
+
+        docs = _load_docs(spark, sf).select(
+            F.col("doc_id").cast("long").alias("doc_id"))
+        return sample_exact_k(docs, 100)
+
+    def q_zorder_cluster(spark, sf):
+        # bench variant: the full zorder_by clustering (min/max agg +
+        # one range shuffle + in-partition sort), summarized to a
+        # per-partition locality profile so .count() pays the sort
+        from enrich_spark.datapipe.layout import zorder_by
+
+        docs = _load_docs(spark, sf).select("doc_id", "n_chars")
+        out = zorder_by(docs, ("doc_id", "n_chars"))
+        return (out.withColumn("p", F.spark_partition_id())
+                .groupBy("p")
+                .agg((F.max("doc_id") - F.min("doc_id")).alias("span_id"),
+                     (F.max("n_chars") - F.min("n_chars")).alias("span_ch"),
+                     F.count(F.lit(1)).alias("n")))
+
     q["metadata_aggregation"] = lambda spark, sf: _union_parts(
         [("meta", q_metadata_agg(spark, sf)),
          ("manifest", q_manifest(spark, sf)),
          ("card", q_datacard(spark, sf)),
-         ("comp", q_datacard_comp(spark, sf))],
+         ("comp", q_datacard_comp(spark, sf)),
+         ("zorder", q_zorder(spark, sf)),
+         ("ksample", q_ksample(spark, sf))],
         fill=("n_events", "n_rows", "content_xor", "bytes_total",
               "n_docs", "total_chars", "total_bytes", "total_tokens",
               "n_sources", "n_langs", "n_unique_texts", "n_exact_dups",
               "min_tokens", "max_tokens", "p50_tokens", "p90_tokens",
               "pii_emails", "pii_ipv4", "n_docs_10plus_tokens",
-              "src_docs", "src_tokens", "share_bp"),
+              "src_docs", "src_tokens", "share_bp", "doc_id", "zkey"),
     )
 
     def q_sessionize(spark, sf):
@@ -4002,8 +4040,10 @@ config:
         # bench measures the IVF search alone, like the other de-bundled
         # rows; the bundle stays intact for the oracle gate
         "ann_ivf_topk": q_ann_ivf,
-        # r10 operator (merged into the dedup_minhash_lsh bundle)
+        # r10 operators (merged into the dedup_minhash_lsh /
+        # metadata_aggregation bundles)
         "incremental_dedup": q_incremental_dedup,
+        "zorder_cluster": q_zorder_cluster,
         # r9: single-operator variants for the bundle-grown rows, so
         # each bench row measures ONE operator (the r8-added parts —
         # warc/robots/heavy-hitters/manifest/bloom — already have their
@@ -4405,6 +4445,15 @@ def oracle_sql() -> dict[str, str]:
     # the constant ua_parser context attached by the default config
     from enrich_spark.plans.manifest import dataset_manifest_sql as _mf_sql
 
+    def _spread_sql(col: str) -> str:
+        # the Morton spread-bits chain (layout._spread16) in SQL: each
+        # step is x = (x | x<<s) & mask over BIGINTs
+        expr = f"({col} & 65535)"
+        for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                            (2, 0x33333333), (1, 0x55555555)):
+            expr = f"(({expr} | ({expr} << {shift})) & {mask})"
+        return expr
+
     o["metadata_aggregation"] = _union_oracle([
         ("meta", """
         WITH g AS (
@@ -4461,6 +4510,20 @@ def oracle_sql() -> dict[str, str]:
         FROM per
         """, {"source": "str", "src_docs": "num", "src_tokens": "num",
               "share_bp": "num"}),
+        ("zorder", f"""
+        WITH n AS (
+          SELECT doc_id, doc_id % 65536 AS a, n_chars % 65536 AS b
+          FROM documents
+        ), s AS (
+          SELECT doc_id, {_spread_sql('a')} AS sa, {_spread_sql('b')} AS sb
+          FROM n
+        )
+        SELECT doc_id, CAST(sa | (sb << 1) AS BIGINT) AS zkey FROM s
+        """, {"doc_id": "num", "zkey": "num"}),
+        ("ksample", """
+        SELECT doc_id FROM documents
+        ORDER BY md5('42:' || doc_id), doc_id LIMIT 100
+        """, {"doc_id": "num"}),
     ])
 
     o["sessionize"] = """

@@ -85,6 +85,7 @@ HEADLINE = [
     "data_card",              # one-row corpus documentation aggregate
     "snapshot_diff",          # corpus version audit (one outer join)
     "incremental_dedup",      # new-batch join vs stored minhash index
+    "zorder_cluster",         # Morton-key range shuffle + local sort
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -115,7 +116,8 @@ GROUPS = [
     # data-mix / graph / merge / multimodal
     ["data_mix", "heavy_hitters", "k_anonymity", "pagerank",
      "dataset_manifest", "cdc_merge", "multimodal_frames",
-     "multimodal_decode", "warc_parse", "dsir_select", "data_card"],
+     "multimodal_decode", "warc_parse", "dsir_select", "data_card",
+     "zorder_cluster"],
 ]
 assert sorted(n for g in GROUPS for n in g) == sorted(HEADLINE)
 

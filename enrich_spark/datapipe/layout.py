@@ -1,0 +1,100 @@
+"""Data-layout operators — Z-order clustering for scan locality and
+deterministic exact-k sampling.
+
+**Z-order** (Morton order) is the standard multi-dimensional clustering
+a 100 TB lakehouse applies before writing (Delta/Iceberg ``ZORDER BY``):
+rows close in EVERY clustered dimension land in the same files, so
+min/max file statistics prune scans on ANY of the dimensions, not just
+the first sort key. The key is pure integer bit-interleaving — native
+Spark expressions (shift/and/or), zero Python, fully codegen'd — and
+the clustering itself is one ``repartitionByRange(zkey)`` +
+``sortWithinPartitions``: exactly one shuffle, the same cost as a plain
+sort-by-one-column write.
+
+**sample_exact_k** is uniform sampling without replacement with an
+EXACT output size: rank rows by a seeded md5 of their id and take the
+first k via ``orderBy().limit(k)`` — TakeOrderedAndProject, i.e.
+per-partition top-k then a k-row merge, never a full sort in one
+partition (``df.sample()`` gives a BERNOULLI sample whose size is only
+approximately n·fraction; training-data recipes usually need exactly-k
+per bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# spread-bits magic masks: interleave zeros between the low 16 bits
+# (the classic Morton-code construction, e.g. Graphics Gems / HAKMEM)
+_SPREAD = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread16(x: Column) -> Column:
+    """low 16 bits of x → 32-bit value with a zero between every bit."""
+    x = x.bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zorder_key(a: Column, b: Column) -> Column:
+    """Morton key of two 16-bit integer columns (bit-interleaved, a in
+    the even positions). Inputs must already be in [0, 65536) — use
+    :func:`zorder_by` for min/max normalization from raw columns."""
+    return _spread16(a).bitwiseOR(F.shiftleft(_spread16(b), 1))
+
+
+def zorder_by(
+    df: DataFrame,
+    cols: tuple[str, str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Cluster ``df`` by the Z-order of two numeric columns: one
+    bounded min/max aggregate (driver gets 4 numbers), a map-side
+    normalization of each column into [0, 65536), then ONE range
+    shuffle on the interleaved key + an in-partition sort. Written out,
+    each file covers a small rectangle in (a, b) space, so min/max
+    stats prune scans filtered on EITHER column."""
+    ca, cb = cols
+    mm = df.agg(
+        F.min(ca).alias("amin"), F.max(ca).alias("amax"),
+        F.min(cb).alias("bmin"), F.max(cb).alias("bmax"),
+    ).collect()[0]
+
+    def norm(c: str, lo, hi) -> Column:
+        span = max(int(hi) - int(lo), 1)
+        return ((F.col(c).cast("long") - F.lit(int(lo)))
+                * F.lit(65535) / F.lit(span)).cast("long")
+
+    keyed = df.withColumn(
+        "_zkey", zorder_key(norm(ca, mm.amin, mm.amax),
+                            norm(cb, mm.bmin, mm.bmax)))
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions")
+    return (keyed.repartitionByRange(int(parts), "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey"))
+
+
+def sample_exact_k(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """EXACTLY min(k, n) rows, uniform without replacement,
+    deterministic under retries/repartitioning: rank = md5(seed:id),
+    take the k smallest. Distributed top-k (TakeOrderedAndProject),
+    never a single-partition sort."""
+    rank = F.md5(F.concat(F.lit(f"{seed}:"),
+                          F.col(id_col).cast("string")))
+    return (df.withColumn("_rk", rank)
+            .orderBy(F.col("_rk").asc(), F.col(id_col).asc())
+            .limit(k)
+            .drop("_rk"))

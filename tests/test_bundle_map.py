@@ -117,7 +117,8 @@ EXPECTED_BUNDLE_PARTS = {
     "adapter_explode": ["explode", "remote"],
     "webhook_vendor_suite": ["s1", "s2"],
     "bad_row_split": ["split", "format"],
-    "metadata_aggregation": ["meta", "manifest", "card", "comp"],
+    "metadata_aggregation": ["meta", "manifest", "card", "comp",
+                             "zorder", "ksample"],
     "sessionize": ["stats", "stream_closed", "stream_dedup"],
     "sql_lookup_join": ["broadcast", "json"],
     "yauaa_classify": ["native", "rules"],

@@ -2349,3 +2349,57 @@ def test_incremental_dedup_plan_contract(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_clustering_locality(spark):
+    """zorder_by: one range shuffle on the Morton key; written out,
+    each partition covers a small rectangle in BOTH dimensions — the
+    per-partition span of each column must be far below the global
+    span (that is the file-skipping property)."""
+    from enrich_spark.datapipe.layout import zorder_by, zorder_key
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 65536).alias("x"),
+        (F.col("id") * 40503 % 65536).alias("y"))
+    out = zorder_by(df, ("x", "y"), num_partitions=16)
+    spans = (out.withColumn("p", F.spark_partition_id())
+             .groupBy("p")
+             .agg((F.max("x") - F.min("x")).alias("sx"),
+                  (F.max("y") - F.min("y")).alias("sy"))
+             .agg(F.avg("sx").alias("ax"), F.avg("sy").alias("ay"))
+             .collect()[0])
+    # random layout would give ~65535 span per partition in both dims;
+    # 16 z-ordered partitions ≈ 4x4 grid → ~1/4 span in each
+    assert spans.ax < 65536 * 0.45 and spans.ay < 65536 * 0.45, spans
+    # key math: interleave is exact (spot-check against pure Python)
+    got = spark.range(1).select(
+        zorder_key(F.lit(0b1011), F.lit(0b0110)).alias("z")).collect()[0].z
+
+    def interleave(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == interleave(0b1011, 0b0110)
+    assert out.count() == n                  # clustering loses nothing
+
+
+def test_sample_exact_k(spark):
+    """Exactly k rows, deterministic under repartitioning, uniform-ish;
+    the plan is a distributed top-k, not a single-partition sort."""
+    from enrich_spark.datapipe.layout import sample_exact_k
+
+    df = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    a = sorted(r.doc_id for r in sample_exact_k(df, 100).collect())
+    b = sorted(r.doc_id for r in
+               sample_exact_k(df.repartition(17), 100).collect())
+    assert len(a) == 100 and a == b          # deterministic, exact
+    c = sorted(r.doc_id for r in sample_exact_k(df, 100, seed=7).collect())
+    assert c != a                            # seed changes the draw
+    assert len(sorted(r.doc_id for r in
+                      sample_exact_k(df.limit(50), 100).collect())) == 50
+    plan = sample_exact_k(df, 100)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -80,6 +80,7 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "data_card": "metadata_aggregation",
         "snapshot_diff": "identity_stitch",
         "incremental_dedup": "dedup_minhash_lsh",
+        "zorder_cluster": "metadata_aggregation",
         "script_js": "script_hook",  # bench-only throughput variant
     }
     for name in benchmod.HEADLINE:
