@@ -31,6 +31,9 @@ from enrich_spark.datapipe.curation import (
 )
 from enrich_spark.datapipe.datacard import data_card_sql as _dc_sql
 from enrich_spark.datapipe.dsir import apply_dsir_sql as _dsir_sql
+from enrich_spark.datapipe.sketches import (
+    hll_distinct_portable_sql as _hll_sql,
+)
 from enrich_spark.datapipe.text import bm25_score_sql as _bm25_sql
 from enrich_spark.datapipe.webtext import url_normalize_sql as _url_norm_sql
 
@@ -3180,7 +3183,8 @@ config:
         "sum_chars", "min_chars", "max_chars",
         "n_lines", "n_kept_lines", "kept_chars", "n_sentences",
         "has_brace", "has_lorem", "has_jswarn", "is_kept",
-        "chunk_id", "cnt", "n_grams", "weight_unats")
+        "chunk_id", "cnt", "n_grams", "weight_unats",
+        "n_registers_set", "est_distinct")
 
     def q_data_mix_core(spark, sf):
         # bench variant: the original mixing/sampling/packing operator
@@ -3189,11 +3193,23 @@ config:
         return _union_parts(_data_mix_core_parts(spark, sf),
                             fill=_DATA_MIX_FILL)
 
+    def q_hll(spark, sf):
+        # portable HLL (md5-derived engine-exact registers) — the
+        # hash-gated representative of the sketch family
+        from enrich_spark.datapipe.sketches import hll_distinct_portable
+
+        docs = _load_docs(spark, sf)
+        return hll_distinct_portable(docs, "text", ("source",)).select(
+            "source",
+            F.col("n_registers_set").cast("long").alias("n_registers_set"),
+            "est_distinct")
+
     def q_data_mix(spark, sf):
         return _union_parts(
             _data_mix_core_parts(spark, sf)
             + [("hh", q_heavy_hitters(spark, sf)),
-               ("dsir", q_dsir(spark, sf))],
+               ("dsir", q_dsir(spark, sf)),
+               ("hll", q_hll(spark, sf))],
             fill=_DATA_MIX_FILL,
         )
 
@@ -5604,7 +5620,10 @@ def oracle_sql() -> dict[str, str]:
                        _dsir_sql("documents", "doc_id", "text",
                                  _DSIR_RATIOS, n_buckets=128),
                        {"doc_id": "num", "n_grams": "num",
-                        "weight_unats": "num"})])
+                        "weight_unats": "num"}),
+                      ("hll", _hll_sql("documents", "text", ("source",)),
+                       {"source": "str", "n_registers_set": "num",
+                        "est_distinct": "fnum"})])
 
     _norm = "trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))"
     _words = f"list_distinct(string_split({_norm}, ' '))"

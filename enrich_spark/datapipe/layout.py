@@ -98,3 +98,26 @@ def sample_exact_k(
             .orderBy(F.col("_rk").asc(), F.col(id_col).asc())
             .limit(k)
             .drop("_rk"))
+
+
+def sample_exact_k_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """:func:`sample_exact_k` per stratum: exactly min(k, |group|) rows
+    from EVERY group, one partitioned window (the per-group rank sorts
+    only each group's rows — scale-safe, unlike a global sort).
+    Training-data recipes use this for per-domain caps ("keep at most
+    k docs per registrable domain")."""
+    from pyspark.sql import Window
+
+    rank = F.md5(F.concat(F.lit(f"{seed}:"),
+                          F.col(id_col).cast("string")))
+    w = (Window.partitionBy(group_col)
+         .orderBy(rank.asc(), F.col(id_col).asc()))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn"))

@@ -2403,3 +2403,34 @@ def test_sample_exact_k(spark):
     plan = sample_exact_k(df, 100)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hll_distinct_portable(spark):
+    """Portable HLL: bit-identical to its DuckDB mirror (the gate
+    property) and within the ~1.04/sqrt(m) error envelope of the exact
+    distinct count per group."""
+    import duckdb
+    import pandas as pd
+
+    from enrich_spark.datapipe.sketches import (
+        hll_distinct_portable, hll_distinct_portable_sql,
+    )
+
+    rows = [(i, f"val-{i % 700}", f"s{i % 2}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, v string, src string")
+    got = sorted(tuple(r) for r in
+                 hll_distinct_portable(df, "v", ("src",), p=10).collect())
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["id", "v", "src"]))
+    want = sorted(tuple(r) for r in con.execute(
+        hll_distinct_portable_sql("t", "v", ("src",), p=10)).fetchall())
+    assert got == want                      # engine-exact replay
+    # exact distinct per src group is 350 (gcd(2,700)=2); p=10 →
+    # relative error ~3.3%, allow 4 sigma
+    for _, _, est in got:
+        assert abs(est - 350) / 350 < 0.13, est
+    # ungrouped + high-cardinality regime (raw harmonic-mean branch)
+    big = spark.range(50_000).select(
+        F.col("id").cast("string").alias("v"))
+    est = hll_distinct_portable(big, "v", p=10).collect()[0].est_distinct
+    assert abs(est - 50_000) / 50_000 < 0.15, est
