@@ -2434,3 +2434,23 @@ def test_hll_distinct_portable(spark):
         F.col("id").cast("string").alias("v"))
     est = hll_distinct_portable(big, "v", p=10).collect()[0].est_distinct
     assert abs(est - 50_000) / 50_000 < 0.15, est
+
+
+def test_sample_exact_k_per_group(spark):
+    from enrich_spark.datapipe.layout import sample_exact_k_per_group
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("source"))
+    out = sample_exact_k_per_group(df, 10, "source")
+    got = out.groupBy("source").count().collect()
+    # groups 0..6 have 143±1 members each → every group capped at 10
+    assert {r["count"] for r in got} == {10} and len(got) == 7
+    # deterministic under repartitioning
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in sample_exact_k_per_group(
+        df.repartition(13), 10, "source").collect())
+    assert a == b
+    # a group smaller than k keeps all its rows
+    tiny = sample_exact_k_per_group(df.where("doc_id < 3"), 10, "source")
+    assert tiny.count() == 3
