@@ -31,6 +31,7 @@ from enrich_spark.datapipe.curation import (
 )
 from enrich_spark.datapipe.datacard import data_card_sql as _dc_sql
 from enrich_spark.datapipe.dsir import apply_dsir_sql as _dsir_sql
+from enrich_spark.datapipe.regress import fit_ridge_2f_sql as _ridge_sql
 from enrich_spark.datapipe.sketches import (
     hll_distinct_portable_sql as _hll_sql,
 )
@@ -1479,19 +1480,37 @@ config:
                      (F.max("n_chars") - F.min("n_chars")).alias("span_ch"),
                      F.count(F.lit(1)).alias("n")))
 
+    def q_ridge_fit(spark, sf):
+        # one-pass distributed ridge fit (normal equations over integer
+        # Gram sums; driver Cramer solve — datapipe/regress.py):
+        # n_chars ~ word_count + (doc_id % 97)
+        from enrich_spark.datapipe.regress import fit_ridge_2f_df
+
+        docs = _load_docs(spark, sf)
+        words = F.size(F.filter(
+            F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " "),
+            lambda w: w != ""))
+        feats = docs.select(
+            words.alias("x1"),
+            (F.col("doc_id") % 97).alias("x2"),
+            F.col("n_chars").alias("y"))
+        return fit_ridge_2f_df(feats, "x1", "x2", "y")
+
     q["metadata_aggregation"] = lambda spark, sf: _union_parts(
         [("meta", q_metadata_agg(spark, sf)),
          ("manifest", q_manifest(spark, sf)),
          ("card", q_datacard(spark, sf)),
          ("comp", q_datacard_comp(spark, sf)),
          ("zorder", q_zorder(spark, sf)),
-         ("ksample", q_ksample(spark, sf))],
+         ("ksample", q_ksample(spark, sf)),
+         ("fit", q_ridge_fit(spark, sf))],
         fill=("n_events", "n_rows", "content_xor", "bytes_total",
               "n_docs", "total_chars", "total_bytes", "total_tokens",
               "n_sources", "n_langs", "n_unique_texts", "n_exact_dups",
               "min_tokens", "max_tokens", "p50_tokens", "p90_tokens",
               "pii_emails", "pii_ipv4", "n_docs_10plus_tokens",
-              "src_docs", "src_tokens", "share_bp", "doc_id", "zkey"),
+              "src_docs", "src_tokens", "share_bp", "doc_id", "zkey",
+              "b0", "b1", "b2", "n"),
     )
 
     def q_sessionize(spark, sf):
@@ -4540,6 +4559,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id FROM documents
         ORDER BY md5('42:' || doc_id), doc_id LIMIT 100
         """, {"doc_id": "num"}),
+        ("fit", _ridge_sql(
+            "(SELECT len(list_filter(string_split(trim(regexp_replace("
+            "text, '\\s+', ' ', 'g')), ' '), w -> w <> '')) AS x1, "
+            "doc_id % 97 AS x2, n_chars AS y FROM documents)",
+            "x1", "x2", "y"),
+         {"b0": "fnum", "b1": "fnum", "b2": "fnum", "n": "num"}),
     ])
 
     o["sessionize"] = """

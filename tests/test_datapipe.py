@@ -2454,3 +2454,41 @@ def test_sample_exact_k_per_group(spark):
     # a group smaller than k keeps all its rows
     tiny = sample_exact_k_per_group(df.where("doc_id < 3"), 10, "source")
     assert tiny.count() == 3
+
+
+def test_fit_ridge_one_pass(spark):
+    """Normal-equation ridge fit: matches numpy least squares, is
+    bit-identical to the DuckDB mirror (Cramer expression parity), is
+    deterministic under repartitioning, and l2 shrinks coefficients."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from enrich_spark.datapipe.regress import (
+        fit_ridge_2f, fit_ridge_2f_df, fit_ridge_2f_sql,
+    )
+
+    rng = np.random.default_rng(1)
+    n = 2000
+    x1 = rng.integers(1, 500, n)
+    x2 = rng.integers(1, 80, n)
+    y = (3 * x1 + 7 * x2 + 11 + rng.integers(-5, 6, n)).astype(int)
+    rows = [(int(a), int(b), int(c)) for a, b, c in zip(x1, x2, y)]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+
+    got = fit_ridge_2f_df(df, "x1", "x2", "y").collect()[0]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["x1", "x2", "y"]))
+    want = con.execute(fit_ridge_2f_sql("t", "x1", "x2", "y")).fetchone()
+    assert tuple(got) == want               # engine-exact replay
+
+    beta = np.linalg.lstsq(
+        np.column_stack([np.ones(n), x1, x2]), y, rcond=None)[0]
+    assert abs(got.b0 - beta[0]) < 1e-4
+    assert abs(got.b1 - beta[1]) < 1e-6 and abs(got.b2 - beta[2]) < 1e-6
+
+    again = fit_ridge_2f_df(df.repartition(17), "x1", "x2", "y").collect()[0]
+    assert tuple(got) == tuple(again)       # integer sums → no drift
+
+    lam = fit_ridge_2f(df, "x1", "x2", "y", l2=10_000_000)
+    assert abs(lam["b1"]) < abs(got.b1) and abs(lam["b2"]) < abs(got.b2)
