@@ -1130,11 +1130,18 @@ def build_minhash_index(
     index instead of re-hashing the full corpus — at 100 TB that is the
     difference between an O(increment) job and an O(corpus) one per
     ingest."""
+    from ..plans.stagecut import stage_boundary
+
     rows_per_band = num_hashes // bands
-    base = docs.select(
+    # boundary: every band below slices `sig`, and CollapseProject
+    # would otherwise re-inline the full num_hashes-wide minhash
+    # expression (itself over the shingle expression) into each band —
+    # the same O(bands × num_hashes) blowup minhash_lsh_pairs guards
+    # against (measured here: 41 s → ~1 s for a 5k-doc index build)
+    base = stage_boundary(docs.select(
         F.col(id_col).alias("doc_id"),
         minhash_signature(shingles(F.col(text_col), shingle_k),
-                          num_hashes, family).alias("sig"))
+                          num_hashes, family).alias("sig")))
     return base.where(F.size("sig") == num_hashes).select(
         "doc_id", "sig",
         F.explode(F.array(*[
