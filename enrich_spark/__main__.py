@@ -2,12 +2,18 @@
 
 Mirrors the reference's boot path (core/EnrichApp.scala:49 → Run.scala:
 parse the HOCON app config, load the enrichments directory + iglu
-resolver, build the Environment, run the stream). Transports without a
-broker in this environment (kinesis/kafka/pubsub) assemble and PRINT the
-resolved plan config; the ``file`` transport (input.path in the config,
-or --input on the command line) actually runs the pipeline — batch by
-default, Structured Streaming with --stream — writing good TSV, bad
-JSON, and failed TSV under --output.
+resolver, build the Environment, run the stream). Runnable transports:
+
+- ``file`` (input.path in the config, or --input on the command line):
+  batch by default, Structured Streaming with --stream
+- ``kinesis`` with ``input.customEndpoint`` set (dev/localstack), and
+  ``pubsub`` with ``$PUBSUB_EMULATOR_HOST``: the checkpointed pull
+  loop (streaming/pull_runner.py) — drain-and-exit by default,
+  ``--follow`` to keep polling
+
+Everything writes good TSV, bad JSON, and failed TSV under --output.
+Transports without any reachable broker assemble and PRINT the
+resolved plan config (dry run).
 """
 
 from __future__ import annotations
@@ -38,6 +44,11 @@ def main(argv=None) -> int:
     ap.add_argument("--output", help="output directory (good/ bad/ failed/)")
     ap.add_argument("--stream", action="store_true",
                     help="run as a Structured Streaming job (file transport)")
+    ap.add_argument("--follow", action="store_true",
+                    help="pull transports: keep polling after the drain "
+                         "(default: process everything available, exit)")
+    ap.add_argument("--poll-seconds", type=float, default=1.0,
+                    help="pull transports: idle poll interval with --follow")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     ap.add_argument("--dry-run", action="store_true",
@@ -56,7 +67,29 @@ def main(argv=None) -> int:
 
     input_path = args.input or (
         app.source.get("path") if isinstance(app.source, dict) else None)
-    runnable = input_path is not None
+
+    # pull transports are runnable without a managed connector when a
+    # dev endpoint is configured: kinesis via input.customEndpoint,
+    # pubsub via $PUBSUB_EMULATOR_HOST (the standard emulator contract)
+    make_pull_source = None
+    if input_path is None:
+        if (app.transport == "kinesis"
+                and getattr(app.source, "endpoint_url", None)):
+            def make_pull_source():
+                from .streaming.pull_runner import KinesisPullSource
+
+                return KinesisPullSource(app.source)
+        elif (app.transport == "pubsub"
+                and os.environ.get("PUBSUB_EMULATOR_HOST")):
+            def make_pull_source():
+                from .sources.pubsub import PubSubPullConf
+                from .streaming.pull_runner import PubSubPullSource
+
+                return PubSubPullSource(PubSubPullConf(
+                    subscription=app.source.subscription,
+                    emulator_host=os.environ["PUBSUB_EMULATOR_HOST"]))
+
+    runnable = input_path is not None or make_pull_source is not None
 
     summary = {
         "transport": app.transport,
@@ -88,7 +121,25 @@ def main(argv=None) -> int:
     spark = get_spark("enrich-spark-cli", cpus=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
     out = args.output
-    if args.stream:
+    if make_pull_source is not None:
+        # pull transport (kinesis dev endpoint / pubsub emulator):
+        # checkpointed microbatch loop with commit-after-sinks
+        from .streaming.pull_runner import run_pull_stream
+
+        sinks = StreamSinks(
+            good_path=os.path.join(out, "good"),
+            bad_path=os.path.join(out, "bad"),
+            failed_path=os.path.join(out, "failed"),
+            metadata_path=os.path.join(out, "metadata"),
+        )
+        cfg.checkpoint = cfg.checkpoint or os.path.join(out, "_checkpoint")
+        pq = run_pull_stream(spark, make_pull_source(), sinks, cfg)
+        if args.follow:
+            pq.run(poll_seconds=args.poll_seconds)
+        else:
+            n = pq.process_available()
+            print(f"drained {n} micro-batch(es)", file=sys.stderr)
+    elif args.stream:
         # observability floor from the app config (statsd metrics, the
         # 2-minute-default health probe on its HTTP port, the iglu
         # metadata webhook reporter)

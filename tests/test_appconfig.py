@@ -193,3 +193,57 @@ def test_cli_dry_run_and_file_batch(spark, tmp_path):
     assert len(lines) == 1
     fields = lines[0].split("\t")
     assert len(fields) == 131 and fields[0] == "cli-app"
+
+
+def test_cli_kinesis_pull_end_to_end(spark, tmp_path):
+    """A kinesis config WITH input.customEndpoint is runnable: the CLI
+    drives the checkpointed pull loop against the (fake) broker and
+    lands enriched TSV; a second invocation resumes from the sequence
+    checkpoint and drains nothing."""
+    from enrich_spark.__main__ import main
+    from enrich_spark.loaders.thrift import encode_payload
+    from enrich_spark.sources.connectors import StreamSinkConf
+    from enrich_spark.sources.kinesis import ship_to_kinesis
+    from tests.fake_kinesis import FakeKinesis
+
+    broker = FakeKinesis(nshards=2)
+    broker.create_stream("collected")
+    try:
+        payload = encode_payload(dict(
+            path="/com.snowplowanalytics.snowplow/tp2",
+            timestamp=1700000000000,
+            collector="ssc-test",
+            body=json.dumps({
+                "schema": ("iglu:com.snowplowanalytics.snowplow/"
+                           "payload_data/jsonschema/1-0-4"),
+                "data": [{"e": "pv", "aid": "pull-app", "p": "web",
+                          "tv": "js-3.0.0"}],
+            }),
+            content_type="application/json",
+        ))
+        ship_to_kinesis([("k", payload)],
+                        StreamSinkConf(stream_name="collected"),
+                        broker.endpoint, sleep=lambda s: None)
+        conf = tmp_path / "app.hocon"
+        conf.write_text("""
+          "license": { "accept": true }
+          "input": {
+            "streamName": "collected"
+            "appName": "cli-pull"
+            "customEndpoint": "%s"
+          }
+        """ % broker.endpoint)
+        out = tmp_path / "out"
+        assert main(["--config", str(conf), "--output", str(out)]) == 0
+        lines = [ln for p in (out / "good").rglob("part-*") if p.is_file()
+                 for ln in p.read_text().splitlines()]
+        assert len(lines) == 1
+        fields = lines[0].split("\t")
+        assert len(fields) == 131 and fields[0] == "pull-app"
+        # restart: checkpoint holds the sequence numbers → no re-drain
+        assert main(["--config", str(conf), "--output", str(out)]) == 0
+        lines2 = [ln for p in (out / "good").rglob("part-*") if p.is_file()
+                  for ln in p.read_text().splitlines()]
+        assert len(lines2) == 1
+    finally:
+        broker.stop()
