@@ -1466,6 +1466,15 @@ config:
             F.col("doc_id").cast("long").alias("doc_id"))
         return sample_exact_k(docs, 100)
 
+    def q_kgroup(spark, sf):
+        # per-stratum exactly-k (one partitioned window — per-domain
+        # caps, the scale-safe sibling of the global exact-k sample)
+        from enrich_spark.datapipe.layout import sample_exact_k_per_group
+
+        docs = _load_docs(spark, sf).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "source")
+        return sample_exact_k_per_group(docs, 20, "source")
+
     def q_zorder_cluster(spark, sf):
         # bench variant: the full zorder_by clustering (min/max agg +
         # one range shuffle + in-partition sort), summarized to a
@@ -1503,6 +1512,7 @@ config:
          ("comp", q_datacard_comp(spark, sf)),
          ("zorder", q_zorder(spark, sf)),
          ("ksample", q_ksample(spark, sf)),
+         ("kgroup", q_kgroup(spark, sf)),
          ("fit", q_ridge_fit(spark, sf))],
         fill=("n_events", "n_rows", "content_xor", "bytes_total",
               "n_docs", "total_chars", "total_bytes", "total_tokens",
@@ -4566,6 +4576,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id FROM documents
         ORDER BY md5('42:' || doc_id), doc_id LIMIT 100
         """, {"doc_id": "num"}),
+        ("kgroup", """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY md5('42:' || doc_id), doc_id) AS rn
+          FROM documents) WHERE rn <= 20
+        """, {"doc_id": "num", "source": "str"}),
         ("fit", _ridge_sql(
             "(SELECT len(list_filter(string_split(trim(regexp_replace("
             "text, '\\s+', ' ', 'g')), ' '), w -> w <> '')) AS x1, "

@@ -118,7 +118,8 @@ EXPECTED_BUNDLE_PARTS = {
     "webhook_vendor_suite": ["s1", "s2"],
     "bad_row_split": ["split", "format"],
     "metadata_aggregation": ["meta", "manifest", "card", "comp",
-                             "zorder", "ksample", "fit"],
+                             "zorder", "ksample", "kgroup",
+                             "fit"],
     "sessionize": ["stats", "stream_closed", "stream_dedup"],
     "sql_lookup_join": ["broadcast", "json"],
     "yauaa_classify": ["native", "rules"],
