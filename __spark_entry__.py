@@ -3592,11 +3592,27 @@ config:
             "cid", "sim_bp", "n_dups",
             F.round("max_sim", 4).alias("max_sim"), "is_kept")
 
+    def q_quantize_int8(spark, sf):
+        # symmetric per-vector int8 quantization (4x embedding
+        # compression, map-side zero-shuffle); the code array is
+        # hash-gated via an md5 digest
+        from enrich_spark.datapipe.similarity import quantize_int8
+
+        emb = _load_emb(spark, sf)
+        out = quantize_int8(emb)
+        return out.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.md5(F.concat_ws(",", F.transform(
+                "q", lambda x: x.cast("string")))).alias("q_digest"),
+            "scale_1e9", "max_abs_err_1e6")
+
     q["embedding_dup_pairs"] = lambda spark, sf: _union_parts(
         [("pairs", q_embedding_dup(spark, sf)),
-         ("semdedup", q_semantic_dedup(spark, sf))],
+         ("semdedup", q_semantic_dedup(spark, sf)),
+         ("int8", q_quantize_int8(spark, sf))],
         fill=("id_a", "id_b", "cosine_sim", "vec_id", "cid", "sim_bp",
-              "n_dups", "max_sim", "is_kept"),
+              "n_dups", "max_sim", "is_kept", "scale_1e9",
+              "max_abs_err_1e6"),
     )
 
     def q_lang_id(spark, sf):
@@ -5989,6 +6005,26 @@ def oracle_sql() -> dict[str, str]:
         ("semdedup", _semdedup_sql,
          {"vec_id": "num", "cid": "num", "sim_bp": "num", "n_dups": "num",
           "max_sim": "fnum", "is_kept": "num"}),
+        ("int8", """
+        WITH b AS (
+          -- CAST chain matters: DuckDB's bare 127.0 is DECIMAL and a
+          -- float/decimal division rounds differently from Spark's
+          -- double path by 1 ulp, flipping floor() at boundaries
+          SELECT vec_id, embedding AS v,
+                 CAST(list_max(list_transform(embedding, x -> abs(x)))
+                      AS DOUBLE) / CAST(127 AS DOUBLE) AS s
+          FROM embeddings)
+        SELECT vec_id,
+               md5(array_to_string(list_transform(v,
+                   x -> CAST(round(x / s) AS INT)), ',')) AS q_digest,
+               CAST(floor(s * 1000000000) AS BIGINT) AS scale_1e9,
+               CAST(floor(list_max(list_transform(v,
+                   x -> abs(x - round(x / s) * s))) * 1000000) AS BIGINT)
+                 AS max_abs_err_1e6
+        FROM b
+        """,
+         {"vec_id": "num", "q_digest": "str", "scale_1e9": "num",
+          "max_abs_err_1e6": "num"}),
     ])
 
     # language-ID: replay the character-trigram profile model bit-for-bit

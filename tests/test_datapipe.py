@@ -2492,3 +2492,20 @@ def test_fit_ridge_one_pass(spark):
 
     lam = fit_ridge_2f(df, "x1", "x2", "y", l2=10_000_000)
     assert abs(lam["b1"]) < abs(got.b1) and abs(lam["b2"]) < abs(got.b2)
+
+
+def test_quantize_int8(spark):
+    """Symmetric int8 quantization: codes bounded by ±127, max
+    reconstruction error ≤ scale/2, and the whole op is a zero-shuffle
+    map plan."""
+    from enrich_spark.datapipe.similarity import quantize_int8
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = quantize_int8(emb)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert max(abs(x) for x in r.q) <= 127
+        assert r.max_abs_err_1e6 <= r.scale_1e9 // 2000 + 1  # ≤ s/2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
