@@ -3606,13 +3606,28 @@ config:
                 "q", lambda x: x.cast("string")))).alias("q_digest"),
             "scale_1e9", "max_abs_err_1e6")
 
+    def q_margin_mine(spark, sf):
+        # margin-based pair mining (Artetxe & Schwenk 2019): src slice
+        # vs the rest, integer micro-unit cosines, ppm margin
+        from enrich_spark.datapipe.similarity import mine_margin_pairs
+
+        emb = _load_emb(spark, sf)
+        src = emb.where(F.col("vec_id") < 40)
+        tgt = emb.where(F.col("vec_id") >= 40)
+        return mine_margin_pairs(src, tgt, k=4,
+                                 margin_threshold_ppm=1_000_000).select(
+            F.col("x").cast("long").alias("x"),
+            F.col("y").cast("long").alias("y"),
+            "cos_u", "margin_ppm")
+
     q["embedding_dup_pairs"] = lambda spark, sf: _union_parts(
         [("pairs", q_embedding_dup(spark, sf)),
          ("semdedup", q_semantic_dedup(spark, sf)),
-         ("int8", q_quantize_int8(spark, sf))],
+         ("int8", q_quantize_int8(spark, sf)),
+         ("margin", q_margin_mine(spark, sf))],
         fill=("id_a", "id_b", "cosine_sim", "vec_id", "cid", "sim_bp",
               "n_dups", "max_sim", "is_kept", "scale_1e9",
-              "max_abs_err_1e6"),
+              "max_abs_err_1e6", "x", "y", "cos_u", "margin_ppm"),
     )
 
     def q_lang_id(spark, sf):
@@ -6025,6 +6040,42 @@ def oracle_sql() -> dict[str, str]:
         """,
          {"vec_id": "num", "q_digest": "str", "scale_1e9": "num",
           "max_abs_err_1e6": "num"}),
+        ("margin", """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                   FROM embeddings),
+        cosq AS (
+          SELECT s.vec_id AS x, t.vec_id AS y,
+                 CAST(floor(list_dot_product(s.e, t.e)
+                   / (sqrt(list_dot_product(s.e, s.e))
+                      * sqrt(list_dot_product(t.e, t.e))) * 1000000)
+                   AS BIGINT) AS cos_u
+          FROM v s, v t WHERE s.vec_id < 40 AND t.vec_id >= 40
+        ),
+        x2y AS (
+          SELECT x, y, cos_u,
+                 row_number() OVER (PARTITION BY x
+                     ORDER BY cos_u DESC, y ASC) AS rk
+          FROM cosq
+        ),
+        xs AS (SELECT x, sum(cos_u) AS sum_x_u FROM x2y
+               WHERE rk <= 4 GROUP BY x),
+        best AS (SELECT x, y, cos_u FROM x2y WHERE rk = 1),
+        y2x AS (
+          SELECT c.y, c.x, c.cos_u,
+                 row_number() OVER (PARTITION BY c.y
+                     ORDER BY c.cos_u DESC, c.x ASC) AS rk
+          FROM cosq c JOIN (SELECT DISTINCT y FROM best) b ON c.y = b.y
+        ),
+        ys AS (SELECT y, sum(cos_u) AS sum_y_u FROM y2x
+               WHERE rk <= 4 GROUP BY y)
+        SELECT best.x, best.y, best.cos_u,
+               (2 * 4 * best.cos_u * 1000000)
+                 // (xs.sum_x_u + ys.sum_y_u) AS margin_ppm
+        FROM best JOIN xs ON best.x = xs.x JOIN ys ON best.y = ys.y
+        WHERE (2 * 4 * best.cos_u * 1000000)
+              // (xs.sum_x_u + ys.sum_y_u) > 1000000
+        """,
+         {"x": "num", "y": "num", "cos_u": "num", "margin_ppm": "num"}),
     ])
 
     # language-ID: replay the character-trigram profile model bit-for-bit

@@ -538,3 +538,71 @@ def quantize_int8(
         F.floor(scale * 1_000_000_000).cast("long").alias("scale_1e9"),
         F.floor(err * 1_000_000).cast("long").alias("max_abs_err_1e6"),
     )
+
+
+def mine_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    margin_threshold_ppm: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based pair mining (Artetxe & Schwenk 2019, the standard
+    bitext/hard-negative miner): a candidate pair (x ∈ src, y ∈ tgt)
+    scores by its cosine RELATIVE to each side's neighborhood —
+
+        margin(x, y) = cos(x, y) / ((avgₖ(x→tgt) + avgₖ(y→src)) / 2)
+
+    — which suppresses hub vectors that are near everything. Emitted:
+    pairs where y is x's top-1 target neighbor and margin >
+    ``margin_threshold_ppm`` (parts-per-million integer).
+
+    Engine-exact arithmetic: cosines become integer micro-units
+    (floor(cos·10⁶)); the margin is one integer division
+    ``(2k·cos_µ·10⁶) div (Σtopk_x_µ + Σtopk_y_µ)`` — sums of k
+    integers, no float accumulation order anywhere, so the output is
+    value-hash-gateable.
+
+    Scale shape: assumes src is the SMALL side (a query batch, an eval
+    set, the new-crawl slice) — both directions run through
+    :func:`brute_force_topk`'s broadcast plan; swap in lsh_topk for
+    src sizes beyond broadcast range (same downstream algebra).
+    """
+    # widen to double BEFORE any multiply: float32 products rounded to
+    # float then promoted differ from promote-then-multiply doubles at
+    # ~1e-7 — enough to flip the 1e-6 integer floors this op gates on
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    src = src.select(F.col(id_col), dbl.alias(vec_col))
+    tgt = tgt.select(F.col(id_col), dbl.alias(vec_col))
+
+    def scored(vectors, queries, qname, vname):
+        # integer micro-unit cosine, ranked BY the integer (not the raw
+        # float) so Spark and any SQL replay pick identical top-k
+        # members even when two cosines share a floor bucket
+        s = vectors.crossJoin(F.broadcast(
+            queries.select(F.col(id_col).alias(qname),
+                           F.col(vec_col).alias("_qv")))).select(
+            F.col(qname), F.col(id_col).alias(vname),
+            F.floor(cosine(F.col(vec_col), F.col("_qv")) * 1_000_000)
+            .cast("long").alias("cos_u"))
+        w = Window.partitionBy(qname).orderBy(
+            F.col("cos_u").desc(), F.col(vname).asc())
+        return s.withColumn("rank", F.row_number().over(w))
+
+    x2y = scored(tgt, src, "x", "y")
+    x_stats = x2y.where(F.col("rank") <= k).groupBy("x").agg(
+        F.sum("cos_u").alias("sum_x_u"))
+    best = x2y.where(F.col("rank") == 1).select("x", "y", "cos_u")
+    ys = best.select("y").distinct()
+    candidates = tgt.join(ys, F.col(id_col) == F.col("y"), "leftsemi")
+    y2x = scored(src, candidates, "y", "x2")
+    y_stats = y2x.where(F.col("rank") <= k).groupBy("y").agg(
+        F.sum("cos_u").alias("sum_y_u"))
+
+    return (best.join(x_stats, "x").join(y_stats, "y")
+            .select(
+                "x", "y", "cos_u",
+                F.expr(f"(2 * {k} * cos_u * 1000000) div "
+                       f"(sum_x_u + sum_y_u)").alias("margin_ppm"))
+            .where(F.col("margin_ppm") > margin_threshold_ppm))

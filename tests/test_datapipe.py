@@ -2509,3 +2509,37 @@ def test_quantize_int8(spark):
         assert r.max_abs_err_1e6 <= r.scale_1e9 // 2000 + 1  # ≤ s/2
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_mine_margin_pairs(spark):
+    """Margin mining: a planted translation pair (near-identical
+    vectors) survives; a hub vector (near everything) is suppressed by
+    the neighborhood normalization even though its raw cosine is high."""
+    import numpy as np
+
+    from enrich_spark.datapipe.similarity import mine_margin_pairs
+
+    rng = np.random.default_rng(3)
+    dim = 16
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float32)
+        return (v / np.linalg.norm(v)).tolist()
+
+    base = rng.normal(size=(6, dim))
+    src_rows = [(i, unit(base[i])) for i in range(6)]
+    # tgt 100+i = noisy copy of src i (true pairs); tgt 200 = the hub:
+    # the normalized MEAN of all src vectors — fairly close to every
+    # src vector but no one's clear best partner
+    tgt_rows = [(100 + i, unit(base[i] + rng.normal(scale=0.05, size=dim)))
+                for i in range(6)]
+    tgt_rows.append((200, unit(base.mean(axis=0))))
+    src = spark.createDataFrame(src_rows, "vec_id long, embedding array<float>")
+    tgt = spark.createDataFrame(tgt_rows, "vec_id long, embedding array<float>")
+
+    got = mine_margin_pairs(src, tgt, k=3,
+                            margin_threshold_ppm=1_100_000).collect()
+    pairs = {(r.x, r.y) for r in got}
+    assert pairs == {(i, 100 + i) for i in range(6)}, pairs
+    assert all(r.margin_ppm > 1_100_000 for r in got)
+    assert all(r.cos_u > 900_000 for r in got)   # the copies are close
