@@ -4127,6 +4127,10 @@ config:
         # metadata_aggregation bundles)
         "incremental_dedup": q_incremental_dedup,
         "zorder_cluster": q_zorder_cluster,
+        # r10: the embedding_dup_pairs bundle gained int8/margin parts —
+        # bench measures the LSH dup-pair path alone so the row stays
+        # comparable round over round (the ann_ivf r9 lesson)
+        "embedding_dup_pairs": q_embedding_dup,
         # r9: single-operator variants for the bundle-grown rows, so
         # each bench row measures ONE operator (the r8-added parts —
         # warc/robots/heavy-hitters/manifest/bloom — already have their
