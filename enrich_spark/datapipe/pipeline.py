@@ -160,6 +160,15 @@ def _op_leakage_split(docs, pairs=None, fractions=None, id_col="doc_id",
     return docs.join(s, on=id_col, how="inner")
 
 
+def _op_per_group_cap(docs, k, group_col="source", id_col="doc_id",
+                      seed=42, **_):
+    """At most k docs per group (deterministic md5-rank sample) — the
+    per-domain cap every web-corpus recipe applies."""
+    from .layout import sample_exact_k_per_group
+
+    return sample_exact_k_per_group(docs, k, group_col, id_col, seed)
+
+
 def _op_despan(docs, k=8, text_col="text", id_col="doc_id", **_):
     from .dedup import remove_duplicate_spans
 
@@ -186,6 +195,7 @@ CURATION_OPS = {
     "near_dedup_keep": _op_near_dedup_keep,
     "decontaminate": _op_decontaminate,
     "stratified_sample": _op_stratified_sample,
+    "per_group_cap": _op_per_group_cap,
     # transform
     "pii_scrub": _op_pii_scrub,
     "despan": _op_despan,

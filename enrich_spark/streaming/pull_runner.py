@@ -53,7 +53,8 @@ class KinesisPullSource:
     number (AFTER_SEQUENCE_NUMBER) or the configured initial position,
     page by page until caught up."""
 
-    def __init__(self, conf, client=None):
+    def __init__(self, conf, client=None,
+                 max_batch_records: int = 100_000):
         from ..sources.kinesis import KinesisError, KinesisHttpClient
 
         if client is None:
@@ -65,6 +66,10 @@ class KinesisPullSource:
             client = KinesisHttpClient(conf.endpoint_url)
         self.conf = conf
         self.client = client
+        # bound on the driver-side batch: a deep backlog drains as
+        # SEVERAL microbatches (the loop re-pulls), never one
+        # arbitrarily large row list in driver memory
+        self.max_batch_records = max_batch_records
 
     def pull(self, spark: SparkSession, state: dict):
         """→ (DataFrame | None, new_state, commit_fn)."""
@@ -85,7 +90,7 @@ class KinesisPullSource:
                     conf.stream_name, shard_id,
                     position=conf.initial_position.type,
                     timestamp=conf.initial_position.timestamp)
-            while it:
+            while it and len(rows) < self.max_batch_records:
                 recs, it = client.get_records(it, limit=conf.max_records)
                 if not recs:
                     break

@@ -274,3 +274,53 @@ def test_run_pull_stream_full_pipeline(broker, spark, tmp_path):
     good = spark.read.text(sinks.good_path).collect()
     assert len(good) == 1 and len(good[0].value.split("\t")) == 131
     assert len(spark.read.text(sinks.bad_path).collect()) == 1
+
+
+def test_pull_stream_batch_cap_splits_deep_backlog(broker, spark, tmp_path):
+    """A deep backlog drains as SEVERAL bounded microbatches (driver
+    memory per batch is capped), with no loss and no duplicates."""
+    broker.create_stream("collected")
+    ship_to_kinesis([(f"k{i}", f"r-{i}".encode()) for i in range(40)],
+                    StreamSinkConf(stream_name="collected"),
+                    broker.endpoint, sleep=lambda s: None)
+    from enrich_spark.sources.connectors import KinesisSourceConf
+    from enrich_spark.streaming.pull_runner import (
+        KinesisPullSource, PullStreamQuery,
+    )
+
+    conf = KinesisSourceConf(stream_name="collected",
+                             endpoint_url=broker.endpoint, max_records=5)
+    seen: list = []
+    q = PullStreamQuery(
+        spark, KinesisPullSource(conf, max_batch_records=12),
+        lambda df, bid: seen.append([bytes(r.value) for r in df.collect()]),
+        str(tmp_path / "ckpt"))
+    nb = q.process_available()
+    assert nb >= 3                               # split, not one batch
+    assert all(len(batch) <= 12 + 4 for batch in seen)  # cap ± one page
+    got = sorted(b for batch in seen for b in batch)
+    assert got == sorted(f"r-{i}".encode() for i in range(40))
+
+
+def test_pull_stream_run_loop_stop_when(broker, spark, tmp_path):
+    """run(): the polling loop honors stop_when and drains what is
+    available before stopping."""
+    broker.create_stream("collected")
+    ship_to_kinesis([("k", b"looped")],
+                    StreamSinkConf(stream_name="collected"),
+                    broker.endpoint, sleep=lambda s: None)
+    from enrich_spark.sources.connectors import KinesisSourceConf
+    from enrich_spark.streaming.pull_runner import (
+        KinesisPullSource, PullStreamQuery,
+    )
+
+    conf = KinesisSourceConf(stream_name="collected",
+                             endpoint_url=broker.endpoint)
+    seen: list = []
+    ticks = iter([False, False, True, True, True])
+    q = PullStreamQuery(
+        spark, KinesisPullSource(conf),
+        lambda df, bid: seen.append([bytes(r.value) for r in df.collect()]),
+        str(tmp_path / "ckpt"))
+    q.run(poll_seconds=0.01, stop_when=lambda: next(ticks))
+    assert seen == [[b"looped"]]

@@ -215,3 +215,14 @@ def test_pipeline_observed_report_single_job(spark, tmp_path):
         f"baseline {base_jobs}")
     assert rows == {0, 2}
     assert get_report() == want
+
+
+def test_pipeline_per_group_cap(spark):
+    docs = spark.createDataFrame(
+        [(i, f"some body text number {i}", "web" if i < 8 else "books")
+         for i in range(10)],
+        "doc_id long, text string, source string")
+    out = run_pipeline(docs, [{"op": "per_group_cap", "k": 3}])
+    counts = {r.source: r["count"] for r in
+              out.groupBy("source").count().collect()}
+    assert counts == {"web": 3, "books": 2}   # books has only 2 docs
