@@ -247,3 +247,49 @@ def test_cli_kinesis_pull_end_to_end(spark, tmp_path):
         assert len(lines2) == 1
     finally:
         broker.stop()
+
+
+def test_cli_pubsub_pull_end_to_end(spark, tmp_path, monkeypatch):
+    """A pubsub config + $PUBSUB_EMULATOR_HOST runs the pull loop:
+    enriched TSV lands, broker backlog is acked empty."""
+    from enrich_spark.__main__ import main
+    from enrich_spark.loaders.thrift import encode_payload
+    from enrich_spark.sources.connectors import StreamSinkConf
+    from enrich_spark.sources.pubsub import ship_to_pubsub
+    from tests.fake_pubsub import FakePubSub
+
+    broker = FakePubSub()
+    topic = "projects/p/topics/collected"
+    sub = "projects/p/subscriptions/collected-sub"
+    broker.create(topic, sub)
+    try:
+        payload = encode_payload(dict(
+            path="/com.snowplowanalytics.snowplow/tp2",
+            timestamp=1700000000000,
+            collector="ssc-test",
+            body=json.dumps({
+                "schema": ("iglu:com.snowplowanalytics.snowplow/"
+                           "payload_data/jsonschema/1-0-4"),
+                "data": [{"e": "pv", "aid": "ps-app", "p": "web",
+                          "tv": "js-3.0.0"}],
+            }),
+            content_type="application/json",
+        ))
+        ship_to_pubsub([("k", payload)],
+                       StreamSinkConf(stream_name=topic),
+                       broker.host, sleep=lambda s: None)
+        monkeypatch.setenv("PUBSUB_EMULATOR_HOST", broker.host)
+        conf = tmp_path / "app.hocon"
+        conf.write_text("""
+          "license": { "accept": true }
+          "input": { "subscription": "%s" }
+        """ % sub)
+        out = tmp_path / "out"
+        assert main(["--config", str(conf), "--output", str(out)]) == 0
+        lines = [ln for p in (out / "good").rglob("part-*") if p.is_file()
+                 for ln in p.read_text().splitlines()]
+        assert len(lines) == 1
+        assert lines[0].split("\t")[0] == "ps-app"
+        assert broker.backlog(sub) == 0      # acked after the sinks
+    finally:
+        broker.stop()

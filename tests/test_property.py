@@ -452,3 +452,56 @@ def test_streaming_near_dedup_batch_parity_property(docs_spec, thresh):
                 if sigs[a][lo:hi] == sigs[b][lo:hi]:
                     want.append((a, b, agree * 10000 // NUM_HASHES, band))
     assert got == sorted(want)
+
+
+@given(st.lists(
+    st.tuples(st.lists(st.sampled_from(_NEARDUP_VOCAB),
+                       min_size=6, max_size=12),
+              st.integers(0, 2)),
+    min_size=2, max_size=8))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_incremental_dedup_consistency_property(docs_spec):
+    """Incremental dedup == the batch near-dedup restricted to
+    cross-boundary pairs: splitting a corpus into (index, increment)
+    and joining the increment against the stored index must find
+    EXACTLY the (new, corpus) pairs the streaming-semantics batch
+    check finds on the combined corpus."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from enrich_spark.datapipe.dedup import (
+        build_minhash_index, incremental_dedup_pairs,
+        streaming_near_dedup)
+
+    NH, B, K, T = 8, 4, 3, 0.5
+    rows, i = [], 0
+    for words, extra in docs_spec:
+        rows.append((i, " ".join(words)))
+        rows.append((i + 1, " ".join(words + _NEARDUP_VOCAB[:extra])))
+        i += 2
+    spark = _get_spark()
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    corpus = docs.where("doc_id % 3 != 0")
+    new = docs.where("doc_id % 3 = 0")
+
+    idx = build_minhash_index(corpus, num_hashes=NH, bands=B, shingle_k=K)
+    got = {(r.new_id, r.corpus_id, r.est_jaccard_bp) for r in
+           incremental_dedup_pairs(new, idx, num_hashes=NH, bands=B,
+                                   shingle_k=K, sim_threshold=T).collect()}
+
+    # reference: the batch near-dedup (same signature-agreement
+    # semantics) over the COMBINED corpus, restricted to pairs that
+    # straddle the boundary; its per-band emissions dedup to pair set
+    t0 = dt.datetime(2026, 1, 1)
+    combined = docs.select("doc_id", "text", F.lit(t0).alias("ts"))
+    full = streaming_near_dedup(combined, num_hashes=NH, bands=B,
+                                shingle_k=K, sim_threshold=T).collect()
+    want = set()
+    for r in full:
+        a, b = r.doc_id, r.matched_id          # a > b by contract
+        for hi, lo in ((a, b), (b, a)):
+            if hi % 3 == 0 and lo % 3 != 0:
+                want.add((hi, lo, r.est_jaccard_bp))
+    assert got == want
