@@ -31,6 +31,7 @@ from enrich_spark.datapipe.curation import (
 )
 from enrich_spark.datapipe.datacard import data_card_sql as _dc_sql
 from enrich_spark.datapipe.dsir import apply_dsir_sql as _dsir_sql
+from enrich_spark.datapipe.layout import weighted_sample_k_sql as _wsk_sql
 from enrich_spark.datapipe.regress import fit_ridge_2f_sql as _ridge_sql
 from enrich_spark.datapipe.sketches import (
     hll_distinct_portable_sql as _hll_sql,
@@ -1489,6 +1490,18 @@ config:
                      (F.max("n_chars") - F.min("n_chars")).alias("span_ch"),
                      F.count(F.lit(1)).alias("n")))
 
+    def q_wsample(spark, sf):
+        # weighted sampling without replacement (Efraimidis–Spirakis
+        # A-ES, integer-exact max-of-w-hashes keys — layout.py): rank by
+        # the largest of w md5 draws, distributed top-k, never a global
+        # sort; weight = 1 + n_chars % 16 exercises the full clamp band
+        from enrich_spark.datapipe.layout import weighted_sample_k
+
+        docs = _load_docs(spark, sf).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (1 + F.col("n_chars") % 16).cast("long").alias("weight"))
+        return weighted_sample_k(docs, 50, "weight")
+
     def q_ridge_fit(spark, sf):
         # one-pass distributed ridge fit (normal equations over integer
         # Gram sums; driver Cramer solve — datapipe/regress.py):
@@ -1513,6 +1526,7 @@ config:
          ("zorder", q_zorder(spark, sf)),
          ("ksample", q_ksample(spark, sf)),
          ("kgroup", q_kgroup(spark, sf)),
+         ("wsample", q_wsample(spark, sf)),
          ("fit", q_ridge_fit(spark, sf))],
         fill=("n_events", "n_rows", "content_xor", "bytes_total",
               "n_docs", "total_chars", "total_bytes", "total_tokens",
@@ -1520,7 +1534,7 @@ config:
               "min_tokens", "max_tokens", "p50_tokens", "p90_tokens",
               "pii_emails", "pii_ipv4", "n_docs_10plus_tokens",
               "src_docs", "src_tokens", "share_bp", "doc_id", "zkey",
-              "b0", "b1", "b2", "n"),
+              "weight", "b0", "b1", "b2", "n"),
     )
 
     def q_sessionize(spark, sf):
@@ -2940,7 +2954,7 @@ config:
 
     q["dedup_exact"] = q_dedup_exact
 
-    def q_dedup_despan(spark, sf):
+    def q_despan_part(spark, sf):
         # apply the Lee et al. 2022 spans: CUT corpus-duplicated runs out
         # of the text (datapipe/dedup.remove_duplicate_spans) — cleaned
         # text in normalized word coordinates + removal accounting
@@ -2955,7 +2969,43 @@ config:
             F.col("n_spans").cast("long").alias("n_spans"),
         )
 
-    q["dedup_despan"] = q_dedup_despan
+    def q_boiler_lines(spark, sf):
+        # corpus-level boilerplate LINE removal (MassiveText/RefinedWeb
+        # cross-document line dedup, dedup.remove_boilerplate_lines).
+        # documents.parquet is single-line, so synthesize a deterministic
+        # multi-line corpus with genuinely shared chrome lines (the
+        # text_pii_scrub synthetic-PII pattern): two injected boilerplate
+        # lines repeat across docs and must be cut; substring lines
+        # survive unless the corpus itself repeats them
+        from enrich_spark.datapipe.dedup import remove_boilerplate_lines
+
+        docs = _load_docs(spark, sf)
+        syn = docs.select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.substring("text", 1, 40),
+                F.lit("subscribe to our newsletter today"),
+                F.substring("text", 41, 40),
+                F.when(F.col("doc_id") % 2 == 0,
+                       F.lit("all rights reserved worldwide"))
+                .otherwise(F.substring("text", 81, 40)),
+                F.col("text"),
+            ).alias("text"))
+        return remove_boilerplate_lines(syn).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("clean_text").alias("cleaned_text"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("kept_lines").cast("long").alias("kept_lines"),
+            F.col("removed_lines").cast("long").alias("removed_lines"),
+        )
+
+    q["dedup_despan"] = lambda spark, sf: _union_parts(
+        [("despan", q_despan_part(spark, sf)),
+         ("lines", q_boiler_lines(spark, sf))],
+        fill=("n_words", "removed_words", "n_spans",
+              "n_lines", "kept_lines", "removed_lines"),
+    )
 
     def q_decontam_multi(spark, sf):
         # multi-eval-set decontamination with per-set n-gram size (8 and
@@ -4147,6 +4197,12 @@ config:
         "currency_conversion": q_currency,
         "data_card": q_datacard,
         "snapshot_diff": q_snapdiff,
+        # r10: dedup_despan became a bundle (gained the boilerplate-line
+        # part) — bench keeps measuring the despan operator alone, and
+        # the two new operators get their own single-op rows
+        "dedup_despan": q_despan_part,
+        "boilerplate_lines": q_boiler_lines,
+        "weighted_sample": q_wsample,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -4618,6 +4674,10 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY md5('42:' || doc_id), doc_id) AS rn
           FROM documents) WHERE rn <= 20
         """, {"doc_id": "num", "source": "str"}),
+        ("wsample", _wsk_sql(
+            "(SELECT doc_id, 1 + n_chars % 16 AS weight FROM documents)",
+            50, "weight"),
+         {"doc_id": "num", "weight": "num"}),
         ("fit", _ridge_sql(
             "(SELECT len(list_filter(string_split(trim(regexp_replace("
             "text, '\\s+', ' ', 'g')), ' '), w -> w <> '')) AS x1, "
@@ -5315,7 +5375,10 @@ def oracle_sql() -> dict[str, str]:
          {"keep_id": "num", "cluster_id": "num", "split": "str"}),
     ])
 
-    o["dedup_despan"] = """
+    from enrich_spark.datapipe.dedup import (
+        remove_boilerplate_lines_sql as _rbl_sql)
+
+    _despan_sql = """
         WITH d AS (
           SELECT doc_id,
                  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
@@ -5374,6 +5437,27 @@ def oracle_sql() -> dict[str, str]:
         FROM d LEFT JOIN cleaned c USING (doc_id)
                LEFT JOIN nsp n USING (doc_id)
     """
+
+    # the lines part replays q_boiler_lines' deterministic multi-line
+    # synthesis, then runs the operator's own 1:1 SQL mirror over it
+    _boiler_fixture = """(SELECT doc_id, concat_ws(chr(10),
+        substr(text, 1, 40),
+        'subscribe to our newsletter today',
+        substr(text, 41, 40),
+        CASE WHEN doc_id % 2 = 0 THEN 'all rights reserved worldwide'
+             ELSE substr(text, 81, 40) END,
+        text) AS text FROM documents)"""
+    _boiler_sql = (
+        "SELECT doc_id, clean_text AS cleaned_text, n_lines, kept_lines,"
+        " removed_lines FROM (" + _rbl_sql(_boiler_fixture) + ")")
+    o["dedup_despan"] = _union_oracle([
+        ("despan", _despan_sql,
+         {"doc_id": "num", "cleaned_text": "str", "n_words": "num",
+          "removed_words": "num", "n_spans": "num"}),
+        ("lines", _boiler_sql,
+         {"doc_id": "num", "cleaned_text": "str", "n_lines": "num",
+          "kept_lines": "num", "removed_lines": "num"}),
+    ])
 
     def _dm_part(k, mod, name):
         return f"""

@@ -86,6 +86,8 @@ HEADLINE = [
     "snapshot_diff",          # corpus version audit (one outer join)
     "incremental_dedup",      # new-batch join vs stored minhash index
     "zorder_cluster",         # Morton-key range shuffle + local sort
+    "boilerplate_lines",      # cross-doc frequent-line removal
+    "weighted_sample",        # A-ES weighted top-k (integer keys)
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -103,7 +105,7 @@ GROUPS = [
     ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
      "dedup_ngram_jaccard", "dedup_despan", "decontam_multi",
      "decontam_bloom", "semantic_dedup", "leakage_split",
-     "incremental_dedup"],
+     "incremental_dedup", "boilerplate_lines"],
     # embeddings / ANN / clustering
     ["ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
      "embedding_dup_pairs", "cluster_stats", "sessionize",
@@ -117,7 +119,7 @@ GROUPS = [
     ["data_mix", "heavy_hitters", "k_anonymity", "pagerank",
      "dataset_manifest", "cdc_merge", "multimodal_frames",
      "multimodal_decode", "warc_parse", "dsir_select", "data_card",
-     "zorder_cluster"],
+     "zorder_cluster", "weighted_sample"],
 ]
 assert sorted(n for g in GROUPS for n in g) == sorted(HEADLINE)
 

@@ -644,6 +644,128 @@ def remove_duplicate_spans(
     )
 
 
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    max_doc_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 8,
+) -> DataFrame:
+    """Corpus-level boilerplate LINE removal — the cross-document line
+    dedup every published web-corpus recipe applies (MassiveText /
+    RefinedWeb: "remove any line that appears in more than N documents"):
+    navigation chrome, cookie banners, subscribe prompts and license
+    footers repeat across unrelated pages, so a line whose normalized
+    form (lowercased, trimmed) occurs in MORE THAN ``max_doc_freq``
+    DISTINCT documents is dropped from every document. Lines shorter
+    than ``min_line_chars`` (rulers, blank lines) are exempt — the
+    frequency table is built only from eligible lines, and since equal
+    digests imply equal normalized text, short lines can never collide
+    into a flagged digest.
+
+    Scale shape (100 TB): posexplode lines map-side; ONE groupBy on the
+    md5 line digest (the 32-char digest keeps shuffle rows narrow no
+    matter how long the line is) counting distinct source docs; flagged
+    digests join back — boilerplate is by definition the heavy head of
+    the line-frequency distribution, so the flagged set is tiny and AQE
+    broadcasts the anti-join — then one groupBy(doc) reassembles the
+    surviving lines in original order. Two key-hashed shuffles total,
+    no pair joins, no global sort.
+
+    Output per doc: clean_text (kept lines joined by newline), n_lines,
+    kept_lines, removed_lines. Docs whose every line is removed survive
+    with clean_text = ''.
+    """
+    norm = F.lower(F.trim(F.col("_line")))
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_digest", F.md5(norm)) \
+     .withColumn("_elig", F.length(norm) >= min_line_chars)
+    flagged = (
+        lines.where(F.col("_elig"))
+        .groupBy("_digest")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .where(F.col("_df") > max_doc_freq)
+        .select("_digest")
+    )
+    kept = lines.join(flagged, "_digest", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s.getField("_line"),
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("kept_lines"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), "\n"))
+    return (
+        docs.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            n_lines.alias("n_lines"),
+            F.coalesce("kept_lines", F.lit(0)).cast("long")
+            .alias("kept_lines"),
+            (n_lines - F.coalesce("kept_lines", F.lit(0)))
+            .cast("long").alias("removed_lines"),
+        )
+    )
+
+
+def remove_boilerplate_lines_sql(
+    from_sql: str,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    max_doc_freq: int = 2,
+    min_line_chars: int = 8,
+) -> str:
+    """DuckDB mirror of :func:`remove_boilerplate_lines` (1:1 per step:
+    zipped unnest = posexplode, HAVING on distinct-doc count = the
+    flagged-digest filter, ordered string_agg = the positional
+    reassembly)."""
+    return f"""
+        WITH d AS (
+          SELECT {id_expr} AS doc_id,
+                 string_split({text_expr}, chr(10)) AS ls
+          FROM {from_sql}
+        ),
+        l AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, len(ls))) AS pos,
+                 unnest(ls) AS line
+          FROM d
+        ),
+        n AS (
+          SELECT doc_id, pos, line, lower(trim(line)) AS nrm FROM l
+        ),
+        flagged AS (
+          SELECT md5(nrm) AS digest FROM n
+          WHERE len(nrm) >= {min_line_chars}
+          GROUP BY nrm HAVING count(DISTINCT doc_id) > {max_doc_freq}
+        ),
+        kept AS (
+          SELECT doc_id, pos, line FROM n
+          WHERE md5(nrm) NOT IN (SELECT digest FROM flagged)
+        ),
+        rb AS (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                 count(*) AS kept_lines
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id AS doc_id,
+               COALESCE(rb.clean_text, '') AS clean_text,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(COALESCE(rb.kept_lines, 0) AS BIGINT) AS kept_lines,
+               CAST(len(ls) - COALESCE(rb.kept_lines, 0) AS BIGINT)
+                 AS removed_lines
+        FROM d LEFT JOIN rb USING (doc_id)
+    """
+
+
 def contamination_check(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -100,6 +100,75 @@ def sample_exact_k(
             .drop("_rk"))
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    max_weight: int = 64,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    2006) with INTEGER-EXACT keys: the A-ES key u^(1/w) for an integer
+    weight w has exactly the distribution of the MAX of w i.i.d.
+    uniforms, so each row's rank key is max_{j=1..w} md5(seed:id:j) —
+    no float ln/pow anywhere, which keeps the selection bit-reproducible
+    across engines (this repo's rule for hash-gated outputs: DSIR's
+    integer micro-nats, PageRank's fixed-point iteration). Take the k
+    LARGEST keys via ``orderBy().limit(k)`` — TakeOrderedAndProject,
+    per-partition top-k then a k-row merge, never a single-partition
+    sort (the dsir.py r9 lesson).
+
+    Per-row cost is O(w); weights are clamped to [1, ``max_weight``] —
+    rescale wide-range weights into that band first (selection
+    probabilities only depend on weight RATIOS, so a common rescale
+    preserves the design).
+    """
+    w = F.greatest(
+        F.least(F.col(weight_col).cast("int"), F.lit(max_weight)),
+        F.lit(1))
+    key = F.array_max(F.transform(
+        F.sequence(F.lit(1), w),
+        lambda j: F.md5(F.concat_ws(
+            ":", F.lit(str(seed)), F.col(id_col).cast("string"),
+            j.cast("string"))),
+    ))
+    return (df.withColumn("_wk", key)
+            .orderBy(F.col("_wk").desc(), F.col(id_col).asc())
+            .limit(k)
+            .drop("_wk"))
+
+
+def weighted_sample_k_sql(
+    from_sql: str,
+    k: int,
+    weight_expr: str,
+    id_expr: str = "doc_id",
+    seed: int = 42,
+    max_weight: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`weighted_sample_k` (same md5 key stream,
+    same clamp, same DESC-key/ASC-id tie-break)."""
+    return f"""
+        WITH w AS (
+          SELECT {id_expr} AS doc_id,
+                 greatest(least(CAST({weight_expr} AS INT),
+                                {max_weight}), 1) AS weight
+          FROM {from_sql}
+        ),
+        keyed AS (
+          SELECT doc_id, weight,
+                 list_aggregate(list_transform(
+                     generate_series(1, weight),
+                     j -> md5('{seed}:' || doc_id || ':' || j)),
+                   'max') AS wk
+          FROM w
+        )
+        SELECT doc_id, CAST(weight AS BIGINT) AS weight
+        FROM keyed ORDER BY wk DESC, doc_id LIMIT {k}
+    """
+
+
 def sample_exact_k_per_group(
     df: DataFrame,
     k: int,

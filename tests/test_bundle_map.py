@@ -118,8 +118,9 @@ EXPECTED_BUNDLE_PARTS = {
     "webhook_vendor_suite": ["s1", "s2"],
     "bad_row_split": ["split", "format"],
     "metadata_aggregation": ["meta", "manifest", "card", "comp",
-                             "zorder", "ksample", "kgroup",
+                             "zorder", "ksample", "kgroup", "wsample",
                              "fit"],
+    "dedup_despan": ["despan", "lines"],
     "sessionize": ["stats", "stream_closed", "stream_dedup"],
     "sql_lookup_join": ["broadcast", "json"],
     "yauaa_classify": ["native", "rules"],

@@ -2543,3 +2543,82 @@ def test_mine_margin_pairs(spark):
     assert pairs == {(i, 100 + i) for i in range(6)}, pairs
     assert all(r.margin_ppm > 1_100_000 for r in got)
     assert all(r.cos_u > 900_000 for r in got)   # the copies are close
+
+
+def test_remove_boilerplate_lines(spark):
+    """A line repeated in >max_doc_freq distinct docs is cut from every
+    doc; short lines are exempt even when corpus-frequent; order and
+    accounting survive; an all-boilerplate doc keeps clean_text = ''."""
+    footer = "subscribe to our newsletter for updates"
+    rows = [
+        (1, f"alpha unique content one\n{footer}\nmore alpha text here"),
+        (2, f"{footer}\nbeta body line that is unique"),
+        (3, f"gamma opening line stands alone\n{footer}"),
+        (4, footer),                       # nothing but boilerplate
+        (5, "---\ndelta content\n---"),    # '---' short-line exempt
+        (6, "---\nepsilon content\n---"),
+        (7, "---\nzeta content\n---"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r.doc_id: r for r in
+           dedup.remove_boilerplate_lines(docs, max_doc_freq=2).collect()}
+    assert out[1].clean_text == "alpha unique content one\nmore alpha text here"
+    assert (out[1].n_lines, out[1].kept_lines, out[1].removed_lines) == (3, 2, 1)
+    assert out[2].clean_text == "beta body line that is unique"
+    assert out[3].clean_text == "gamma opening line stands alone"
+    assert out[4].clean_text == "" and out[4].removed_lines == 1
+    # '---' appears in 3 docs (> max_doc_freq) but is under
+    # min_line_chars, so it survives everywhere
+    assert out[5].clean_text == "---\ndelta content\n---"
+    assert out[5].removed_lines == 0
+
+
+def test_remove_boilerplate_lines_case_insensitive_freq(spark):
+    """Frequency counting is over the NORMALIZED line (lower+trim), so
+    casing/padding variants of the same chrome line pool together."""
+    rows = [
+        (1, "body one\nAll Rights Reserved"),
+        (2, "body two\n  all rights reserved  "),
+        (3, "body three\nALL RIGHTS RESERVED"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r.doc_id: r for r in
+           dedup.remove_boilerplate_lines(docs, max_doc_freq=2).collect()}
+    assert out[1].clean_text == "body one"
+    assert out[2].clean_text == "body two"
+    assert out[3].clean_text == "body three"
+
+
+def test_weighted_sample_k(spark):
+    """Exactly k rows; deterministic under reruns; weights bias
+    selection (a weight-64 block is overwhelmingly more likely in than
+    a weight-1 block of the same size); weight<=0 clamps to 1 without
+    error; k > n returns all rows."""
+    from enrich_spark.datapipe.layout import weighted_sample_k
+
+    rows = [(i, 64 if i < 200 else 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id LONG, w LONG")
+    got = weighted_sample_k(df, 100, "w")
+    ids1 = sorted(r.doc_id for r in got.collect())
+    ids2 = sorted(r.doc_id for r in weighted_sample_k(df, 100, "w").collect())
+    assert ids1 == ids2 and len(ids1) == 100
+    heavy = sum(1 for i in ids1 if i < 200)
+    # E[heavy] ≈ 100·(64·200)/(64·200+200) ≈ 98.5; even 5σ below stays >90
+    assert heavy > 90, heavy
+
+    clamped = weighted_sample_k(
+        spark.createDataFrame([(1, -5), (2, 0), (3, 2)],
+                              "doc_id LONG, w LONG"), 10, "w").collect()
+    assert sorted(r.doc_id for r in clamped) == [1, 2, 3]
+
+
+def test_weighted_sample_k_plan_is_distributed_topk(spark):
+    """The selection must compile to TakeOrderedAndProject (per-partition
+    top-k + k-row merge), never a global single-partition sort."""
+    from enrich_spark.datapipe.layout import weighted_sample_k
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (1 + F.col("id") % 7).alias("w"))
+    plan = weighted_sample_k(df, 10, "w")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan

@@ -81,6 +81,8 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "snapshot_diff": "identity_stitch",
         "incremental_dedup": "dedup_minhash_lsh",
         "zorder_cluster": "metadata_aggregation",
+        "boilerplate_lines": "dedup_despan",
+        "weighted_sample": "metadata_aggregation",
         "script_js": "script_hook",  # bench-only throughput variant
     }
     for name in benchmod.HEADLINE:
