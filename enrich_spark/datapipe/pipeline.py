@@ -180,6 +180,31 @@ def _op_despan(docs, k=8, text_col="text", id_col="doc_id", **_):
             .withColumnRenamed("cleaned_text", text_col))
 
 
+def _op_boilerplate_lines(docs, max_doc_freq=2, min_line_chars=8,
+                          text_col="text", id_col="doc_id", **_):
+    """Cut corpus-frequent lines out of every doc (cross-document line
+    dedup) — the text column is rewritten in place."""
+    from .dedup import remove_boilerplate_lines
+
+    cleaned = remove_boilerplate_lines(
+        docs, max_doc_freq=max_doc_freq, text_col=text_col,
+        id_col=id_col, min_line_chars=min_line_chars).select(
+        id_col, "clean_text")
+    return (docs.join(cleaned, on=id_col, how="inner")
+            .drop(text_col)
+            .withColumnRenamed("clean_text", text_col))
+
+
+def _op_weighted_sample(docs, k, weight_col, id_col="doc_id", seed=42,
+                        max_weight=64, **_):
+    """Keep a weighted sample of exactly min(k, n) docs (A-ES without
+    replacement, integer-exact keys — layout.weighted_sample_k)."""
+    from .layout import weighted_sample_k
+
+    return weighted_sample_k(docs, k, weight_col, id_col=id_col,
+                             seed=seed, max_weight=max_weight)
+
+
 CURATION_OPS = {
     # annotate
     "language_id": _op_language_id,
@@ -196,9 +221,11 @@ CURATION_OPS = {
     "decontaminate": _op_decontaminate,
     "stratified_sample": _op_stratified_sample,
     "per_group_cap": _op_per_group_cap,
+    "weighted_sample": _op_weighted_sample,
     # transform
     "pii_scrub": _op_pii_scrub,
     "despan": _op_despan,
+    "boilerplate_lines": _op_boilerplate_lines,
 }
 
 

@@ -226,3 +226,28 @@ def test_pipeline_per_group_cap(spark):
     counts = {r.source: r["count"] for r in
               out.groupBy("source").count().collect()}
     assert counts == {"web": 3, "books": 2}   # books has only 2 docs
+
+
+def test_pipeline_boilerplate_lines_and_weighted_sample(spark):
+    """boilerplate_lines rewrites text in place (chrome lines cut,
+    other columns preserved); weighted_sample keeps exactly k docs and
+    both compose with downstream ops in one pipeline."""
+    chrome = "subscribe to our newsletter for updates"
+    docs = spark.createDataFrame(
+        [(i, f"unique body line number {i}\n{chrome}", "web", i % 5 + 1)
+         for i in range(12)],
+        "doc_id long, text string, source string, wt long")
+    out = run_pipeline(docs, [
+        {"op": "boilerplate_lines", "max_doc_freq": 2},
+        {"op": "weighted_sample", "k": 4, "weight_col": "wt"},
+    ]).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.text == f"unique body line number {r.doc_id}"
+        assert r.source == "web"          # non-text columns survive
+
+    # weighted_sample alone is the same selection as the raw operator
+    from enrich_spark.datapipe.layout import weighted_sample_k
+    direct = {r.doc_id for r in weighted_sample_k(
+        docs, 4, "wt").collect()}
+    assert {r.doc_id for r in out} == direct
