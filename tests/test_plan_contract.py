@@ -312,3 +312,26 @@ def test_no_unpartitioned_window_in_datapipe_source():
                 offenders.append(f"{p.name}:{line}")
     assert offenders == [], (
         f"unpartitioned Window.orderBy outside _ranked_top_k: {offenders}")
+
+
+def test_boilerplate_lines_plan_contract(spark):
+    """Frequent-line removal is two key-hashed shuffles (digest groupBy,
+    doc reassembly) + equi-joins: never a cartesian/nested-loop pair
+    join, zero Python stages, and no unpartitioned global sort."""
+    from enrich_spark.datapipe.dedup import remove_boilerplate_lines
+
+    docs = spark.range(32).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique body line "), F.col("id").cast("string"),
+                 F.lit("\nsubscribe to our newsletter today\ntail "),
+                 (F.col("id") % 5).cast("string")).alias("text"),
+    )
+    plan = _plan(remove_boilerplate_lines(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for pyop in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert pyop not in plan
+    # every Sort is either inside a partitioned window/agg or absent;
+    # a global single-partition ordering would appear as Sort over a
+    # SinglePartition exchange
+    assert "Exchange SinglePartition" not in plan, plan
