@@ -505,3 +505,82 @@ def test_incremental_dedup_consistency_property(docs_spec):
             if hi % 3 == 0 and lo % 3 != 0:
                 want.add((hi, lo, r.est_jaccard_bp))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r10: boilerplate line removal + weighted sampling invariants
+
+
+_line_txt = st.text(
+    alphabet=st.characters(codec="ascii", min_codepoint=32,
+                           exclude_characters="\x00"),
+    min_size=0, max_size=24)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(_line_txt, min_size=1, max_size=6),
+                min_size=1, max_size=10),
+       st.integers(1, 3))
+def test_boilerplate_removal_matches_brute_force_property(doclines, freq):
+    """remove_boilerplate_lines == the brute-force definition: drop
+    exactly the lines whose normalized form (len >= min) appears in
+    > max_doc_freq distinct docs; survivors keep original text and
+    order. Also idempotent: line frequencies can only DROP after a
+    removal pass, so a second pass removes nothing."""
+    from pyspark.sql import functions as F
+
+    from enrich_spark.datapipe.dedup import remove_boilerplate_lines
+
+    spark = _get_spark()
+    rows = [(i, "\n".join(ls)) for i, ls in enumerate(doclines)]
+
+    # brute force in plain Python
+    df_count: dict = {}
+    for i, ls in enumerate(doclines):
+        for nrm in {ln.strip().lower() for ln in ls}:
+            df_count[nrm] = df_count.get(nrm, 0) + 1
+    flagged = {n for n, c in df_count.items()
+               if len(n) >= 8 and c > freq}
+    want = {}
+    for i, ls in enumerate(doclines):
+        kept = [ln for ln in ls if ln.strip().lower() not in flagged]
+        want[i] = ("\n".join(kept), len(ls), len(kept))
+
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = remove_boilerplate_lines(docs, max_doc_freq=freq)
+    got = {r.doc_id: (r.clean_text, r.n_lines, r.kept_lines)
+           for r in out.collect()}
+    assert got == want
+
+    # idempotence on the cleaned corpus
+    again = remove_boilerplate_lines(
+        out.select("doc_id", F.col("clean_text").alias("text")),
+        max_doc_freq=freq)
+    assert all(r.removed_lines == 0 for r in again.collect())
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(-3, 100), min_size=1, max_size=40),
+       st.integers(1, 12))
+def test_weighted_sample_matches_reference_keys_property(weights, k):
+    """weighted_sample_k selects exactly the ids a pure-Python replay
+    of the key definition selects: key = max_{j<=clamp(w)} md5(seed:id:j),
+    top-k by (key desc, id asc)."""
+    import hashlib
+
+    from enrich_spark.datapipe.layout import weighted_sample_k
+
+    spark = _get_spark()
+    rows = [(i, w) for i, w in enumerate(weights)]
+
+    def key(i, w):
+        w = max(min(w, 64), 1)
+        return max(hashlib.md5(f"42:{i}:{j}".encode()).hexdigest()
+                   for j in range(1, w + 1))
+
+    ranked = sorted(rows, key=lambda r: (key(*r), -r[0]), reverse=True)
+    want = sorted(i for i, _ in ranked[:k])
+
+    df = spark.createDataFrame(rows, "doc_id LONG, w LONG")
+    got = sorted(r.doc_id for r in weighted_sample_k(df, k, "w").collect())
+    assert got == want
