@@ -28,10 +28,36 @@ from enrich_spark.datapipe.unigram import (
 )
 from enrich_spark.datapipe.curation import (
     leakage_safe_split_sql as _lss_sql,
+    quantile_bins_sql as _qbins_sql,
 )
 from enrich_spark.datapipe.datacard import data_card_sql as _dc_sql
 from enrich_spark.datapipe.dsir import apply_dsir_sql as _dsir_sql
 from enrich_spark.datapipe.layout import weighted_sample_k_sql as _wsk_sql
+from enrich_spark.datapipe.text import _MOJIBAKE as _MOJI
+
+# deterministic "dirt" spliced into every doc for the text-normalization
+# oracle part (the corpus is clean single-line ascii): CRLF + lone CR,
+# a C0 control char, tab runs, the four longest mojibake sequences, and
+# a blank-line run — one instance of every normalize_text rule
+_NORM_DIRT = ("\r\nX\rY\x01Z\t\ttabs  spaces "
+              + " ".join(bad for bad, _ in _MOJI[:4])
+              + " \n\n\n\nend ")
+
+
+def _text_norm_oracle_sql() -> str:
+    """DuckDB side of the text-normalization part: the same dirt splice
+    (quoted raw — the control chars ride inside the literal) + the
+    operator's own SQL mirror."""
+    from enrich_spark.datapipe.text import normalize_text_sql
+
+    dirt = _NORM_DIRT.replace("'", "''")
+    fixture = (f"(SELECT doc_id, substr(text, 1, 60) || '{dirt}' || "
+               "substr(text, 61, 2000) AS text FROM documents)")
+    expr = normalize_text_sql("text")
+    return (f"SELECT doc_id, {expr} AS text_norm, "
+            f"CAST(({expr}) <> text AS BIGINT) AS norm_changed, "
+            f"CAST(len(text) - len({expr}) AS BIGINT) AS norm_delta_chars "
+            f"FROM {fixture}")
 from enrich_spark.datapipe.regress import fit_ridge_2f_sql as _ridge_sql
 from enrich_spark.datapipe.sketches import (
     hll_distinct_portable_sql as _hll_sql,
@@ -3263,7 +3289,7 @@ config:
         "n_lines", "n_kept_lines", "kept_chars", "n_sentences",
         "has_brace", "has_lorem", "has_jswarn", "is_kept",
         "chunk_id", "cnt", "n_grams", "weight_unats",
-        "n_registers_set", "est_distinct")
+        "n_registers_set", "est_distinct", "qb_score", "qbin")
 
     def q_data_mix_core(spark, sf):
         # bench variant: the original mixing/sampling/packing operator
@@ -3283,12 +3309,26 @@ config:
             F.col("n_registers_set").cast("long").alias("n_registers_set"),
             "est_distinct")
 
+    def q_qbins(spark, sf):
+        # score-quantile binning (curation.quantile_bins): bin is a pure
+        # function of the score VALUE via a bounded driver threshold
+        # table + broadcast join — never a global ntile window
+        from enrich_spark.datapipe.curation import quantile_bins
+
+        docs = _load_docs(spark, sf).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_chars").cast("long").alias("qb_score"))
+        return quantile_bins(docs, "qb_score", k=10).select(
+            "doc_id", "qb_score",
+            F.col("bin").cast("long").alias("qbin"))
+
     def q_data_mix(spark, sf):
         return _union_parts(
             _data_mix_core_parts(spark, sf)
             + [("hh", q_heavy_hitters(spark, sf)),
                ("dsir", q_dsir(spark, sf)),
-               ("hll", q_hll(spark, sf))],
+               ("hll", q_hll(spark, sf)),
+               ("qbins", q_qbins(spark, sf))],
             fill=_DATA_MIX_FILL,
         )
 
@@ -3855,6 +3895,28 @@ config:
             F.col("doc_id").cast("long").alias("doc_id"),
             "n_words", "n_tokens", "cost_unats")
 
+    def q_text_norm(spark, sf):
+        # corpus text normalization (text.normalize_text): line-ending
+        # repair, control-char strip, mojibake fix, whitespace collapse
+        # — map-side only. The corpus is clean single-line ascii, so a
+        # deterministic dirt literal (CRLF, tabs, the first mojibake
+        # sequences, a blank-line run) is spliced into every doc; the
+        # oracle replays the same splice + the operator's own SQL mirror
+        from enrich_spark.datapipe.text import normalize_text
+
+        docs = _load_docs(spark, sf)
+        dirty = docs.select(
+            "doc_id",
+            F.concat(F.substring("text", 1, 60), F.lit(_NORM_DIRT),
+                     F.substring("text", 61, 2000)).alias("text"))
+        return normalize_text(dirty).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "text_norm",
+            F.col("norm_changed").cast("long").alias("norm_changed"),
+            F.col("norm_delta_chars").cast("long")
+            .alias("norm_delta_chars"),
+        )
+
     def q_text_analysis(spark, sf):
         # the text-analysis operator family bundled into ONE oracle row
         # (driver caps the correctness gate at 50 queries — standalone
@@ -3875,7 +3937,8 @@ config:
              ("bpe", q_bpe(spark, sf)),
              ("unigram", q_unigram(spark, sf)),
              ("url", q_url_normalize(spark, sf)),
-             ("bm25", q_bm25(spark, sf))],
+             ("bm25", q_bm25(spark, sf)),
+             ("clean", q_text_norm(spark, sf))],
             fill=("doc_id", "n_chars", "n_words", "mean_word_len",
                   "punct_ratio", "stopword_ratio", "distinct_word_ratio",
                   "dup_line_ratio", "top_bigram_char_ratio", "quality_score",
@@ -3890,7 +3953,8 @@ config:
                   "anchor_chars", "text_density_bp", "link_density_bp",
                   "is_boilerplate", "n_tokens",
                   "path_depth", "n_params", "n_tracking",
-                  "bm_dl", "bm25", "n_hit_terms", "cost_unats"),
+                  "bm_dl", "bm25", "n_hit_terms", "cost_unats",
+                  "norm_changed", "norm_delta_chars"),
         )
 
     q["text_analysis"] = q_text_analysis
@@ -4203,6 +4267,8 @@ config:
         "dedup_despan": q_despan_part,
         "boilerplate_lines": q_boiler_lines,
         "weighted_sample": q_wsample,
+        "text_normalize": q_text_norm,
+        "quantile_bins": q_qbins,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -5791,7 +5857,14 @@ def oracle_sql() -> dict[str, str]:
                         "weight_unats": "num"}),
                       ("hll", _hll_sql("documents", "text", ("source",)),
                        {"source": "str", "n_registers_set": "num",
-                        "est_distinct": "fnum"})])
+                        "est_distinct": "fnum"}),
+                      ("qbins",
+                       "SELECT doc_id, qb_score, CAST(bin AS BIGINT) AS "
+                       "qbin FROM (" + _qbins_sql(
+                           "(SELECT doc_id, n_chars AS qb_score "
+                           "FROM documents)", "qb_score", 10) + ")",
+                       {"doc_id": "num", "qb_score": "num",
+                        "qbin": "num"})])
 
     _norm = "trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))"
     _words = f"list_distinct(string_split({_norm}, ' '))"
@@ -6623,6 +6696,9 @@ def oracle_sql() -> dict[str, str]:
          {"doc_id": "num", "canonical_url": "str", "host": "str",
           "reg_domain": "str", "path_depth": "num", "n_params": "num",
           "n_tracking": "num"}),
+        ("clean", _text_norm_oracle_sql(),
+         {"doc_id": "num", "text_norm": "str", "norm_changed": "num",
+          "norm_delta_chars": "num"}),
     ])
     o["multimodal"] = _union_oracle([
         ("decode", o.pop("multimodal_decode"),

@@ -88,6 +88,8 @@ HEADLINE = [
     "zorder_cluster",         # Morton-key range shuffle + local sort
     "boilerplate_lines",      # cross-doc frequent-line removal
     "weighted_sample",        # A-ES weighted top-k (integer keys)
+    "text_normalize",         # control/mojibake/whitespace cleanup
+    "quantile_bins",          # value-keyed score-quantile binning
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -114,12 +116,12 @@ GROUPS = [
     ["text_quality_score", "text_token_counts", "text_language_id",
      "text_pii_scrub", "quality_model_score", "corpus_stats",
      "doc_fingerprint", "bpe_tokenize", "url_normalize", "html_extract",
-     "bm25_rank", "robots_filter"],
+     "bm25_rank", "robots_filter", "text_normalize"],
     # data-mix / graph / merge / multimodal
     ["data_mix", "heavy_hitters", "k_anonymity", "pagerank",
      "dataset_manifest", "cdc_merge", "multimodal_frames",
      "multimodal_decode", "warc_parse", "dsir_select", "data_card",
-     "zorder_cluster", "weighted_sample"],
+     "zorder_cluster", "weighted_sample", "quantile_bins"],
 ]
 assert sorted(n for g in GROUPS for n in g) == sorted(HEADLINE)
 

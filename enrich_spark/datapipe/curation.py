@@ -120,6 +120,84 @@ def stratified_sample(
 
 
 # ---------------------------------------------------------------------------
+# score-quantile binning — curriculum / mixing buckets
+
+
+def quantile_bins(
+    docs: DataFrame,
+    score_col: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    max_distinct: int = 1_000_000,
+) -> DataFrame:
+    """Assign every doc an integer quantile bin 1..k by ``score_col`` —
+    the bucketing behind curriculum ordering and quality-tier mixing
+    ("train on the top decile first", "sample tier 1 at 3×").
+
+    NOT ntile: a global ntile needs an unpartitioned ``Window.orderBy``
+    (the single-reducer sort this repo's plan-contract lockout forbids).
+    Instead the bin is a pure function of the score VALUE: one groupBy
+    on the score (shuffle bounded by distinct scores), the ≤
+    ``max_distinct`` (score, count) rows come to the driver, cumulative
+    counts give each score's bin as ``1 + (cum_incl − 1)·k div n`` —
+    integer arithmetic, engine-exact — and the assignment re-enters the
+    plan as a broadcast join. Ties share a bin by construction (equal
+    scores are indistinguishable), so bins are only approximately equal
+    -sized under heavy ties — the correct semantics for binning, and
+    the property that makes the result independent of row order.
+
+    Intended for integer/fixed-point scores (quality bp, token counts);
+    raises if the score cardinality exceeds ``max_distinct`` rather
+    than silently shipping an unbounded table to the driver.
+    """
+    cnts = (docs.groupBy(F.col(score_col).alias("_s"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .collect())
+    if len(cnts) > max_distinct:
+        raise ValueError(
+            f"quantile_bins: {len(cnts)} distinct scores exceeds "
+            f"max_distinct={max_distinct}; quantize the score first "
+            "(e.g. integer basis points)")
+    cnts.sort(key=lambda r: (r._s is None, r._s))
+    n = sum(r._c for r in cnts) or 1
+    cum = 0
+    rows = []
+    for r in cnts:
+        cum += r._c
+        rows.append((r._s, 1 + (cum - 1) * k // n))
+    spark = docs.sparkSession
+    bins = spark.createDataFrame(
+        rows, schema=f"_s {docs.schema[score_col].dataType.simpleString()},"
+                     " bin int")
+    return (docs.join(
+        F.broadcast(bins), docs[score_col].eqNullSafe(bins["_s"]), "left")
+        .drop("_s"))
+
+
+def quantile_bins_sql(
+    from_sql: str,
+    score_expr: str,
+    k: int = 10,
+) -> str:
+    """DuckDB mirror of :func:`quantile_bins` — the same value-keyed
+    cumulative-count bin (the oracle may use a window freely; the Spark
+    side must not)."""
+    return f"""
+        WITH src AS (SELECT *, {score_expr} AS _s FROM {from_sql}),
+        c AS (SELECT _s, count(*) AS _c FROM src GROUP BY _s),
+        b AS (
+          SELECT _s,
+                 CAST(1 + (sum(_c) OVER (ORDER BY _s NULLS LAST) - 1)
+                      * {k} // greatest((SELECT sum(_c) FROM c), 1)
+                   AS INT) AS bin
+          FROM c
+        )
+        SELECT src.* EXCLUDE (_s), b.bin AS bin
+        FROM src LEFT JOIN b ON src._s IS NOT DISTINCT FROM b._s
+    """
+
+
+# ---------------------------------------------------------------------------
 # sequence packing
 
 

@@ -275,6 +275,100 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus text normalization — the cleanup pass web-corpus recipes run
+# BEFORE any frequency-based operator (dedup, line removal, LM scoring):
+# un-normalized text fragments frequency tables (the same sentence with
+# \r\n vs \n, or curly vs mojibake quotes, hashes differently).
+
+# UTF-8-read-as-cp1252 mojibake ("\u00e2\u20ac\u2122" for \u2019,
+# "\u00c3\u00a9" for \u00e9, ...). The broken sequence is DERIVED
+# (utf-8 bytes re-decoded as cp1252, falling back to latin-1 for the
+# five cp1252-undefined bytes) rather than spelled as a literal, so the
+# table cannot itself be corrupted by an editor/transport encoding
+# slip. Longest sequences sort first so prefixes never clobber longer
+# matches; both engines apply the SAME ordered replace chain, so parity
+# is by construction. A representative map of the highest-frequency
+# artifacts; extend per corpus.
+
+
+def _mojibake_of(good: str) -> str:
+    bs = good.encode("utf-8")
+    out = []
+    for b in bs:
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))      # cp1252-undefined -> latin-1 (C1)
+    return "".join(out)
+
+
+_MOJIBAKE: list[tuple[str, str]] = sorted(
+    ((_mojibake_of(good), good)
+     for good in ["\u2019", "\u201c", "\u201d", "\u2013", "\u2014",
+                  "\u2026", "\u00e9", "\u00e8", "\u00f1", "\u00fc",
+                  "\u00f6", "\u00e4"]),
+    key=lambda kv: (-len(kv[0]), kv[0]),
+)
+
+# C0 control chars except \t (09) and \n (0a); \r handled separately
+# (it becomes \n, not nothing); plus DEL
+_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def normalize_text_col(text: Column) -> Column:
+    """The normalization chain as a Column expression — every step a
+    native JVM regexp/replace (zero Python, codegen'd):
+
+    1. \\r\\n and lone \\r -> \\n (Windows/old-Mac line endings)
+    2. strip C0 control chars (keep \\t \\n) and DEL
+    3. mojibake repair (ordered literal replaces, _MOJIBAKE)
+    4. collapse runs of spaces/tabs to one space
+    5. strip trailing spaces per line
+    6. collapse 3+ consecutive newlines to 2 (max one blank line)
+    7. trim the whole document
+    """
+    t = F.regexp_replace(text, "\\r\\n?", "\n")
+    t = F.regexp_replace(t, _CTRL_RE, "")
+    for bad, good in _MOJIBAKE:
+        t = F.replace(t, F.lit(bad), F.lit(good))
+    t = F.regexp_replace(t, "[ \\t]+", " ")
+    t = F.regexp_replace(t, " +\\n", "\n")
+    t = F.regexp_replace(t, "\\n{3,}", "\n\n")
+    return F.trim(t)
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus text cleanup (the C4/RefinedWeb-style pre-pass). Adds
+    ``text_norm`` plus ``norm_changed`` (0/1) and ``norm_delta_chars``
+    (original length − normalized length) so a pipeline can report how
+    much of the corpus the pass touched. Map-side only: zero shuffles,
+    zero Python."""
+    t = F.col(text_col)
+    norm = normalize_text_col(t)
+    return docs.withColumns({
+        "text_norm": norm,
+        "norm_changed": (norm != t).cast("long"),
+        "norm_delta_chars": (F.length(t) - F.length(norm)).cast("long"),
+    })
+
+
+def normalize_text_sql(text_expr: str) -> str:
+    """DuckDB mirror of :func:`normalize_text_col` — the same ordered
+    chain (RE2 accepts the same \\x character-class and the replace
+    chain is order-identical)."""
+    t = f"regexp_replace({text_expr}, '\\r\\n?', chr(10), 'g')"
+    t = f"regexp_replace({t}, '{_CTRL_RE}', '', 'g')"
+    for bad, good in _MOJIBAKE:
+        bq = bad.replace("'", "''")
+        gq = good.replace("'", "''")
+        t = f"replace({t}, '{bq}', '{gq}')"
+    t = f"regexp_replace({t}, '[ \\t]+', ' ', 'g')"
+    t = f"regexp_replace({t}, ' +\\n', chr(10), 'g')"
+    t = f"regexp_replace({t}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    return f"trim({t})"
+
+
+# ---------------------------------------------------------------------------
 # document fingerprinting — content hash + rolling winnow
 
 

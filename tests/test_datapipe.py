@@ -2622,3 +2622,57 @@ def test_weighted_sample_k_plan_is_distributed_topk(spark):
     plan = weighted_sample_k(df, 10, "w")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_normalize_text(spark):
+    """Each rule fires: CRLF/CR -> LF, C0 control strip, mojibake
+    repair (derived cp1252 table), space/tab collapse, trailing-space
+    strip, blank-run collapse, outer trim; clean text is unchanged."""
+    from enrich_spark.datapipe.text import _MOJIBAKE, normalize_text
+
+    moji = {g: b for b, g in _MOJIBAKE}
+    rows = [
+        (1, "a\r\nb\rc"),
+        (2, "x\x00y\x1fz\x7f."),
+        (3, f"it{moji['’']}s {moji['“']}fine{moji['é']}"),
+        (4, "w  o\t\tr   d  \nnext"),
+        (5, "top\n\n\n\n\nbottom"),
+        (6, "  already clean text\nsecond line  "),
+        (7, "untouched middle"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {r.doc_id: r for r in normalize_text(docs).collect()}
+    assert got[1].text_norm == "a\nb\nc"
+    assert got[2].text_norm == "xyz."
+    assert got[3].text_norm == "it’s “fineé"
+    assert got[4].text_norm == "w o r d\nnext"
+    assert got[5].text_norm == "top\n\nbottom"
+    assert got[6].text_norm == "already clean text\nsecond line"
+    assert got[7].text_norm == "untouched middle"
+    assert got[7].norm_changed == 0 and got[7].norm_delta_chars == 0
+    assert got[1].norm_changed == 1
+
+
+def test_quantile_bins(spark):
+    """Bins are 1..k, value-keyed (equal scores share a bin),
+    monotone in the score, sizes near-equal without ties, and the
+    cardinality guard fires."""
+    import pytest as _pytest
+
+    from enrich_spark.datapipe.curation import quantile_bins
+
+    docs = spark.createDataFrame(
+        [(i, i % 100) for i in range(400)], "doc_id LONG, score LONG")
+    out = quantile_bins(docs, "score", k=4).collect()
+    by_score = {}
+    for r in out:
+        by_score.setdefault(r.score, set()).add(r.bin)
+    assert all(len(b) == 1 for b in by_score.values())   # value-keyed
+    ordered = [next(iter(by_score[s])) for s in sorted(by_score)]
+    assert ordered == sorted(ordered) and set(ordered) == {1, 2, 3, 4}
+    from collections import Counter
+    sizes = Counter(r.bin for r in out)
+    assert max(sizes.values()) - min(sizes.values()) <= 4
+
+    with _pytest.raises(ValueError, match="distinct scores"):
+        quantile_bins(docs, "score", k=4, max_distinct=10)

@@ -83,6 +83,8 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "zorder_cluster": "metadata_aggregation",
         "boilerplate_lines": "dedup_despan",
         "weighted_sample": "metadata_aggregation",
+        "text_normalize": "text_analysis",
+        "quantile_bins": "data_mix",
         "script_js": "script_hook",  # bench-only throughput variant
     }
     for name in benchmod.HEADLINE:
