@@ -195,6 +195,21 @@ def _op_boilerplate_lines(docs, max_doc_freq=2, min_line_chars=8,
             .withColumnRenamed("clean_text", text_col))
 
 
+def _op_normalize_text(docs, text_col="text", **_):
+    """Rewrite the text column through the normalization chain
+    (text.normalize_text_col) — pure map-side."""
+    from .text import normalize_text_col
+
+    return docs.withColumn(text_col, normalize_text_col(F.col(text_col)))
+
+
+def _op_quantile_bins(docs, score_col, k=10, max_distinct=1_000_000, **_):
+    """Annotate every doc with its score-quantile bin 1..k."""
+    from .curation import quantile_bins
+
+    return quantile_bins(docs, score_col, k=k, max_distinct=max_distinct)
+
+
 def _op_weighted_sample(docs, k, weight_col, id_col="doc_id", seed=42,
                         max_weight=64, **_):
     """Keep a weighted sample of exactly min(k, n) docs (A-ES without
@@ -212,6 +227,7 @@ CURATION_OPS = {
     "token_counts": _op_token_counts,
     "dsir_weight": _op_dsir_weight,
     "leakage_split": _op_leakage_split,
+    "quantile_bins": _op_quantile_bins,
     # filter
     "keep_languages": _op_keep_languages,
     "min_quality": _op_min_quality,
@@ -226,6 +242,7 @@ CURATION_OPS = {
     "pii_scrub": _op_pii_scrub,
     "despan": _op_despan,
     "boilerplate_lines": _op_boilerplate_lines,
+    "normalize_text": _op_normalize_text,
 }
 
 

@@ -251,3 +251,22 @@ def test_pipeline_boilerplate_lines_and_weighted_sample(spark):
     direct = {r.doc_id for r in weighted_sample_k(
         docs, 4, "wt").collect()}
     assert {r.doc_id for r in out} == direct
+
+
+def test_pipeline_normalize_and_quantile_bins(spark):
+    """normalize_text rewrites the text in place; quantile_bins
+    annotates a bin; both compose in one declarative chain."""
+    docs = spark.createDataFrame(
+        [(i, f"doc  body\r\nnumber {i}", i % 10) for i in range(50)],
+        "doc_id long, text string, score long")
+    out = run_pipeline(docs, [
+        {"op": "normalize_text"},
+        {"op": "quantile_bins", "score_col": "score", "k": 5},
+    ]).collect()
+    assert len(out) == 50
+    assert all(r.text == f"doc body\nnumber {r.doc_id}" for r in out)
+    assert {r.bin for r in out} == {1, 2, 3, 4, 5}
+    # value-keyed: equal scores share a bin
+    seen = {}
+    for r in out:
+        assert seen.setdefault(r.score, r.bin) == r.bin
