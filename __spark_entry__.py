@@ -33,6 +33,9 @@ from enrich_spark.datapipe.curation import (
 from enrich_spark.datapipe.datacard import data_card_sql as _dc_sql
 from enrich_spark.datapipe.dsir import apply_dsir_sql as _dsir_sql
 from enrich_spark.datapipe.layout import weighted_sample_k_sql as _wsk_sql
+from enrich_spark.datapipe.similarity import (
+    negative_samples_sql as _negs_sql,
+)
 from enrich_spark.datapipe.text import _MOJIBAKE as _MOJI
 
 # deterministic "dirt" spliced into every doc for the text-normalization
@@ -3710,14 +3713,27 @@ config:
             F.col("y").cast("long").alias("y"),
             "cos_u", "margin_ppm")
 
+    def q_neg_samples(spark, sf):
+        # deterministic contrastive negatives (similarity.
+        # negative_samples): bounded bucket-rep groupBy + ONE map
+        # literal — the sampling pass itself is map-side zero-shuffle
+        from enrich_spark.datapipe.similarity import negative_samples
+
+        docs = _load_docs(spark, sf)
+        return negative_samples(docs, k=3, n_buckets=64).select(
+            F.col("anchor_id").cast("long").alias("anchor_id"),
+            "j", F.col("neg_id").cast("long").alias("neg_id"))
+
     q["embedding_dup_pairs"] = lambda spark, sf: _union_parts(
         [("pairs", q_embedding_dup(spark, sf)),
          ("semdedup", q_semantic_dedup(spark, sf)),
          ("int8", q_quantize_int8(spark, sf)),
-         ("margin", q_margin_mine(spark, sf))],
+         ("margin", q_margin_mine(spark, sf)),
+         ("negs", q_neg_samples(spark, sf))],
         fill=("id_a", "id_b", "cosine_sim", "vec_id", "cid", "sim_bp",
               "n_dups", "max_sim", "is_kept", "scale_1e9",
-              "max_abs_err_1e6", "x", "y", "cos_u", "margin_ppm"),
+              "max_abs_err_1e6", "x", "y", "cos_u", "margin_ppm",
+              "anchor_id", "j", "neg_id"),
     )
 
     def q_lang_id(spark, sf):
@@ -4269,6 +4285,7 @@ config:
         "weighted_sample": q_wsample,
         "text_normalize": q_text_norm,
         "quantile_bins": q_qbins,
+        "negative_samples": q_neg_samples,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -6237,6 +6254,8 @@ def oracle_sql() -> dict[str, str]:
               // (xs.sum_x_u + ys.sum_y_u) > 1000000
         """,
          {"x": "num", "y": "num", "cos_u": "num", "margin_ppm": "num"}),
+        ("negs", _negs_sql("documents", 3, "doc_id", 42, 64),
+         {"anchor_id": "num", "j": "num", "neg_id": "num"}),
     ])
 
     # language-ID: replay the character-trigram profile model bit-for-bit

@@ -90,6 +90,7 @@ HEADLINE = [
     "weighted_sample",        # A-ES weighted top-k (integer keys)
     "text_normalize",         # control/mojibake/whitespace cleanup
     "quantile_bins",          # value-keyed score-quantile binning
+    "negative_samples",       # deterministic contrastive negatives
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -111,7 +112,7 @@ GROUPS = [
     # embeddings / ANN / clustering
     ["ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
      "embedding_dup_pairs", "cluster_stats", "sessionize",
-     "pq_adc_topk"],
+     "pq_adc_topk", "negative_samples"],
     # text analysis (all native-regexp, cheap)
     ["text_quality_score", "text_token_counts", "text_language_id",
      "text_pii_scrub", "quality_model_score", "corpus_stats",

@@ -606,3 +606,89 @@ def mine_margin_pairs(
                 F.expr(f"(2 * {k} * cos_u * 1000000) div "
                        f"(sum_x_u + sum_y_u)").alias("margin_ppm"))
             .where(F.col("margin_ppm") > margin_threshold_ppm))
+
+
+# ---------------------------------------------------------------------------
+# deterministic negative sampling — contrastive / retrieval training
+
+
+def negative_samples(
+    docs: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """k deterministic "random" negatives per anchor doc — the pair
+    generator behind contrastive/retrieval training (in-batch negatives
+    are biased by batch composition; a corpus-level sampler must be a
+    pure function of (id, seed) so every retry/repartition regenerates
+    the SAME pairs).
+
+    Construction: every id hashes to one of ``n_buckets`` buckets
+    (md5-derived so a SQL oracle replays it); each bucket's
+    representative is its MIN id (one groupBy over ≤ n_buckets groups
+    — bounded shuffle); anchor a's j-th negative is the representative
+    of bucket (bucket(a)+j) mod n_buckets. The ≤ n_buckets reps come to
+    the driver and re-enter the plan as ONE map literal (the IVF
+    plan-literal pattern), so the sampling pass itself is map-side
+    zero-shuffle: explode k candidate offsets, map-lookup, drop
+    self-pairs and empty buckets.
+
+    Output: (anchor_id, j, neg_id), ≤ k rows per anchor. Negatives are
+    shared within a bucket-offset class — by design: with n_buckets ≫
+    batch size, collisions inside any training batch are rare, and rep
+    reuse is what keeps the generator one bounded broadcast instead of
+    a corpus-sized shuffle.
+    """
+    def bucket(c: Column) -> Column:
+        h = F.conv(F.substring(F.md5(
+            F.concat(F.lit(f"{seed}:neg:"), c.cast("string"))), 1, 15),
+            16, 10).cast("long")
+        return h % n_buckets
+
+    ids = docs.select(F.col(id_col).alias("_id")).withColumn(
+        "_b", bucket(F.col("_id")))
+    reps = ids.groupBy("_b").agg(F.min("_id").alias("_rep")).collect()
+    rep_map = F.create_map(
+        *[F.lit(x) for r in reps for x in (int(r._b), r._rep)])
+    out = (docs.select(F.col(id_col).alias("anchor_id"))
+           .withColumn("_b", bucket(F.col("anchor_id")))
+           .select("anchor_id", "_b",
+                   F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"))
+           .withColumn("neg_id",
+                       F.element_at(rep_map,
+                                    (F.col("_b") + F.col("j"))
+                                    % n_buckets))
+           .where(F.col("neg_id").isNotNull()
+                  & (F.col("neg_id") != F.col("anchor_id")))
+           .select("anchor_id", F.col("j").cast("long").alias("j"),
+                   "neg_id"))
+    return out
+
+
+def negative_samples_sql(
+    from_sql: str,
+    k: int = 4,
+    id_expr: str = "doc_id",
+    seed: int = 42,
+    n_buckets: int = 1024,
+) -> str:
+    """DuckDB mirror of :func:`negative_samples` (same md5 bucket, same
+    min-id representative, same (b+j) mod B probe)."""
+    b = (f"CAST(('0x' || substr(md5('{seed}:neg:' || id), 1, 15)) "
+         f"AS BIGINT) % {n_buckets}")
+    return f"""
+        WITH ids AS (
+          SELECT {id_expr} AS id, {b} AS b FROM {from_sql}
+        ),
+        reps AS (SELECT b, min(id) AS rep FROM ids GROUP BY b),
+        cand AS (
+          SELECT i.id, t.j, (i.b + t.j) % {n_buckets} AS cb
+          FROM ids i, LATERAL unnest(generate_series(1, {k})) AS t(j)
+        )
+        SELECT c.id AS anchor_id, CAST(c.j AS BIGINT) AS j,
+               r.rep AS neg_id
+        FROM cand c JOIN reps r ON r.b = c.cb
+        WHERE r.rep <> c.id
+    """

@@ -141,7 +141,7 @@ EXPECTED_BUNDLE_PARTS = {
     "ann_lsh_topk": ["plain", "probe"],
     "ann_ivf_topk": ["ivf", "cluster", "pq_codes", "pq_adc"],
     "embedding_dup_pairs": ["pairs", "semdedup", "int8",
-                            "margin"],
+                            "margin", "negs"],
     "text_analysis": ["lang", "quality", "tokens", "fprint", "stats",
                       "rep", "lm", "html", "bpe", "unigram", "url",
                       "bm25", "clean"],

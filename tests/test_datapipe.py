@@ -2676,3 +2676,39 @@ def test_quantile_bins(spark):
 
     with _pytest.raises(ValueError, match="distinct scores"):
         quantile_bins(docs, "score", k=4, max_distinct=10)
+
+
+def test_negative_samples(spark):
+    """Exactly <=k negatives per anchor, never the anchor itself,
+    deterministic across calls, all negatives are real corpus ids, and
+    the generator's driver state is bounded by n_buckets."""
+    from enrich_spark.datapipe.similarity import negative_samples
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id LONG, text STRING")
+    out = negative_samples(docs, k=3, n_buckets=32).collect()
+    ids = set(range(200))
+    per_anchor = {}
+    for r in out:
+        assert r.neg_id in ids and r.neg_id != r.anchor_id
+        per_anchor.setdefault(r.anchor_id, []).append((r.j, r.neg_id))
+    assert set(per_anchor) <= ids
+    assert all(len(v) <= 3 for v in per_anchor.values())
+    # the overwhelming majority of anchors get the full k (self-hits
+    # only when an anchor IS a probed bucket's representative)
+    assert sum(1 for v in per_anchor.values() if len(v) == 3) > 150
+    again = negative_samples(docs, k=3, n_buckets=32).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_negative_samples_plan_is_map_side(spark):
+    """After the bounded rep collect, the sampling pass itself must be
+    map-side: no join, no shuffle exchange in the plan."""
+    from enrich_spark.datapipe.similarity import negative_samples
+
+    docs = spark.range(100).select(F.col("id").alias("doc_id"))
+    plan = negative_samples(docs, k=2, n_buckets=16)._jdf \
+        .queryExecution().executedPlan().toString()
+    for op in ("Exchange", "SortMergeJoin", "BroadcastHashJoin",
+               "CartesianProduct"):
+        assert op not in plan, plan

@@ -85,6 +85,7 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "weighted_sample": "metadata_aggregation",
         "text_normalize": "text_analysis",
         "quantile_bins": "data_mix",
+        "negative_samples": "embedding_dup_pairs",
         "script_js": "script_hook",  # bench-only throughput variant
     }
     for name in benchmod.HEADLINE:
