@@ -314,6 +314,17 @@ _MOJIBAKE: list[tuple[str, str]] = sorted(
 # (it becomes \n, not nothing); plus DEL
 _CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
 
+# unicode whitespace families, applied AFTER mojibake repair (the
+# mojibake sequences contain C1 codepoints that must survive until the
+# replace chain has seen them). Literal characters in the classes —
+# Java regex and RE2 both accept them verbatim, so the two engines
+# share the exact class strings.
+_LINE_SEPS = "\u0085\u2028\u2029"          # NEL, LS, PS -> \n
+_UNISPACES = ("\u00a0\u1680"
+              + "".join(chr(c) for c in range(0x2000, 0x200B))
+              + "\u202f\u205f\u3000")        # -> ' '
+_ZEROWIDTH = "\u200b\ufeff"                 # ZWSP, BOM -> ''
+
 
 def normalize_text_col(text: Column) -> Column:
     """The normalization chain as a Column expression — every step a
@@ -322,19 +333,26 @@ def normalize_text_col(text: Column) -> Column:
     1. \\r\\n and lone \\r -> \\n (Windows/old-Mac line endings)
     2. strip C0 control chars (keep \\t \\n) and DEL
     3. mojibake repair (ordered literal replaces, _MOJIBAKE)
-    4. collapse runs of spaces/tabs to one space
-    5. strip trailing spaces per line
-    6. collapse 3+ consecutive newlines to 2 (max one blank line)
-    7. trim the whole document
+    4. NEL/LS/PS -> \\n; unicode spaces (NBSP family, en/em spaces,
+       ideographic space) -> ' '; zero-width space/BOM dropped
+    5. collapse runs of spaces/tabs to one space
+    6. strip trailing spaces per line
+    7. collapse 3+ consecutive newlines to 2 (max one blank line)
+    8. trim all leading/trailing whitespace (SQL trim() is space-only)
     """
     t = F.regexp_replace(text, "\\r\\n?", "\n")
     t = F.regexp_replace(t, _CTRL_RE, "")
     for bad, good in _MOJIBAKE:
         t = F.replace(t, F.lit(bad), F.lit(good))
+    t = F.regexp_replace(t, f"[{_LINE_SEPS}]", "\n")
+    t = F.regexp_replace(t, f"[{_UNISPACES}]", " ")
+    t = F.regexp_replace(t, f"[{_ZEROWIDTH}]", "")
     t = F.regexp_replace(t, "[ \\t]+", " ")
     t = F.regexp_replace(t, " +\\n", "\n")
     t = F.regexp_replace(t, "\\n{3,}", "\n\n")
-    return F.trim(t)
+    # full-whitespace trim: SQL trim() strips SPACES only in both
+    # engines — a doc that is nothing but newlines must normalize to ''
+    return F.regexp_replace(t, "^\\s+|\\s+$", "")
 
 
 def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -362,10 +380,13 @@ def normalize_text_sql(text_expr: str) -> str:
         bq = bad.replace("'", "''")
         gq = good.replace("'", "''")
         t = f"replace({t}, '{bq}', '{gq}')"
+    t = f"regexp_replace({t}, '[{_LINE_SEPS}]', chr(10), 'g')"
+    t = f"regexp_replace({t}, '[{_UNISPACES}]', ' ', 'g')"
+    t = f"regexp_replace({t}, '[{_ZEROWIDTH}]', '', 'g')"
     t = f"regexp_replace({t}, '[ \\t]+', ' ', 'g')"
     t = f"regexp_replace({t}, ' +\\n', chr(10), 'g')"
     t = f"regexp_replace({t}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
-    return f"trim({t})"
+    return f"regexp_replace({t}, '^\\s+|\\s+$', '', 'g')"
 
 
 # ---------------------------------------------------------------------------

@@ -584,3 +584,53 @@ def test_weighted_sample_matches_reference_keys_property(weights, k):
     df = spark.createDataFrame(rows, "doc_id LONG, w LONG")
     got = sorted(r.doc_id for r in weighted_sample_k(df, k, "w").collect())
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=0, max_codepoint=0x2040),
+    min_size=0, max_size=60), min_size=1, max_size=8))
+def test_normalize_text_idempotent_property(texts):
+    """normalize_text is a projection: applying it twice equals once,
+    and the output never contains C0 controls (other than \\t — which
+    collapses to a space — i.e. only \\n survives), CRs, runs of
+    spaces, or 3+ newline runs."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from enrich_spark.datapipe.text import normalize_text
+
+    spark = _get_spark()
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id INT, text STRING")
+    once = {r.doc_id: r.text_norm for r in normalize_text(docs).collect()}
+    twice = {r.doc_id: r.text_norm for r in normalize_text(
+        spark.createDataFrame(sorted(once.items()),
+                              "doc_id INT, text STRING")).collect()}
+    assert once == twice
+    for t in once.values():
+        assert "\r" not in t
+        assert not _re.search("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\t]", t)
+        assert "  " not in t and "\n\n\n" not in t
+        assert t == t.strip()
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(0, 30), min_size=1, max_size=60),
+       st.integers(2, 8))
+def test_quantile_bins_matches_brute_force_property(scores, k):
+    """quantile_bins == the integer cumulative-count definition, for
+    any tie structure."""
+    from enrich_spark.datapipe.curation import quantile_bins
+
+    spark = _get_spark()
+    rows = list(enumerate(scores))
+    n = len(scores)
+    cum, want_bin, c = 0, {}, __import__("collections").Counter(scores)
+    for s in sorted(c):
+        cum += c[s]
+        want_bin[s] = 1 + (cum - 1) * k // n
+    docs = spark.createDataFrame(rows, "doc_id INT, score INT")
+    got = {r.doc_id: r.bin for r in quantile_bins(docs, "score", k=k).collect()}
+    assert got == {i: want_bin[s] for i, s in rows}
