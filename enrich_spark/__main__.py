@@ -31,7 +31,65 @@ def _json_default(o):
     return str(o)
 
 
+def _curate_main(argv) -> int:
+    """``python -m enrich_spark curate``: run a declarative corpus
+    curation pipeline (datapipe/pipeline.py) over a parquet document
+    table — the datapipe counterpart of the enrichment boot path."""
+    ap = argparse.ArgumentParser(
+        prog="python -m enrich_spark curate",
+        description="Run a JSON-configured corpus-curation pipeline "
+                    "(see datapipe/pipeline.py for the op registry).")
+    ap.add_argument("--pipeline", required=True,
+                    help="JSON file: [{'op': name, ...params}, ...]")
+    ap.add_argument("--input", required=True,
+                    help="parquet directory/file with the document table")
+    ap.add_argument("--output", help="output parquet directory; omit "
+                                     "with --report-only")
+    ap.add_argument("--report", action="store_true",
+                    help="print per-step retention counts (rides the "
+                         "single write pass via observe())")
+    ap.add_argument("--report-only", action="store_true",
+                    help="report retention without writing output "
+                         "(one count per step)")
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    args = ap.parse_args(argv)
+    if not args.output and not args.report_only:
+        print("--output is required unless --report-only", file=sys.stderr)
+        return 2
+
+    from .datapipe.pipeline import run_pipeline, run_pipeline_observed
+    from .session import get_spark
+
+    spark = get_spark("enrich-spark-curate", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+    if args.report_only:
+        report: list = []
+        run_pipeline(docs, args.pipeline, report=report)
+        print(json.dumps({"rows_in": n_in,
+                          "steps": [{"op": op, "rows_after": n}
+                                    for op, n in report]}, indent=2))
+        return 0
+    if args.report:
+        out, get_report = run_pipeline_observed(docs, args.pipeline)
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"rows_in": n_in,
+                          "steps": [{"op": op, "rows_after": n}
+                                    for op, n in get_report()]}, indent=2))
+    else:
+        out = run_pipeline(docs, args.pipeline)
+        out.write.mode("overwrite").parquet(args.output)
+    print(f"done: curated corpus under {args.output}", file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "curate":
+        return _curate_main(argv[1:])
     ap = argparse.ArgumentParser(
         prog="python -m enrich_spark",
         description="Spark-native snowplow/enrich: run the enrichment "

@@ -293,3 +293,52 @@ def test_cli_pubsub_pull_end_to_end(spark, tmp_path, monkeypatch):
         assert broker.backlog(sub) == 0      # acked after the sinks
     finally:
         broker.stop()
+
+
+def test_cli_curate_pipeline(spark, tmp_path):
+    """python -m enrich_spark curate: JSON pipeline over a parquet doc
+    table — writes the curated corpus and reports per-step retention
+    from the same pass (--report)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from enrich_spark.__main__ import main
+
+    docs = spark.createDataFrame(
+        [(i, f"some document body  with\r\nnumber {i % 8}",
+          f"src{i % 3}") for i in range(24)],
+        "doc_id long, text string, source string")
+    src = tmp_path / "docs"
+    docs.write.parquet(str(src))
+    pipe = tmp_path / "pipe.json"
+    pipe.write_text(json.dumps([
+        {"op": "normalize_text"},
+        {"op": "exact_dedup_keep"},
+        {"op": "per_group_cap", "k": 2, "group_col": "source"},
+    ]))
+    out = tmp_path / "curated"
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["curate", "--pipeline", str(pipe),
+                   "--input", str(src), "--output", str(out), "--report"])
+    assert rc == 0
+    rep = json.loads(buf.getvalue())
+    assert rep["rows_in"] == 24
+    steps = {s["op"]: s["rows_after"] for s in rep["steps"]}
+    # normalize is row-preserving; dedup collapses the 8 distinct texts;
+    # the per-source cap keeps at most 2 per source
+    assert steps["normalize_text"] == 24
+    assert steps["exact_dedup_keep"] == 8
+    assert steps["per_group_cap"] <= 6
+    got = spark.read.parquet(str(out))
+    assert got.count() == steps["per_group_cap"]
+    assert "\r" not in got.select("text").first().text
+
+    # --report-only: no output written, counts still reported
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        rc = main(["curate", "--pipeline", str(pipe),
+                   "--input", str(src), "--report-only"])
+    assert rc == 0
+    rep2 = json.loads(buf2.getvalue())
+    assert {s["op"]: s["rows_after"] for s in rep2["steps"]} == steps
