@@ -919,3 +919,64 @@ def test_watermark_duration_parser_units():
         _parse_duration_us("3 fortnights")
     with pytest.raises(ValueError, match="duration"):
         _parse_duration_us("1hour")
+
+
+def test_streaming_curation_end_to_end(spark, tmp_path):
+    """A full curation micro-pipeline under Structured Streaming: docs
+    arrive in micro-batches; each batch is normalized and quality-
+    annotated (stateless map plans), and content-hash dedup drops
+    cross-batch exact re-deliveries within the watermark — the shape a
+    streaming corpus-ingest job runs."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from enrich_spark.datapipe.dedup import streaming_dedup
+    from enrich_spark.datapipe.text import normalize_text, quality_score
+
+    t0 = dt.datetime(2026, 1, 1, 9, 0, 0)
+    schema = "doc_id LONG, text STRING, ts TIMESTAMP"
+
+    def rows(batch):
+        return spark.createDataFrame(batch, schema)
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    rows([
+        (1, "a good long document body\r\nwith plenty of proper words here", t0),
+        (2, "a good long document body\nwith plenty of proper words here", t0),
+        (3, "zz", t0),
+    ]).write.parquet(os.path.join(src, "b0"))
+
+    source = (spark.readStream.schema(schema)
+              .option("recursiveFileLookup", "true").parquet(src))
+    cleaned = normalize_text(source).withColumn(
+        "text", F.col("text_norm")).drop("text_norm")
+    scored = quality_score(cleaned).where(F.col("n_words") >= 5)
+    deduped = streaming_dedup(
+        scored.withColumn("content_hash", F.md5("text")),
+        key_cols=("content_hash",), ts_col="ts", watermark="1 hour")
+    q = (deduped.writeStream.format("memory").queryName("curated")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        q.processAllAvailable()
+        # doc 2 normalizes to doc 1's exact text -> dropped; doc 3 is
+        # under the quality word floor -> dropped
+        got = sorted(r.doc_id for r in
+                     spark.sql("SELECT * FROM curated").collect())
+        assert got == [1]
+        # a later micro-batch: same content again (dropped, cross-batch)
+        # + genuinely new content (kept)
+        rows([
+            (4, "a good long document body\r\nwith plenty of proper words here",
+             t0 + dt.timedelta(minutes=10)),
+            (5, "completely different fresh content with many new words in it",
+             t0 + dt.timedelta(minutes=10)),
+        ]).write.parquet(os.path.join(src, "b1"))
+        q.processAllAvailable()
+        got = sorted(r.doc_id for r in
+                     spark.sql("SELECT * FROM curated").collect())
+        assert got == [1, 5]
+    finally:
+        q.stop()

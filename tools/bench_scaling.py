@@ -44,6 +44,13 @@ FAMILIES = {
     "minhash_lsh": "dedup_minhash_lsh",
     "decontam": "decontam_multi",
     "ip_lookups": "ip_lookups",
+    # r10 operators: the line-frequency shuffle should scale with input;
+    # the bounded-driver ops (threshold table / rep map / top-k) should
+    # stay shuffle-light at any multiple
+    "boilerplate_lines": "boilerplate_lines",
+    "quantile_bins": "quantile_bins",
+    "weighted_sample": "weighted_sample",
+    "negative_samples": "negative_samples",
 }
 ID_SHIFT = 10_000_000
 
@@ -99,6 +106,13 @@ def build_scaled_dir(spark, mult: int) -> str:
     return out
 
 
+def _selected_families() -> dict:
+    if "--families" in sys.argv:
+        names = sys.argv[sys.argv.index("--families") + 1].split(",")
+        return {n: FAMILIES[n] for n in names}
+    return FAMILIES
+
+
 def _run_scale(mult: int) -> None:
     """Child: fresh JVM, build (or reuse) the scaled dir, measure every
     family, one JSON line per family on stdout."""
@@ -111,7 +125,7 @@ def _run_scale(mult: int) -> None:
     queries = entrymod.bench_queries()
     n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
-    for fam, key in FAMILIES.items():
+    for fam, key in _selected_families().items():
         fn = queries[key]
         before = set(entrymod._FIXTURE_CACHE)
         t0 = time.perf_counter()
@@ -145,12 +159,14 @@ def main() -> None:
         mults = [int(m) for m in
                  sys.argv[sys.argv.index("--mults") + 1].split(",")]
 
-    results: dict[str, dict[int, dict]] = {f: {} for f in FAMILIES}
+    fams_sel = _selected_families()
+    results: dict[str, dict[int, dict]] = {f: {} for f in fams_sel}
     for mult in mults:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--scale", str(mult)],
-            stdout=subprocess.PIPE, text=True)
+        child = [sys.executable, os.path.abspath(__file__),
+                 "--scale", str(mult)]
+        if "--families" in sys.argv:
+            child += ["--families", ",".join(fams_sel)]
+        proc = subprocess.run(child, stdout=subprocess.PIPE, text=True)
         if proc.returncode != 0:
             print(f"# scale x{mult} exited {proc.returncode}",
                   file=sys.stderr)
