@@ -4163,18 +4163,44 @@ config:
             F.col("channels").alias("a_channels"),
             "dominant_bin", "dominant_freq_mhz")
 
+    def q_media_resize(spark, sf):
+        # real nearest-neighbor resize (multimodal.resize_images) over
+        # the constant-pixel PNG rows of the media fixture: a constant
+        # image resamples to the same constant, so target dims and the
+        # integer milli-mean are pure doc_id arithmetic for the oracle
+        from enrich_spark.datapipe.multimodal import resize_images
+
+        media = _cached_fixture(
+            spark, "media_docs_png", sf,
+            lambda: _media_docs(spark, sf, docs=_load_docs(spark, sf).where(
+                (F.col("doc_id") % 4 == 0) & (F.col("doc_id") % 32 != 20))))
+        out = resize_images(media, width=5, height=4)
+        return out.select(
+            "doc_id",
+            F.col("src_width").cast("long").alias("rz_src_w"),
+            F.col("src_height").cast("long").alias("rz_src_h"),
+            F.col("width").cast("long").alias("rz_w"),
+            F.col("height").cast("long").alias("rz_h"),
+            F.col("channels").cast("long").alias("rz_channels"),
+            F.round(F.col("mean_val") * 1000).cast("long")
+            .alias("rz_mean_mil"),
+        )
+
     def q_multimodal(spark, sf):
-        # decode + frame-sampling + audio features in one oracle row
+        # decode + frame-sampling + audio features + resize in one row
         return _union_parts(
             [("decode", q_media_decode(spark, sf)),
              ("frames", q_media_frames(spark, sf)),
-             ("audio", q_audio_features(spark, sf))],
+             ("audio", q_audio_features(spark, sf)),
+             ("resize", q_media_resize(spark, sf))],
             fill=("doc_id", "width", "height", "channels", "duration_ms",
                   "mean_val", "meta_width", "meta_height",
                   "meta_duration_ms", "frame_ts_ms", "vid_width",
                   "vid_duration_ms",
                   "rate", "n_samples", "a_channels", "dominant_bin",
-                  "dominant_freq_mhz"),
+                  "dominant_freq_mhz",
+                  "rz_src_w", "rz_src_h", "rz_w", "rz_h", "rz_channels",
+                  "rz_mean_mil"),
         )
 
     q["multimodal"] = q_multimodal
@@ -4286,6 +4312,7 @@ config:
         "text_normalize": q_text_norm,
         "quantile_bins": q_qbins,
         "negative_samples": q_neg_samples,
+        "multimodal_resize": q_media_resize,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -6741,6 +6768,19 @@ def oracle_sql() -> dict[str, str]:
          {"doc_id": "num", "rate": "num", "n_samples": "num",
           "a_channels": "num", "dominant_bin": "num",
           "dominant_freq_mhz": "num"}),
+        # constant-pixel PNGs (w=1+id%13, h=1+id%7, value id%256):
+        # nearest-neighbor resample of a constant is the constant, so
+        # target dims and the milli-mean are doc_id arithmetic
+        ("resize",
+         "SELECT doc_id, CAST(1 + doc_id % 13 AS BIGINT) AS rz_src_w, "
+         "CAST(1 + doc_id % 7 AS BIGINT) AS rz_src_h, "
+         "CAST(5 AS BIGINT) AS rz_w, CAST(4 AS BIGINT) AS rz_h, "
+         "CAST(3 AS BIGINT) AS rz_channels, "
+         "CAST((doc_id % 256) * 1000 AS BIGINT) AS rz_mean_mil "
+         "FROM documents WHERE doc_id % 4 = 0 AND doc_id % 32 <> 20",
+         {"doc_id": "num", "rz_src_w": "num", "rz_src_h": "num",
+          "rz_w": "num", "rz_h": "num", "rz_channels": "num",
+          "rz_mean_mil": "num"}),
     ])
 
     o["api_request"] = """

@@ -91,6 +91,7 @@ HEADLINE = [
     "text_normalize",         # control/mojibake/whitespace cleanup
     "quantile_bins",          # value-keyed score-quantile binning
     "negative_samples",       # deterministic contrastive negatives
+    "multimodal_resize",      # nearest-neighbor image resample
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -122,7 +123,8 @@ GROUPS = [
     ["data_mix", "heavy_hitters", "k_anonymity", "pagerank",
      "dataset_manifest", "cdc_merge", "multimodal_frames",
      "multimodal_decode", "warc_parse", "dsir_select", "data_card",
-     "zorder_cluster", "weighted_sample", "quantile_bins"],
+     "zorder_cluster", "weighted_sample", "quantile_bins",
+     "multimodal_resize"],
 ]
 assert sorted(n for g in GROUPS for n in g) == sorted(HEADLINE)
 

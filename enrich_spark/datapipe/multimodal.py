@@ -507,3 +507,102 @@ def audio_features(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# image resize (real nearest-neighbor kernel over the decoded pixels)
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("src_width", T.LongType()),
+    T.StructField("src_height", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("channels", T.LongType()),
+    T.StructField("mean_val", T.DoubleType()),
+    T.StructField("pixel_digest", T.StringType()),
+    T.StructField("codec", T.StringType()),
+])
+
+
+def resize_one(data: bytes, tw: int, th: int, native_jpeg=None) -> dict:
+    """Pure kernel: image bytes → nearest-neighbor resample to (tw, th).
+
+    Index mapping is INTEGER floor arithmetic (`src_i = out_i * src //
+    dst`, the classic point-sampling rule), so the resample — and hence
+    the pixel digest — is bit-deterministic across partitionings and
+    replays. Decodes through the same codec set as ``_decode_one``
+    (PNG/BMP/GIF real, JPEG via the pure kernel or the installed native
+    seam); non-raster formats return codec-only rows."""
+    import numpy as np
+
+    from . import media_codecs as mc
+
+    try:
+        if data[:1] == b"\x89" and data.startswith(mc.PNG_SIG):
+            codec, dec = "png", mc.decode_png
+        elif data[:2] == b"BM":
+            codec, dec = "bmp", mc.decode_bmp
+        elif data[:3] == b"GIF":
+            codec, dec = "gif", mc.decode_gif
+        elif data[:2] == b"\xff\xd8":
+            if native_jpeg is not None:
+                codec, dec = "jpeg", native_jpeg
+            else:
+                from .jpeg import decode_jpeg as dec
+
+                codec = "jpeg"
+        else:
+            return dict(codec="skip")
+        w, h, ch, px = dec(bytes(data))
+        a = np.asarray(px).reshape(h, w, ch)
+        xi = (np.arange(tw) * w) // tw
+        yi = (np.arange(th) * h) // th
+        out = a[yi][:, xi]
+        return dict(
+            src_width=w, src_height=h, width=tw, height=th, channels=ch,
+            mean_val=float(out.mean()) if out.size else 0.0,
+            pixel_digest=hashlib.md5(out.tobytes()).hexdigest(),
+            codec=codec)
+    except Exception as e:  # noqa: BLE001 — corrupt media must not kill a task
+        return dict(codec=f"error:{type(e).__name__}")
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+    use_native: bool | None = None,
+) -> DataFrame:
+    """Arrow-batched image resize over a binary column — the
+    decode→resample step of an image-pipeline preprocess, same
+    mapInPandas shape as decode_features (bounded batches, no shuffle,
+    failures become rows). Output per image: source dims, target dims,
+    channels, resampled mean, md5 of the resampled pixel bytes (the
+    reproducibility commitment a downstream cache can key on)."""
+    if use_native is False:
+        native_cfg = None
+    elif use_native is True:
+        native_cfg = _NATIVE_JPEG or "auto"
+    else:
+        native_cfg = _NATIVE_JPEG
+
+    cols = [f.name for f in RESIZE_SCHEMA.fields]
+
+    def kernel(batches):
+        import pandas as pd
+
+        native = _resolve_native(native_cfg)
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[binary_col]):
+                rec = resize_one(
+                    bytes(blob) if blob is not None else b"",
+                    width, height, native_jpeg=native)
+                rec["doc_id"] = int(did)
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, binary_col).mapInPandas(kernel, RESIZE_SCHEMA)

@@ -145,7 +145,7 @@ EXPECTED_BUNDLE_PARTS = {
     "text_analysis": ["lang", "quality", "tokens", "fprint", "stats",
                       "rep", "lm", "html", "bpe", "unigram", "url",
                       "bm25", "clean"],
-    "multimodal": ["decode", "frames", "audio"],
+    "multimodal": ["decode", "frames", "audio", "resize"],
 }
 
 

@@ -2712,3 +2712,37 @@ def test_negative_samples_plan_is_map_side(spark):
     for op in ("Exchange", "SortMergeJoin", "BroadcastHashJoin",
                "CartesianProduct"):
         assert op not in plan, plan
+
+
+def test_resize_images(spark):
+    """Real nearest-neighbor resample through the mapInPandas op:
+    gradient image resamples to the exact floor-mapped pixels (digest
+    checked against a manual numpy resample), constant image stays
+    constant, non-raster bytes become codec='skip' rows."""
+    import hashlib
+
+    import numpy as np
+
+    from enrich_spark.datapipe.media_codecs import decode_bmp, encode_bmp, encode_png
+    from enrich_spark.datapipe.multimodal import resize_images
+
+    grad = (np.arange(6 * 4 * 3) % 256).astype(np.uint8).reshape(4, 18)
+    rows = [
+        (1, bytearray(encode_png(7, 3, np.full((3, 21), 99, np.uint8)))),
+        (2, bytearray(encode_bmp(6, 4, grad))),
+        (3, bytearray(b"RIFF0000WAVEnot-an-image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, media BINARY")
+    got = {r.doc_id: r for r in
+           resize_images(df, width=3, height=2).collect()}
+    assert (got[1].src_width, got[1].src_height) == (7, 3)
+    assert (got[1].width, got[1].height, got[1].channels) == (3, 2, 3)
+    assert got[1].mean_val == 99.0 and got[1].codec == "png"
+
+    _, _, _, px = decode_bmp(bytes(rows[1][1]))
+    a = px.reshape(4, 6, 3)
+    manual = a[(np.arange(2) * 4) // 2][:, (np.arange(3) * 6) // 3]
+    assert got[2].pixel_digest == hashlib.md5(manual.tobytes()).hexdigest()
+    assert got[2].mean_val == manual.mean()
+
+    assert got[3].codec == "skip" and got[3].width is None

@@ -86,6 +86,7 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "text_normalize": "text_analysis",
         "quantile_bins": "data_mix",
         "negative_samples": "embedding_dup_pairs",
+        "multimodal_resize": "multimodal",
         "script_js": "script_hook",  # bench-only throughput variant
     }
     for name in benchmod.HEADLINE:
