@@ -134,8 +134,8 @@ def quantile_bins(
     the bucketing behind curriculum ordering and quality-tier mixing
     ("train on the top decile first", "sample tier 1 at 3×").
 
-    NOT ntile: a global ntile needs an unpartitioned ``Window.orderBy``
-    (the single-reducer sort this repo's plan-contract lockout forbids).
+    NOT ntile: a global ntile needs an unpartitioned global-order
+    window (the single-reducer sort the plan-contract lockout forbids).
     Instead the bin is a pure function of the score VALUE: one groupBy
     on the score (shuffle bounded by distinct scores), the ≤
     ``max_distinct`` (score, count) rows come to the driver, cumulative
