@@ -29,6 +29,7 @@ from enrich_spark.datapipe.unigram import (
 from enrich_spark.datapipe.curation import (
     leakage_safe_split_sql as _lss_sql,
     quantile_bins_sql as _qbins_sql,
+    select_token_budget_sql as _stb_sql,
 )
 from enrich_spark.datapipe.datacard import data_card_sql as _dc_sql
 from enrich_spark.datapipe.dsir import apply_dsir_sql as _dsir_sql
@@ -3292,7 +3293,8 @@ config:
         "n_lines", "n_kept_lines", "kept_chars", "n_sentences",
         "has_brace", "has_lorem", "has_jswarn", "is_kept",
         "chunk_id", "cnt", "n_grams", "weight_unats",
-        "n_registers_set", "est_distinct", "qb_score", "qbin")
+        "n_registers_set", "est_distinct", "qb_score", "qbin",
+        "tb_score", "tb_tokens")
 
     def q_data_mix_core(spark, sf):
         # bench variant: the original mixing/sampling/packing operator
@@ -3325,13 +3327,30 @@ config:
             "doc_id", "qb_score",
             F.col("bin").cast("long").alias("qbin"))
 
+    def q_token_budget(spark, sf):
+        # "best N tokens" selection (curation.select_token_budget):
+        # iterative radix threshold search — O(log n) map-side-combined
+        # aggregates instead of a global sort, driver state ≤ max(256,
+        # cell_cap) rows; cell_cap=64 forces multi-round refinement so
+        # the gate exercises the recursion, not just the first level
+        from enrich_spark.datapipe.curation import select_token_budget
+
+        feats = _load_docs(spark, sf).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.col("doc_id") % 11).cast("long").alias("tb_score"),
+            (1 + F.col("n_chars") % 500).cast("long").alias("tb_tokens"))
+        return select_token_budget(
+            feats, 30000, "tb_score", token_col="tb_tokens",
+            cell_cap=64).select("doc_id", "tb_score", "tb_tokens")
+
     def q_data_mix(spark, sf):
         return _union_parts(
             _data_mix_core_parts(spark, sf)
             + [("hh", q_heavy_hitters(spark, sf)),
                ("dsir", q_dsir(spark, sf)),
                ("hll", q_hll(spark, sf)),
-               ("qbins", q_qbins(spark, sf))],
+               ("qbins", q_qbins(spark, sf)),
+               ("budget", q_token_budget(spark, sf))],
             fill=_DATA_MIX_FILL,
         )
 
@@ -4313,6 +4332,7 @@ config:
         "quantile_bins": q_qbins,
         "negative_samples": q_neg_samples,
         "multimodal_resize": q_media_resize,
+        "token_budget_select": q_token_budget,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -5908,7 +5928,16 @@ def oracle_sql() -> dict[str, str]:
                            "(SELECT doc_id, n_chars AS qb_score "
                            "FROM documents)", "qb_score", 10) + ")",
                        {"doc_id": "num", "qb_score": "num",
-                        "qbin": "num"})])
+                        "qbin": "num"}),
+                      ("budget",
+                       "SELECT doc_id, tb_score, tb_tokens FROM ("
+                       + _stb_sql(
+                           "(SELECT doc_id, doc_id % 11 AS tb_score, "
+                           "1 + n_chars % 500 AS tb_tokens "
+                           "FROM documents)",
+                           30000, "tb_score", "tb_tokens") + ")",
+                       {"doc_id": "num", "tb_score": "num",
+                        "tb_tokens": "num"})])
 
     _norm = "trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))"
     _words = f"list_distinct(string_split({_norm}, ' '))"

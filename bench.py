@@ -92,6 +92,7 @@ HEADLINE = [
     "quantile_bins",          # value-keyed score-quantile binning
     "negative_samples",       # deterministic contrastive negatives
     "multimodal_resize",      # nearest-neighbor image resample
+    "token_budget_select",    # radix threshold search, no global sort
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -124,7 +125,7 @@ GROUPS = [
      "dataset_manifest", "cdc_merge", "multimodal_frames",
      "multimodal_decode", "warc_parse", "dsir_select", "data_card",
      "zorder_cluster", "weighted_sample", "quantile_bins",
-     "multimodal_resize"],
+     "multimodal_resize", "token_budget_select"],
 ]
 assert sorted(n for g in GROUPS for n in g) == sorted(HEADLINE)
 

@@ -198,6 +198,142 @@ def quantile_bins_sql(
 
 
 # ---------------------------------------------------------------------------
+# token-budget selection — "take the best N tokens"
+
+
+def _budget_key(score_col: str, id_col: str, seed: int):
+    """Total selection order as ONE hex string key: score DESC (hex of
+    2^31-1−score, so bigger scores sort first), then md5(seed:id) (a
+    deterministic shuffle among equal scores), then the id itself (16
+    hex digits) — keys are UNIQUE per row, so the budget cutoff is a
+    single point in the key domain with no tie handling."""
+    inv = (F.lit((1 << 31) - 1)
+           - F.col(score_col).cast("long")).cast("long")
+    return F.concat(
+        F.lpad(F.lower(F.conv(inv.cast("string"), 10, 16)), 8, "0"),
+        F.md5(F.concat(F.lit(f"{seed}:"),
+                       F.col(id_col).cast("string"))),
+        F.lpad(F.lower(F.conv(F.col(id_col).cast("string"), 10, 16)),
+               16, "0"),
+    )
+
+
+def select_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    score_col: str,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    cell_cap: int = 65536,
+) -> DataFrame:
+    """Select the highest-priority documents whose token counts fit a
+    budget — the "pick the best 1B tokens" primitive of data-constrained
+    training recipes. A doc is selected iff its INCLUSIVE cumulative
+    token count, walking docs in selection order, is ≤ ``budget_tokens``
+    (equal scores are tie-broken by a seeded hash, then id, so the
+    selection is a pure function of (corpus, seed)).
+
+    The naive plan — global sort + running sum — is the single-reducer
+    pattern this repo forbids. Instead the cutoff KEY is found by
+    ITERATIVE RADIX REFINEMENT: each round groups the current key-prefix
+    range by its next two hex digits (≤256 groups, one map-side-combined
+    aggregate), the driver walks the ≤256 (bucket, token-sum) rows to
+    find the straddling bucket, and recurses into it; when the
+    straddling cell holds ≤ ``cell_cap`` rows its (key, tokens) pairs
+    come to the driver for the exact cutoff. md5 keys make cells shrink
+    ~256× per round, so rounds = O(log₂₅₆ n) full-scan aggregates (each
+    a narrowing map-side filter — NO shuffle of the data itself), and
+    driver state never exceeds max(256, cell_cap) rows. The final
+    selection is one map-side ``key ≤ cutoff`` filter.
+
+    Scores must be non-negative integers < 2^31 (quantize first — the
+    repo-wide integer-score rule). Output: the selected docs' columns
+    plus ``sel_key`` (the selection-order commitment).
+    """
+    keyed = docs.withColumn(
+        "sel_key", _budget_key(score_col, id_col, seed))
+    tok = F.col(token_col).cast("long")
+
+    total = keyed.agg(
+        F.sum(tok).alias("t"), F.count(F.lit(1)).alias("n")).collect()[0]
+    if total.n == 0 or (total.t or 0) <= budget_tokens:
+        return keyed  # everything fits
+
+    prefix = ""
+    remaining = budget_tokens
+    cutoff = None
+    while cutoff is None:
+        depth = len(prefix)
+        cand = keyed.where(F.col("sel_key").startswith(prefix)) \
+            if prefix else keyed
+        cells = (cand.groupBy(
+            F.substring("sel_key", depth + 1, 2).alias("_cell"))
+            .agg(F.sum(tok).alias("_t"), F.count(F.lit(1)).alias("_n"))
+            .collect())
+        cells.sort(key=lambda r: r._cell)
+        for c in cells:
+            if c._t <= remaining:
+                remaining -= c._t
+                continue
+            # straddling cell
+            if c._n <= cell_cap:
+                rows = (keyed.where(
+                    F.col("sel_key").startswith(prefix + c._cell))
+                    .select("sel_key", tok.alias("_tok")).collect())
+                rows.sort(key=lambda r: r.sel_key)
+                cutoff = prefix  # sentinel: nothing more fits
+                for r in rows:
+                    if r._tok > remaining:
+                        break
+                    remaining -= r._tok
+                    cutoff = r.sel_key
+            else:
+                prefix = prefix + c._cell
+            break
+        else:
+            # defensive: every cell fit (unreachable — we only descend
+            # into a cell whose token sum exceeds the remaining budget).
+            # 'z' sorts after every hex digit, closing the whole range.
+            cutoff = prefix + "zz"
+    if cutoff == prefix:
+        # nothing inside the straddling cell fit: everything strictly
+        # below the cell boundary is selected
+        return keyed.where(F.col("sel_key") < prefix + c._cell)
+    return keyed.where(F.col("sel_key") <= cutoff)
+
+
+def select_token_budget_sql(
+    from_sql: str,
+    budget_tokens: int,
+    score_expr: str,
+    token_expr: str,
+    id_expr: str = "doc_id",
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of :func:`select_token_budget` — the oracle may use
+    the global cumulative window the Spark side must avoid."""
+    inv = f"({(1 << 31) - 1} - CAST({score_expr} AS BIGINT))"
+    key = (f"lpad(format('{{:x}}', {inv}), 8, '0') || "
+           f"md5('{seed}:' || {id_expr}) || "
+           f"lpad(format('{{:x}}', CAST({id_expr} AS BIGINT)), 16, '0')")
+    return f"""
+        WITH k AS (
+          SELECT *, {key} AS sel_key,
+                 CAST({token_expr} AS BIGINT) AS _tok
+          FROM {from_sql}
+        ),
+        c AS (
+          SELECT *, sum(_tok) OVER (ORDER BY sel_key
+                 ROWS UNBOUNDED PRECEDING) AS _cum
+          FROM k
+        )
+        SELECT * EXCLUDE (_tok, _cum) FROM c
+        WHERE _cum <= {budget_tokens}
+    """
+
+
+# ---------------------------------------------------------------------------
 # sequence packing
 
 

@@ -210,6 +210,18 @@ def _op_quantile_bins(docs, score_col, k=10, max_distinct=1_000_000, **_):
     return quantile_bins(docs, score_col, k=k, max_distinct=max_distinct)
 
 
+def _op_token_budget(docs, budget_tokens, score_col, token_col="n_tokens",
+                     id_col="doc_id", seed=42, **_):
+    """Keep the highest-priority docs whose tokens fit the budget
+    (curation.select_token_budget); the sel_key commitment is dropped
+    so the text column chain stays clean."""
+    from .curation import select_token_budget
+
+    return select_token_budget(
+        docs, budget_tokens, score_col, token_col=token_col,
+        id_col=id_col, seed=seed).drop("sel_key")
+
+
 def _op_weighted_sample(docs, k, weight_col, id_col="doc_id", seed=42,
                         max_weight=64, **_):
     """Keep a weighted sample of exactly min(k, n) docs (A-ES without
@@ -238,6 +250,7 @@ CURATION_OPS = {
     "stratified_sample": _op_stratified_sample,
     "per_group_cap": _op_per_group_cap,
     "weighted_sample": _op_weighted_sample,
+    "token_budget": _op_token_budget,
     # transform
     "pii_scrub": _op_pii_scrub,
     "despan": _op_despan,

@@ -2746,3 +2746,39 @@ def test_resize_images(spark):
     assert got[2].mean_val == manual.mean()
 
     assert got[3].codec == "skip" and got[3].width is None
+
+
+def test_select_token_budget(spark):
+    """The radix threshold search selects EXACTLY the prefix of the
+    (score desc, hash, id) order whose inclusive token cumsum fits the
+    budget — checked against a brute-force replay; multi-round
+    refinement (tiny cell_cap) and the all-fits short-circuit both
+    hold; higher scores are never displaced by lower ones."""
+    import hashlib
+
+    from enrich_spark.datapipe.curation import select_token_budget
+
+    rows = [(i, i % 5, 10 + i % 37) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, score LONG, n_tokens LONG")
+
+    def key(i, s):
+        return (format((1 << 31) - 1 - s, "08x")
+                + hashlib.md5(f"42:{i}".encode()).hexdigest()
+                + format(i, "016x"))
+
+    ordered = sorted(rows, key=lambda r: key(r[0], r[1]))
+    budget, cum, want = 2500, 0, set()
+    for i, s, t in ordered:
+        if cum + t > budget:
+            break
+        cum += t
+        want.add(i)
+
+    got = {r.doc_id for r in
+           select_token_budget(docs, budget, "score", cell_cap=4).collect()}
+    assert got == want
+    sel_scores = {s for i, s, _ in rows if i in got}
+    unsel_scores = {s for i, s, _ in rows if i not in got}
+    assert min(sel_scores) >= max(unsel_scores) - 1  # boundary is one score
+
+    assert select_token_budget(docs, 10**9, "score").count() == 300

@@ -270,3 +270,21 @@ def test_pipeline_normalize_and_quantile_bins(spark):
     seen = {}
     for r in out:
         assert seen.setdefault(r.score, r.bin) == r.bin
+
+
+def test_pipeline_token_budget(spark):
+    """token_budget composes in a pipeline: token counts annotated by
+    an upstream step feed the selection; output tokens fit the budget
+    and prefer higher scores."""
+    docs = spark.createDataFrame(
+        [(i, ("word " * (10 + i % 5)).strip(), i % 3)
+         for i in range(40)],
+        "doc_id long, text string, score long")
+    out = run_pipeline(docs, [
+        {"op": "token_counts"},
+        {"op": "token_budget", "budget_tokens": 150,
+         "score_col": "score", "token_col": "ws_tokens"},
+    ]).collect()
+    total = sum(r.ws_tokens for r in out)
+    assert 0 < total <= 150
+    assert all(r.score == 2 for r in out)   # budget exhausts in tier 2
