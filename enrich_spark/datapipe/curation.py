@@ -248,8 +248,10 @@ def select_token_budget(
     selection is one map-side ``key ≤ cutoff`` filter.
 
     Scores must be non-negative integers < 2^31 (quantize first — the
-    repo-wide integer-score rule). Output: the selected docs' columns
-    plus ``sel_key`` (the selection-order commitment).
+    repo-wide integer-score rule) and token counts non-null (a NULL
+    would vanish from the budget sums yet pass the key filter —
+    ``coalesce`` upstream). Output: the selected docs' columns plus
+    ``sel_key`` (the selection-order commitment).
     """
     keyed = docs.withColumn(
         "sel_key", _budget_key(score_col, id_col, seed))
