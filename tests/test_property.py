@@ -634,3 +634,71 @@ def test_quantile_bins_matches_brute_force_property(scores, k):
     docs = spark.createDataFrame(rows, "doc_id INT, score INT")
     got = {r.doc_id: r.bin for r in quantile_bins(docs, "score", k=k).collect()}
     assert got == {i: want_bin[s] for i, s in rows}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(1, 40)),
+                min_size=1, max_size=50),
+       st.integers(0, 600))
+def test_select_token_budget_matches_brute_force_property(rows_in, budget):
+    """select_token_budget == the pure-Python prefix walk of the
+    (score desc, md5, id) order, for any score/token structure and any
+    budget (including 0 and over-total)."""
+    import hashlib
+
+    from enrich_spark.datapipe.curation import select_token_budget
+
+    spark = _get_spark()
+    rows = [(i, s, t) for i, (s, t) in enumerate(rows_in)]
+
+    def key(i, s):
+        return (format((1 << 31) - 1 - s, "08x")
+                + hashlib.md5(f"42:{i}".encode()).hexdigest()
+                + format(i, "016x"))
+
+    cum, want = 0, set()
+    for i, s, t in sorted(rows, key=lambda r: key(r[0], r[1])):
+        if cum + t > budget:
+            break
+        cum += t
+        want.add(i)
+
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, score LONG, n_tokens LONG")
+    got = {r.doc_id for r in select_token_budget(
+        docs, budget, "score", cell_cap=3).collect()}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(0, 10**6), min_size=1, max_size=40, unique=True),
+       st.integers(1, 5), st.integers(4, 32))
+def test_negative_samples_matches_reference_property(ids, k, nb):
+    """negative_samples == the pure-Python replay of the bucket/rep/
+    offset definition, for any id set, k, and bucket count."""
+    import hashlib
+
+    from enrich_spark.datapipe.similarity import negative_samples
+
+    spark = _get_spark()
+
+    def bucket(i):
+        return int(hashlib.md5(f"42:neg:{i}".encode())
+                   .hexdigest()[:15], 16) % nb
+
+    reps = {}
+    for i in ids:
+        b = bucket(i)
+        reps[b] = min(reps.get(b, i), i)
+    want = set()
+    for i in ids:
+        b = bucket(i)
+        for j in range(1, k + 1):
+            rep = reps.get((b + j) % nb)
+            if rep is not None and rep != i:
+                want.add((i, j, rep))
+
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
+    got = {(r.anchor_id, r.j, r.neg_id) for r in
+           negative_samples(docs, k=k, n_buckets=nb).collect()}
+    assert got == want
