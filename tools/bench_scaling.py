@@ -51,6 +51,8 @@ FAMILIES = {
     "quantile_bins": "quantile_bins",
     "weighted_sample": "weighted_sample",
     "negative_samples": "negative_samples",
+    "token_budget_select": "token_budget_select",
+    "multimodal_resize": "multimodal_resize",
 }
 ID_SHIFT = 10_000_000
 
