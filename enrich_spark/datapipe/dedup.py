@@ -24,6 +24,9 @@ Strategies over a document table (doc_id, text), each designed for the
                          (Lee et al. 2022 at word-window granularity).
 * remove_duplicate_spans — applies those spans: cuts duplicated runs
                          out of the text (the paper's actual output).
+* remove_boilerplate_lines — cross-document LINE dedup (MassiveText/
+                         RefinedWeb): lines repeating in > N distinct
+                         docs are chrome, cut from every doc.
 * contamination_check  — benchmark decontamination via broadcast
                          window-hash join; contamination_check_multi
                          for several eval sets with per-set n-gram size.
