@@ -190,3 +190,37 @@ def sample_exact_k_per_group(
     return (df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k)
             .drop("_rn"))
+
+
+def repartition_for_bytes(
+    df: DataFrame,
+    target_bytes: int,
+    size_expr: Column | str | None = None,
+) -> DataFrame:
+    """Repartition so each output file lands near ``target_bytes`` —
+    the knob behind "write ~512 MB parquet shards", which downstream
+    scan parallelism and object-store request counts both care about.
+
+    One bounded aggregate estimates total payload bytes (default: sum
+    of the lengths of all string/binary columns — the columns that
+    dominate a document corpus), then a single round-robin
+    ``repartition(ceil(total/target))``. An explicit ``size_expr``
+    (e.g. ``F.length("text") + F.length("media")``) overrides the
+    default estimate. Parquet encoding/compression shrinks the actual
+    files below the raw estimate — pick ``target_bytes`` as the RAW
+    payload budget per shard.
+    """
+    if size_expr is None:
+        cols = [f.name for f in df.schema.fields
+                if f.dataType.simpleString() in ("string", "binary")]
+        if not cols:
+            size_expr = F.lit(64)   # narrow numeric rows: ~64 B flat
+        else:
+            size_expr = sum((F.coalesce(F.length(c), F.lit(0))
+                             for c in cols), F.lit(0))
+    elif isinstance(size_expr, str):
+        size_expr = F.col(size_expr)
+    total = df.agg(F.sum(size_expr.cast("long")).alias("b")) \
+        .collect()[0].b or 0
+    n = max(1, -(-total // max(target_bytes, 1)))
+    return df.repartition(int(n))

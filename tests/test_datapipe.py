@@ -2782,3 +2782,26 @@ def test_select_token_budget(spark):
     assert min(sel_scores) >= max(unsel_scores) - 1  # boundary is one score
 
     assert select_token_budget(docs, 10**9, "score").count() == 300
+
+
+def test_repartition_for_bytes(spark):
+    """Partition count = ceil(total payload / target); explicit size
+    expression honored; numeric-only frames fall back to a flat row
+    estimate and never crash."""
+    from enrich_spark.datapipe.layout import repartition_for_bytes
+
+    docs = spark.createDataFrame(
+        [(i, "x" * 1000) for i in range(100)], "doc_id LONG, text STRING")
+    out = repartition_for_bytes(docs, 20_000)        # 100k bytes total
+    assert out.rdd.getNumPartitions() == 5
+    assert out.count() == 100
+
+    out2 = repartition_for_bytes(docs, 10**9)
+    assert out2.rdd.getNumPartitions() == 1
+
+    explicit = repartition_for_bytes(
+        docs, 25_000, F.length("text") * 2)          # 200k weighted
+    assert explicit.rdd.getNumPartitions() == 8
+
+    nums = spark.range(10).select(F.col("id").alias("doc_id"))
+    assert repartition_for_bytes(nums, 320).rdd.getNumPartitions() == 2
