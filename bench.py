@@ -202,6 +202,7 @@ def main():
         return
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for group in GROUPS:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
@@ -216,13 +217,19 @@ def main():
                 continue
             rec = json.loads(line)
             timings[rec["query"]] = rec["warm_median"]
+            spreads[rec["query"]] = rec.get("spread", 0.0)
 
     total = round(sum(timings.values()), 3)
+    # `queries` stays name -> median seconds (the driver's contract);
+    # `spreads` carries each row's max-min over the warm runs so a
+    # round-over-round delta can be told from run noise WITHOUT
+    # rerunning (tools/bench_compare.py flags only |delta| > spread)
     print(json.dumps({
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
+        "spreads": {n: spreads[n] for n in HEADLINE if n in spreads},
         "sf": sf,
     }))
 

@@ -127,7 +127,6 @@ def quantile_bins(
     docs: DataFrame,
     score_col: str,
     k: int = 10,
-    id_col: str = "doc_id",
     max_distinct: int = 1_000_000,
 ) -> DataFrame:
     """Assign every doc an integer quantile bin 1..k by ``score_col`` —
@@ -150,13 +149,17 @@ def quantile_bins(
     raises if the score cardinality exceeds ``max_distinct`` rather
     than silently shipping an unbounded table to the driver.
     """
+    # .limit(max_distinct + 1) bounds the driver fetch BEFORE
+    # materializing: a high-cardinality score column hits the ValueError,
+    # never an unbounded driver collect.
     cnts = (docs.groupBy(F.col(score_col).alias("_s"))
             .agg(F.count(F.lit(1)).alias("_c"))
+            .limit(max_distinct + 1)
             .collect())
     if len(cnts) > max_distinct:
         raise ValueError(
-            f"quantile_bins: {len(cnts)} distinct scores exceeds "
-            f"max_distinct={max_distinct}; quantize the score first "
+            f"quantile_bins: more than max_distinct={max_distinct} "
+            "distinct scores; quantize the score first "
             "(e.g. integer basis points)")
     cnts.sort(key=lambda r: (r._s is None, r._s))
     n = sum(r._c for r in cnts) or 1
@@ -257,8 +260,44 @@ def select_token_budget(
         "sel_key", _budget_key(score_col, id_col, seed))
     tok = F.col(token_col).cast("long")
 
+    # Cache `keyed` for the whole search: the validation pass below
+    # doubles as the cache fill, so the O(log₂₅₆ n) radix rounds (and
+    # the straddling-cell fetch) read the cache instead of re-scanning
+    # the source once per round. Unpersisted before returning — the
+    # final filter recomputes from source exactly once at the caller's
+    # action, as before (total source scans: 1 search + 1 action).
+    keyed.persist()
+    try:
+        return _budget_search(keyed, tok, budget_tokens, score_col,
+                              id_col, token_col, cell_cap)
+    finally:
+        keyed.unpersist()
+
+
+def _budget_search(keyed, tok, budget_tokens, score_col, id_col,
+                   token_col, cell_cap):
+    # One initial pass computes the total AND validates the documented
+    # preconditions (score ∈ [0, 2^31), no NULL score/id/token) — a NULL
+    # or out-of-range score would otherwise mis-sort silently (conv()
+    # overflows 8 hex digits at 2^31; NULL keys vanish from filters).
     total = keyed.agg(
-        F.sum(tok).alias("t"), F.count(F.lit(1)).alias("n")).collect()[0]
+        F.sum(tok).alias("t"), F.count(F.lit(1)).alias("n"),
+        F.min(F.col(score_col).cast("long")).alias("smin"),
+        F.max(F.col(score_col).cast("long")).alias("smax"),
+        F.sum(F.when(F.col(score_col).isNull()
+                     | F.col(id_col).isNull()
+                     | F.col(token_col).isNull(), 1)
+              .otherwise(0)).alias("nbad")).collect()[0]
+    if (total.nbad or 0) > 0:
+        raise ValueError(
+            f"select_token_budget: {total.nbad} rows have NULL "
+            f"{score_col}/{id_col}/{token_col}; coalesce or filter "
+            "upstream — NULLs would be silently mis-selected")
+    if total.n and (total.smin < 0 or total.smax >= (1 << 31)):
+        raise ValueError(
+            f"select_token_budget: scores must be integers in "
+            f"[0, 2^31), got range [{total.smin}, {total.smax}]; "
+            "quantize the score first")
     if total.n == 0 or (total.t or 0) <= budget_tokens:
         return keyed  # everything fits
 
@@ -294,9 +333,10 @@ def select_token_budget(
                 prefix = prefix + c._cell
             break
         else:
-            # defensive: every cell fit (unreachable — we only descend
-            # into a cell whose token sum exceeds the remaining budget).
-            # 'z' sorts after every hex digit, closing the whole range.
+            # defensive: every cell fit (unreachable — we only
+            # descend into a cell whose token sum exceeds the
+            # remaining budget). 'z' sorts after every hex digit,
+            # closing the whole range.
             cutoff = prefix + "zz"
     if cutoff == prefix:
         # nothing inside the straddling cell fit: everything strictly

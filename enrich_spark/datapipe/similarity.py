@@ -547,6 +547,7 @@ def mine_margin_pairs(
     margin_threshold_ppm: int = 1_000_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_src_rows: int | None = 100_000,
 ) -> DataFrame:
     """Margin-based pair mining (Artetxe & Schwenk 2019, the standard
     bitext/hard-negative miner): a candidate pair (x ∈ src, y ∈ tgt)
@@ -566,9 +567,24 @@ def mine_margin_pairs(
 
     Scale shape: assumes src is the SMALL side (a query batch, an eval
     set, the new-crawl slice) — both directions run through
-    :func:`brute_force_topk`'s broadcast plan; swap in lsh_topk for
-    src sizes beyond broadcast range (same downstream algebra).
+    :func:`brute_force_topk`'s broadcast plan (both broadcasts are
+    bounded by |src| rows: the reverse direction only broadcasts src's
+    top-1 targets). That contract is ENFORCED, not advisory:
+    ``max_src_rows`` (default 100k ≈ dim·8·100k bytes broadcast — size
+    for your executors) is checked with one count and the function
+    raises, pointing at :func:`lsh_topk`, instead of letting an
+    oversized src reach a silent executor OOM. Pass ``None`` to skip
+    the count when the caller already bounds src.
     """
+    if max_src_rows is not None:
+        n_src = src.count()
+        if n_src > max_src_rows:
+            raise ValueError(
+                f"mine_margin_pairs: src has {n_src} rows > "
+                f"max_src_rows={max_src_rows}; the broadcast plan would "
+                "risk executor OOM — use lsh_topk for the neighbor "
+                "search (same downstream margin algebra) or raise the "
+                "cap explicitly")
     # widen to double BEFORE any multiply: float32 products rounded to
     # float then promoted differ from promote-then-multiply doubles at
     # ~1e-7 — enough to flip the 1e-6 integer floors this op gates on
@@ -650,6 +666,15 @@ def negative_samples(
     ids = docs.select(F.col(id_col).alias("_id")).withColumn(
         "_b", bucket(F.col("_id")))
     reps = ids.groupBy("_b").agg(F.min("_id").alias("_rep")).collect()
+    if not reps:
+        # empty corpus: an argless create_map() is untyped and breaks
+        # element_at analysis — return an empty frame with the same
+        # schema as the populated path instead
+        return (docs.select(
+            F.col(id_col).alias("anchor_id"),
+            F.lit(1).cast("long").alias("j"),
+            F.col(id_col).alias("neg_id"))
+            .where(F.lit(False)))
     rep_map = F.create_map(
         *[F.lit(x) for r in reps for x in (int(r._b), r._rep)])
     out = (docs.select(F.col(id_col).alias("anchor_id"))

@@ -51,10 +51,22 @@ __all__ = [
 class KinesisPullSource:
     """One pull = drain every shard from its checkpointed sequence
     number (AFTER_SEQUENCE_NUMBER) or the configured initial position,
-    page by page until caught up."""
+    page by page until caught up.
+
+    Shards drain CONCURRENTLY — one worker thread per shard (capped by
+    ``max_shard_threads``), the KCL's concurrent-record-processor model
+    (reference KinesisApp.scala:21 + fan-out config,
+    config.kinesis.reference.hocon:32-35): at hundreds of shards a
+    sequential loop caps ingest at one GetRecords round-trip at a time
+    regardless of executor count, while per-shard threads keep every
+    shard's iterator in flight. Per-shard ordering is preserved (one
+    thread owns a shard end to end); cross-shard ordering was never a
+    Kinesis guarantee. The HTTP client is stateless per request, so one
+    client instance is shared safely."""
 
     def __init__(self, conf, client=None,
-                 max_batch_records: int = 100_000):
+                 max_batch_records: int = 100_000,
+                 max_shard_threads: int = 16):
         from ..sources.kinesis import KinesisError, KinesisHttpClient
 
         if client is None:
@@ -70,34 +82,64 @@ class KinesisPullSource:
         # SEVERAL microbatches (the loop re-pulls), never one
         # arbitrarily large row list in driver memory
         self.max_batch_records = max_batch_records
+        self.max_shard_threads = max_shard_threads
+
+    def _drain_shard(self, shard_id: str, last, budget: int):
+        """Drain ONE shard (own thread): → (shard_id, rows, last_seq).
+        The per-shard budget keeps the assembled batch ≤
+        max_batch_records even when every shard is deep."""
+        conf, client = self.conf, self.client
+        if last is not None:
+            it = client.shard_iterator(
+                conf.stream_name, shard_id,
+                position="AFTER_SEQUENCE_NUMBER",
+                sequence_number=last)
+        else:
+            it = client.shard_iterator(
+                conf.stream_name, shard_id,
+                position=conf.initial_position.type,
+                timestamp=conf.initial_position.timestamp)
+        rows, seq = [], None
+        while it and len(rows) < budget:
+            # clamp the page to the remaining budget: the assembled
+            # batch stays ≤ max_batch_records exactly (no page-size
+            # overshoot), and the checkpoint still lands mid-shard
+            recs, it = client.get_records(
+                it, limit=min(conf.max_records, budget - len(rows)))
+            if not recs:
+                break
+            for key, data, s, ts in recs:
+                rows.append((bytearray(data), key, s, shard_id,
+                             float(ts) if ts is not None else None))
+                seq = s
+        return shard_id, rows, seq
 
     def pull(self, spark: SparkSession, state: dict):
         """→ (DataFrame | None, new_state, commit_fn)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         from pyspark.sql import types as T
 
         conf, client = self.conf, self.client
+        shard_ids = list(client.list_shards(conf.stream_name))
+        if not shard_ids:
+            return None, state, lambda: None
+        budget = max(1, self.max_batch_records // len(shard_ids))
         rows = []
         new_state = dict(state)
-        for shard_id in client.list_shards(conf.stream_name):
-            last = state.get(shard_id)
-            if last is not None:
-                it = client.shard_iterator(
-                    conf.stream_name, shard_id,
-                    position="AFTER_SEQUENCE_NUMBER",
-                    sequence_number=last)
-            else:
-                it = client.shard_iterator(
-                    conf.stream_name, shard_id,
-                    position=conf.initial_position.type,
-                    timestamp=conf.initial_position.timestamp)
-            while it and len(rows) < self.max_batch_records:
-                recs, it = client.get_records(it, limit=conf.max_records)
-                if not recs:
-                    break
-                for key, data, seq, ts in recs:
-                    rows.append((bytearray(data), key, seq, shard_id,
-                                 float(ts) if ts is not None else None))
-                    new_state[shard_id] = seq
+        with ThreadPoolExecutor(
+                max_workers=min(len(shard_ids),
+                                self.max_shard_threads)) as pool:
+            futs = [pool.submit(self._drain_shard, sid,
+                                state.get(sid), budget)
+                    for sid in shard_ids]
+            # deterministic assembly order (submit order = shard order)
+            # so a replayed batch builds the identical DataFrame
+            for fut in futs:
+                sid, shard_rows, seq = fut.result()
+                rows.extend(shard_rows)
+                if seq is not None:
+                    new_state[sid] = seq
         if not rows:
             return None, state, lambda: None
         schema = T.StructType([
@@ -115,9 +157,17 @@ class KinesisPullSource:
 
 class PubSubPullSource:
     """One pull = drain the subscription up to max_messages; the commit
-    is the deferred acknowledge (broker-side checkpoint)."""
+    is the deferred acknowledge (broker-side checkpoint).
 
-    def __init__(self, conf, client=None, max_messages: int = 1000):
+    ``concurrency`` > 1 issues that many pull requests in flight at
+    once (competing consumers — Pub/Sub's native model, so concurrent
+    pages need no coordination): a single sequential pull loop caps
+    ingest at one REST round-trip at a time. Ack-deferral semantics are
+    unchanged — every pulled message's ack_id rides the same
+    commit_fn, acknowledged only after the sinks succeed."""
+
+    def __init__(self, conf, client=None, max_messages: int = 1000,
+                 concurrency: int = 4):
         from ..sources.pubsub import PubSubError, PubSubHttpClient
 
         if client is None:
@@ -130,17 +180,34 @@ class PubSubPullSource:
         self.conf = conf
         self.client = client
         self.max_messages = max_messages
+        self.concurrency = max(1, concurrency)
 
     def pull(self, spark: SparkSession, state: dict):
+        from concurrent.futures import ThreadPoolExecutor
+
         from pyspark.sql import types as T
 
         client, sub = self.client, self.conf.subscription
         pulled = []
-        while len(pulled) < self.max_messages:
-            page = client.pull(sub, self.max_messages - len(pulled))
-            if not page:
-                break
-            pulled.extend(page)
+        if self.concurrency == 1:
+            while len(pulled) < self.max_messages:
+                page = client.pull(sub, self.max_messages - len(pulled))
+                if not page:
+                    break
+                pulled.extend(page)
+        else:
+            with ThreadPoolExecutor(self.concurrency) as pool:
+                while len(pulled) < self.max_messages:
+                    rem = self.max_messages - len(pulled)
+                    n_flight = min(self.concurrency, rem)
+                    per = max(1, rem // n_flight)
+                    pages = [f.result() for f in [
+                        pool.submit(client.pull, sub, per)
+                        for _ in range(n_flight)]]
+                    got = [m for page in pages for m in page]
+                    if not got:
+                        break
+                    pulled.extend(got)
         if not pulled:
             return None, state, lambda: None
         ack_ids = [p[0] for p in pulled]

@@ -140,7 +140,7 @@ EXPECTED_BUNDLE_PARTS = {
     "dedup_ngram_jaccard": ["blocked", "prefix", "clusters", "policy"],
     "ann_lsh_topk": ["plain", "probe"],
     "ann_ivf_topk": ["ivf", "cluster", "pq_codes", "pq_adc"],
-    "embedding_dup_pairs": ["pairs", "semdedup", "int8",
+    "embedding_dup_pairs": ["pairs", "lsh_pairs", "semdedup", "int8",
                             "margin", "negs"],
     "text_analysis": ["lang", "quality", "tokens", "fprint", "stats",
                       "rep", "lm", "html", "bpe", "unigram", "url",

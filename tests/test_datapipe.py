@@ -2784,6 +2784,118 @@ def test_select_token_budget(spark):
     assert select_token_budget(docs, 10**9, "score").count() == 300
 
 
+def test_select_token_budget_validates_preconditions(spark):
+    """NULL score/id/token and out-of-range scores raise in the initial
+    pass instead of silently mis-selecting (NULL keys vanish from
+    filters; scores >= 2^31 overflow the 8-hex key prefix)."""
+    import pytest as _pytest
+
+    from enrich_spark.datapipe.curation import select_token_budget
+
+    nulls = spark.createDataFrame(
+        [(1, 5, 10), (2, None, 10)],
+        "doc_id LONG, score LONG, n_tokens LONG")
+    with _pytest.raises(ValueError, match="NULL"):
+        select_token_budget(nulls, 5, "score")
+
+    big = spark.createDataFrame(
+        [(1, 5, 10), (2, 1 << 31, 10)],
+        "doc_id LONG, score LONG, n_tokens LONG")
+    with _pytest.raises(ValueError, match="2\\^31"):
+        select_token_budget(big, 5, "score")
+
+    neg = spark.createDataFrame(
+        [(1, -3, 10)], "doc_id LONG, score LONG, n_tokens LONG")
+    with _pytest.raises(ValueError, match="2\\^31"):
+        select_token_budget(neg, 5, "score")
+
+
+def test_select_token_budget_radix_rounds_read_cache(spark):
+    """The r11 persist: a multi-round radix search scans the SOURCE at
+    most twice (one cache fill during the validation pass + one
+    recompute at the caller's action) — not once per round. Counted via
+    an accumulator UDF on the token column: pre-persist the same search
+    cost >= 5 source scans (validate + 2 radix rounds + straddle fetch
+    + final action)."""
+    from pyspark.sql import functions as F
+
+    from enrich_spark.datapipe.curation import select_token_budget
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _count(v):
+        acc.add(1)
+        return v
+
+    cudf = F.udf(_count, "long")
+    n = 2000
+    docs = (spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 100).alias("score"),
+        F.lit(10).cast("long").alias("n_tokens"))
+        .withColumn("n_tokens", cudf("n_tokens")))
+    # cell_cap=2 forces >= 2 radix rounds before the straddle fetch
+    out = select_token_budget(docs, n * 10 // 3, "score", cell_cap=2)
+    assert 0 < out.count() < n
+    assert acc.value <= 2 * n + n // 5, (
+        f"{acc.value} token-column evaluations for {n} rows — the radix "
+        "rounds are re-scanning the source instead of the cache")
+
+
+def test_quantile_bins_guard_bounds_driver_fetch(spark):
+    """The max_distinct guard fires from a LIMITed fetch — the plan
+    collects at most max_distinct+1 rows, never the full distinct-score
+    table (the ADVICE r10 driver-OOM hole)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from enrich_spark.datapipe.curation import quantile_bins
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _count(v):
+        acc.add(1)
+        return v
+
+    cudf = F.udf(_count, "long")
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"), cudf(F.col("id")).alias("score"))
+    with _pytest.raises(ValueError, match="max_distinct"):
+        quantile_bins(docs, "score", k=4, max_distinct=10)
+
+
+def test_mine_margin_pairs_src_cap(spark):
+    """The broadcast contract is enforced: src larger than max_src_rows
+    raises (pointing at lsh_topk) instead of building the OOM-risk
+    broadcast plan; None skips the count."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from enrich_spark.datapipe.similarity import mine_margin_pairs
+
+    vecs = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double"),
+                F.lit(1.0), F.lit(2.0)).alias("embedding"))
+    with _pytest.raises(ValueError, match="lsh_topk"):
+        mine_margin_pairs(vecs, vecs, k=2, max_src_rows=10)
+    # cap disabled -> runs (result content covered by test_mine_margin_pairs)
+    assert mine_margin_pairs(
+        vecs.limit(3), vecs, k=2, max_src_rows=None).count() >= 0
+
+
+def test_negative_samples_empty_corpus(spark):
+    """An empty corpus returns an empty (anchor_id, j, neg_id) frame
+    with the populated-path schema instead of failing analysis on an
+    argless create_map()."""
+    from enrich_spark.datapipe.similarity import negative_samples
+
+    docs = spark.createDataFrame([], "doc_id LONG, text STRING")
+    out = negative_samples(docs, k=3, n_buckets=16)
+    assert out.columns == ["anchor_id", "j", "neg_id"]
+    assert out.count() == 0
+
+
 def test_repartition_for_bytes(spark):
     """Partition count = ceil(total payload / target); explicit size
     expression honored; numeric-only frames fall back to a flat row

@@ -324,3 +324,86 @@ def test_pull_stream_run_loop_stop_when(broker, spark, tmp_path):
         str(tmp_path / "ckpt"))
     q.run(poll_seconds=0.01, stop_when=lambda: next(ticks))
     assert seen == [[b"looped"]]
+
+
+def test_pull_stream_concurrent_shard_drain_kill_recover(spark, tmp_path):
+    """r11: 8 shards drain CONCURRENTLY (per-shard worker threads — the
+    KCL concurrent-record-processor model), verified by observed
+    GetRecords overlap; exactness is unchanged — no loss, no dup, and a
+    kill/recover cycle on the same checkpoint delivers only new
+    records."""
+    import threading
+    import time as _time
+
+    from enrich_spark.streaming.pull_runner import (
+        KinesisPullSource, PullStreamQuery,
+    )
+
+    class CountingClient(KinesisHttpClient):
+        def __init__(self, endpoint):
+            super().__init__(endpoint)
+            self._mu = threading.Lock()
+            self.inflight = 0
+            self.max_inflight = 0
+
+        def get_records(self, iterator, limit=750):
+            with self._mu:
+                self.inflight += 1
+                self.max_inflight = max(self.max_inflight, self.inflight)
+            try:
+                _time.sleep(0.02)   # widen the overlap window
+                return super().get_records(iterator, limit=limit)
+            finally:
+                with self._mu:
+                    self.inflight -= 1
+
+    b = FakeKinesis(nshards=8)
+    try:
+        b.create_stream("wide")
+        ship_to_kinesis([(f"key-{i}", f"rec-{i}".encode())
+                         for i in range(80)],
+                        StreamSinkConf(stream_name="wide"),
+                        b.endpoint, sleep=lambda s: None)
+        client = CountingClient(b.endpoint)
+        conf = KinesisSourceConf(stream_name="wide",
+                                 endpoint_url=b.endpoint, max_records=3)
+        ckpt = str(tmp_path / "ckpt")
+        seen: list = []
+        q = PullStreamQuery(
+            spark, KinesisPullSource(conf, client=client),
+            lambda df, bid: seen.append(
+                [(r.shard_id, r.sequence_number, bytes(r.value))
+                 for r in df.collect()]),
+            ckpt)
+        assert q.process_available() >= 1
+        got = sorted(v for batch in seen for _, _, v in batch)
+        assert got == sorted(f"rec-{i}".encode() for i in range(80))
+        # concurrency actually happened: >= 4 GetRecords in flight at
+        # once across the 8 shard workers
+        assert client.max_inflight >= 4, client.max_inflight
+        # per-shard ordering preserved within each batch
+        for batch in seen:
+            by_shard: dict = {}
+            for sid, seq, _ in batch:
+                by_shard.setdefault(sid, []).append(int(seq))
+            for seqs in by_shard.values():
+                assert seqs == sorted(seqs)
+
+        # kill/recover: fresh instance, same checkpoint — only the new
+        # records arrive, each exactly once
+        ship_to_kinesis([(f"key-{i}", f"new-{i}".encode())
+                         for i in range(16)],
+                        StreamSinkConf(stream_name="wide"),
+                        b.endpoint, sleep=lambda s: None)
+        seen2: list = []
+        q2 = PullStreamQuery(
+            spark, KinesisPullSource(conf, client=CountingClient(b.endpoint)),
+            lambda df, bid: seen2.append(
+                [bytes(r.value) for r in df.collect()]),
+            ckpt)
+        assert q2.process_available() >= 1
+        got2 = sorted(v for batch in seen2 for v in batch)
+        assert got2 == sorted(f"new-{i}".encode() for i in range(16))
+        assert q2.process_available() == 0
+    finally:
+        b.stop()

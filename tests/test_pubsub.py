@@ -195,3 +195,54 @@ def test_pull_stream_crash_before_ack_redelivers(broker, spark, tmp_path):
     assert q2.process_available() == 1
     assert calls == [[b"precious"], [b"precious"]]
     assert broker.backlog(SUB) == 0
+
+
+def test_pubsub_concurrent_pulls_overlap_and_stay_exact(broker, spark,
+                                                        tmp_path):
+    """r11: concurrency>1 keeps several pull requests in flight
+    (observed overlap via a counting client); delivery stays exact —
+    every message once, acks still deferred to the commit."""
+    import threading
+    import time as _time
+
+    from enrich_spark.sources.pubsub import PubSubPullConf
+    from enrich_spark.streaming.pull_runner import (
+        PubSubPullSource, PullStreamQuery,
+    )
+
+    class CountingClient(PubSubHttpClient):
+        def __init__(self, host):
+            super().__init__(host)
+            self._mu = threading.Lock()
+            self.inflight = 0
+            self.max_inflight = 0
+
+        def pull(self, subscription, max_messages=1000):
+            with self._mu:
+                self.inflight += 1
+                self.max_inflight = max(self.max_inflight, self.inflight)
+            try:
+                _time.sleep(0.02)
+                return super().pull(subscription, max_messages)
+            finally:
+                with self._mu:
+                    self.inflight -= 1
+
+    ship_to_pubsub([(f"k{i}", f"m-{i}".encode()) for i in range(60)],
+                   StreamSinkConf(stream_name=TOPIC),
+                   broker.host, sleep=lambda s: None)
+    conf = PubSubPullConf(subscription=SUB, emulator_host=broker.host)
+    client = CountingClient(broker.host)
+    seen: list = []
+    q = PullStreamQuery(
+        spark,
+        PubSubPullSource(conf, client=client, max_messages=24,
+                         concurrency=4),
+        lambda df, bid: seen.append([bytes(r.value) for r in df.collect()]),
+        str(tmp_path / "ckpt"))
+    assert q.process_available() >= 1
+    got = sorted(v for batch in seen for v in batch)
+    assert got == sorted(f"m-{i}".encode() for i in range(60))
+    assert client.max_inflight >= 2, client.max_inflight
+    # drained and acked: nothing redelivers
+    assert q.process_available() == 0
