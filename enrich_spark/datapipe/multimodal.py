@@ -198,8 +198,10 @@ def set_native_jpeg_decoder(dec) -> None:
     """Install a NATIVE JPEG decoder behind the same ``decode_features``
     contract — the documented scale path for image-heavy corpora (the
     pure-Python T.81 kernel is the no-dependency correctness baseline
-    at ~0.5-1 Mcoef/s, jpeg.py:20-42; a libjpeg-turbo-backed callable
-    is 100-1000× that).
+    at ~8 Mcoef/s after the r11 inlining, jpeg.py:20-45; a
+    libjpeg-turbo-backed callable is still 10-100× that). In-sandbox
+    the seam is proven with ``jpeg.decode_jpeg_fixedpoint`` — a real
+    alternative decoder (fixed-point IDCT/YCbCr) exercised end-to-end.
 
     ``dec(data: bytes) -> (width, height, channels, ndarray)`` — the
     pure kernel's signature. Pass ``"auto"`` to probe for Pillow and
