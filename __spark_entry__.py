@@ -27,6 +27,7 @@ from enrich_spark.datapipe.unigram import (
     apply_unigram_sql as _unigram_apply_sql,
 )
 from enrich_spark.datapipe.curation import (
+    domain_cap_sql as _dcap_sql,
     leakage_safe_split_sql as _lss_sql,
     quantile_bins_sql as _qbins_sql,
     select_token_budget_sql as _stb_sql,
@@ -3294,7 +3295,7 @@ config:
         "has_brace", "has_lorem", "has_jswarn", "is_kept",
         "chunk_id", "cnt", "n_grams", "weight_unats",
         "n_registers_set", "est_distinct", "qb_score", "qbin",
-        "tb_score", "tb_tokens")
+        "tb_score", "tb_tokens", "dc_score", "domain_rank")
 
     def q_data_mix_core(spark, sf):
         # bench variant: the original mixing/sampling/packing operator
@@ -3343,6 +3344,21 @@ config:
             feats, 30000, "tb_score", token_col="tb_tokens",
             cell_cap=64).select("doc_id", "tb_score", "tb_tokens")
 
+    def q_domain_cap(spark, sf):
+        # per-domain frequency cap (curation.domain_cap): RefinedWeb/
+        # FineWeb-style "≤ N docs per domain, keep highest-scored" —
+        # ONE window partitioned by the domain key (bounded per-key
+        # state; output is skew-free by construction)
+        from enrich_spark.datapipe.curation import domain_cap
+
+        docs = _load_docs(spark, sf).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            F.col("n_chars").cast("long").alias("dc_score"))
+        return domain_cap(docs, cap=400, domain_col="source",
+                          score_col="dc_score").select(
+            "doc_id", "source", "dc_score", "domain_rank")
+
     def q_data_mix(spark, sf):
         return _union_parts(
             _data_mix_core_parts(spark, sf)
@@ -3350,7 +3366,8 @@ config:
                ("dsir", q_dsir(spark, sf)),
                ("hll", q_hll(spark, sf)),
                ("qbins", q_qbins(spark, sf)),
-               ("budget", q_token_budget(spark, sf))],
+               ("budget", q_token_budget(spark, sf)),
+               ("dcap", q_domain_cap(spark, sf))],
             fill=_DATA_MIX_FILL,
         )
 
@@ -4361,6 +4378,8 @@ config:
         "negative_samples": q_neg_samples,
         "multimodal_resize": q_media_resize,
         "token_budget_select": q_token_budget,
+        # r11 (merged into the data_mix bundle)
+        "domain_cap": q_domain_cap,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -5965,7 +5984,16 @@ def oracle_sql() -> dict[str, str]:
                            "FROM documents)",
                            30000, "tb_score", "tb_tokens") + ")",
                        {"doc_id": "num", "tb_score": "num",
-                        "tb_tokens": "num"})])
+                        "tb_tokens": "num"}),
+                      ("dcap",
+                       "SELECT doc_id, source, dc_score, domain_rank "
+                       "FROM (" + _dcap_sql(
+                           "(SELECT doc_id, source, "
+                           "CAST(n_chars AS BIGINT) AS dc_score "
+                           "FROM documents) t",
+                           400, "source", "dc_score") + ")",
+                       {"doc_id": "num", "source": "str",
+                        "dc_score": "num", "domain_rank": "num"})])
 
     _norm = "trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))"
     _words = f"list_distinct(string_split({_norm}, ' '))"

@@ -93,6 +93,7 @@ HEADLINE = [
     "negative_samples",       # deterministic contrastive negatives
     "multimodal_resize",      # nearest-neighbor image resample
     "token_budget_select",    # radix threshold search, no global sort
+    "domain_cap",             # per-domain frequency cap (FineWeb-style)
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -125,7 +126,7 @@ GROUPS = [
      "dataset_manifest", "cdc_merge", "multimodal_frames",
      "multimodal_decode", "warc_parse", "dsir_select", "data_card",
      "zorder_cluster", "weighted_sample", "quantile_bins",
-     "multimodal_resize", "token_budget_select"],
+     "multimodal_resize", "token_budget_select", "domain_cap"],
 ]
 assert sorted(n for g in GROUPS for n in g) == sorted(HEADLINE)
 

@@ -626,6 +626,64 @@ def domain_mix_weights(
     return out
 
 
+def domain_cap(
+    docs: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    score_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-domain document cap — the RefinedWeb/FineWeb-style frequency
+    cap ("no domain contributes more than N docs"), the standard
+    anti-SEO-farm / anti-mirror measure a web-scale corpus applies
+    after dedup: keep at most ``cap`` docs per domain, preferring
+    higher ``score_col``; ties (and the unscored case) break by a
+    seeded md5 hash then id, so the kept set is a pure function of
+    (corpus, seed) — retry/partitioning-invariant and SQL-replayable.
+
+    Scale shape: ONE window partitioned by the domain key — bounded
+    per-key state, the same key-hashed shuffle a per-domain groupBy
+    pays, never a global order (the repo-wide unpartitioned-Window
+    lockout). Skewed mega-domains are precisely the keys the cap
+    truncates, so the post-filter output is skew-FREE by construction:
+    every domain ≤ cap rows. Output: input columns + ``domain_rank``
+    (1-based within domain, the keep-priority commitment).
+    """
+    if cap < 1:
+        raise ValueError("domain_cap: cap must be >= 1")
+    tie = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    order = ([F.col(score_col).cast("long").desc_nulls_last()]
+             if score_col else [])
+    order += [tie.asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(F.col(domain_col)).orderBy(*order)
+    return (docs.withColumn("domain_rank",
+                            F.row_number().over(w).cast("long"))
+            .where(F.col("domain_rank") <= cap))
+
+
+def domain_cap_sql(
+    from_sql: str,
+    cap: int,
+    domain_expr: str = "source",
+    score_expr: str | None = None,
+    id_expr: str = "doc_id",
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of :func:`domain_cap` (same md5 tie-break, same
+    NULLS LAST score order)."""
+    order = (f"CAST({score_expr} AS BIGINT) DESC NULLS LAST, "
+             if score_expr else "")
+    order += f"md5('{seed}:' || {id_expr}) ASC, {id_expr} ASC"
+    return f"""
+        SELECT * EXCLUDE (rn), CAST(rn AS BIGINT) AS domain_rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY {domain_expr}
+                    ORDER BY {order}) AS rn
+          FROM {from_sql})
+        WHERE rn <= {cap}
+    """
+
+
 # ---------------------------------------------------------------------------
 # C4-style heuristic cleanup (Raffel et al. 2020, §2.2 — public rules)
 

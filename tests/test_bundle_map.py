@@ -135,7 +135,8 @@ EXPECTED_BUNDLE_PARTS = {
     "decontam_multi": ["multi", "bloom"],
     "text_pii_scrub": ["base", "fin"],
     "data_mix": ["sample", "pack", "q_lit", "q_join", "mix", "salted",
-                 "c4", "chunk", "hh", "dsir", "hll", "qbins", "budget"],
+                 "c4", "chunk", "hh", "dsir", "hll", "qbins", "budget",
+                 "dcap"],
     "dedup_minhash_lsh": ["sig", "lsh", "incr"],
     "dedup_ngram_jaccard": ["blocked", "prefix", "clusters", "policy"],
     "ann_lsh_topk": ["plain", "probe"],

@@ -2955,6 +2955,57 @@ def test_negative_samples_empty_corpus(spark):
     assert out.count() == 0
 
 
+def test_domain_cap(spark):
+    """Per-domain frequency cap: <= cap rows per domain, higher scores
+    win, ties break by the seeded hash then id (deterministic across
+    calls), small domains pass through untouched, and the plan's window
+    is PARTITIONED (never a global order)."""
+    import hashlib
+
+    from enrich_spark.datapipe.curation import domain_cap
+
+    rows = [(i, f"dom{i % 3}", (i * 7) % 5) for i in range(90)]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, source STRING, score LONG")
+    out = domain_cap(docs, cap=10, domain_col="source",
+                     score_col="score").collect()
+    by_dom: dict = {}
+    for r in out:
+        by_dom.setdefault(r.source, []).append(r)
+    assert set(by_dom) == {"dom0", "dom1", "dom2"}
+    for dom, kept in by_dom.items():
+        assert len(kept) == 10
+        assert sorted(r.domain_rank for r in kept) == list(range(1, 11))
+        # brute-force replay of the keep order
+        cand = [(s, hashlib.md5(f"42:{i}".encode()).hexdigest(), i)
+                for i, d, s in rows if d == dom]
+        cand.sort(key=lambda t: (-t[0], t[1], t[2]))
+        assert sorted(r.doc_id for r in kept) == \
+            sorted(i for _, _, i in cand[:10])
+
+    # unscored mode + pass-through when the domain is under the cap
+    small = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id LONG, source STRING")
+    got = domain_cap(small, cap=5, domain_col="source").collect()
+    assert len(got) == 3
+
+    # determinism across calls
+    again = domain_cap(docs, cap=10, domain_col="source",
+                       score_col="score").collect()
+    assert sorted((r.doc_id, r.domain_rank) for r in again) == \
+        sorted((r.doc_id, r.domain_rank) for r in out)
+
+    plan = domain_cap(docs, cap=10, domain_col="source",
+                      score_col="score")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "windowspecdefinition(source" in plan.replace(
+        "#", "").lower() or "PartitionBy" not in plan  # partitioned window
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cap"):
+        domain_cap(docs, cap=0)
+
+
 def test_repartition_for_bytes(spark):
     """Partition count = ceil(total payload / target); explicit size
     expression honored; numeric-only frames fall back to a flat row

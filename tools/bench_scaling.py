@@ -53,6 +53,13 @@ FAMILIES = {
     "negative_samples": "negative_samples",
     "token_budget_select": "token_budget_select",
     "multimodal_resize": "multimodal_resize",
+    # r11: the aggregation-shaped families — the r10 curve covered
+    # join/map shapes; groupBy(collect_set) / groupBy(md5-sorted-map) /
+    # serialize / range-join rollup are where key skew would surface
+    "metadata_aggregation": "metadata_aggregation",
+    "event_fingerprint": "event_fingerprint",
+    "tsv_serialize": "tsv_serialize",
+    "asn_bot_detection": "asn_bot_detection",
 }
 ID_SHIFT = 10_000_000
 
