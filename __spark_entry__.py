@@ -29,6 +29,7 @@ from enrich_spark.datapipe.unigram import (
 from enrich_spark.datapipe.curation import (
     domain_cap_sql as _dcap_sql,
     leakage_safe_split_sql as _lss_sql,
+    quantile_bins_grouped_sql as _gqbins_sql,
     quantile_bins_sql as _qbins_sql,
     select_token_budget_sql as _stb_sql,
 )
@@ -3295,7 +3296,8 @@ config:
         "has_brace", "has_lorem", "has_jswarn", "is_kept",
         "chunk_id", "cnt", "n_grams", "weight_unats",
         "n_registers_set", "est_distinct", "qb_score", "qbin",
-        "tb_score", "tb_tokens", "dc_score", "domain_rank")
+        "tb_score", "tb_tokens", "dc_score", "domain_rank",
+        "gq_score", "gqbin")
 
     def q_data_mix_core(spark, sf):
         # bench variant: the original mixing/sampling/packing operator
@@ -3344,6 +3346,21 @@ config:
             feats, 30000, "tb_score", token_col="tb_tokens",
             cell_cap=64).select("doc_id", "tb_score", "tb_tokens")
 
+    def q_gqbins(spark, sf):
+        # per-GROUP quantile bins (curation.quantile_bins_grouped):
+        # "top quartile within each source" — bounded (group, score)
+        # threshold table + broadcast join, never a per-group ntile
+        from enrich_spark.datapipe.curation import quantile_bins_grouped
+
+        docs = _load_docs(spark, sf).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            F.col("n_chars").cast("long").alias("gq_score"))
+        return quantile_bins_grouped(
+            docs, "gq_score", "source", k=4).select(
+            "doc_id", "source", "gq_score",
+            F.col("bin").cast("long").alias("gqbin"))
+
     def q_domain_cap(spark, sf):
         # per-domain frequency cap (curation.domain_cap): RefinedWeb/
         # FineWeb-style "≤ N docs per domain, keep highest-scored" —
@@ -3367,7 +3384,8 @@ config:
                ("hll", q_hll(spark, sf)),
                ("qbins", q_qbins(spark, sf)),
                ("budget", q_token_budget(spark, sf)),
-               ("dcap", q_domain_cap(spark, sf))],
+               ("dcap", q_domain_cap(spark, sf)),
+               ("gqbins", q_gqbins(spark, sf))],
             fill=_DATA_MIX_FILL,
         )
 
@@ -4380,6 +4398,7 @@ config:
         "token_budget_select": q_token_budget,
         # r11 (merged into the data_mix bundle)
         "domain_cap": q_domain_cap,
+        "quantile_bins_grouped": q_gqbins,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -5993,7 +6012,17 @@ def oracle_sql() -> dict[str, str]:
                            "FROM documents) t",
                            400, "source", "dc_score") + ")",
                        {"doc_id": "num", "source": "str",
-                        "dc_score": "num", "domain_rank": "num"})])
+                        "dc_score": "num", "domain_rank": "num"}),
+                      ("gqbins",
+                       "SELECT doc_id, source, gq_score, "
+                       "CAST(bin AS BIGINT) AS gqbin FROM ("
+                       + _gqbins_sql(
+                           "(SELECT doc_id, source, "
+                           "CAST(n_chars AS BIGINT) AS gq_score "
+                           "FROM documents) t",
+                           "gq_score", "source", 4) + ")",
+                       {"doc_id": "num", "source": "str",
+                        "gq_score": "num", "gqbin": "num"})])
 
     _norm = "trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))"
     _words = f"list_distinct(string_split({_norm}, ' '))"

@@ -94,6 +94,7 @@ HEADLINE = [
     "multimodal_resize",      # nearest-neighbor image resample
     "token_budget_select",    # radix threshold search, no global sort
     "domain_cap",             # per-domain frequency cap (FineWeb-style)
+    "quantile_bins_grouped",  # per-group score-quantile binning
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -126,7 +127,8 @@ GROUPS = [
      "dataset_manifest", "cdc_merge", "multimodal_frames",
      "multimodal_decode", "warc_parse", "dsir_select", "data_card",
      "zorder_cluster", "weighted_sample", "quantile_bins",
-     "multimodal_resize", "token_budget_select", "domain_cap"],
+     "multimodal_resize", "token_budget_select", "domain_cap",
+     "quantile_bins_grouped"],
 ]
 assert sorted(n for g in GROUPS for n in g) == sorted(HEADLINE)
 

@@ -177,6 +177,84 @@ def quantile_bins(
         .drop("_s"))
 
 
+def quantile_bins_grouped(
+    docs: DataFrame,
+    score_col: str,
+    group_col: str,
+    k: int = 10,
+    max_distinct: int = 1_000_000,
+) -> DataFrame:
+    """Per-GROUP quantile bins — "top decile within each source", the
+    group-aware curriculum/mixing variant of :func:`quantile_bins`
+    (a global bin is wrong when domains have different score scales:
+    one domain's median may be another's top percentile).
+
+    Same construction, keyed by (group, score): one groupBy bounded by
+    Σ_g distinct-scores(g) ≤ ``max_distinct`` (LIMIT-guarded before the
+    driver fetch), cumulative counts walked per group, assignment
+    re-enters as a broadcast join on (group, score). All-integer bin
+    arithmetic; ties share a bin within their group by construction.
+    """
+    cnts = (docs.groupBy(F.col(group_col).alias("_g"),
+                         F.col(score_col).alias("_s"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .limit(max_distinct + 1)
+            .collect())
+    if len(cnts) > max_distinct:
+        raise ValueError(
+            f"quantile_bins_grouped: more than max_distinct="
+            f"{max_distinct} (group, score) combinations; quantize the "
+            "score first (e.g. integer basis points)")
+    by_group: dict = {}
+    for r in cnts:
+        by_group.setdefault(r._g, []).append(r)
+    rows = []
+    for g, grp in by_group.items():
+        grp.sort(key=lambda r: (r._s is None, r._s))
+        n = sum(r._c for r in grp) or 1
+        cum = 0
+        for r in grp:
+            cum += r._c
+            rows.append((g, r._s, 1 + (cum - 1) * k // n))
+    spark = docs.sparkSession
+    bins = spark.createDataFrame(
+        rows,
+        schema=f"_g {docs.schema[group_col].dataType.simpleString()},"
+               f" _s {docs.schema[score_col].dataType.simpleString()},"
+               " bin int")
+    return (docs.join(
+        F.broadcast(bins),
+        docs[group_col].eqNullSafe(bins["_g"])
+        & docs[score_col].eqNullSafe(bins["_s"]), "left")
+        .drop("_g", "_s"))
+
+
+def quantile_bins_grouped_sql(
+    from_sql: str,
+    score_expr: str,
+    group_expr: str,
+    k: int = 10,
+) -> str:
+    """DuckDB mirror of :func:`quantile_bins_grouped` (the oracle may
+    use a per-group window; the Spark side must not)."""
+    return f"""
+        WITH src AS (SELECT *, {score_expr} AS _s, {group_expr} AS _g
+                     FROM {from_sql}),
+        c AS (SELECT _g, _s, count(*) AS _c FROM src GROUP BY _g, _s),
+        b AS (
+          SELECT _g, _s,
+                 CAST(1 + (sum(_c) OVER (PARTITION BY _g
+                           ORDER BY _s NULLS LAST) - 1)
+                      * {k} // greatest(sum(_c) OVER (PARTITION BY _g), 1)
+                   AS INT) AS bin
+          FROM c
+        )
+        SELECT src.* EXCLUDE (_s, _g), b.bin AS bin
+        FROM src LEFT JOIN b ON src._s IS NOT DISTINCT FROM b._s
+                            AND src._g IS NOT DISTINCT FROM b._g
+    """
+
+
 def quantile_bins_sql(
     from_sql: str,
     score_expr: str,

@@ -136,7 +136,7 @@ EXPECTED_BUNDLE_PARTS = {
     "text_pii_scrub": ["base", "fin"],
     "data_mix": ["sample", "pack", "q_lit", "q_join", "mix", "salted",
                  "c4", "chunk", "hh", "dsir", "hll", "qbins", "budget",
-                 "dcap"],
+                 "dcap", "gqbins"],
     "dedup_minhash_lsh": ["sig", "lsh", "incr"],
     "dedup_ngram_jaccard": ["blocked", "prefix", "clusters", "policy"],
     "ann_lsh_topk": ["plain", "probe"],

@@ -2955,6 +2955,32 @@ def test_negative_samples_empty_corpus(spark):
     assert out.count() == 0
 
 
+def test_quantile_bins_grouped(spark):
+    """Per-group bins: each group gets its own 1..k scale (a score that
+    is top-tier in a weak group must NOT inherit a strong group's bin),
+    value-keyed within the group, and the (group, score) cardinality
+    guard fires from a LIMITed fetch."""
+    import pytest as _pytest
+
+    from enrich_spark.datapipe.curation import quantile_bins_grouped
+
+    rows = ([(i, "lo", i % 10) for i in range(100)]
+            + [(1000 + i, "hi", 100 + i % 10) for i in range(100)])
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, source STRING, score LONG")
+    out = quantile_bins_grouped(docs, "score", "source", k=2).collect()
+    by = {(r.source, r.score): r.bin for r in out}
+    # per-group scales: score 9 is top of 'lo' -> bin 2; score 100 is
+    # bottom of 'hi' -> bin 1, despite being globally larger
+    assert by[("lo", 9)] == 2 and by[("lo", 0)] == 1
+    assert by[("hi", 100)] == 1 and by[("hi", 109)] == 2
+    # value-keyed within group
+    assert len({(r.source, r.score, r.bin) for r in out}) == 20
+    with _pytest.raises(ValueError, match="max_distinct"):
+        quantile_bins_grouped(docs, "score", "source", k=2,
+                              max_distinct=5)
+
+
 def test_domain_cap(spark):
     """Per-domain frequency cap: <= cap rows per domain, higher scores
     win, ties break by the seeded hash then id (deterministic across

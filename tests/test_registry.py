@@ -89,6 +89,7 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "multimodal_resize": "multimodal",
         "token_budget_select": "data_mix",
         "domain_cap": "data_mix",
+        "quantile_bins_grouped": "data_mix",
         "script_js": "script_hook",  # bench-only throughput variant
     }
     for name in benchmod.HEADLINE:
