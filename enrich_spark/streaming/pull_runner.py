@@ -30,8 +30,13 @@ At scale the pull itself is driver-side (the wire clients are the
 dev/localstack path — SigV4 and the managed connectors are the
 production answer, sources/kinesis.py:15-19); the PROCESSING of each
 batch is the full distributed pipeline, so executor parallelism is
-unchanged. Each pull is capped (max_records per GetRecords page /
-maxMessages per pull), bounding driver memory per batch.
+unchanged. The pull is CONCURRENT within a microbatch (r11): Kinesis
+shards drain on per-shard worker threads (the KCL concurrent-record-
+processor model) and Pub/Sub keeps several pull requests in flight —
+a sequential loop would cap ingest at one round-trip at a time at
+hundreds of shards. Each pull is capped (a per-shard budget slices
+max_batch_records; maxMessages per Pub/Sub batch), bounding driver
+memory per batch.
 """
 
 from __future__ import annotations
