@@ -35,6 +35,7 @@ from enrich_spark.datapipe.curation import (
 )
 from enrich_spark.datapipe.datacard import data_card_sql as _dc_sql
 from enrich_spark.datapipe.dsir import apply_dsir_sql as _dsir_sql
+from enrich_spark.datapipe.layout import key_skew_topn_sql as _kskew_sql
 from enrich_spark.datapipe.layout import weighted_sample_k_sql as _wsk_sql
 from enrich_spark.datapipe.similarity import (
     negative_samples_sql as _negs_sql,
@@ -341,6 +342,23 @@ _PQ_MODEL = [
         [-412, 750, 47, 675, 1130, 213, -629, -1351],
     ],
 ]
+
+
+def _pca_fixed_model():
+    """Hand-pinned PCA model for the gated projection part: the
+    eigensolve itself is driver-side numpy (not SQL-replayable), so
+    the gate exercises the PROJECTION algebra — zip_with/aggregate
+    fold minus the mean offset, whitened — against fixed components
+    (the deterministic md5-seeded hyperplane family, same constants
+    DuckDB inlines) — the _PQ_MODEL plan-literal pattern."""
+    from enrich_spark.datapipe.pca import PcaModel
+    from enrich_spark.datapipe.similarity import _hyperplane
+
+    return PcaModel(
+        mean=[((i % 7) - 3) / 100.0 for i in range(64)],
+        components=[_hyperplane(64, 9 + j, 3) for j in range(4)],
+        eigenvalues=[4.0, 2.0, 1.0, 0.5],
+        scale=1000, n=0)
 
 
 # sparse rate-validity windows for the as-of join part (literal shared
@@ -1550,6 +1568,17 @@ config:
             F.col("n_chars").alias("y"))
         return fit_ridge_2f_df(feats, "x1", "x2", "y")
 
+    def q_key_skew(spark, sf):
+        # exact key-skew diagnostic (layout.key_skew_topn): heaviest
+        # join/groupBy keys with corpus share — the pre-flight check
+        # before any big keyed shuffle (salting / AQE skew decision);
+        # one map-side-combined groupBy + broadcast rollup +
+        # distributed top-n
+        from enrich_spark.datapipe.layout import key_skew_topn
+
+        ev = _load_events(spark, sf)
+        return key_skew_topn(ev, ["event_type"], top_n=10)
+
     q["metadata_aggregation"] = lambda spark, sf: _union_parts(
         [("meta", q_metadata_agg(spark, sf)),
          ("manifest", q_manifest(spark, sf)),
@@ -1559,14 +1588,16 @@ config:
          ("ksample", q_ksample(spark, sf)),
          ("kgroup", q_kgroup(spark, sf)),
          ("wsample", q_wsample(spark, sf)),
-         ("fit", q_ridge_fit(spark, sf))],
+         ("fit", q_ridge_fit(spark, sf)),
+         ("skew", q_key_skew(spark, sf))],
         fill=("n_events", "n_rows", "content_xor", "bytes_total",
               "n_docs", "total_chars", "total_bytes", "total_tokens",
               "n_sources", "n_langs", "n_unique_texts", "n_exact_dups",
               "min_tokens", "max_tokens", "p50_tokens", "p90_tokens",
               "pii_emails", "pii_ipv4", "n_docs_10plus_tokens",
               "src_docs", "src_tokens", "share_bp", "doc_id", "zkey",
-              "weight", "b0", "b1", "b2", "n"),
+              "weight", "b0", "b1", "b2", "n", "cnt", "total_rows",
+              "n_keys"),
     )
 
     def q_sessionize(spark, sf):
@@ -3561,14 +3592,14 @@ config:
 
     q["dedup_simhash"] = q_simhash
 
-    def q_ann_brute(spark, sf):
+    def q_ann_brute(spark, sf, maxq=5):
         from enrich_spark.datapipe.similarity import brute_force_topk
 
         emb = _load_emb(spark, sf)
         vecs = emb.select(
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
         )
-        queries_df = vecs.where(F.col("vec_id") < 5).select(
+        queries_df = vecs.where(F.col("vec_id") < maxq).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
         # round before ranking so Spark/DuckDB agree on order at ties
@@ -3610,9 +3641,70 @@ config:
         # the low signature bits — query-side-only fan-out recall lever
         probe = sel(lsh_topk(vecs, queries_df, dim=64, k=10, num_tables=4,
                              bits=6, round_digits=4, multiprobe=2))
-        return _union_parts([("plain", plain), ("probe", probe)])
+        # recall@10 of the plain LSH result against the rounded brute
+        # ground truth (similarity.topk_recall) — the acceptance metric
+        # an approximate index is tuned by, gated so "approximate" has
+        # a hash-checked honesty number next to it
+        from enrich_spark.datapipe.similarity import (
+            topk_recall, topk_recall_summary,
+        )
+
+        exact3 = q_ann_brute(spark, sf, maxq=3)
+        recall = topk_recall(plain, exact3)
+        recall_sum = topk_recall_summary(plain, exact3)
+        return _union_parts(
+            [("plain", plain), ("probe", probe),
+             ("recall", recall), ("recall_sum", recall_sum)],
+            fill=("query_id", "vec_id", "cosine_sim", "n_true",
+                  "n_hits", "recall_bp", "n_queries",
+                  "perfect_queries"),
+        )
 
     q["ann_lsh_topk"] = q_ann_lsh
+
+    def q_ann_lsh_search_only(spark, sf):
+        # bench variant: the LSH search alone (plain + probe — exactly
+        # the pre-r11 row content). The gated bundle gained recall/
+        # recall_sum parts in r11, which re-run the brute ground truth;
+        # measuring the grown bundle would break round-over-round
+        # comparability (the r10 ann_ivf_topk precedent), and recall
+        # has its own bench row (ann_recall).
+        from enrich_spark.datapipe.similarity import lsh_topk
+
+        emb = _load_emb(spark, sf)
+        vecs = emb.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double"))
+            .alias("embedding"))
+        queries_df = vecs.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        sel = lambda df: df.select(  # noqa: E731
+            F.col("query_id").cast("long"), F.col("vec_id").cast("long"),
+            "cosine_sim")
+        plain = sel(lsh_topk(vecs, queries_df, dim=64, k=10, num_tables=4,
+                             bits=6, round_digits=4))
+        probe = sel(lsh_topk(vecs, queries_df, dim=64, k=10, num_tables=4,
+                             bits=6, round_digits=4, multiprobe=2))
+        return _union_parts([("plain", plain), ("probe", probe)])
+
+    def q_ann_recall(spark, sf):
+        # bench variant: recall@10 summary of the plain LSH search vs
+        # the brute ground truth — times both searches + the recall
+        # join/rollup (the gated recall/recall_sum parts' plan)
+        from enrich_spark.datapipe.similarity import (
+            lsh_topk, topk_recall_summary,
+        )
+
+        emb = _load_emb(spark, sf)
+        vecs = emb.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double"))
+            .alias("embedding"))
+        queries_df = vecs.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        plain = lsh_topk(vecs, queries_df, dim=64, k=10, num_tables=4,
+                         bits=6, round_digits=4)
+        return topk_recall_summary(plain, q_ann_brute(spark, sf, maxq=3))
 
     def q_ann_ivf(spark, sf):
         from enrich_spark.datapipe.similarity import ivf_topk
@@ -3685,15 +3777,51 @@ config:
             F.col("adc_dist").cast("long").alias("adc_dist"),
             F.col("rank").cast("long").alias("rank"))
 
-    # IVF top-k + clustering rollup + PQ compression/ADC in one row
+    def q_ivf_recall(spark, sf):
+        # recall@10 of the IVF search vs the rounded brute ground truth
+        # (similarity.topk_recall) — hash-gated per query
+        from enrich_spark.datapipe.similarity import topk_recall
+
+        return topk_recall(q_ann_ivf(spark, sf), q_ann_brute(spark, sf))
+
+    def q_pca_gram(spark, sf):
+        # one-pass integer second-moment statistics (pca.pca_gram):
+        # Arrow-batched numpy q^T q partials, bounded d(d+1)/2-key
+        # groupBy — the distributed half of fit_pca; exact int64 sums
+        # replay bit-for-bit in DuckDB
+        from enrich_spark.datapipe.pca import pca_gram
+
+        emb = _load_emb(spark, sf)
+        return pca_gram(emb, dim=64).select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"), "v")
+
+    def q_pca_proj(spark, sf):
+        # native whitened projection (pca.pca_project) against the
+        # hand-pinned _pca_fixed_model — zero Python, zero shuffle
+        from enrich_spark.datapipe.pca import pca_project
+
+        emb = _load_emb(spark, sf)
+        out = pca_project(emb, _pca_fixed_model(), whiten=True)
+        return out.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            *[F.round(F.element_at("pca", j + 1), 4).alias(f"pc{j}")
+              for j in range(4)])
+
+    # IVF top-k + clustering rollup + PQ compression/ADC + IVF recall
+    # + one-pass PCA (gram statistics, whitened projection) in one row
     q["ann_ivf_topk"] = lambda spark, sf: _union_parts(
         [("ivf", q_ann_ivf(spark, sf)),
          ("cluster", q_cluster_stats(spark, sf)),
          ("pq_codes", q_pq_codes(spark, sf)),
-         ("pq_adc", q_pq_adc(spark, sf))],
+         ("pq_adc", q_pq_adc(spark, sf)),
+         ("recall", q_ivf_recall(spark, sf)),
+         ("pca_gram", q_pca_gram(spark, sf)),
+         ("pca_proj", q_pca_proj(spark, sf))],
         fill=("query_id", "vec_id", "cosine_sim", "rank", "cid", "n",
               "sum_sim_bp", "mean_sim_bp", "min_sim_bp", "max_sim_bp",
-              "adc_dist"),
+              "adc_dist", "n_true", "n_hits", "recall_bp", "i", "j",
+              "v", "pc0", "pc1", "pc2", "pc3"),
     )
 
     def q_embedding_dup(spark, sf):
@@ -4399,6 +4527,14 @@ config:
         # r11 (merged into the data_mix bundle)
         "domain_cap": q_domain_cap,
         "quantile_bins_grouped": q_gqbins,
+        # r11 wave 2 (merged into the ann_lsh_topk / ann_ivf_topk /
+        # metadata_aggregation bundles); the ann_lsh_topk row keeps
+        # measuring the search alone now that its bundle carries
+        # recall parts (which re-run the brute ground truth)
+        "ann_recall": q_ann_recall,
+        "pca_fit": q_pca_gram,
+        "key_skew": q_key_skew,
+        "ann_lsh_topk": q_ann_lsh_search_only,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -4880,6 +5016,9 @@ def oracle_sql() -> dict[str, str]:
             "doc_id % 97 AS x2, n_chars AS y FROM documents)",
             "x1", "x2", "y"),
          {"b0": "fnum", "b1": "fnum", "b2": "fnum", "n": "num"}),
+        ("skew", _kskew_sql("events", ["event_type"], top_n=10),
+         {"event_type": "str", "cnt": "num", "share_bp": "num",
+          "total_rows": "num", "n_keys": "num"}),
     ])
 
     o["sessionize"] = """
@@ -6090,9 +6229,10 @@ def oracle_sql() -> dict[str, str]:
               / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.15
     """
 
-    o["ann_cosine_topk"] = """
+    def _brute_topk_sql(maxq):
+        return f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-             q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qemb FROM embeddings WHERE vec_id < 5),
+             q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qemb FROM embeddings WHERE vec_id < {maxq}),
         scored AS (
           SELECT q.query_id, v.vec_id,
                  round(list_dot_product(v.emb, q.qemb)
@@ -6106,6 +6246,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 10
     """
+
+    o["ann_cosine_topk"] = _brute_topk_sql(5)
 
     # simhash oracle: 60-bit md5-prefix token hashes (same family as the
     # minhash oracle) — per-bit ±1 votes replayed with nested lambdas;
@@ -6196,10 +6338,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, vec_id, cosine_sim FROM ranked WHERE rank <= 10
         """
 
+    from enrich_spark.datapipe.similarity import (
+        topk_recall_sql as _rec_sql,
+        topk_recall_summary_sql as _rec_sum_sql,
+    )
+
     _ann_cols = {"query_id": "num", "vec_id": "num", "cosine_sim": "fnum"}
+    _rec_cols = {"query_id": "num", "n_true": "num", "n_hits": "num",
+                 "recall_bp": "num"}
+    _rec_sum_cols = {"n_queries": "num", "n_true": "num", "n_hits": "num",
+                     "recall_bp": "num", "perfect_queries": "num"}
     o["ann_lsh_topk"] = _union_oracle([
         ("plain", _ann_lsh_sql(0), _ann_cols),
         ("probe", _ann_lsh_sql(2), _ann_cols),
+        ("recall", _rec_sql(_ann_lsh_sql(0), _brute_topk_sql(3)),
+         _rec_cols),
+        ("recall_sum", _rec_sum_sql(_ann_lsh_sql(0), _brute_topk_sql(3)),
+         _rec_sum_cols),
     ])
 
     o["ann_ivf_topk"] = """
@@ -6272,9 +6427,29 @@ def oracle_sql() -> dict[str, str]:
         adc_topk_sql as _adc_sql, pq_codes_sql as _pqc_sql,
     )
 
+    from enrich_spark.datapipe.pca import pca_gram_sql as _pgram_sql
+
+    def _pca_proj_oracle():
+        # mirror of q_pca_proj: same pinned components/mean/eigenvalues,
+        # same (dot − offset) / √(eig + eps) then 4dp round; repr()
+        # floats parse to the identical IEEE double in DuckDB
+        import math as _math
+
+        model = _pca_fixed_model()
+        sels = ["vec_id"]
+        for j, comp in enumerate(model.components):
+            arr = "[" + ", ".join(repr(float(w)) for w in comp) + "]"
+            off = sum(m * w for m, w in zip(model.mean, comp))
+            s = _math.sqrt(model.eigenvalues[j] + 1e-9)
+            sels.append(
+                f"round((list_dot_product(embedding::DOUBLE[], {arr}) "
+                f"- ({off!r})) / ({s!r}), 4) AS pc{j}")
+        return "SELECT " + ", ".join(sels) + " FROM embeddings"
+
     _emb_dbl = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    _ivf_sql = o["ann_ivf_topk"]
     o["ann_ivf_topk"] = _union_oracle([
-        ("ivf", o["ann_ivf_topk"],
+        ("ivf", _ivf_sql,
          {"query_id": "num", "vec_id": "num", "cosine_sim": "fnum",
           "rank": "num"}),
         ("cluster", _cluster_sql,
@@ -6286,6 +6461,12 @@ def oracle_sql() -> dict[str, str]:
                             "vec_id < 4", _PQ_MODEL, k=10),
          {"query_id": "num", "vec_id": "num", "adc_dist": "num",
           "rank": "num"}),
+        ("recall", _rec_sql(_ivf_sql, _brute_topk_sql(5)), _rec_cols),
+        ("pca_gram", _pgram_sql("embeddings", dim=64),
+         {"i": "num", "j": "num", "v": "num"}),
+        ("pca_proj", _pca_proj_oracle(),
+         {"vec_id": "num", "pc0": "fnum", "pc1": "fnum",
+          "pc2": "fnum", "pc3": "fnum"}),
     ])
 
     _emb_pairs_sql = """

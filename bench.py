@@ -95,6 +95,9 @@ HEADLINE = [
     "token_budget_select",    # radix threshold search, no global sort
     "domain_cap",             # per-domain frequency cap (FineWeb-style)
     "quantile_bins_grouped",  # per-group score-quantile binning
+    "ann_recall",             # recall@10 of LSH vs brute ground truth
+    "pca_fit",                # one-pass integer Gram statistics (PCA)
+    "key_skew",               # exact heaviest-keys shuffle diagnostic
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -116,7 +119,8 @@ GROUPS = [
     # embeddings / ANN / clustering
     ["ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
      "embedding_dup_pairs", "cluster_stats", "sessionize",
-     "pq_adc_topk", "negative_samples"],
+     "pq_adc_topk", "negative_samples", "ann_recall", "pca_fit",
+     "key_skew"],
     # text analysis (all native-regexp, cheap)
     ["text_quality_score", "text_token_counts", "text_language_id",
      "text_pii_scrub", "quality_model_score", "corpus_stats",

@@ -224,3 +224,76 @@ def repartition_for_bytes(
         .collect()[0].b or 0
     n = max(1, -(-total // max(target_bytes, 1)))
     return df.repartition(int(n))
+
+
+# ---------------------------------------------------------------------------
+# key-skew diagnostics — the pre-flight check before any big keyed shuffle
+
+
+def key_skew_topn(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Exact heaviest keys of a prospective join/groupBy key, with
+    corpus share — the diagnostic a 100 TB pipeline runs BEFORE a big
+    keyed shuffle to decide whether it needs salting or an AQE skew
+    hint (a single key holding >1% of a 100 TB table is a straggler
+    task measured in hours). Complements the streaming heavy-hitters
+    sketch (sketches.py) with the exact batch answer.
+
+    Output: key columns + ``cnt``, ``share_bp`` (key's share of all
+    rows, integer basis points), ``total_rows``, ``n_keys`` (distinct
+    key count — share context rides along so the result is
+    self-contained), ordered heaviest-first, ties broken by key value
+    so the result is deterministic.
+
+    Scale shape: ONE map-side-combined groupBy over the key (the same
+    shuffle the diagnosed operation would pay, once, at count width),
+    a 2-value rollup of that key table broadcast back, and a
+    distributed top-n (``orderBy().limit`` = per-partition top-n +
+    n-row merge — never a single-reducer sort).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"))
+    out = counts.join(F.broadcast(totals))
+    out = out.select(
+        *keys,
+        F.col("cnt").cast("long").alias("cnt"),
+        F.expr("cnt * 10000 div total_rows").cast("long")
+        .alias("share_bp"),
+        F.col("total_rows").cast("long").alias("total_rows"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+    )
+    order = [F.col("cnt").desc()] + [F.col(c).asc() for c in keys]
+    return out.orderBy(*order).limit(top_n)
+
+
+def key_skew_topn_sql(
+    from_sql: str,
+    key_exprs: list[str] | str,
+    top_n: int = 20,
+) -> str:
+    """DuckDB mirror of :func:`key_skew_topn` (same integer share,
+    same count-desc-then-key order)."""
+    keys = [key_exprs] if isinstance(key_exprs, str) else list(key_exprs)
+    klist = ", ".join(keys)
+    korder = ", ".join(f"{k} ASC" for k in keys)
+    return f"""
+        WITH c AS (
+          SELECT {klist}, count(*) AS cnt FROM {from_sql}
+          GROUP BY {klist}
+        ),
+        t AS (SELECT sum(cnt) AS total_rows, count(*) AS n_keys FROM c)
+        SELECT {klist},
+               CAST(cnt AS BIGINT) AS cnt,
+               CAST(cnt * 10000 // total_rows AS BIGINT) AS share_bp,
+               CAST(total_rows AS BIGINT) AS total_rows,
+               CAST(n_keys AS BIGINT) AS n_keys
+        FROM c, t
+        ORDER BY cnt DESC, {korder}
+        LIMIT {top_n}
+    """

@@ -717,3 +717,109 @@ def negative_samples_sql(
         FROM cand c JOIN reps r ON r.b = c.cb
         WHERE r.rep <> c.id
     """
+
+
+# ---------------------------------------------------------------------------
+# ANN quality measurement — recall@k of an approximate index vs ground truth
+
+
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall of an ANN result against brute-force ground
+    truth — the acceptance metric every approximate index (LSH tables,
+    IVF probe counts, PQ bits) is tuned by. A recall number next to
+    the latency number is what makes "approximate" an engineering
+    choice instead of a leap of faith.
+
+    Both inputs are (query, neighbor) result sets (extra columns
+    ignored; duplicates collapsed). Output per ground-truth query:
+    ``n_true``, ``n_hits`` (ground-truth neighbors the approx result
+    found), ``recall_bp`` (= n_hits·10000 div n_true — integer basis
+    points, engine-exact). Queries the approx result missed entirely
+    score 0, not NULL.
+
+    Scale shape: two dropDuplicates + one equi-join + one groupBy, all
+    keyed by query — result sets are |queries|·k rows (tiny next to
+    the corpus), so every stage is bounded by the evaluation set, not
+    the indexed corpus.
+    """
+    e = exact.select(F.col(query_col).alias("_q"),
+                     F.col(id_col).alias("_n")).dropDuplicates()
+    a = approx.select(F.col(query_col).alias("_q"),
+                      F.col(id_col).alias("_n")).dropDuplicates()
+    hits = e.join(a, ["_q", "_n"], "left_semi") \
+        .groupBy("_q").agg(F.count(F.lit(1)).alias("n_hits"))
+    base = e.groupBy("_q").agg(F.count(F.lit(1)).alias("n_true"))
+    out = base.join(hits, "_q", "left")
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return out.select(
+        F.col("_q").alias(query_col),
+        F.col("n_true").cast("long").alias("n_true"),
+        n_hits.alias("n_hits"),
+        F.expr("coalesce(n_hits, 0) * 10000 div n_true")
+        .cast("long").alias("recall_bp"),
+    )
+
+
+def topk_recall_summary(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One-row corpus rollup of :func:`topk_recall`: query count,
+    micro-averaged recall (total hits over total truths, basis
+    points), and the count of perfectly-recalled queries."""
+    per_q = topk_recall(approx, exact, query_col, id_col)
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("n_true").cast("long").alias("n_true"),
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        F.expr("sum(n_hits) * 10000 div sum(n_true)")
+        .cast("long").alias("recall_bp"),
+        F.sum((F.col("n_hits") == F.col("n_true")).cast("long"))
+        .cast("long").alias("perfect_queries"),
+    )
+
+
+def topk_recall_sql(approx_sql: str, exact_sql: str,
+                    query_expr: str = "query_id",
+                    id_expr: str = "vec_id") -> str:
+    """DuckDB mirror of :func:`topk_recall` over two result-set
+    subqueries (each yielding query/neighbor columns)."""
+    return f"""
+        WITH e AS (SELECT DISTINCT {query_expr} AS q, {id_expr} AS n
+                   FROM ({exact_sql})),
+        a AS (SELECT DISTINCT {query_expr} AS q, {id_expr} AS n
+              FROM ({approx_sql})),
+        h AS (SELECT e.q, count(*) AS n_hits
+              FROM e JOIN a ON a.q = e.q AND a.n = e.n GROUP BY e.q),
+        b AS (SELECT q, count(*) AS n_true FROM e GROUP BY q)
+        SELECT b.q AS {query_expr},
+               CAST(b.n_true AS BIGINT) AS n_true,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(COALESCE(h.n_hits, 0) * 10000 // b.n_true AS BIGINT)
+                 AS recall_bp
+        FROM b LEFT JOIN h ON h.q = b.q
+    """
+
+
+def topk_recall_summary_sql(approx_sql: str, exact_sql: str,
+                            query_expr: str = "query_id",
+                            id_expr: str = "vec_id") -> str:
+    """DuckDB mirror of :func:`topk_recall_summary`."""
+    per_q = topk_recall_sql(approx_sql, exact_sql, query_expr, id_expr)
+    return f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(sum(n_true) AS BIGINT) AS n_true,
+               CAST(sum(n_hits) AS BIGINT) AS n_hits,
+               CAST(sum(n_hits) * 10000 // sum(n_true) AS BIGINT)
+                 AS recall_bp,
+               CAST(sum(CASE WHEN n_hits = n_true THEN 1 ELSE 0 END)
+                 AS BIGINT) AS perfect_queries
+        FROM ({per_q})
+    """

@@ -119,7 +119,7 @@ EXPECTED_BUNDLE_PARTS = {
     "bad_row_split": ["split", "format"],
     "metadata_aggregation": ["meta", "manifest", "card", "comp",
                              "zorder", "ksample", "kgroup", "wsample",
-                             "fit"],
+                             "fit", "skew"],
     "dedup_despan": ["despan", "lines"],
     "sessionize": ["stats", "stream_closed", "stream_dedup"],
     "sql_lookup_join": ["broadcast", "json"],
@@ -139,8 +139,9 @@ EXPECTED_BUNDLE_PARTS = {
                  "dcap", "gqbins"],
     "dedup_minhash_lsh": ["sig", "lsh", "incr"],
     "dedup_ngram_jaccard": ["blocked", "prefix", "clusters", "policy"],
-    "ann_lsh_topk": ["plain", "probe"],
-    "ann_ivf_topk": ["ivf", "cluster", "pq_codes", "pq_adc"],
+    "ann_lsh_topk": ["plain", "probe", "recall", "recall_sum"],
+    "ann_ivf_topk": ["ivf", "cluster", "pq_codes", "pq_adc", "recall",
+                     "pca_gram", "pca_proj"],
     "embedding_dup_pairs": ["pairs", "lsh_pairs", "semdedup", "int8",
                             "margin", "negs"],
     "text_analysis": ["lang", "quality", "tokens", "fprint", "stats",

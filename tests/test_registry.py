@@ -90,6 +90,9 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "token_budget_select": "data_mix",
         "domain_cap": "data_mix",
         "quantile_bins_grouped": "data_mix",
+        "ann_recall": "ann_lsh_topk",
+        "pca_fit": "ann_ivf_topk",
+        "key_skew": "metadata_aggregation",
         "script_js": "script_hook",  # bench-only throughput variant
     }
     for name in benchmod.HEADLINE:
