@@ -36,6 +36,11 @@ from enrich_spark.datapipe.curation import (
 from enrich_spark.datapipe.datacard import data_card_sql as _dc_sql
 from enrich_spark.datapipe.dsir import apply_dsir_sql as _dsir_sql
 from enrich_spark.datapipe.layout import key_skew_topn_sql as _kskew_sql
+from enrich_spark.datapipe.sketches import (
+    kmv_overlap_estimate_sql as _kmv_overlap_sql,
+    kmv_sketch_sql as _kmv_sk_sql,
+)
+from enrich_spark.datapipe.text import script_profile_sql as _script_sql
 from enrich_spark.datapipe.layout import weighted_sample_k_sql as _wsk_sql
 from enrich_spark.datapipe.similarity import (
     negative_samples_sql as _negs_sql,
@@ -3120,11 +3125,34 @@ config:
             .cast("long").alias("first_hit"),
         )
 
+    def q_kmv_overlap(spark, sf):
+        # cross-corpus overlap from two KMV sketches (sketches.
+        # kmv_sketch / kmv_overlap_estimate): "how much of slice B is
+        # already in slice A" — the decontamination/dedup PLANNING
+        # number — answered from two k-row sketches instead of a
+        # corpus-sized join; every estimator integer/exact-double, so
+        # the one-row answer value-hashes across engines
+        from enrich_spark.datapipe.sketches import (
+            kmv_overlap_estimate, kmv_sketch,
+        )
+
+        docs = _load_docs(spark, sf)
+        half_a = docs.where(
+            F.regexp_extract("source", r"src(\d+)", 1).cast("int") < 10)
+        half_b = docs.where(
+            F.regexp_extract("source", r"src(\d+)", 1).cast("int") >= 10)
+        a = kmv_sketch(half_a, "text", k=64)
+        b = kmv_sketch(half_b, "text", k=64)
+        return kmv_overlap_estimate(a, b, k=64)
+
     q["decontam_multi"] = lambda spark, sf: _union_parts(
         [("multi", q_decontam_multi(spark, sf)),
-         ("bloom", q_decontam_bloom(spark, sf))],
+         ("bloom", q_decontam_bloom(spark, sf)),
+         ("kmv", q_kmv_overlap(spark, sf))],
         fill=("doc_id", "k", "n_windows", "contam_windows",
-              "contam_frac_bp", "contaminated", "n_hit_sets", "first_hit"),
+              "contam_frac_bp", "contaminated", "n_hit_sets", "first_hit",
+              "n_union_sketch", "n_both", "jaccard_bp", "est_union",
+              "est_intersection"),
     )
 
     def q_text_pii_scrub(spark, sf):
@@ -4140,6 +4168,26 @@ config:
             .alias("norm_delta_chars"),
         )
 
+    def q_script_profile(spark, sf):
+        # Unicode script profile (text.script_profile): per-script char
+        # counts + dominant script + non-ASCII share, one native
+        # projection. The corpus is ascii, so a deterministic
+        # multi-script suffix keyed by doc_id exercises every range
+        from enrich_spark.datapipe.text import script_profile
+
+        docs = _load_docs(spark, sf)
+        probe = F.element_at(
+            F.array(F.lit("Привет мир"), F.lit("中文文本内容"),
+                    F.lit("مرحبا بالعالم"), F.lit("한국어 텍스트"),
+                    F.lit("ひらがな καλημέρα"), F.lit("שלום नमस्ते ৳")),
+            (F.col("doc_id") % 6 + 1).cast("int"))
+        mixed = docs.select(
+            "doc_id",
+            F.concat(F.substring("text", 1, 80), F.lit(" "), probe)
+            .alias("text"))
+        return script_profile(mixed).withColumn(
+            "doc_id", F.col("doc_id").cast("long"))
+
     def q_text_analysis(spark, sf):
         # the text-analysis operator family bundled into ONE oracle row
         # (driver caps the correctness gate at 50 queries — standalone
@@ -4161,7 +4209,8 @@ config:
              ("unigram", q_unigram(spark, sf)),
              ("url", q_url_normalize(spark, sf)),
              ("bm25", q_bm25(spark, sf)),
-             ("clean", q_text_norm(spark, sf))],
+             ("clean", q_text_norm(spark, sf)),
+             ("script", q_script_profile(spark, sf))],
             fill=("doc_id", "n_chars", "n_words", "mean_word_len",
                   "punct_ratio", "stopword_ratio", "distinct_word_ratio",
                   "dup_line_ratio", "top_bigram_char_ratio", "quality_score",
@@ -4177,7 +4226,10 @@ config:
                   "is_boilerplate", "n_tokens",
                   "path_depth", "n_params", "n_tracking",
                   "bm_dl", "bm25", "n_hit_terms", "cost_unats",
-                  "norm_changed", "norm_delta_chars"),
+                  "norm_changed", "norm_delta_chars",
+                  "n_latin", "n_cyrillic", "n_greek", "n_arabic",
+                  "n_hebrew", "n_devanagari", "n_cjk", "n_kana",
+                  "n_hangul", "n_other", "nonascii_bp"),
         )
 
     q["text_analysis"] = q_text_analysis
@@ -4535,6 +4587,9 @@ config:
         "pca_fit": q_pca_gram,
         "key_skew": q_key_skew,
         "ann_lsh_topk": q_ann_lsh_search_only,
+        # r11 wave 3 (merged into decontam_multi / text_analysis)
+        "kmv_overlap": q_kmv_overlap,
+        "script_profile": q_script_profile,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -5866,6 +5921,16 @@ def oracle_sql() -> dict[str, str]:
          {"doc_id": "num", "benchmark": "str", "k": "num",
           "n_windows": "num", "contam_windows": "num",
           "contam_frac_bp": "num", "contaminated": "num"}),
+        ("kmv", _kmv_overlap_sql(
+            _kmv_sk_sql("(SELECT text FROM documents WHERE CAST("
+                        "regexp_extract(source, 'src(\\d+)', 1) AS INT)"
+                        " < 10)", "text", k=64),
+            _kmv_sk_sql("(SELECT text FROM documents WHERE CAST("
+                        "regexp_extract(source, 'src(\\d+)', 1) AS INT)"
+                        " >= 10)", "text", k=64),
+            k=64),
+         {"n_union_sketch": "num", "n_both": "num", "jaccard_bp": "num",
+          "est_union": "num", "est_intersection": "num"}),
         ("bloom", _decontam_bloom_sql,
          {"doc_id": "num", "k": "num", "n_windows": "num",
           "contam_windows": "num", "contam_frac_bp": "num",
@@ -7067,6 +7132,17 @@ def oracle_sql() -> dict[str, str]:
         ("clean", _text_norm_oracle_sql(),
          {"doc_id": "num", "text_norm": "str", "norm_changed": "num",
           "norm_delta_chars": "num"}),
+        ("script", _script_sql(
+            "(select doc_id, substring(text, 1, 80) || ' ' || "
+            "list_extract(['Привет мир', '中文文本内容', "
+            "'مرحبا بالعالم', '한국어 텍스트', 'ひらがな καλημέρα', "
+            "'שלום नमस्ते ৳'], cast(doc_id % 6 as int) + 1) as text "
+            "from documents)"),
+         {"doc_id": "num", "n_chars": "num", "n_latin": "num",
+          "n_cyrillic": "num", "n_greek": "num", "n_arabic": "num",
+          "n_hebrew": "num", "n_devanagari": "num", "n_cjk": "num",
+          "n_kana": "num", "n_hangul": "num", "n_other": "num",
+          "dominant_script": "str", "nonascii_bp": "num"}),
     ])
     o["multimodal"] = _union_oracle([
         ("decode", o.pop("multimodal_decode"),

@@ -98,6 +98,8 @@ HEADLINE = [
     "ann_recall",             # recall@10 of LSH vs brute ground truth
     "pca_fit",                # one-pass integer Gram statistics (PCA)
     "key_skew",               # exact heaviest-keys shuffle diagnostic
+    "kmv_overlap",            # cross-corpus overlap from KMV sketches
+    "script_profile",         # Unicode writing-system profile
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -125,7 +127,8 @@ GROUPS = [
     ["text_quality_score", "text_token_counts", "text_language_id",
      "text_pii_scrub", "quality_model_score", "corpus_stats",
      "doc_fingerprint", "bpe_tokenize", "url_normalize", "html_extract",
-     "bm25_rank", "robots_filter", "text_normalize"],
+     "bm25_rank", "robots_filter", "text_normalize", "script_profile",
+     "kmv_overlap"],
     # data-mix / graph / merge / multimodal
     ["data_mix", "heavy_hitters", "k_anonymity", "pagerank",
      "dataset_manifest", "cdc_merge", "multimodal_frames",

@@ -259,3 +259,166 @@ def hll_distinct_portable_sql(
                       END, 4) AS est_distinct
         FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values) distinct sketch — mergeable set sketches for
+# cross-corpus overlap planning
+
+# 15 md5 hex digits = a 60-bit uniform hash domain (the repo's portable
+# integer-hash idiom: engine-exact, SQL-replayable)
+KMV_DOMAIN = 1 << 60
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    seed: int = 0,
+) -> DataFrame:
+    """KMV distinct sketch (Bar-Yossef et al. 2002): the k SMALLEST
+    distinct 60-bit md5 hash values of a column. A k-row commitment
+    that supports distinct-count estimation AND — unlike HLL registers
+    — set algebra: union (merge, take k smallest) and intersection/
+    Jaccard (count shared members of the union sketch). That is the
+    primitive behind cross-corpus overlap planning: "how much of crawl
+    B is already in corpus A" answered from two k-row sketches instead
+    of a corpus-sized join.
+
+    Scale shape: one key-hashed shuffle (the distinct) bounded by the
+    value cardinality, then a distributed top-k (TakeOrderedAndProject
+    — per-partition heads + a k-row merge, never a single-reducer
+    sort). The sketch itself is ≤ k rows — driver-safe at any corpus
+    size. NULLs are excluded (a NULL is "no value", not a member).
+    md5 keyed by ``seed`` so independent sketch families don't share
+    collisions. Output: one column ``kmv_h`` (long, ascending-k set).
+    """
+    h = F.conv(F.substring(F.md5(F.concat(
+        F.lit(f"{seed}:"), F.col(col).cast("string"))), 1, 15),
+        16, 10).cast("long")
+    return (df.where(F.col(col).isNotNull())
+            .select(h.alias("kmv_h"))
+            .distinct()
+            .orderBy("kmv_h")
+            .limit(k))
+
+
+def kmv_distinct_estimate(
+    sketch: DataFrame,
+    k: int,
+) -> DataFrame:
+    """One-row distinct-count estimate from a KMV sketch: if the
+    sketch holds fewer than k values the count is EXACT (every distinct
+    value is in the sketch); otherwise n̂ = floor((k−1)·DOMAIN / max(h))
+    — the standard KMV estimator with the k-th order statistic as the
+    domain fraction. (k−1)·DOMAIN overflows int64, so the numerator is
+    a PRECOMPUTED double literal ((k−1)·2⁶⁰ is exactly representable —
+    small-integer × power-of-two); both engines then perform the same
+    single IEEE division + floor on the same operands, so the estimate
+    is still engine-exact. Error ~ 1/sqrt(k−2) for the estimated
+    branch (6% at k=256)."""
+    return sketch.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sketch"),
+        F.max("kmv_h").alias("_kth"),
+    ).select(
+        "n_sketch",
+        F.when(F.col("n_sketch") < k, F.col("n_sketch"))
+        .otherwise(F.floor(F.lit(float((k - 1) * KMV_DOMAIN))
+                           / F.col("_kth")))
+        .cast("long").alias("est_distinct"),
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Union of two KMV sketches: k smallest of the merged value sets —
+    exactly the sketch of the unioned inputs (the KMV mergeability
+    property). Two ≤k-row inputs; trivially cheap."""
+    return (a.unionByName(b).distinct().orderBy("kmv_h").limit(k))
+
+
+def kmv_overlap_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 256,
+) -> DataFrame:
+    """One-row cross-corpus overlap estimate from two KMV sketches:
+    Jaccard similarity (share of the union sketch present in BOTH
+    input sketches — the standard KMV set-operation estimator), the
+    union-size estimate, and the implied intersection size. Integer
+    basis points / floor divisions throughout, so the row value-hash
+    replays exactly in any engine.
+
+    Output: n_union_sketch, n_both, jaccard_bp, est_union,
+    est_intersection. Cost: joins over ≤k-row frames — independent of
+    the corpora the sketches summarize.
+    """
+    u = kmv_merge(a, b, k).alias("u")
+    both = (u.join(a.alias("a"), F.col("u.kmv_h") == F.col("a.kmv_h"),
+                   "left_semi")
+            .join(b.alias("b"), F.col("u.kmv_h") == F.col("b.kmv_h"),
+                  "left_semi"))
+    stats = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_sketch"),
+        F.max("kmv_h").alias("_kth"),
+    ).crossJoin(both.agg(F.count(F.lit(1)).cast("long").alias("n_both")))
+    est_union = (F.when(F.col("n_union_sketch") < k,
+                        F.col("n_union_sketch"))
+                 .otherwise(F.floor(F.lit(float((k - 1) * KMV_DOMAIN))
+                                    / F.col("_kth")))
+                 .cast("long"))
+    return stats.select(
+        "n_union_sketch", "n_both",
+        F.expr("n_both * 10000 div n_union_sketch").cast("long")
+        .alias("jaccard_bp"),
+        est_union.alias("est_union"),
+    ).withColumn(
+        "est_intersection",
+        F.expr("jaccard_bp * est_union div 10000").cast("long"))
+
+
+def kmv_sketch_sql(
+    from_sql: str,
+    col_expr: str,
+    k: int = 256,
+    seed: int = 0,
+) -> str:
+    """DuckDB mirror of :func:`kmv_sketch` (same 60-bit md5 prefix,
+    same null exclusion, same k-smallest-distinct)."""
+    h = (f"CAST(('0x' || substr(md5('{seed}:' || CAST({col_expr} AS "
+         f"VARCHAR)), 1, 15)) AS BIGINT)")
+    return f"""
+        SELECT DISTINCT {h} AS kmv_h
+        FROM {from_sql}
+        WHERE {col_expr} IS NOT NULL
+        ORDER BY kmv_h LIMIT {k}
+    """
+
+
+def kmv_overlap_estimate_sql(
+    a_sql: str,
+    b_sql: str,
+    k: int = 256,
+) -> str:
+    """DuckDB mirror of :func:`kmv_overlap_estimate` over two sketch
+    subqueries (each yielding kmv_h)."""
+    num = repr(float((k - 1) * KMV_DOMAIN))
+    est = (f"CASE WHEN n_union_sketch < {k} THEN n_union_sketch "
+           f"ELSE CAST(floor({num} / _kth) AS BIGINT) END")
+    return f"""
+        WITH a AS ({a_sql}), b AS ({b_sql}),
+        u AS (SELECT DISTINCT kmv_h FROM (
+                SELECT kmv_h FROM a UNION ALL SELECT kmv_h FROM b)
+              ORDER BY kmv_h LIMIT {k}),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n_union_sketch,
+                     max(kmv_h) AS _kth FROM u),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n_both FROM u
+              WHERE kmv_h IN (SELECT kmv_h FROM a)
+                AND kmv_h IN (SELECT kmv_h FROM b))
+        SELECT n_union_sketch, n_both,
+               CAST(n_both * 10000 // n_union_sketch AS BIGINT)
+                 AS jaccard_bp,
+               CAST({est} AS BIGINT) AS est_union,
+               CAST(CAST(n_both * 10000 // n_union_sketch AS BIGINT)
+                    * ({est}) // 10000 AS BIGINT) AS est_intersection
+        FROM s, m
+    """

@@ -731,3 +731,110 @@ def bm25_score_sql(
         f"select d.{id_alias}, d.dl, round({score}, 4) as bm25, "
         f"cast({' + '.join(hit_terms)} as bigint) as n_hit_terms "
         f"from (" + base + ") d cross join (" + stats + ") s")
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profile — writing-system detection
+
+# explicit code-point ranges (not \p{Script=...}: java.util.regex and
+# RE2 spell script classes differently, but literal ranges parse
+# identically in both engines — the engine-portability rule every
+# regex here follows). Each entry: (name, character-class body).
+SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("latin", "A-Za-zÀ-ɏ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("arabic", "؀-ۿݐ-ݿ"),
+    ("hebrew", "֐-׿"),
+    ("devanagari", "ऀ-ॿ"),
+    ("cjk", "一-鿿㐀-䶿"),
+    ("kana", "぀-ヿ"),
+    ("hangul", "가-힯ᄀ-ᇿ"),
+]
+
+
+def script_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document writing-system profile: character counts per
+    Unicode script family, the dominant script, and the non-ASCII
+    share — the signal a multilingual corpus pipeline routes on
+    BEFORE n-gram language ID (script is a cheap, near-certain prior:
+    Hangul text is Korean regardless of what a trigram model thinks,
+    and mixed-script documents — a CJK page with an English boilerplate
+    footer — are exactly the ones worth flagging for segment-level
+    handling).
+
+    Output: id, n_chars, one ``n_<script>`` count per SCRIPT_RANGES
+    entry, ``n_other`` (characters outside every listed script that
+    are neither whitespace nor printable ASCII — unlisted scripts,
+    symbols, emoji), ``dominant_script`` ('none' for a letterless doc;
+    count ties break by SCRIPT_RANGES order), ``nonascii_bp`` (integer
+    basis points).
+
+    Scale shape: ONE native projection — a regexp_count per script
+    family, zero shuffles, zero Python; fully codegen'd and replayed
+    1:1 by the SQL oracle (literal ranges, integer arithmetic;
+    fractions floor()ed before the cast on BOTH engines — DuckDB's
+    double→BIGINT cast rounds where Spark's truncates).
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    counts = {name: F.regexp_count(t, F.lit(f"[{body}]"))
+              for name, body in SCRIPT_RANGES}
+    all_ranges = "".join(body for _, body in SCRIPT_RANGES)
+    n_other = F.regexp_count(t, F.lit(f"[^{all_ranges}\\s!-~]"))
+    dom = F.lit("none")
+    best = F.lit(0)
+    for name, _ in SCRIPT_RANGES:       # first-listed wins ties
+        c = counts[name]
+        dom = F.when(c > best, F.lit(name)).otherwise(dom)
+        best = F.greatest(best, c)
+    nonascii = F.regexp_count(t, F.lit(r"[^\x00-\x7F]"))
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        *[counts[name].cast("long").alias(f"n_{name}")
+          for name, _ in SCRIPT_RANGES],
+        n_other.cast("long").alias("n_other"),
+        dom.alias("dominant_script"),
+        F.when(n_chars > 0, F.floor(nonascii * 10000 / n_chars))
+        .otherwise(F.lit(0)).cast("long").alias("nonascii_bp"),
+    )
+
+
+def script_profile_sql(
+    from_sql: str,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    id_alias: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`script_profile` (same literal ranges,
+    same tie order, same integer basis points)."""
+    def cnt(body):
+        return f"len(regexp_extract_all({text_expr}, '[{body}]'))"
+
+    counts = {name: cnt(body) for name, body in SCRIPT_RANGES}
+    all_ranges = "".join(body for _, body in SCRIPT_RANGES)
+    n_other = cnt("^" + all_ranges + "\\s!-~")
+    dom = "'none'"
+    best = "0"
+    for name, _ in SCRIPT_RANGES:
+        c = counts[name]
+        dom = f"CASE WHEN {c} > {best} THEN '{name}' ELSE {dom} END"
+        best = f"greatest({best}, {c})"
+    nonascii = cnt(r"^\x00-\x7F")
+    sels = [f"{id_expr} AS {id_alias}",
+            f"CAST(length({text_expr}) AS BIGINT) AS n_chars"]
+    sels += [f"CAST({counts[name]} AS BIGINT) AS n_{name}"
+             for name, _ in SCRIPT_RANGES]
+    sels.append(f"CAST({n_other} AS BIGINT) AS n_other")
+    sels.append(f"{dom} AS dominant_script")
+    sels.append(
+        f"CAST(CASE WHEN length({text_expr}) > 0 THEN "
+        f"floor({nonascii} * 10000 / length({text_expr})) "
+        "ELSE 0 END AS BIGINT) AS nonascii_bp")
+    return "SELECT " + ",\n               ".join(sels) \
+        + f" FROM {from_sql}"

@@ -132,7 +132,7 @@ EXPECTED_BUNDLE_PARTS = {
     "script_hook": ["py", "js"],
     "streaming_parity": ["stream", "batch"],
     "dedup_exact": ["exact", "substr", "contam", "split"],
-    "decontam_multi": ["multi", "bloom"],
+    "decontam_multi": ["multi", "bloom", "kmv"],
     "text_pii_scrub": ["base", "fin"],
     "data_mix": ["sample", "pack", "q_lit", "q_join", "mix", "salted",
                  "c4", "chunk", "hh", "dsir", "hll", "qbins", "budget",
@@ -146,7 +146,7 @@ EXPECTED_BUNDLE_PARTS = {
                             "margin", "negs"],
     "text_analysis": ["lang", "quality", "tokens", "fprint", "stats",
                       "rep", "lm", "html", "bpe", "unigram", "url",
-                      "bm25", "clean"],
+                      "bm25", "clean", "script"],
     "multimodal": ["decode", "frames", "audio", "resize"],
 }
 

@@ -1,0 +1,204 @@
+"""KMV distinct/overlap sketches (sketches.py) and Unicode script
+profiling (text.py) — unit + engine-parity tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from enrich_spark.datapipe.sketches import (
+    KMV_DOMAIN, kmv_distinct_estimate, kmv_merge, kmv_overlap_estimate,
+    kmv_overlap_estimate_sql, kmv_sketch, kmv_sketch_sql,
+)
+from enrich_spark.datapipe.text import (
+    SCRIPT_RANGES, script_profile, script_profile_sql,
+)
+
+
+def _ids(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "v string")
+
+
+# ---------------------------------------------------------------------------
+# kmv_sketch
+
+
+def test_kmv_sketch_is_k_smallest_distinct(spark):
+    df = _ids(spark, [f"x{i}" for i in range(100)] * 3 + [None])
+    sk = kmv_sketch(df, "v", k=10).collect()
+    assert len(sk) == 10
+    hs = [r.kmv_h for r in sk]
+    assert hs == sorted(hs)
+    # must equal the brute-force 10 smallest of all 100 distinct hashes
+    all_h = [r.kmv_h for r in kmv_sketch(df, "v", k=1000).collect()]
+    assert len(all_h) == 100          # NULL excluded, dups collapsed
+    assert hs == sorted(all_h)[:10]
+
+
+def test_kmv_sketch_partitioning_invariant(spark):
+    df = _ids(spark, [f"d{i}" for i in range(200)])
+    a = [r.kmv_h for r in kmv_sketch(df.repartition(1), "v", k=32).collect()]
+    b = [r.kmv_h for r in kmv_sketch(df.repartition(17), "v", k=32).collect()]
+    assert a == b
+
+
+def test_kmv_estimate_exact_below_k(spark):
+    df = _ids(spark, [f"a{i}" for i in range(40)])
+    est = kmv_distinct_estimate(kmv_sketch(df, "v", k=64), k=64).collect()[0]
+    assert est.n_sketch == 40 and est.est_distinct == 40
+
+
+def test_kmv_estimate_accuracy_above_k(spark):
+    n = 5000
+    df = _ids(spark, [f"u{i}" for i in range(n)])
+    est = kmv_distinct_estimate(
+        kmv_sketch(df, "v", k=256), k=256).collect()[0]
+    assert est.n_sketch == 256
+    assert abs(est.est_distinct - n) / n < 0.25   # ~6% expected, 25% bound
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    a_vals = [f"a{i}" for i in range(150)]
+    b_vals = [f"b{i}" for i in range(150)] + a_vals[:50]
+    a = kmv_sketch(_ids(spark, a_vals), "v", k=64)
+    b = kmv_sketch(_ids(spark, b_vals), "v", k=64)
+    merged = sorted(r.kmv_h for r in kmv_merge(a, b, k=64).collect())
+    direct = sorted(r.kmv_h for r in kmv_sketch(
+        _ids(spark, a_vals + b_vals), "v", k=64).collect())
+    assert merged == direct           # the KMV mergeability property
+
+
+def test_kmv_overlap_identical_and_disjoint(spark):
+    vals = [f"v{i}" for i in range(300)]
+    a = kmv_sketch(_ids(spark, vals), "v", k=64)
+    same = kmv_overlap_estimate(a, a, k=64).collect()[0]
+    assert same.jaccard_bp == 10000
+    assert same.n_both == same.n_union_sketch == 64
+    b = kmv_sketch(_ids(spark, [f"w{i}" for i in range(300)]), "v", k=64)
+    disj = kmv_overlap_estimate(a, b, k=64).collect()[0]
+    # the union sketch keeps the 64 smallest of both sides; a member of
+    # the union present in BOTH side sketches would require a hash
+    # collision across disjoint value sets
+    assert disj.jaccard_bp == 0 and disj.est_intersection == 0
+
+
+def test_kmv_overlap_estimates_jaccard(spark):
+    shared = [f"s{i}" for i in range(500)]
+    a_only = [f"a{i}" for i in range(500)]
+    b_only = [f"b{i}" for i in range(500)]
+    a = kmv_sketch(_ids(spark, shared + a_only), "v", k=128)
+    b = kmv_sketch(_ids(spark, shared + b_only), "v", k=128)
+    r = kmv_overlap_estimate(a, b, k=128).collect()[0]
+    # true J = 500/1500 = 0.3333; KMV error ~ 1/sqrt(k)
+    assert 2000 < r.jaccard_bp < 4700
+    assert 200 < r.est_intersection < 1200   # true 500
+    assert 1000 < r.est_union < 2300         # true 1500
+
+
+def test_kmv_duckdb_parity(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+    pd.DataFrame({"v": [f"k{i % 700}" for i in range(2000)]}) \
+        .to_parquet(f"{tmp_path}/t.parquet")
+    df = spark.read.parquet(f"{tmp_path}/t.parquet")
+    a_sql = kmv_sketch_sql(f"read_parquet('{tmp_path}/t.parquet')", "v",
+                           k=96)
+    got = sorted(r.kmv_h for r in kmv_sketch(df, "v", k=96).collect())
+    con = duckdb.connect()
+    want = sorted(r[0] for r in con.execute(a_sql).fetchall())
+    assert got == want
+    # overlap row parity: first-half vs second-half value ranges
+    pd.DataFrame({"v": [f"k{i}" for i in range(500)]}) \
+        .to_parquet(f"{tmp_path}/a.parquet")
+    pd.DataFrame({"v": [f"k{i}" for i in range(250, 750)]}) \
+        .to_parquet(f"{tmp_path}/b.parquet")
+    sa = kmv_sketch(spark.read.parquet(f"{tmp_path}/a.parquet"), "v", k=64)
+    sb = kmv_sketch(spark.read.parquet(f"{tmp_path}/b.parquet"), "v", k=64)
+    grow = kmv_overlap_estimate(sa, sb, k=64).collect()[0]
+    osql = kmv_overlap_estimate_sql(
+        kmv_sketch_sql(f"read_parquet('{tmp_path}/a.parquet')", "v", k=64),
+        kmv_sketch_sql(f"read_parquet('{tmp_path}/b.parquet')", "v", k=64),
+        k=64)
+    w = con.execute(osql).fetchone()
+    assert (grow.n_union_sketch, grow.n_both, grow.jaccard_bp,
+            grow.est_union, grow.est_intersection) == tuple(w)
+
+
+def test_kmv_sketch_plan_is_distributed_topk(spark):
+    df = _ids(spark, [f"x{i}" for i in range(50)])
+    plan = kmv_sketch(df, "v", k=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# script_profile
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+
+
+def test_script_profile_detects_scripts(spark):
+    texts = [
+        "Hello plain English text.",
+        "Привет мир, это русский текст",
+        "这是一段中文文本内容测试",
+        "こんにちは世界 ひらがな",
+        "안녕하세요 세계",
+        "مرحبا بالعالم",
+        "שלום עולם",
+        "नमस्ते दुनिया",
+        "Γειά σου Κόσμε",
+        "12345 !!! ???",
+    ]
+    rows = {r.doc_id: r for r in script_profile(_docs(spark, texts)).collect()}
+    assert rows[0].dominant_script == "latin" and rows[0].nonascii_bp == 0
+    assert rows[1].dominant_script == "cyrillic"
+    assert rows[2].dominant_script == "cjk"
+    # kana page: hiragana dominates only if its count beats the kanji
+    assert rows[3].dominant_script in ("kana", "cjk")
+    assert rows[3].n_kana > 0 and rows[3].n_cjk > 0   # mixed-script flag
+    assert rows[4].dominant_script == "hangul"
+    assert rows[5].dominant_script == "arabic"
+    assert rows[6].dominant_script == "hebrew"
+    assert rows[7].dominant_script == "devanagari"
+    assert rows[8].dominant_script == "greek"
+    assert rows[9].dominant_script == "none"
+    assert rows[1].nonascii_bp > 5000
+
+
+def test_script_profile_other_bucket(spark):
+    rows = script_profile(_docs(spark, ["৳৳৳ abc"])).collect()[0]
+    # Bengali currency sign: outside every listed script, non-ASCII
+    assert rows.n_other == 3
+    assert rows.n_latin == 3
+
+
+def test_script_profile_duckdb_parity(spark, tmp_path):
+    import pandas as pd
+    texts = ["Hello world", "Привет мир", "中文 and English 混合",
+             "مرحبا abc", "", "12345", "한국어 텍스트 테스트입니다"]
+    pd.DataFrame({"doc_id": range(len(texts)), "text": texts}) \
+        .to_parquet(f"{tmp_path}/d.parquet")
+    df = spark.read.parquet(f"{tmp_path}/d.parquet")
+    cols = (["doc_id", "n_chars"]
+            + [f"n_{n}" for n, _ in SCRIPT_RANGES]
+            + ["n_other", "dominant_script", "nonascii_bp"])
+    got = sorted(tuple(r[c] for c in cols)
+                 for r in script_profile(df).collect())
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in con.execute(script_profile_sql(
+        f"read_parquet('{tmp_path}/d.parquet')")).fetchall())
+    assert got == want
+
+
+def test_script_profile_plan_is_native(spark):
+    df = _docs(spark, ["abc"])
+    plan = script_profile(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "Exchange"):
+        assert marker not in plan

@@ -93,6 +93,8 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "ann_recall": "ann_lsh_topk",
         "pca_fit": "ann_ivf_topk",
         "key_skew": "metadata_aggregation",
+        "kmv_overlap": "decontam_multi",
+        "script_profile": "text_analysis",
         "script_js": "script_hook",  # bench-only throughput variant
     }
     for name in benchmod.HEADLINE:
