@@ -350,7 +350,11 @@ def kmv_overlap_estimate(
 
     Output: n_union_sketch, n_both, jaccard_bp, est_union,
     est_intersection. Cost: joins over ≤k-row frames — independent of
-    the corpora the sketches summarize.
+    the corpora the sketches summarize. Bound: est_intersection's
+    integer product jaccard_bp·est_union stays inside int64 while the
+    estimated union is below ~9·10¹⁴ distinct values — three orders of
+    magnitude past a 10¹²-doc corpus; beyond that ANSI mode raises
+    rather than wrapping.
     """
     u = kmv_merge(a, b, k).alias("u")
     both = (u.join(a.alias("a"), F.col("u.kmv_h") == F.col("a.kmv_h"),

@@ -60,6 +60,13 @@ FAMILIES = {
     "event_fingerprint": "event_fingerprint",
     "tsv_serialize": "tsv_serialize",
     "asn_bot_detection": "asn_bot_detection",
+    # r11 wave 2/3: the Arrow-batched Gram pass should track input
+    # linearly (its shuffle is a constant 2145 keys); the sketch /
+    # skew / script families are one-groupBy or map-side shapes
+    "pca_fit": "pca_fit",
+    "key_skew": "key_skew",
+    "kmv_overlap": "kmv_overlap",
+    "script_profile": "script_profile",
 }
 ID_SHIFT = 10_000_000
 
@@ -69,13 +76,16 @@ def build_scaled_dir(spark, mult: int) -> str:
     events/documents rewritten as id-shifted (and word-perturbed)
     replicas. Idempotent."""
     out = os.path.join(SCALE_ROOT, f"x{mult}")
-    marker = os.path.join(out, ".complete")
+    # _v2: r11 added embeddings replication (the PCA/recall families) —
+    # older dirs carried a symlinked, unscaled embeddings table
+    marker = os.path.join(out, ".complete_v2")
     if os.path.exists(marker):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     for name in os.listdir(BASE_SF_DIR):
-        if name not in ("events.parquet", "documents.parquet"):
+        if name not in ("events.parquet", "documents.parquet",
+                        "embeddings.parquet"):
             os.symlink(os.path.join(BASE_SF_DIR, name),
                        os.path.join(out, name))
 
@@ -111,6 +121,18 @@ def build_scaled_dir(spark, mult: int) -> str:
     (docs.drop("_rep").repartition(32)
          .write.mode("overwrite")
          .parquet(os.path.join(out, "documents.parquet")))
+
+    # embeddings: id-shifted replicas with IDENTICAL vectors — right
+    # for the Gram/sketch-shaped families measured here (sums scale
+    # with rows); the dup-pair families keep measuring on the base
+    # table and are not in this curve's embedding set
+    emb = spark.read.parquet(
+        os.path.join(BASE_SF_DIR, "embeddings.parquet")).select("*", rep)
+    emb = emb.withColumn("vec_id",
+                         F.col("vec_id") + F.col("_rep") * ID_SHIFT)
+    (emb.drop("_rep").repartition(8)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "embeddings.parquet")))
     open(marker, "w").close()
     return out
 
