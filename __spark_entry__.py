@@ -3620,18 +3620,43 @@ config:
 
     q["dedup_simhash"] = q_simhash
 
-    def q_ann_brute(spark, sf, maxq=5):
-        from enrich_spark.datapipe.similarity import brute_force_topk
-
-        emb = _load_emb(spark, sf)
-        vecs = emb.select(
-            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
-        )
+    def _emb_queries(spark, sf, maxq):
+        """Shared ANN fixture: double-cast vectors + the first-maxq
+        query slice (ONE definition — the LSH/brute/recall variants
+        must all search the same sets or the gate compares different
+        problems)."""
+        vecs = _load_emb(spark, sf).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double"))
+            .alias("embedding"))
         queries_df = vecs.where(F.col("vec_id") < maxq).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-        )
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        return vecs, queries_df
+
+    # the gated LSH search's parameters — one definition shared by the
+    # bundle parts, the search-only bench variant, and the recall
+    # variant (the oracle inlines the same constants)
+    _LSH_GATE = dict(dim=64, k=10, num_tables=4, bits=6, round_digits=4)
+
+    def _lsh_plain_probe(spark, sf):
+        from enrich_spark.datapipe.similarity import lsh_topk
+
+        vecs, queries_df = _emb_queries(spark, sf, maxq=3)
+        sel = lambda df: df.select(  # noqa: E731
+            F.col("query_id").cast("long"), F.col("vec_id").cast("long"),
+            "cosine_sim")
+        plain = sel(lsh_topk(vecs, queries_df, **_LSH_GATE))
+        # multiprobe: per table also probe the two Hamming-1 buckets on
+        # the low signature bits — query-side-only fan-out recall lever
+        probe = sel(lsh_topk(vecs, queries_df, **_LSH_GATE, multiprobe=2))
+        return plain, probe
+
+    def q_ann_brute(spark, sf, maxq=5):
         # round before ranking so Spark/DuckDB agree on order at ties
         from enrich_spark.datapipe.similarity import cosine
+
+        vecs, queries_df = _emb_queries(spark, sf, maxq)
 
         scored = vecs.crossJoin(F.broadcast(queries_df)).select(
             "query_id", "vec_id",
@@ -3650,36 +3675,20 @@ config:
     q["ann_cosine_topk"] = q_ann_brute
 
     def q_ann_lsh(spark, sf):
-        from enrich_spark.datapipe.similarity import lsh_topk
-
-        emb = _load_emb(spark, sf)
-        vecs = emb.select(
-            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
-        )
-        queries_df = vecs.where(F.col("vec_id") < 3).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-        )
-        sel = lambda df: df.select(  # noqa: E731
-            F.col("query_id").cast("long"), F.col("vec_id").cast("long"),
-            "cosine_sim",
-        )
-        plain = sel(lsh_topk(vecs, queries_df, dim=64, k=10, num_tables=4,
-                             bits=6, round_digits=4))
-        # multiprobe: per table also probe the two Hamming-1 buckets on
-        # the low signature bits — query-side-only fan-out recall lever
-        probe = sel(lsh_topk(vecs, queries_df, dim=64, k=10, num_tables=4,
-                             bits=6, round_digits=4, multiprobe=2))
+        plain, probe = _lsh_plain_probe(spark, sf)
         # recall@10 of the plain LSH result against the rounded brute
         # ground truth (similarity.topk_recall) — the acceptance metric
         # an approximate index is tuned by, gated so "approximate" has
-        # a hash-checked honesty number next to it
+        # a hash-checked honesty number next to it. The summary rolls
+        # up the SAME per-query frame (summarize_topk_recall), not a
+        # second recall join.
         from enrich_spark.datapipe.similarity import (
-            topk_recall, topk_recall_summary,
+            summarize_topk_recall, topk_recall,
         )
 
         exact3 = q_ann_brute(spark, sf, maxq=3)
         recall = topk_recall(plain, exact3)
-        recall_sum = topk_recall_summary(plain, exact3)
+        recall_sum = summarize_topk_recall(recall)
         return _union_parts(
             [("plain", plain), ("probe", probe),
              ("recall", recall), ("recall_sum", recall_sum)],
@@ -3697,53 +3706,22 @@ config:
         # measuring the grown bundle would break round-over-round
         # comparability (the r10 ann_ivf_topk precedent), and recall
         # has its own bench row (ann_recall).
-        from enrich_spark.datapipe.similarity import lsh_topk
-
-        emb = _load_emb(spark, sf)
-        vecs = emb.select(
-            "vec_id", F.transform("embedding", lambda x: x.cast("double"))
-            .alias("embedding"))
-        queries_df = vecs.where(F.col("vec_id") < 3).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("query_vec"))
-        sel = lambda df: df.select(  # noqa: E731
-            F.col("query_id").cast("long"), F.col("vec_id").cast("long"),
-            "cosine_sim")
-        plain = sel(lsh_topk(vecs, queries_df, dim=64, k=10, num_tables=4,
-                             bits=6, round_digits=4))
-        probe = sel(lsh_topk(vecs, queries_df, dim=64, k=10, num_tables=4,
-                             bits=6, round_digits=4, multiprobe=2))
+        plain, probe = _lsh_plain_probe(spark, sf)
         return _union_parts([("plain", plain), ("probe", probe)])
 
     def q_ann_recall(spark, sf):
         # bench variant: recall@10 summary of the plain LSH search vs
         # the brute ground truth — times both searches + the recall
         # join/rollup (the gated recall/recall_sum parts' plan)
-        from enrich_spark.datapipe.similarity import (
-            lsh_topk, topk_recall_summary,
-        )
+        from enrich_spark.datapipe.similarity import topk_recall_summary
 
-        emb = _load_emb(spark, sf)
-        vecs = emb.select(
-            "vec_id", F.transform("embedding", lambda x: x.cast("double"))
-            .alias("embedding"))
-        queries_df = vecs.where(F.col("vec_id") < 3).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("query_vec"))
-        plain = lsh_topk(vecs, queries_df, dim=64, k=10, num_tables=4,
-                         bits=6, round_digits=4)
+        plain, _ = _lsh_plain_probe(spark, sf)
         return topk_recall_summary(plain, q_ann_brute(spark, sf, maxq=3))
 
     def q_ann_ivf(spark, sf):
         from enrich_spark.datapipe.similarity import ivf_topk
 
-        emb = _load_emb(spark, sf)
-        vecs = emb.select(
-            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
-        )
-        queries_df = vecs.where(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-        )
+        vecs, queries_df = _emb_queries(spark, sf, maxq=5)
         out = ivf_topk(vecs, queries_df, k=10, n_centroids=16, nprobe=4)
         return out.select(
             F.col("query_id").cast("long"), F.col("vec_id").cast("long"),

@@ -268,7 +268,11 @@ def key_skew_topn(
         F.col("total_rows").cast("long").alias("total_rows"),
         F.col("n_keys").cast("long").alias("n_keys"),
     )
-    order = [F.col("cnt").desc()] + [F.col(c).asc() for c in keys]
+    # asc_nulls_last: Spark's bare asc is NULLS FIRST, DuckDB's ASC is
+    # NULLS LAST — a NULL key (common among hot join keys) tied at the
+    # top_n boundary would otherwise select different rows per engine
+    order = [F.col("cnt").desc()] + [F.col(c).asc_nulls_last()
+                                     for c in keys]
     return out.orderBy(*order).limit(top_n)
 
 
@@ -281,7 +285,7 @@ def key_skew_topn_sql(
     same count-desc-then-key order)."""
     keys = [key_exprs] if isinstance(key_exprs, str) else list(key_exprs)
     klist = ", ".join(keys)
-    korder = ", ".join(f"{k} ASC" for k in keys)
+    korder = ", ".join(f"{k} ASC NULLS LAST" for k in keys)
     return f"""
         WITH c AS (
           SELECT {klist}, count(*) AS cnt FROM {from_sql}

@@ -86,12 +86,17 @@ def pca_gram(
             col = pdf[vec_col]
             if col.isna().any():
                 raise ValueError("pca_gram: NULL vector encountered")
-            q = np.floor(np.stack(
-                [np.asarray(v, dtype=np.float64) for v in col]
-            ) * scale).astype(np.int64)
-            if q.shape[1] != d:
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+            if x.shape[1] != d:
                 raise ValueError(
-                    f"pca_gram: vector length {q.shape[1]} != dim {d}")
+                    f"pca_gram: vector length {x.shape[1]} != dim {d}")
+            # element-level check: a NULL inside a vector arrives as
+            # NaN, and floor(nan).astype(int64) silently produces
+            # INT64_MIN — corrupted sums, not an error
+            if np.isnan(x).any():
+                raise ValueError(
+                    "pca_gram: NULL/NaN vector element encountered")
+            q = np.floor(x * scale).astype(np.int64)
             gram += q.T @ q
             sums += q.sum(axis=0)
             n += q.shape[0]
@@ -116,28 +121,31 @@ def pca_gram_sql(
     scale: int = 1000,
 ) -> str:
     """DuckDB mirror of :func:`pca_gram` — same floor(x·scale)
-    quantization (float→double cast first), same exact integer sums
-    (the oracle expands the position cross-product explicitly; the
-    Spark side batches it through one numpy matmul)."""
+    quantization (float→double cast first), same exact integer sums.
+    The (i, j) pair products are expanded per ROW with two lateral
+    position ranges — no synthetic row id anywhere (a row_number()
+    OVER () self-join key is only deterministic while the engine
+    preserves scan order; per-row expansion needs no such
+    assumption)."""
     return f"""
         WITH q AS (
           SELECT list_transform({vec_expr},
                    x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
                  AS qv
           FROM {from_sql}
-        ),
-        u AS (
-          SELECT r AS rid, t.i AS i, qv[t.i + 1] AS val
-          FROM (SELECT row_number() OVER () AS r, qv FROM q),
-               (SELECT unnest(range({dim})) AS i) t
         )
-        SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
-               CAST(sum(a.val * b.val) AS BIGINT) AS v
-        FROM u a JOIN u b ON a.rid = b.rid AND a.i <= b.i
-        GROUP BY a.i, b.i
+        SELECT CAST(ti.i AS INT) AS i, CAST(tj.j AS INT) AS j,
+               CAST(sum(qv[ti.i + 1] * qv[tj.j + 1]) AS BIGINT) AS v
+        FROM q,
+             (SELECT unnest(range({dim})) AS i) ti,
+             (SELECT unnest(range({dim})) AS j) tj
+        WHERE ti.i <= tj.j
+        GROUP BY ti.i, tj.j
         UNION ALL
-        SELECT CAST(i AS INT), CAST(-1 AS INT), CAST(sum(val) AS BIGINT)
-        FROM u GROUP BY i
+        SELECT CAST(t.i AS INT), CAST(-1 AS INT),
+               CAST(sum(qv[t.i + 1]) AS BIGINT)
+        FROM q, (SELECT unnest(range({dim})) AS i) t
+        GROUP BY t.i
         UNION ALL
         SELECT CAST(-1 AS INT), CAST(-1 AS INT),
                CAST(count(*) AS BIGINT)

@@ -773,8 +773,17 @@ def topk_recall_summary(
 ) -> DataFrame:
     """One-row corpus rollup of :func:`topk_recall`: query count,
     micro-averaged recall (total hits over total truths, basis
-    points), and the count of perfectly-recalled queries."""
+    points), and the count of perfectly-recalled queries. Callers
+    that already hold the per-query frame should roll IT up via
+    :func:`summarize_topk_recall` instead of paying the recall join
+    twice."""
     per_q = topk_recall(approx, exact, query_col, id_col)
+    return summarize_topk_recall(per_q)
+
+
+def summarize_topk_recall(per_q: DataFrame) -> DataFrame:
+    """Roll up an existing :func:`topk_recall` result (reuses the
+    already-built join subtree instead of reconstructing it)."""
     return per_q.agg(
         F.count(F.lit(1)).cast("long").alias("n_queries"),
         F.sum("n_true").cast("long").alias("n_true"),

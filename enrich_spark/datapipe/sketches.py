@@ -370,10 +370,14 @@ def kmv_overlap_estimate(
                  .otherwise(F.floor(F.lit(float((k - 1) * KMV_DOMAIN))
                                     / F.col("_kth")))
                  .cast("long"))
+    # empty-sketch guard: two empty slices are a legitimate planning
+    # query; without it the share division raises under ANSI mode
+    jac = (F.when(F.col("n_union_sketch") > 0,
+                  F.expr("n_both * 10000 div n_union_sketch"))
+           .otherwise(F.lit(0)).cast("long"))
     return stats.select(
         "n_union_sketch", "n_both",
-        F.expr("n_both * 10000 div n_union_sketch").cast("long")
-        .alias("jaccard_bp"),
+        jac.alias("jaccard_bp"),
         est_union.alias("est_union"),
     ).withColumn(
         "est_intersection",
@@ -408,6 +412,8 @@ def kmv_overlap_estimate_sql(
     num = repr(float((k - 1) * KMV_DOMAIN))
     est = (f"CASE WHEN n_union_sketch < {k} THEN n_union_sketch "
            f"ELSE CAST(floor({num} / _kth) AS BIGINT) END")
+    jac = ("CASE WHEN n_union_sketch > 0 "
+           "THEN n_both * 10000 // n_union_sketch ELSE 0 END")
     return f"""
         WITH a AS ({a_sql}), b AS ({b_sql}),
         u AS (SELECT DISTINCT kmv_h FROM (
@@ -419,10 +425,9 @@ def kmv_overlap_estimate_sql(
               WHERE kmv_h IN (SELECT kmv_h FROM a)
                 AND kmv_h IN (SELECT kmv_h FROM b))
         SELECT n_union_sketch, n_both,
-               CAST(n_both * 10000 // n_union_sketch AS BIGINT)
-                 AS jaccard_bp,
+               CAST({jac} AS BIGINT) AS jaccard_bp,
                CAST({est} AS BIGINT) AS est_union,
-               CAST(CAST(n_both * 10000 // n_union_sketch AS BIGINT)
+               CAST(CAST({jac} AS BIGINT)
                     * ({est}) // 10000 AS BIGINT) AS est_intersection
         FROM s, m
     """

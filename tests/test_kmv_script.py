@@ -202,3 +202,13 @@ def test_script_profile_plan_is_native(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                    "Exchange"):
         assert marker not in plan
+
+
+def test_kmv_overlap_empty_sketches(spark):
+    """Two empty slices are a legitimate planning query — must return
+    a zero row, not an ANSI divide-by-zero."""
+    empty = spark.createDataFrame([], "v string")
+    a = kmv_sketch(empty, "v", k=16)
+    r = kmv_overlap_estimate(a, a, k=16).collect()[0]
+    assert (r.n_union_sketch, r.n_both, r.jaccard_bp,
+            r.est_union, r.est_intersection) == (0, 0, 0, 0, 0)

@@ -259,8 +259,7 @@ def test_topk_recall_on_real_ann_paths(spark):
     s = topk_recall_summary(lsh, exact).collect()[0]
     assert s.n_queries == 3 and s.n_true == 30
     assert 0 < s.recall_bp <= 10000
-    ivf = ivf_topk(emb, queries.withColumnRenamed("query_vec", "query_vec"),
-                   k=10, n_centroids=16, nprobe=4)
+    ivf = ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
     s2 = topk_recall_summary(ivf, exact).collect()[0]
     assert 0 < s2.recall_bp <= 10000
 
@@ -308,3 +307,59 @@ def test_key_skew_topn_plan_is_distributed_topn(spark):
     assert "TakeOrderedAndProject" in plan
     # the rollup side must come back as a broadcast, not a shuffle join
     assert "SortMergeJoin" not in plan
+
+
+def test_pca_gram_rejects_null_element(spark):
+    """A NULL ELEMENT inside a vector (not a NULL vector) must raise:
+    floor(nan).astype(int64) would silently emit INT64_MIN and corrupt
+    the Gram sums."""
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, None])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="NaN vector element"):
+        pca_gram(bad, dim=2).collect()
+
+
+def test_pca_gram_sql_is_rowid_free(spark, tmp_path):
+    """The oracle must not rely on row_number() OVER () scan-order
+    determinism — assert the SQL contains no synthetic row id, and
+    that it still matches Spark when DuckDB's insertion-order
+    preservation is disabled."""
+    sql = pca_gram_sql("embeddings", dim=4)
+    assert "row_number" not in sql.lower()
+    import os as _os
+
+    import pandas as pd
+    x, _ = _synth_vecs(n=120, dim=4, seed=23)
+    path = _os.path.join(tmp_path, "e.parquet")
+    pd.DataFrame({
+        "vec_id": range(len(x)),
+        "embedding": [np.asarray(r, dtype=np.float32) for r in x],
+    }).to_parquet(path)
+    got = sorted((r.i, r.j, r.v) for r in pca_gram(
+        spark.read.parquet(path), dim=4).collect())
+    con = duckdb.connect()
+    con.execute("SET preserve_insertion_order=false")
+    want = sorted(tuple(r) for r in con.execute(
+        pca_gram_sql(f"read_parquet('{path}')", dim=4)).fetchall())
+    assert got == want
+
+
+def test_key_skew_null_key_tie_parity(spark, tmp_path):
+    """NULL keys tied at the top_n boundary must select the SAME rows
+    on both engines (Spark bare asc = NULLS FIRST, DuckDB ASC = NULLS
+    LAST — the operator pins NULLS LAST on both)."""
+    import pandas as pd
+
+    from enrich_spark.datapipe.layout import (
+        key_skew_topn, key_skew_topn_sql,
+    )
+    pdf = pd.DataFrame({"k": [None] * 5 + ["a"] * 5 + ["b"] * 5})
+    path = f"{tmp_path}/nk.parquet"
+    pdf.to_parquet(path)
+    df = spark.read.parquet(path)
+    got = [(r.k, r.cnt) for r in key_skew_topn(df, "k", top_n=2).collect()]
+    con = duckdb.connect()
+    want = [(r[0], r[1]) for r in con.execute(key_skew_topn_sql(
+        f"read_parquet('{path}')", "k", top_n=2)).fetchall()]
+    assert got == want == [("a", 5), ("b", 5)]
