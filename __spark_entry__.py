@@ -3068,11 +3068,25 @@ config:
             F.col("removed_lines").cast("long").alias("removed_lines"),
         )
 
+    def q_ngram_novelty(spark, sf):
+        # per-doc novel n-gram share (dedup.ngram_novelty): distinct
+        # 3-gram explode → ONE doc-frequency groupBy on the md5 gram
+        # hash → same-key join back → per-doc rollup; the measurement
+        # complement of despan's removal
+        from enrich_spark.datapipe.dedup import ngram_novelty
+
+        docs = _load_docs(spark, sf)
+        return ngram_novelty(docs, n=3).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_grams", "n_novel", "novelty_bp")
+
     q["dedup_despan"] = lambda spark, sf: _union_parts(
         [("despan", q_despan_part(spark, sf)),
-         ("lines", q_boiler_lines(spark, sf))],
+         ("lines", q_boiler_lines(spark, sf)),
+         ("novelty", q_ngram_novelty(spark, sf))],
         fill=("n_words", "removed_words", "n_spans",
-              "n_lines", "kept_lines", "removed_lines"),
+              "n_lines", "kept_lines", "removed_lines",
+              "n_grams", "n_novel", "novelty_bp"),
     )
 
     def q_decontam_multi(spark, sf):
@@ -4565,9 +4579,11 @@ config:
         "pca_fit": q_pca_gram,
         "key_skew": q_key_skew,
         "ann_lsh_topk": q_ann_lsh_search_only,
-        # r11 wave 3 (merged into decontam_multi / text_analysis)
+        # r11 wave 3 (merged into decontam_multi / text_analysis /
+        # dedup_despan)
         "kmv_overlap": q_kmv_overlap,
         "script_profile": q_script_profile,
+        "ngram_novelty": q_ngram_novelty,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -5818,6 +5834,10 @@ def oracle_sql() -> dict[str, str]:
     _boiler_sql = (
         "SELECT doc_id, clean_text AS cleaned_text, n_lines, kept_lines,"
         " removed_lines FROM (" + _rbl_sql(_boiler_fixture) + ")")
+    from enrich_spark.datapipe.dedup import (
+        ngram_novelty_sql as _novelty_sql,
+    )
+
     o["dedup_despan"] = _union_oracle([
         ("despan", _despan_sql,
          {"doc_id": "num", "cleaned_text": "str", "n_words": "num",
@@ -5825,6 +5845,9 @@ def oracle_sql() -> dict[str, str]:
         ("lines", _boiler_sql,
          {"doc_id": "num", "cleaned_text": "str", "n_lines": "num",
           "kept_lines": "num", "removed_lines": "num"}),
+        ("novelty", _novelty_sql("documents", n=3),
+         {"doc_id": "num", "n_grams": "num", "n_novel": "num",
+          "novelty_bp": "num"}),
     ])
 
     def _dm_part(k, mod, name):

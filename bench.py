@@ -100,6 +100,7 @@ HEADLINE = [
     "key_skew",               # exact heaviest-keys shuffle diagnostic
     "kmv_overlap",            # cross-corpus overlap from KMV sketches
     "script_profile",         # Unicode writing-system profile
+    "ngram_novelty",          # per-doc novel n-gram share
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -117,7 +118,7 @@ GROUPS = [
     ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
      "dedup_ngram_jaccard", "dedup_despan", "decontam_multi",
      "decontam_bloom", "semantic_dedup", "leakage_split",
-     "incremental_dedup", "boilerplate_lines"],
+     "incremental_dedup", "boilerplate_lines", "ngram_novelty"],
     # embeddings / ANN / clustering
     ["ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
      "embedding_dup_pairs", "cluster_stats", "sessionize",

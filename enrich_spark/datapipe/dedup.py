@@ -1380,3 +1380,97 @@ def apply_dedup_policy(
         .cast("long").alias("cluster_size"),
         (F.row_number().over(w) == 1).cast("int").alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-document n-gram novelty — the "unique n-gram fraction" card metric
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document NOVELTY: what share of a doc's distinct word
+    n-grams appears in no other document. The dataset-card diversity
+    metric (a corpus whose docs average 20% novel n-grams is mostly
+    re-statements of itself), the memorization-risk signal (low-novelty
+    docs are the ones a model can reproduce from elsewhere in the
+    corpus), and the complement of the dedup family: despan REMOVES
+    cross-doc repeated windows, novelty MEASURES per-doc how much would
+    survive.
+
+    Same shingle normalization as the minhash/despan family
+    (:func:`shingles` — lowercased, whitespace-collapsed, distinct;
+    docs shorter than n words contribute their whole text as one
+    gram). Grams travel as 60-bit md5 integers, never strings.
+
+    Output: id, ``n_grams`` (distinct in the doc), ``n_novel`` (corpus
+    doc-frequency = 1), ``novelty_bp`` (integer basis points).
+
+    Scale shape (the boilerplate-line plan): posexplode-free explode of
+    per-doc distinct grams → ONE groupBy on the gram hash (key-bounded
+    shuffle, map-side combined) → join back on the same key (no new
+    shuffle partitioning) → groupBy(doc). No pair joins, no global
+    sort; the gram-frequency table is the only intermediate and it is
+    bounded by the distinct-gram count.
+    """
+    h = md5_hash_family(0)
+    g = docs.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("_g"))
+    gh = g.select(F.col(id_col), h(F.col("_g")).alias("_h"))
+    freq = gh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    joined = gh.join(freq, "_h")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+        .cast("long").alias("n_novel"),
+    ).withColumn(
+        "novelty_bp",
+        F.expr("n_novel * 10000 div n_grams").cast("long"))
+
+
+def ngram_novelty_sql(
+    from_sql: str,
+    n: int = 3,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    id_alias: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`ngram_novelty` (same normalization,
+    same md5 gram hash, same doc-frequency join)."""
+    slice_end = f"i + {n - 1}"
+    return f"""
+        WITH base AS (
+          SELECT {id_expr} AS {id_alias},
+                 string_split(trim(regexp_replace(lower({text_expr}),
+                     '\\s+', ' ', 'g')), ' ') AS words
+          FROM {from_sql}
+        ),
+        sh AS (
+          SELECT {id_alias},
+                 list_distinct(CASE WHEN len(words) >= {n}
+                   THEN list_transform(range(1, len(words) - {n} + 2),
+                        i -> array_to_string(
+                               list_slice(words, i, {slice_end}), ' '))
+                   ELSE [array_to_string(words, ' ')] END) AS grams
+          FROM base
+        ),
+        gh AS (
+          SELECT {id_alias},
+                 CAST(('0x' || substr(md5('0:' || g), 1, 15)) AS BIGINT)
+                   AS h
+          FROM sh, unnest(grams) AS t(g)
+        ),
+        freq AS (SELECT h, count(*) AS df FROM gh GROUP BY h)
+        SELECT gh.{id_alias} AS {id_alias},
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN freq.df = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_novel,
+               CAST(sum(CASE WHEN freq.df = 1 THEN 1 ELSE 0 END)
+                 * 10000 // count(*) AS BIGINT) AS novelty_bp
+        FROM gh JOIN freq USING (h)
+        GROUP BY gh.{id_alias}
+    """

@@ -120,7 +120,7 @@ EXPECTED_BUNDLE_PARTS = {
     "metadata_aggregation": ["meta", "manifest", "card", "comp",
                              "zorder", "ksample", "kgroup", "wsample",
                              "fit", "skew"],
-    "dedup_despan": ["despan", "lines"],
+    "dedup_despan": ["despan", "lines", "novelty"],
     "sessionize": ["stats", "stream_closed", "stream_dedup"],
     "sql_lookup_join": ["broadcast", "json"],
     "yauaa_classify": ["native", "rules"],

@@ -212,3 +212,61 @@ def test_kmv_overlap_empty_sketches(spark):
     r = kmv_overlap_estimate(a, a, k=16).collect()[0]
     assert (r.n_union_sketch, r.n_both, r.jaccard_bp,
             r.est_union, r.est_intersection) == (0, 0, 0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty
+
+
+def test_ngram_novelty_basic(spark):
+    from enrich_spark.datapipe.dedup import ngram_novelty
+    docs = spark.createDataFrame([
+        (1, "the quick brown fox jumps"),      # shares 'the quick brown' w/ 2
+        (2, "the quick brown cat sleeps"),
+        (3, "completely different words here"),
+    ], "doc_id long, text string")
+    rows = {r.doc_id: r for r in ngram_novelty(docs, n=3).collect()}
+    # doc 1 grams: 'the quick brown', 'quick brown fox', 'brown fox jumps'
+    assert rows[1].n_grams == 3
+    assert rows[1].n_novel == 2          # 'the quick brown' shared
+    assert rows[1].novelty_bp == 6666
+    assert rows[3].n_novel == rows[3].n_grams == 2
+    assert rows[3].novelty_bp == 10000
+
+
+def test_ngram_novelty_short_doc_whole_text_gram(spark):
+    from enrich_spark.datapipe.dedup import ngram_novelty
+    docs = spark.createDataFrame([
+        (1, "tiny doc"), (2, "tiny doc"), (3, "other"),
+    ], "doc_id long, text string")
+    rows = {r.doc_id: r for r in ngram_novelty(docs, n=5).collect()}
+    assert rows[1].n_grams == 1 and rows[1].n_novel == 0   # duplicated
+    assert rows[3].novelty_bp == 10000
+
+
+def test_ngram_novelty_duckdb_parity(spark, tmp_path):
+    import pandas as pd
+
+    from enrich_spark.datapipe.dedup import ngram_novelty, ngram_novelty_sql
+    texts = [f"alpha beta gamma delta doc{i % 7} epsilon zeta w{i % 3}"
+             for i in range(60)] + ["", "one", "shared tail phrase here"]
+    pd.DataFrame({"doc_id": range(len(texts)), "text": texts}) \
+        .to_parquet(f"{tmp_path}/d.parquet")
+    df = spark.read.parquet(f"{tmp_path}/d.parquet")
+    got = sorted((r.doc_id, r.n_grams, r.n_novel, r.novelty_bp)
+                 for r in ngram_novelty(df, n=3).collect())
+    want = sorted(tuple(r) for r in duckdb.connect().execute(
+        ngram_novelty_sql(f"read_parquet('{tmp_path}/d.parquet')", n=3))
+        .fetchall())
+    assert got == want
+
+
+def test_ngram_novelty_plan_no_pair_join(spark):
+    from enrich_spark.datapipe.dedup import ngram_novelty
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x y z q{i}") for i in range(20)],
+        "doc_id long, text string")
+    plan = ngram_novelty(docs, n=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

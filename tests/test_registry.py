@@ -95,6 +95,7 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "key_skew": "metadata_aggregation",
         "kmv_overlap": "decontam_multi",
         "script_profile": "text_analysis",
+        "ngram_novelty": "dedup_despan",
         "script_js": "script_hook",  # bench-only throughput variant
     }
     for name in benchmod.HEADLINE:
