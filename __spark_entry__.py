@@ -3804,6 +3804,26 @@ config:
 
         return topk_recall(q_ann_ivf(spark, sf), q_ann_brute(spark, sf))
 
+    def q_kmeans_update(spark, sf):
+        # full-corpus distributed Lloyd update (similarity.
+        # kmeans_update_stats): map-side literal-centroid assignment +
+        # ONE k-row groupBy of integer micro-unit component sums — the
+        # training step itself, hash-gated (same deterministic
+        # vec_id<16 centroids as the cluster/IVF oracles)
+        from enrich_spark.datapipe.similarity import kmeans_update_stats
+
+        vecs, _ = _emb_queries(spark, sf, maxq=0)
+        cents = [
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in vecs.where(F.col("vec_id") < 16).collect()
+        ]
+        out = kmeans_update_stats(vecs, cents)
+        return out.select(
+            "cid", "n_members",
+            F.md5(F.concat_ws(",", F.transform(
+                "comp_sums", lambda s: s.cast("string"))))
+            .alias("sums_digest"))
+
     def q_pca_gram(spark, sf):
         # one-pass integer second-moment statistics (pca.pca_gram):
         # Arrow-batched numpy q^T q partials, bounded d(d+1)/2-key
@@ -3837,11 +3857,12 @@ config:
          ("pq_adc", q_pq_adc(spark, sf)),
          ("recall", q_ivf_recall(spark, sf)),
          ("pca_gram", q_pca_gram(spark, sf)),
-         ("pca_proj", q_pca_proj(spark, sf))],
+         ("pca_proj", q_pca_proj(spark, sf)),
+         ("kmeans", q_kmeans_update(spark, sf))],
         fill=("query_id", "vec_id", "cosine_sim", "rank", "cid", "n",
               "sum_sim_bp", "mean_sim_bp", "min_sim_bp", "max_sim_bp",
               "adc_dist", "n_true", "n_hits", "recall_bp", "i", "j",
-              "v", "pc0", "pc1", "pc2", "pc3"),
+              "v", "pc0", "pc1", "pc2", "pc3", "n_members"),
     )
 
     def q_embedding_dup(spark, sf):
@@ -4584,6 +4605,7 @@ config:
         "kmv_overlap": q_kmv_overlap,
         "script_profile": q_script_profile,
         "ngram_novelty": q_ngram_novelty,
+        "kmeans_update": q_kmeans_update,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -6512,6 +6534,39 @@ def oracle_sql() -> dict[str, str]:
                 f"- ({off!r})) / ({s!r}), 4) AS pc{j}")
         return "SELECT " + ", ".join(sels) + " FROM embeddings"
 
+    # kmeans Lloyd-update stats: same table-derived vec_id<16 centroids
+    # and 6dp-rounded assignment as the cluster oracle, then 64
+    # per-component floor(x·1e6) integer sums digested to one md5
+    _km_sums = ", ".join(
+        f"CAST(sum(CAST(floor(emb[{i + 1}] * 1000000) AS BIGINT))"
+        f" AS BIGINT) AS s{i}" for i in range(64))
+    # concat_ws (one 65-arg call), NOT chained || — 64 nested binary
+    # concats exceed DuckDB's 128-deep binder recursion limit
+    _km_digest = "md5(concat_ws(','," + ", ".join(
+        f"CAST(s{i} AS VARCHAR)" for i in range(64)) + "))"
+    _kmeans_sql = f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                   FROM embeddings),
+             c AS (SELECT vec_id AS cid, emb AS cvec FROM v
+                   WHERE vec_id < 16),
+        assign AS (
+          SELECT emb, cid FROM (
+            SELECT v.vec_id, v.emb, c.cid,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY round(list_dot_product(v.emb, c.cvec)
+                              / (sqrt(list_dot_product(v.emb, v.emb))
+                                 * sqrt(list_dot_product(c.cvec,
+                                                         c.cvec))), 6)
+                              DESC, c.cid ASC) AS r
+            FROM v, c)
+          WHERE r = 1),
+        g AS (
+          SELECT cid, CAST(count(*) AS BIGINT) AS n_members, {_km_sums}
+          FROM assign GROUP BY cid)
+        SELECT cid, n_members, {_km_digest} AS sums_digest FROM g
+    """
+
     _emb_dbl = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
     _ivf_sql = o["ann_ivf_topk"]
     o["ann_ivf_topk"] = _union_oracle([
@@ -6533,6 +6588,8 @@ def oracle_sql() -> dict[str, str]:
         ("pca_proj", _pca_proj_oracle(),
          {"vec_id": "num", "pc0": "fnum", "pc1": "fnum",
           "pc2": "fnum", "pc3": "fnum"}),
+        ("kmeans", _kmeans_sql,
+         {"cid": "num", "n_members": "num", "sums_digest": "str"}),
     ])
 
     _emb_pairs_sql = """

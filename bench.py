@@ -101,6 +101,7 @@ HEADLINE = [
     "kmv_overlap",            # cross-corpus overlap from KMV sketches
     "script_profile",         # Unicode writing-system profile
     "ngram_novelty",          # per-doc novel n-gram share
+    "kmeans_update",          # full-corpus Lloyd-update stats pass
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -123,7 +124,7 @@ GROUPS = [
     ["ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
      "embedding_dup_pairs", "cluster_stats", "sessionize",
      "pq_adc_topk", "negative_samples", "ann_recall", "pca_fit",
-     "key_skew"],
+     "key_skew", "kmeans_update"],
     # text analysis (all native-regexp, cheap)
     ["text_quality_score", "text_token_counts", "text_language_id",
      "text_pii_scrub", "quality_model_score", "corpus_stats",

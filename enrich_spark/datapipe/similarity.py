@@ -832,3 +832,141 @@ def topk_recall_summary_sql(approx_sql: str, exact_sql: str,
                  AS BIGINT) AS perfect_queries
         FROM ({per_q})
     """
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means training — full-corpus Lloyd iterations
+
+
+def kmeans_update_stats(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """ONE distributed Lloyd-update statistics pass over the FULL
+    corpus: map-side assignment against literal centroids (the
+    :func:`cluster_assign` affinity — 6dp-rounded cosine, ties to the
+    lower cid), then ONE ``groupBy(cid)`` carrying d per-component
+    integer micro-unit sums (map-side combined, k rows out). This is
+    the distributed sibling of :func:`train_centroids`'s bounded-sample
+    driver loop: when the sample is not representative (heavy-tailed
+    corpora, rare-language clusters), each full-corpus iteration costs
+    one scan plus a k-row shuffle — nothing corpus-sized ever moves.
+
+    Integer discipline: component sums are Σ floor(x·scale) — exact
+    int64 (overflow bound: rows · |x|·scale < 2⁶³, i.e. > 9·10¹² rows
+    at |x| ≤ 1), so the stats row value-hashes across engines; the
+    float mean/renormalize happens on the DRIVER in
+    :func:`kmeans_iterate` (the fit_pca eigensolve pattern). Vectors
+    should be pre-cast to double (as every operator here expects).
+
+    Output: cid, n_members, comp_sums (array<long>, length d).
+    Clusters with no members are absent (the caller keeps the previous
+    centroid — standard Lloyd empty-cluster handling).
+    """
+    dim = len(centroids[0][1])
+    best = f"array_max({_affinity_array_sql(centroids, vec_col, '_vn')})"
+    assigned = (vectors.withColumn("_vn", F.expr(_sql_norm(vec_col)))
+                .select(F.expr(f"-({best}.ncid)").cast("long")
+                        .alias("cid"),
+                        F.col(vec_col).alias("_v")))
+    sums = [
+        F.sum(F.floor(F.element_at("_v", i + 1) * scale)).cast("long")
+        .alias(f"_s{i}")
+        for i in range(dim)
+    ]
+    agg = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"), *sums)
+    return agg.select(
+        "cid", "n_members",
+        F.array(*[F.col(f"_s{i}") for i in range(dim)])
+        .alias("comp_sums"))
+
+
+def kmeans_iterate(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iters: int = 1,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> list[tuple[int, list[float]]]:
+    """Full-corpus spherical Lloyd iterations: per iteration, one
+    :func:`kmeans_update_stats` pass (map-side assignment + k-row
+    aggregate) and a driver-side mean/renormalize over the k×d integer
+    sums. Empty clusters keep their previous centroid. Returns the
+    (cid, vector) list :func:`ivf_topk` / :func:`cluster_assign`
+    accept as plan literals."""
+    import math
+
+    for _ in range(iters):
+        rows = {r.cid: r for r in kmeans_update_stats(
+            vectors, centroids, vec_col, scale).collect()}
+        nxt = []
+        for cid, old in centroids:
+            r = rows.get(cid)
+            if r is None or r.n_members == 0:
+                nxt.append((cid, list(old)))
+                continue
+            m = [s / r.n_members / scale for s in r.comp_sums]
+            nm = math.sqrt(sum(x * x for x in m))
+            nxt.append((cid, [x / nm for x in m]) if nm > 0
+                       else (cid, list(old)))
+        centroids = nxt
+    return centroids
+
+
+def kmeans_update_stats_sql(
+    from_sql: str,
+    centroids: list[tuple[int, list[float]]],
+    vec_expr: str = "embedding",
+    id_expr: str = "vec_id",
+    scale: int = 1_000_000,
+    digest: bool = True,
+) -> str:
+    """DuckDB mirror of :func:`kmeans_update_stats` (same 6dp-rounded
+    affinity assignment / low-cid ties as the cluster oracle, same
+    floor(x·scale) integer sums). With ``digest`` the comp_sums array
+    is emitted as one md5 of the comma-joined values — the scalar the
+    value-hash comparator wants."""
+    import math
+
+    dim = len(centroids[0][1])
+    affin = []
+    for cid, cvec in centroids:
+        cnorm = math.sqrt(sum(x * x for x in cvec))
+        arr = "[" + ", ".join(repr(float(v)) for v in cvec) + "]"
+        affin.append(
+            f"SELECT {cid} AS cid, {arr}::DOUBLE[] AS cvec,"
+            f" {cnorm!r} AS cnorm")
+    cents = " UNION ALL ".join(affin)
+    sums = ", ".join(
+        f"CAST(sum(CAST(floor(emb[{i + 1}] * {scale}) AS BIGINT))"
+        f" AS BIGINT) AS s{i}"
+        for i in range(dim))
+    # concat_ws (one flat call), NOT chained || — d nested binary
+    # concats exceed DuckDB's 128-deep binder recursion limit at d=64
+    out_sums = ("md5(concat_ws(','," + ", ".join(
+        f"CAST(s{i} AS VARCHAR)" for i in range(dim))
+        + ")) AS sums_digest" if digest else ", ".join(
+            f"s{i}" for i in range(dim)))
+    return f"""
+        WITH v AS (SELECT {id_expr} AS rid, {vec_expr} AS emb
+                   FROM {from_sql}),
+        c AS ({cents}),
+        assign AS (
+          SELECT emb, cid FROM (
+            SELECT v.rid, v.emb, c.cid,
+                   row_number() OVER (
+                     PARTITION BY v.rid
+                     ORDER BY round(list_dot_product(v.emb, c.cvec)
+                              / (sqrt(list_dot_product(v.emb, v.emb))
+                                 * c.cnorm), 6) DESC,
+                              c.cid ASC) AS r
+            FROM v, c)
+          WHERE r = 1),
+        g AS (
+          SELECT cid, CAST(count(*) AS BIGINT) AS n_members, {sums}
+          FROM assign GROUP BY cid)
+        SELECT cid, n_members, {out_sums} FROM g
+    """

@@ -141,7 +141,7 @@ EXPECTED_BUNDLE_PARTS = {
     "dedup_ngram_jaccard": ["blocked", "prefix", "clusters", "policy"],
     "ann_lsh_topk": ["plain", "probe", "recall", "recall_sum"],
     "ann_ivf_topk": ["ivf", "cluster", "pq_codes", "pq_adc", "recall",
-                     "pca_gram", "pca_proj"],
+                     "pca_gram", "pca_proj", "kmeans"],
     "embedding_dup_pairs": ["pairs", "lsh_pairs", "semdedup", "int8",
                             "margin", "negs"],
     "text_analysis": ["lang", "quality", "tokens", "fprint", "stats",
