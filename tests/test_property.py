@@ -702,3 +702,65 @@ def test_negative_samples_matches_reference_property(ids, k, nb):
     got = {(r.anchor_id, r.j, r.neg_id) for r in
            negative_samples(docs, k=k, n_buckets=nb).collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet="abcdef", min_size=0, max_size=6),
+                min_size=0, max_size=60),
+       st.integers(1, 16))
+def test_kmv_sketch_matches_python_replay_property(vals, k):
+    """kmv_sketch is exactly the k smallest distinct 60-bit md5-prefix
+    hashes a pure-Python replay computes — for ANY value multiset and
+    ANY k (duplicates collapse, order-free, partitioning-free)."""
+    import hashlib
+
+    from enrich_spark.datapipe.sketches import kmv_sketch
+
+    spark = _get_spark()
+    df = spark.createDataFrame([(v,) for v in vals], "v string") \
+        if vals else spark.createDataFrame([], "v string")
+    got = [r.kmv_h for r in kmv_sketch(df, "v", k=k).collect()]
+
+    def h(v):
+        return int(hashlib.md5(f"0:{v}".encode()).hexdigest()[:15], 16)
+
+    want = sorted({h(v) for v in vals})[:k]
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "eps"]),
+    min_size=0, max_size=8), min_size=1, max_size=10),
+    st.integers(2, 4))
+def test_ngram_novelty_matches_brute_force_property(docs_words, n):
+    """ngram_novelty equals a brute-force Python replay of the shingle
+    + doc-frequency definition for any corpus shape (short docs fall
+    back to the whole-text gram, duplicates collapse per doc)."""
+    from collections import Counter
+
+    from enrich_spark.datapipe.dedup import ngram_novelty
+
+    spark = _get_spark()
+    texts = [" ".join(ws) for ws in docs_words]
+
+    def grams(text):
+        # mirror _normalize + shingles: whitespace collapse is a no-op
+        # here (single spaces), short docs -> whole text
+        ws = text.lower().split(" ")
+        if len(ws) >= n:
+            return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+        return {" ".join(ws)}
+
+    per_doc = [grams(t) for t in texts]
+    df_counts = Counter(g for gs in per_doc for g in gs)
+    want = sorted(
+        (i, len(gs), sum(1 for g in gs if df_counts[g] == 1),
+         sum(1 for g in gs if df_counts[g] == 1) * 10000 // len(gs))
+        for i, gs in enumerate(per_doc))
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = sorted((r.doc_id, r.n_grams, r.n_novel, r.novelty_bp)
+                 for r in ngram_novelty(df, n=n).collect())
+    assert got == want
