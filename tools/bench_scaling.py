@@ -67,6 +67,11 @@ FAMILIES = {
     "key_skew": "key_skew",
     "kmv_overlap": "kmv_overlap",
     "script_profile": "script_profile",
+    # the two heavier corpus passes of r11 wave 3/4: novelty's gram
+    # doc-frequency shuffle scales with input; the Lloyd update is a
+    # map-side scan + k-row aggregate
+    "ngram_novelty": "ngram_novelty",
+    "kmeans_update": "kmeans_update",
 }
 ID_SHIFT = 10_000_000
 
