@@ -232,6 +232,44 @@ def _op_weighted_sample(docs, k, weight_col, id_col="doc_id", seed=42,
                              seed=seed, max_weight=max_weight)
 
 
+def _op_script_profile(docs, text_col="text", id_col="doc_id", **_):
+    """Annotate with the Unicode writing-system profile (text.
+    script_profile) — per-script counts, dominant script, non-ASCII
+    share — joined back so downstream filters can route on it."""
+    from .text import script_profile
+
+    prof = script_profile(docs, text_col=text_col, id_col=id_col)
+    return docs.join(prof.drop("n_chars"), on=id_col, how="left")
+
+
+def _op_keep_scripts(docs, scripts, text_col="text", id_col="doc_id", **_):
+    """Keep docs whose dominant script is in ``scripts`` (computing the
+    profile first if absent) — the script-prior routing step that runs
+    BEFORE n-gram language ID."""
+    if "dominant_script" not in docs.columns:
+        docs = _op_script_profile(docs, text_col=text_col, id_col=id_col)
+    return docs.where(F.col("dominant_script").isin(*scripts))
+
+
+def _op_ngram_novelty(docs, n=3, text_col="text", id_col="doc_id", **_):
+    """Annotate with the per-doc novel n-gram share (dedup.
+    ngram_novelty) — n_grams / n_novel / novelty_bp columns."""
+    from .dedup import ngram_novelty
+
+    nov = ngram_novelty(docs, n=n, text_col=text_col, id_col=id_col)
+    return docs.join(nov, on=id_col, how="left")
+
+
+def _op_min_novelty(docs, threshold_bp, n=3, text_col="text",
+                    id_col="doc_id", **_):
+    """Drop docs whose novel-gram share is below ``threshold_bp`` —
+    the anti-restatement filter (computing novelty first if absent)."""
+    if "novelty_bp" not in docs.columns:
+        docs = _op_ngram_novelty(docs, n=n, text_col=text_col,
+                                 id_col=id_col)
+    return docs.where(F.col("novelty_bp") >= threshold_bp)
+
+
 CURATION_OPS = {
     # annotate
     "language_id": _op_language_id,
@@ -240,7 +278,11 @@ CURATION_OPS = {
     "dsir_weight": _op_dsir_weight,
     "leakage_split": _op_leakage_split,
     "quantile_bins": _op_quantile_bins,
+    "script_profile": _op_script_profile,
+    "ngram_novelty": _op_ngram_novelty,
     # filter
+    "keep_scripts": _op_keep_scripts,
+    "min_novelty": _op_min_novelty,
     "keep_languages": _op_keep_languages,
     "min_quality": _op_min_quality,
     "c4_keep": _op_c4_keep,

@@ -270,3 +270,59 @@ def test_ngram_novelty_plan_no_pair_join(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# pipeline-runner integration of the r11 operators
+
+
+def test_pipeline_script_and_novelty_ops(spark):
+    from enrich_spark.datapipe.pipeline import run_pipeline
+    docs = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog", "web"),
+        (2, "the quick brown fox jumps over the lazy dog", "web"),
+        (3, "Привет мир это русский текст для проверки", "web"),
+        (4, "novel words entirely unlike anything else here", "web"),
+    ], "doc_id long, text string, source string")
+    report = []
+    out = run_pipeline(docs, [
+        {"op": "script_profile"},
+        {"op": "keep_scripts", "scripts": ["latin"]},
+        {"op": "ngram_novelty", "n": 3},
+        {"op": "min_novelty", "threshold_bp": 5000},
+    ], report=report)
+    rows = {r.doc_id for r in out.collect()}
+    # doc 3 dropped by script filter; docs 1/2 are mutual duplicates
+    # (novelty 0); doc 4 fully novel survives
+    assert rows == {4}
+    assert [r for _, r in report] == [4, 3, 3, 1]
+
+
+def test_kmeans_training_improves_real_embedding_cohesion(spark):
+    """Composition check on the REAL embeddings table: full-corpus
+    Lloyd iterations from the deterministic vec_id<16 init must not
+    reduce — and in practice raise — mean assignment cohesion."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from enrich_spark.datapipe.similarity import (
+        cluster_assign, kmeans_iterate,
+    )
+    sf = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    vecs = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id",
+        F2.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    init = [(int(r[0]), [float(x) for x in r[1]])
+            for r in vecs.where(F2.col("vec_id") < 16).collect()]
+
+    def cohesion(cents):
+        rows = cluster_assign(vecs, cents).collect()
+        return sum(r.sim_bp for r in rows) / len(rows)
+
+    c0 = cohesion(init)
+    trained = kmeans_iterate(vecs, init, iters=2)
+    c2 = cohesion(trained)
+    assert c2 >= c0            # Lloyd monotonicity on the same metric
+    assert c2 > c0 + 50        # and a real gain on this data (bp)
