@@ -3612,13 +3612,24 @@ config:
     # blocked pairs ('blocked'), exact prefix-filter pairs ('prefix'),
     # connected-component clusters ('clusters'), and the quality-ranked
     # keep-policy verdict ('policy') in one oracle row
+    def q_containment(spark, sf):
+        # asymmetric containment pairs (dedup.containment_pairs): the
+        # quote/mirror detector Jaccard misses — integer bp both
+        # directions, same blocked-candidate plan as the Jaccard part
+        from enrich_spark.datapipe.dedup import containment_pairs
+
+        docs = _load_docs(spark, sf)
+        return containment_pairs(docs, shingle_k=3, threshold_bp=5000)
+
     q["dedup_ngram_jaccard"] = lambda spark, sf: _union_parts(
         [("blocked", q_ngram_jaccard(spark, sf)),
          ("prefix", q_ngram_prefix(spark, sf)),
          ("clusters", q_dup_clusters(spark, sf)),
-         ("policy", q_dedup_policy(spark, sf))],
+         ("policy", q_dedup_policy(spark, sf)),
+         ("contain", q_containment(spark, sf))],
         fill=("id_a", "id_b", "jaccard", "doc_id", "cluster_id", "is_keeper",
-              "cluster_size", "is_kept"),
+              "cluster_size", "is_kept", "contain_a_bp", "contain_b_bp",
+              "jaccard_bp"),
     )
 
     def q_simhash(spark, sf):
@@ -4606,6 +4617,7 @@ config:
         "script_profile": q_script_profile,
         "ngram_novelty": q_ngram_novelty,
         "kmeans_update": q_kmeans_update,
+        "containment_pairs": q_containment,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -7464,6 +7476,10 @@ def oracle_sql() -> dict[str, str]:
                     THEN 1 ELSE 0 END AS BIGINT) AS is_kept
         FROM lab
     """
+    from enrich_spark.datapipe.dedup import (
+        containment_pairs_sql as _contain_sql,
+    )
+
     o["dedup_ngram_jaccard"] = _union_oracle([
         ("blocked", blocked_sql,
          {"id_a": "num", "id_b": "num", "jaccard": "fnum"}),
@@ -7474,6 +7490,10 @@ def oracle_sql() -> dict[str, str]:
         ("policy", policy_sql,
          {"doc_id": "num", "cluster_id": "num", "cluster_size": "num",
           "is_kept": "num"}),
+        ("contain", _contain_sql("documents", shingle_k=3,
+                                 threshold_bp=5000),
+         {"id_a": "num", "id_b": "num", "contain_a_bp": "num",
+          "contain_b_bp": "num", "jaccard_bp": "num"}),
     ])
 
     return o

@@ -102,6 +102,7 @@ HEADLINE = [
     "script_profile",         # Unicode writing-system profile
     "ngram_novelty",          # per-doc novel n-gram share
     "kmeans_update",          # full-corpus Lloyd-update stats pass
+    "containment_pairs",      # asymmetric quote/mirror containment
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -119,7 +120,8 @@ GROUPS = [
     ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
      "dedup_ngram_jaccard", "dedup_despan", "decontam_multi",
      "decontam_bloom", "semantic_dedup", "leakage_split",
-     "incremental_dedup", "boilerplate_lines", "ngram_novelty"],
+     "incremental_dedup", "boilerplate_lines", "ngram_novelty",
+     "containment_pairs"],
     # embeddings / ANN / clustering
     ["ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
      "embedding_dup_pairs", "cluster_stats", "sessionize",

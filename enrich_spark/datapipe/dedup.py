@@ -1474,3 +1474,100 @@ def ngram_novelty_sql(
         FROM gh JOIN freq USING (h)
         GROUP BY gh.{id_alias}
     """
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold_bp: int = 8000,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment pairs — the quote/mirror detector
+    Jaccard misses: a short document wrapped in boilerplate inside a
+    long one has LOW Jaccard (union is dominated by the long doc) but
+    HIGH containment C(B⊆A) = |grams(A)∩grams(B)| / |grams(B)|. This
+    is the asymmetric complement of :func:`ngram_jaccard_pairs` (same
+    shingles, same blocking contract — swap LSH buckets in via
+    ``block_col`` at scale), keeping pairs where EITHER direction's
+    containment reaches ``threshold_bp``.
+
+    All-integer output: ``contain_a_bp`` (how much of A is inside B),
+    ``contain_b_bp`` (how much of B is inside A), ``jaccard_bp`` rides
+    along for context. Scale shape: identical to the Jaccard path —
+    blocked equi-join candidates, per-pair array intersection, no
+    global state.
+    """
+    block = (block_col if block_col is not None
+             else F.split(F.trim(_normalize(F.col(text_col))), " ")[0])
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), shingle_k).alias("_sh"),
+        block.alias("_blk"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    cand = l.join(
+        r, (F.col("l._blk") == F.col("r._blk"))
+        & (F.col("l._id") < F.col("r._id")))
+    inter = F.size(F.array_intersect(F.col("l._sh"), F.col("r._sh")))
+    union = F.size(F.array_union(F.col("l._sh"), F.col("r._sh")))
+    sa = F.size(F.col("l._sh"))
+    sb = F.size(F.col("r._sh"))
+    out = cand.select(
+        F.col("l._id").alias("id_a"),
+        F.col("r._id").alias("id_b"),
+        (inter * 10000).alias("_i10k"),
+        sa.alias("_sa"), sb.alias("_sb"), union.alias("_u"),
+    ).select(
+        "id_a", "id_b",
+        F.expr("_i10k div _sa").cast("long").alias("contain_a_bp"),
+        F.expr("_i10k div _sb").cast("long").alias("contain_b_bp"),
+        F.expr("_i10k div _u").cast("long").alias("jaccard_bp"),
+    )
+    return out.where(
+        (F.col("contain_a_bp") >= threshold_bp)
+        | (F.col("contain_b_bp") >= threshold_bp))
+
+
+def containment_pairs_sql(
+    from_sql: str,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    shingle_k: int = 3,
+    threshold_bp: int = 8000,
+) -> str:
+    """DuckDB mirror of :func:`containment_pairs` (same shingles, same
+    first-token block, same integer bp)."""
+    k = shingle_k
+    return f"""
+        WITH base AS (
+          SELECT {id_expr} AS id,
+                 string_split(trim(regexp_replace(lower({text_expr}),
+                     '\\s+', ' ', 'g')), ' ') AS words
+          FROM {from_sql}
+        ),
+        sh AS (
+          SELECT id, words[1] AS blk,
+                 list_distinct(CASE WHEN len(words) >= {k}
+                   THEN list_transform(range(1, len(words) - {k} + 2),
+                        i -> array_to_string(
+                               list_slice(words, i, i + {k - 1}), ' '))
+                   ELSE [array_to_string(words, ' ')] END) AS grams
+          FROM base
+        ),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 len(list_intersect(a.grams, b.grams)) * 10000 AS i10k,
+                 len(a.grams) AS sa, len(b.grams) AS sb,
+                 len(list_distinct(list_concat(a.grams, b.grams))) AS u
+          FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+        )
+        SELECT id_a, id_b,
+               CAST(i10k // sa AS BIGINT) AS contain_a_bp,
+               CAST(i10k // sb AS BIGINT) AS contain_b_bp,
+               CAST(i10k // u AS BIGINT) AS jaccard_bp
+        FROM pairs
+        WHERE i10k // sa >= {threshold_bp}
+           OR i10k // sb >= {threshold_bp}
+    """

@@ -138,7 +138,8 @@ EXPECTED_BUNDLE_PARTS = {
                  "c4", "chunk", "hh", "dsir", "hll", "qbins", "budget",
                  "dcap", "gqbins"],
     "dedup_minhash_lsh": ["sig", "lsh", "incr"],
-    "dedup_ngram_jaccard": ["blocked", "prefix", "clusters", "policy"],
+    "dedup_ngram_jaccard": ["blocked", "prefix", "clusters",
+                            "policy", "contain"],
     "ann_lsh_topk": ["plain", "probe", "recall", "recall_sum"],
     "ann_ivf_topk": ["ivf", "cluster", "pq_codes", "pq_adc", "recall",
                      "pca_gram", "pca_proj", "kmeans"],

@@ -326,3 +326,51 @@ def test_kmeans_training_improves_real_embedding_cohesion(spark):
     c2 = cohesion(trained)
     assert c2 >= c0            # Lloyd monotonicity on the same metric
     assert c2 > c0 + 50        # and a real gain on this data (bp)
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    from enrich_spark.datapipe.dedup import (
+        containment_pairs, ngram_jaccard_pairs,
+    )
+    quote = "alpha beta gamma delta epsilon zeta"
+    long_doc = ("alpha " + " ".join(f"filler{i}" for i in range(40))
+                + " " + quote)
+    short_doc = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc)], "doc_id long, text string")
+    jac = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5).collect()
+    assert jac == []                      # Jaccard misses the quote
+    cont = containment_pairs(docs, shingle_k=3,
+                             threshold_bp=8000).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.contain_b_bp == 10000        # short doc fully inside long
+    assert r.contain_a_bp < 2000
+    assert r.jaccard_bp < 2000
+
+
+def test_containment_duckdb_parity(spark, tmp_path):
+    import pandas as pd
+
+    from enrich_spark.datapipe.dedup import (
+        containment_pairs, containment_pairs_sql,
+    )
+    texts = []
+    for i in range(25):
+        body = " ".join(f"w{(i * 7 + j) % 9}" for j in range(10))
+        texts.append(f"block{i % 3} {body}")
+    texts.append("block0 " + texts[0].split(" ", 1)[1])   # exact dup
+    pd.DataFrame({"doc_id": range(len(texts)), "text": texts}) \
+        .to_parquet(f"{tmp_path}/d.parquet")
+    df = spark.read.parquet(f"{tmp_path}/d.parquet")
+    got = sorted(tuple(r) for r in containment_pairs(
+        df, shingle_k=3, threshold_bp=5000).collect())
+    want = sorted(tuple(r) for r in duckdb.connect().execute(
+        containment_pairs_sql(f"read_parquet('{tmp_path}/d.parquet')",
+                              shingle_k=3, threshold_bp=5000)).fetchall())
+    assert got == want and len(got) > 0
