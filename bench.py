@@ -1,7 +1,15 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (r12): the FULL per-query record {metric, value, unit,
+queries, spreads, colds, sf} is written to an in-repo
+BENCH_LOCAL_r{N}.json (N inferred from existing driver BENCH_r*.json
+files), and stdout ends with ONE COMPACT JSON line {metric, value,
+unit, sf, n_queries, detail_file} that fits the driver's ~2 KB tail
+capture. At 73+ rows the old full-line-to-stdout form outgrew that
+capture (BENCH_r11.json parsed:null), losing the round's per-query
+history — the local file is now the durable record and
+tools/bench_compare.py reads it.
 
 Headline set: the full enrichment pipeline (the engine's core), the
 dedup family, ANN, and text analysis — i.e. one representative per
@@ -217,6 +225,7 @@ def main():
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    colds: dict[str, float] = {}
     for group in GROUPS:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
@@ -232,20 +241,54 @@ def main():
             rec = json.loads(line)
             timings[rec["query"]] = rec["warm_median"]
             spreads[rec["query"]] = rec.get("spread", 0.0)
+            colds[rec["query"]] = rec.get("cold", 0.0)
 
     total = round(sum(timings.values()), 3)
-    # `queries` stays name -> median seconds (the driver's contract);
-    # `spreads` carries each row's max-min over the warm runs so a
-    # round-over-round delta can be told from run noise WITHOUT
-    # rerunning (tools/bench_compare.py flags only |delta| > spread)
-    print(json.dumps({
+    # Full record — name -> median seconds plus per-row spread (max-min
+    # over the warm runs, so a round-over-round delta can be told from
+    # run noise without rerunning; tools/bench_compare.py flags only
+    # |delta| > spread) and cold (first-pass) time.
+    full = {
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         "spreads": {n: spreads[n] for n in HEADLINE if n in spreads},
+        "colds": {n: colds[n] for n in HEADLINE if n in colds},
         "sf": sf,
-    }))
+    }
+
+    # Durability (r12): the driver captures only the last ~2 KB of
+    # output and parses the final line — at 73+ rows the full per-query
+    # JSON outgrew that window (BENCH_r11.json came back parsed:null).
+    # So the FULL record goes to an in-repo BENCH_LOCAL_r{N}.json
+    # (N = next round, inferred from the BENCH_r*.json the driver has
+    # already written) and stdout gets one compact line that always
+    # fits the tail capture. tools/bench_compare.py reads the LOCAL
+    # files for round-over-round comparison.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    import glob as _glob
+    import re as _re
+    rounds = [int(m.group(1)) for f in _glob.glob(os.path.join(repo, "BENCH_r*.json"))
+              if (m := _re.search(r"BENCH_r(\d+)\.json$", f))]
+    nxt = (max(rounds) + 1) if rounds else 0
+    local_path = os.path.join(repo, f"BENCH_LOCAL_r{nxt:02d}.json")
+    try:
+        with open(local_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout: still print the summary
+        print(f"# could not write {local_path}: {exc}", file=sys.stderr)
+        local_path = None
+
+    print(json.dumps({
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "detail_file": os.path.basename(local_path) if local_path else None,
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -711,6 +711,7 @@ def domain_cap(
     score_col: str | None = None,
     id_col: str = "doc_id",
     seed: int = 42,
+    salt_factor: int = 64,
 ) -> DataFrame:
     """Per-domain document cap — the RefinedWeb/FineWeb-style frequency
     cap ("no domain contributes more than N docs"), the standard
@@ -720,23 +721,53 @@ def domain_cap(
     seeded md5 hash then id, so the kept set is a pure function of
     (corpus, seed) — retry/partitioning-invariant and SQL-replayable.
 
-    Scale shape: ONE window partitioned by the domain key — bounded
-    per-key state, the same key-hashed shuffle a per-domain groupBy
-    pays, never a global order (the repo-wide unpartitioned-Window
-    lockout). Skewed mega-domains are precisely the keys the cap
-    truncates, so the post-filter output is skew-FREE by construction:
-    every domain ≤ cap rows. Output: input columns + ``domain_rank``
+    Scale shape (r12, two-phase salted top-cap): a single window
+    partitioned by the raw domain key is a COMPUTE-skew trap — a
+    mega-domain holding 1% of a 100 TB corpus puts ~1 TB through one
+    window task's sort before the cap filter drops the rows, and AQE
+    cannot split window partitions. This operator's entire purpose is
+    to meet mega-domains, so the production plan salts first:
+
+    - phase 1: rank within ``(domain, pmod(xxhash64(id), salt_factor))``
+      and keep rank ≤ cap — the hot-domain sort is divided across
+      ``salt_factor`` tasks, and at most ``salt_factor × cap`` rows per
+      domain survive;
+    - phase 2: re-rank the survivors within the raw domain key — now a
+      provably tiny partition (≤ salt_factor × cap rows), bounded
+      per-task state by construction.
+
+    EXACTNESS: for any split of a domain's rows into buckets, a row's
+    rank within its bucket never exceeds its rank within the domain,
+    so every true top-``cap`` row survives phase 1; and every row
+    ranked ahead of a top-cap row is itself top-cap, so it survives
+    too — phase 2's ranks over the survivors therefore EQUAL the true
+    domain ranks for every kept row. Output (and the DuckDB
+    ``domain_cap_sql`` single-window oracle) is byte-identical to the
+    unsalted plan; the salt value never reaches the output.
+    ``salt_factor=1`` selects the plain single-window plan (the oracle
+    shape) for small inputs. Output: input columns + ``domain_rank``
     (1-based within domain, the keep-priority commitment).
     """
     if cap < 1:
         raise ValueError("domain_cap: cap must be >= 1")
+    if salt_factor < 1:
+        raise ValueError("domain_cap: salt_factor must be >= 1")
     tie = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     order = ([F.col(score_col).cast("long").desc_nulls_last()]
              if score_col else [])
     order += [tie.asc(), F.col(id_col).asc()]
-    w = Window.partitionBy(F.col(domain_col)).orderBy(*order)
-    return (docs.withColumn("domain_rank",
-                            F.row_number().over(w).cast("long"))
+    base = docs
+    if salt_factor > 1:
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_factor))
+        w1 = Window.partitionBy(F.col(domain_col),
+                                F.col("_dcap_salt")).orderBy(*order)
+        base = (docs.withColumn("_dcap_salt", salt)
+                .withColumn("_dcap_prank", F.row_number().over(w1))
+                .where(F.col("_dcap_prank") <= cap)
+                .drop("_dcap_salt", "_dcap_prank"))
+    w2 = Window.partitionBy(F.col(domain_col)).orderBy(*order)
+    return (base.withColumn("domain_rank",
+                            F.row_number().over(w2).cast("long"))
             .where(F.col("domain_rank") <= cap))
 
 

@@ -1517,7 +1517,9 @@ def containment_pairs(
     out = cand.select(
         F.col("l._id").alias("id_a"),
         F.col("r._id").alias("id_b"),
-        (inter * 10000).alias("_i10k"),
+        # long BEFORE the multiply: F.size is int32, and a >~214k-gram
+        # document would wrap inter*10000 (DuckDB computes it in BIGINT)
+        (inter.cast("long") * 10000).alias("_i10k"),
         sa.alias("_sa"), sb.alias("_sb"), union.alias("_u"),
     ).select(
         "id_a", "id_b",

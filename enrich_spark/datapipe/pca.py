@@ -83,6 +83,10 @@ def pca_gram(
         sums = np.zeros(d, dtype=np.int64)
         n = 0
         for pdf in batches:
+            if len(pdf) == 0:
+                # a zero-row Arrow batch inside a non-empty partition is
+                # legal; np.stack([]) below would raise on it
+                continue
             col = pdf[vec_col]
             if col.isna().any():
                 raise ValueError("pca_gram: NULL vector encountered")
@@ -111,7 +115,17 @@ def pca_gram(
     sel = vecs.select(F.transform(F.col(vec_col),
                                   lambda x: x.cast("double")).alias(vec_col))
     parts = sel.mapInPandas(part, schema="i int, j int, v long")
-    return parts.groupBy("i", "j").agg(F.sum("v").alias("v"))
+    # one literal (-1,-1,0) seed row unioned BEFORE the groupBy: the
+    # count key then exists even on an empty corpus (the batch fn
+    # yields nothing when n == 0), matching pca_gram_sql's UNION ALL
+    # count branch which always returns one (-1,-1,0) row there. On a
+    # non-empty corpus it sums n + 0 = n — a no-op.
+    seed = vecs.sparkSession.range(1).select(
+        F.lit(-1).cast("int").alias("i"),
+        F.lit(-1).cast("int").alias("j"),
+        F.lit(0).cast("long").alias("v"))
+    return parts.unionByName(seed).groupBy("i", "j").agg(
+        F.sum("v").alias("v"))
 
 
 def pca_gram_sql(
@@ -241,20 +255,29 @@ def pca_project(
     (array<double>, length k); all other columns pass through.
 
     Scale shape: a pure projection — no shuffle, no Python, k·d
-    multiply-adds per row inside whole-stage codegen.
+    multiply-adds per row inside whole-stage codegen. The whole
+    projection compiles as ONE ``expr()`` string (r12): k·d literals
+    as ``F.lit`` py4j Columns cost 1,000+ gateway round-trips per plan
+    build at d=64, k=16 — the exact driver-bound pattern SCALE.md §7
+    measured at ~4 s for IVF and replaced with an array-literal SQL
+    string that parses JVM-side in milliseconds
+    (``_affinity_array_sql``'s rationale; ``{v!r}D`` round-trips every
+    double exactly, so the plan is bit-identical to the old form).
     """
     import math
 
-    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    def d(v: float) -> str:
+        return f"{float(v)!r}D"
+
+    dbl = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
     coords = []
     for j, comp in enumerate(model.components):
-        lit = F.array(*[F.lit(float(w)) for w in comp])
+        arr = "array(" + ", ".join(d(w) for w in comp) + ")"
         offset = sum(m * w for m, w in zip(model.mean, comp))
-        c = F.aggregate(
-            F.zip_with(dbl, lit, lambda x, w: x * w),
-            F.lit(0.0), lambda acc, x: acc + x,
-        ) - F.lit(float(offset))
+        c = (f"(aggregate(zip_with({dbl}, {arr}, (x, w) -> x * w), "
+             f"0.0D, (acc, x) -> acc + x) - {d(offset)})")
         if whiten:
-            c = c / F.lit(float(math.sqrt(model.eigenvalues[j] + eps)))
+            c = f"({c} / {d(math.sqrt(model.eigenvalues[j] + eps))})"
         coords.append(c)
-    return vecs.withColumn(out_col, F.array(*coords))
+    return vecs.withColumn(
+        out_col, F.expr("array(" + ", ".join(coords) + ")"))

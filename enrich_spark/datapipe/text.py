@@ -741,7 +741,10 @@ def bm25_score_sql(
 # identically in both engines — the engine-portability rule every
 # regex here follows). Each entry: (name, character-class body).
 SCRIPT_RANGES: list[tuple[str, str]] = [
-    ("latin", "A-Za-zÀ-ɏ"),
+    # Latin-1/Ext-A/Ext-B/IPA minus the two non-letters × (U+00D7) and
+    # ÷ (U+00F7), plus Latin Extended Additional (U+1E00-U+1EFF) so
+    # Vietnamese letters count as latin instead of n_other (r12)
+    ("latin", "A-Za-zÀ-ÖØ-öø-ɏḀ-ỿ"),
     ("cyrillic", "Ѐ-ӿ"),
     ("greek", "Ͱ-Ͽ"),
     ("arabic", "؀-ۿݐ-ݿ"),

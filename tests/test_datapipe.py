@@ -3021,15 +3021,44 @@ def test_domain_cap(spark):
     assert sorted((r.doc_id, r.domain_rank) for r in again) == \
         sorted((r.doc_id, r.domain_rank) for r in out)
 
-    plan = domain_cap(docs, cap=10, domain_col="source",
-                      score_col="score")._jdf.queryExecution() \
-        .executedPlan().toString()
-    assert "windowspecdefinition(source" in plan.replace(
-        "#", "").lower() or "PartitionBy" not in plan  # partitioned window
+    # the salted production path and the plain single-window path
+    # (salt_factor=1, the oracle's shape) keep IDENTICAL rows + ranks
+    plain = domain_cap(docs, cap=10, domain_col="source",
+                       score_col="score", salt_factor=1).collect()
+    assert sorted((r.doc_id, r.domain_rank) for r in plain) == \
+        sorted((r.doc_id, r.domain_rank) for r in out)
 
     import pytest as _pytest
     with _pytest.raises(ValueError, match="cap"):
         domain_cap(docs, cap=0)
+    with _pytest.raises(ValueError, match="salt_factor"):
+        domain_cap(docs, cap=1, salt_factor=0)
+
+
+def test_domain_cap_plan_salts_the_hot_domain_window(spark):
+    """Plan contract (r12): NO Window over the raw domain key touches
+    the full input — the full-input window is salted (domain,
+    _dcap_salt), and the domain-only re-rank window sits above the
+    partial-rank filter, so its partitions are <= salt_factor * cap
+    rows by construction (a mega-domain can't become one task's sort:
+    AQE cannot split window partitions)."""
+    import re
+
+    from enrich_spark.datapipe.curation import domain_cap
+
+    docs = spark.createDataFrame(
+        [(i, f"dom{i % 3}", (i * 7) % 5) for i in range(90)],
+        "doc_id LONG, source STRING, score LONG")
+    plan = domain_cap(docs, cap=10, domain_col="source",
+                      score_col="score")._jdf.queryExecution() \
+        .executedPlan().toString()
+    specs = list(re.finditer(r"windowspecdefinition\(source[^)]*", plan))
+    assert len(specs) == 2, plan
+    top, deep = specs          # executedPlan prints top-down
+    assert "_dcap_salt" not in top.group(0)   # re-rank: domain only
+    assert "_dcap_salt" in deep.group(0)      # full input: salted
+    # the survivors filter separates the two windows in the tree
+    assert "_dcap_prank" in plan[top.end():deep.start()], plan
 
 
 def test_repartition_for_bytes(spark):

@@ -170,6 +170,19 @@ def test_script_profile_detects_scripts(spark):
     assert rows[1].nonascii_bp > 5000
 
 
+def test_script_profile_vietnamese_is_latin(spark):
+    # Latin Extended Additional (U+1E00-U+1EFF) counts as latin;
+    # the multiplication/division signs × ÷ do NOT (r12 range fix)
+    rows = {r.doc_id: r for r in script_profile(_docs(spark, [
+        "Tiếng Việt là ngôn ngữ của người Việt",   # Vietnamese
+        "3 × 4 ÷ 2",                                # math signs only
+    ])).collect()}
+    assert rows[0].dominant_script == "latin"
+    assert rows[0].n_other == 0
+    assert rows[1].dominant_script == "none"
+    assert rows[1].n_latin == 0 and rows[1].n_other == 2
+
+
 def test_script_profile_other_bucket(spark):
     rows = script_profile(_docs(spark, ["৳৳৳ abc"])).collect()[0]
     # Bengali currency sign: outside every listed script, non-ASCII
