@@ -3621,12 +3621,23 @@ config:
         docs = _load_docs(spark, sf)
         return containment_pairs(docs, shingle_k=3, threshold_bp=5000)
 
+    def q_containment_prefix(spark, sf):
+        # r12: the production-scale containment path — prefix-filtered
+        # candidates (complete over ALL pairs, no Zipf-head first-word
+        # block), so the oracle is brute-force all-pairs containment
+        from enrich_spark.datapipe.dedup import containment_pairs_prefix
+
+        docs = _load_docs(spark, sf)
+        return containment_pairs_prefix(docs, shingle_k=3,
+                                        threshold_bp=5000)
+
     q["dedup_ngram_jaccard"] = lambda spark, sf: _union_parts(
         [("blocked", q_ngram_jaccard(spark, sf)),
          ("prefix", q_ngram_prefix(spark, sf)),
          ("clusters", q_dup_clusters(spark, sf)),
          ("policy", q_dedup_policy(spark, sf)),
-         ("contain", q_containment(spark, sf))],
+         ("contain", q_containment(spark, sf)),
+         ("containp", q_containment_prefix(spark, sf))],
         fill=("id_a", "id_b", "jaccard", "doc_id", "cluster_id", "is_keeper",
               "cluster_size", "is_kept", "contain_a_bp", "contain_b_bp",
               "jaccard_bp"),
@@ -4618,6 +4629,9 @@ config:
         "ngram_novelty": q_ngram_novelty,
         "kmeans_update": q_kmeans_update,
         "containment_pairs": q_containment,
+        # r12: the prefix-filtered production path gets its own row —
+        # the blocked row keeps its r11 baseline for comparability
+        "containment_pairs_prefix": q_containment_prefix,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -7492,6 +7506,12 @@ def oracle_sql() -> dict[str, str]:
           "is_kept": "num"}),
         ("contain", _contain_sql("documents", shingle_k=3,
                                  threshold_bp=5000),
+         {"id_a": "num", "id_b": "num", "contain_a_bp": "num",
+          "contain_b_bp": "num", "jaccard_bp": "num"}),
+        # r12: the prefix-filtered scale path is COMPLETE, so its
+        # oracle is the brute all-pairs containment (no block clause)
+        ("containp", _contain_sql("documents", shingle_k=3,
+                                  threshold_bp=5000, blocked=False),
          {"id_a": "num", "id_b": "num", "contain_a_bp": "num",
           "contain_b_bp": "num", "jaccard_bp": "num"}),
     ])

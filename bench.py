@@ -111,6 +111,7 @@ HEADLINE = [
     "ngram_novelty",          # per-doc novel n-gram share
     "kmeans_update",          # full-corpus Lloyd-update stats pass
     "containment_pairs",      # asymmetric quote/mirror containment
+    "containment_pairs_prefix",  # prefix-filtered containment (scale path)
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -129,7 +130,7 @@ GROUPS = [
      "dedup_ngram_jaccard", "dedup_despan", "decontam_multi",
      "decontam_bloom", "semantic_dedup", "leakage_split",
      "incremental_dedup", "boilerplate_lines", "ngram_novelty",
-     "containment_pairs"],
+     "containment_pairs", "containment_pairs_prefix"],
     # embeddings / ANN / clustering
     ["ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
      "embedding_dup_pairs", "cluster_stats", "sessionize",

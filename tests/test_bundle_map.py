@@ -139,7 +139,7 @@ EXPECTED_BUNDLE_PARTS = {
                  "dcap", "gqbins"],
     "dedup_minhash_lsh": ["sig", "lsh", "incr"],
     "dedup_ngram_jaccard": ["blocked", "prefix", "clusters",
-                            "policy", "contain"],
+                            "policy", "contain", "containp"],
     "ann_lsh_topk": ["plain", "probe", "recall", "recall_sum"],
     "ann_ivf_topk": ["ivf", "cluster", "pq_codes", "pq_adc", "recall",
                      "pca_gram", "pca_proj", "kmeans"],

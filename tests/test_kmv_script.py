@@ -387,3 +387,68 @@ def test_containment_duckdb_parity(spark, tmp_path):
         containment_pairs_sql(f"read_parquet('{tmp_path}/d.parquet')",
                               shingle_k=3, threshold_bp=5000)).fetchall())
     assert got == want and len(got) > 0
+
+
+def test_containment_prefix_filter_is_exact(spark):
+    # the prefix-filtered scale path must return EXACTLY the all-pairs
+    # brute-force containment set — completeness is the guarantee
+    from pyspark.sql import functions as F
+
+    from enrich_spark.datapipe.dedup import (
+        containment_pairs, containment_pairs_prefix,
+    )
+    quote = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        # quote pair that does NOT share a first token — the blocked
+        # brute misses it, the prefix path must not
+        (1, "intro words here " + quote + " closing remarks follow now"),
+        (2, quote),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "the quick brown fox jumped over the lazy dog"),
+        (5, "completely different content about spark engines"),
+        (6, "spark engines process completely different content"),
+        (7, "one"),
+        (8, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    for tb in (3000, 5000, 8000, 10000):
+        got = sorted(tuple(r) for r in containment_pairs_prefix(
+            df, shingle_k=2, threshold_bp=tb).collect())
+        want = sorted(tuple(r) for r in containment_pairs(
+            df, shingle_k=2, threshold_bp=tb,
+            block_col=F.lit(1)).collect())   # all-pairs brute
+        assert got == want, f"threshold_bp {tb}"
+        assert len(got) > 0 or tb == 10000
+    # the cross-block quote pair specifically
+    got = {(r.id_a, r.id_b): r.contain_b_bp
+           for r in containment_pairs_prefix(
+               df, shingle_k=2, threshold_bp=8000).collect()}
+    assert got.get((1, 2)) == 10000
+
+
+def test_containment_prefix_duckdb_parity_and_plan(spark, tmp_path):
+    import pandas as pd
+
+    from enrich_spark.datapipe.dedup import (
+        containment_pairs_prefix, containment_pairs_sql,
+    )
+    texts = []
+    for i in range(25):
+        body = " ".join(f"w{(i * 7 + j) % 9}" for j in range(10))
+        texts.append(f"block{i % 3} {body}")
+    texts.append("blockX " + texts[0].split(" ", 1)[1])  # cross-block dup
+    pd.DataFrame({"doc_id": range(len(texts)), "text": texts}) \
+        .to_parquet(f"{tmp_path}/d.parquet")
+    df = spark.read.parquet(f"{tmp_path}/d.parquet")
+    out = containment_pairs_prefix(df, shingle_k=3, threshold_bp=5000)
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in duckdb.connect().execute(
+        containment_pairs_sql(f"read_parquet('{tmp_path}/d.parquet')",
+                              shingle_k=3, threshold_bp=5000,
+                              blocked=False)).fetchall())
+    assert got == want and len(got) > 0
+    # plan contract: candidates come from a shingle equi-join — never a
+    # cartesian/broadcast-nested-loop product, never a first-word block
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -98,6 +98,7 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "ngram_novelty": "dedup_despan",
         "kmeans_update": "ann_ivf_topk",
         "containment_pairs": "dedup_ngram_jaccard",
+        "containment_pairs_prefix": "dedup_ngram_jaccard",
         "script_js": "script_hook",  # bench-only throughput variant
     }
     for name in benchmod.HEADLINE:
