@@ -1409,24 +1409,40 @@ def ngram_novelty(
     Output: id, ``n_grams`` (distinct in the doc), ``n_novel`` (corpus
     doc-frequency = 1), ``novelty_bp`` (integer basis points).
 
-    Scale shape (the boilerplate-line plan): posexplode-free explode of
-    per-doc distinct grams → ONE groupBy on the gram hash (key-bounded
-    shuffle, map-side combined) → join back on the same key (no new
-    shuffle partitioning) → groupBy(doc). No pair joins, no global
-    sort; the gram-frequency table is the only intermediate and it is
-    bounded by the distinct-gram count.
+    Scale shape (r12 — no gram join-back): a NOVEL gram (corpus
+    doc-frequency 1) has exactly one owner, so ``min(id)`` inside the
+    gram-frequency aggregate attributes it for free — per-doc novel
+    counts then come from a second (map-side-combined, ≤ one row per
+    doc) groupBy over the df==1 slice, and ``n_grams`` is just
+    ``size(shingles())`` computed natively on the scan. The gram
+    stream is therefore exploded + hashed ONCE and shuffled ONCE (the
+    doc-frequency groupBy); the old plan joined the full gram stream
+    back to its own frequency table — a second full-width shuffle AND
+    a second explode+md5 pass (the r11 bench's noisiest row: ±55%
+    spread from exactly that GC pressure). No pair joins, no global
+    sort; every post-explode intermediate is bounded by the
+    distinct-gram or doc count.
     """
     h = md5_hash_family(0)
-    g = docs.select(
+    counts = docs.select(
         F.col(id_col),
-        F.explode(shingles(F.col(text_col), n)).alias("_g"))
-    gh = g.select(F.col(id_col), h(F.col("_g")).alias("_h"))
-    freq = gh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
-    joined = gh.join(freq, "_h")
-    return joined.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams"),
-        F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
-        .cast("long").alias("n_novel"),
+        F.size(shingles(F.col(text_col), n)).cast("long")
+        .alias("n_grams"),
+    ).where(F.col("n_grams").isNotNull())   # NULL text ⇒ no output row
+    gh = docs.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("_g"),
+    ).select(F.col(id_col), h(F.col("_g")).alias("_h"))
+    novel = (
+        gh.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"), F.min(id_col).alias(id_col))
+        .where(F.col("_df") == 1)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    return counts.join(novel, id_col, "left").select(
+        id_col, "n_grams",
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
     ).withColumn(
         "novelty_bp",
         F.expr("n_novel * 10000 div n_grams").cast("long"))

@@ -835,6 +835,118 @@ def topk_recall_summary_sql(approx_sql: str, exact_sql: str,
 
 
 # ---------------------------------------------------------------------------
+# recall-targeted ANN auto-tuning — turns the gated recall@k honesty
+# number (topk_recall) into a control knob: "give me ≥ X recall on this
+# sampled query set and tell me what it costs"
+
+
+def tune_lsh_recall(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    target_recall_bp: int = 9000,
+    num_tables_grid: tuple[int, ...] = (2, 4, 8, 16),
+    multiprobe_grid: tuple[int, ...] = (0, 1, 2),
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_digits: int | None = None,
+) -> tuple[dict | None, list[dict]]:
+    """Pick the CHEAPEST (num_tables, multiprobe) that reaches
+    ``target_recall_bp`` recall@k on a SAMPLED query set, measured
+    against brute-force ground truth. Returns ``(best, trace)``:
+    ``best`` is the winning config dict (with its measured
+    ``recall_bp`` and a ``cost_units`` proxy = probes per query =
+    num_tables·(1+multiprobe), the quantity LSH latency scales with)
+    or None if no grid point reaches the target; ``trace`` records
+    every configuration evaluated, in escalation order — the measured
+    recall/cost curve, ready for a tuning report.
+
+    This is a DRIVER-SIDE TUNING LOOP, not a data-path operator: the
+    query set is the caller's (small, broadcastable) recall sample, the
+    brute ground truth is computed ONCE and persisted, and each grid
+    point costs one bucketed LSH search + one result-set-bounded recall
+    join. Configs are tried cheapest-first so the loop exits on the
+    first (= cheapest) config meeting the target.
+    """
+    kw = dict(id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+              query_vec_col=query_vec_col)
+    exact = brute_force_topk(vectors, queries, k=k, **kw).persist()
+    exact.count()
+    configs = sorted(
+        ((t, m) for t in num_tables_grid for m in multiprobe_grid),
+        key=lambda tm: (tm[0] * (1 + tm[1]), tm[0]))
+    trace: list[dict] = []
+    best: dict | None = None
+    try:
+        for t, m in configs:
+            approx = lsh_topk(vectors, queries, dim=dim, k=k,
+                              num_tables=t, bits=bits, multiprobe=m,
+                              round_digits=round_digits, **kw)
+            row = topk_recall_summary(
+                approx, exact, query_col=query_id_col,
+                id_col=id_col).collect()[0]
+            rec = {"num_tables": t, "multiprobe": m, "bits": bits,
+                   "recall_bp": int(row.recall_bp),
+                   "cost_units": t * (1 + m)}
+            trace.append(rec)
+            if row.recall_bp >= target_recall_bp:
+                best = rec
+                break
+    finally:
+        exact.unpersist()
+    return best, trace
+
+
+def tune_ivf_recall(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    target_recall_bp: int = 9000,
+    nprobe_grid: tuple[int, ...] = (1, 2, 4, 8),
+    n_centroids: int = 16,
+    centroids: list | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> tuple[dict | None, list[dict]]:
+    """IVF twin of :func:`tune_lsh_recall`: walk ``nprobe`` upward
+    (cheapest first) until the sampled recall@k reaches the target.
+    ``cost_units`` is the expected corpus share scanned per query in
+    basis points (= nprobe·10000 / n_centroids under balanced lists —
+    the quantity IVF latency scales with). Same driver-side tuning
+    contract: sampled queries, ground truth computed once."""
+    kw = dict(id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+              query_vec_col=query_vec_col)
+    exact = brute_force_topk(vectors, queries, k=k, **kw).persist()
+    exact.count()
+    trace: list[dict] = []
+    best: dict | None = None
+    try:
+        for nprobe in sorted(set(nprobe_grid)):
+            approx = ivf_topk(vectors, queries, k=k,
+                              n_centroids=n_centroids, nprobe=nprobe,
+                              centroids=centroids, **kw)
+            row = topk_recall_summary(
+                approx, exact, query_col=query_id_col,
+                id_col=id_col).collect()[0]
+            rec = {"nprobe": nprobe, "n_centroids": n_centroids,
+                   "recall_bp": int(row.recall_bp),
+                   "cost_units": nprobe * 10000 // n_centroids}
+            trace.append(rec)
+            if row.recall_bp >= target_recall_bp:
+                best = rec
+                break
+    finally:
+        exact.unpersist()
+    return best, trace
+
+
+# ---------------------------------------------------------------------------
 # distributed k-means training — full-corpus Lloyd iterations
 
 

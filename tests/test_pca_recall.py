@@ -484,3 +484,64 @@ def test_kmeans_update_stats_plan_is_one_aggregate(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                    "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert marker not in plan
+
+
+# ---------------------------------------------------------------------------
+# recall-targeted ANN auto-tuning
+
+
+def _tuning_fixture(spark):
+    sf = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    return emb, queries
+
+
+def test_tune_lsh_recall_hits_target_cheapest_first(spark):
+    from enrich_spark.datapipe.similarity import tune_lsh_recall
+
+    emb, queries = _tuning_fixture(spark)
+    best, trace = tune_lsh_recall(
+        emb, queries, dim=64, k=10, target_recall_bp=6000,
+        num_tables_grid=(2, 4, 8), multiprobe_grid=(0, 2), bits=6)
+    assert best is not None
+    assert best["recall_bp"] >= 6000
+    # escalation order: strictly non-decreasing probe cost, stops AT best
+    costs = [t["cost_units"] for t in trace]
+    assert costs == sorted(costs)
+    assert trace[-1] == best
+    # every trace row carries an honest measured recall
+    assert all(0 <= t["recall_bp"] <= 10000 for t in trace)
+
+
+def test_tune_lsh_recall_unreachable_target_returns_trace(spark):
+    from enrich_spark.datapipe.similarity import tune_lsh_recall
+
+    emb, queries = _tuning_fixture(spark)
+    best, trace = tune_lsh_recall(
+        emb, queries, dim=64, k=10, target_recall_bp=10001,  # impossible
+        num_tables_grid=(2,), multiprobe_grid=(0,), bits=6)
+    assert best is None
+    assert len(trace) == 1  # full grid evaluated, curve still reported
+
+
+def test_tune_ivf_recall_escalates_nprobe(spark):
+    from enrich_spark.datapipe.similarity import tune_ivf_recall
+
+    emb, queries = _tuning_fixture(spark)
+    best, trace = tune_ivf_recall(
+        emb, queries, k=10, target_recall_bp=9999,
+        nprobe_grid=(1, 4, 16), n_centroids=16)
+    # nprobe = n_centroids scans everything -> recall 10000 guaranteed
+    assert best is not None and best["recall_bp"] == 10000
+    assert [t["nprobe"] for t in trace] == sorted(t["nprobe"] for t in trace)
+    # recall is monotone in nprobe on a fixed centroid set
+    recalls = [t["recall_bp"] for t in trace]
+    assert recalls == sorted(recalls)
+    # cost proxy: nprobe share of the corpus in bp
+    assert trace[-1]["cost_units"] == 10000
