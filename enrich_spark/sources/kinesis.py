@@ -135,6 +135,49 @@ class KinesisHttpClient:
         ]
         return recs, resp.get("NextShardIterator")
 
+    # -- enhanced fan-out (SubscribeToShard push retrieval) ----------------
+    def register_stream_consumer(self, stream: str, name: str) -> str:
+        """RegisterStreamConsumer → consumer ARN (the fan-out handle;
+        reference retrieval mode FanOut,
+        config.kinesis.reference.hocon:32-35)."""
+        resp = self.call("RegisterStreamConsumer", {
+            "StreamARN": f"arn:aws:kinesis:local:000000000000:stream"
+                         f"/{stream}",
+            "ConsumerName": name,
+        })
+        return resp["Consumer"]["ConsumerARN"]
+
+    def subscribe_to_shard(self, consumer_arn: str, shard_id: str,
+                           position: str = "TRIM_HORIZON",
+                           sequence_number: str | None = None):
+        """One SubscribeToShard exchange → (records, continuation_seq).
+
+        Real AWS streams SubscribeToShardEvents over HTTP/2 for up to
+        5 minutes per subscription; this client consumes the fake
+        broker's JSON long-poll form — one event per call, records +
+        ContinuationSequenceNumber — so the caller's loop (subscribe →
+        consume → resubscribe from the continuation) is the SAME
+        control flow an HTTP/2 consumer runs at its 5-minute
+        boundaries. Record tuples match get_records."""
+        pos: dict = {"Type": position}
+        if sequence_number is not None:
+            pos = {"Type": "AFTER_SEQUENCE_NUMBER",
+                   "SequenceNumber": sequence_number}
+        resp = self.call("SubscribeToShard", {
+            "ConsumerARN": consumer_arn,
+            "ShardId": shard_id,
+            "StartingPosition": pos,
+        })
+        events = resp.get("Events", [])
+        recs = [
+            (r["PartitionKey"], base64.b64decode(r["Data"]),
+             r["SequenceNumber"], r.get("ApproximateArrivalTimestamp"))
+            for ev in events for r in ev.get("Records", [])
+        ]
+        cont = (events[-1].get("ContinuationSequenceNumber")
+                if events else sequence_number)
+        return recs, cont
+
 
 def kinesis_sender(endpoint_url: str, timeout: float = 10.0):
     """``send(stream, batch) -> failed indices`` for ship_rows /

@@ -37,6 +37,12 @@ a sequential loop would cap ingest at one round-trip at a time at
 hundreds of shards. Each pull is capped (a per-shard budget slices
 max_batch_records; maxMessages per Pub/Sub batch), bounding driver
 memory per batch.
+
+Both reference Kinesis retrieval modes exist (r12): ``retrievalMode
+Polling`` → :class:`KinesisPullSource` (GetRecords drain per batch);
+``FanOut`` → :class:`KinesisFanoutSource` (RegisterStreamConsumer +
+continuous per-shard SubscribeToShard push threads feeding bounded
+buffers — config.kinesis.reference.hocon:32-35).
 """
 
 from __future__ import annotations
@@ -48,8 +54,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
-    "KinesisPullSource", "PubSubPullSource", "PullStreamQuery",
-    "run_pull_stream",
+    "KinesisFanoutSource", "KinesisPullSource", "PubSubPullSource",
+    "PullStreamQuery", "run_pull_stream",
 ]
 
 
@@ -158,6 +164,158 @@ class KinesisPullSource:
         # sequence numbers live in the checkpoint file; nothing to tell
         # the broker
         return df, new_state, lambda: None
+
+
+class KinesisFanoutSource:
+    """Enhanced fan-out retrieval (SubscribeToShard PUSH model — the
+    reference's second retrieval mode,
+    config.kinesis.reference.hocon:32-35; the polling KCL model is
+    :class:`KinesisPullSource`).
+
+    Per-shard SUBSCRIBER THREADS run continuously across microbatches —
+    the defining property of fan-out: records arrive whether or not a
+    batch is being assembled, each consumer gets its own dedicated
+    pipe, and there is no GetRecords iterator contention. Each thread
+    loops subscribe → consume the event → resubscribe from the
+    ContinuationSequenceNumber (the same control flow an HTTP/2
+    consumer runs at its 5-minute subscription boundaries; the
+    in-sandbox broker models the event stream as JSON long-poll, see
+    tests/fake_kinesis.py). Records land in a bounded per-shard buffer
+    — a full buffer pauses that shard's subscription loop, so driver
+    memory is capped at shards × buffer_per_shard records no matter
+    how deep the backlog.
+
+    Checkpoint semantics are IDENTICAL to the polling source: state =
+    per-shard last sequence number actually handed to a batch,
+    persisted only after the sinks succeed; buffered-but-undelivered
+    records after a crash replay from the checkpoint on resubscribe
+    (at-least-once). ``close()`` stops the subscriber threads.
+    AT_TIMESTAMP starts are a polling-only feature here (the fake
+    broker's SubscribeToShard implements TRIM_HORIZON / LATEST /
+    AFTER_SEQUENCE_NUMBER)."""
+
+    def __init__(self, conf, client=None,
+                 consumer_name: str = "enrich-spark",
+                 max_batch_records: int = 100_000,
+                 buffer_per_shard: int = 10_000,
+                 idle_wait_s: float = 0.3):
+        import threading
+
+        from ..sources.kinesis import KinesisError, KinesisHttpClient
+
+        if client is None:
+            if not conf.endpoint_url:
+                raise KinesisError(
+                    "KinesisFanoutSource needs customEndpoint (in "
+                    "production the managed connector consumes the "
+                    "stream)")
+            client = KinesisHttpClient(conf.endpoint_url)
+        self.conf = conf
+        self.client = client
+        self.consumer_name = consumer_name
+        self.max_batch_records = max_batch_records
+        self.buffer_per_shard = buffer_per_shard
+        self.idle_wait_s = idle_wait_s
+        self._threads: list = []
+        self._buf: dict[str, list] = {}
+        self._cond = threading.Condition()
+        self._stop = threading.Event()
+        self._arn: str | None = None
+
+    def _subscribe_loop(self, shard_id: str, start_seq):
+        import time as _time
+
+        cont = start_seq
+        while not self._stop.is_set():
+            try:
+                if cont is None:
+                    recs, cont = self.client.subscribe_to_shard(
+                        self._arn, shard_id,
+                        position=self.conf.initial_position.type)
+                else:
+                    recs, cont = self.client.subscribe_to_shard(
+                        self._arn, shard_id, sequence_number=cont)
+            except Exception:  # noqa: BLE001 — transient broker error:
+                _time.sleep(0.2)          # back off, then resubscribe
+                continue
+            if not recs:
+                continue                  # long-poll returned empty
+            with self._cond:
+                # backpressure: a full buffer pauses THIS shard's
+                # subscription (bounded driver memory), never drops
+                while (len(self._buf[shard_id]) + len(recs)
+                       > self.buffer_per_shard
+                       and not self._stop.is_set()):
+                    self._cond.wait(0.1)
+                self._buf[shard_id].extend(recs)
+                self._cond.notify_all()
+
+    def _ensure_subscribed(self, state: dict):
+        import threading
+
+        if self._threads:
+            return
+        self._arn = self.client.register_stream_consumer(
+            self.conf.stream_name, self.consumer_name)
+        for sid in sorted(self.client.list_shards(self.conf.stream_name)):
+            self._buf[sid] = []
+            t = threading.Thread(
+                target=self._subscribe_loop, args=(sid, state.get(sid)),
+                name=f"fanout-{sid}", daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def pull(self, spark: SparkSession, state: dict):
+        """→ (DataFrame | None, new_state, commit_fn). Drains the push
+        buffers; waits up to idle_wait_s for in-flight events before
+        reporting the stream idle."""
+        import time as _time
+
+        from pyspark.sql import types as T
+
+        self._ensure_subscribed(state)
+        rows = []
+        new_state = dict(state)
+        deadline = _time.monotonic() + self.idle_wait_s
+        while True:
+            with self._cond:
+                for sid in sorted(self._buf):
+                    buf = self._buf[sid]
+                    room = self.max_batch_records - len(rows)
+                    if room <= 0 or not buf:
+                        continue
+                    take = buf[:room]
+                    del buf[:len(take)]
+                    for key, data, s, ts in take:
+                        rows.append((bytearray(data), key, s, sid,
+                                     float(ts) if ts is not None
+                                     else None))
+                    new_state[sid] = take[-1][2]
+                self._cond.notify_all()
+            if rows or _time.monotonic() >= deadline:
+                break
+            _time.sleep(0.01)
+        if not rows:
+            return None, state, lambda: None
+        schema = T.StructType([
+            T.StructField("value", T.BinaryType()),
+            T.StructField("partition_key", T.StringType()),
+            T.StructField("sequence_number", T.StringType()),
+            T.StructField("shard_id", T.StringType()),
+            T.StructField("arrival_ts", T.DoubleType()),
+        ])
+        df = spark.createDataFrame([tuple(r) for r in rows], schema)
+        # sequence numbers live in the checkpoint file; nothing to tell
+        # the broker (fan-out has no server-side consumer offset)
+        return df, new_state, lambda: None
+
+    def close(self):
+        self._stop.set()
+        with self._cond:
+            self._cond.notify_all()
+        for t in self._threads:
+            t.join(timeout=2.0)
+        self._threads = []
 
 
 class PubSubPullSource:

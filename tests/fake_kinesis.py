@@ -2,7 +2,16 @@
 PutRecords (with injectable per-record throttling), ListShards,
 GetShardIterator (TRIM_HORIZON / LATEST / AT_SEQUENCE_NUMBER),
 GetRecords with opaque paging iterators. Just enough broker for the
-transport E2E — same role fake_nsqd.py plays for NSQ."""
+transport E2E — same role fake_nsqd.py plays for NSQ.
+
+Enhanced fan-out (r12): RegisterStreamConsumer + SubscribeToShard.
+Real AWS pushes SubscribeToShardEvents over an HTTP/2 event stream for
+up to 5 minutes per subscription; this fake models the same contract
+over JSON long-poll — each SubscribeToShard call returns ONE event
+(records capped at ``fanout_event_cap`` + ContinuationSequenceNumber),
+holding the request up to ``fanout_wait_s`` when the shard is idle, so
+the consumer's continuous resubscribe loop is exercised exactly as the
+HTTP/2 client's 5-minute re-subscribe is."""
 
 from __future__ import annotations
 
@@ -24,6 +33,11 @@ class FakeKinesis:
         self.seq = 0
         # throttle_plan: fn(request_index, record_index) -> bool
         self.throttle_plan = None
+        # fan-out: registered consumers + subscription accounting
+        self.consumers: dict[str, str] = {}      # ARN -> name
+        self.subscribe_calls = 0
+        self.fanout_event_cap = 100   # records per SubscribeToShard event
+        self.fanout_wait_s = 0.05     # long-poll hold when shard idle
         self._srv = ThreadingHTTPServer(("127.0.0.1", 0), self._handler())
         threading.Thread(target=self._srv.serve_forever,
                          daemon=True).start()
@@ -124,6 +138,55 @@ class FakeKinesis:
             "MillisBehindLatest": 0,
         }
 
+    def _register_consumer(self, body: dict) -> dict:
+        name = body["ConsumerName"]
+        stream = body.get("StreamARN", "").rsplit("/", 1)[-1]
+        arn = f"{body.get('StreamARN', stream)}/consumer/{name}:1"
+        with self.lock:
+            self.consumers[arn] = name
+        return {"Consumer": {"ConsumerARN": arn, "ConsumerName": name,
+                             "ConsumerStatus": "ACTIVE"}}
+
+    def _subscribe_to_shard(self, body: dict) -> dict:
+        arn = body["ConsumerARN"]
+        with self.lock:
+            if arn not in self.consumers:
+                # ValueError (not KeyError): the handler maps KeyError
+                # to UnknownOperationException
+                raise ValueError(f"unknown consumer {arn}")
+            self.subscribe_calls += 1
+        stream = arn.split("/consumer/")[0].rsplit("/", 1)[-1]
+        sid = body["ShardId"]
+        pos = body["StartingPosition"]
+
+        def _slice():
+            with self.lock:
+                recs = self.streams[stream][sid]
+                t = pos["Type"]
+                if t == "TRIM_HORIZON":
+                    start = 0
+                elif t == "LATEST":
+                    start = len(recs)
+                else:                     # AFTER_SEQUENCE_NUMBER
+                    seq = pos["SequenceNumber"]
+                    start = next(
+                        (i + 1 for i, r in enumerate(recs)
+                         if r["SequenceNumber"] == seq), len(recs))
+                return recs[start:start + self.fanout_event_cap]
+
+        page = _slice()
+        deadline = time.time() + self.fanout_wait_s
+        while not page and time.time() < deadline:   # long-poll hold
+            time.sleep(0.005)
+            page = _slice()
+        cont = (page[-1]["SequenceNumber"] if page
+                else pos.get("SequenceNumber"))
+        return {"Events": [{
+            "Records": page,
+            "ContinuationSequenceNumber": cont,
+            "MillisBehindLatest": 0,
+        }]}
+
     def _handler(self):
         broker = self
 
@@ -138,6 +201,9 @@ class FakeKinesis:
                         "ListShards": broker._list_shards,
                         "GetShardIterator": broker._shard_iterator,
                         "GetRecords": broker._get_records,
+                        "RegisterStreamConsumer":
+                            broker._register_consumer,
+                        "SubscribeToShard": broker._subscribe_to_shard,
                     }[action]
                     resp, code = fn(body), 200
                 except KeyError:
