@@ -4480,13 +4480,97 @@ config:
             .alias("rz_mean_mil"),
         )
 
+    def _dhash_docs(spark, sf):
+        # r12 perceptual-hash fixture: 9×8 BMP gradients whose every
+        # pixel is pure doc_id arithmetic — px(p,x,y) = (p·17 + 31x² +
+        # 29x + 5y + (p div 251)·(x + 2y)) mod 251. The 31x² term makes
+        # the column-to-column pixel DELTA vary per column (62c + 60
+        # mod 251), so gradient-sign bits are neither constant nor
+        # 88%-biased — unrelated images sit at Hamming ≈ 20, well away
+        # from the pair threshold (a plain linear gradient put EVERY
+        # bit at P(1)=222/251 and made 1.5% of all pairs spurious
+        # near-dups). Two degrees of freedom in p so no two params
+        # under 64k collide on a whole image. Planned duplicates:
+        # doc_id%91==0 reuses the previous subset member's param (exact
+        # dup, Hamming 0); %91==7 reuses it with ONE pixel perturbed
+        # +40 (near dup, Hamming ≤ 2).
+        import numpy as np
+        import pandas as pd
+
+        from enrich_spark.datapipe.media_codecs import encode_bmp
+
+        docs = _load_docs(spark, sf).where(
+            F.col("doc_id") % 3 == 0).select("doc_id")
+        xs = np.arange(9)[None, :]
+        ys = np.arange(8)[:, None]
+
+        def gen(it):
+            for pdf in it:
+                medias = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    p = (did - 3 if did % 91 in (0, 7) and did >= 3
+                         else did)
+                    v = (p * 17 + 31 * xs * xs + 29 * xs + 5 * ys
+                         + (p // 251) * (xs + 2 * ys)) % 251
+                    if did % 91 == 7:
+                        x0, y0 = did % 9, did % 8
+                        v[y0, x0] = (v[y0, x0] + 40) % 251
+                    px = np.repeat(v.astype(np.uint8), 3, axis=1)
+                    medias.append(encode_bmp(9, 8, px))
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"].astype("int64"),
+                     "media": medias})
+
+        return _cached_fixture(
+            spark, "dhash_docs", sf,
+            lambda: docs.mapInPandas(gen, "doc_id long, media binary"))
+
+    def q_image_dhash(spark, sf):
+        # perceptual dHash (multimodal.image_dhash): real BMP decode →
+        # integer grayscale → 9×8 floor resample → 64 gradient-sign
+        # bits packed two's-complement — all-integer, so the SQL oracle
+        # rebuilds every hash from the fixture arithmetic
+        from enrich_spark.datapipe.multimodal import image_dhash
+
+        return image_dhash(_dhash_docs(spark, sf)).select(
+            "doc_id", "dhash",
+            F.col("src_width").cast("long").alias("dh_w"),
+            F.col("src_height").cast("long").alias("dh_h"),
+            F.col("codec").alias("dh_codec"))
+
+    def q_dhash_pairs(spark, sf):
+        # image near-dup pairs: hamming_pairs (the generic banded
+        # simhash join) over a STORED fingerprint table — like the
+        # incremental_dedup minhash index, the hash column is computed
+        # once and persisted (a real pipeline stores fingerprints next
+        # to the corpus); recomputing the Python decode on BOTH sides
+        # of the band self-join would time the decode twice, not the
+        # join. Oracle = brute all-pairs bit_count(xor) on the
+        # SQL-rebuilt hashes.
+        from enrich_spark.datapipe.dedup import hamming_pairs
+        from enrich_spark.datapipe.multimodal import image_dhash
+
+        h = _cached_fixture(
+            spark, "dhash_hashes", sf,
+            lambda: image_dhash(_dhash_docs(spark, sf)).where(
+                F.col("dhash").isNotNull()).select("doc_id", "dhash"))
+        return hamming_pairs(h, hash_col="dhash", id_col="doc_id",
+                             max_hamming=4).select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.col("hamming").cast("long").alias("hamming"))
+
     def q_multimodal(spark, sf):
-        # decode + frame-sampling + audio features + resize in one row
+        # decode + frame-sampling + audio features + resize + dHash
+        # near-dup in one row
         return _union_parts(
             [("decode", q_media_decode(spark, sf)),
              ("frames", q_media_frames(spark, sf)),
              ("audio", q_audio_features(spark, sf)),
-             ("resize", q_media_resize(spark, sf))],
+             ("resize", q_media_resize(spark, sf)),
+             ("dhash", q_image_dhash(spark, sf)),
+             ("dhpairs", q_dhash_pairs(spark, sf))],
             fill=("doc_id", "width", "height", "channels", "duration_ms",
                   "mean_val", "meta_width", "meta_height",
                   "meta_duration_ms", "frame_ts_ms", "vid_width",
@@ -4494,7 +4578,9 @@ config:
                   "rate", "n_samples", "a_channels", "dominant_bin",
                   "dominant_freq_mhz",
                   "rz_src_w", "rz_src_h", "rz_w", "rz_h", "rz_channels",
-                  "rz_mean_mil"),
+                  "rz_mean_mil",
+                  "dhash", "dh_w", "dh_h", "dh_codec",
+                  "id_a", "id_b", "hamming"),
         )
 
     q["multimodal"] = q_multimodal
@@ -4632,6 +4718,10 @@ config:
         # r12: the prefix-filtered production path gets its own row —
         # the blocked row keeps its r11 baseline for comparability
         "containment_pairs_prefix": q_containment_prefix,
+        # r12: perceptual-hash image near-dup (merged into the
+        # multimodal bundle as dhash/dhpairs parts) — the bench row
+        # measures hash + banded Hamming pairs end to end
+        "multimodal_dedup": q_dhash_pairs,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -7228,6 +7318,48 @@ def oracle_sql() -> dict[str, str]:
           "n_kana": "num", "n_hangul": "num", "n_other": "num",
           "dominant_script": "str", "nonascii_bp": "num"}),
     ])
+    # dHash fixture replay: param p (planned dup/near-dup reuse of the
+    # previous subset member), optional one-pixel +40 perturbation at
+    # (doc_id%9, doc_id%8), pixel = (p·17 + x·29 + y·5 +
+    # (p div 251)·(x+2y)) mod 251 — identical to _dhash_docs
+    _DHASH_CTE = """
+        WITH dbase AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 91 IN (0, 7) AND doc_id >= 3
+                      THEN doc_id - 3 ELSE doc_id END AS p,
+                 CASE WHEN doc_id % 91 = 7 THEN doc_id % 9 ELSE -1 END
+                   AS qx,
+                 CASE WHEN doc_id % 91 = 7 THEN doc_id % 8 ELSE -1 END
+                   AS qy
+          FROM documents WHERE doc_id % 3 = 0),
+        cells AS (
+          SELECT doc_id, p, qx, qy, r.range AS r, c.range AS c
+          FROM dbase, range(8) r, range(8) c),
+        vpix AS (
+          SELECT doc_id, r, c,
+            CASE WHEN c = qx AND r = qy
+                 THEN ((p*17 + 31*c*c + 29*c + 5*r
+                        + (p//251)*(c + 2*r)) % 251 + 40) % 251
+                 ELSE (p*17 + 31*c*c + 29*c + 5*r
+                       + (p//251)*(c + 2*r)) % 251
+            END AS lv,
+            CASE WHEN c + 1 = qx AND r = qy
+                 THEN ((p*17 + 31*(c+1)*(c+1) + 29*(c+1) + 5*r
+                        + (p//251)*(c + 1 + 2*r)) % 251 + 40) % 251
+                 ELSE (p*17 + 31*(c+1)*(c+1) + 29*(c+1) + 5*r
+                       + (p//251)*(c + 1 + 2*r)) % 251
+            END AS rv
+          FROM cells),
+        dh AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN rv > lv THEN
+                       CASE WHEN r*8 + c = 63
+                            THEN -9223372036854775807 - 1
+                            ELSE CAST(1 AS BIGINT) << (r*8 + c) END
+                      ELSE 0 END) AS BIGINT) AS dhash
+          FROM vpix GROUP BY doc_id)
+    """
+
     o["multimodal"] = _union_oracle([
         ("decode", o.pop("multimodal_decode"),
          {"doc_id": "num", "format": "str", "media_type": "str",
@@ -7263,6 +7395,23 @@ def oracle_sql() -> dict[str, str]:
          {"doc_id": "num", "rz_src_w": "num", "rz_src_h": "num",
           "rz_w": "num", "rz_h": "num", "rz_channels": "num",
           "rz_mean_mil": "num"}),
+        # dHash: the 9×8 gradient fixture's pixels are pure doc_id
+        # arithmetic, so every gradient-sign bit — and hence the whole
+        # 64-bit hash, bit 63 as −2⁶³ two's complement — is rebuilt
+        # here cell by cell; pairs replay as brute all-pairs
+        # bit_count(xor) over the rebuilt hashes
+        ("dhash",
+         _DHASH_CTE + " SELECT doc_id, dhash, "
+         "CAST(9 AS BIGINT) AS dh_w, CAST(8 AS BIGINT) AS dh_h, "
+         "'bmp' AS dh_codec FROM dh",
+         {"doc_id": "num", "dhash": "num", "dh_w": "num",
+          "dh_h": "num", "dh_codec": "str"}),
+        ("dhpairs",
+         _DHASH_CTE + " SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+         "CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming "
+         "FROM dh a JOIN dh b ON a.doc_id < b.doc_id "
+         "WHERE bit_count(xor(a.dhash, b.dhash)) <= 4",
+         {"id_a": "num", "id_b": "num", "hamming": "num"}),
     ])
 
     o["api_request"] = """

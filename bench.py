@@ -112,6 +112,7 @@ HEADLINE = [
     "kmeans_update",          # full-corpus Lloyd-update stats pass
     "containment_pairs",      # asymmetric quote/mirror containment
     "containment_pairs_prefix",  # prefix-filtered containment (scale path)
+    "multimodal_dedup",       # image dHash + banded Hamming pairs
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -148,7 +149,7 @@ GROUPS = [
      "multimodal_decode", "warc_parse", "dsir_select", "data_card",
      "zorder_cluster", "weighted_sample", "quantile_bins",
      "multimodal_resize", "token_budget_select", "domain_cap",
-     "quantile_bins_grouped"],
+     "quantile_bins_grouped", "multimodal_dedup"],
 ]
 assert sorted(n for g in GROUPS for n in g) == sorted(HEADLINE)
 

@@ -491,6 +491,63 @@ def simhash_pairs(
     )
 
 
+def hamming_pairs(
+    hashes: DataFrame,
+    hash_col: str = "hash",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over an EXISTING 64-bit hash
+    column — the generic banded join :func:`simhash_pairs` specializes
+    for text, factored out (r12) so ANY 64-bit fingerprint family
+    (simhash, image dHash, audio chromaprint-style hashes) gets the
+    same scale-safe candidate plan: split the hash into ``bands``
+    slices (default max_hamming+1 — by pigeonhole a pair within
+    Hamming ≤ bands−1 collides on ≥ 1 slice), equi-join per slice,
+    verify with one ``bit_count(xor)``.
+
+    Output: id_a < id_b, hamming. Shuffle budget: one explode (rows ×
+    bands), one equi-join keyed by (band, slice) — near-uniform keys
+    for well-mixed hashes — no cross join at any size.
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    if not 1 <= bands <= 64:
+        raise ValueError("hamming_pairs: bands must be in 1..64")
+    w = -(-64 // bands)                       # ceil(64 / bands)
+    sh = hashes.select(F.col(id_col).alias("_id"),
+                       F.col(hash_col).cast("long").alias("_h"))
+    banded = sh.select(
+        "_id", "_h",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("_h", b * w)
+                .bitwiseAND(F.lit((1 << min(w, 64 - b * w)) - 1))
+                .alias("bhash"),
+            )
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("_id", "_h", "bk.band", "bk.bhash")
+    l, r = banded.alias("l"), banded.alias("r")
+    hamming = F.bit_count(F.col("l._h").bitwiseXOR(F.col("r._h")))
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact substring duplication (Lee et al. 2022, "Deduplicating Training
 # Data Makes Language Models Better" — word-window granularity)

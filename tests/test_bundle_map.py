@@ -148,7 +148,8 @@ EXPECTED_BUNDLE_PARTS = {
     "text_analysis": ["lang", "quality", "tokens", "fprint", "stats",
                       "rep", "lm", "html", "bpe", "unigram", "url",
                       "bm25", "clean", "script"],
-    "multimodal": ["decode", "frames", "audio", "resize"],
+    "multimodal": ["decode", "frames", "audio", "resize", "dhash",
+                   "dhpairs"],
 }
 
 

@@ -3082,3 +3082,96 @@ def test_repartition_for_bytes(spark):
 
     nums = spark.range(10).select(F.col("id").alias("doc_id"))
     assert repartition_for_bytes(nums, 320).rdd.getNumPartitions() == 2
+
+
+def test_image_dhash_and_hamming_pairs(spark):
+    """dHash kernel: identical images hash identically, a one-pixel
+    perturbation moves Hamming by <= 2, different gradients are far;
+    hamming_pairs over the hash column finds exactly the brute-force
+    Hamming-<=k pair set; non-raster bytes yield codec='skip' with a
+    NULL hash. Manual bit replay pins the packing convention (i=r*8+c,
+    signed two's complement int64)."""
+    import numpy as np
+
+    from enrich_spark.datapipe.dedup import hamming_pairs
+    from enrich_spark.datapipe.multimodal import dhash_one, image_dhash
+    from enrich_spark.datapipe.media_codecs import encode_bmp
+
+    def gradient(p, perturb=None):
+        px = np.zeros((8, 9 * 3), np.uint8)
+        for y in range(8):
+            for x in range(9):
+                v = (p * 17 + x * 29 + y * 5) % 251
+                if perturb == (x, y):
+                    v = (v + 40) % 251
+                px[y, 3 * x:3 * x + 3] = v
+        return encode_bmp(9, 8, px)
+
+    rows = [
+        (1, bytearray(gradient(100))),
+        (2, bytearray(gradient(100))),          # exact dup of 1
+        (3, bytearray(gradient(100, perturb=(4, 2)))),  # near dup
+        (4, bytearray(gradient(171))),          # far gradient
+        (5, bytearray(b"RIFF0000WAVEnot-an-image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, media BINARY")
+    got = {r.doc_id: r for r in image_dhash(df).collect()}
+    assert got[1].dhash == got[2].dhash
+    assert got[1].codec == "bmp"
+    assert got[5].codec == "skip" and got[5].dhash is None
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert 0 < ham(got[1].dhash, got[3].dhash) <= 2
+    assert ham(got[1].dhash, got[4].dhash) > 8
+
+    # packing convention replay: bit i = r*8+c set iff px[r][c+1] > px[r][c]
+    want = 0
+    for r in range(8):
+        for c in range(8):
+            l = (100 * 17 + c * 29 + r * 5) % 251
+            rr = (100 * 17 + (c + 1) * 29 + r * 5) % 251
+            if rr > l:
+                want |= 1 << (r * 8 + c)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert got[1].dhash == want
+    # kernel-level parity with the op
+    assert dhash_one(bytes(rows[0][1]))["dhash"] == want
+
+    hashes = image_dhash(df).where(F.col("dhash").isNotNull())
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in hamming_pairs(hashes, hash_col="dhash",
+                                    max_hamming=4).collect()}
+    vals = {d: got[d].dhash for d in (1, 2, 3, 4)}
+    want_pairs = {(a, b): ham(vals[a], vals[b])
+                  for a in vals for b in vals if a < b
+                  and ham(vals[a], vals[b]) <= 4}
+    assert pairs == want_pairs
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+
+
+def test_hamming_pairs_matches_simhash_pairs(spark):
+    """The factored-out generic band join reproduces simhash_pairs
+    exactly when fed the same simhash column (same bands)."""
+    from enrich_spark.datapipe.dedup import (
+        hamming_pairs, simhash64, simhash_pairs,
+    )
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dogs"),
+        (3, "the quick brown fox leaps over the lazy dog"),
+        (4, "completely different content about spark engines"),
+        (5, "spark engines process completely different content"),
+        (6, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+    ]
+    docs = spark.createDataFrame(texts, "doc_id LONG, text STRING")
+    want = sorted(tuple(r) for r in simhash_pairs(
+        docs, max_hamming=16, bands=4).collect())
+    hashes = docs.select("doc_id",
+                         simhash64(F.col("text")).alias("h"))
+    got = sorted(tuple(r) for r in hamming_pairs(
+        hashes, hash_col="h", max_hamming=16, bands=4).collect())
+    assert got == want and len(got) > 0
