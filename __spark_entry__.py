@@ -34,6 +34,10 @@ from enrich_spark.datapipe.curation import (
     select_token_budget_sql as _stb_sql,
 )
 from enrich_spark.datapipe.datacard import data_card_sql as _dc_sql
+from enrich_spark.datapipe.lm import (
+    lm_counts_sql as _lm_counts_sql,
+    lm_score_sql as _lm_score_sql,
+)
 from enrich_spark.datapipe.dsir import apply_dsir_sql as _dsir_sql
 from enrich_spark.datapipe.layout import key_skew_topn_sql as _kskew_sql
 from enrich_spark.datapipe.sketches import (
@@ -4223,6 +4227,22 @@ config:
         return script_profile(mixed).withColumn(
             "doc_id", F.col("doc_id").cast("long"))
 
+    def q_sbo_lm(spark, sf):
+        # r12: stupid-backoff n-gram LM scoring (datapipe/lm.py — the
+        # CCNet-style quality signal): counts trained on the corpus,
+        # every doc scored with integer micro-log10 units (floored
+        # per token, so sums are order-independent). The counts table
+        # is persisted like any trained model artifact — lm_score
+        # references it four times (unigram, prefix, bigram, total)
+        # and a real pipeline LOADS a reference-corpus LM rather than
+        # retraining it inside every scoring query.
+        from enrich_spark.datapipe.lm import lm_counts, lm_score
+
+        docs = _load_docs(spark, sf)
+        counts = _cached_fixture(spark, "sbo_counts", sf,
+                                 lambda: lm_counts(docs))
+        return lm_score(docs, counts)
+
     def q_text_analysis(spark, sf):
         # the text-analysis operator family bundled into ONE oracle row
         # (driver caps the correctness gate at 50 queries — standalone
@@ -4245,7 +4265,8 @@ config:
              ("url", q_url_normalize(spark, sf)),
              ("bm25", q_bm25(spark, sf)),
              ("clean", q_text_norm(spark, sf)),
-             ("script", q_script_profile(spark, sf))],
+             ("script", q_script_profile(spark, sf)),
+             ("sbo", q_sbo_lm(spark, sf))],
             fill=("doc_id", "n_chars", "n_words", "mean_word_len",
                   "punct_ratio", "stopword_ratio", "distinct_word_ratio",
                   "dup_line_ratio", "top_bigram_char_ratio", "quality_score",
@@ -4264,7 +4285,8 @@ config:
                   "norm_changed", "norm_delta_chars",
                   "n_latin", "n_cyrillic", "n_greek", "n_arabic",
                   "n_hebrew", "n_devanagari", "n_cjk", "n_kana",
-                  "n_hangul", "n_other", "nonascii_bp"),
+                  "n_hangul", "n_other", "nonascii_bp",
+                  "logp_micro", "avg_logp_micro"),
         )
 
     q["text_analysis"] = q_text_analysis
@@ -4722,6 +4744,8 @@ config:
         # multimodal bundle as dhash/dhpairs parts) — the bench row
         # measures hash + banded Hamming pairs end to end
         "multimodal_dedup": q_dhash_pairs,
+        # r12: stupid-backoff LM train+score (text_analysis sbo part)
+        "lm_score": q_sbo_lm,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -7317,6 +7341,12 @@ def oracle_sql() -> dict[str, str]:
           "n_hebrew": "num", "n_devanagari": "num", "n_cjk": "num",
           "n_kana": "num", "n_hangul": "num", "n_other": "num",
           "dominant_script": "str", "nonascii_bp": "num"}),
+        # r12: stupid-backoff LM (datapipe/lm.py) — counts + scoring
+        # replayed entirely in SQL; per-token micro-log flooring makes
+        # the sums integer-exact across engines
+        ("sbo", _lm_score_sql("documents", _lm_counts_sql("documents")),
+         {"doc_id": "num", "n_tokens": "num", "logp_micro": "num",
+          "avg_logp_micro": "num"}),
     ])
     # dHash fixture replay: param p (planned dup/near-dup reuse of the
     # previous subset member), optional one-pixel +40 perturbation at

@@ -1,0 +1,216 @@
+"""Corpus n-gram language-model scoring — the CCNet-style quality
+signal: score every document by how "expected" its token stream is
+under an n-gram LM trained on a reference corpus (Wenzek et al. 2020
+use a Wikipedia-trained KenLM; the scoring side here is engine-native
+and takes ANY counts table). The smoothing is stupid backoff (Brants
+et al. 2007, "Large Language Models in Machine Translation"):
+
+    S(w | w_prev) = c(w_prev w) / c(w_prev)        if the bigram exists
+                  = alpha * S(w)                    otherwise
+    S(w)          = c(w) / T                        if the unigram exists
+                  = 1 / T                           otherwise (OOV floor)
+
+— no normalization, no discounting: the backoff weight alpha (0.4 in
+the paper) is a constant, which is exactly what makes the model a pair
+of count JOINS instead of a special-purpose runtime.
+
+Determinism discipline: per-token log10 scores are floored into
+INTEGER micro-units (floor(1e6·log10 p)) before aggregation, so the
+per-doc sums are order-independent integer arithmetic — the same
+all-integer rule every gated operator here follows; float enters only
+inside a single log10 whose floor is replayed identically by DuckDB.
+
+Scale shape: train = ONE groupBy over exploded tokens + bigrams
+(key-bounded by vocabulary, map-side combined). Score = explode +
+three equi-joins against the counts table (Catalyst broadcasts it
+while it fits, falls back to a shuffled hash join beyond that) + one
+per-doc groupBy. No windows, no driver state, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["lm_counts", "lm_score", "lm_counts_sql", "lm_score_sql"]
+
+
+def _words(text):
+    return F.split(F.trim(F.regexp_replace(F.lower(text), "\\s+", " ")),
+                   " ")
+
+
+def lm_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token unigram + bigram counts over a training corpus:
+    ``(gram, n, cnt)`` with n ∈ {1, 2}; the bigram gram is
+    ``w_prev || ' ' || w``. Same normalization as the shingle family
+    (lowercase, whitespace-collapsed). ONE union of two
+    map-side-combined groupBys — vocabulary-bounded output."""
+    w = docs.select(_words(F.col(text_col)).alias("_w"))
+    uni = (w.select(F.explode("_w").alias("gram"))
+           .groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+           .select("gram", F.lit(1).alias("n"), "cnt"))
+    pairs = F.when(
+        F.size("_w") >= 2,
+        F.transform(
+            F.slice("_w", 1, F.size("_w") - 1),
+            lambda x, i: F.concat(x, F.lit(" "),
+                                  F.element_at("_w", i + 2))),
+    ).otherwise(F.array())
+    big = (w.select(F.explode(pairs).alias("gram"))
+           .groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+           .select("gram", F.lit(2).alias("n"), "cnt"))
+    return uni.unionByName(big)
+
+
+def lm_score(
+    docs: DataFrame,
+    counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Score each document under the stupid-backoff LM in ``counts``
+    (a :func:`lm_counts` frame — typically trained on a REFERENCE
+    corpus, CCNet-style). Output per doc:
+
+    - ``n_tokens``
+    - ``logp_micro``: Σ floor(1e6·log10 S(token)) — integer micro-log
+      (≈ −1e6·log-perplexity·n_tokens), order-independent
+    - ``avg_logp_micro``: logp_micro div n_tokens (integer floor) —
+      the per-token quality score a threshold filter cuts on (higher =
+      more fluent under the reference LM)
+
+    First token scores as a unigram; later tokens as bigram-else-
+    backoff. OOV floor: 1/T (T = total training tokens)."""
+    uni = counts.where(F.col("n") == 1).select(
+        F.col("gram").alias("_ug"), F.col("cnt").alias("_uc"))
+    big = counts.where(F.col("n") == 2).select(
+        F.col("gram").alias("_bg"), F.col("cnt").alias("_bc"))
+    total = uni.agg(F.sum("_uc").cast("double").alias("_t"))
+
+    w = docs.select(F.col(id_col), _words(F.col(text_col)).alias("_w"))
+    toks = w.select(
+        F.col(id_col),
+        F.explode(F.transform(
+            "_w",
+            lambda x, i: F.struct(
+                x.alias("_tok"),
+                F.when(i > 0, F.element_at("_w", i)).alias("_prev")),
+        )).alias("_s"),
+    ).select(id_col, "_s._tok", "_s._prev")
+
+    j = (toks
+         .join(F.broadcast(total))
+         .join(uni, F.col("_tok") == F.col("_ug"), "left")
+         .join(big,
+               F.concat_ws(" ", "_prev", "_tok") == F.col("_bg"),
+               "left")
+         .join(uni.select(F.col("_ug").alias("_pg"),
+                          F.col("_uc").alias("_pc")),
+               F.col("_prev") == F.col("_pg"), "left"))
+    unigram_p = (F.coalesce(F.col("_uc").cast("double"), F.lit(1.0))
+                 / F.col("_t"))
+    logp = (
+        F.when(F.col("_prev").isNotNull() & F.col("_bc").isNotNull(),
+               F.log10(F.col("_bc").cast("double")
+                       / F.col("_pc").cast("double")))
+        .when(F.col("_prev").isNotNull(),
+              F.log10(F.lit(float(alpha)) * unigram_p))
+        .otherwise(F.log10(unigram_p))
+    )
+    return (j.select(id_col,
+                     F.floor(logp * 1_000_000).cast("long")
+                     .alias("_lp"))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.sum("_lp").cast("long").alias("logp_micro"))
+            .withColumn("avg_logp_micro",
+                        F.expr("logp_micro div n_tokens")
+                        .cast("long")))
+
+
+def lm_counts_sql(
+    from_sql: str,
+    text_expr: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`lm_counts`."""
+    return f"""
+        WITH w AS (
+          SELECT string_split(trim(regexp_replace(lower({text_expr}),
+                     '\\s+', ' ', 'g')), ' ') AS ws
+          FROM {from_sql}
+        ),
+        uni AS (
+          SELECT t.tok AS gram, 1 AS n, count(*) AS cnt
+          FROM w, unnest(ws) AS t(tok) GROUP BY t.tok
+        ),
+        big AS (
+          SELECT g.gram, 2 AS n, count(*) AS cnt
+          FROM w, unnest(CASE WHEN len(ws) >= 2
+                 THEN list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i + 1])
+                 ELSE [] END) AS g(gram)
+          GROUP BY g.gram
+        )
+        SELECT gram, n, CAST(cnt AS BIGINT) AS cnt FROM uni
+        UNION ALL
+        SELECT gram, n, CAST(cnt AS BIGINT) AS cnt FROM big
+    """
+
+
+def lm_score_sql(
+    docs_sql: str,
+    counts_sql: str,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    id_alias: str = "doc_id",
+    alpha: float = 0.4,
+) -> str:
+    """DuckDB mirror of :func:`lm_score` (same floor micro-units, same
+    backoff branches)."""
+    return f"""
+        WITH counts AS ({counts_sql}),
+        uni AS (SELECT gram, cnt FROM counts WHERE n = 1),
+        big AS (SELECT gram, cnt FROM counts WHERE n = 2),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM uni),
+        w AS (
+          SELECT {id_expr} AS {id_alias},
+                 string_split(trim(regexp_replace(lower({text_expr}),
+                     '\\s+', ' ', 'g')), ' ') AS ws
+          FROM {docs_sql}
+        ),
+        toks AS (
+          SELECT {id_alias}, ws[i] AS tok,
+                 CASE WHEN i > 1 THEN ws[i - 1] END AS prev
+          FROM w, unnest(range(1, len(ws) + 1)) AS r(i)
+        ),
+        scored AS (
+          SELECT {id_alias},
+            CAST(floor(1000000 * (
+              CASE WHEN prev IS NOT NULL AND b.cnt IS NOT NULL
+                   THEN log10(CAST(b.cnt AS DOUBLE)
+                              / CAST(p.cnt AS DOUBLE))
+                   WHEN prev IS NOT NULL
+                   THEN log10({float(alpha)!r}
+                              * COALESCE(CAST(u.cnt AS DOUBLE), 1.0)
+                              / tot.t)
+                   ELSE log10(COALESCE(CAST(u.cnt AS DOUBLE), 1.0)
+                              / tot.t)
+              END)) AS BIGINT) AS lp
+          FROM toks CROSS JOIN tot
+          LEFT JOIN uni u ON u.gram = toks.tok
+          LEFT JOIN big b ON prev IS NOT NULL
+                         AND b.gram = prev || ' ' || toks.tok
+          LEFT JOIN uni p ON p.gram = toks.prev
+        )
+        SELECT {id_alias},
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(lp) AS BIGINT) AS logp_micro,
+               CAST(sum(lp) // count(*) AS BIGINT) AS avg_logp_micro
+        FROM scored GROUP BY {id_alias}
+    """

@@ -147,7 +147,7 @@ EXPECTED_BUNDLE_PARTS = {
                             "margin", "negs"],
     "text_analysis": ["lang", "quality", "tokens", "fprint", "stats",
                       "rep", "lm", "html", "bpe", "unigram", "url",
-                      "bm25", "clean", "script"],
+                      "bm25", "clean", "script", "sbo"],
     "multimodal": ["decode", "frames", "audio", "resize", "dhash",
                    "dhpairs"],
 }

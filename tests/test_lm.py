@@ -1,0 +1,123 @@
+"""Stupid-backoff n-gram LM scoring (datapipe/lm.py) — unit +
+engine-parity tests."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from enrich_spark.datapipe.lm import (
+    lm_counts, lm_counts_sql, lm_score, lm_score_sql,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+
+
+TRAIN = [
+    "the cat sat on the mat",
+    "the dog sat on the log",
+    "a cat and a dog",
+]
+
+
+def test_lm_counts_exact(spark):
+    got = {(r.gram, r.n): r.cnt
+           for r in lm_counts(_docs(spark, TRAIN)).collect()}
+    assert got[("the", 1)] == 4
+    assert got[("sat", 1)] == 2
+    assert got[("a", 1)] == 2
+    assert got[("the cat", 2)] == 1
+    assert got[("sat on", 2)] == 2
+    assert got[("on the", 2)] == 2
+    assert ("cat sat", 2) in got
+    # totals: 17 tokens, 14 bigrams
+    assert sum(c for (g, n), c in got.items() if n == 1) == 17
+    assert sum(c for (g, n), c in got.items() if n == 2) == 14
+
+
+def test_lm_score_matches_manual_backoff(spark):
+    """Replay the stupid-backoff arithmetic by hand for one doc:
+    bigram branch, backoff-to-unigram branch, OOV floor, first-token
+    unigram — and the integer micro-unit flooring."""
+    counts = lm_counts(_docs(spark, TRAIN))
+    uni = {r.gram: r.cnt for r in counts.where("n = 1").collect()}
+    big = {r.gram: r.cnt for r in counts.where("n = 2").collect()}
+    T = float(sum(uni.values()))
+
+    text = "the cat zorp on the mat"
+    got = lm_score(_docs(spark, [text]), counts).collect()[0]
+
+    def s(tok, prev):
+        if prev is None:
+            return math.log10(uni.get(tok, 1.0) / T)
+        bg = f"{prev} {tok}"
+        if bg in big:
+            return math.log10(big[bg] / uni[prev])
+        return math.log10(0.4 * uni.get(tok, 1.0) / T)
+
+    words = text.split()
+    lps = [math.floor(1e6 * s(w, words[i - 1] if i else None))
+           for i, w in enumerate(words)]
+    assert got.n_tokens == 6
+    assert got.logp_micro == sum(lps)
+    # Spark `div` and DuckDB `//` both truncate toward zero on
+    # negatives (verified); Python's // floors — replay the truncation
+    tot = sum(lps)
+    assert got.avg_logp_micro == (tot // 6 if tot >= 0
+                                  else -((-tot) // 6))
+    # the OOV token ('zorp' after 'cat': backoff x OOV floor) is the
+    # worst-scored branch
+    assert min(lps) == lps[2]
+
+
+def test_lm_score_orders_quality(spark):
+    """A fluent in-domain doc outscores shuffled word salad under the
+    same counts — the CCNet filtering property."""
+    counts = lm_counts(_docs(spark, TRAIN))
+    docs = _docs(spark, [
+        "the cat sat on the mat",            # seen verbatim
+        "mat the on sat cat the",            # same tokens, shuffled
+    ])
+    got = {r.doc_id: r.avg_logp_micro
+           for r in lm_score(docs, counts).collect()}
+    assert got[0] > got[1]
+
+
+def test_lm_duckdb_parity(spark, tmp_path):
+    import pandas as pd
+
+    texts = TRAIN + [
+        "the cat sat on the unknown mat",
+        "completely novel words here",
+        "", "a", "the the the the",
+    ]
+    pd.DataFrame({"doc_id": range(len(texts)), "text": texts}) \
+        .to_parquet(f"{tmp_path}/d.parquet")
+    df = spark.read.parquet(f"{tmp_path}/d.parquet")
+    src = f"read_parquet('{tmp_path}/d.parquet')"
+
+    counts = lm_counts(df)
+    got_counts = sorted(tuple(r) for r in counts.collect())
+    con = duckdb.connect()
+    want_counts = sorted(tuple(r) for r in
+                         con.execute(lm_counts_sql(src)).fetchall())
+    assert got_counts == want_counts
+
+    got = sorted(tuple(r) for r in lm_score(df, counts).collect())
+    want = sorted(tuple(r) for r in con.execute(
+        lm_score_sql(src, lm_counts_sql(src))).fetchall())
+    assert got == want and len(got) == len(texts)
+
+
+def test_lm_score_plan_no_python_no_window(spark):
+    counts = lm_counts(_docs(spark, TRAIN))
+    plan = lm_score(_docs(spark, TRAIN), counts)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+    assert "PythonUDF" not in plan and "mapInPandas" not in plan.lower()

@@ -100,6 +100,7 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "containment_pairs": "dedup_ngram_jaccard",
         "containment_pairs_prefix": "dedup_ngram_jaccard",
         "multimodal_dedup": "multimodal",
+        "lm_score": "text_analysis",
         "script_js": "script_hook",  # bench-only throughput variant
     }
     for name in benchmod.HEADLINE:
