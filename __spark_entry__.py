@@ -37,6 +37,7 @@ from enrich_spark.datapipe.datacard import data_card_sql as _dc_sql
 from enrich_spark.datapipe.lm import (
     lm_counts_sql as _lm_counts_sql,
     lm_score_sql as _lm_score_sql,
+    token_divergence_sql as _tok_div_sql,
 )
 from enrich_spark.datapipe.dsir import apply_dsir_sql as _dsir_sql
 from enrich_spark.datapipe.layout import key_skew_topn_sql as _kskew_sql
@@ -3163,14 +3164,32 @@ config:
         b = kmv_sketch(half_b, "text", k=64)
         return kmv_overlap_estimate(a, b, k=64)
 
+    def q_token_drift(spark, sf):
+        # r12: cross-corpus token-distribution drift (datapipe/lm.py
+        # token_divergence) over the same src<10 / src>=10 halves the
+        # KMV part compares — KL both ways + Jensen-Shannon in integer
+        # micro-log10 units, one vocabulary-bounded outer join
+        from enrich_spark.datapipe.lm import (
+            divergence_summary, lm_counts, token_divergence,
+        )
+
+        docs = _load_docs(spark, sf)
+        srcn = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+        a = lm_counts(docs.where(srcn < 10))
+        b = lm_counts(docs.where(srcn >= 10))
+        return divergence_summary(token_divergence(a, b))
+
     q["decontam_multi"] = lambda spark, sf: _union_parts(
         [("multi", q_decontam_multi(spark, sf)),
          ("bloom", q_decontam_bloom(spark, sf)),
-         ("kmv", q_kmv_overlap(spark, sf))],
+         ("kmv", q_kmv_overlap(spark, sf)),
+         ("drift", q_token_drift(spark, sf))],
         fill=("doc_id", "k", "n_windows", "contam_windows",
               "contam_frac_bp", "contaminated", "n_hit_sets", "first_hit",
               "n_union_sketch", "n_both", "jaccard_bp", "est_union",
-              "est_intersection"),
+              "est_intersection",
+              "vocab", "tokens_a", "tokens_b", "kl_ab_micro",
+              "kl_ba_micro", "js_micro"),
     )
 
     def q_text_pii_scrub(spark, sf):
@@ -4746,6 +4765,8 @@ config:
         "multimodal_dedup": q_dhash_pairs,
         # r12: stupid-backoff LM train+score (text_analysis sbo part)
         "lm_score": q_sbo_lm,
+        # r12: cross-corpus drift (decontam_multi drift part)
+        "token_drift": q_token_drift,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -6098,6 +6119,25 @@ def oracle_sql() -> dict[str, str]:
          {"doc_id": "num", "k": "num", "n_windows": "num",
           "contam_windows": "num", "contam_frac_bp": "num",
           "n_hit_sets": "num", "first_hit": "num"}),
+        # r12: token-distribution drift over the same corpus halves
+        ("drift",
+         "SELECT CAST(count(*) AS BIGINT) AS vocab, "
+         "CAST(sum(cnt_a) AS BIGINT) AS tokens_a, "
+         "CAST(sum(cnt_b) AS BIGINT) AS tokens_b, "
+         "CAST(sum(kl_ab_micro) AS BIGINT) AS kl_ab_micro, "
+         "CAST(sum(kl_ba_micro) AS BIGINT) AS kl_ba_micro, "
+         "CAST(sum(js_micro) AS BIGINT) AS js_micro FROM ("
+         + _tok_div_sql(
+             _lm_counts_sql("(SELECT text FROM documents WHERE CAST("
+                            "regexp_extract(source, 'src(\\d+)', 1)"
+                            " AS INT) < 10)"),
+             _lm_counts_sql("(SELECT text FROM documents WHERE CAST("
+                            "regexp_extract(source, 'src(\\d+)', 1)"
+                            " AS INT) >= 10)"))
+         + ")",
+         {"vocab": "num", "tokens_a": "num", "tokens_b": "num",
+          "kl_ab_micro": "num", "kl_ba_micro": "num",
+          "js_micro": "num"}),
     ])
 
     _pii_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -114,6 +114,7 @@ HEADLINE = [
     "containment_pairs_prefix",  # prefix-filtered containment (scale path)
     "multimodal_dedup",       # image dHash + banded Hamming pairs
     "lm_score",               # stupid-backoff n-gram LM train + score
+    "token_drift",            # cross-corpus KL/JS token drift
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -143,7 +144,7 @@ GROUPS = [
      "text_pii_scrub", "quality_model_score", "corpus_stats",
      "doc_fingerprint", "bpe_tokenize", "url_normalize", "html_extract",
      "bm25_rank", "robots_filter", "text_normalize", "script_profile",
-     "kmv_overlap", "lm_score"],
+     "kmv_overlap", "lm_score", "token_drift"],
     # data-mix / graph / merge / multimodal
     ["data_mix", "heavy_hitters", "k_anonymity", "pagerank",
      "dataset_manifest", "cdc_merge", "multimodal_frames",

@@ -32,7 +32,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["lm_counts", "lm_score", "lm_counts_sql", "lm_score_sql"]
+__all__ = ["lm_counts", "lm_score", "lm_counts_sql", "lm_score_sql",
+           "token_divergence", "divergence_summary",
+           "token_divergence_sql"]
 
 
 def _words(text):
@@ -213,4 +215,118 @@ def lm_score_sql(
                CAST(sum(lp) AS BIGINT) AS logp_micro,
                CAST(sum(lp) // count(*) AS BIGINT) AS avg_logp_micro
         FROM scored GROUP BY {id_alias}
+    """
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus token-distribution drift — the mix-monitoring complement
+# of lm_score: not "is this DOC fluent under the reference" but "is this
+# CORPUS drifting away from the reference distribution"
+
+
+def token_divergence(
+    counts_a: DataFrame,
+    counts_b: DataFrame,
+) -> DataFrame:
+    """Per-token drift between two corpora's unigram distributions
+    (two :func:`lm_counts` frames; their n==1 rows are used). Additive
+    (+1) smoothing over the JOINT vocabulary keeps every log finite:
+    p = (cnt_a+1)/(T_a+V), q = (cnt_b+1)/(T_b+V).
+
+    Output per token: ``cnt_a``, ``cnt_b``, and integer micro-unit
+    contributions ``kl_ab_micro`` = floor(1e6·p·log10(p/q)),
+    ``kl_ba_micro``, ``js_micro`` (Jensen-Shannon: ½p·log10(p/m) +
+    ½q·log10(q/m), m=(p+q)/2 — bounded, symmetric, the standard drift
+    alarm). Contributions are floored BEFORE any aggregation, so every
+    downstream rollup is order-independent integer arithmetic (the
+    same micro-log discipline as :func:`lm_score`); the floor biases
+    each sum down by < 1e-6·V — a committed deterministic estimate,
+    not a float race.
+
+    Scale shape: one full-outer equi-join on the token (vocabulary-
+    bounded), two 1-row broadcast aggregates for (T, V) — no windows,
+    no Python. Top movers come off this frame with an
+    ``orderBy(...).limit(n)`` (TakeOrderedAndProject, the key_skew
+    plan); full-corpus divergence via :func:`divergence_summary`.
+    """
+    a = counts_a.where(F.col("n") == 1).select(
+        F.col("gram"), F.col("cnt").alias("cnt_a"))
+    b = counts_b.where(F.col("n") == 1).select(
+        F.col("gram"), F.col("cnt").alias("cnt_b"))
+    j = a.join(b, "gram", "outer").select(
+        "gram",
+        F.coalesce("cnt_a", F.lit(0)).cast("long").alias("cnt_a"),
+        F.coalesce("cnt_b", F.lit(0)).cast("long").alias("cnt_b"))
+    tot = j.agg(
+        F.sum("cnt_a").cast("double").alias("_ta"),
+        F.sum("cnt_b").cast("double").alias("_tb"),
+        F.count(F.lit(1)).cast("double").alias("_v"))
+    jj = j.join(F.broadcast(tot))
+    p = (F.col("cnt_a") + 1) / (F.col("_ta") + F.col("_v"))
+    q = (F.col("cnt_b") + 1) / (F.col("_tb") + F.col("_v"))
+    m = (p + q) / 2
+    mic = 1_000_000
+    return jj.select(
+        "gram", "cnt_a", "cnt_b",
+        F.floor(mic * p * F.log10(p / q)).cast("long")
+        .alias("kl_ab_micro"),
+        F.floor(mic * q * F.log10(q / p)).cast("long")
+        .alias("kl_ba_micro"),
+        F.floor(mic * (p * F.log10(p / m) + q * F.log10(q / m)) / 2)
+        .cast("long").alias("js_micro"))
+
+
+def divergence_summary(per_token: DataFrame) -> DataFrame:
+    """One-row rollup of :func:`token_divergence`: vocabulary size,
+    token totals, and the summed KL(a‖b) / KL(b‖a) / JS divergences in
+    integer micro-log10 units."""
+    return per_token.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("cnt_a").cast("long").alias("tokens_a"),
+        F.sum("cnt_b").cast("long").alias("tokens_b"),
+        F.sum("kl_ab_micro").cast("long").alias("kl_ab_micro"),
+        F.sum("kl_ba_micro").cast("long").alias("kl_ba_micro"),
+        F.sum("js_micro").cast("long").alias("js_micro"))
+
+
+def token_divergence_sql(
+    counts_a_sql: str,
+    counts_b_sql: str,
+) -> str:
+    """DuckDB mirror of :func:`token_divergence`."""
+    return f"""
+        WITH ca AS (SELECT gram, cnt FROM ({counts_a_sql}) WHERE n = 1),
+        cb AS (SELECT gram, cnt FROM ({counts_b_sql}) WHERE n = 1),
+        j AS (
+          SELECT COALESCE(ca.gram, cb.gram) AS gram,
+                 CAST(COALESCE(ca.cnt, 0) AS BIGINT) AS cnt_a,
+                 CAST(COALESCE(cb.cnt, 0) AS BIGINT) AS cnt_b
+          FROM ca FULL OUTER JOIN cb ON ca.gram = cb.gram
+        ),
+        tot AS (
+          SELECT CAST(sum(cnt_a) AS DOUBLE) AS ta,
+                 CAST(sum(cnt_b) AS DOUBLE) AS tb,
+                 CAST(count(*) AS DOUBLE) AS v
+          FROM j
+        )
+        SELECT gram, cnt_a, cnt_b,
+          CAST(floor(1000000 * ((cnt_a + 1) / (ta + v))
+               * log10(((cnt_a + 1) / (ta + v))
+                       / ((cnt_b + 1) / (tb + v)))) AS BIGINT)
+            AS kl_ab_micro,
+          CAST(floor(1000000 * ((cnt_b + 1) / (tb + v))
+               * log10(((cnt_b + 1) / (tb + v))
+                       / ((cnt_a + 1) / (ta + v)))) AS BIGINT)
+            AS kl_ba_micro,
+          CAST(floor(1000000 * (
+               ((cnt_a + 1) / (ta + v))
+                 * log10(((cnt_a + 1) / (ta + v))
+                         / ((((cnt_a + 1) / (ta + v))
+                             + ((cnt_b + 1) / (tb + v))) / 2))
+               + ((cnt_b + 1) / (tb + v))
+                 * log10(((cnt_b + 1) / (tb + v))
+                         / ((((cnt_a + 1) / (ta + v))
+                             + ((cnt_b + 1) / (tb + v))) / 2))) / 2)
+            AS BIGINT) AS js_micro
+        FROM j CROSS JOIN tot
     """

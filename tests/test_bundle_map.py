@@ -132,7 +132,7 @@ EXPECTED_BUNDLE_PARTS = {
     "script_hook": ["py", "js"],
     "streaming_parity": ["stream", "batch"],
     "dedup_exact": ["exact", "substr", "contam", "split"],
-    "decontam_multi": ["multi", "bloom", "kmv"],
+    "decontam_multi": ["multi", "bloom", "kmv", "drift"],
     "text_pii_scrub": ["base", "fin"],
     "data_mix": ["sample", "pack", "q_lit", "q_join", "mix", "salted",
                  "c4", "chunk", "hh", "dsir", "hll", "qbins", "budget",

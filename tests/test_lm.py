@@ -121,3 +121,59 @@ def test_lm_score_plan_no_python_no_window(spark):
         .executedPlan().toString()
     assert "Window" not in plan
     assert "PythonUDF" not in plan and "mapInPandas" not in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# token_divergence
+
+
+def test_token_divergence_semantics(spark):
+    """Identical corpora → zero-ish divergence (micro-floor can bias
+    each per-token term to −1); drifted corpora → clearly positive JS;
+    KL directions pick out the drifted tokens."""
+    from enrich_spark.datapipe.lm import (
+        divergence_summary, lm_counts, token_divergence,
+    )
+    a = lm_counts(_docs(spark, TRAIN))
+    same = divergence_summary(token_divergence(a, a)).collect()[0]
+    v = same.vocab
+    assert same.tokens_a == same.tokens_b == 17
+    # p == q per token → true contribution 0; floor may emit −1
+    assert -v <= same.js_micro <= 0
+    assert -v <= same.kl_ab_micro <= 0
+
+    b = lm_counts(_docs(spark, [
+        "zebra zebra zebra zebra zebra quagga",
+        "the zebra sat on the zebra",
+    ]))
+    per = token_divergence(a, b)
+    drift = divergence_summary(per).collect()[0]
+    assert drift.js_micro > 1000 * same.js_micro + 1000
+    assert drift.js_micro > 0
+    # the most b-heavy token by KL(b||a) contribution is 'zebra'
+    top = per.orderBy(F.desc("kl_ba_micro")).limit(1).collect()[0]
+    assert top.gram == "zebra" and top.cnt_a == 0 and top.cnt_b == 7
+
+
+def test_token_divergence_duckdb_parity(spark, tmp_path):
+    import pandas as pd
+
+    from enrich_spark.datapipe.lm import (
+        lm_counts, lm_counts_sql, token_divergence, token_divergence_sql,
+    )
+    ta = TRAIN + ["extra alpha beta", ""]
+    tb = ["the dog ran", "beta beta gamma", "a dog a log"]
+    pd.DataFrame({"doc_id": range(len(ta)), "text": ta}) \
+        .to_parquet(f"{tmp_path}/a.parquet")
+    pd.DataFrame({"doc_id": range(len(tb)), "text": tb}) \
+        .to_parquet(f"{tmp_path}/b.parquet")
+    da = spark.read.parquet(f"{tmp_path}/a.parquet")
+    db = spark.read.parquet(f"{tmp_path}/b.parquet")
+    got = sorted(tuple(r) for r in token_divergence(
+        lm_counts(da), lm_counts(db)).collect())
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in con.execute(token_divergence_sql(
+        lm_counts_sql(f"read_parquet('{tmp_path}/a.parquet')"),
+        lm_counts_sql(f"read_parquet('{tmp_path}/b.parquet')"),
+    )).fetchall())
+    assert got == want and len(got) > 10

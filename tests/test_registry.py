@@ -101,6 +101,7 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "containment_pairs_prefix": "dedup_ngram_jaccard",
         "multimodal_dedup": "multimodal",
         "lm_score": "text_analysis",
+        "token_drift": "decontam_multi",
         "script_js": "script_hook",  # bench-only throughput variant
     }
     for name in benchmod.HEADLINE:
