@@ -4602,6 +4602,95 @@ config:
             F.col("id_b").cast("long").alias("id_b"),
             F.col("hamming").cast("long").alias("hamming"))
 
+    def _afp_docs(spark, sf):
+        # r12 audio-fingerprint fixture: 9 frames × 360 samples of
+        # on-bin sine mixtures (one tone per band, bin 20b+11, exact
+        # rectangular-window energies) whose band-energy LEVEL (LO/HI)
+        # per (frame, band) cell is an md5 bit of (p, t, b) — so every
+        # Haitsma-Kalker sign bit is pure integer arithmetic the SQL
+        # oracle replays, with three deterministic margins: HI−LO
+        # dominates the bit, the +30000·t·b energy ramp contributes
+        # EXACTLY −30000·(L/2)² to every time-difference (so a 0
+        # β-combination is a firm negative, never a noise coin-flip),
+        # and int16 quantization noise sits ~10× below the ramp
+        # (mismatches: 0/170 docs in the build-time check). Planned
+        # dups: doc_id%89==1 reuses the previous subset member's p
+        # (Hamming 0); %89==38 reuses it with ONE β cell flipped
+        # (Hamming ≤ 4: a cell touches 4 sign bits).
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        from enrich_spark.datapipe.media_codecs import encode_wav
+
+        docs = _load_docs(spark, sf).where(
+            F.col("doc_id") % 3 == 1).select("doc_id")
+        L, NF, NB, RATE = 360, 9, 9, 8000
+        LO2, HI2, KA = 600 ** 2, 2000 ** 2, 30000
+        s = np.arange(L)
+
+        def beta(p, t, b):
+            import hashlib
+            return int(hashlib.md5(
+                f"{p}:{t}:{b}".encode()).hexdigest()[0], 16) % 2
+
+        def gen(it):
+            for pdf in it:
+                medias = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    p = (did - 3 if did % 89 in (1, 38) and did >= 3
+                         else did)
+                    flip = ((did % 9, (did // 9) % 9)
+                            if did % 89 == 38 else None)
+                    x = np.zeros(L * NF)
+                    for t in range(NF):
+                        fr = np.zeros(L)
+                        for b in range(NB):
+                            bb = beta(p, t, b)
+                            if flip == (t, b):
+                                bb ^= 1
+                            a2 = (HI2 if bb else LO2) + KA * t * b
+                            fr += math.sqrt(a2) * np.sin(
+                                2 * np.pi * (20 * b + 11) * s / L)
+                        x[t * L:(t + 1) * L] = fr
+                    medias.append(
+                        encode_wav(RATE, np.round(x).astype("<i2")))
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"].astype("int64"),
+                     "media": medias})
+
+        return _cached_fixture(
+            spark, "afp_docs", sf,
+            lambda: docs.mapInPandas(gen, "doc_id long, media binary"))
+
+    def q_audio_afp(spark, sf):
+        # Haitsma-Kalker fingerprint (multimodal.audio_fingerprint):
+        # REAL rFFT band energies → 64 time-difference sign bits
+        from enrich_spark.datapipe.multimodal import audio_fingerprint
+
+        return audio_fingerprint(_afp_docs(spark, sf)).select(
+            "doc_id", "afp",
+            F.col("rate").alias("afp_rate"),
+            F.col("n_samples").alias("afp_samples"))
+
+    def q_afp_pairs(spark, sf):
+        # audio near-dup pairs: the SAME hamming_pairs banded join the
+        # image dHash uses, over a stored fingerprint table
+        from enrich_spark.datapipe.dedup import hamming_pairs
+        from enrich_spark.datapipe.multimodal import audio_fingerprint
+
+        h = _cached_fixture(
+            spark, "afp_hashes", sf,
+            lambda: audio_fingerprint(_afp_docs(spark, sf)).where(
+                F.col("afp").isNotNull()).select("doc_id", "afp"))
+        return hamming_pairs(h, hash_col="afp", id_col="doc_id",
+                             max_hamming=4).select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.col("hamming").cast("long").alias("hamming"))
+
     def q_multimodal(spark, sf):
         # decode + frame-sampling + audio features + resize + dHash
         # near-dup in one row
@@ -4611,7 +4700,9 @@ config:
              ("audio", q_audio_features(spark, sf)),
              ("resize", q_media_resize(spark, sf)),
              ("dhash", q_image_dhash(spark, sf)),
-             ("dhpairs", q_dhash_pairs(spark, sf))],
+             ("dhpairs", q_dhash_pairs(spark, sf)),
+             ("afp", q_audio_afp(spark, sf)),
+             ("afppairs", q_afp_pairs(spark, sf))],
             fill=("doc_id", "width", "height", "channels", "duration_ms",
                   "mean_val", "meta_width", "meta_height",
                   "meta_duration_ms", "frame_ts_ms", "vid_width",
@@ -4621,7 +4712,8 @@ config:
                   "rz_src_w", "rz_src_h", "rz_w", "rz_h", "rz_channels",
                   "rz_mean_mil",
                   "dhash", "dh_w", "dh_h", "dh_codec",
-                  "id_a", "id_b", "hamming"),
+                  "id_a", "id_b", "hamming",
+                  "afp", "afp_rate", "afp_samples"),
         )
 
     q["multimodal"] = q_multimodal
@@ -4767,6 +4859,8 @@ config:
         "lm_score": q_sbo_lm,
         # r12: cross-corpus drift (decontam_multi drift part)
         "token_drift": q_token_drift,
+        # r12: audio near-dup pairs over the stored fingerprint table
+        "audio_dedup": q_afp_pairs,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -7430,6 +7524,50 @@ def oracle_sql() -> dict[str, str]:
           FROM vpix GROUP BY doc_id)
     """
 
+    # audio fingerprint replay: p / one-flipped-cell rules as in
+    # _afp_docs; beta = first md5 hex digit of "p:t:b" mod 2
+    _AFP_CTE = """
+        WITH abase AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 89 IN (1, 38) AND doc_id >= 3
+                      THEN doc_id - 3 ELSE doc_id END AS p,
+                 CASE WHEN doc_id % 89 = 38 THEN doc_id % 9 ELSE -1 END
+                   AS ft,
+                 CASE WHEN doc_id % 89 = 38 THEN (doc_id // 9) % 9
+                      ELSE -1 END AS fb
+          FROM documents WHERE doc_id % 3 = 1),
+        bcells AS (
+          SELECT doc_id, t.range AS t, b.range AS b,
+                 CASE WHEN t.range = ft AND b.range = fb THEN
+                   1 - (CAST(('0x' || substr(md5(p || ':' || t.range
+                        || ':' || b.range), 1, 1)) AS INT) % 2)
+                 ELSE
+                   CAST(('0x' || substr(md5(p || ':' || t.range
+                        || ':' || b.range), 1, 1)) AS INT) % 2
+                 END AS beta
+          FROM abase, range(9) t, range(9) b),
+        abits AS (
+          SELECT a.doc_id, a.t, a.b,
+                 CASE WHEN a.beta - ab.beta - pa.beta + pb.beta >= 1
+                      THEN 1 ELSE 0 END AS bit
+          FROM bcells a
+          JOIN bcells ab ON ab.doc_id = a.doc_id AND ab.t = a.t
+                        AND ab.b = a.b + 1
+          JOIN bcells pa ON pa.doc_id = a.doc_id AND pa.t = a.t - 1
+                        AND pa.b = a.b
+          JOIN bcells pb ON pb.doc_id = a.doc_id AND pb.t = a.t - 1
+                        AND pb.b = a.b + 1
+          WHERE a.t >= 1 AND a.b <= 7),
+        afp AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN bit = 1 THEN
+                       CASE WHEN (t-1)*8 + b = 63
+                            THEN -9223372036854775807 - 1
+                            ELSE CAST(1 AS BIGINT) << ((t-1)*8 + b) END
+                      ELSE 0 END) AS BIGINT) AS afp
+          FROM abits GROUP BY doc_id)
+    """
+
     o["multimodal"] = _union_oracle([
         ("decode", o.pop("multimodal_decode"),
          {"doc_id": "num", "format": "str", "media_type": "str",
@@ -7481,6 +7619,22 @@ def oracle_sql() -> dict[str, str]:
          "CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming "
          "FROM dh a JOIN dh b ON a.doc_id < b.doc_id "
          "WHERE bit_count(xor(a.dhash, b.dhash)) <= 4",
+         {"id_a": "num", "id_b": "num", "hamming": "num"}),
+        # audio fingerprint: every Haitsma-Kalker sign bit is the
+        # integer beta-combination B[t][b]−B[t][b+1]−B[t−1][b]+
+        # B[t−1][b+1] ≥ 1 (the fixture's −30000·t·b energy ramp makes
+        # the 0 case a firm negative), beta = md5 bit of (p, t, b)
+        ("afp",
+         _AFP_CTE + " SELECT doc_id, afp, "
+         "CAST(8000 AS BIGINT) AS afp_rate, "
+         "CAST(3240 AS BIGINT) AS afp_samples FROM afp",
+         {"doc_id": "num", "afp": "num", "afp_rate": "num",
+          "afp_samples": "num"}),
+        ("afppairs",
+         _AFP_CTE + " SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+         "CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming "
+         "FROM afp a JOIN afp b ON a.doc_id < b.doc_id "
+         "WHERE bit_count(xor(a.afp, b.afp)) <= 4",
          {"id_a": "num", "id_b": "num", "hamming": "num"}),
     ])
 

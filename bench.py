@@ -115,6 +115,7 @@ HEADLINE = [
     "multimodal_dedup",       # image dHash + banded Hamming pairs
     "lm_score",               # stupid-backoff n-gram LM train + score
     "token_drift",            # cross-corpus KL/JS token drift
+    "audio_dedup",            # Haitsma-Kalker fingerprint Hamming pairs
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -151,7 +152,7 @@ GROUPS = [
      "multimodal_decode", "warc_parse", "dsir_select", "data_card",
      "zorder_cluster", "weighted_sample", "quantile_bins",
      "multimodal_resize", "token_budget_select", "domain_cap",
-     "quantile_bins_grouped", "multimodal_dedup"],
+     "quantile_bins_grouped", "multimodal_dedup", "audio_dedup"],
 ]
 assert sorted(n for g in GROUPS for n in g) == sorted(HEADLINE)
 

@@ -3175,3 +3175,77 @@ def test_hamming_pairs_matches_simhash_pairs(spark):
     got = sorted(tuple(r) for r in hamming_pairs(
         hashes, hash_col="h", max_hamming=16, bands=4).collect())
     assert got == want and len(got) > 0
+
+
+def test_audio_fingerprint_and_pairs(spark):
+    """Haitsma-Kalker fingerprint: identical audio hashes identically,
+    re-encoding at a different amplitude SCALE keeps the hash (sign
+    bits are scale-invariant), different band patterns are far, and
+    hamming_pairs finds the brute-force pair set; non-audio bytes give
+    afp_error rows with a NULL hash."""
+    import math
+
+    import numpy as np
+
+    from enrich_spark.datapipe.dedup import hamming_pairs
+    from enrich_spark.datapipe.media_codecs import encode_wav
+    from enrich_spark.datapipe.multimodal import (
+        audio_fingerprint, audio_fingerprint_row,
+    )
+
+    L, NF, NB = 360, 9, 9
+    s = np.arange(L)
+
+    def wav(pattern, scale=1.0):
+        # pattern[t][b] in {0,1} -> LO/HI tone per band per frame; the
+        # +30000*t*b energy ramp (the gated fixture's tie-break) makes
+        # zero beta-combination bits firm negatives instead of
+        # quantization-noise coin flips — without it, sign bits at
+        # exactly-tied energies are NOT scale-invariant
+        x = np.zeros(L * NF)
+        for t in range(NF):
+            fr = np.zeros(L)
+            for b in range(NB):
+                a2 = (2000.0 ** 2 if pattern[t][b] else 600.0 ** 2)
+                amp = scale * math.sqrt(a2 + 30000.0 * t * b)
+                fr += amp * np.sin(2 * np.pi * (20 * b + 11) * s / L)
+            x[t * L:(t + 1) * L] = fr
+        return encode_wav(8000, np.round(x).astype("<i2"))
+
+    rng = np.random.default_rng(7)
+    pat1 = (rng.random((NF, NB)) < 0.4).astype(int).tolist()
+    pat2 = [row[:] for row in pat1]
+    pat2[4][3] ^= 1                       # one cell flipped: <= 4 bits
+    pat3 = (rng.random((NF, NB)) < 0.4).astype(int).tolist()
+
+    rows = [
+        (1, bytearray(wav(pat1))),
+        (2, bytearray(wav(pat1))),            # exact dup
+        (3, bytearray(wav(pat1, scale=0.5))),  # half volume, same signs
+        (4, bytearray(wav(pat2))),            # near dup
+        (5, bytearray(wav(pat3))),            # unrelated
+        (6, bytearray(b"BM not a wav")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, media BINARY")
+    got = {r.doc_id: r for r in audio_fingerprint(df).collect()}
+    assert got[1].afp == got[2].afp == got[3].afp
+    assert got[6].afp is None and got[6].afp_error is not None
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert 0 < ham(got[1].afp, got[4].afp) <= 4
+    assert ham(got[1].afp, got[5].afp) > 8
+    # kernel == op
+    assert audio_fingerprint_row(bytes(rows[0][1]))["afp"] == got[1].afp
+
+    hashes = audio_fingerprint(df).where(F.col("afp").isNotNull())
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in hamming_pairs(hashes, hash_col="afp",
+                                    max_hamming=4).collect()}
+    vals = {d: got[d].afp for d in (1, 2, 3, 4, 5)}
+    want = {(a, b): ham(vals[a], vals[b])
+            for a in vals for b in vals
+            if a < b and ham(vals[a], vals[b]) <= 4}
+    assert pairs == want
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0

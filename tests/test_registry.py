@@ -102,6 +102,7 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "multimodal_dedup": "multimodal",
         "lm_score": "text_analysis",
         "token_drift": "decontam_multi",
+        "audio_dedup": "multimodal",
         "script_js": "script_hook",  # bench-only throughput variant
     }
     for name in benchmod.HEADLINE:
