@@ -34,6 +34,7 @@ from enrich_spark.datapipe.curation import (
     select_token_budget_sql as _stb_sql,
 )
 from enrich_spark.datapipe.datacard import data_card_sql as _dc_sql
+from enrich_spark.datapipe.chat import chat_assemble_sql as _chat_sql
 from enrich_spark.datapipe.lm import (
     lm_counts_sql as _lm_counts_sql,
     lm_score_sql as _lm_score_sql,
@@ -1694,12 +1695,45 @@ config:
             F.col("user_id").cast("long").alias("user_id"),
         )
 
+    def q_chat_assemble(spark, sf):
+        # r12: conversation assembly + loss-mask spans (datapipe/
+        # chat.py) — turns synthesized from documents by pure doc_id
+        # arithmetic (conv = doc_id div 4, turn = doc_id mod 4; every
+        # 7th conv opens with a system turn; every 11th conv carries a
+        # deliberate double-user alternation violation), so the SQL
+        # oracle rebuilds the same dialogue table and replays the
+        # cumsum span arithmetic exactly
+        from enrich_spark.datapipe.chat import chat_assemble
+
+        docs = _load_docs(spark, sf)
+        t = F.col("doc_id") % 4
+        c = F.expr("doc_id div 4")
+        role = (F.when((c % 7 == 0) & (t == 0), F.lit("system"))
+                .when((c % 11 == 0) & (t == 2), F.lit("user"))
+                .otherwise(F.when(t % 2 == 0, F.lit("user"))
+                           .otherwise(F.lit("assistant"))))
+        turns = docs.select(
+            c.cast("long").alias("conv_id"),
+            t.cast("long").alias("turn_idx"),
+            role.alias("role"),
+            F.substring("text", 1, 60).alias("text"))
+        return chat_assemble(turns).select(
+            "conv_id", "n_turns", "n_mask_turns",
+            F.md5("text").alias("chat_md5"),
+            "mask_spans_str", "total_chars", "mask_chars",
+            "alternation_ok", "roles_ok", "ends_with_mask", "no_empty")
+
     q["sessionize"] = lambda spark, sf: _union_parts(
         [("stats", q_sessionize(spark, sf)),
          ("stream_closed", q_sessionize_stream(spark, sf)),
-         ("stream_dedup", q_stream_dedup(spark, sf))],
+         ("stream_dedup", q_stream_dedup(spark, sf)),
+         ("chat", q_chat_assemble(spark, sf))],
         fill=("user_id", "n_sessions", "n_events", "session_index",
-              "ss_us", "se_us", "event_id"),
+              "ss_us", "se_us", "event_id",
+              "conv_id", "n_turns", "n_mask_turns", "chat_md5",
+              "mask_spans_str", "total_chars", "mask_chars",
+              "alternation_ok", "roles_ok", "ends_with_mask",
+              "no_empty"),
     )
 
     def q_sql_lookup(spark, sf):
@@ -4861,6 +4895,8 @@ config:
         "token_drift": q_token_drift,
         # r12: audio near-dup pairs over the stored fingerprint table
         "audio_dedup": q_afp_pairs,
+        # r12: conversation assembly + loss masks (sessionize chat part)
+        "chat_pack": q_chat_assemble,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -7715,6 +7751,27 @@ def oracle_sql() -> dict[str, str]:
         # every event_id % 3 == 0 row must collapse to the distinct set
         ("stream_dedup", "SELECT event_id, user_id FROM events",
          {"event_id": "num", "user_id": "num"}),
+        # r12: conversation assembly — same doc_id-arithmetic dialogue
+        # table, same cumsum span arithmetic, md5 of the assembled text
+        ("chat",
+         "SELECT conv_id, n_turns, n_mask_turns, md5(text) AS chat_md5,"
+         " mask_spans_str, total_chars, mask_chars, alternation_ok,"
+         " roles_ok, ends_with_mask, no_empty FROM ("
+         + _chat_sql(
+             "(SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn_idx, "
+             "CASE WHEN (doc_id // 4) % 7 = 0 AND doc_id % 4 = 0 "
+             "THEN 'system' "
+             "WHEN (doc_id // 4) % 11 = 0 AND doc_id % 4 = 2 "
+             "THEN 'user' "
+             "WHEN (doc_id % 4) % 2 = 0 THEN 'user' "
+             "ELSE 'assistant' END AS role, "
+             "substring(text, 1, 60) AS text FROM documents)")
+         + ")",
+         {"conv_id": "num", "n_turns": "num", "n_mask_turns": "num",
+          "chat_md5": "str", "mask_spans_str": "str",
+          "total_chars": "num", "mask_chars": "num",
+          "alternation_ok": "num", "roles_ok": "num",
+          "ends_with_mask": "num", "no_empty": "num"}),
     ])
     o["iglu_validation"] = _union_oracle([
         ("basic", o.pop("iglu_validation"),

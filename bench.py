@@ -116,6 +116,7 @@ HEADLINE = [
     "lm_score",               # stupid-backoff n-gram LM train + score
     "token_drift",            # cross-corpus KL/JS token drift
     "audio_dedup",            # Haitsma-Kalker fingerprint Hamming pairs
+    "chat_pack",              # conversation assembly + loss-mask spans
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -152,7 +153,8 @@ GROUPS = [
      "multimodal_decode", "warc_parse", "dsir_select", "data_card",
      "zorder_cluster", "weighted_sample", "quantile_bins",
      "multimodal_resize", "token_budget_select", "domain_cap",
-     "quantile_bins_grouped", "multimodal_dedup", "audio_dedup"],
+     "quantile_bins_grouped", "multimodal_dedup", "audio_dedup",
+     "chat_pack"],
 ]
 assert sorted(n for g in GROUPS for n in g) == sorted(HEADLINE)
 

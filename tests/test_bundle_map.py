@@ -121,7 +121,7 @@ EXPECTED_BUNDLE_PARTS = {
                              "zorder", "ksample", "kgroup", "wsample",
                              "fit", "skew"],
     "dedup_despan": ["despan", "lines", "novelty"],
-    "sessionize": ["stats", "stream_closed", "stream_dedup"],
+    "sessionize": ["stats", "stream_closed", "stream_dedup", "chat"],
     "sql_lookup_join": ["broadcast", "json"],
     "yauaa_classify": ["native", "rules"],
     "iglu_validation": ["basic", "advanced"],
