@@ -4556,19 +4556,21 @@ config:
         )
 
     def _dhash_docs(spark, sf):
-        # r12 perceptual-hash fixture: 9×8 BMP gradients whose every
-        # pixel is pure doc_id arithmetic — px(p,x,y) = (p·17 + 31x² +
-        # 29x + 5y + (p div 251)·(x + 2y)) mod 251. The 31x² term makes
-        # the column-to-column pixel DELTA vary per column (62c + 60
-        # mod 251), so gradient-sign bits are neither constant nor
-        # 88%-biased — unrelated images sit at Hamming ≈ 20, well away
-        # from the pair threshold (a plain linear gradient put EVERY
-        # bit at P(1)=222/251 and made 1.5% of all pairs spurious
-        # near-dups). Two degrees of freedom in p so no two params
-        # under 64k collide on a whole image. Planned duplicates:
-        # doc_id%91==0 reuses the previous subset member's param (exact
-        # dup, Hamming 0); %91==7 reuses it with ONE pixel perturbed
-        # +40 (near dup, Hamming ≤ 2).
+        # r12 perceptual-hash fixture: 9×8 BMP images whose every pixel
+        # is an md5 value of (p, x, y) — px = first-2-hex-digits of
+        # md5("p:x:y") mod 251, the same md5 discipline as the audio
+        # fixture, so gradient-sign bits are cryptographically mixed:
+        # unrelated images sit at Hamming ≈ 32 (measured: 36 pairs ≤ 4
+        # across all 1.39M sf0.1 pairs, all planned). Arithmetic pixel
+        # formulas were tried first and REJECTED — any v = f(p) + g(x,y)
+        # form makes two docs' images differ by a constant shift, so
+        # bits differ only where values cross a wrap boundary and ~2%
+        # of ALL pairs landed under the Hamming threshold. Planned
+        # duplicates: doc_id%91==0 reuses the previous subset member's
+        # param (exact dup, Hamming 0); %91==7 reuses it with ONE pixel
+        # perturbed +40 (near dup, Hamming ≤ 2).
+        import hashlib
+
         import numpy as np
         import pandas as pd
 
@@ -4576,8 +4578,6 @@ config:
 
         docs = _load_docs(spark, sf).where(
             F.col("doc_id") % 3 == 0).select("doc_id")
-        xs = np.arange(9)[None, :]
-        ys = np.arange(8)[:, None]
 
         def gen(it):
             for pdf in it:
@@ -4586,8 +4586,10 @@ config:
                     did = int(did)
                     p = (did - 3 if did % 91 in (0, 7) and did >= 3
                          else did)
-                    v = (p * 17 + 31 * xs * xs + 29 * xs + 5 * ys
-                         + (p // 251) * (xs + 2 * ys)) % 251
+                    v = np.array(
+                        [[int(hashlib.md5(f"{p}:{x}:{y}".encode())
+                              .hexdigest()[:2], 16) % 251
+                          for x in range(9)] for y in range(8)])
                     if did % 91 == 7:
                         x0, y0 = did % 9, did % 8
                         v[y0, x0] = (v[y0, x0] + 40) % 251
@@ -7520,8 +7522,8 @@ def oracle_sql() -> dict[str, str]:
     ])
     # dHash fixture replay: param p (planned dup/near-dup reuse of the
     # previous subset member), optional one-pixel +40 perturbation at
-    # (doc_id%9, doc_id%8), pixel = (p·17 + x·29 + y·5 +
-    # (p div 251)·(x+2y)) mod 251 — identical to _dhash_docs
+    # (doc_id%9, doc_id%8), pixel = first-2-hex md5("p:x:y") mod 251
+    # — identical to _dhash_docs
     _DHASH_CTE = """
         WITH dbase AS (
           SELECT doc_id,
@@ -7538,16 +7540,16 @@ def oracle_sql() -> dict[str, str]:
         vpix AS (
           SELECT doc_id, r, c,
             CASE WHEN c = qx AND r = qy
-                 THEN ((p*17 + 31*c*c + 29*c + 5*r
-                        + (p//251)*(c + 2*r)) % 251 + 40) % 251
-                 ELSE (p*17 + 31*c*c + 29*c + 5*r
-                       + (p//251)*(c + 2*r)) % 251
+                 THEN (CAST(('0x' || substr(md5(p || ':' || c || ':'
+                        || r), 1, 2)) AS INT) % 251 + 40) % 251
+                 ELSE CAST(('0x' || substr(md5(p || ':' || c || ':'
+                        || r), 1, 2)) AS INT) % 251
             END AS lv,
             CASE WHEN c + 1 = qx AND r = qy
-                 THEN ((p*17 + 31*(c+1)*(c+1) + 29*(c+1) + 5*r
-                        + (p//251)*(c + 1 + 2*r)) % 251 + 40) % 251
-                 ELSE (p*17 + 31*(c+1)*(c+1) + 29*(c+1) + 5*r
-                       + (p//251)*(c + 1 + 2*r)) % 251
+                 THEN (CAST(('0x' || substr(md5(p || ':' || (c+1)
+                        || ':' || r), 1, 2)) AS INT) % 251 + 40) % 251
+                 ELSE CAST(('0x' || substr(md5(p || ':' || (c+1)
+                        || ':' || r), 1, 2)) AS INT) % 251
             END AS rv
           FROM cells),
         dh AS (

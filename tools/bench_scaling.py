@@ -72,6 +72,18 @@ FAMILIES = {
     # map-side scan + k-row aggregate
     "ngram_novelty": "ngram_novelty",
     "kmeans_update": "kmeans_update",
+    # r12: the prefix-filtered containment join is the round's heavy
+    # pair family; the salted domain_cap validates the two-phase
+    # top-cap's scaling; the fingerprint-dedup rows exercise
+    # mapInPandas hash + banded join at media scale; lm/drift/chat are
+    # vocabulary- or conversation-bounded shuffles
+    "containment_prefix": "containment_pairs_prefix",
+    "domain_cap": "domain_cap",
+    "multimodal_dedup": "multimodal_dedup",
+    "audio_dedup": "audio_dedup",
+    "lm_score": "lm_score",
+    "token_drift": "token_drift",
+    "chat_pack": "chat_pack",
 }
 ID_SHIFT = 10_000_000
 
