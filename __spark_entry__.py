@@ -1590,6 +1590,22 @@ config:
         ev = _load_events(spark, sf)
         return key_skew_topn(ev, ["event_type"], top_n=10)
 
+    def q_shard_manifest(spark, sf):
+        # r12: sharded-export assignment + per-shard manifests
+        # (layout.shard_assign / shard_manifest): md5(seed:id) mod N
+        # shard ids — a PUBLISHED membership contract any engine can
+        # replay — with the dataset_manifest xor/count/bytes algebra
+        # per shard; write_shards (pytest-covered) adds the physical
+        # one-file-per-shard parquet export on the same assignment
+        from enrich_spark.datapipe.layout import (
+            shard_assign, shard_manifest,
+        )
+
+        docs = _load_docs(spark, sf).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text")
+        return shard_manifest(shard_assign(docs, 16),
+                              cols=["doc_id", "text"])
+
     q["metadata_aggregation"] = lambda spark, sf: _union_parts(
         [("meta", q_metadata_agg(spark, sf)),
          ("manifest", q_manifest(spark, sf)),
@@ -1600,7 +1616,8 @@ config:
          ("kgroup", q_kgroup(spark, sf)),
          ("wsample", q_wsample(spark, sf)),
          ("fit", q_ridge_fit(spark, sf)),
-         ("skew", q_key_skew(spark, sf))],
+         ("skew", q_key_skew(spark, sf)),
+         ("shards", q_shard_manifest(spark, sf))],
         fill=("n_events", "n_rows", "content_xor", "bytes_total",
               "n_docs", "total_chars", "total_bytes", "total_tokens",
               "n_sources", "n_langs", "n_unique_texts", "n_exact_dups",
@@ -1608,7 +1625,7 @@ config:
               "pii_emails", "pii_ipv4", "n_docs_10plus_tokens",
               "src_docs", "src_tokens", "share_bp", "doc_id", "zkey",
               "weight", "b0", "b1", "b2", "n", "cnt", "total_rows",
-              "n_keys"),
+              "n_keys", "shard_id"),
     )
 
     def q_sessionize(spark, sf):
@@ -5322,6 +5339,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, doc_id, text FROM documents",
             ["doc_id", "text"], group_cols=["source"]),
          {"source": "str", "n_rows": "num", "content_xor": "num",
+          "bytes_total": "num"}),
+        # r12: per-shard manifests over the md5(seed:id) mod 16
+        # assignment (positive hash, so Spark pmod == DuckDB %)
+        ("shards", _mf_sql(
+            "SELECT CAST(('0x' || substr(md5('0:' || doc_id), 1, 15))"
+            " AS BIGINT) % 16 AS shard_id, doc_id, text FROM documents",
+            ["doc_id", "text"], group_cols=["shard_id"]),
+         {"shard_id": "num", "n_rows": "num", "content_xor": "num",
           "bytes_total": "num"}),
         ("card", _dc_sql("documents"),
          {"n_docs": "num", "total_chars": "num", "total_bytes": "num",

@@ -301,3 +301,77 @@ def key_skew_topn_sql(
         ORDER BY cnt DESC, {korder}
         LIMIT {top_n}
     """
+
+
+# ---------------------------------------------------------------------------
+# sharded export — the last-mile step: deterministic shard assignment,
+# per-shard content manifests, and the physical one-file-per-shard write
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic shard id per row: the 60-bit md5 of ``seed:id``
+    mod ``n_shards`` — a pure function of (id, seed), so assignment is
+    retry/partitioning-invariant, any engine can recompute which shard
+    holds a row, and re-exporting an unchanged corpus reproduces
+    byte-identical shard membership. (The md5 family, not xxhash64:
+    shard membership is a PUBLISHED contract a reader may need to
+    replay off-Spark — the same portability rule the minhash oracle
+    family follows.) Appends ``shard_id``."""
+    if n_shards < 1:
+        raise ValueError("shard_assign: n_shards must be >= 1")
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"),
+                       F.col(id_col).cast("string"))), 1, 15),
+        16, 10).cast("long")
+    return df.withColumn("shard_id",
+                         F.pmod(h, F.lit(n_shards)).cast("long"))
+
+
+def shard_manifest(
+    assigned: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Per-shard content commitment: one row per shard_id with n_rows,
+    content_xor (order-independent 60-bit-md5 XOR fold), bytes_total —
+    :func:`enrich_spark.plans.manifest.dataset_manifest` grouped by
+    the shard key. Verifying an export = recomputing this from the
+    written files and comparing; smaller XOR domains per shard also
+    tighten the manifest's documented pair-cancellation caveat."""
+    from ..plans.manifest import dataset_manifest
+
+    return dataset_manifest(assigned, cols=cols,
+                            group_cols=["shard_id"], hash="md5")
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Physically export ``df`` as ``shard_id=K/`` parquet directories
+    with exactly ONE part-file per shard: md5 shard assignment →
+    ``repartition(n, shard_id)`` (each shard's rows land in exactly
+    one task — several shards may share a task, but a shard never
+    splits) → ``sortWithinPartitions`` on (shard_id, order_col or id)
+    for stable intra-shard order → ``write.partitionBy(shard_id)``
+    (one file per shard per task = one file per shard). Returns the
+    per-shard manifest frame (computed from the INPUT; re-read the
+    written files and recompute to verify the export). Scale shape:
+    one exchange + local sort — embarrassingly parallel at any corpus
+    size; pick n_shards so each shard lands near the target file size
+    (:func:`repartition_for_bytes` estimates row bytes)."""
+    assigned = shard_assign(df, n_shards, id_col=id_col, seed=seed)
+    order = [F.col("shard_id"), F.col(order_col or id_col)]
+    (assigned.repartition(n_shards, F.col("shard_id"))
+     .sortWithinPartitions(*order)
+     .write.partitionBy("shard_id").mode("overwrite").parquet(path))
+    return shard_manifest(assigned,
+                          cols=[c for c in df.columns])

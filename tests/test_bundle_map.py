@@ -119,7 +119,7 @@ EXPECTED_BUNDLE_PARTS = {
     "bad_row_split": ["split", "format"],
     "metadata_aggregation": ["meta", "manifest", "card", "comp",
                              "zorder", "ksample", "kgroup", "wsample",
-                             "fit", "skew"],
+                             "fit", "skew", "shards"],
     "dedup_despan": ["despan", "lines", "novelty"],
     "sessionize": ["stats", "stream_closed", "stream_dedup", "chat"],
     "sql_lookup_join": ["broadcast", "json"],

@@ -3249,3 +3249,54 @@ def test_audio_fingerprint_and_pairs(spark):
             if a < b and ham(vals[a], vals[b]) <= 4}
     assert pairs == want
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
+
+
+def test_write_shards_roundtrip(spark, tmp_path):
+    """Sharded export: exactly n part-files, md5 shard membership is a
+    pure function of (id, seed) the reader can recompute, re-reading
+    the written files reproduces the input manifest bit-exactly, and
+    intra-shard order is the stable (shard, id) sort."""
+    import hashlib
+
+    from enrich_spark.datapipe.layout import (
+        shard_assign, shard_manifest, write_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text body {i}") for i in range(500)],
+        "doc_id LONG, text STRING")
+    path = f"{tmp_path}/shards"
+    manifest = write_shards(docs, path, n_shards=8)
+    rows = {r.shard_id: r for r in manifest.collect()}
+    assert set(rows) == set(range(8))
+    assert sum(r.n_rows for r in rows.values()) == 500
+
+    import glob
+    dirs = glob.glob(f"{path}/shard_id=*")
+    assert len(dirs) == 8
+    parts = glob.glob(f"{path}/shard_id=*/part-*.parquet")
+    assert len(parts) == 8                # exactly ONE file per shard
+
+    back = spark.read.parquet(path)
+    assert back.count() == 500
+    # membership replay: shard_id == md5('0:'||id) 60-bit mod 8
+    for r in back.limit(50).collect():
+        want = int(hashlib.md5(f"0:{r.doc_id}".encode())
+                   .hexdigest()[:15], 16) % 8
+        assert r.shard_id == want
+    # re-reading reproduces the manifest (content equality proof)
+    again = {r.shard_id: r for r in shard_manifest(
+        back, cols=["doc_id", "text"]).collect()}
+    for sid, r in rows.items():
+        assert (again[sid].n_rows, again[sid].content_xor,
+                again[sid].bytes_total) == \
+            (r.n_rows, r.content_xor, r.bytes_total)
+    # each shard's single file is sorted by id
+    import pandas as pd
+    for pf in parts:
+        pdf = pd.read_parquet(pf)
+        assert list(pdf["doc_id"]) == sorted(pdf["doc_id"])
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_shards"):
+        shard_assign(docs, 0)
