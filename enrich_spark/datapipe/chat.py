@@ -78,7 +78,10 @@ def chat_assemble(
         is_mask.alias("_m"),
         (prev_role.isNull() | (prev_role != F.col(role_col)))
         .cast("int").alias("_alt_ok"),
-        F.col(role_col).isin(*roles).cast("int").alias("_role_ok"),
+        # when/otherwise, not a bare cast: a NULL role must count as
+        # NOT-ok (the SQL mirror's CASE ELSE 0), not vanish from min()
+        F.when(F.col(role_col).isin(*roles), 1).otherwise(0)
+        .alias("_role_ok"),
         F.when(F.length(txt) > 0, 1).otherwise(0)
         .alias("_nonempty"),
     )

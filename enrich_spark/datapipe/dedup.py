@@ -516,17 +516,21 @@ def hamming_pairs(
     if not 1 <= bands <= 64:
         raise ValueError("hamming_pairs: bands must be in 1..64")
     w = -(-64 // bands)                       # ceil(64 / bands)
+
+    def _slice(b: int):
+        width = min(w, 64 - b * w)
+        shifted = F.shiftrightunsigned("_h", b * w)
+        if width >= 64:                       # bands=1: the whole hash
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     sh = hashes.select(F.col(id_col).alias("_id"),
                        F.col(hash_col).cast("long").alias("_h"))
     banded = sh.select(
         "_id", "_h",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned("_h", b * w)
-                .bitwiseAND(F.lit((1 << min(w, 64 - b * w)) - 1))
-                .alias("bhash"),
-            )
+            F.struct(F.lit(b).alias("band"),
+                     _slice(b).alias("bhash"))
             for b in range(bands)
         ])).alias("bk"),
     ).select("_id", "_h", "bk.band", "bk.bhash")

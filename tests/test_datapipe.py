@@ -3300,3 +3300,24 @@ def test_write_shards_roundtrip(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n_shards"):
         shard_assign(docs, 0)
+
+
+def test_hamming_pairs_single_band_and_edges(spark):
+    """bands=1 degenerates to an exact-hash equality join (the whole
+    64-bit hash is one slice — no (1<<64)-1 literal overflow); invalid
+    band counts are rejected."""
+    import pytest as _pytest
+
+    from enrich_spark.datapipe.dedup import hamming_pairs
+
+    hashes = spark.createDataFrame(
+        [(1, -6028811755055857236), (2, -6028811755055857236),
+         (3, 42), (4, 43)],
+        "doc_id LONG, h LONG")
+    got = {(r.id_a, r.id_b): r.hamming for r in hamming_pairs(
+        hashes, hash_col="h", max_hamming=0, bands=1).collect()}
+    assert got == {(1, 2): 0}    # exact dup found incl. negative hash
+    with _pytest.raises(ValueError, match="bands"):
+        hamming_pairs(hashes, hash_col="h", bands=0)
+    with _pytest.raises(ValueError, match="bands"):
+        hamming_pairs(hashes, hash_col="h", bands=65)
