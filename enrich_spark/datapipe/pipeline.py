@@ -270,6 +270,61 @@ def _op_min_novelty(docs, threshold_bp, n=3, text_col="text",
     return docs.where(F.col("novelty_bp") >= threshold_bp)
 
 
+def _op_lm_score(docs, text_col="text", id_col="doc_id", **_):
+    """Annotate every doc with the stupid-backoff LM score
+    (``avg_logp_micro``), counts trained on THIS corpus — the
+    self-scoring mode; to score under a reference-corpus LM call
+    :func:`enrich_spark.datapipe.lm.lm_score` with stored counts."""
+    from .lm import lm_counts, lm_score
+
+    scored = lm_score(docs, lm_counts(docs, text_col=text_col),
+                      text_col=text_col, id_col=id_col)
+    return docs.join(scored.select(id_col, "avg_logp_micro"),
+                     id_col, "left")
+
+
+def _op_min_lm_score(docs, threshold_micro, text_col="text",
+                     id_col="doc_id", **_):
+    """Drop docs whose per-token LM score is below ``threshold_micro``
+    — the CCNet perplexity-threshold filter (scoring first if the
+    column is absent)."""
+    if "avg_logp_micro" not in docs.columns:
+        docs = _op_lm_score(docs, text_col=text_col, id_col=id_col)
+    return docs.where(F.col("avg_logp_micro") >= threshold_micro)
+
+
+def _op_containment_dedup_keep(docs, threshold_bp=8000, shingle_k=3,
+                               text_col="text", id_col="doc_id", **_):
+    """Drop the CONTAINED side of each containment pair (the quote /
+    boilerplate-wrapped mirror Jaccard misses): contain_a ≥ t means A
+    is inside B → drop A; mutual containment (near-identical) drops
+    the higher id. Candidates come from the complete prefix-filtered
+    path (containment_pairs_prefix — no Zipf-head block)."""
+    from .dedup import containment_pairs_prefix
+
+    t = int(threshold_bp)
+    pairs = containment_pairs_prefix(
+        docs, text_col=text_col, id_col=id_col,
+        shingle_k=shingle_k, threshold_bp=t)
+    both = (F.col("contain_a_bp") >= t) & (F.col("contain_b_bp") >= t)
+    drop = pairs.select(
+        F.when(both, F.greatest("id_a", "id_b"))
+        .when(F.col("contain_a_bp") >= t, F.col("id_a"))
+        .otherwise(F.col("id_b")).alias(id_col)).distinct()
+    return docs.join(drop, id_col, "left_anti")
+
+
+def _op_domain_cap(docs, cap, domain_col="source", score_col=None,
+                   id_col="doc_id", **_):
+    """Keep at most ``cap`` docs per domain (curation.domain_cap's
+    salted two-phase top-cap), preferring higher ``score_col``."""
+    from .curation import domain_cap
+
+    return domain_cap(docs, int(cap), domain_col=domain_col,
+                      score_col=score_col,
+                      id_col=id_col).drop("domain_rank")
+
+
 CURATION_OPS = {
     # annotate
     "language_id": _op_language_id,
@@ -280,9 +335,13 @@ CURATION_OPS = {
     "quantile_bins": _op_quantile_bins,
     "script_profile": _op_script_profile,
     "ngram_novelty": _op_ngram_novelty,
+    "lm_score": _op_lm_score,
     # filter
     "keep_scripts": _op_keep_scripts,
     "min_novelty": _op_min_novelty,
+    "min_lm_score": _op_min_lm_score,
+    "containment_dedup_keep": _op_containment_dedup_keep,
+    "domain_cap": _op_domain_cap,
     "keep_languages": _op_keep_languages,
     "min_quality": _op_min_quality,
     "c4_keep": _op_c4_keep,

@@ -190,6 +190,16 @@ class KinesisFanoutSource:
     persisted only after the sinks succeed; buffered-but-undelivered
     records after a crash replay from the checkpoint on resubscribe
     (at-least-once). ``close()`` stops the subscriber threads.
+
+    FAILURE CONTRACT (differs from the polling source): a pull()
+    consumes the push buffers destructively, so if batch PROCESSING
+    fails, do NOT retry on the same source instance — the drained
+    records are no longer in the buffer. Recovery is crash-restart
+    semantics (exactly Structured Streaming's): discard the instance
+    and rebuild from the checkpoint, which replays every uncommitted
+    record via AFTER_SEQUENCE_NUMBER (the kill/recover E2E exercises
+    this). The POLLING source re-pulls from committed state on every
+    call and therefore also tolerates in-process retry.
     AT_TIMESTAMP starts are a polling-only feature here (the fake
     broker's SubscribeToShard implements TRIM_HORIZON / LATEST /
     AFTER_SEQUENCE_NUMBER)."""

@@ -288,3 +288,52 @@ def test_pipeline_token_budget(spark):
     total = sum(r.ws_tokens for r in out)
     assert 0 < total <= 150
     assert all(r.score == 2 for r in out)   # budget exhausts in tier 2
+
+
+def test_pipeline_r12_ops(spark):
+    """lm_score / min_lm_score / containment_dedup_keep / domain_cap
+    as config steps: the LM filter drops word salad, the containment
+    step drops the quoted (contained) doc, the domain cap bounds each
+    source, and all four chain in one lazy pipeline."""
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        # three genuinely distinct web docs (near-identical texts would
+        # correctly fall to the containment step themselves)
+        (0, "the quick brown fox jumps over the lazy dog near the "
+            "river bank today", "web", 5),
+        (1, "spark executors shuffle wide partitions while the "
+            "optimizer prunes columns", "web", 4),
+        (2, "a completely different story about mountains and "
+            "weather patterns this season", "web", 2),
+        (3, "intro text " + quote + " outro words trail here", "web", 3),
+        (4, quote, "web", 1),                       # contained in 3
+        (5, GOOD + " books copy", "books", 9),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, score long")
+
+    out = run_pipeline(docs, [
+        {"op": "containment_dedup_keep", "threshold_bp": 8000,
+         "shingle_k": 2},
+        {"op": "domain_cap", "cap": 3, "score_col": "score"},
+        {"op": "lm_score"},
+    ])
+    got = {r.doc_id: r for r in out.collect()}
+    assert 4 not in got                  # the contained quote dropped
+    assert 3 in got                      # the containing doc kept
+    web = sorted(d for d in got if got[d].source == "web")
+    assert web == [0, 1, 3]              # cap=3 by score: 5,4,3 kept
+    assert 2 not in got                  # lowest score over the cap
+    assert all(got[d].avg_logp_micro is not None for d in got)
+
+    # threshold filter: in-domain text outscores shuffled word salad
+    shuffled = " ".join(reversed((GOOD + " one").split()))
+    mix = spark.createDataFrame(
+        [(0, GOOD + " one"), (1, GOOD + " two"), (2, shuffled)],
+        "doc_id long, text string")
+    scored = {r.doc_id: r.avg_logp_micro for r in run_pipeline(
+        mix, [{"op": "lm_score"}]).collect()}
+    cut = scored[2] + 1
+    kept = {r.doc_id for r in run_pipeline(
+        mix, [{"op": "min_lm_score", "threshold_micro": cut}]).collect()}
+    assert 2 not in kept and 0 in kept
