@@ -3321,3 +3321,51 @@ def test_hamming_pairs_single_band_and_edges(spark):
         hamming_pairs(hashes, hash_col="h", bands=0)
     with _pytest.raises(ValueError, match="bands"):
         hamming_pairs(hashes, hash_col="h", bands=65)
+
+
+def test_multimodal_dedup_composes_to_keep_policy(spark):
+    """The full image-dedup chain composes from gated pieces:
+    image_dhash -> hamming_pairs -> dup_clusters -> apply_dedup_policy
+    keeps exactly one representative per near-dup image cluster (the
+    highest-quality member, ties to the lowest id) and every unique
+    image."""
+    import math
+
+    import numpy as np
+
+    from enrich_spark.datapipe.dedup import (
+        apply_dedup_policy, hamming_pairs,
+    )
+    from enrich_spark.datapipe.media_codecs import encode_bmp
+    from enrich_spark.datapipe.multimodal import image_dhash
+
+    def gradient(p, perturb=None):
+        px = np.zeros((8, 9 * 3), np.uint8)
+        for y in range(8):
+            for x in range(9):
+                v = (p * 17 + x * 29 + y * 5) % 251
+                if perturb == (x, y):
+                    v = (v + 40) % 251
+                px[y, 3 * x:3 * x + 3] = v
+        return encode_bmp(9, 8, px)
+
+    rows = [
+        # cluster A: 1 == 2 exactly, 3 a one-pixel near-dup
+        (1, bytearray(gradient(10)), 50),
+        (2, bytearray(gradient(10)), 90),    # best quality in cluster
+        (3, bytearray(gradient(10, perturb=(4, 2))), 70),
+        # two singletons
+        (4, bytearray(gradient(111)), 10),
+        (5, bytearray(gradient(197)), 10),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, media BINARY, quality LONG")
+    hashes = image_dhash(docs).where(F.col("dhash").isNotNull())
+    pairs = hamming_pairs(hashes, hash_col="dhash", max_hamming=4)
+    out = {r.doc_id: r for r in apply_dedup_policy(
+        docs.select("doc_id", "quality"), pairs,
+        quality_col="quality").collect()}
+    kept = {d for d, r in out.items() if r.is_kept}
+    assert kept == {2, 4, 5}             # best-of-cluster + singletons
+    assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id
+    assert out[1].cluster_size == 3
