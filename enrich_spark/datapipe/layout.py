@@ -375,3 +375,35 @@ def write_shards(
      .write.partitionBy("shard_id").mode("overwrite").parquet(path))
     return shard_manifest(assigned,
                           cols=[c for c in df.columns])
+
+
+def shard_diff(old_manifest: DataFrame,
+               new_manifest: DataFrame) -> DataFrame:
+    """The incremental-export planner: given two :func:`shard_manifest`
+    frames (same n_shards/seed/cols), report per shard whether its
+    content moved — re-export ONLY the non-'same' shards instead of
+    the whole corpus. Output per shard_id: ``status`` ('same' when
+    rows+xor+bytes all match, else 'changed' / 'added' / 'removed')
+    and ``rows_delta``. One tiny (≤ n_shards rows per side) outer
+    join; pairs with CDC snapshots the way snapshot_diff pairs with
+    row-level audits."""
+    def pre(df, tag):
+        return df.select(
+            "shard_id",
+            F.col("n_rows").alias(f"{tag}_rows"),
+            F.col("content_xor").alias(f"{tag}_xor"),
+            F.col("bytes_total").alias(f"{tag}_bytes"))
+
+    j = pre(old_manifest, "o").join(pre(new_manifest, "n"),
+                                    "shard_id", "outer")
+    same = ((F.col("o_rows") == F.col("n_rows"))
+            & (F.col("o_xor") == F.col("n_xor"))
+            & (F.col("o_bytes") == F.col("n_bytes")))
+    status = (F.when(F.col("o_rows").isNull(), F.lit("added"))
+              .when(F.col("n_rows").isNull(), F.lit("removed"))
+              .when(same, F.lit("same"))
+              .otherwise(F.lit("changed")))
+    return j.select(
+        "shard_id", status.alias("status"),
+        (F.coalesce("n_rows", F.lit(0)) - F.coalesce("o_rows", F.lit(0)))
+        .cast("long").alias("rows_delta"))

@@ -3369,3 +3369,33 @@ def test_multimodal_dedup_composes_to_keep_policy(spark):
     assert kept == {2, 4, 5}             # best-of-cluster + singletons
     assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id
     assert out[1].cluster_size == 3
+
+
+def test_shard_diff_plans_incremental_export(spark):
+    """shard_diff marks exactly the shards whose membership changed:
+    dropping one doc flips only ITS shard to 'changed'; unchanged
+    shards are 'same'; an empty old manifest makes everything
+    'added'."""
+    import hashlib
+
+    from enrich_spark.datapipe.layout import (
+        shard_assign, shard_diff, shard_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text body {i}") for i in range(300)],
+        "doc_id LONG, text STRING")
+    new_m = shard_manifest(shard_assign(docs, 8), cols=["doc_id", "text"])
+    old_m = shard_manifest(shard_assign(docs.where("doc_id <> 7"), 8),
+                           cols=["doc_id", "text"])
+    got = {r.shard_id: r for r in shard_diff(old_m, new_m).collect()}
+    hot = int(hashlib.md5(b"0:7").hexdigest()[:15], 16) % 8
+    assert got[hot].status == "changed" and got[hot].rows_delta == 1
+    for sid, r in got.items():
+        if sid != hot:
+            assert r.status == "same" and r.rows_delta == 0
+
+    empty = old_m.where("shard_id < 0")
+    added = shard_diff(empty, new_m).collect()
+    assert all(r.status == "added" for r in added)
+    assert sum(r.rows_delta for r in added) == 300
