@@ -1717,16 +1717,19 @@ config:
         # chat.py) — turns synthesized from documents by pure doc_id
         # arithmetic (conv = doc_id div 4, turn = doc_id mod 4; every
         # 7th conv opens with a system turn; every 11th conv carries a
-        # deliberate double-user alternation violation), so the SQL
-        # oracle rebuilds the same dialogue table and replays the
-        # cumsum span arithmetic exactly
+        # deliberate double-user alternation violation — turn 1 forced
+        # to 'user' so it collides with turn 0/2's default 'user'; the
+        # r12 version targeted turn 2, which the default branch already
+        # made 'user', so the violation path was never exercised), so
+        # the SQL oracle rebuilds the same dialogue table and replays
+        # the cumsum span arithmetic exactly
         from enrich_spark.datapipe.chat import chat_assemble
 
         docs = _load_docs(spark, sf)
         t = F.col("doc_id") % 4
         c = F.expr("doc_id div 4")
         role = (F.when((c % 7 == 0) & (t == 0), F.lit("system"))
-                .when((c % 11 == 0) & (t == 2), F.lit("user"))
+                .when((c % 11 == 0) & (t == 1), F.lit("user"))
                 .otherwise(F.when(t % 2 == 0, F.lit("user"))
                            .otherwise(F.lit("assistant"))))
         turns = docs.select(
@@ -7788,7 +7791,7 @@ def oracle_sql() -> dict[str, str]:
              "(SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn_idx, "
              "CASE WHEN (doc_id // 4) % 7 = 0 AND doc_id % 4 = 0 "
              "THEN 'system' "
-             "WHEN (doc_id // 4) % 11 = 0 AND doc_id % 4 = 2 "
+             "WHEN (doc_id // 4) % 11 = 0 AND doc_id % 4 = 1 "
              "THEN 'user' "
              "WHEN (doc_id % 4) % 2 = 0 THEN 'user' "
              "ELSE 'assistant' END AS role, "

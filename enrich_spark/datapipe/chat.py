@@ -76,8 +76,12 @@ def chat_assemble(
         piece.alias("_piece"), plen.alias("_plen"),
         span_s.alias("_s"), span_e.alias("_e"),
         is_mask.alias("_m"),
-        (prev_role.isNull() | (prev_role != F.col(role_col)))
-        .cast("int").alias("_alt_ok"),
+        # when/otherwise, not a bare cast: a NULL role makes the
+        # comparison NULL, which min() would SKIP — the SQL mirror's
+        # CASE ELSE 0 counts it not-ok, so must we (same NULL pitfall
+        # as _role_ok below)
+        F.when(prev_role.isNull() | (prev_role != F.col(role_col)), 1)
+        .otherwise(0).alias("_alt_ok"),
         # when/otherwise, not a bare cast: a NULL role must count as
         # NOT-ok (the SQL mirror's CASE ELSE 0), not vanish from min()
         F.when(F.col(role_col).isin(*roles), 1).otherwise(0)

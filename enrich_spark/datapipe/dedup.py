@@ -486,8 +486,15 @@ def simhash_pairs(
             F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
             hamming.alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # filter BEFORE the pair dedup: hamming is a pure function of the
+        # pair, so the two commute — and the dedup exchange should carry
+        # only surviving pairs, not every band collision (the
+        # containment-prefix rule, see containment_pairs_prefix below:
+        # "dedupe the (tiny) post-filter output, not the full candidate
+        # stream"). Catalyst cannot push a filter on a non-grouping
+        # column below the aggregate, so the ordering here is load-bearing.
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -515,11 +522,19 @@ def hamming_pairs(
         bands = max_hamming + 1
     if not 1 <= bands <= 64:
         raise ValueError("hamming_pairs: bands must be in 1..64")
-    w = -(-64 // bands)                       # ceil(64 / bands)
+    # even width distribution: base = 64 // bands with the remainder
+    # spread over the first bands. Ceil-width slicing broke for bands
+    # in 33..63 (trailing negative/zero widths: negative shift at plan
+    # build, or a constant-0 band key degenerating into an all-pairs
+    # self-join on that band). Any partition of the 64 bits keeps the
+    # pigeonhole guarantee, so even widths are strictly better.
+    base, rem = divmod(64, bands)
+    widths = [base + (1 if b < rem else 0) for b in range(bands)]
+    offsets = [sum(widths[:b]) for b in range(bands)]
 
     def _slice(b: int):
-        width = min(w, 64 - b * w)
-        shifted = F.shiftrightunsigned("_h", b * w)
+        width = widths[b]
+        shifted = F.shiftrightunsigned("_h", offsets[b])
         if width >= 64:                       # bands=1: the whole hash
             return shifted
         return shifted.bitwiseAND(F.lit((1 << width) - 1))
@@ -547,8 +562,11 @@ def hamming_pairs(
             F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
             hamming.alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # filter before the dedup — same commuting argument as
+        # simhash_pairs above: the dedup exchange must not carry band
+        # collisions the Hamming filter drops for free.
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -91,8 +91,16 @@ def lm_score(
     backoff. OOV floor: 1/T (T = total training tokens)."""
     uni = counts.where(F.col("n") == 1).select(
         F.col("gram").alias("_ug"), F.col("cnt").alias("_uc"))
+    # int64-hash the bigram join key at build time (the containment-
+    # prefix lesson, dedup.py: every shuffle/sort moves 8-byte longs
+    # instead of ~16+-byte "w1 w2" strings — halves the bytes through
+    # the vocabulary join when it doesn't broadcast). The hash is a
+    # JOIN KEY only, never an output value; an xxhash64 collision
+    # between two distinct bigrams is the accepted approximation
+    # (n²/2⁶⁵ — negligible below ~10⁹ distinct bigrams). The DuckDB
+    # oracle joins on the string; parity holds absent collisions.
     big = counts.where(F.col("n") == 2).select(
-        F.col("gram").alias("_bg"), F.col("cnt").alias("_bc"))
+        F.xxhash64("gram").alias("_bgh"), F.col("cnt").alias("_bc"))
     total = uni.agg(F.sum("_uc").cast("double").alias("_t"))
 
     w = docs.select(F.col(id_col), _words(F.col(text_col)).alias("_w"))
@@ -110,7 +118,8 @@ def lm_score(
          .join(F.broadcast(total))
          .join(uni, F.col("_tok") == F.col("_ug"), "left")
          .join(big,
-               F.concat_ws(" ", "_prev", "_tok") == F.col("_bg"),
+               F.xxhash64(F.concat_ws(" ", "_prev", "_tok"))
+               == F.col("_bgh"),
                "left")
          .join(uni.select(F.col("_ug").alias("_pg"),
                           F.col("_uc").alias("_pc")),

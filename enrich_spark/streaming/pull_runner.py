@@ -231,10 +231,31 @@ class KinesisFanoutSource:
         self._cond = threading.Condition()
         self._stop = threading.Event()
         self._arn: str | None = None
+        # per-shard error surfacing: consecutive failure count + last
+        # error text. A permanent broker error (revoked consumer, bad
+        # ARN, broker gone) must NOT degrade into a silently-idle
+        # stream — pull() raises once every shard is persistently
+        # failing (see persistent_failure_threshold).
+        self._fail_counts: dict[str, int] = {}
+        self._last_errors: dict[str, str] = {}
+        self.persistent_failure_threshold = 10
+
+    def shard_errors(self) -> dict[str, str]:
+        """Shards whose subscription loop is in PERSISTENT failure
+        (≥ persistent_failure_threshold consecutive errors) → last
+        error text. Empty dict = healthy."""
+        with self._cond:
+            return {
+                sid: self._last_errors.get(sid, "")
+                for sid, n in self._fail_counts.items()
+                if n >= self.persistent_failure_threshold
+            }
 
     def _subscribe_loop(self, shard_id: str, start_seq):
+        import logging
         import time as _time
 
+        log = logging.getLogger(__name__)
         cont = start_seq
         while not self._stop.is_set():
             try:
@@ -245,9 +266,26 @@ class KinesisFanoutSource:
                 else:
                     recs, cont = self.client.subscribe_to_shard(
                         self._arn, shard_id, sequence_number=cont)
-            except Exception:  # noqa: BLE001 — transient broker error:
-                _time.sleep(0.2)          # back off, then resubscribe
+            except Exception as exc:  # noqa: BLE001 — broker error:
+                # count + surface, escalating backoff. A transient blip
+                # resolves in a few cheap retries; a permanent error
+                # (revoked consumer, bad ARN) climbs to the persistent
+                # threshold, is logged once, and becomes visible to the
+                # pull() caller via shard_errors() instead of spinning
+                # silently forever.
+                with self._cond:
+                    n = self._fail_counts.get(shard_id, 0) + 1
+                    self._fail_counts[shard_id] = n
+                    self._last_errors[shard_id] = (
+                        f"{type(exc).__name__}: {exc}")
+                if n == self.persistent_failure_threshold:
+                    log.error(
+                        "fan-out shard %s: %d consecutive subscribe "
+                        "failures, last: %s", shard_id, n, exc)
+                _time.sleep(min(0.2 * (2 ** min(n - 1, 5)), 5.0))
                 continue
+            with self._cond:
+                self._fail_counts[shard_id] = 0
             if not recs:
                 continue                  # long-poll returned empty
             with self._cond:
@@ -306,6 +344,14 @@ class KinesisFanoutSource:
                 break
             _time.sleep(0.01)
         if not rows:
+            # nothing buffered AND every shard persistently failing is
+            # a broken stream, not an idle one — surface it
+            errs = self.shard_errors()
+            if errs and len(errs) == len(self._buf):
+                from ..sources.kinesis import KinesisError
+                raise KinesisError(
+                    "fan-out: all shards in persistent subscribe "
+                    f"failure: {errs}")
             return None, state, lambda: None
         schema = T.StructType([
             T.StructField("value", T.BinaryType()),

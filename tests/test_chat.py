@@ -89,3 +89,33 @@ def test_chat_assemble_plan_is_conv_partitioned(spark):
     assert re.search(r"windowspecdefinition\(conv_id", plan), plan
     assert "windowspecdefinition()" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_chat_assemble_null_role_counts_not_ok(spark, tmp_path):
+    """r13 (ADVICE): a NULL role must flag alternation_ok = 0, not
+    vanish from min() via a NULL comparison — same when/otherwise
+    guard as _role_ok, and parity with the SQL mirror's CASE ELSE 0."""
+    import pandas as pd
+
+    rows = [(1, 0, "user", "q"), (1, 1, None, "x"),
+            (1, 2, "assistant", "a"),
+            (2, 0, "user", "q"), (2, 1, "assistant", "a")]
+    pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"]) \
+        .to_parquet(f"{tmp_path}/t.parquet")
+    df = spark.read.parquet(f"{tmp_path}/t.parquet")
+    got = {r.conv_id: r for r in chat_assemble(df).collect()}
+    assert got[1].alternation_ok == 0 and got[1].roles_ok == 0
+    assert got[2].alternation_ok == 1 and got[2].roles_ok == 1
+    cols = ["conv_id", "n_turns", "n_mask_turns", "mask_spans_str",
+            "total_chars", "mask_chars", "alternation_ok", "roles_ok",
+            "ends_with_mask", "no_empty"]
+    got_rows = sorted(tuple(r[c] for c in cols)
+                      for r in chat_assemble(df).collect())
+    want = sorted(
+        tuple(r) for r in duckdb.connect().execute(
+            "SELECT conv_id, n_turns, n_mask_turns, mask_spans_str,"
+            " total_chars, mask_chars, alternation_ok, roles_ok,"
+            " ends_with_mask, no_empty FROM ("
+            + chat_assemble_sql(f"read_parquet('{tmp_path}/t.parquet')")
+            + ")").fetchall())
+    assert got_rows == want

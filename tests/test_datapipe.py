@@ -3323,6 +3323,34 @@ def test_hamming_pairs_single_band_and_edges(spark):
         hamming_pairs(hashes, hash_col="h", bands=65)
 
 
+def test_hamming_pairs_nondivisor_bands_match_bruteforce(spark):
+    """r13 (ADVICE): band counts in 33..63 used to break at plan build
+    (negative shift from ceil-width slicing) or degenerate into a
+    constant-0 slice key. Even-width distribution keeps every slice
+    ≥ 1 bit and the pigeonhole guarantee, so ANY bands ≥ max_hamming+1
+    returns exactly the brute-force pair set."""
+    from enrich_spark.datapipe.dedup import hamming_pairs
+
+    rows = [(i, (0x9E3779B97F4A7C15 * (i // 3)) % (1 << 64)
+             ^ (1 << (i % 5)) if i % 3 else
+             (0x9E3779B97F4A7C15 * (i // 3)) % (1 << 64))
+            for i in range(30)]
+    signed = [(i, h - (1 << 64) if h >= (1 << 63) else h)
+              for i, h in rows]
+    brute = sorted(
+        (a, b, bin(ha ^ hb).count("1"))
+        for a, ha in rows for b, hb in rows
+        if a < b and bin(ha ^ hb).count("1") <= 3)
+    hashes = spark.createDataFrame(signed, "doc_id LONG, h LONG")
+    for bands in (4, 33, 43, 63, 64):
+        got = sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_pairs(hashes, hash_col="h",
+                                   max_hamming=3,
+                                   bands=bands).collect())
+        assert got == brute, f"bands={bands}"
+
+
 def test_multimodal_dedup_composes_to_keep_policy(spark):
     """The full image-dedup chain composes from gated pieces:
     image_dhash -> hamming_pairs -> dup_clusters -> apply_dedup_policy

@@ -498,3 +498,46 @@ def test_fanout_push_stream_kill_recover(spark, tmp_path):
         src2.close()
     finally:
         b.stop()
+
+
+def test_fanout_persistent_subscribe_failure_surfaces(spark):
+    """r13 (ADVICE): a permanent broker error (revoked consumer, bad
+    ARN, broker gone) must not leave the stream silently idle — the
+    subscriber loop counts consecutive failures with escalating
+    backoff, shard_errors() exposes the broken shards, and pull()
+    raises once every shard is persistently failing with nothing
+    buffered."""
+    import time as _time
+
+    from enrich_spark.streaming.pull_runner import KinesisFanoutSource
+
+    class BrokenClient:
+        def register_stream_consumer(self, stream, name):
+            return f"arn:fake:consumer/{name}"
+
+        def list_shards(self, stream):
+            return ["shardId-000", "shardId-001"]
+
+        def subscribe_to_shard(self, arn, shard_id, position=None,
+                               sequence_number=None):
+            raise KinesisError("ResourceNotFoundException: consumer "
+                               "deregistered")
+
+    conf = KinesisSourceConf(stream_name="gone",
+                             endpoint_url="http://unused",
+                             retrieval_mode="FanOut")
+    src = KinesisFanoutSource(conf, client=BrokenClient(),
+                              idle_wait_s=0.05)
+    src.persistent_failure_threshold = 3
+    try:
+        deadline = _time.monotonic() + 30.0
+        with pytest.raises(KinesisError, match="persistent subscribe"):
+            while _time.monotonic() < deadline:
+                out, _, _ = src.pull(spark, {})
+                assert out is None   # nothing ever arrives
+            raise AssertionError("pull() never surfaced the failure")
+        errs = src.shard_errors()
+        assert set(errs) == {"shardId-000", "shardId-001"}
+        assert "ResourceNotFound" in errs["shardId-000"]
+    finally:
+        src.close()

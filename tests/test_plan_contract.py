@@ -335,3 +335,38 @@ def test_boilerplate_lines_plan_contract(spark):
     # a global single-partition ordering would appear as Sort over a
     # SinglePartition exchange
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_pair_dedup_exchange_above_hamming_filter(spark):
+    """r13 (verdict #1): in simhash_pairs / hamming_pairs the Hamming
+    filter commutes with the pair dedup (hamming is a pure function of
+    the pair), so the dedup aggregate must consume POST-filter rows —
+    the dedup exchange never carries band collisions the filter drops
+    for free. Catalyst can't push a filter on a non-grouping column
+    below an aggregate, so this ordering is source-level load-bearing
+    (the containment-prefix rule, dedup.py)."""
+    from enrich_spark.datapipe.dedup import hamming_pairs, simhash_pairs
+
+    hashes = spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        F.xxhash64("id").bitwiseAND(F.lit(0xFFFF).cast("long"))
+        .alias("hash"),
+    )
+    docs = spark.range(32).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("repeated body words here "),
+                 (F.col("id") % 5).cast("string")).alias("text"),
+    )
+    for df in (hamming_pairs(hashes, max_hamming=3),
+               simhash_pairs(docs, max_hamming=3)):
+        plan = _plan(df)
+        final = plan.split("== Initial Plan ==")[0]
+        tree = [ln for ln in final.splitlines() if "(" in ln]
+        agg_idx = next(i for i, ln in enumerate(tree)
+                       if "HashAggregate" in ln)
+        # nothing above the dedup aggregate filters pairs: the hamming
+        # predicate is merged into the join (broadcast case) or sits
+        # as a Filter BELOW the aggregate — never above it
+        assert not any("Filter" in ln for ln in tree[:agg_idx]), final
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
