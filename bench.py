@@ -230,6 +230,22 @@ def main():
         _run_group(HEADLINE, sf_dir)
         return
 
+    # provenance captured BEFORE the runs: who launched this record and
+    # what the host looked like at start. r12 lesson: the driver's
+    # per-round run overwrote the builder's committed cooled-host
+    # record under the same BENCH_LOCAL_r{N}.json name, making
+    # round-over-round claims depend on which copy you read.
+    import datetime as _dt
+    provenance = {
+        "label": os.environ.get("SPARK_GRAFT_BENCH_PROVENANCE",
+                                "unlabeled"),
+        "utc": _dt.datetime.now(_dt.timezone.utc)
+        .isoformat(timespec="seconds"),
+        "load_1m_at_start": round(os.getloadavg()[0], 2),
+        "cpus": os.cpu_count(),
+        "sf_dir": sf_dir,
+    }
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     colds: dict[str, float] = {}
@@ -263,6 +279,7 @@ def main():
         "spreads": {n: spreads[n] for n in HEADLINE if n in spreads},
         "colds": {n: colds[n] for n in HEADLINE if n in colds},
         "sf": sf,
+        "provenance": provenance,
     }
 
     # Durability (r12): the driver captures only the last ~2 KB of
@@ -280,6 +297,31 @@ def main():
               if (m := _re.search(r"BENCH_r(\d+)\.json$", f))]
     nxt = (max(rounds) + 1) if rounds else 0
     local_path = os.path.join(repo, f"BENCH_LOCAL_r{nxt:02d}.json")
+
+    def _committed_clean(path: str) -> bool:
+        # tracked by git AND identical to HEAD — that record is someone
+        # else's durable evidence; never clobber it
+        if not os.path.exists(path):
+            return False
+        rel = os.path.basename(path)
+        tracked = subprocess.run(
+            ["git", "-C", repo, "ls-files", "--error-unmatch", rel],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        if tracked.returncode != 0:
+            return False
+        status = subprocess.run(
+            ["git", "-C", repo, "status", "--porcelain", "--", rel],
+            stdout=subprocess.PIPE, text=True)
+        return status.returncode == 0 and status.stdout.strip() == ""
+
+    # collision-proof re-runs: a committed BENCH_LOCAL_r{N}.json stays
+    # untouched — subsequent runs land on _run2, _run3, … (an existing
+    # UNcommitted scratch copy is fair game to overwrite)
+    k = 1
+    while _committed_clean(local_path):
+        k += 1
+        local_path = os.path.join(repo,
+                                  f"BENCH_LOCAL_r{nxt:02d}_run{k}.json")
     try:
         with open(local_path, "w") as fh:
             json.dump(full, fh, indent=1)

@@ -325,6 +325,62 @@ def _op_domain_cap(docs, cap, domain_col="source", score_col=None,
                       id_col=id_col).drop("domain_rank")
 
 
+def _op_chat_assemble(turns, conv_col="conv_id", idx_col="turn_idx",
+                      role_col="role", text_col="text",
+                      roles=("system", "user", "assistant"),
+                      mask_role="assistant", require_valid=False, **_):
+    """Transform (grain change): turn rows → one row per conversation
+    with assembled text + loss-mask spans (chat.chat_assemble).
+    ``require_valid`` drops conversations failing any structural flag
+    (alternation, known roles, ends-with-mask, no empty turns) — the
+    usual SFT ingest gate."""
+    from .chat import chat_assemble
+
+    out = chat_assemble(turns, conv_col=conv_col, idx_col=idx_col,
+                        role_col=role_col, text_col=text_col,
+                        roles=tuple(roles), mask_role=mask_role)
+    if require_valid:
+        out = out.where((F.col("alternation_ok") == 1)
+                        & (F.col("roles_ok") == 1)
+                        & (F.col("ends_with_mask") == 1)
+                        & (F.col("no_empty") == 1))
+    return out
+
+
+def _op_image_dedup_keep(docs, binary_col="media", id_col="doc_id",
+                         max_hamming=4, quality_col=None, **_):
+    """Filter: perceptual image near-dedup — dHash over the binary
+    column → banded Hamming pairs → connected components → keep one
+    representative per cluster (highest ``quality_col``, ties to the
+    lowest id). Rows whose media failed to decode (NULL dhash) are
+    KEPT — they never enter pair generation; route them separately
+    with a codec filter if they should be dropped."""
+    from .dedup import apply_dedup_policy, hamming_pairs
+    from .multimodal import image_dhash
+
+    hashes = image_dhash(docs, binary_col=binary_col, id_col=id_col) \
+        .where(F.col("dhash").isNotNull())
+    pairs = hamming_pairs(hashes, hash_col="dhash", id_col="doc_id",
+                          max_hamming=int(max_hamming))
+    verdict = apply_dedup_policy(docs, pairs, quality_col=quality_col,
+                                 id_col=id_col)
+    return docs.join(
+        verdict.where(F.col("is_kept") == 1).select(id_col),
+        id_col, "left_semi")
+
+
+def _op_shard_export(docs, path, n_shards, id_col="doc_id",
+                     order_col=None, seed=0, **_):
+    """Sink: physically export as shard_id=K/ parquet (one file per
+    shard, md5 assignment — layout.write_shards) and return the
+    per-shard manifest frame. NOTE: unlike every other op this one is
+    EAGER — the write runs when the step executes, so place it last."""
+    from .layout import write_shards
+
+    return write_shards(docs, path, int(n_shards), id_col=id_col,
+                        order_col=order_col, seed=int(seed))
+
+
 CURATION_OPS = {
     # annotate
     "language_id": _op_language_id,
@@ -352,11 +408,15 @@ CURATION_OPS = {
     "per_group_cap": _op_per_group_cap,
     "weighted_sample": _op_weighted_sample,
     "token_budget": _op_token_budget,
+    "image_dedup_keep": _op_image_dedup_keep,
     # transform
     "pii_scrub": _op_pii_scrub,
     "despan": _op_despan,
     "boilerplate_lines": _op_boilerplate_lines,
     "normalize_text": _op_normalize_text,
+    "chat_assemble": _op_chat_assemble,
+    # sink
+    "shard_export": _op_shard_export,
 }
 
 

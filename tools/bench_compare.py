@@ -24,18 +24,31 @@ import sys
 NOISE_FLOOR_FRAC = 0.12  # SCALE.md's documented host spread upper bound
 
 
-def load(path: str) -> tuple[dict[str, float], dict[str, float]]:
+def load(path: str) -> tuple[dict[str, float], dict[str, float], dict]:
     with open(path) as f:
         rec = json.load(f)
     # the driver wraps bench.py's JSON line under "parsed"
     if "queries" not in rec and isinstance(rec.get("parsed"), dict):
         rec = rec["parsed"]
-    return rec.get("queries", {}), rec.get("spreads", {})
+    return rec.get("queries", {}), rec.get("spreads", {}), \
+        rec.get("provenance", {})
+
+
+def _describe(path: str, prov: dict) -> str:
+    if not prov:
+        return f"{path} (no provenance — pre-r13 record)"
+    return (f"{path} (label={prov.get('label')}, {prov.get('utc')}, "
+            f"load_1m_at_start={prov.get('load_1m_at_start')})")
 
 
 def compare(old_path: str, new_path: str) -> int:
-    old_q, old_s = load(old_path)
-    new_q, new_s = load(new_path)
+    old_q, old_s, old_p = load(old_path)
+    new_q, new_s, new_p = load(new_path)
+    # name exactly which pair of records this comparison read — the
+    # r12 lesson: two same-named runs (builder cooled-host vs driver
+    # hot-host) gave 0.951x vs 0.879x and the claim was ambiguous
+    print(f"old: {_describe(old_path, old_p)}")
+    print(f"new: {_describe(new_path, new_p)}\n")
     common = sorted(set(old_q) & set(new_q))
     only_old = sorted(set(old_q) - set(new_q))
     only_new = sorted(set(new_q) - set(old_q))
