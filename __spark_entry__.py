@@ -4747,6 +4747,33 @@ config:
             F.col("id_b").cast("long").alias("id_b"),
             F.col("hamming").cast("long").alias("hamming"))
 
+    def q_incfp_pairs(spark, sf):
+        # r13: INCREMENTAL fingerprint near-dedup (dedup.
+        # build_fingerprint_index + incremental_hamming_pairs) — the
+        # doc_id % 5 == 0 rows play the "new shard", the rest the
+        # stored corpus index; only new-vs-corpus pairs are computed
+        # (old-vs-old is structurally absent: the corpus side is the
+        # index table, not a self-join). Oracle = brute new-vs-corpus
+        # bit_count(xor) over the SQL-rebuilt hashes.
+        from enrich_spark.datapipe.dedup import (
+            build_fingerprint_index, incremental_hamming_pairs,
+        )
+        from enrich_spark.datapipe.multimodal import image_dhash
+
+        h = _cached_fixture(
+            spark, "dhash_hashes", sf,
+            lambda: image_dhash(_dhash_docs(spark, sf)).where(
+                F.col("dhash").isNotNull()).select("doc_id", "dhash"))
+        idx = build_fingerprint_index(
+            h.where(F.col("doc_id") % 5 != 0), hash_col="dhash",
+            max_hamming=4)
+        return incremental_hamming_pairs(
+            h.where(F.col("doc_id") % 5 == 0), idx, hash_col="dhash",
+            max_hamming=4).select(
+            F.col("new_id").cast("long").alias("new_id"),
+            F.col("corpus_id").cast("long").alias("corpus_id"),
+            F.col("hamming").cast("long").alias("hamming"))
+
     def q_multimodal(spark, sf):
         # decode + frame-sampling + audio features + resize + dHash
         # near-dup in one row
@@ -4757,6 +4784,7 @@ config:
              ("resize", q_media_resize(spark, sf)),
              ("dhash", q_image_dhash(spark, sf)),
              ("dhpairs", q_dhash_pairs(spark, sf)),
+             ("incfp", q_incfp_pairs(spark, sf)),
              ("afp", q_audio_afp(spark, sf)),
              ("afppairs", q_afp_pairs(spark, sf))],
             fill=("doc_id", "width", "height", "channels", "duration_ms",
@@ -4769,6 +4797,7 @@ config:
                   "rz_mean_mil",
                   "dhash", "dh_w", "dh_h", "dh_codec",
                   "id_a", "id_b", "hamming",
+                  "new_id", "corpus_id",
                   "afp", "afp_rate", "afp_samples"),
         )
 
@@ -4919,6 +4948,9 @@ config:
         "audio_dedup": q_afp_pairs,
         # r12: conversation assembly + loss masks (sessionize chat part)
         "chat_pack": q_chat_assemble,
+        # r13: incremental fingerprint near-dedup — new shard vs the
+        # stored banded index (multimodal incfp part)
+        "incremental_fp": q_incfp_pairs,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -7686,6 +7718,15 @@ def oracle_sql() -> dict[str, str]:
          "FROM dh a JOIN dh b ON a.doc_id < b.doc_id "
          "WHERE bit_count(xor(a.dhash, b.dhash)) <= 4",
          {"id_a": "num", "id_b": "num", "hamming": "num"}),
+        # r13 incremental fingerprint near-dedup: new shard (doc_id
+        # % 5 = 0) vs the stored corpus index — brute new-vs-corpus
+        ("incfp",
+         _DHASH_CTE + " SELECT n.doc_id AS new_id, "
+         "c.doc_id AS corpus_id, "
+         "CAST(bit_count(xor(n.dhash, c.dhash)) AS BIGINT) AS hamming "
+         "FROM dh n JOIN dh c ON n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0 "
+         "WHERE bit_count(xor(n.dhash, c.dhash)) <= 4",
+         {"new_id": "num", "corpus_id": "num", "hamming": "num"}),
         # audio fingerprint: every Haitsma-Kalker sign bit is the
         # integer beta-combination B[t][b]−B[t][b+1]−B[t−1][b]+
         # B[t−1][b+1] ≥ 1 (the fixture's −30000·t·b energy ramp makes

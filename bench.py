@@ -117,6 +117,7 @@ HEADLINE = [
     "token_drift",            # cross-corpus KL/JS token drift
     "audio_dedup",            # Haitsma-Kalker fingerprint Hamming pairs
     "chat_pack",              # conversation assembly + loss-mask spans
+    "incremental_fp",         # new-shard fingerprint dedup vs stored index
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -154,7 +155,7 @@ GROUPS = [
      "zorder_cluster", "weighted_sample", "quantile_bins",
      "multimodal_resize", "token_budget_select", "domain_cap",
      "quantile_bins_grouped", "multimodal_dedup", "audio_dedup",
-     "chat_pack"],
+     "chat_pack", "incremental_fp"],
 ]
 assert sorted(n for g in GROUPS for n in g) == sorted(HEADLINE)
 

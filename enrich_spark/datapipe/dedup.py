@@ -498,6 +498,48 @@ def simhash_pairs(
     )
 
 
+def _banded_hash_frame(
+    hashes: DataFrame,
+    hash_col: str,
+    id_col: str,
+    bands: int | None,
+    max_hamming: int,
+) -> DataFrame:
+    """The banded-slice frame every Hamming-family plan shares:
+    (_id, _h, band, bhash), one row per (id, band). Slice widths are
+    distributed EVENLY — base 64//bands with the remainder over the
+    first bands (ceil-width slicing broke for bands in 33..63:
+    trailing negative/zero widths meant a negative shift at plan build
+    or a constant-0 band key degenerating into an all-pairs self-join
+    on that band). Any partition of the 64 bits keeps the pigeonhole
+    guarantee, so even widths are strictly better."""
+    if bands is None:
+        bands = max_hamming + 1
+    if not 1 <= bands <= 64:
+        raise ValueError("hamming bands must be in 1..64")
+    base, rem = divmod(64, bands)
+    widths = [base + (1 if b < rem else 0) for b in range(bands)]
+    offsets = [sum(widths[:b]) for b in range(bands)]
+
+    def _slice(b: int):
+        width = widths[b]
+        shifted = F.shiftrightunsigned("_h", offsets[b])
+        if width >= 64:                       # bands=1: the whole hash
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
+    sh = hashes.select(F.col(id_col).alias("_id"),
+                       F.col(hash_col).cast("long").alias("_h"))
+    return sh.select(
+        "_id", "_h",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     _slice(b).alias("bhash"))
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("_id", "_h", "bk.band", "bk.bhash")
+
+
 def hamming_pairs(
     hashes: DataFrame,
     hash_col: str = "hash",
@@ -518,37 +560,8 @@ def hamming_pairs(
     bands), one equi-join keyed by (band, slice) — near-uniform keys
     for well-mixed hashes — no cross join at any size.
     """
-    if bands is None:
-        bands = max_hamming + 1
-    if not 1 <= bands <= 64:
-        raise ValueError("hamming_pairs: bands must be in 1..64")
-    # even width distribution: base = 64 // bands with the remainder
-    # spread over the first bands. Ceil-width slicing broke for bands
-    # in 33..63 (trailing negative/zero widths: negative shift at plan
-    # build, or a constant-0 band key degenerating into an all-pairs
-    # self-join on that band). Any partition of the 64 bits keeps the
-    # pigeonhole guarantee, so even widths are strictly better.
-    base, rem = divmod(64, bands)
-    widths = [base + (1 if b < rem else 0) for b in range(bands)]
-    offsets = [sum(widths[:b]) for b in range(bands)]
-
-    def _slice(b: int):
-        width = widths[b]
-        shifted = F.shiftrightunsigned("_h", offsets[b])
-        if width >= 64:                       # bands=1: the whole hash
-            return shifted
-        return shifted.bitwiseAND(F.lit((1 << width) - 1))
-
-    sh = hashes.select(F.col(id_col).alias("_id"),
-                       F.col(hash_col).cast("long").alias("_h"))
-    banded = sh.select(
-        "_id", "_h",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     _slice(b).alias("bhash"))
-            for b in range(bands)
-        ])).alias("bk"),
-    ).select("_id", "_h", "bk.band", "bk.bhash")
+    banded = _banded_hash_frame(hashes, hash_col, id_col, bands,
+                                max_hamming)
     l, r = banded.alias("l"), banded.alias("r")
     hamming = F.bit_count(F.col("l._h").bitwiseXOR(F.col("r._h")))
     return (
@@ -1400,12 +1413,78 @@ def incremental_dedup_pairs(
             F.col("n.doc_id").alias("new_id"),
             F.col("c.doc_id").alias("corpus_id"),
             agree.alias("_agree"))
-        .dropDuplicates(["new_id", "corpus_id"])
+        # filter BEFORE the pair dedup (r13, the pair-family rule):
+        # agreement is a pure function of the two signatures, so the
+        # dedup exchange needn't carry sub-threshold band collisions
         .where(F.col("_agree") >= need)
+        .dropDuplicates(["new_id", "corpus_id"])
         .select(
             "new_id", "corpus_id",
             F.floor(F.col("_agree") * 10000 / num_hashes).cast("long")
             .alias("est_jaccard_bp"))
+    )
+
+
+def build_fingerprint_index(
+    hashes: DataFrame,
+    hash_col: str = "hash",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """The persistable side of INCREMENTAL fingerprint near-dedup —
+    :func:`build_minhash_index`'s twin for ANY 64-bit fingerprint
+    column (simhash, image dHash, audio sub-fingerprints): the banded
+    slice table ``(doc_id, band, bhash, fp)``, one row per (doc,
+    band), same even-width slicing as :func:`hamming_pairs`.
+
+    Production shape: compute once per corpus snapshot, write out
+    bucketed on (band, bhash); each ingest increment joins against the
+    stored index — O(increment), never O(corpus) (r12 fingerprints
+    were batch-only; this gives streaming corpora the same near-dup
+    increment the minhash path has)."""
+    return _banded_hash_frame(hashes, hash_col, id_col, bands,
+                              max_hamming).select(
+        F.col("_id").alias("doc_id"), "band", "bhash",
+        F.col("_h").alias("fp"))
+
+
+def incremental_hamming_pairs(
+    new_hashes: DataFrame,
+    index: DataFrame,
+    hash_col: str = "hash",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """Hamming near-dup candidates of a NEW batch against a stored
+    :func:`build_fingerprint_index` (built with the same
+    max_hamming/bands): banded equi-join on (band, bhash) + one
+    ``bit_count(xor)`` verify — only new-vs-corpus pairs are computed,
+    never old-vs-old (the increment contract
+    :func:`incremental_dedup_pairs` defines for minhash).
+
+    Output: (new_id, corpus_id, hamming), hamming ≤ max_hamming, one
+    row per pair. A new-batch id already present in the index pairs
+    with itself at hamming 0 unless filtered by id inequality — kept,
+    as re-ingest detection is exactly what the increment wants.
+
+    Scale shape: the corpus side never reshuffles when the index is
+    bucketed on (band, bhash); the (small) increment is the moving
+    side. Filter-then-dedup per the pair-family rule."""
+    fresh = _banded_hash_frame(new_hashes, hash_col, id_col, bands,
+                               max_hamming)
+    n, c = fresh.alias("n"), index.alias("c")
+    hamming = F.bit_count(F.col("n._h").bitwiseXOR(F.col("c.fp")))
+    return (
+        n.join(c, (F.col("n.band") == F.col("c.band"))
+               & (F.col("n.bhash") == F.col("c.bhash"))
+               & (F.col("n._id") != F.col("c.doc_id")))
+        .select(F.col("n._id").alias("new_id"),
+                F.col("c.doc_id").alias("corpus_id"),
+                hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["new_id", "corpus_id"])
     )
 
 

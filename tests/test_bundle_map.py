@@ -149,7 +149,7 @@ EXPECTED_BUNDLE_PARTS = {
                       "rep", "lm", "html", "bpe", "unigram", "url",
                       "bm25", "clean", "script", "sbo"],
     "multimodal": ["decode", "frames", "audio", "resize", "dhash",
-                   "dhpairs", "afp", "afppairs"],
+                   "dhpairs", "incfp", "afp", "afppairs"],
 }
 
 

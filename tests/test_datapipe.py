@@ -3427,3 +3427,158 @@ def test_shard_diff_plans_incremental_export(spark):
     added = shard_diff(empty, new_m).collect()
     assert all(r.status == "added" for r in added)
     assert sum(r.rows_delta for r in added) == 300
+
+
+def test_dhash_survives_jpeg_recompression(spark):
+    """r13 (verdict #6): the r12 fixture lesson proved the FIXTURE was
+    the fragile part; this proves the OPERATOR survives real
+    perturbation — re-encode images through the repo's own JPEG path
+    at two quality levels and the dHash stays within a small Hamming
+    ball for same-image pairs while distinct images stay far.
+    Measured (SCALE.md §26): same-image q92↔q55 ≤ 5 bits, q92↔q35
+    ≤ 5 bits; distinct-pair minimum 14 bits — threshold 6 separates
+    with margin on both sides. End-to-end: hamming_pairs over the
+    mixed-quality corpus finds exactly the same-image pairs."""
+    import hashlib
+
+    import numpy as np
+
+    from enrich_spark.datapipe.dedup import hamming_pairs
+    from enrich_spark.datapipe.jpeg import encode_jpeg
+    from enrich_spark.datapipe.multimodal import dhash_one, image_dhash
+
+    def base_image(i, size=48):
+        # md5-mixed per-image frequencies/phases (the r12 lesson: no
+        # constant-shift arithmetic between fixture images)
+        p = [b / 255.0 for b in
+             hashlib.md5(f"img:{i}".encode()).digest()[:8]]
+        y, x = np.mgrid[0:size, 0:size].astype(np.float64) / size
+        r = 128 + 90 * np.sin(2 * np.pi * ((1 + 2 * p[0]) * x + p[1])) \
+            * np.cos(2 * np.pi * ((1 + 2 * p[2]) * y + p[3]))
+        g = 128 + 90 * np.sin(2 * np.pi * ((1 + 2 * p[4]) * x
+                                           + (1 + 2 * p[5]) * y + p[6]))
+        b = 128 + 90 * np.cos(2 * np.pi * ((1 + 2 * p[7]) * (x - y)))
+        return np.stack([r, g, b], axis=2).clip(0, 255).astype(np.uint8)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    N = 12
+    hq = {}
+    for i in range(N):
+        img = base_image(i)
+        h92 = dhash_one(encode_jpeg(48, 48, img, quality=92))
+        h55 = dhash_one(encode_jpeg(48, 48, img, quality=55))
+        h35 = dhash_one(encode_jpeg(48, 48, img, quality=35))
+        assert h92["codec"] == "jpeg"
+        hq[i] = h92["dhash"]
+        assert ham(h92["dhash"], h55["dhash"]) <= 6, i
+        assert ham(h92["dhash"], h35["dhash"]) <= 6, i
+    for i in range(N):
+        for j in range(i + 1, N):
+            assert ham(hq[i], hq[j]) > 10, (i, j)
+
+    # end-to-end: the mixed-quality corpus dedups to same-image pairs
+    rows = []
+    for i in range(N):
+        img = base_image(i)
+        rows.append((2 * i, bytearray(encode_jpeg(48, 48, img,
+                                                  quality=92))))
+        rows.append((2 * i + 1, bytearray(encode_jpeg(48, 48, img,
+                                                      quality=55))))
+    df = spark.createDataFrame(rows, "doc_id LONG, media BINARY")
+    pairs = sorted(
+        (r.id_a, r.id_b)
+        for r in hamming_pairs(image_dhash(df), hash_col="dhash",
+                               max_hamming=6).collect())
+    assert pairs == [(2 * i, 2 * i + 1) for i in range(N)]
+
+
+def test_incremental_fingerprint_dedup_composes_with_shard_diff(spark,
+                                                                tmp_path):
+    """r13 (verdict #7): streaming corpora get the same near-dup
+    increment for ANY 64-bit fingerprint that text has via the minhash
+    index — round N exports shards + persists the fingerprint index;
+    round N+1's shard_diff names the changed shards, and ONLY the new
+    docs run against the stored index (new-vs-corpus pairs; old-vs-old
+    is never recomputed, structurally — the corpus side of the join is
+    the index table, not a self-join)."""
+    import numpy as np
+
+    from enrich_spark.datapipe.dedup import (
+        build_fingerprint_index, hamming_pairs, incremental_hamming_pairs,
+    )
+    from enrich_spark.datapipe.layout import (
+        shard_assign, shard_diff, shard_manifest,
+    )
+    from enrich_spark.datapipe.media_codecs import encode_bmp
+    from enrich_spark.datapipe.multimodal import image_dhash
+
+    import hashlib
+
+    def gradient(p, perturb=None):
+        # md5-mixed pixels (the r12 fixture lesson: arithmetic
+        # v = f(p) + g(x,y) forms make distinct images differ by a
+        # constant shift and spuriously collide under dHash)
+        px = np.zeros((8, 9 * 3), np.uint8)
+        for y in range(8):
+            for x in range(9):
+                v = int(hashlib.md5(f"{p}:{x}:{y}".encode())
+                        .hexdigest()[:2], 16) % 251
+                if perturb == (x, y):
+                    v = (v + 40) % 251
+                px[y, 3 * x:3 * x + 3] = v
+        return encode_bmp(9, 8, px)
+
+    # round N: corpus with an INTERNAL dup pair (1,2) — must never
+    # reappear in the increment's output
+    corpus = spark.createDataFrame(
+        [(1, bytearray(gradient(10))),
+         (2, bytearray(gradient(10))),          # corpus-internal dup
+         (3, bytearray(gradient(50))),
+         (4, bytearray(gradient(90)))],
+        "doc_id LONG, media BINARY")
+    index = build_fingerprint_index(
+        image_dhash(corpus).where(F.col("dhash").isNotNull()),
+        hash_col="dhash", max_hamming=4)
+    index.write.parquet(str(tmp_path / "fp_index"))   # persisted side
+    old_manifest = shard_manifest(
+        shard_assign(corpus.select("doc_id"), 4), cols=["doc_id"])
+
+    # round N+1: new shard — exact dup of 1, near dup of 3, novel
+    new = spark.createDataFrame(
+        [(101, bytearray(gradient(10))),
+         (102, bytearray(gradient(50, perturb=(4, 2)))),
+         (103, bytearray(gradient(200)))],
+        "doc_id LONG, media BINARY")
+    new_manifest = shard_manifest(
+        shard_assign(corpus.select("doc_id")
+                     .unionByName(new.select("doc_id")), 4),
+        cols=["doc_id"])
+    changed = {r.shard_id for r in
+               shard_diff(old_manifest, new_manifest)
+               .where(F.col("status") != "same").collect()}
+    new_shards = {r.shard_id for r in
+                  shard_assign(new.select("doc_id"), 4).collect()}
+    assert new_shards <= changed          # diff names every new shard
+
+    stored = spark.read.parquet(str(tmp_path / "fp_index"))
+    pairs = {(r.new_id, r.corpus_id): r.hamming
+             for r in incremental_hamming_pairs(
+                 image_dhash(new).where(F.col("dhash").isNotNull()),
+                 stored, hash_col="dhash", max_hamming=4).collect()}
+    assert pairs[(101, 1)] == 0 and pairs[(101, 2)] == 0
+    assert (102, 3) in pairs and 0 < pairs[(102, 3)] <= 4
+    assert not any(n == 103 for n, _ in pairs)        # novel: no pair
+    # only new-vs-corpus: the corpus-internal dup (1,2) is absent
+    assert all(n in (101, 102) for n, _ in pairs)
+
+    # parity with the batch path: union corpus+new, batch hamming_pairs,
+    # restrict to new-vs-corpus pairs — identical result
+    all_h = image_dhash(corpus.unionByName(new)).where(
+        F.col("dhash").isNotNull())
+    batch = {(max(r.id_a, r.id_b), min(r.id_a, r.id_b)): r.hamming
+             for r in hamming_pairs(all_h, hash_col="dhash",
+                                    max_hamming=4).collect()
+             if (r.id_a > 100) != (r.id_b > 100)}
+    assert batch == pairs

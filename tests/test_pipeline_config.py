@@ -337,3 +337,60 @@ def test_pipeline_r12_ops(spark):
     kept = {r.doc_id for r in run_pipeline(
         mix, [{"op": "min_lm_score", "threshold_micro": cut}]).collect()}
     assert 2 not in kept and 0 in kept
+
+
+def test_pipeline_r13_ops(spark, tmp_path):
+    """r13: image_dedup_keep / chat_assemble / shard_export as config
+    steps — a JSON-file pipeline chains perceptual dedup into a sharded
+    export, and the chat op packs turn rows with a validity gate."""
+    import numpy as np
+
+    from enrich_spark.datapipe.media_codecs import encode_bmp
+
+    def gradient(p, perturb=None):
+        px = np.zeros((8, 9 * 3), np.uint8)
+        for y in range(8):
+            for x in range(9):
+                v = (p * 17 + x * 29 + y * 5) % 251
+                if perturb == (x, y):
+                    v = (v + 40) % 251
+                px[y, 3 * x:3 * x + 3] = v
+        return encode_bmp(9, 8, px)
+
+    rows = [
+        (1, bytearray(gradient(100)), 5),
+        (2, bytearray(gradient(100)), 9),              # dup of 1, better
+        (3, bytearray(gradient(100, perturb=(4, 2))), 1),  # near dup
+        (4, bytearray(gradient(171)), 2),              # distinct
+        (5, bytearray(b"not-an-image"), 0),            # decode failure
+    ]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id LONG, media BINARY, q LONG")
+    cfg = tmp_path / "steps.json"
+    cfg.write_text(json.dumps([
+        {"op": "image_dedup_keep", "max_hamming": 4, "quality_col": "q"},
+        {"op": "shard_export", "path": str(tmp_path / "out"),
+         "n_shards": 2},
+    ]))
+    manifest = run_pipeline(docs, str(cfg))
+    # cluster {1,2,3} keeps 2 (highest q); 4 distinct; 5 undecodable
+    # is KEPT (never enters pair generation)
+    kept = {r.doc_id for r in
+            spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert kept == {2, 4, 5}
+    m = manifest.collect()
+    assert sum(r.n_rows for r in m) == 3
+    assert {r.shard_id for r in m} <= {0, 1}
+
+    # chat_assemble as a step, with the validity gate
+    turns = spark.createDataFrame(
+        [(1, 0, "user", "q"), (1, 1, "assistant", "a"),
+         (2, 0, "user", "q"), (2, 1, "user", "again"),   # alternation
+         (2, 2, "assistant", "a")],
+        "conv_id long, turn_idx long, role string, text string")
+    packed = run_pipeline(turns, [{"op": "chat_assemble"}])
+    assert {r.conv_id: r.alternation_ok
+            for r in packed.collect()} == {1: 1, 2: 0}
+    gated = run_pipeline(
+        turns, [{"op": "chat_assemble", "require_valid": True}])
+    assert [r.conv_id for r in gated.collect()] == [1]

@@ -103,6 +103,7 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "lm_score": "text_analysis",
         "token_drift": "decontam_multi",
         "audio_dedup": "multimodal",
+        "incremental_fp": "multimodal",
         "chat_pack": "sessionize",
         "script_js": "script_hook",  # bench-only throughput variant
     }
