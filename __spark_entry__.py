@@ -1743,17 +1743,53 @@ config:
             "mask_spans_str", "total_chars", "mask_chars",
             "alternation_ok", "roles_ok", "ends_with_mask", "no_empty")
 
+    def q_sft_dedup(spark, sf):
+        # r13: SFT-aware masked dedup (chat.sft_masked_dedup) — dedup
+        # conversations on the ASSISTANT content only. Planned dups:
+        # every 13th conv (c % 13 == 0, c >= 13) reuses conv c-13's
+        # assistant bodies while keeping its OWN user prompts, so
+        # clusters must form on masked content alone; the oracle
+        # rebuilds the same dialogue, extracts the masked side as
+        # string_agg of assistant bodies (cross-checking the span
+        # arithmetic), and replays simhash + connected components +
+        # keep-policy in SQL
+        from enrich_spark.datapipe.chat import sft_masked_dedup
+        from enrich_spark.datapipe.dedup import md5_hash_family
+
+        docs = _load_docs(spark, sf).select("doc_id", "text")
+        t = F.col("doc_id") % 4
+        c = F.expr("doc_id div 4")
+        src = F.when((c % 13 == 0) & (c >= 13) & (t % 2 == 1),
+                     F.col("doc_id") - 52).otherwise(F.col("doc_id"))
+        base = docs.select(
+            c.cast("long").alias("conv_id"),
+            t.cast("long").alias("turn_idx"),
+            F.when(t % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("assistant")).alias("role"),
+            src.cast("long").alias("src_doc"))
+        turns = base.join(
+            docs.select(F.col("doc_id").alias("src_doc"),
+                        F.substring("text", 1, 60).alias("text")),
+            "src_doc").drop("src_doc")
+        return sft_masked_dedup(turns, max_hamming=8,
+                                hasher=md5_hash_family(0)).select(
+            F.col("conv_id").cast("long").alias("conv_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("is_kept").cast("long").alias("is_kept"))
+
     q["sessionize"] = lambda spark, sf: _union_parts(
         [("stats", q_sessionize(spark, sf)),
          ("stream_closed", q_sessionize_stream(spark, sf)),
          ("stream_dedup", q_stream_dedup(spark, sf)),
-         ("chat", q_chat_assemble(spark, sf))],
+         ("chat", q_chat_assemble(spark, sf)),
+         ("sftdedup", q_sft_dedup(spark, sf))],
         fill=("user_id", "n_sessions", "n_events", "session_index",
               "ss_us", "se_us", "event_id",
               "conv_id", "n_turns", "n_mask_turns", "chat_md5",
               "mask_spans_str", "total_chars", "mask_chars",
               "alternation_ok", "roles_ok", "ends_with_mask",
-              "no_empty"),
+              "no_empty", "cluster_id", "cluster_size", "is_kept"),
     )
 
     def q_sql_lookup(spark, sf):
@@ -4951,6 +4987,9 @@ config:
         # r13: incremental fingerprint near-dedup — new shard vs the
         # stored banded index (multimodal incfp part)
         "incremental_fp": q_incfp_pairs,
+        # r13: assistant-content-only conversation dedup (sessionize
+        # sftdedup part)
+        "sft_dedup": q_sft_dedup,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -7843,6 +7882,97 @@ def oracle_sql() -> dict[str, str]:
           "total_chars": "num", "mask_chars": "num",
           "alternation_ok": "num", "roles_ok": "num",
           "ends_with_mask": "num", "no_empty": "num"}),
+        # r13: SFT-aware masked dedup — assistant bodies only (every
+        # 13th conv replays conv c-13's answers under its own
+        # prompts), simhash over the masked side, recursive-CTE
+        # connected components, keep-most-masked-chars policy
+        ("sftdedup", """
+        WITH RECURSIVE turns AS (
+          SELECT d.doc_id // 4 AS conv_id, d.doc_id % 4 AS t,
+                 CASE WHEN (d.doc_id % 4) % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 substring(s.text, 1, 60) AS txt
+          FROM documents d JOIN documents s
+            ON s.doc_id = CASE WHEN (d.doc_id // 4) % 13 = 0
+                                AND d.doc_id // 4 >= 13
+                                AND (d.doc_id % 4) % 2 = 1
+                               THEN d.doc_id - 52 ELSE d.doc_id END
+        ),
+        masked AS (
+          SELECT conv_id,
+                 COALESCE(string_agg(
+                   CASE WHEN role = 'assistant' THEN txt END,
+                   chr(10) ORDER BY t), '') AS mtext,
+                 COALESCE(sum(CASE WHEN role = 'assistant'
+                              THEN length(txt) END), 0) AS mask_chars
+          FROM turns GROUP BY conv_id
+        ),
+        base AS (
+          SELECT conv_id, string_split(trim(regexp_replace(
+                   lower(mtext), '\\s+', ' ', 'g')), ' ') AS words
+          FROM masked
+        ),
+        sh AS (
+          SELECT conv_id,
+                 list_distinct(CASE WHEN len(words) >= 2
+                   THEN list_transform(range(1, len(words)),
+                        i -> words[i] || ' ' || words[i+1])
+                   ELSE [array_to_string(words, ' ')] END) AS grams
+          FROM base
+        ),
+        sim AS (
+          SELECT conv_id,
+                 CAST(list_sum(list_transform(range(0, 60), b ->
+                   CASE WHEN list_sum(list_transform(grams, w ->
+                          CASE WHEN (CAST(('0x' || substr(
+                                 md5('0:' || w), 1, 15)) AS BIGINT)
+                                 >> b) & 1 = 1
+                               THEN 1 ELSE -1 END)) > 0
+                        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))
+                   AS BIGINT) AS simh
+          FROM sh
+        ),
+        banded AS (
+          SELECT conv_id, simh, t.t AS band,
+                 (simh >> (t.t * 16)) & 65535 AS bhash
+          FROM sim, (SELECT unnest(range(4)) AS t) t
+        ),
+        prs AS (
+          SELECT DISTINCT a.conv_id AS id_a, b.conv_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bhash = b.bhash
+               AND a.conv_id < b.conv_id
+          WHERE bit_count(xor(a.simh, b.simh)) <= 8
+        ),
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM prs
+          UNION SELECT id_b, id_a FROM prs
+        ),
+        reach(n, m) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
+        ),
+        clus AS (SELECT n AS conv_id, min(m) AS cluster_id
+                 FROM reach GROUP BY n),
+        lab AS (
+          SELECT k.conv_id,
+                 COALESCE(c.cluster_id, k.conv_id) AS cluster_id,
+                 k.mask_chars AS q
+          FROM masked k LEFT JOIN clus c ON k.conv_id = c.conv_id
+        )
+        SELECT conv_id,
+               CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                 AS cluster_size,
+               CAST(CASE WHEN row_number() OVER (
+                      PARTITION BY cluster_id
+                      ORDER BY q DESC, conv_id ASC) = 1
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+        FROM lab
+        """,
+         {"conv_id": "num", "cluster_id": "num", "cluster_size": "num",
+          "is_kept": "num"}),
     ])
     o["iglu_validation"] = _union_oracle([
         ("basic", o.pop("iglu_validation"),

@@ -118,6 +118,7 @@ HEADLINE = [
     "audio_dedup",            # Haitsma-Kalker fingerprint Hamming pairs
     "chat_pack",              # conversation assembly + loss-mask spans
     "incremental_fp",         # new-shard fingerprint dedup vs stored index
+    "sft_dedup",              # assistant-content-only conversation dedup
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -155,7 +156,7 @@ GROUPS = [
      "zorder_cluster", "weighted_sample", "quantile_bins",
      "multimodal_resize", "token_budget_select", "domain_cap",
      "quantile_bins_grouped", "multimodal_dedup", "audio_dedup",
-     "chat_pack", "incremental_fp"],
+     "chat_pack", "incremental_fp", "sft_dedup"],
 ]
 assert sorted(n for g in GROUPS for n in g) == sorted(HEADLINE)
 

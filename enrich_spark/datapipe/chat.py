@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["chat_assemble", "chat_assemble_sql"]
+__all__ = ["chat_assemble", "chat_assemble_sql", "masked_content",
+           "sft_masked_dedup"]
 
 
 def chat_assemble(
@@ -186,3 +187,67 @@ def chat_assemble_sql(
                  AS BIGINT) AS no_empty
         FROM e GROUP BY conv_id
     """
+
+
+def masked_content(text_col: str = "text",
+                   spans_col: str = "mask_spans",
+                   sep: str = "\n"):
+    """Column: the loss-MASKED content of an assembled conversation —
+    ``text[s:e]`` per mask span, span order, joined by ``sep``. Pure
+    span arithmetic over :func:`chat_assemble`'s output (native
+    substring inside a higher-order transform — zero Python, and it
+    exercises the spans themselves: if a span were off by one, the
+    extracted content would differ from the turn bodies and every
+    downstream fingerprint would move)."""
+    return F.array_join(
+        F.transform(
+            F.col(spans_col),
+            lambda s: F.col(text_col).substr(
+                (s.getField("s") + 1).cast("int"),
+                (s.getField("e") - s.getField("s")).cast("int"))),
+        sep)
+
+
+def sft_masked_dedup(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    roles: tuple[str, ...] = ("system", "user", "assistant"),
+    mask_role: str = "assistant",
+    max_hamming: int = 8,
+    hasher=None,
+) -> DataFrame:
+    """SFT-aware near-dedup: dedup conversations on the MASKED
+    (assistant) content ONLY — duplicate assistant answers under
+    different user prompts are the actual SFT dedup problem; hashing
+    the full rendered dialogue would let a fresh user prompt launder a
+    verbatim answer past the filter.
+
+    Composition (each stage an existing operator): chat_assemble →
+    :func:`masked_content` span extraction → simhash pairs over the
+    masked text → connected components → keep-policy (keep the
+    highest-``mask_chars`` member per cluster — the copy carrying the
+    most supervised content — ties to the lowest conv id).
+
+    Output per conversation: conv_id, cluster_id, cluster_size,
+    is_kept. Scale shape: the chat window (conversation-bounded) +
+    the simhash banded equi-join + diameter-bounded label propagation
+    — no cross join, no unpartitioned window anywhere in the chain."""
+    from .dedup import apply_dedup_policy, simhash_pairs
+
+    assembled = chat_assemble(
+        turns, conv_col=conv_col, idx_col=idx_col, role_col=role_col,
+        text_col=text_col, roles=roles, mask_role=mask_role,
+    ).select(
+        "conv_id",
+        masked_content().alias("_masked"),
+        "mask_chars",
+    )
+    pairs = simhash_pairs(assembled, text_col="_masked",
+                          id_col="conv_id", max_hamming=max_hamming,
+                          hasher=hasher)
+    return apply_dedup_policy(assembled, pairs,
+                              quality_col="mask_chars",
+                              id_col="conv_id")

@@ -121,7 +121,8 @@ EXPECTED_BUNDLE_PARTS = {
                              "zorder", "ksample", "kgroup", "wsample",
                              "fit", "skew", "shards"],
     "dedup_despan": ["despan", "lines", "novelty"],
-    "sessionize": ["stats", "stream_closed", "stream_dedup", "chat"],
+    "sessionize": ["stats", "stream_closed", "stream_dedup", "chat",
+                   "sftdedup"],
     "sql_lookup_join": ["broadcast", "json"],
     "yauaa_classify": ["native", "rules"],
     "iglu_validation": ["basic", "advanced"],

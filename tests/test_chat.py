@@ -119,3 +119,49 @@ def test_chat_assemble_null_role_counts_not_ok(spark, tmp_path):
             + chat_assemble_sql(f"read_parquet('{tmp_path}/t.parquet')")
             + ")").fetchall())
     assert got_rows == want
+
+
+def test_sft_masked_dedup_dedups_on_assistant_content_only(spark):
+    """r13 (verdict #5): duplicate assistant answers under DIFFERENT
+    user prompts must cluster (hashing the full dialogue would let a
+    fresh prompt launder a verbatim answer past the filter); identical
+    user prompts with distinct answers must NOT cluster. Keep policy:
+    the copy with the most supervised (masked) chars wins."""
+    from enrich_spark.datapipe.chat import masked_content, sft_masked_dedup
+
+    ans = ("to reverse a list in python use the built in reversed "
+           "function or slice with negative step like lst reversed")
+    other = ("gradient descent updates parameters against the loss "
+             "surface slope scaled by the learning rate each step")
+    rows = [
+        # conv 1 and 2: same answer, different user prompts
+        (1, 0, "user", "how do I reverse a list?"), (1, 1, "assistant", ans),
+        (2, 0, "user", "python list backwards help"), (2, 1, "assistant", ans),
+        # conv 3: same answer + an EXTRA assistant turn (more mask
+        # chars) — near-dup of 1/2 only if hamming allows; give it the
+        # same single answer so it's exact on masked content, and a
+        # second masked turn to win the keep policy
+        (3, 0, "user", "reverse list??"), (3, 1, "assistant", ans),
+        (3, 2, "user", "thanks"), (3, 3, "assistant", ans),
+        # conv 4: same USER prompt as 1 but a different answer
+        (4, 0, "user", "how do I reverse a list?"), (4, 1, "assistant", other),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id long, turn_idx long, role string, text string")
+    got = {r.conv_id: r for r in sft_masked_dedup(turns).collect()}
+    assert got[1].cluster_id == got[2].cluster_id
+    assert got[4].cluster_id != got[1].cluster_id
+    assert got[4].is_kept == 1 and got[4].cluster_size == 1
+    same = {c for c in (1, 2, 3) if got[c].cluster_id == got[1].cluster_id}
+    kept = [c for c in same if got[c].is_kept == 1]
+    if 3 in same:                # doubled answer may drift 2 hamming
+        assert kept == [3]       # most masked chars wins
+    else:
+        assert kept == [1]       # ties fall to lowest conv id
+
+    # span-extraction sanity: masked content equals the turn bodies
+    from enrich_spark.datapipe.chat import chat_assemble
+
+    m = {r.conv_id: r.m for r in chat_assemble(turns).select(
+        "conv_id", masked_content().alias("m")).collect()}
+    assert m[1] == ans and m[3] == ans + "\n" + ans

@@ -104,6 +104,7 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "token_drift": "decontam_multi",
         "audio_dedup": "multimodal",
         "incremental_fp": "multimodal",
+        "sft_dedup": "sessionize",
         "chat_pack": "sessionize",
         "script_js": "script_hook",  # bench-only throughput variant
     }
