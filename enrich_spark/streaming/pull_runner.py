@@ -290,13 +290,23 @@ class KinesisFanoutSource:
                 continue                  # long-poll returned empty
             with self._cond:
                 # backpressure: a full buffer pauses THIS shard's
-                # subscription (bounded driver memory), never drops
-                while (len(self._buf[shard_id]) + len(recs)
-                       > self.buffer_per_shard
-                       and not self._stop.is_set()):
-                    self._cond.wait(0.1)
-                self._buf[shard_id].extend(recs)
-                self._cond.notify_all()
+                # subscription (bounded driver memory), never drops.
+                # Chunked extend (r13): a multi-event response can
+                # carry more records than buffer_per_shard — waiting
+                # for room for the WHOLE batch would deadlock (the
+                # buffer can never be that empty), so admit slices as
+                # room frees; the bound len(buf) ≤ buffer_per_shard is
+                # strict at every instant.
+                i = 0
+                while i < len(recs) and not self._stop.is_set():
+                    room = self.buffer_per_shard - len(self._buf[shard_id])
+                    if room <= 0:
+                        self._cond.wait(0.1)
+                        continue
+                    take = recs[i:i + room]
+                    self._buf[shard_id].extend(take)
+                    i += len(take)
+                    self._cond.notify_all()
 
     def _ensure_subscribed(self, state: dict):
         import threading

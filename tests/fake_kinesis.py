@@ -4,14 +4,17 @@ GetShardIterator (TRIM_HORIZON / LATEST / AT_SEQUENCE_NUMBER),
 GetRecords with opaque paging iterators. Just enough broker for the
 transport E2E — same role fake_nsqd.py plays for NSQ.
 
-Enhanced fan-out (r12): RegisterStreamConsumer + SubscribeToShard.
-Real AWS pushes SubscribeToShardEvents over an HTTP/2 event stream for
-up to 5 minutes per subscription; this fake models the same contract
-over JSON long-poll — each SubscribeToShard call returns ONE event
-(records capped at ``fanout_event_cap`` + ContinuationSequenceNumber),
-holding the request up to ``fanout_wait_s`` when the shard is idle, so
-the consumer's continuous resubscribe loop is exercised exactly as the
-HTTP/2 client's 5-minute re-subscribe is."""
+Enhanced fan-out (r12, multi-event r13): RegisterStreamConsumer +
+SubscribeToShard. Real AWS pushes SubscribeToShardEvents over an HTTP/2
+event stream for up to 5 minutes per subscription; this fake models
+the same contract over JSON long-poll — each SubscribeToShard call
+returns up to ``fanout_events_per_call`` CHAINED events (each ≤
+``fanout_event_cap`` records with its own intra-call
+ContinuationSequenceNumber — the HTTP/2 event-stream shape), holding
+the request up to ``fanout_wait_s`` when the shard is idle, so the
+consumer's continuous resubscribe loop is exercised exactly as the
+HTTP/2 client's 5-minute re-subscribe is. Remaining fidelity boundary:
+the transport is one JSON response per request, not h2 frames."""
 
 from __future__ import annotations
 
@@ -37,6 +40,7 @@ class FakeKinesis:
         self.consumers: dict[str, str] = {}      # ARN -> name
         self.subscribe_calls = 0
         self.fanout_event_cap = 100   # records per SubscribeToShard event
+        self.fanout_events_per_call = 1  # chained events per response
         self.fanout_wait_s = 0.05     # long-poll hold when shard idle
         self._srv = ThreadingHTTPServer(("127.0.0.1", 0), self._handler())
         threading.Thread(target=self._srv.serve_forever,
@@ -159,13 +163,16 @@ class FakeKinesis:
         sid = body["ShardId"]
         pos = body["StartingPosition"]
 
-        def _slice():
+        def _slice(after_seq):
             with self.lock:
                 recs = self.streams[stream][sid]
-                t = pos["Type"]
-                if t == "TRIM_HORIZON":
+                if after_seq is not None:
+                    start = next(
+                        (i + 1 for i, r in enumerate(recs)
+                         if r["SequenceNumber"] == after_seq), len(recs))
+                elif pos["Type"] == "TRIM_HORIZON":
                     start = 0
-                elif t == "LATEST":
+                elif pos["Type"] == "LATEST":
                     start = len(recs)
                 else:                     # AFTER_SEQUENCE_NUMBER
                     seq = pos["SequenceNumber"]
@@ -174,18 +181,32 @@ class FakeKinesis:
                          if r["SequenceNumber"] == seq), len(recs))
                 return recs[start:start + self.fanout_event_cap]
 
-        page = _slice()
+        page = _slice(None)
         deadline = time.time() + self.fanout_wait_s
         while not page and time.time() < deadline:   # long-poll hold
             time.sleep(0.005)
-            page = _slice()
-        cont = (page[-1]["SequenceNumber"] if page
-                else pos.get("SequenceNumber"))
-        return {"Events": [{
-            "Records": page,
-            "ContinuationSequenceNumber": cont,
-            "MillisBehindLatest": 0,
-        }]}
+            page = _slice(None)
+        # r13: up to fanout_events_per_call CHAINED events per
+        # response — each event's continuation is the next event's
+        # start (the HTTP/2 event-stream shape); the response's final
+        # continuation is the last non-empty event's
+        events = []
+        cont = pos.get("SequenceNumber")
+        while page:
+            cont = page[-1]["SequenceNumber"]
+            events.append({
+                "Records": page,
+                "ContinuationSequenceNumber": cont,
+                "MillisBehindLatest": 0,
+            })
+            if len(events) >= self.fanout_events_per_call:
+                break
+            page = _slice(cont)
+        if not events:
+            events = [{"Records": [],
+                       "ContinuationSequenceNumber": cont,
+                       "MillisBehindLatest": 0}]
+        return {"Events": events}
 
     def _handler(self):
         broker = self
