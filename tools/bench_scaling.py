@@ -84,6 +84,12 @@ FAMILIES = {
     "lm_score": "lm_score",
     "token_drift": "token_drift",
     "chat_pack": "chat_pack",
+    # r13: the incremental banded-index join should scale with the
+    # increment+index sizes (both grow with the corpus here — the
+    # interesting property is NO quadratic pair blowup); sft_dedup
+    # chains chat window → masked simhash → label propagation
+    "incremental_fp": "incremental_fp",
+    "sft_dedup": "sft_dedup",
 }
 ID_SHIFT = 10_000_000
 
