@@ -1778,18 +1778,53 @@ config:
             F.col("cluster_size").cast("long").alias("cluster_size"),
             F.col("is_kept").cast("long").alias("is_kept"))
 
+    def q_pref_pairs(spark, sf):
+        # r13: preference-pair prep (datapipe/rlhf.py) for RM/DPO
+        # training — responses synthesized by doc_id arithmetic
+        # (prompt = doc_id div 5, score = doc_id·13 mod 7 with planned
+        # ties; every (doc_id%5==3 & %3==0) response reuses the
+        # previous response's text so the VERBATIM guard is exercised);
+        # both modes in one part, discriminated by pmode
+        from enrich_spark.datapipe.rlhf import preference_pairs
+
+        docs = _load_docs(spark, sf).select("doc_id", "text")
+        src = F.when((F.col("doc_id") % 5 == 3)
+                     & (F.col("doc_id") % 3 == 0),
+                     F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+        base = docs.select(
+            F.expr("doc_id div 5").cast("long").alias("prompt_id"),
+            F.col("doc_id").alias("response_id"),
+            src.cast("long").alias("_src"),
+            ((F.col("doc_id") * 13) % 7).cast("long").alias("score"))
+        resp = base.join(
+            docs.select(F.col("doc_id").alias("_src"),
+                        F.substring("text", 1, 80).alias("text")),
+            "_src").drop("_src")
+        bvw = preference_pairs(resp).withColumn("pmode", F.lit("bvw"))
+        allp = preference_pairs(resp, margin=3, mode="all_pairs") \
+            .withColumn("pmode", F.lit("all"))
+        return bvw.unionByName(allp).select(
+            F.col("prompt_id").cast("long").alias("prompt_id"),
+            F.col("chosen_id").cast("long").alias("chosen_id"),
+            F.col("rejected_id").cast("long").alias("rejected_id"),
+            F.col("score_margin").cast("long").alias("score_margin"),
+            "pmode")
+
     q["sessionize"] = lambda spark, sf: _union_parts(
         [("stats", q_sessionize(spark, sf)),
          ("stream_closed", q_sessionize_stream(spark, sf)),
          ("stream_dedup", q_stream_dedup(spark, sf)),
          ("chat", q_chat_assemble(spark, sf)),
-         ("sftdedup", q_sft_dedup(spark, sf))],
+         ("sftdedup", q_sft_dedup(spark, sf)),
+         ("pref", q_pref_pairs(spark, sf))],
         fill=("user_id", "n_sessions", "n_events", "session_index",
               "ss_us", "se_us", "event_id",
               "conv_id", "n_turns", "n_mask_turns", "chat_md5",
               "mask_spans_str", "total_chars", "mask_chars",
               "alternation_ok", "roles_ok", "ends_with_mask",
-              "no_empty", "cluster_id", "cluster_size", "is_kept"),
+              "no_empty", "cluster_id", "cluster_size", "is_kept",
+              "prompt_id", "chosen_id", "rejected_id", "score_margin",
+              "pmode"),
     )
 
     def q_sql_lookup(spark, sf):
@@ -4990,6 +5025,8 @@ config:
         # r13: assistant-content-only conversation dedup (sessionize
         # sftdedup part)
         "sft_dedup": q_sft_dedup,
+        # r13: RM/DPO preference-pair prep (sessionize pref part)
+        "preference_pairs": q_pref_pairs,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -7851,6 +7888,22 @@ def oracle_sql() -> dict[str, str]:
          {"src_event_id": "num", "e": "str", "aid": "str", "k": "str",
           "src": "str", "is_err": "num"}),
     ])
+    from enrich_spark.datapipe.rlhf import (
+        preference_pairs_sql as _pref_sql,
+    )
+
+    # the pref fixture's responses table, rebuilt in SQL: prompt =
+    # doc_id div 5, verbatim-reuse of the previous response's text at
+    # (doc_id % 5 = 3 AND doc_id % 3 = 0), score = 13·doc_id mod 7
+    _PREF_RESPONSES_SQL = """(
+        SELECT d.doc_id // 5 AS prompt_id, d.doc_id AS response_id,
+               substring(s.text, 1, 80) AS text,
+               (d.doc_id * 13) % 7 AS score
+        FROM documents d JOIN documents s
+          ON s.doc_id = CASE WHEN d.doc_id % 5 = 3 AND d.doc_id % 3 = 0
+                             THEN d.doc_id - 1 ELSE d.doc_id END
+    )"""
+
     o["sessionize"] = _union_oracle([
         ("stats", o.pop("sessionize"),
          {"user_id": "num", "n_sessions": "num", "n_events": "num"}),
@@ -7973,6 +8026,19 @@ def oracle_sql() -> dict[str, str]:
         """,
          {"conv_id": "num", "cluster_id": "num", "cluster_size": "num",
           "is_kept": "num"}),
+        # r13: preference pairs — same doc_id-arithmetic responses
+        # (verbatim reuse at %5==3 & %3==0, score = 13·doc_id mod 7),
+        # both modes replayed via datapipe/rlhf.py's SQL mirror
+        ("pref",
+         "SELECT prompt_id, chosen_id, rejected_id, score_margin, "
+         "'bvw' AS pmode FROM ("
+         + _pref_sql(_PREF_RESPONSES_SQL) + ") UNION ALL "
+         "SELECT prompt_id, chosen_id, rejected_id, score_margin, "
+         "'all' AS pmode FROM ("
+         + _pref_sql(_PREF_RESPONSES_SQL, margin=3, mode="all_pairs")
+         + ")",
+         {"prompt_id": "num", "chosen_id": "num", "rejected_id": "num",
+          "score_margin": "num", "pmode": "str"}),
     ])
     o["iglu_validation"] = _union_oracle([
         ("basic", o.pop("iglu_validation"),

@@ -119,6 +119,7 @@ HEADLINE = [
     "chat_pack",              # conversation assembly + loss-mask spans
     "incremental_fp",         # new-shard fingerprint dedup vs stored index
     "sft_dedup",              # assistant-content-only conversation dedup
+    "preference_pairs",       # RM/DPO pair prep (guards + both modes)
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -156,7 +157,8 @@ GROUPS = [
      "zorder_cluster", "weighted_sample", "quantile_bins",
      "multimodal_resize", "token_budget_select", "domain_cap",
      "quantile_bins_grouped", "multimodal_dedup", "audio_dedup",
-     "chat_pack", "incremental_fp", "sft_dedup"],
+     "chat_pack", "incremental_fp", "sft_dedup",
+     "preference_pairs"],
 ]
 assert sorted(n for g in GROUPS for n in g) == sorted(HEADLINE)
 

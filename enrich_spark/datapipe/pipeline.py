@@ -369,6 +369,21 @@ def _op_image_dedup_keep(docs, binary_col="media", id_col="doc_id",
         id_col, "left_semi")
 
 
+def _op_preference_pairs(responses, prompt_col="prompt_id",
+                         id_col="response_id", text_col="text",
+                         score_col="score", margin=1,
+                         mode="best_vs_worst", **_):
+    """Transform (grain change): scored responses → (chosen, rejected)
+    preference pairs with the verbatim/margin guards
+    (rlhf.preference_pairs)."""
+    from .rlhf import preference_pairs
+
+    return preference_pairs(responses, prompt_col=prompt_col,
+                            id_col=id_col, text_col=text_col,
+                            score_col=score_col, margin=int(margin),
+                            mode=mode)
+
+
 def _op_shard_export(docs, path, n_shards, id_col="doc_id",
                      order_col=None, seed=0, **_):
     """Sink: physically export as shard_id=K/ parquet (one file per
@@ -415,6 +430,7 @@ CURATION_OPS = {
     "boilerplate_lines": _op_boilerplate_lines,
     "normalize_text": _op_normalize_text,
     "chat_assemble": _op_chat_assemble,
+    "preference_pairs": _op_preference_pairs,
     # sink
     "shard_export": _op_shard_export,
 }

@@ -122,7 +122,7 @@ EXPECTED_BUNDLE_PARTS = {
                              "fit", "skew", "shards"],
     "dedup_despan": ["despan", "lines", "novelty"],
     "sessionize": ["stats", "stream_closed", "stream_dedup", "chat",
-                   "sftdedup"],
+                   "sftdedup", "pref"],
     "sql_lookup_join": ["broadcast", "json"],
     "yauaa_classify": ["native", "rules"],
     "iglu_validation": ["basic", "advanced"],

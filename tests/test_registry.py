@@ -105,6 +105,7 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "audio_dedup": "multimodal",
         "incremental_fp": "multimodal",
         "sft_dedup": "sessionize",
+        "preference_pairs": "sessionize",
         "chat_pack": "sessionize",
         "script_js": "script_hook",  # bench-only throughput variant
     }

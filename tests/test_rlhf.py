@@ -1,0 +1,116 @@
+"""Preference-pair prep for reward-model / DPO training
+(datapipe/rlhf.py): guards (verbatim, margin, degenerate prompt),
+deterministic tie-breaks, Spark-vs-DuckDB parity, plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from enrich_spark.datapipe.rlhf import preference_pairs, preference_pairs_sql
+
+
+def _resp(spark, rows):
+    return spark.createDataFrame(
+        rows, "prompt_id long, response_id long, text string, score long")
+
+
+def test_best_vs_worst_guards_and_tiebreaks(spark):
+    rows = [
+        # prompt 1: tie at the top (5,5) -> lowest id chosen; worst = 3
+        (1, 1, "alpha", 5), (1, 2, "beta", 5), (1, 3, "gamma", 1),
+        # prompt 2: best and worst texts IDENTICAL -> verbatim guard
+        (2, 4, "same answer", 3), (2, 5, "same answer", 1),
+        # prompt 3: single response -> no pair
+        (3, 6, "solo", 2),
+        # prompt 4: margin 1 not met (2 vs 2)
+        (4, 7, "x", 2), (4, 8, "y", 2),
+    ]
+    got = {r.prompt_id: r for r in
+           preference_pairs(_resp(spark, rows)).collect()}
+    assert set(got) == {1}
+    assert (got[1].chosen_id, got[1].rejected_id,
+            got[1].score_margin) == (1, 3, 4)
+
+    allp = sorted((r.prompt_id, r.chosen_id, r.rejected_id)
+                  for r in preference_pairs(
+                      _resp(spark, rows), mode="all_pairs").collect())
+    assert allp == [(1, 1, 3), (1, 2, 3)]
+
+    with pytest.raises(ValueError, match="mode"):
+        preference_pairs(_resp(spark, rows), mode="bogus")
+
+
+def test_preference_pairs_margin(spark):
+    rows = [(1, 1, "a", 10), (1, 2, "b", 8), (1, 3, "c", 5)]
+    got = sorted((r.chosen_id, r.rejected_id, r.score_margin)
+                 for r in preference_pairs(
+                     _resp(spark, rows), margin=3,
+                     mode="all_pairs").collect())
+    assert got == [(1, 3, 5), (2, 3, 3)]     # 10-8=2 < 3 excluded
+    bvw = preference_pairs(_resp(spark, rows), margin=6).collect()
+    assert [(r.chosen_id, r.rejected_id) for r in bvw] == []
+
+
+def test_preference_pairs_duckdb_parity(spark, tmp_path):
+    import pandas as pd
+
+    rows = []
+    for p in range(40):
+        for k in range(1 + p % 5):
+            rid = p * 10 + k
+            # planned verbatim dups (%7), planned score ties (%3)
+            text = f"response body {p if p % 7 else 0}-{k % 2}"
+            rows.append((p, rid, text, (rid * 13) % 3))
+    pd.DataFrame(rows, columns=["prompt_id", "response_id", "text",
+                                "score"]).to_parquet(f"{tmp_path}/r.parquet")
+    df = spark.read.parquet(f"{tmp_path}/r.parquet")
+    for mode in ("best_vs_worst", "all_pairs"):
+        got = sorted(tuple(r) for r in preference_pairs(
+            df, mode=mode).collect())
+        want = sorted(tuple(r) for r in duckdb.connect().execute(
+            preference_pairs_sql(f"read_parquet('{tmp_path}/r.parquet')",
+                                 mode=mode)).fetchall())
+        assert got == want, mode
+
+
+def test_preference_pairs_plan_shape(spark):
+    """best_vs_worst is ONE prompt-keyed partial+final aggregate (the
+    struct min/max compiles to SortAggregate with map-side combine —
+    its Sorts are per-partition, never a global single-partition
+    sort) and no window; all_pairs is a prompt-keyed equi-join —
+    never cartesian."""
+    df = _resp(spark, [(1, 1, "a", 2), (1, 2, "b", 1)])
+    for mode in ("best_vs_worst", "all_pairs"):
+        out = preference_pairs(df, mode=mode)
+        out.collect()
+        plan = out._sc._jvm.org.apache.spark.sql.api.python \
+            .PythonSQLUtils.explainString(
+                out._jdf.queryExecution(), "formatted")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "EvalPython" not in plan
+        assert "Exchange SinglePartition" not in plan
+        if mode == "best_vs_worst":
+            final = plan.split("== Initial Plan ==")[0]
+            assert "Window" not in final
+            # partial aggregate sits BELOW the exchange (map-side
+            # combine engaged): first aggregate node deeper than it
+            tree = [ln for ln in final.splitlines() if "(" in ln]
+            agg_idxs = [i for i, ln in enumerate(tree)
+                        if "Aggregate" in ln]
+            exch_idxs = [i for i, ln in enumerate(tree)
+                         if "Exchange" in ln or "ShuffleQueryStage" in ln]
+            assert agg_idxs and exch_idxs
+            assert max(agg_idxs) > min(exch_idxs)
+
+
+def test_preference_pairs_pipeline_op(spark):
+    from enrich_spark.datapipe.pipeline import run_pipeline
+
+    rows = [(1, 1, "a", 5), (1, 2, "b", 1), (2, 3, "c", 2)]
+    out = run_pipeline(_resp(spark, rows),
+                       [{"op": "preference_pairs", "margin": 2}])
+    assert [(r.prompt_id, r.chosen_id, r.rejected_id)
+            for r in out.collect()] == [(1, 1, 2)]
