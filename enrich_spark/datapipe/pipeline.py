@@ -369,6 +369,27 @@ def _op_image_dedup_keep(docs, binary_col="media", id_col="doc_id",
         id_col, "left_semi")
 
 
+def _op_sft_dedup_keep(turns, conv_col="conv_id", idx_col="turn_idx",
+                       role_col="role", text_col="text",
+                       mask_role="assistant", max_hamming=8, **_):
+    """Transform (grain change): turn rows → assembled conversations
+    that SURVIVE assistant-content near-dedup (chat.sft_masked_dedup)
+    — the config-drivable SFT ingest: assemble, dedup on the masked
+    side only, keep the most-supervised copy per cluster."""
+    from .chat import chat_assemble, sft_masked_dedup
+
+    assembled = chat_assemble(turns, conv_col=conv_col,
+                              idx_col=idx_col, role_col=role_col,
+                              text_col=text_col, mask_role=mask_role)
+    verdict = sft_masked_dedup(turns, conv_col=conv_col,
+                               idx_col=idx_col, role_col=role_col,
+                               text_col=text_col, mask_role=mask_role,
+                               max_hamming=int(max_hamming))
+    return assembled.join(
+        verdict.where(F.col("is_kept") == 1).select("conv_id"),
+        "conv_id", "left_semi")
+
+
 def _op_preference_pairs(responses, prompt_col="prompt_id",
                          id_col="response_id", text_col="text",
                          score_col="score", margin=1,
@@ -431,6 +452,7 @@ CURATION_OPS = {
     "normalize_text": _op_normalize_text,
     "chat_assemble": _op_chat_assemble,
     "preference_pairs": _op_preference_pairs,
+    "sft_dedup_keep": _op_sft_dedup_keep,
     # sink
     "shard_export": _op_shard_export,
 }

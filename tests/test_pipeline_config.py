@@ -394,3 +394,25 @@ def test_pipeline_r13_ops(spark, tmp_path):
     gated = run_pipeline(
         turns, [{"op": "chat_assemble", "require_valid": True}])
     assert [r.conv_id for r in gated.collect()] == [1]
+
+
+def test_pipeline_sft_dedup_keep(spark):
+    """turns -> assembled conversations surviving assistant-content
+    dedup, as ONE config step (the SFT ingest shape): the duplicate
+    answer under a different prompt is dropped, the most-supervised
+    copy survives."""
+    ans = ("to reverse a list in python use the built in reversed "
+           "function or slice with a negative step like lst reversed")
+    turns = spark.createDataFrame(
+        [(1, 0, "user", "how?"), (1, 1, "assistant", ans),
+         (2, 0, "user", "different prompt"), (2, 1, "assistant", ans),
+         (3, 0, "user", "other"), (3, 1, "assistant", "unrelated "
+          "answer about mountains and weather patterns this season")],
+        "conv_id long, turn_idx long, role string, text string")
+    out = run_pipeline(turns, [{"op": "sft_dedup_keep"}])
+    got = {r.conv_id: r for r in out.collect()}
+    # the verbatim answer under a DIFFERENT prompt clusters 1 with 2;
+    # equal supervised chars tie -> lowest conv id survives
+    assert set(got) == {1, 3}
+    assert got[1].text.startswith("<|user|>\n")
+    assert got[1].n_mask_turns == 1

@@ -764,3 +764,110 @@ def test_ngram_novelty_matches_brute_force_property(docs_words, n):
     got = sorted((r.doc_id, r.n_grams, r.n_novel, r.novelty_bp)
                  for r in ngram_novelty(df, n=n).collect())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r13 operators: pure-Python replays under hypothesis
+
+
+@given(
+    hashes=st.lists(st.integers(min_value=-(1 << 63),
+                                max_value=(1 << 63) - 1),
+                    min_size=2, max_size=14, unique=True),
+    max_hamming=st.integers(min_value=0, max_value=6),
+    extra_bands=st.integers(min_value=0, max_value=60),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_hamming_pairs_property(hashes, max_hamming, extra_bands):
+    """Any band count ≥ max_hamming+1 (pigeonhole floor) over any
+    hash multiset returns EXACTLY the brute-force Hamming-≤k pair set
+    — including the non-divisor widths 33..63 the r13 fix opened."""
+    from enrich_spark.datapipe.dedup import hamming_pairs
+
+    bands = min(64, max_hamming + 1 + extra_bands)
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], "doc_id LONG, h LONG")
+    got = sorted((r.id_a, r.id_b, r.hamming)
+                 for r in hamming_pairs(df, hash_col="h",
+                                        max_hamming=max_hamming,
+                                        bands=bands).collect())
+    brute = sorted(
+        (a, b, bin((ha ^ hb) & ((1 << 64) - 1)).count("1"))
+        for a, ha in enumerate(hashes) for b, hb in enumerate(hashes)
+        if a < b and bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+        <= max_hamming)
+    assert got == brute
+
+
+_role = st.sampled_from(["system", "user", "assistant", None])
+_body = st.one_of(st.none(), st.text(
+    alphabet=st.characters(codec="utf-8",
+                           exclude_characters="\x00",
+                           exclude_categories=("Cs",)),
+    max_size=12))
+
+
+@given(turns=st.lists(st.tuples(st.integers(0, 2), _role, _body),
+                      min_size=1, max_size=10))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_masked_content_extracts_exactly_the_mask_bodies(turns):
+    """For ANY conversation shape (NULL roles, NULL/empty/unicode
+    bodies), the span-extracted masked content equals the newline-join
+    of the mask-role turn bodies in turn order — i.e. the cumsum span
+    arithmetic is exact in the presence of every edge the generator
+    can produce."""
+    from enrich_spark.datapipe.chat import chat_assemble, masked_content
+
+    rows = [(int(c), int(i), r, b)
+            for i, (c, r, b) in enumerate(turns)]
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_idx long, role string, text string")
+    got = {r.conv_id: r.m for r in chat_assemble(df).select(
+        "conv_id", masked_content().alias("m")).collect()}
+    want: dict = {}
+    for c, i, r, b in sorted(rows, key=lambda x: x[1]):
+        if r == "assistant":
+            want.setdefault(c, []).append(b or "")
+    for c in got:
+        assert got[c] == "\n".join(want.get(c, []))
+
+
+@given(resp=st.lists(
+    st.tuples(st.integers(0, 3), st.sampled_from(["a", "b", "c", "d"]),
+              st.integers(0, 5)),
+    min_size=1, max_size=12))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_preference_pairs_property(resp):
+    """best_vs_worst and all_pairs match a pure-Python replay of the
+    guards and tie-breaks for any scored-response multiset."""
+    from enrich_spark.datapipe.rlhf import preference_pairs
+
+    rows = [(p, i, t, s) for i, (p, t, s) in enumerate(resp)]
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        rows, "prompt_id long, response_id long, text string, score long")
+
+    by_prompt: dict = {}
+    for p, i, t, s in rows:
+        by_prompt.setdefault(p, []).append((i, t, s))
+    want_bvw = set()
+    for p, rs in by_prompt.items():
+        best = max(rs, key=lambda x: (x[2], -x[0]))
+        worst = min(rs, key=lambda x: (x[2], x[0]))
+        if best[2] - worst[2] >= 1 and best[1] != worst[1]:
+            want_bvw.add((p, best[0], worst[0], best[2] - worst[2]))
+    got_bvw = {tuple(r) for r in preference_pairs(df).collect()}
+    assert got_bvw == want_bvw
+
+    want_all = {(p, a[0], b[0], a[2] - b[2])
+                for p, rs in by_prompt.items()
+                for a in rs for b in rs
+                if a[2] >= b[2] + 1 and a[1] != b[1]}
+    got_all = {tuple(r) for r in
+               preference_pairs(df, mode="all_pairs").collect()}
+    assert got_all == want_all
