@@ -218,6 +218,7 @@ def sft_masked_dedup(
     mask_role: str = "assistant",
     max_hamming: int = 8,
     hasher=None,
+    assembled: DataFrame | None = None,
 ) -> DataFrame:
     """SFT-aware near-dedup: dedup conversations on the MASKED
     (assistant) content ONLY — duplicate assistant answers under
@@ -234,20 +235,28 @@ def sft_masked_dedup(
     Output per conversation: conv_id, cluster_id, cluster_size,
     is_kept. Scale shape: the chat window (conversation-bounded) +
     the simhash banded equi-join + diameter-bounded label propagation
-    — no cross join, no unpartitioned window anywhere in the chain."""
+    — no cross join, no unpartitioned window anywhere in the chain.
+
+    ``assembled``: pass a :func:`chat_assemble` output frame (must
+    carry conv_id, text, mask_spans, mask_chars) to skip re-assembling
+    ``turns`` — a caller that already assembled (e.g. the
+    sft_dedup_keep pipeline op) must not pay the conversation window
+    twice; ``turns`` is ignored when this is given."""
     from .dedup import apply_dedup_policy, simhash_pairs
 
-    assembled = chat_assemble(
-        turns, conv_col=conv_col, idx_col=idx_col, role_col=role_col,
-        text_col=text_col, roles=roles, mask_role=mask_role,
-    ).select(
+    if assembled is None:
+        assembled = chat_assemble(
+            turns, conv_col=conv_col, idx_col=idx_col,
+            role_col=role_col, text_col=text_col, roles=roles,
+            mask_role=mask_role)
+    masked = assembled.select(
         "conv_id",
         masked_content().alias("_masked"),
         "mask_chars",
     )
-    pairs = simhash_pairs(assembled, text_col="_masked",
+    pairs = simhash_pairs(masked, text_col="_masked",
                           id_col="conv_id", max_hamming=max_hamming,
                           hasher=hasher)
-    return apply_dedup_policy(assembled, pairs,
+    return apply_dedup_policy(masked, pairs,
                               quality_col="mask_chars",
                               id_col="conv_id")

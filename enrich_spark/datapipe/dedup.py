@@ -1465,9 +1465,11 @@ def incremental_hamming_pairs(
     :func:`incremental_dedup_pairs` defines for minhash).
 
     Output: (new_id, corpus_id, hamming), hamming ≤ max_hamming, one
-    row per pair. A new-batch id already present in the index pairs
-    with itself at hamming 0 unless filtered by id inequality — kept,
-    as re-ingest detection is exactly what the increment wants.
+    row per DISTINCT-id pair. A new-batch id that is ALSO in the index
+    does NOT pair with itself (the join requires new_id ≠ corpus_id):
+    same-id re-ingest is exact-identity territory — detect it with the
+    shard manifest / content hash, not the near-dup path. A re-ingest
+    under a NEW id pairs at hamming 0 like any other near-dup.
 
     Scale shape: the corpus side never reshuffles when the index is
     bucketed on (band, bhash); the (small) increment is the moving

@@ -381,10 +381,11 @@ def _op_sft_dedup_keep(turns, conv_col="conv_id", idx_col="turn_idx",
     assembled = chat_assemble(turns, conv_col=conv_col,
                               idx_col=idx_col, role_col=role_col,
                               text_col=text_col, mask_role=mask_role)
-    verdict = sft_masked_dedup(turns, conv_col=conv_col,
-                               idx_col=idx_col, role_col=role_col,
-                               text_col=text_col, mask_role=mask_role,
-                               max_hamming=int(max_hamming))
+    # pass the assembled frame through: assembling twice would run the
+    # conversation window — the op's most expensive stage — twice
+    verdict = sft_masked_dedup(turns, mask_role=mask_role,
+                               max_hamming=int(max_hamming),
+                               assembled=assembled)
     return assembled.join(
         verdict.where(F.col("is_kept") == 1).select("conv_id"),
         "conv_id", "left_semi")

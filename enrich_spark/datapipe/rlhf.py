@@ -52,7 +52,15 @@ def preference_pairs(
     chosen_score − rejected_score (always ≥ ``margin``)."""
     if mode not in ("best_vs_worst", "all_pairs"):
         raise ValueError(f"preference_pairs: unknown mode {mode!r}")
-    base = responses.select(
+    # NULL score or NULL text excludes the ROW, never the prompt: an
+    # unscored/bodiless response can't vote. Without this filter a
+    # NULL-score row would sort FIRST in the struct min (Spark orders
+    # NULL fields first), make `best - worst >= margin` NULL, and
+    # silently drop the prompt's valid pair — diverging from the SQL
+    # mirror, whose min/max/ordered-first skip NULLs.
+    base = responses.where(
+        F.col(score_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
         F.col(prompt_col).alias("prompt_id"),
         F.col(id_col).alias("_id"),
         F.col(score_col).alias("_score"),
@@ -112,6 +120,7 @@ def preference_pairs_sql(
         SELECT {prompt_expr} AS prompt_id, {id_expr} AS rid,
                {score_expr} AS s, md5({text_expr}) AS d
         FROM {responses_sql}
+        WHERE {score_expr} IS NOT NULL AND {text_expr} IS NOT NULL
     """
     if mode == "all_pairs":
         return f"""

@@ -354,14 +354,21 @@ class KinesisFanoutSource:
                 break
             _time.sleep(0.01)
         if not rows:
-            # nothing buffered AND every shard persistently failing is
-            # a broken stream, not an idle one — surface it
+            # nothing buffered AND ANY shard persistently failing is a
+            # broken stream, not an idle one — surface it. One dead
+            # shard among healthy ones is PARTIAL DATA LOSS (its
+            # records are never consumed), which at-least-once
+            # semantics must make loud: buffered rows from healthy
+            # shards still deliver (the drain above), but the stream
+            # refuses to report idle while a shard is down. Recovery =
+            # the documented crash-restart contract (rebuild from the
+            # checkpoint).
             errs = self.shard_errors()
-            if errs and len(errs) == len(self._buf):
+            if errs:
                 from ..sources.kinesis import KinesisError
                 raise KinesisError(
-                    "fan-out: all shards in persistent subscribe "
-                    f"failure: {errs}")
+                    f"fan-out: {len(errs)}/{len(self._buf)} shard(s) "
+                    f"in persistent subscribe failure: {errs}")
             return None, state, lambda: None
         schema = T.StructType([
             T.StructField("value", T.BinaryType()),

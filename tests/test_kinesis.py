@@ -609,3 +609,54 @@ def test_fanout_multi_event_batches_and_buffer_bound(spark, tmp_path):
         src.close()
     finally:
         b.stop()
+
+
+def test_fanout_single_dead_shard_surfaces_on_idle(spark):
+    """r13 self-review: ONE permanently failing shard among healthy
+    ones is partial data loss, not an idle stream — healthy shards'
+    records still deliver, but once the stream would otherwise report
+    idle, pull() raises naming the dead shard."""
+    import time as _time
+
+    from enrich_spark.streaming.pull_runner import KinesisFanoutSource
+
+    class HalfBrokenClient:
+        def register_stream_consumer(self, stream, name):
+            return f"arn:fake:consumer/{name}"
+
+        def list_shards(self, stream):
+            return ["shardId-000", "shardId-001"]
+
+        def subscribe_to_shard(self, arn, shard_id, position=None,
+                               sequence_number=None):
+            if shard_id == "shardId-001":
+                raise KinesisError("ResourceNotFoundException")
+            if sequence_number is None:
+                return ([("k0", b"healthy-rec", "1", None)], "1")
+            return ([], sequence_number)       # healthy shard idle
+
+    conf = KinesisSourceConf(stream_name="half",
+                             endpoint_url="http://unused",
+                             retrieval_mode="FanOut")
+    src = KinesisFanoutSource(conf, client=HalfBrokenClient(),
+                              idle_wait_s=0.05)
+    src.persistent_failure_threshold = 3
+    try:
+        # the healthy shard's record must deliver first
+        deadline = _time.monotonic() + 10.0
+        df = None
+        while df is None and _time.monotonic() < deadline:
+            df, state, _ = src.pull(spark, {})
+        assert df is not None
+        assert [bytes(r.value) for r in df.collect()] == [b"healthy-rec"]
+        # then the idle stream surfaces the dead shard
+        deadline = _time.monotonic() + 30.0
+        with pytest.raises(KinesisError,
+                           match="1/2.*persistent subscribe"):
+            while _time.monotonic() < deadline:
+                out, _, _ = src.pull(spark, state)
+                assert out is None
+            raise AssertionError("dead shard never surfaced")
+        assert set(src.shard_errors()) == {"shardId-001"}
+    finally:
+        src.close()

@@ -114,3 +114,28 @@ def test_preference_pairs_pipeline_op(spark):
                        [{"op": "preference_pairs", "margin": 2}])
     assert [(r.prompt_id, r.chosen_id, r.rejected_id)
             for r in out.collect()] == [(1, 1, 2)]
+
+
+def test_preference_pairs_null_score_or_text_excludes_row_not_prompt(
+        spark, tmp_path):
+    """r13 self-review: a NULL score (or NULL text) must drop only
+    that ROW — the prompt's remaining responses still pair — and both
+    engines must agree (Spark struct min/max would otherwise sort the
+    NULL-score row first and silently drop the whole prompt)."""
+    import pandas as pd
+
+    rows = [(1, 1, "a", 5), (1, 2, "b", 1), (1, 3, "c", None),
+            (2, 4, None, 9), (2, 5, "e", 3), (2, 6, "f", 1)]
+    pd.DataFrame(rows, columns=["prompt_id", "response_id", "text",
+                                "score"]).to_parquet(f"{tmp_path}/n.parquet")
+    df = spark.read.parquet(f"{tmp_path}/n.parquet")
+    got = {r.prompt_id: (r.chosen_id, r.rejected_id, r.score_margin)
+           for r in preference_pairs(df).collect()}
+    assert got == {1: (1, 2, 4), 2: (5, 6, 2)}
+    for mode in ("best_vs_worst", "all_pairs"):
+        g = sorted(tuple(r) for r in preference_pairs(
+            df, mode=mode).collect())
+        w = sorted(tuple(r) for r in duckdb.connect().execute(
+            preference_pairs_sql(f"read_parquet('{tmp_path}/n.parquet')",
+                                 mode=mode)).fetchall())
+        assert g == w, mode
