@@ -90,6 +90,7 @@ FAMILIES = {
     # chains chat window → masked simhash → label propagation
     "incremental_fp": "incremental_fp",
     "sft_dedup": "sft_dedup",
+    "preference_pairs": "preference_pairs",
 }
 ID_SHIFT = 10_000_000
 
