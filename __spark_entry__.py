@@ -385,8 +385,16 @@ _ASOF_RATES = [
 ]
 
 
+_FIXTURE_ACCESS: list | None = None   # bench.py sets a list to record
+#                                       every key TOUCHED (hit or
+#                                       build) — teardown scheduling
+#                                       needs accessors, not builders
+
+
 def _cached_fixture(spark: SparkSession, name: str, sf_dir: str, builder):
     key = (name, sf_dir, spark.sparkContext.applicationId)
+    if _FIXTURE_ACCESS is not None:
+        _FIXTURE_ACCESS.append(key)
     df = _FIXTURE_CACHE.get(key)
     if df is None:
         df = builder().persist()
@@ -4831,6 +4839,12 @@ config:
         )
         from enrich_spark.datapipe.multimodal import image_dhash
 
+        # shares q_dhash_pairs' fixture KEY deliberately: a separate
+        # key cannot buy a separate cache lifetime anyway — the two
+        # plans are byte-identical, so Spark's CacheManager dedupes
+        # them into ONE cached entry and unpersisting either DF drops
+        # it for both. Cross-row lifetime is bench.py's job (it tears
+        # a fixture down after its LAST accessor in the group).
         h = _cached_fixture(
             spark, "dhash_hashes", sf,
             lambda: image_dhash(_dhash_docs(spark, sf)).where(

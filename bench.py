@@ -185,18 +185,33 @@ def _run_group(names: list[str], sf_dir: str) -> None:
     # (Measured: without this, sub-0.3 s rows read ~2× their steady
     # state in a fresh group JVM — SCALE.md "r9 suite-order".)
     cold: dict[str, float] = {}
-    fixture_keys: dict[str, set] = {}
+    accessed_keys: dict[str, set] = {}
     for name in names:
-        before = set(entrymod._FIXTURE_CACHE)
+        entrymod._FIXTURE_ACCESS = access = []
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).count()
         cold[name] = round(time.perf_counter() - t0, 3)
-        fixture_keys[name] = set(entrymod._FIXTURE_CACHE) - before
+        accessed_keys[name] = set(access)
+    entrymod._FIXTURE_ACCESS = None
+    # teardown schedule: a fixture dies after its LAST accessor in the
+    # group, not its first builder. Two rows can share a fixture (r13:
+    # multimodal_dedup and incremental_fp both read dhash_hashes — and
+    # even under distinct dict keys, plan-identical fixtures share ONE
+    # CacheManager entry), so builder-scoped teardown unpersisted the
+    # shared entry mid-group and the later row re-synthesized on every
+    # warm run (measured: 1.78 s vs 0.32 s).
+    last_user: dict = {}
+    for name in names:
+        for key in accessed_keys[name]:
+            last_user[key] = name
+    teardown: dict[str, list] = {}
+    for key, owner in last_user.items():
+        teardown.setdefault(owner, []).append(key)
 
     # Phase B: timed warm runs, then per-query fixture teardown —
-    # synthesized fixtures are per-query (one consumer each), and
-    # leaving them persisted squeezes execution memory for every later
-    # query (the r8 suite-wide regression)
+    # synthesized fixtures are query-scoped, and leaving them persisted
+    # squeezes execution memory for every later query (the r8
+    # suite-wide regression)
     for name in names:
         fn = queries[name]
         samples = []
@@ -207,7 +222,7 @@ def _run_group(names: list[str], sf_dir: str) -> None:
         samples.sort()
         median = round(samples[len(samples) // 2], 3)
         spread = round(samples[-1] - samples[0], 3)
-        for key in fixture_keys[name]:
+        for key in teardown.get(name, ()):
             df = entrymod._FIXTURE_CACHE.pop(key, None)
             if df is not None:
                 df.unpersist()
