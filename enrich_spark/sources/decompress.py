@@ -27,6 +27,9 @@ this container; gzip is stdlib.
 from __future__ import annotations
 
 import gzip
+import pandas as pd  # module-level: pandas_udf type hints are strings
+#                      under `from __future__ import annotations` and must
+#                      resolve against MODULE globals
 import io
 import struct
 
@@ -126,9 +129,14 @@ def debatch_bytes(data, max_bytes_single_payload: int = 1 << 20):
 
 
 def make_debatch_udf(max_bytes_single_payload: int = 1 << 20):
-    @F.udf(returnType=RESULT_TYPE)
-    def debatch(data):
-        return debatch_bytes(data, max_bytes_single_payload)
+    """Arrow-batched de-batch UDF (r13: was row-at-a-time ``F.udf`` —
+    the one BatchEvalPython left on a production ingest path; the
+    pandas form amortizes JVM↔Python serialization exactly like the
+    thrift decoder's, loaders/thrift.py)."""
+    @F.pandas_udf(RESULT_TYPE)
+    def debatch(data: pd.Series) -> pd.Series:
+        return pd.Series(
+            [debatch_bytes(v, max_bytes_single_payload) for v in data])
 
     return debatch
 
