@@ -46,6 +46,7 @@ from enrich_spark.datapipe.sketches import (
     kmv_overlap_estimate_sql as _kmv_overlap_sql,
     kmv_sketch_sql as _kmv_sk_sql,
 )
+from enrich_spark.datapipe.text import code_profile_sql as _code_sql
 from enrich_spark.datapipe.text import script_profile_sql as _script_sql
 from enrich_spark.datapipe.layout import weighted_sample_k_sql as _wsk_sql
 from enrich_spark.datapipe.similarity import (
@@ -4395,6 +4396,21 @@ config:
                                  lambda: lm_counts(docs))
         return lm_score(docs, counts)
 
+    def q_code_profile(spark, sf):
+        # r13: code-vs-prose router (text.code_profile) — native
+        # regexp counts over RE2-safe patterns the oracle replays
+        # verbatim; the documents fixture has little real code, so the
+        # signal exercise lives in the unit fixtures — the gate checks
+        # engine parity of every count and the integer blend
+        from enrich_spark.datapipe.text import code_profile
+
+        return code_profile(_load_docs(spark, sf)).select(
+            "doc_id",
+            F.col("n_chars").alias("cp_chars"),
+            F.col("n_lines").alias("cp_lines"),
+            "n_sym", "n_ops", "n_indent_lines", "n_kw",
+            "code_score_bp", "is_code")
+
     def q_text_analysis(spark, sf):
         # the text-analysis operator family bundled into ONE oracle row
         # (driver caps the correctness gate at 50 queries — standalone
@@ -4418,7 +4434,8 @@ config:
              ("bm25", q_bm25(spark, sf)),
              ("clean", q_text_norm(spark, sf)),
              ("script", q_script_profile(spark, sf)),
-             ("sbo", q_sbo_lm(spark, sf))],
+             ("sbo", q_sbo_lm(spark, sf)),
+             ("code", q_code_profile(spark, sf))],
             fill=("doc_id", "n_chars", "n_words", "mean_word_len",
                   "punct_ratio", "stopword_ratio", "distinct_word_ratio",
                   "dup_line_ratio", "top_bigram_char_ratio", "quality_score",
@@ -4438,7 +4455,10 @@ config:
                   "n_latin", "n_cyrillic", "n_greek", "n_arabic",
                   "n_hebrew", "n_devanagari", "n_cjk", "n_kana",
                   "n_hangul", "n_other", "nonascii_bp",
-                  "logp_micro", "avg_logp_micro"),
+                  "logp_micro", "avg_logp_micro",
+                  "cp_chars", "cp_lines", "n_sym", "n_ops",
+                  "n_indent_lines", "n_kw", "code_score_bp",
+                  "is_code"),
         )
 
     q["text_analysis"] = q_text_analysis
@@ -5041,6 +5061,8 @@ config:
         "sft_dedup": q_sft_dedup,
         # r13: RM/DPO preference-pair prep (sessionize pref part)
         "preference_pairs": q_pref_pairs,
+        # r13: code-vs-prose router (text_analysis code part)
+        "code_profile": q_code_profile,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -7669,6 +7691,15 @@ def oracle_sql() -> dict[str, str]:
         ("sbo", _lm_score_sql("documents", _lm_counts_sql("documents")),
          {"doc_id": "num", "n_tokens": "num", "logp_micro": "num",
           "avg_logp_micro": "num"}),
+        # r13: code-vs-prose router — RE2-safe regexp counts + the
+        # integer blend, replayed verbatim
+        ("code",
+         "SELECT doc_id, n_chars AS cp_chars, n_lines AS cp_lines, "
+         "n_sym, n_ops, n_indent_lines, n_kw, code_score_bp, is_code "
+         "FROM (" + _code_sql("documents") + ")",
+         {"doc_id": "num", "cp_chars": "num", "cp_lines": "num",
+          "n_sym": "num", "n_ops": "num", "n_indent_lines": "num",
+          "n_kw": "num", "code_score_bp": "num", "is_code": "num"}),
     ])
     # dHash fixture replay: param p (planned dup/near-dup reuse of the
     # previous subset member), optional one-pixel +40 perturbation at

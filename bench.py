@@ -120,6 +120,7 @@ HEADLINE = [
     "incremental_fp",         # new-shard fingerprint dedup vs stored index
     "sft_dedup",              # assistant-content-only conversation dedup
     "preference_pairs",       # RM/DPO pair prep (guards + both modes)
+    "code_profile",           # code-vs-prose router (regexp counts)
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -149,7 +150,7 @@ GROUPS = [
      "text_pii_scrub", "quality_model_score", "corpus_stats",
      "doc_fingerprint", "bpe_tokenize", "url_normalize", "html_extract",
      "bm25_rank", "robots_filter", "text_normalize", "script_profile",
-     "kmv_overlap", "lm_score", "token_drift"],
+     "kmv_overlap", "lm_score", "token_drift", "code_profile"],
     # data-mix / graph / merge / multimodal
     ["data_mix", "heavy_hitters", "k_anonymity", "pagerank",
      "dataset_manifest", "cdc_merge", "multimodal_frames",

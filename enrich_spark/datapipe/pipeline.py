@@ -369,6 +369,34 @@ def _op_image_dedup_keep(docs, binary_col="media", id_col="doc_id",
         id_col, "left_semi")
 
 
+def _op_code_profile(docs, text_col="text", id_col="doc_id",
+                     threshold_bp=2000, **_):
+    """Annotate: code-likeness signals + is_code flag
+    (text.code_profile) joined back onto the docs."""
+    from .text import code_profile
+
+    prof = code_profile(docs, text_col=text_col, id_col=id_col,
+                        threshold_bp=int(threshold_bp)).select(
+        id_col, "code_score_bp", "is_code")
+    return docs.join(prof, id_col, "left")
+
+
+def _op_code_filter(docs, mode="drop", text_col="text",
+                    id_col="doc_id", threshold_bp=2000, **_):
+    """Filter: route on code-likeness — mode='drop' keeps prose (the
+    web-corpus cleanup default), mode='keep' keeps code (building a
+    code corpus)."""
+    if mode not in ("drop", "keep"):
+        raise ValueError(f"code_filter: unknown mode {mode!r}")
+    if "is_code" not in docs.columns:
+        docs = _op_code_profile(docs, text_col=text_col, id_col=id_col,
+                                threshold_bp=threshold_bp)
+        out = docs.where(F.col("is_code")
+                         == (1 if mode == "keep" else 0))
+        return out.drop("code_score_bp", "is_code")
+    return docs.where(F.col("is_code") == (1 if mode == "keep" else 0))
+
+
 def _op_sft_dedup_keep(turns, conv_col="conv_id", idx_col="turn_idx",
                        role_col="role", text_col="text",
                        mask_role="assistant", max_hamming=8, **_):
@@ -429,10 +457,12 @@ CURATION_OPS = {
     "script_profile": _op_script_profile,
     "ngram_novelty": _op_ngram_novelty,
     "lm_score": _op_lm_score,
+    "code_profile": _op_code_profile,
     # filter
     "keep_scripts": _op_keep_scripts,
     "min_novelty": _op_min_novelty,
     "min_lm_score": _op_min_lm_score,
+    "code_filter": _op_code_filter,
     "containment_dedup_keep": _op_containment_dedup_keep,
     "domain_cap": _op_domain_cap,
     "keep_languages": _op_keep_languages,

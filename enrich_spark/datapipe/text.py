@@ -841,3 +841,108 @@ def script_profile_sql(
         "ELSE 0 END AS BIGINT) AS nonascii_bp")
     return "SELECT " + ",\n               ".join(sels) \
         + f" FROM {from_sql}"
+
+
+# ---------------------------------------------------------------------------
+# code detection — the code-vs-prose router a mixed web corpus needs
+# before setting code-mix ratios (and before prose-only quality gates
+# mis-score source files as "low quality text")
+
+# every pattern must parse identically under Java regex (Spark) AND
+# RE2 (DuckDB): no lookarounds, no backreferences
+CODE_SYM_RE = r"[{}\[\];]"
+CODE_OPS_RE = r"(==|!=|<=|>=|->|=>|::|&&|\|\||\+=|-=)"
+CODE_INDENT_RE = "\\n(    |\t)"
+CODE_KW_RE = (r"\b(def|function|return|import|const|var|let|void|"
+              r"public|static|class|lambda|elif|println|printf|struct|"
+              r"enum|typedef|namespace|template|self|fn|impl|match)\b")
+
+
+def code_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_bp: int = 2000,
+) -> DataFrame:
+    """Per-document code-likeness signals — all native regexp counts,
+    zero shuffles, zero Python, replayed 1:1 by the SQL oracle:
+
+    - ``n_sym``: structural symbols ``{}[];`` (rare in prose, dense in
+      every brace/bracket language)
+    - ``n_ops``: multi-char operators (``== != <= >= -> => :: && ||
+      += -=``)
+    - ``n_indent_lines``: lines opening with 4 spaces or a tab (block
+      indentation)
+    - ``n_kw``: word-boundary hits of code-specific keywords (chosen
+      to be rare in prose: def/const/elif/impl/..., NOT if/for/while)
+    - ``code_score_bp``: integer basis points —
+      ``min(10000, floor(10000·(2·sym + 6·ops + 8·indent + 8·kw) /
+      chars))`` — measured separation: typical code ≥ ~3000 bp,
+      typical prose ≤ ~500 bp
+    - ``is_code``: score ≥ ``threshold_bp`` (default 2000)
+
+    The router application: split a web corpus into prose/code streams
+    before prose-only quality gates (which mis-score source files) and
+    before setting the training code-mix ratio."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_sym = F.regexp_count(t, F.lit(CODE_SYM_RE))
+    n_ops = F.regexp_count(t, F.lit(CODE_OPS_RE))
+    n_ind = F.regexp_count(t, F.lit(CODE_INDENT_RE))
+    n_kw = F.regexp_count(t, F.lit(CODE_KW_RE))
+    raw = n_sym * 2 + n_ops * 6 + n_ind * 8 + n_kw * 8
+    score = F.when(
+        n_chars > 0,
+        F.least(F.lit(10000),
+                F.floor(raw * 10000 / n_chars))).otherwise(F.lit(0))
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        (F.regexp_count(t, F.lit("\n")) + 1).cast("long")
+        .alias("n_lines"),
+        n_sym.cast("long").alias("n_sym"),
+        n_ops.cast("long").alias("n_ops"),
+        n_ind.cast("long").alias("n_indent_lines"),
+        n_kw.cast("long").alias("n_kw"),
+        score.cast("long").alias("code_score_bp"),
+        (score >= threshold_bp).cast("long").alias("is_code"),
+    )
+
+
+def code_profile_sql(
+    from_sql: str,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    id_alias: str = "doc_id",
+    threshold_bp: int = 2000,
+) -> str:
+    """DuckDB mirror of :func:`code_profile` (same RE2-safe patterns,
+    same integer blend)."""
+    def cnt(pat):
+        # DuckDB regular string literals are escape-free (standard
+        # SQL): pass regex backslashes through verbatim
+        esc = pat.replace("'", "''")
+        return f"len(regexp_extract_all({text_expr}, '{esc}'))"
+
+    sym, ops = cnt(CODE_SYM_RE), cnt(CODE_OPS_RE)
+    ind = (f"len(regexp_extract_all({text_expr}, "
+           "chr(10) || '(    |' || chr(9) || ')'))")
+    kw = cnt(CODE_KW_RE)
+    raw = f"({sym} * 2 + {ops} * 6 + {ind} * 8 + {kw} * 8)"
+    score = (f"CASE WHEN length({text_expr}) > 0 THEN "
+             f"least(10000, floor({raw} * 10000 / length({text_expr}))) "
+             "ELSE 0 END")
+    nl = f"len(regexp_extract_all({text_expr}, chr(10)))"
+    return f"""
+        SELECT {id_expr} AS {id_alias},
+               CAST(length({text_expr}) AS BIGINT) AS n_chars,
+               CAST({nl} + 1 AS BIGINT) AS n_lines,
+               CAST({sym} AS BIGINT) AS n_sym,
+               CAST({ops} AS BIGINT) AS n_ops,
+               CAST({ind} AS BIGINT) AS n_indent_lines,
+               CAST({kw} AS BIGINT) AS n_kw,
+               CAST({score} AS BIGINT) AS code_score_bp,
+               CAST(CASE WHEN {score} >= {int(threshold_bp)}
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_code
+        FROM {from_sql}
+    """

@@ -416,3 +416,24 @@ def test_pipeline_sft_dedup_keep(spark):
     assert set(got) == {1, 3}
     assert got[1].text.startswith("<|user|>\n")
     assert got[1].n_mask_turns == 1
+
+
+def test_pipeline_code_profile_and_filter(spark):
+    code = ("def f(x):\n    return [i for i in range(x)];\n"
+            "class A:\n    def g(self) -> None:\n        self.x += 1\n"
+            "import os\nconst y = {};\n")
+    prose = ("The meeting covered quarterly results and the new "
+             "marketing plan for the region, with questions afterward.")
+    docs = spark.createDataFrame(
+        [(1, code, "web"), (2, prose, "web")],
+        "doc_id long, text string, source string")
+    ann = {r.doc_id: r for r in run_pipeline(
+        docs, [{"op": "code_profile"}]).collect()}
+    assert ann[1].is_code == 1 and ann[2].is_code == 0
+    assert ann[1].code_score_bp > 2000 > ann[2].code_score_bp
+    kept = {r.doc_id for r in run_pipeline(
+        docs, [{"op": "code_filter"}]).collect()}       # drop code
+    assert kept == {2}
+    kept = {r.doc_id for r in run_pipeline(
+        docs, [{"op": "code_filter", "mode": "keep"}]).collect()}
+    assert kept == {1}
