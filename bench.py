@@ -150,7 +150,7 @@ GROUPS = [
      "text_pii_scrub", "quality_model_score", "corpus_stats",
      "doc_fingerprint", "bpe_tokenize", "url_normalize", "html_extract",
      "bm25_rank", "robots_filter", "text_normalize", "script_profile",
-     "kmv_overlap", "lm_score", "token_drift", "code_profile"],
+     "kmv_overlap", "lm_score", "token_drift"],
     # data-mix / graph / merge / multimodal
     ["data_mix", "heavy_hitters", "k_anonymity", "pagerank",
      "dataset_manifest", "cdc_merge", "multimodal_frames",
@@ -158,8 +158,13 @@ GROUPS = [
      "zorder_cluster", "weighted_sample", "quantile_bins",
      "multimodal_resize", "token_budget_select", "domain_cap",
      "quantile_bins_grouped", "multimodal_dedup", "audio_dedup",
-     "chat_pack", "incremental_fp", "sft_dedup",
-     "preference_pairs"],
+     "chat_pack"],
+    # r13 additions get their OWN group: folding them into the r12
+    # groups would inflate every longtime member via the documented
+    # group-growth pattern (SCALE.md §15) and pollute round-over-round
+    # comparisons; new rows have no baseline to protect
+    ["incremental_fp", "sft_dedup", "preference_pairs",
+     "code_profile"],
 ]
 assert sorted(n for g in GROUPS for n in g) == sorted(HEADLINE)
 
