@@ -201,18 +201,32 @@ def _run_group(names: list[str], sf_dir: str) -> None:
     entrymod._FIXTURE_ACCESS = None
     # teardown schedule: a fixture dies after its LAST accessor in the
     # group, not its first builder. Two rows can share a fixture (r13:
-    # multimodal_dedup and incremental_fp both read dhash_hashes — and
-    # even under distinct dict keys, plan-identical fixtures share ONE
-    # CacheManager entry), so builder-scoped teardown unpersisted the
-    # shared entry mid-group and the later row re-synthesized on every
-    # warm run (measured: 1.78 s vs 0.32 s).
+    # multimodal_dedup and incremental_fp both read dhash_hashes), so
+    # builder-scoped teardown unpersisted the shared entry mid-group
+    # and the later row re-synthesized on every warm run (measured:
+    # 1.78 s vs 0.32 s). Sharing is resolved by PLAN IDENTITY
+    # (semanticHash of the analyzed plan), not the dict key: fixtures
+    # registered under DIFFERENT keys but byte-identical plans share
+    # ONE Spark CacheManager entry, so unpersisting either would drop
+    # it for both.
+    def _plan_id(key):
+        df = entrymod._FIXTURE_CACHE.get(key)
+        if df is None:
+            return key
+        try:
+            return ("plan", df._jdf.queryExecution().analyzed()
+                    .semanticHash())
+        except Exception:  # noqa: BLE001 — fall back to key identity
+            return key
+    plan_of = {key: _plan_id(key)
+               for name in names for key in accessed_keys[name]}
     last_user: dict = {}
     for name in names:
         for key in accessed_keys[name]:
-            last_user[key] = name
+            last_user[plan_of[key]] = name
     teardown: dict[str, list] = {}
-    for key, owner in last_user.items():
-        teardown.setdefault(owner, []).append(key)
+    for key, pid in plan_of.items():
+        teardown.setdefault(last_user[pid], []).append(key)
 
     # Phase B: timed warm runs, then per-query fixture teardown —
     # synthesized fixtures are query-scoped, and leaving them persisted

@@ -853,9 +853,13 @@ def script_profile_sql(
 CODE_SYM_RE = r"[{}\[\];]"
 CODE_OPS_RE = r"(==|!=|<=|>=|->|=>|::|&&|\|\||\+=|-=)"
 CODE_INDENT_RE = "\\n(    |\t)"
-CODE_KW_RE = (r"\b(def|function|return|import|const|var|let|void|"
-              r"public|static|class|lambda|elif|println|printf|struct|"
-              r"enum|typedef|namespace|template|self|fn|impl|match)\b")
+# code-ONLY tokens — everyday English words (return, class, public,
+# match, self, static, void, function) were removed after review: at
+# weight 8 two of them in a short prose doc ("He will return to
+# class.") crossed the threshold with zero code symbols
+CODE_KW_RE = (r"\b(def|elif|lambda|const|var|let|println|printf|"
+              r"struct|enum|typedef|namespace|template|fn|impl|"
+              r"nullptr|usize|foreach|instanceof|endif)\b")
 
 
 def code_profile(
@@ -886,10 +890,14 @@ def code_profile(
     before setting the training code-mix ratio."""
     t = F.col(text_col)
     n_chars = F.length(t)
-    n_sym = F.regexp_count(t, F.lit(CODE_SYM_RE))
-    n_ops = F.regexp_count(t, F.lit(CODE_OPS_RE))
-    n_ind = F.regexp_count(t, F.lit(CODE_INDENT_RE))
-    n_kw = F.regexp_count(t, F.lit(CODE_KW_RE))
+    # cast to LONG before the blend: regexp_count returns INT and
+    # `raw * 10000` overflows 32 bits on ~1 MB dense-code docs —
+    # ARITHMETIC_OVERFLOW under ANSI, silent wrap otherwise (the SQL
+    # mirror's len() is already BIGINT)
+    n_sym = F.regexp_count(t, F.lit(CODE_SYM_RE)).cast("long")
+    n_ops = F.regexp_count(t, F.lit(CODE_OPS_RE)).cast("long")
+    n_ind = F.regexp_count(t, F.lit(CODE_INDENT_RE)).cast("long")
+    n_kw = F.regexp_count(t, F.lit(CODE_KW_RE)).cast("long")
     raw = n_sym * 2 + n_ops * 6 + n_ind * 8 + n_kw * 8
     score = F.when(
         n_chars > 0,

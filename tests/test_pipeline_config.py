@@ -437,3 +437,19 @@ def test_pipeline_code_profile_and_filter(spark):
     kept = {r.doc_id for r in run_pipeline(
         docs, [{"op": "code_filter", "mode": "keep"}]).collect()}
     assert kept == {1}
+
+
+def test_code_profile_review_regressions(spark):
+    """r13 review: (a) short prose with everyday words (return/class)
+    must NOT classify as code — those words left CODE_KW_RE; (b) a
+    ~1.3 MB dense-code doc must not overflow the 32-bit blend
+    (ARITHMETIC_OVERFLOW under ANSI before the long cast)."""
+    from enrich_spark.datapipe.text import code_profile
+
+    big_code = "x={};y=[];\n    foo();\n" * 60000
+    df = spark.createDataFrame(
+        [(1, "He will return to class."), (2, big_code)],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in code_profile(df).collect()}
+    assert rows[1].is_code == 0 and rows[1].code_score_bp == 0
+    assert rows[2].is_code == 1 and rows[2].code_score_bp == 10000
