@@ -1396,7 +1396,9 @@ def incremental_dedup_pairs(
 
     Scale shape: banded equi-join on (band_id, band_hash) — with the
     index bucketed on those keys the corpus side never reshuffles; the
-    increment side (small) is the one that moves.
+    increment side (small) is the one that moves. Pinned by the plan
+    contract in tests/test_incremental_index.py (one band-keyed
+    Exchange bucketed vs two plain; corpus scan `Bucketed: true`).
     """
     need = int(sim_threshold * num_hashes + 0.9999)
     fresh = build_minhash_index(
@@ -1473,7 +1475,12 @@ def incremental_hamming_pairs(
 
     Scale shape: the corpus side never reshuffles when the index is
     bucketed on (band, bhash); the (small) increment is the moving
-    side. Filter-then-dedup per the pair-family rule."""
+    side. PLAN CONTRACT, not prose: tests/test_incremental_index.py
+    writes the index via plans.bucketing.write_bucketed, reads it
+    back, and asserts the final plan has exactly one band-keyed
+    Exchange (the increment) with the corpus scan `Bucketed: true` —
+    vs two when the same files are read as plain parquet.
+    Filter-then-dedup per the pair-family rule."""
     fresh = _banded_hash_frame(new_hashes, hash_col, id_col, bands,
                                max_hamming)
     n, c = fresh.alias("n"), index.alias("c")
