@@ -192,13 +192,18 @@ def _run_group(names: list[str], sf_dir: str) -> None:
     # state in a fresh group JVM — SCALE.md "r9 suite-order".)
     cold: dict[str, float] = {}
     accessed_keys: dict[str, set] = {}
-    for name in names:
-        entrymod._FIXTURE_ACCESS = access = []
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).count()
-        cold[name] = round(time.perf_counter() - t0, 3)
-        accessed_keys[name] = set(access)
-    entrymod._FIXTURE_ACCESS = None
+    try:
+        for name in names:
+            entrymod._FIXTURE_ACCESS = access = []
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).count()
+            cold[name] = round(time.perf_counter() - t0, 3)
+            accessed_keys[name] = set(access)
+    finally:
+        # an exception mid-group must not leave the module global
+        # pointing at a stale list (it would silently absorb fixture
+        # accesses from any later in-process run)
+        entrymod._FIXTURE_ACCESS = None
     # teardown schedule: a fixture dies after its LAST accessor in the
     # group, not its first builder. Two rows can share a fixture (r13:
     # multimodal_dedup and incremental_fp both read dhash_hashes), so
@@ -369,12 +374,18 @@ def main():
         print(f"# could not write {local_path}: {exc}", file=sys.stderr)
         local_path = None
 
+    # label + load travel IN the summary line (r13 lesson: the driver's
+    # BENCH_rN.json parses only this line, so its r13 headline — run at
+    # load 14.07 — entered the round record with no hint of host state;
+    # every consumer of the parsed block now sees the context)
     print(json.dumps({
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "label": provenance["label"],
+        "load_1m_at_start": provenance["load_1m_at_start"],
         "detail_file": os.path.basename(local_path) if local_path else None,
     }, separators=(",", ":")))
 

@@ -6,19 +6,31 @@ run noise, not a regression (the r10 lesson: embedding_dup_pairs moved
 +48% round-over-round while its own spread was ±37%, and the bare
 median made that look like a real regression).
 
+r14: a second, DURABLE noise source — cross-JVM variance. Some rows
+(asn_bot_detection burnt attribution effort two rounds running) have a
+within-suite spread far below their true fresh-JVM-to-fresh-JVM
+spread, so the suite budget alone still flags them. bench_one.py now
+accumulates per-row isolated medians/spreads into
+tools/isolated_spreads.json; a delta that beats the suite budget but
+sits inside the recorded isolated budget gets verdict NEEDS-FRESH-JVM
+(attribute with tools/bench_one.py before believing it) instead of
+REGRESSION, and does not fail the exit code.
+
 Usage:
     python tools/bench_compare.py BENCH_r10.json BENCH_r11.json
 
 Prints one line per common query: delta, spread budget, and a verdict —
-REGRESSION / IMPROVEMENT only when |delta| exceeds the spread budget
-(the larger of the two rounds' spreads; a default noise floor of 12% of
-the old median stands in when a file predates `spreads`, matching the
-documented ±6-12% host spread in SCALE.md). Exits 1 if any REGRESSION.
+REGRESSION / IMPROVEMENT only when |delta| exceeds BOTH budgets (suite
+spread and, where recorded, isolated cross-JVM spread; a default noise
+floor of 12% of the old median stands in when a file predates
+`spreads`, matching the documented ±6-12% host spread in SCALE.md).
+Exits 1 if any REGRESSION.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 NOISE_FLOOR_FRAC = 0.12  # SCALE.md's documented host spread upper bound
@@ -34,6 +46,29 @@ def load(path: str) -> tuple[dict[str, float], dict[str, float], dict]:
         rec.get("provenance", {})
 
 
+def load_isolated(sf_key: str | None = None,
+                  path: str | None = None) -> dict[str, float]:
+    """Per-query cross-JVM budget from the bench_one sidecar:
+    max(recorded within-run spreads, max−min of recorded medians).
+    Needs ≥2 recorded medians — one fresh-JVM run says nothing about
+    cross-JVM variance."""
+    path = path or os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "isolated_spreads.json")
+    try:
+        with open(path) as f:
+            book = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    per_sf = book.get(sf_key or "sf0.1", {})
+    out: dict[str, float] = {}
+    for name, row in per_sf.items():
+        meds, sprs = row.get("medians", []), row.get("spreads", [])
+        if len(meds) >= 2:
+            out[name] = round(max(max(sprs, default=0.0),
+                                  max(meds) - min(meds)), 3)
+    return out
+
+
 def _describe(path: str, prov: dict) -> str:
     if not prov:
         return f"{path} (no provenance — pre-r13 record)"
@@ -41,9 +76,26 @@ def _describe(path: str, prov: dict) -> str:
             f"load_1m_at_start={prov.get('load_1m_at_start')})")
 
 
-def compare(old_path: str, new_path: str) -> int:
+def verdict_for(delta: float, suite_budget: float,
+                isolated_budget: float | None) -> str:
+    """The three-way call: noise / NEEDS-FRESH-JVM / REGRESSION or
+    IMPROVEMENT. Pure so tests can pin it."""
+    if abs(delta) <= suite_budget:
+        return "noise"
+    if isolated_budget is not None and abs(delta) <= isolated_budget:
+        # the suite spread underestimates this row's cross-JVM
+        # variance; the recorded isolated spread absorbs the delta —
+        # attribute with bench_one before believing either direction
+        return "NEEDS-FRESH-JVM"
+    return "REGRESSION" if delta > 0 else "IMPROVEMENT"
+
+
+def compare(old_path: str, new_path: str,
+            isolated: dict[str, float] | None = None) -> int:
     old_q, old_s, old_p = load(old_path)
     new_q, new_s, new_p = load(new_path)
+    if isolated is None:
+        isolated = load_isolated()
     # name exactly which pair of records this comparison read — the
     # r12 lesson: two same-named runs (builder cooled-host vs driver
     # hot-host) gave 0.951x vs 0.879x and the claim was ambiguous
@@ -61,15 +113,14 @@ def compare(old_path: str, new_path: str) -> int:
             old_s.get(name, NOISE_FLOOR_FRAC * a),
             new_s.get(name, NOISE_FLOOR_FRAC * a),
         )
-        if abs(delta) <= budget:
-            verdict = "noise"
-        elif delta > 0:
-            verdict = "REGRESSION"
+        verdict = verdict_for(delta, budget, isolated.get(name))
+        if verdict == "REGRESSION":
             regressions += 1
-        else:
-            verdict = "IMPROVEMENT"
+        iso = isolated.get(name)
+        iso_s = f"  iso {iso:6.3f}" if iso is not None else ""
         print(f"{name:32s} {a:7.3f} -> {b:7.3f}  "
-              f"delta {delta:+7.3f}  spread-budget {budget:6.3f}  {verdict}")
+              f"delta {delta:+7.3f}  spread-budget {budget:6.3f}"
+              f"{iso_s}  {verdict}")
 
     ca = sum(old_q[n] for n in common)
     cb = sum(new_q[n] for n in common)
