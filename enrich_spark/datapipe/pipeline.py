@@ -422,16 +422,23 @@ def _op_sft_dedup_keep(turns, conv_col="conv_id", idx_col="turn_idx",
 def _op_preference_pairs(responses, prompt_col="prompt_id",
                          id_col="response_id", text_col="text",
                          score_col="score", margin=1,
-                         mode="best_vs_worst", **_):
+                         mode="best_vs_worst",
+                         max_responses_per_prompt=None,
+                         max_pairs_per_prompt=None, **_):
     """Transform (grain change): scored responses → (chosen, rejected)
-    preference pairs with the verbatim/margin guards
-    (rlhf.preference_pairs)."""
+    preference pairs with the verbatim/margin guards and the r14
+    dirty-key caps (rlhf.preference_pairs)."""
     from .rlhf import preference_pairs
 
-    return preference_pairs(responses, prompt_col=prompt_col,
-                            id_col=id_col, text_col=text_col,
-                            score_col=score_col, margin=int(margin),
-                            mode=mode)
+    return preference_pairs(
+        responses, prompt_col=prompt_col, id_col=id_col,
+        text_col=text_col, score_col=score_col, margin=int(margin),
+        mode=mode,
+        max_responses_per_prompt=(None if max_responses_per_prompt
+                                  is None
+                                  else int(max_responses_per_prompt)),
+        max_pairs_per_prompt=(None if max_pairs_per_prompt is None
+                              else int(max_pairs_per_prompt)))
 
 
 def _op_shard_export(docs, path, n_shards, id_col="doc_id",

@@ -16,23 +16,45 @@ guards every RLHF data pipeline applies:
 Two modes, both engine-exact and deterministic:
 
 - ``best_vs_worst`` (default): ONE pair per prompt — the top-scored
-  response vs the bottom-scored (ties broken by lowest response id,
-  so any engine replays the same pick). The usual shape for DPO
-  datasets distilled from k-way comparisons.
+  response vs the WORST response whose text differs from it (ties
+  broken by lowest response id, so any engine replays the same pick).
+  The usual shape for DPO datasets distilled from k-way comparisons.
+  r14: when the absolute worst is a verbatim copy of the best, the
+  pair falls back to the worst among DISTINCT digests instead of
+  dropping the prompt (the r13 verdict's "best vs worst among
+  distinct" policy) — a prompt emits nothing only when every response
+  is textually identical to the best or the margin isn't met.
 - ``all_pairs``: every (a, b) with score_a ≥ score_b + margin — the
   full Bradley-Terry expansion reward-model training uses.
 
+Dirty-key guards (r14, both optional and SQL-mirrored): a corpus with
+a default/empty prompt key upstream can hand ``all_pairs`` a mega-key
+whose k responses mean O(k²) pairs. ``max_responses_per_prompt=R``
+bounds the JOIN ITSELF by keeping the R most EXTREME responses per
+prompt — top ⌈R/2⌉ by (score desc, seeded md5, id) ∪ bottom ⌊R/2⌋ by
+(score asc, same tie) — extremes, not top-R, because pairs need score
+CONTRAST (a top-only cap on a flat-score mega-key keeps 20 tied
+responses and emits nothing). Each half is
+:func:`curation.domain_cap` with the prompt as the domain, so the
+two-phase salted-window exactness proof carries over.
+``max_pairs_per_prompt`` bounds the OUTPUT exactly (the top-P pairs
+by (score_margin desc, seeded md5 of the pair key)). On a clean
+corpus (generation fan-out k ≤ R) the response cap is a NO-OP: a row
+with top-rank t is kept when t ≤ ⌈R/2⌉ or its bottom-rank k+1−t ≤
+⌊R/2⌋, and k ≤ R makes one of the two always true.
+
 Scale shape: everything is keyed by the prompt id, whose per-key
 cardinality is the number of responses to one prompt (bounded by the
-generation fan-out, like turns-per-dialogue — never a mega-key):
-``best_vs_worst`` is one prompt-partitioned min/max aggregate (no
-window, no sort beyond the agg); ``all_pairs`` is one prompt-keyed
+generation fan-out — and by ``max_responses_per_prompt`` against dirty
+keys): ``best_vs_worst`` is one prompt-partitioned window + one
+aggregate on the SAME key (one Exchange total — the aggregate reuses
+the window's partitioning); ``all_pairs`` is one prompt-keyed
 self-join. No cross join, no driver state, zero Python.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["preference_pairs", "preference_pairs_sql"]
@@ -46,18 +68,23 @@ def preference_pairs(
     score_col: str = "score",
     margin: int = 1,
     mode: str = "best_vs_worst",
+    max_responses_per_prompt: int | None = None,
+    max_pairs_per_prompt: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """→ (prompt_id, chosen_id, rejected_id, score_margin) — see the
-    module docstring for the guards and modes. ``score_margin`` is
-    chosen_score − rejected_score (always ≥ ``margin``)."""
+    module docstring for the guards, modes and dirty-key caps.
+    ``score_margin`` is chosen_score − rejected_score (always ≥
+    ``margin``). The caps only apply to ``all_pairs`` —
+    ``best_vs_worst`` is one-pair-per-prompt by construction."""
     if mode not in ("best_vs_worst", "all_pairs"):
         raise ValueError(f"preference_pairs: unknown mode {mode!r}")
     # NULL score or NULL text excludes the ROW, never the prompt: an
     # unscored/bodiless response can't vote. Without this filter a
-    # NULL-score row would sort FIRST in the struct min (Spark orders
-    # NULL fields first), make `best - worst >= margin` NULL, and
-    # silently drop the prompt's valid pair — diverging from the SQL
-    # mirror, whose min/max/ordered-first skip NULLs.
+    # NULL-score row would sort FIRST (Spark orders NULLs first in
+    # both the window and the struct min), silently dropping the
+    # prompt's valid pair — diverging from the SQL mirror, whose
+    # min/max/ordered-first skip NULLs.
     base = responses.where(
         F.col(score_col).isNotNull() & F.col(text_col).isNotNull()
     ).select(
@@ -67,8 +94,34 @@ def preference_pairs(
         F.md5(F.col(text_col)).alias("_digest"),
     )
     if mode == "all_pairs":
+        from .curation import domain_cap
+
+        if max_responses_per_prompt is not None:
+            # THE quadratic guard: bound the join's per-key fan-in
+            # before any pair exists — keep the score EXTREMES (see
+            # module docstring). domain_cap's salted two-phase window
+            # spreads even the dirty mega-key's rank compute; the
+            # bottom half rides the same helper on a negated score.
+            top_n = (max_responses_per_prompt + 1) // 2
+            bot_n = max_responses_per_prompt // 2
+            top = domain_cap(
+                base, top_n, domain_col="prompt_id",
+                score_col="_score", id_col="_id", seed=seed,
+            ).drop("domain_rank")
+            if bot_n:
+                bot = domain_cap(
+                    base.withColumn("_negs", -F.col("_score")),
+                    bot_n, domain_col="prompt_id",
+                    score_col="_negs", id_col="_id", seed=seed,
+                ).drop("domain_rank", "_negs")
+                # middle-ranked rows of a small prompt land in BOTH
+                # halves — one exchange on the (prompt, id) key
+                base = top.unionByName(bot).dropDuplicates(
+                    ["prompt_id", "_id"])
+            else:
+                base = top
         a, b = base.alias("a"), base.alias("b")
-        return (
+        pairs = (
             a.join(b, (F.col("a.prompt_id") == F.col("b.prompt_id"))
                    & (F.col("a._score") >= F.col("b._score")
                       + F.lit(margin))
@@ -80,28 +133,51 @@ def preference_pairs(
                 (F.col("a._score") - F.col("b._score")).cast("long")
                 .alias("score_margin"))
         )
-    # best_vs_worst: ONE aggregate per prompt — min/max over a struct
-    # orders by (score, then NEGATED id) so ties deterministically
-    # fall to the LOWEST id on both ends; no window, no sort
-    best = F.max(F.struct(F.col("_score").alias("s"),
-                          (-F.col("_id")).alias("ni"),
-                          F.col("_id").alias("i"),
-                          F.col("_digest").alias("d")))
+        if max_pairs_per_prompt is not None:
+            # exact output bound: top-P pairs per prompt by (margin
+            # desc, seeded md5 of the pair key) — same domain_cap
+            # machinery, the pair key standing in for the doc id
+            pairs = domain_cap(
+                pairs.withColumn(
+                    "_pair_key",
+                    F.concat(F.col("chosen_id").cast("string"),
+                             F.lit(":"),
+                             F.col("rejected_id").cast("string"))),
+                max_pairs_per_prompt, domain_col="prompt_id",
+                score_col="score_margin", id_col="_pair_key", seed=seed,
+            ).drop("domain_rank", "_pair_key")
+        return pairs
+    # best_vs_worst (r14 window formulation): the prompt-partitioned
+    # window pins the BEST response (score desc, id asc — same
+    # tie-break the r13 struct max encoded) on every row; rows whose
+    # digest equals the best's are excluded and ONE aggregate picks
+    # the worst of what remains (min (score, id) — the best-distinct
+    # fallback). The aggregate groups on the window's own partition
+    # key, so the plan carries ONE Exchange total, and per-partition
+    # sort state is the prompt fan-out — no collect_list, no join.
+    w = Window.partitionBy("prompt_id").orderBy(
+        F.col("_score").desc(), F.col("_id").asc())
+    ann = base.select(
+        "prompt_id", "_id", "_score", "_digest",
+        F.first("_id").over(w).alias("_bid"),
+        F.first("_score").over(w).alias("_bs"),
+        F.first("_digest").over(w).alias("_bd"),
+    )
     worst = F.min(F.struct(F.col("_score").alias("s"),
-                           F.col("_id").alias("ni"),
-                           F.col("_id").alias("i"),
-                           F.col("_digest").alias("d")))
-    agg = base.groupBy("prompt_id").agg(best.alias("_b"),
-                                        worst.alias("_w"))
-    return agg.where(
-        (F.col("_b.s") - F.col("_w.s") >= F.lit(margin))
-        & (F.col("_b.d") != F.col("_w.d"))
-    ).select(
-        "prompt_id",
-        F.col("_b.i").alias("chosen_id"),
-        F.col("_w.i").alias("rejected_id"),
-        (F.col("_b.s") - F.col("_w.s")).cast("long")
-        .alias("score_margin"),
+                           F.col("_id").alias("i")))
+    return (
+        ann.where(F.col("_digest") != F.col("_bd"))
+        .groupBy("prompt_id")
+        .agg(F.min("_bid").alias("chosen_id"),
+             F.min("_bs").alias("_bs2"),
+             worst.alias("_w"))
+        .where(F.col("_bs2") - F.col("_w.s") >= F.lit(margin))
+        .select(
+            "prompt_id",
+            "chosen_id",
+            F.col("_w.i").alias("rejected_id"),
+            (F.col("_bs2") - F.col("_w.s")).cast("long")
+            .alias("score_margin"))
     )
 
 
@@ -113,9 +189,12 @@ def preference_pairs_sql(
     score_expr: str = "score",
     margin: int = 1,
     mode: str = "best_vs_worst",
+    max_responses_per_prompt: int | None = None,
+    max_pairs_per_prompt: int | None = None,
+    seed: int = 42,
 ) -> str:
     """DuckDB mirror of :func:`preference_pairs` (same guards, same
-    tie-breaks)."""
+    tie-breaks, same caps)."""
     base = f"""
         SELECT {prompt_expr} AS prompt_id, {id_expr} AS rid,
                {score_expr} AS s, md5({text_expr}) AS d
@@ -123,7 +202,27 @@ def preference_pairs_sql(
         WHERE {score_expr} IS NOT NULL AND {text_expr} IS NOT NULL
     """
     if mode == "all_pairs":
-        return f"""
+        if max_responses_per_prompt is not None:
+            # domain_cap's single-window oracle shape, both extremes:
+            # top ⌈R/2⌉ by (score desc, seeded md5, id) plus bottom
+            # ⌊R/2⌋ by (score asc, same tie)
+            top_n = (max_responses_per_prompt + 1) // 2
+            bot_n = max_responses_per_prompt // 2
+            base = f"""
+                SELECT prompt_id, rid, s, d FROM (
+                  SELECT *,
+                    row_number() OVER (PARTITION BY prompt_id
+                      ORDER BY CAST(s AS BIGINT) DESC NULLS LAST,
+                               md5('{int(seed)}:' || rid) ASC, rid ASC)
+                      AS _rt,
+                    row_number() OVER (PARTITION BY prompt_id
+                      ORDER BY CAST(-s AS BIGINT) DESC NULLS LAST,
+                               md5('{int(seed)}:' || rid) ASC, rid ASC)
+                      AS _rb
+                  FROM ({base}))
+                WHERE _rt <= {top_n} OR _rb <= {bot_n}
+            """
+        pairs = f"""
             WITH base AS ({base})
             SELECT a.prompt_id,
                    a.rid AS chosen_id, b.rid AS rejected_id,
@@ -133,23 +232,40 @@ def preference_pairs_sql(
              AND a.s >= b.s + {int(margin)}
              AND a.d <> b.d
         """
-    # best: max score, ties to LOWEST id; worst: min score, ties to
-    # lowest id — DuckDB's ordered-aggregate first() replays the same
-    # tie-break the Spark struct min/max encodes
+        if max_pairs_per_prompt is not None:
+            pairs = f"""
+                SELECT prompt_id, chosen_id, rejected_id, score_margin
+                FROM (
+                  SELECT *, row_number() OVER (PARTITION BY prompt_id
+                    ORDER BY score_margin DESC NULLS LAST,
+                             md5('{int(seed)}:' || chosen_id || ':'
+                                 || rejected_id) ASC,
+                             chosen_id || ':' || rejected_id ASC) AS _pr
+                  FROM ({pairs}))
+                WHERE _pr <= {int(max_pairs_per_prompt)}
+            """
+        return pairs
+    # best_vs_worst: the window pins the best (score DESC, rid ASC —
+    # ties to lowest id), rows matching its digest drop, the aggregate
+    # takes the worst of the remainder (s ASC, rid ASC) — the same
+    # best-distinct fallback the Spark plan encodes
     return f"""
         WITH base AS ({base}),
-        agg AS (
-          SELECT prompt_id,
-                 first(rid ORDER BY s DESC, rid ASC) AS chosen_id,
-                 first(d   ORDER BY s DESC, rid ASC) AS bd,
-                 max(s) AS bs,
-                 first(rid ORDER BY s ASC, rid ASC) AS rejected_id,
-                 first(d   ORDER BY s ASC, rid ASC) AS wd,
-                 min(s) AS ws
-          FROM base GROUP BY prompt_id
+        ann AS (
+          SELECT prompt_id, rid, s, d,
+                 first_value(rid) OVER w AS bid,
+                 first_value(s)   OVER w AS bs,
+                 first_value(d)   OVER w AS bd
+          FROM base
+          WINDOW w AS (PARTITION BY prompt_id
+                       ORDER BY s DESC, rid ASC)
         )
-        SELECT prompt_id, chosen_id, rejected_id,
-               CAST(bs - ws AS BIGINT) AS score_margin
-        FROM agg
-        WHERE bs - ws >= {int(margin)} AND bd <> wd
+        SELECT prompt_id,
+               min(bid) AS chosen_id,
+               first(rid ORDER BY s ASC, rid ASC) AS rejected_id,
+               CAST(min(bs) - min(s) AS BIGINT) AS score_margin
+        FROM ann
+        WHERE d <> bd
+        GROUP BY prompt_id
+        HAVING min(bs) - min(s) >= {int(margin)}
     """
