@@ -47,6 +47,9 @@ from enrich_spark.datapipe.sketches import (
     kmv_sketch_sql as _kmv_sk_sql,
 )
 from enrich_spark.datapipe.text import code_profile_sql as _code_sql
+from enrich_spark.datapipe.text import (
+    extract_code_blocks_sql as _fence_sql,
+)
 from enrich_spark.datapipe.text import script_profile_sql as _script_sql
 from enrich_spark.datapipe.layout import weighted_sample_k_sql as _wsk_sql
 from enrich_spark.datapipe.similarity import (
@@ -1754,10 +1757,16 @@ config:
 
     def q_sft_dedup(spark, sf):
         # r13: SFT-aware masked dedup (chat.sft_masked_dedup) — dedup
-        # conversations on the ASSISTANT content only. Planned dups:
-        # every 13th conv (c % 13 == 0, c >= 13) reuses conv c-13's
-        # assistant bodies while keeping its OWN user prompts, so
-        # clusters must form on masked content alone; the oracle
+        # conversations on the ASSISTANT content only. Planned dups
+        # (r14 comment fix, r13 advice): every 13th conv (c % 13 == 0,
+        # c >= 13) takes its assistant bodies from the RAW doc text at
+        # doc_id−52 (conv c−13's turn positions) while keeping its OWN
+        # user prompts. Because c−13 is itself a multiple of 13, every
+        # reuser EXCEPT c=13 copies raw text whose owner's effective
+        # content was substituted away — so the only planned content
+        # dup is the pair (13, 0) (verified: one 2-cluster at
+        # sf0.001), exercising masked-content clustering without the
+        # prompts matching; the oracle
         # rebuilds the same dialogue, extracts the masked side as
         # string_agg of assistant bodies (cross-checking the span
         # arithmetic), and replays simhash + connected components +
@@ -3313,11 +3322,57 @@ config:
         b = lm_counts(docs.where(srcn >= 10))
         return divergence_summary(token_divergence(a, b))
 
+    def q_sft_decontam(spark, sf):
+        # r14: cross-corpus SFT decontamination
+        # (chat.sft_decontaminate) — the sftdedup dialogue fixture
+        # (incl. the doc−52 assistant substitution) checked against an
+        # eval benchmark = the RAW assistant docs of every 19th conv.
+        # The laundering case rides the substitution: conv 13's
+        # assistant bodies ARE conv 0's raw docs, so when conv 0 is a
+        # benchmark member (0 % 19 == 0), conv 13 flags too — a
+        # benchmark answer under conv 13's OWN prompts, caught on the
+        # masked view
+        from enrich_spark.datapipe.chat import sft_decontaminate
+
+        docs = _load_docs(spark, sf).select("doc_id", "text")
+        t = F.col("doc_id") % 4
+        c = F.expr("doc_id div 4")
+        src = F.when((c % 13 == 0) & (c >= 13) & (t % 2 == 1),
+                     F.col("doc_id") - 52).otherwise(F.col("doc_id"))
+        base = docs.select(
+            c.cast("long").alias("conv_id"),
+            t.cast("long").alias("turn_idx"),
+            F.when(t % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("assistant")).alias("role"),
+            src.cast("long").alias("src_doc"))
+        turns = base.join(
+            docs.select(F.col("doc_id").alias("src_doc"),
+                        F.substring("text", 1, 60).alias("text")),
+            "src_doc").drop("src_doc")
+        bench = docs.where(
+            (F.expr("doc_id div 4") % 19 == 0)
+            & ((F.col("doc_id") % 4) % 2 == 1)).select(
+            F.col("doc_id").alias("bench_id"),
+            F.substring("text", 1, 60).alias("text"))
+        out = sft_decontaminate(turns, [("eval19", bench, 6)],
+                                min_overlap_windows=2)
+        return out.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            "benchmark",
+            F.col("k").cast("long").alias("k"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.col("contaminated_windows").cast("long")
+            .alias("contam_windows"),
+            F.expr("contaminated_windows * 10000 div n_windows")
+            .cast("long").alias("contam_frac_bp"),
+            F.col("contaminated").cast("long").alias("contaminated"))
+
     q["decontam_multi"] = lambda spark, sf: _union_parts(
         [("multi", q_decontam_multi(spark, sf)),
          ("bloom", q_decontam_bloom(spark, sf)),
          ("kmv", q_kmv_overlap(spark, sf)),
-         ("drift", q_token_drift(spark, sf))],
+         ("drift", q_token_drift(spark, sf)),
+         ("sftdecon", q_sft_decontam(spark, sf))],
         fill=("doc_id", "k", "n_windows", "contam_windows",
               "contam_frac_bp", "contaminated", "n_hit_sets", "first_hit",
               "n_union_sketch", "n_both", "jaccard_bp", "est_union",
@@ -4411,6 +4466,34 @@ config:
             "n_sym", "n_ops", "n_indent_lines", "n_kw",
             "code_score_bp", "is_code")
 
+    def q_fence_extract(spark, sf):
+        # r14: fenced-code extraction (text.extract_code_blocks) —
+        # fences synthesized by doc_id arithmetic (the corpus has
+        # none): every %3==0 doc gains a terminated fence whose body
+        # derives from its own doc_id, every %7==1 doc an UNTERMINATED
+        # fence that must stay in prose; both engines build the same
+        # string and split it with the same RE2-safe pattern
+        from enrich_spark.datapipe.text import extract_code_blocks
+
+        docs = _load_docs(spark, sf).select("doc_id", "text")
+        fenced = F.concat(
+            F.lit("\n```py\nx = "), F.col("doc_id").cast("string"),
+            F.lit(";\n    y[0] += 2;\n```\ntail "))
+        t = F.concat(
+            F.substring("text", 1, 120),
+            F.when(F.col("doc_id") % 3 == 0, fenced)
+            .otherwise(F.lit(" plain ")),
+            F.when(F.col("doc_id") % 7 == 1,
+                   F.lit("\n```js\nunterminated"))
+            .otherwise(F.lit("")))
+        out = extract_code_blocks(docs.select("doc_id",
+                                              t.alias("text")))
+        return out.select(
+            "doc_id",
+            F.md5("prose_text").alias("prose_md5"),
+            F.md5("code_text").alias("code_md5"),
+            "n_fences", "code_chars", "prose_chars")
+
     def q_text_analysis(spark, sf):
         # the text-analysis operator family bundled into ONE oracle row
         # (driver caps the correctness gate at 50 queries — standalone
@@ -4435,7 +4518,8 @@ config:
              ("clean", q_text_norm(spark, sf)),
              ("script", q_script_profile(spark, sf)),
              ("sbo", q_sbo_lm(spark, sf)),
-             ("code", q_code_profile(spark, sf))],
+             ("code", q_code_profile(spark, sf)),
+             ("fence", q_fence_extract(spark, sf))],
             fill=("doc_id", "n_chars", "n_words", "mean_word_len",
                   "punct_ratio", "stopword_ratio", "distinct_word_ratio",
                   "dup_line_ratio", "top_bigram_char_ratio", "quality_score",
@@ -4458,7 +4542,9 @@ config:
                   "logp_micro", "avg_logp_micro",
                   "cp_chars", "cp_lines", "n_sym", "n_ops",
                   "n_indent_lines", "n_kw", "code_score_bp",
-                  "is_code"),
+                  "is_code",
+                  "prose_md5", "code_md5", "n_fences", "code_chars",
+                  "prose_chars"),
         )
 
     q["text_analysis"] = q_text_analysis
@@ -5063,6 +5149,8 @@ config:
         "preference_pairs": q_pref_pairs,
         # r13: code-vs-prose router (text_analysis code part)
         "code_profile": q_code_profile,
+        # r14: fenced-code extraction (text_analysis fence part)
+        "extract_code": q_fence_extract,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -6442,6 +6530,72 @@ def oracle_sql() -> dict[str, str]:
          {"vocab": "num", "tokens_a": "num", "tokens_b": "num",
           "kl_ab_micro": "num", "kl_ba_micro": "num",
           "js_micro": "num"}),
+        # r14: cross-corpus SFT decontamination — the sftdedup
+        # dialogue fixture's MASKED (assistant) content gram-checked
+        # against the raw assistant docs of every 19th conv; conv 13
+        # flags via the substitution (laundered benchmark answer)
+        ("sftdecon", f"""
+        WITH turns AS (
+          SELECT d.doc_id // 4 AS conv_id, d.doc_id % 4 AS t,
+                 CASE WHEN (d.doc_id % 4) % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 substring(s.text, 1, 60) AS txt
+          FROM documents d JOIN documents s
+            ON s.doc_id = CASE WHEN (d.doc_id // 4) % 13 = 0
+                                AND d.doc_id // 4 >= 13
+                                AND (d.doc_id % 4) % 2 = 1
+                               THEN d.doc_id - 52 ELSE d.doc_id END
+        ),
+        masked AS (
+          SELECT conv_id,
+                 COALESCE(string_agg(
+                   CASE WHEN role = 'assistant' THEN txt END,
+                   chr(10) ORDER BY t), '') AS mtext
+          FROM turns GROUP BY conv_id
+        ),
+        mw AS (
+          SELECT conv_id, string_split(trim(regexp_replace(
+                   lower(mtext), '\\s+', ' ', 'g')), ' ') AS w
+          FROM masked
+        ),
+        g AS (
+          SELECT conv_id, {_gram(6)} AS gram,
+                 greatest(len(w) - 5, 0) AS nw
+          FROM mw, LATERAL unnest(
+            CASE WHEN len(w) >= 6 THEN range(1, len(w) - 6 + 2)
+                 ELSE [] END) AS t(i)
+        ),
+        bw AS (
+          SELECT string_split(trim(regexp_replace(
+                   lower(substring(text, 1, 60)), '\\s+', ' ', 'g')),
+                 ' ') AS w
+          FROM documents
+          WHERE (doc_id // 4) % 19 = 0 AND (doc_id % 4) % 2 = 1
+        ),
+        bg AS (
+          SELECT DISTINCT {_gram(6)} AS gram
+          FROM bw, LATERAL unnest(
+            CASE WHEN len(w) >= 6 THEN range(1, len(w) - 6 + 2)
+                 ELSE [] END) AS t(i)
+        ),
+        hit AS (
+          SELECT conv_id, 'eval19' AS benchmark,
+                 max(nw) AS n_windows, count(*) AS contam_windows
+          FROM g WHERE gram IN (SELECT gram FROM bg)
+          GROUP BY conv_id
+        )
+        SELECT conv_id AS doc_id, benchmark, CAST(6 AS BIGINT) AS k,
+               CAST(n_windows AS BIGINT) AS n_windows,
+               CAST(contam_windows AS BIGINT) AS contam_windows,
+               CAST((contam_windows * 10000) // n_windows AS BIGINT)
+                 AS contam_frac_bp,
+               CAST(CASE WHEN contam_windows >= 2 THEN 1 ELSE 0 END
+                 AS BIGINT) AS contaminated
+        FROM hit
+        """,
+         {"doc_id": "num", "benchmark": "str", "k": "num",
+          "n_windows": "num", "contam_windows": "num",
+          "contam_frac_bp": "num", "contaminated": "num"}),
     ])
 
     _pii_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -7700,6 +7854,24 @@ def oracle_sql() -> dict[str, str]:
          {"doc_id": "num", "cp_chars": "num", "cp_lines": "num",
           "n_sym": "num", "n_ops": "num", "n_indent_lines": "num",
           "n_kw": "num", "code_score_bp": "num", "is_code": "num"}),
+        # r14: fenced-code extraction — same doc_id-arithmetic fences
+        # (terminated at %3==0, unterminated at %7==1), split by the
+        # same pattern; streams compared by md5
+        ("fence",
+         "SELECT doc_id, md5(prose_text) AS prose_md5, "
+         "md5(code_text) AS code_md5, n_fences, code_chars, "
+         "prose_chars FROM (" + _fence_sql(
+             "(SELECT doc_id, substring(text, 1, 120) || "
+             "CASE WHEN doc_id % 3 = 0 THEN chr(10) || '```py' || "
+             "chr(10) || 'x = ' || doc_id || ';' || chr(10) || "
+             "'    y[0] += 2;' || chr(10) || '```' || chr(10) || "
+             "'tail ' ELSE ' plain ' END || "
+             "CASE WHEN doc_id % 7 = 1 THEN chr(10) || '```js' || "
+             "chr(10) || 'unterminated' ELSE '' END AS text "
+             "FROM documents)") + ")",
+         {"doc_id": "num", "prose_md5": "str", "code_md5": "str",
+          "n_fences": "num", "code_chars": "num",
+          "prose_chars": "num"}),
     ])
     # dHash fixture replay: param p (planned dup/near-dup reuse of the
     # previous subset member), optional one-pixel +40 perturbation at
@@ -7981,9 +8153,11 @@ def oracle_sql() -> dict[str, str]:
           "alternation_ok": "num", "roles_ok": "num",
           "ends_with_mask": "num", "no_empty": "num"}),
         # r13: SFT-aware masked dedup — assistant bodies only (every
-        # 13th conv replays conv c-13's answers under its own
-        # prompts), simhash over the masked side, recursive-CTE
-        # connected components, keep-most-masked-chars policy
+        # 13th conv takes conv c-13's RAW assistant docs under its own
+        # prompts; the only resulting content dup is (13, 0) — see the
+        # q_sft_dedup comment), simhash over the masked side,
+        # recursive-CTE connected components, keep-most-masked-chars
+        # policy
         ("sftdedup", """
         WITH RECURSIVE turns AS (
           SELECT d.doc_id // 4 AS conv_id, d.doc_id % 4 AS t,

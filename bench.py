@@ -121,6 +121,7 @@ HEADLINE = [
     "sft_dedup",              # assistant-content-only conversation dedup
     "preference_pairs",       # RM/DPO pair prep (guards + both modes)
     "code_profile",           # code-vs-prose router (regexp counts)
+    "extract_code",           # fenced-code prose/code stream split
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -165,6 +166,8 @@ GROUPS = [
     # comparisons; new rows have no baseline to protect
     ["incremental_fp", "sft_dedup", "preference_pairs",
      "code_profile"],
+    # r14 additions: own group, same rationale
+    ["extract_code"],
 ]
 assert sorted(n for g in GROUPS for n in g) == sorted(HEADLINE)
 

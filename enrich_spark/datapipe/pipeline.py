@@ -385,16 +385,48 @@ def _op_code_filter(docs, mode="drop", text_col="text",
                     id_col="doc_id", threshold_bp=2000, **_):
     """Filter: route on code-likeness — mode='drop' keeps prose (the
     web-corpus cleanup default), mode='keep' keeps code (building a
-    code corpus)."""
+    code corpus). The filter CONSUMES the annotation either way:
+    code_score_bp/is_code are dropped in both the pre-annotated and
+    the self-computed branch, so downstream steps see one schema
+    regardless of pipeline ordering (re-annotate with code_profile
+    after the filter if the scores are needed)."""
     if mode not in ("drop", "keep"):
         raise ValueError(f"code_filter: unknown mode {mode!r}")
     if "is_code" not in docs.columns:
         docs = _op_code_profile(docs, text_col=text_col, id_col=id_col,
                                 threshold_bp=threshold_bp)
-        out = docs.where(F.col("is_code")
-                         == (1 if mode == "keep" else 0))
-        return out.drop("code_score_bp", "is_code")
-    return docs.where(F.col("is_code") == (1 if mode == "keep" else 0))
+    return docs.where(
+        F.col("is_code") == (1 if mode == "keep" else 0)
+    ).drop("code_score_bp", "is_code")
+
+
+def _op_extract_code(docs, mode="prose", text_col="text",
+                     include_indented=False, **_):
+    """Transform: split markdown-fenced code out of each document
+    (text.extract_code_blocks) — the router composition that keeps a
+    mixed doc's prose from being penalized by its fences:
+
+    - mode='prose': ``text`` becomes the fence-stripped remainder
+      (every doc survives — prose-only gates downstream now score
+      prose only);
+    - mode='code': ``text`` becomes the joined fence bodies; docs
+      with no extracted code are dropped (the code-corpus stream);
+    - mode='annotate': keep both streams + stats as extra columns.
+    """
+    from .text import extract_code_blocks
+
+    if mode not in ("prose", "code", "annotate"):
+        raise ValueError(f"extract_code: unknown mode {mode!r}")
+    parts = extract_code_blocks(docs, text_col=text_col,
+                                include_indented=bool(include_indented))
+    if mode == "annotate":
+        return parts
+    src = "prose_text" if mode == "prose" else "code_text"
+    out = parts.drop(text_col).withColumnRenamed(src, text_col)
+    if mode == "code":
+        out = out.where(F.col("code_chars") > 0)
+    return out.drop("prose_text", "code_text", "n_fences",
+                    "code_chars", "prose_chars")
 
 
 def _op_sft_dedup_keep(turns, conv_col="conv_id", idx_col="turn_idx",
@@ -417,6 +449,29 @@ def _op_sft_dedup_keep(turns, conv_col="conv_id", idx_col="turn_idx",
     return assembled.join(
         verdict.where(F.col("is_kept") == 1).select("conv_id"),
         "conv_id", "left_semi")
+
+
+def _op_sft_decontam_drop(turns, benchmarks, conv_col="conv_id",
+                          idx_col="turn_idx", role_col="role",
+                          text_col="text", mask_role="assistant",
+                          min_overlap_windows=1, **_):
+    """Transform (grain change): turn rows → assembled conversations
+    whose MASKED (assistant) content shares no flagged n-gram window
+    with any benchmark (chat.sft_decontaminate) — the config-drivable
+    SFT eval-decontamination: a benchmark answer under a fresh prompt
+    is dropped with the conversation."""
+    from .chat import chat_assemble, sft_decontaminate
+
+    assembled = chat_assemble(turns, conv_col=conv_col,
+                              idx_col=idx_col, role_col=role_col,
+                              text_col=text_col, mask_role=mask_role)
+    hits = sft_decontaminate(
+        turns, benchmarks, mask_role=mask_role,
+        min_overlap_windows=int(min_overlap_windows),
+        assembled=assembled)
+    return assembled.join(
+        hits.where(F.col("contaminated")).select("conv_id"),
+        "conv_id", "left_anti")
 
 
 def _op_preference_pairs(responses, prompt_col="prompt_id",
@@ -488,9 +543,11 @@ CURATION_OPS = {
     "despan": _op_despan,
     "boilerplate_lines": _op_boilerplate_lines,
     "normalize_text": _op_normalize_text,
+    "extract_code": _op_extract_code,
     "chat_assemble": _op_chat_assemble,
     "preference_pairs": _op_preference_pairs,
     "sft_dedup_keep": _op_sft_dedup_keep,
+    "sft_decontam_drop": _op_sft_decontam_drop,
     # sink
     "shard_export": _op_shard_export,
 }

@@ -954,3 +954,112 @@ def code_profile_sql(
                     THEN 1 ELSE 0 END AS BIGINT) AS is_code
         FROM {from_sql}
     """
+
+
+# ---------------------------------------------------------------------------
+# fenced-code extraction — the router's missing half: web corpora carry
+# code mostly INSIDE markdown fences in prose documents, so routing
+# whole docs (code_profile) either sends the prose to the code stream
+# or lets the fence drag the doc's prose quality score down. Split
+# first, route the parts.
+
+# ``` at line start, optional info string, body (non-greedy), closing
+# ``` at line start. Parses identically under Java regex (Spark) and
+# RE2 (DuckDB): inline (?ms) flags, non-capturing groups, no
+# lookarounds. LF line endings assumed — run normalize_text first on
+# CRLF corpora (Java's multiline $ treats \r\n as one terminator, RE2
+# does not; anchoring on \n keeps the engines in lockstep).
+FENCE_RE = "(?ms)^```[^\\n]*\\n(.*?)^```[ \\t]*(\\n|$)"
+INDENT_BLOCK_RE = "(?m)^(?:    |\\t)(.*)$"
+_INDENT_STRIP_RE = "(?m)^(?:    |\\t).*(\\n|$)"
+
+
+def extract_code_blocks(
+    docs: DataFrame,
+    text_col: str = "text",
+    include_indented: bool = False,
+) -> DataFrame:
+    """Split each document into a PROSE stream and a CODE stream —
+    native regexp only (zero shuffles, zero Python), replayed 1:1 by
+    :func:`extract_code_blocks_sql`:
+
+    - ``code_text``: the bodies of all markdown-fenced blocks
+      (``\\u0060\\u0060\\u0060lang … \\u0060\\u0060\\u0060``), joined
+      by newlines. With ``include_indented``, 4-space/tab-indented
+      lines REMAINING in the prose (i.e. outside fences) move over
+      too — off by default because list continuations in prose also
+      indent.
+    - ``prose_text``: the document with those blocks removed (an
+      unterminated fence never matches, so it stays in prose — the
+      conservative failure mode: a prose gate sees it, nothing is
+      silently dropped from the corpus).
+    - ``n_fences``, ``code_chars``, ``prose_chars``: routing stats.
+
+    All INPUT columns are preserved (the five stream columns are
+    appended), so the pipeline op routes without a join-back. The SQL
+    mirror emits ``id + the five`` — compare on those.
+
+    The downstream composition (pipeline op ``extract_code``): run the
+    prose stream through prose-only quality gates, the code stream
+    through :func:`code_profile` / a code corpus — a mixed doc's fence
+    no longer penalizes its prose quality."""
+    t = F.col(text_col)
+    code = F.array_join(
+        F.regexp_extract_all(t, F.lit(FENCE_RE), 1), "\n")
+    prose = F.regexp_replace(t, FENCE_RE, "")
+    if include_indented:
+        ind = F.array_join(
+            F.regexp_extract_all(prose, F.lit(INDENT_BLOCK_RE), 1),
+            "\n")
+        code = F.when(F.length(code) > 0,
+                      F.when(F.length(ind) > 0,
+                             F.concat(code, F.lit("\n"), ind))
+                      .otherwise(code)).otherwise(ind)
+        prose = F.regexp_replace(prose, _INDENT_STRIP_RE, "")
+    return docs.select(
+        "*",
+        prose.alias("prose_text"),
+        code.alias("code_text"),
+        F.size(F.regexp_extract_all(t, F.lit(FENCE_RE), 1))
+        .cast("long").alias("n_fences"),
+        F.length(code).cast("long").alias("code_chars"),
+        F.length(prose).cast("long").alias("prose_chars"),
+    )
+
+
+def extract_code_blocks_sql(
+    from_sql: str,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    id_alias: str = "doc_id",
+    include_indented: bool = False,
+) -> str:
+    """DuckDB mirror of :func:`extract_code_blocks` (same RE2-safe
+    pattern; regexp_replace needs the explicit 'g' option — DuckDB
+    replaces only the first match by default, Spark replaces all)."""
+    # DuckDB regular strings are escape-free: regex backslashes pass
+    # through verbatim. COALESCE: array_to_string of an EMPTY match
+    # list is NULL in DuckDB where Spark's array_join gives ''.
+    fre = FENCE_RE
+    code = (f"coalesce(array_to_string(regexp_extract_all({text_expr}, "
+            f"'{fre}', 1), chr(10)), '')")
+    prose = f"regexp_replace({text_expr}, '{fre}', '', 'g')"
+    if include_indented:
+        ind = (f"coalesce(array_to_string(regexp_extract_all({prose}, "
+               f"'{INDENT_BLOCK_RE}', 1), chr(10)), '')")
+        code = (f"CASE WHEN length({code}) > 0 THEN "
+                f"CASE WHEN length({ind}) > 0 THEN "
+                f"{code} || chr(10) || {ind} ELSE {code} END "
+                f"ELSE {ind} END")
+        prose = (f"regexp_replace({prose}, '{_INDENT_STRIP_RE}', "
+                 "'', 'g')")
+    return f"""
+        SELECT {id_expr} AS {id_alias},
+               {prose} AS prose_text,
+               {code} AS code_text,
+               CAST(len(regexp_extract_all({text_expr}, '{fre}', 1))
+                    AS BIGINT) AS n_fences,
+               CAST(length({code}) AS BIGINT) AS code_chars,
+               CAST(length({prose}) AS BIGINT) AS prose_chars
+        FROM {from_sql}
+    """

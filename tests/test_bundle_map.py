@@ -133,7 +133,7 @@ EXPECTED_BUNDLE_PARTS = {
     "script_hook": ["py", "js"],
     "streaming_parity": ["stream", "batch"],
     "dedup_exact": ["exact", "substr", "contam", "split"],
-    "decontam_multi": ["multi", "bloom", "kmv", "drift"],
+    "decontam_multi": ["multi", "bloom", "kmv", "drift", "sftdecon"],
     "text_pii_scrub": ["base", "fin"],
     "data_mix": ["sample", "pack", "q_lit", "q_join", "mix", "salted",
                  "c4", "chunk", "hh", "dsir", "hll", "qbins", "budget",
@@ -148,7 +148,7 @@ EXPECTED_BUNDLE_PARTS = {
                             "margin", "negs"],
     "text_analysis": ["lang", "quality", "tokens", "fprint", "stats",
                       "rep", "lm", "html", "bpe", "unigram", "url",
-                      "bm25", "clean", "script", "sbo", "code"],
+                      "bm25", "clean", "script", "sbo", "code", "fence"],
     "multimodal": ["decode", "frames", "audio", "resize", "dhash",
                    "dhpairs", "incfp", "afp", "afppairs"],
 }

@@ -3582,3 +3582,66 @@ def test_incremental_fingerprint_dedup_composes_with_shard_diff(spark,
                                     max_hamming=4).collect()
              if (r.id_a > 100) != (r.id_b > 100)}
     assert batch == pairs
+
+
+def test_extract_code_blocks_duckdb_parity(spark, tmp_path):
+    """r14 fence extractor (text.extract_code_blocks): the prose/code
+    split must be byte-identical across engines for fences, info
+    strings, multiple blocks, unterminated fences (stay in prose),
+    line-start anchoring, and the indent mode."""
+    import duckdb
+    import pandas as pd
+
+    from enrich_spark.datapipe.text import (
+        extract_code_blocks,
+        extract_code_blocks_sql,
+    )
+
+    docs = [
+        (0, "Intro prose.\n```python\ndef f():\n    return 1\n```\nOutro."),
+        (1, "No code here, just words."),
+        (2, "```\nraw block\n```"),
+        (3, "Unterminated:\n```js\nlet x = 1;\n"),
+        (4, "Two:\n```a\nA\n```\nmid\n```b\nB\n```\ntail"),
+        (5, "Indented:\n    x = 1\n\ty = 2\nplain"),
+        (6, ""),
+        (7, "inline ``` not at line start ``` stays"),
+        (8, "```lang info string\nbody\n```   \nafter trailing spaces"),
+    ]
+    pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
+        f"{tmp_path}/fence.parquet")
+    df = spark.read.parquet(f"{tmp_path}/fence.parquet")
+    cols = ["doc_id", "prose_text", "code_text", "n_fences",
+            "code_chars", "prose_chars"]
+    for inc in (False, True):
+        got = sorted(tuple(r) for r in extract_code_blocks(
+            df, include_indented=inc).select(*cols).collect())
+        want = sorted(tuple(r) for r in duckdb.connect().execute(
+            extract_code_blocks_sql(
+                f"read_parquet('{tmp_path}/fence.parquet')",
+                include_indented=inc)).fetchall())
+        assert got == want, f"include_indented={inc}"
+    by_id = {t[0]: t for t in got}
+    # unterminated fence stays in prose (conservative failure mode)
+    assert by_id[3][1].startswith("Unterminated") and by_id[3][3] == 0
+    # two fences: bodies joined, both stripped from prose
+    assert by_id[4][2] == "A\n\nB\n" and by_id[4][1] == "Two:\nmid\ntail"
+    # indent mode moved the indented lines out of doc 5's prose
+    assert by_id[5][2] == "x = 1\ny = 2" and "x = 1" not in by_id[5][1]
+
+
+def test_extract_code_blocks_preserves_columns_and_plan(spark):
+    """Input columns pass through; the split is zero-shuffle, zero
+    Python (pure per-row regexp projection)."""
+    from enrich_spark.datapipe.text import extract_code_blocks
+
+    df = spark.createDataFrame(
+        [(1, "p\n```\nc\n```\n", "web")],
+        "doc_id long, text string, source string")
+    out = extract_code_blocks(df)
+    assert out.columns == ["doc_id", "text", "source", "prose_text",
+                           "code_text", "n_fences", "code_chars",
+                           "prose_chars"]
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan

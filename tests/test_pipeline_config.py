@@ -453,3 +453,89 @@ def test_code_profile_review_regressions(spark):
     rows = {r.doc_id: r for r in code_profile(df).collect()}
     assert rows[1].is_code == 0 and rows[1].code_score_bp == 0
     assert rows[2].is_code == 1 and rows[2].code_score_bp == 10000
+
+
+def test_pipeline_extract_code_routes_fences(spark):
+    """r14 router composition: a prose doc with an embedded code fence
+    must survive the prose quality gate once extract_code strips the
+    fence (the raw doc fails it), and the fence body must land in the
+    code stream where code_profile flags it."""
+    prose_a = (
+        "The committee reviewed the annual budget and discussed the "
+        "upcoming schedule for regional training sessions. Members "
+        "agreed that the proposal should be revised before the next "
+        "meeting, and several questions were raised about staffing. ")
+    prose_b = (
+        "After a short break the discussion turned to the library "
+        "renovation, where the architect presented three options and "
+        "answered detailed questions from the board about cost. ")
+    fence = ("```python\n"
+             + "x={};y=[];z=[i for i in range(9)];\n"
+             "    foo(); bar(); baz();\n" * 20
+             + "```\n")
+    mixed = prose_a + "\n" + fence + prose_b
+    pure = prose_a + prose_b
+    docs = spark.createDataFrame(
+        [(1, mixed, "web"), (2, pure, "web")],
+        "doc_id long, text string, source string")
+
+    # calibrate the gate between the raw-mixed score and the
+    # prose-only score (the test then proves the ORDERING, not a
+    # hard-coded constant)
+    raw_q = {r.doc_id: r.quality_score for r in run_pipeline(
+        docs, [{"op": "quality_score"}]).collect()}
+    stripped_q = {r.doc_id: r.quality_score for r in run_pipeline(
+        docs, [{"op": "extract_code", "mode": "prose"},
+               {"op": "quality_score"}]).collect()}
+    assert stripped_q[1] > raw_q[1]          # fence was the penalty
+    assert abs(stripped_q[1] - stripped_q[2]) < 0.05   # prose ≈ prose
+    thr = (raw_q[1] + stripped_q[1]) / 2
+
+    # without extraction the mixed doc dies at the gate…
+    kept_raw = {r.doc_id for r in run_pipeline(
+        docs, [{"op": "quality_score"},
+               {"op": "min_quality", "threshold": thr}]).collect()}
+    assert 1 not in kept_raw
+    # …with extraction it survives
+    kept = {r.doc_id for r in run_pipeline(
+        docs, [{"op": "extract_code", "mode": "prose"},
+               {"op": "quality_score"},
+               {"op": "min_quality", "threshold": thr}]).collect()}
+    assert kept == {1, 2}
+
+    # the fence body went to the code stream and profiles as code
+    code_stream = {r.doc_id: r for r in run_pipeline(
+        docs, [{"op": "extract_code", "mode": "code"},
+               {"op": "code_profile"}]).collect()}
+    assert set(code_stream) == {1}
+    assert code_stream[1].is_code == 1
+    assert "foo();" in code_stream[1].text
+    assert "committee" not in code_stream[1].text
+
+    # annotate mode: both streams + stats as columns
+    ann = {r.doc_id: r for r in run_pipeline(
+        docs, [{"op": "extract_code", "mode": "annotate"}]).collect()}
+    assert ann[1].n_fences == 1 and ann[2].n_fences == 0
+    assert ann[2].prose_text == pure and ann[2].code_text == ""
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="extract_code"):
+        run_pipeline(docs, [{"op": "extract_code", "mode": "bogus"}])
+
+
+def test_code_filter_schema_symmetric(spark):
+    """r13 advice: code_filter must present ONE output schema whether
+    is_code was pre-annotated or self-computed — the annotation is
+    consumed in both branches."""
+    docs = spark.createDataFrame(
+        [(1, "const x = {};\n    foo();\n" * 10, "web"),
+         (2, "Plain prose about gardens and weather patterns.", "web")],
+        "doc_id long, text string, source string")
+    self_computed = run_pipeline(docs, [{"op": "code_filter"}])
+    pre_annotated = run_pipeline(
+        docs, [{"op": "code_profile"}, {"op": "code_filter"}])
+    assert self_computed.columns == pre_annotated.columns
+    assert "is_code" not in self_computed.columns
+    assert "code_score_bp" not in pre_annotated.columns
+    assert {r.doc_id for r in self_computed.collect()} \
+        == {r.doc_id for r in pre_annotated.collect()} == {2}

@@ -107,6 +107,7 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "sft_dedup": "sessionize",
         "preference_pairs": "sessionize",
         "code_profile": "text_analysis",
+        "extract_code": "text_analysis",
         "chat_pack": "sessionize",
         "script_js": "script_hook",  # bench-only throughput variant
     }
