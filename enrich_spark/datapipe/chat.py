@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["chat_assemble", "chat_assemble_sql", "masked_content",
+           "sft_decontaminate",
            "sft_masked_dedup"]
 
 
@@ -260,3 +261,52 @@ def sft_masked_dedup(
     return apply_dedup_policy(masked, pairs,
                               quality_col="mask_chars",
                               id_col="conv_id")
+
+
+def sft_decontaminate(
+    turns: DataFrame,
+    benchmarks: list,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    roles: tuple[str, ...] = ("system", "user", "assistant"),
+    mask_role: str = "assistant",
+    min_overlap_windows: int = 1,
+    assembled: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-corpus SFT decontamination: n-gram overlap of the MASKED
+    (assistant) content against evaluation benchmarks — the eval twin
+    of :func:`sft_masked_dedup`. A benchmark answer laundered into the
+    SFT set under a FRESH user prompt is exactly what full-dialogue
+    checking misses (the prompt windows dilute or break the overlap);
+    evals need the same masked view intra-corpus dedup already uses.
+
+    Composition of audited parts: :func:`chat_assemble` (conversation
+    window) → :func:`masked_content` (span extraction, zero Python) →
+    ``dedup.contamination_check_multi`` over the masked text (one
+    broadcast gram map per distinct k + one (conv, set)-keyed
+    groupBy — the benchmark side is tiny next to the corpus, so the
+    check never shuffles the conversations).
+
+    ``benchmarks``: list of ``(name, df, k)`` — same contract as
+    ``contamination_check_multi``. Output: one row per (conv,
+    benchmark) with ≥1 shared masked window — conv_id, benchmark, k,
+    n_windows (masked-content windows at that k),
+    contaminated_windows, contaminated_frac, contaminated.
+
+    ``assembled``: pass a :func:`chat_assemble` output frame (conv_id,
+    text, mask_spans) to skip re-assembling, same as
+    :func:`sft_masked_dedup`."""
+    from .dedup import contamination_check_multi
+
+    if assembled is None:
+        assembled = chat_assemble(
+            turns, conv_col=conv_col, idx_col=idx_col,
+            role_col=role_col, text_col=text_col, roles=roles,
+            mask_role=mask_role)
+    masked = assembled.select(
+        "conv_id", masked_content().alias("_masked"))
+    return contamination_check_multi(
+        masked, benchmarks, text_col="_masked", id_col="conv_id",
+        min_overlap_windows=min_overlap_windows)

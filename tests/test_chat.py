@@ -165,3 +165,50 @@ def test_sft_masked_dedup_dedups_on_assistant_content_only(spark):
     m = {r.conv_id: r.m for r in chat_assemble(turns).select(
         "conv_id", masked_content().alias("m")).collect()}
     assert m[1] == ans and m[3] == ans + "\n" + ans
+
+
+def test_sft_decontaminate_catches_laundered_benchmark_answers(spark):
+    """r14 (r13 verdict #6): a benchmark ANSWER under a fresh user
+    prompt must flag as contaminated on the masked view (full-dialogue
+    checking would dilute the overlap with prompt windows); a clean
+    conversation sharing only its PROMPT with a benchmark question
+    must not flag."""
+    from enrich_spark.datapipe.chat import sft_decontaminate
+
+    bench_ans = ("the capital of france is paris which has been the "
+                 "seat of government since the medieval period")
+    clean_ans = ("photosynthesis converts light energy into chemical "
+                 "energy stored in glucose within the chloroplasts")
+    rows = [
+        # conv 1: LAUNDERED — fresh prompt, verbatim benchmark answer
+        (1, 0, "user", "hey quick geography question for you"),
+        (1, 1, "assistant", bench_ans),
+        # conv 2: clean answer, but its USER prompt quotes the
+        # benchmark — prompts are unmasked, must NOT flag
+        (2, 0, "user", "someone said " + bench_ans + " is that right"),
+        (2, 1, "assistant", clean_ans),
+        # conv 3: fully clean
+        (3, 0, "user", "explain photosynthesis briefly"),
+        (3, 1, "assistant", "plants make food from light and water"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id long, turn_idx long, role string, text string")
+    bench = spark.createDataFrame([(100, bench_ans)],
+                                  "bench_id long, text string")
+    hits = {r.conv_id: r for r in sft_decontaminate(
+        turns, [("geo_eval", bench, 6)]).collect()}
+    assert set(hits) == {1}
+    h = hits[1]
+    assert h.benchmark == "geo_eval" and h.k == 6
+    assert h.contaminated == 1 and h.contaminated_windows > 0
+
+    # pipeline composition: the laundered conv is dropped, the
+    # prompt-only-overlap and clean convs survive, output is
+    # assembled-conversation grain
+    from enrich_spark.datapipe.pipeline import run_pipeline
+
+    out = run_pipeline(turns, [
+        {"op": "sft_decontam_drop",
+         "benchmarks": [("geo_eval", bench, 6)]}])
+    assert sorted(r.conv_id for r in out.collect()) == [2, 3]
+    assert "mask_spans" in out.columns
