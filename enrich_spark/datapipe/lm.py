@@ -75,6 +75,7 @@ def lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 0.4,
+    hash_join_keys: bool = True,
 ) -> DataFrame:
     """Score each document under the stupid-backoff LM in ``counts``
     (a :func:`lm_counts` frame — typically trained on a REFERENCE
@@ -88,7 +89,15 @@ def lm_score(
       more fluent under the reference LM)
 
     First token scores as a unigram; later tokens as bigram-else-
-    backoff. OOV floor: 1/T (T = total training tokens)."""
+    backoff. OOV floor: 1/T (T = total training tokens).
+
+    ``hash_join_keys=False`` is the parity/debug switch (r14, r13
+    advice): it joins bigrams on the raw string instead of the int64
+    hash — collision-proof and byte-identical to the DuckDB oracle's
+    join, at roughly double the shuffle bytes. If the gate ever
+    mismatches on an lm row, rerun with False: same result ⇒ not a
+    hash collision; different result ⇒ collision found, attributed in
+    one rerun."""
     uni = counts.where(F.col("n") == 1).select(
         F.col("gram").alias("_ug"), F.col("cnt").alias("_uc"))
     # int64-hash the bigram join key at build time (the containment-
@@ -99,8 +108,10 @@ def lm_score(
     # between two distinct bigrams is the accepted approximation
     # (n²/2⁶⁵ — negligible below ~10⁹ distinct bigrams). The DuckDB
     # oracle joins on the string; parity holds absent collisions.
+    bkey = (F.xxhash64("gram") if hash_join_keys
+            else F.col("gram"))
     big = counts.where(F.col("n") == 2).select(
-        F.xxhash64("gram").alias("_bgh"), F.col("cnt").alias("_bc"))
+        bkey.alias("_bgh"), F.col("cnt").alias("_bc"))
     total = uni.agg(F.sum("_uc").cast("double").alias("_t"))
 
     w = docs.select(F.col(id_col), _words(F.col(text_col)).alias("_w"))
@@ -118,7 +129,9 @@ def lm_score(
          .join(F.broadcast(total))
          .join(uni, F.col("_tok") == F.col("_ug"), "left")
          .join(big,
-               F.xxhash64(F.concat_ws(" ", "_prev", "_tok"))
+               (F.xxhash64(F.concat_ws(" ", "_prev", "_tok"))
+                if hash_join_keys
+                else F.concat_ws(" ", "_prev", "_tok"))
                == F.col("_bgh"),
                "left")
          .join(uni.select(F.col("_ug").alias("_pg"),

@@ -326,12 +326,27 @@ class KinesisFanoutSource:
     def pull(self, spark: SparkSession, state: dict):
         """→ (DataFrame | None, new_state, commit_fn). Drains the push
         buffers; waits up to idle_wait_s for in-flight events before
-        reporting the stream idle."""
+        reporting the stream idle.
+
+        Raises on ANY pull while a shard is in persistent subscribe
+        failure — checked BEFORE the drain (r14; previously only the
+        idle path checked, so on a continuously busy stream a dead
+        shard's data loss stayed silent for as long as the healthy
+        shards kept producing). Partial data loss must halt the
+        pipeline: rows drained-but-uncommitted are redelivered after
+        the crash-restart (at-least-once), so failing loud costs
+        nothing but the restart."""
         import time as _time
 
         from pyspark.sql import types as T
 
         self._ensure_subscribed(state)
+        errs = self.shard_errors()
+        if errs:
+            from ..sources.kinesis import KinesisError
+            raise KinesisError(
+                f"fan-out: {len(errs)}/{len(self._buf)} shard(s) "
+                f"in persistent subscribe failure: {errs}")
         rows = []
         new_state = dict(state)
         deadline = _time.monotonic() + self.idle_wait_s
@@ -354,15 +369,9 @@ class KinesisFanoutSource:
                 break
             _time.sleep(0.01)
         if not rows:
-            # nothing buffered AND ANY shard persistently failing is a
-            # broken stream, not an idle one — surface it. One dead
-            # shard among healthy ones is PARTIAL DATA LOSS (its
-            # records are never consumed), which at-least-once
-            # semantics must make loud: buffered rows from healthy
-            # shards still deliver (the drain above), but the stream
-            # refuses to report idle while a shard is down. Recovery =
-            # the documented crash-restart contract (rebuild from the
-            # checkpoint).
+            # a failure that crossed the persistent threshold DURING
+            # the drain wait still refuses to report idle (the
+            # before-drain check above covers the steady state)
             errs = self.shard_errors()
             if errs:
                 from ..sources.kinesis import KinesisError

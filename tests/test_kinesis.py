@@ -660,3 +660,55 @@ def test_fanout_single_dead_shard_surfaces_on_idle(spark):
         assert set(src.shard_errors()) == {"shardId-001"}
     finally:
         src.close()
+
+
+def test_fanout_dead_shard_surfaces_on_busy_stream(spark):
+    """r14 (r13 advice): a persistently failing shard must surface
+    even when the OTHER shards keep producing — the pre-drain check
+    bounds the silent-loss window to one persistent-failure detection,
+    not 'until the stream next goes idle' (which on a busy stream is
+    never)."""
+    import time as _time
+
+    from enrich_spark.sources.kinesis import KinesisError, KinesisSourceConf
+    from enrich_spark.streaming.pull_runner import KinesisFanoutSource
+
+    class BusyHalfBrokenClient:
+        def __init__(self):
+            self.n = 0
+
+        def register_stream_consumer(self, stream, name):
+            return f"arn:fake:consumer/{name}"
+
+        def list_shards(self, stream):
+            return ["shardId-000", "shardId-001"]
+
+        def subscribe_to_shard(self, arn, shard_id, position=None,
+                               sequence_number=None):
+            if shard_id == "shardId-001":
+                raise KinesisError("ResourceNotFoundException")
+            # the healthy shard NEVER idles — every call has a record
+            self.n += 1
+            return ([("k", f"busy-{self.n}".encode(), str(self.n),
+                      None)], str(self.n))
+
+    conf = KinesisSourceConf(stream_name="busy-half",
+                             endpoint_url="http://unused",
+                             retrieval_mode="FanOut")
+    src = KinesisFanoutSource(conf, client=BusyHalfBrokenClient(),
+                              idle_wait_s=0.05)
+    src.persistent_failure_threshold = 3
+    try:
+        deadline = _time.monotonic() + 30.0
+        state, delivered = {}, 0
+        with pytest.raises(KinesisError,
+                           match="1/2.*persistent subscribe"):
+            while _time.monotonic() < deadline:
+                df, state, _ = src.pull(spark, state)
+                if df is not None:
+                    delivered += df.count()   # stream stays busy
+            raise AssertionError(
+                "dead shard never surfaced on busy stream")
+        assert set(src.shard_errors()) == {"shardId-001"}
+    finally:
+        src.close()

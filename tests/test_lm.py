@@ -177,3 +177,16 @@ def test_token_divergence_duckdb_parity(spark, tmp_path):
         lm_counts_sql(f"read_parquet('{tmp_path}/b.parquet')"),
     )).fetchall())
     assert got == want and len(got) > 10
+
+
+def test_lm_score_string_join_parity_switch(spark):
+    """r14 (r13 advice): hash_join_keys=False joins bigrams on the raw
+    string — the collision-proof attribution path. Same scores as the
+    default int64-hash join on a collision-free vocabulary."""
+    counts = lm_counts(_docs(spark, TRAIN))
+    docs = _docs(spark, ["the cat sat on the log",
+                         "zebra quantum flux", ""])
+    hashed = sorted(tuple(r) for r in lm_score(docs, counts).collect())
+    strung = sorted(tuple(r) for r in lm_score(
+        docs, counts, hash_join_keys=False).collect())
+    assert hashed == strung
