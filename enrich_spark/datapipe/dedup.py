@@ -1875,3 +1875,95 @@ def containment_pairs_prefix(
     return out.where(
         (F.col("contain_a_bp") >= tb) | (F.col("contain_b_bp") >= tb)
     ).dropDuplicates(["id_a", "id_b"])
+
+
+class FingerprintIndexIngest:
+    """Streaming ingest for incremental fingerprint near-dedup — the
+    foreachBatch composition of :func:`build_fingerprint_index` +
+    :func:`incremental_hamming_pairs` (r14, the streaming twin of the
+    text path's index-vs-increment contract):
+
+    per micro-batch, :meth:`ingest`
+    1. dedups the NEW docs against the STORED index — new-vs-corpus
+       pairs only; old-vs-old is STRUCTURALLY absent (the index is
+       only ever the probe target of the banded equi-join, never
+       self-joined — assert it on the plan: exactly one join, one
+       index scan),
+    2. dedups new-vs-new within the batch (:func:`hamming_pairs` —
+       batch-sized, tiny),
+    3. appends the SURVIVORS' banded rows to the index, so batch N+1
+       sees them as corpus.
+
+    Keep policy (deterministic, order-free): a new doc is dropped when
+    it matches ANY corpus member, or ANY lower-id doc of its own batch
+    (greedy first-wins; a doc matching only a dropped batch-mate is
+    still dropped — conservative on transitive near-dup chains).
+
+    Index layout: append-only parquet at ``path`` in the
+    :func:`build_fingerprint_index` schema (doc_id, band, bhash, fp).
+    At scale, compact periodically into a table bucketed on
+    (band, bhash) via ``plans.bucketing.write_bucketed`` — the
+    corpus side then never reshuffles (the tests/
+    test_incremental_index.py plan contract); the per-batch appends
+    between compactions are increment-sized.
+    """
+
+    def __init__(self, path: str, hash_col: str = "hash",
+                 id_col: str = "doc_id", max_hamming: int = 3,
+                 bands: int | None = None):
+        self.path = path
+        self.hash_col = hash_col
+        self.id_col = id_col
+        self.max_hamming = max_hamming
+        self.bands = bands
+
+    def _index(self, spark):
+        try:
+            return spark.read.parquet(self.path)
+        except Exception:  # noqa: BLE001 — first batch: no index yet
+            return None
+
+    def ingest(self, batch: DataFrame) -> DataFrame:
+        """→ per-new-doc verdict: (doc_id, n_corpus_matches,
+        n_batch_matches, is_kept); appends kept docs' banded rows to
+        the stored index. The verdict is computed (and the append
+        written) eagerly — foreachBatch semantics."""
+        spark = batch.sparkSession
+        new = batch.select(F.col(self.id_col).alias("doc_id"),
+                           F.col(self.hash_col).alias("hash"))
+        index = self._index(spark)
+        if index is not None:
+            cpairs = incremental_hamming_pairs(
+                new, index, max_hamming=self.max_hamming,
+                bands=self.bands)
+            corpus_hits = cpairs.groupBy("new_id").agg(
+                F.count(F.lit(1)).alias("n_corpus_matches"))
+        else:
+            corpus_hits = spark.createDataFrame(
+                [], "new_id long, n_corpus_matches long")
+        bpairs = hamming_pairs(new, max_hamming=self.max_hamming,
+                               bands=self.bands)
+        batch_hits = bpairs.groupBy("id_b").agg(
+            F.count(F.lit(1)).alias("n_batch_matches"))
+        verdict = (
+            new.join(corpus_hits,
+                     new["doc_id"] == corpus_hits["new_id"], "left")
+            .join(batch_hits, new["doc_id"] == batch_hits["id_b"],
+                  "left")
+            .select(
+                "doc_id", "hash",
+                F.coalesce("n_corpus_matches", F.lit(0)).cast("long")
+                .alias("n_corpus_matches"),
+                F.coalesce("n_batch_matches", F.lit(0)).cast("long")
+                .alias("n_batch_matches"))
+            .withColumn(
+                "is_kept",
+                ((F.col("n_corpus_matches") == 0)
+                 & (F.col("n_batch_matches") == 0)).cast("long"))
+        )
+        kept = verdict.where(F.col("is_kept") == 1) \
+            .select("doc_id", "hash")
+        build_fingerprint_index(
+            kept, max_hamming=self.max_hamming, bands=self.bands,
+        ).write.mode("append").parquet(self.path)
+        return verdict.drop("hash")

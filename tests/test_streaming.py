@@ -980,3 +980,84 @@ def test_streaming_curation_end_to_end(spark, tmp_path):
         assert got == [1, 5]
     finally:
         q.stop()
+
+
+def test_streaming_incremental_fingerprint_ingest(spark):
+    """r14 (verdict #7): incremental fingerprint dedup wired into the
+    foreachBatch path — two micro-batches against a pre-seeded stored
+    index. Batch 2 must dedup against corpus + batch-1 SURVIVORS only:
+    dropped docs never enter the index, and the pairs stage joins
+    new-vs-index exactly once (old-vs-old structurally absent)."""
+    from enrich_spark.datapipe.dedup import (
+        FingerprintIndexIngest,
+        build_fingerprint_index,
+        incremental_hamming_pairs,
+    )
+
+    v0, v1, v2 = 0x0F0F0F0F0F0F0F0F, 0x00FF00FF00FF00FF, 0x3333333333333333
+    v4, v5 = 0x5A5A5A5A5A5A5A5A, 0x00000000FFFF0000
+
+    def rows(batch):
+        return spark.createDataFrame(batch, "doc_id LONG, hash LONG")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        idx_path = os.path.join(tmp, "fpidx")
+        build_fingerprint_index(rows([(0, v0), (1, v1), (2, v2)])) \
+            .write.parquet(idx_path)
+        ing = FingerprintIndexIngest(idx_path, max_hamming=3)
+
+        verdicts: dict[int, dict] = {}
+
+        def process(batch_df, batch_id):
+            for r in ing.ingest(batch_df).collect():
+                verdicts[r.doc_id] = (r.n_corpus_matches,
+                                      r.n_batch_matches, r.is_kept)
+
+        src = os.path.join(tmp, "in")
+        os.makedirs(src)
+        # batch 1: 100 = 1-bit flip of corpus v0 (drop: corpus);
+        # 101 = fresh v4 (keep); 102 = 1-bit flip of 101 (drop: lower-
+        # id batch mate)
+        rows([(100, v0 ^ 1), (101, v4), (102, v4 ^ 2)]).write.parquet(
+            os.path.join(src, "b0"))
+        source = (spark.readStream.schema("doc_id LONG, hash LONG")
+                  .option("recursiveFileLookup", "true").parquet(src))
+        q = (source.writeStream.foreachBatch(process)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .start())
+        try:
+            q.processAllAvailable()
+            assert verdicts[100] == (1, 0, 0)
+            assert verdicts[101] == (0, 0, 1)
+            assert verdicts[102] == (0, 1, 0)
+
+            # batch 2: 200 = flip of 101 (batch-1 SURVIVOR, now in the
+            # index → drop); 201 = fresh (keep); 202 = 3 more flips of
+            # DROPPED doc 102 — hamming 4 to survivor 101, 3 to
+            # non-indexed 102 → must be KEPT (dropped docs don't
+            # pollute the index)
+            rows([(200, v4 ^ 4), (201, v5), (202, v4 ^ 2 ^ 0x70)]) \
+                .write.parquet(os.path.join(src, "b1"))
+            q.processAllAvailable()
+            assert verdicts[200] == (1, 0, 0)
+            assert verdicts[201] == (0, 0, 1)
+            assert verdicts[202] == (0, 0, 1)
+        finally:
+            q.stop()
+
+        # the index holds ONLY seed + survivors
+        idx_ids = {r.doc_id for r in
+                   spark.read.parquet(idx_path).collect()}
+        assert idx_ids == {0, 1, 2, 101, 201, 202}
+
+        # plan lint: the new-vs-corpus stage scans the index ONCE and
+        # has exactly one join — old-vs-old does not exist as a stage
+        pairs = incremental_hamming_pairs(
+            rows([(300, v4 ^ 8)]), spark.read.parquet(idx_path),
+            max_hamming=3)
+        pairs.collect()
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("fpidx") == 1
+        import re as _re
+        assert len(_re.findall(r"\b\w*Join\b", final)) == 1
