@@ -50,6 +50,9 @@ from enrich_spark.datapipe.text import code_profile_sql as _code_sql
 from enrich_spark.datapipe.text import (
     extract_code_blocks_sql as _fence_sql,
 )
+from enrich_spark.datapipe.text import (
+    fence_language_mix_sql as _fmix_sql,
+)
 from enrich_spark.datapipe.text import script_profile_sql as _script_sql
 from enrich_spark.datapipe.layout import weighted_sample_k_sql as _wsk_sql
 from enrich_spark.datapipe.similarity import (
@@ -4476,8 +4479,13 @@ config:
         from enrich_spark.datapipe.text import extract_code_blocks
 
         docs = _load_docs(spark, sf).select("doc_id", "text")
+        lang = F.element_at(
+            F.array(F.lit("py"), F.lit("js"), F.lit("rust"),
+                    F.lit("")),
+            (F.col("doc_id") % 4 + 1).cast("int"))
         fenced = F.concat(
-            F.lit("\n```py\nx = "), F.col("doc_id").cast("string"),
+            F.lit("\n```"), lang,
+            F.lit("\nx = "), F.col("doc_id").cast("string"),
             F.lit(";\n    y[0] += 2;\n```\ntail "))
         t = F.concat(
             F.substring("text", 1, 120),
@@ -4492,7 +4500,34 @@ config:
             "doc_id",
             F.md5("prose_text").alias("prose_md5"),
             F.md5("code_text").alias("code_md5"),
+            "fence_langs",
             "n_fences", "code_chars", "prose_chars")
+
+    def q_fence_mix(spark, sf):
+        # r14: corpus code-mix table over the SAME synthesized-fence
+        # fixture (text.fence_language_mix) — one row per fence
+        # language with block/char/doc counts, the ratio-planning
+        # aggregate
+        from enrich_spark.datapipe.text import fence_language_mix
+
+        docs = _load_docs(spark, sf).select("doc_id", "text")
+        lang = F.element_at(
+            F.array(F.lit("py"), F.lit("js"), F.lit("rust"),
+                    F.lit("")),
+            (F.col("doc_id") % 4 + 1).cast("int"))
+        fenced = F.concat(
+            F.lit("\n```"), lang,
+            F.lit("\nx = "), F.col("doc_id").cast("string"),
+            F.lit(";\n    y[0] += 2;\n```\ntail "))
+        t = F.concat(
+            F.substring("text", 1, 120),
+            F.when(F.col("doc_id") % 3 == 0, fenced)
+            .otherwise(F.lit(" plain ")))
+        return fence_language_mix(
+            docs.select("doc_id", t.alias("text"))).select(
+            F.col("lang").alias("fence_langs"),
+            "n_blocks", "code_chars",
+            F.col("n_docs").alias("n_docs"))
 
     def q_text_analysis(spark, sf):
         # the text-analysis operator family bundled into ONE oracle row
@@ -4519,7 +4554,8 @@ config:
              ("script", q_script_profile(spark, sf)),
              ("sbo", q_sbo_lm(spark, sf)),
              ("code", q_code_profile(spark, sf)),
-             ("fence", q_fence_extract(spark, sf))],
+             ("fence", q_fence_extract(spark, sf)),
+             ("fmix", q_fence_mix(spark, sf))],
             fill=("doc_id", "n_chars", "n_words", "mean_word_len",
                   "punct_ratio", "stopword_ratio", "distinct_word_ratio",
                   "dup_line_ratio", "top_bigram_char_ratio", "quality_score",
@@ -4543,8 +4579,8 @@ config:
                   "cp_chars", "cp_lines", "n_sym", "n_ops",
                   "n_indent_lines", "n_kw", "code_score_bp",
                   "is_code",
-                  "prose_md5", "code_md5", "n_fences", "code_chars",
-                  "prose_chars"),
+                  "prose_md5", "code_md5", "fence_langs", "n_fences",
+                  "code_chars", "prose_chars", "n_blocks", "n_docs"),
         )
 
     q["text_analysis"] = q_text_analysis
@@ -5151,6 +5187,9 @@ config:
         "code_profile": q_code_profile,
         # r14: fenced-code extraction (text_analysis fence part)
         "extract_code": q_fence_extract,
+        # r14: masked-content SFT decontamination (decontam_multi
+        # sftdecon part)
+        "sft_decontam": q_sft_decontam,
     }
 
     # Memoize every query's analyzed plan per (session, sf_dir): plans are
@@ -7859,10 +7898,12 @@ def oracle_sql() -> dict[str, str]:
         # same pattern; streams compared by md5
         ("fence",
          "SELECT doc_id, md5(prose_text) AS prose_md5, "
-         "md5(code_text) AS code_md5, n_fences, code_chars, "
-         "prose_chars FROM (" + _fence_sql(
+         "md5(code_text) AS code_md5, fence_langs, n_fences, "
+         "code_chars, prose_chars FROM (" + _fence_sql(
              "(SELECT doc_id, substring(text, 1, 120) || "
-             "CASE WHEN doc_id % 3 = 0 THEN chr(10) || '```py' || "
+             "CASE WHEN doc_id % 3 = 0 THEN chr(10) || '```' || "
+             "list_extract(['py','js','rust',''], "
+             "CAST(doc_id % 4 AS INT) + 1) || "
              "chr(10) || 'x = ' || doc_id || ';' || chr(10) || "
              "'    y[0] += 2;' || chr(10) || '```' || chr(10) || "
              "'tail ' ELSE ' plain ' END || "
@@ -7870,8 +7911,23 @@ def oracle_sql() -> dict[str, str]:
              "chr(10) || 'unterminated' ELSE '' END AS text "
              "FROM documents)") + ")",
          {"doc_id": "num", "prose_md5": "str", "code_md5": "str",
-          "n_fences": "num", "code_chars": "num",
-          "prose_chars": "num"}),
+          "fence_langs": "str", "n_fences": "num",
+          "code_chars": "num", "prose_chars": "num"}),
+        # r14: corpus code-mix over the same fence fixture (no
+        # unterminated tail — fmix reads only real fences)
+        ("fmix",
+         "SELECT lang AS fence_langs, n_blocks, code_chars, n_docs "
+         "FROM (" + _fmix_sql(
+             "(SELECT doc_id, substring(text, 1, 120) || "
+             "CASE WHEN doc_id % 3 = 0 THEN chr(10) || '```' || "
+             "list_extract(['py','js','rust',''], "
+             "CAST(doc_id % 4 AS INT) + 1) || "
+             "chr(10) || 'x = ' || doc_id || ';' || chr(10) || "
+             "'    y[0] += 2;' || chr(10) || '```' || chr(10) || "
+             "'tail ' ELSE ' plain ' END AS text "
+             "FROM documents)") + ")",
+         {"fence_langs": "str", "n_blocks": "num",
+          "code_chars": "num", "n_docs": "num"}),
     ])
     # dHash fixture replay: param p (planned dup/near-dup reuse of the
     # previous subset member), optional one-pixel +40 perturbation at

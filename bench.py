@@ -122,6 +122,7 @@ HEADLINE = [
     "preference_pairs",       # RM/DPO pair prep (guards + both modes)
     "code_profile",           # code-vs-prose router (regexp counts)
     "extract_code",           # fenced-code prose/code stream split
+    "sft_decontam",           # masked-content eval decontamination
 ]
 
 # Sequential fresh-JVM groups. Grouped by operator family so each JVM
@@ -167,7 +168,7 @@ GROUPS = [
     ["incremental_fp", "sft_dedup", "preference_pairs",
      "code_profile"],
     # r14 additions: own group, same rationale
-    ["extract_code"],
+    ["extract_code", "sft_decontam"],
 ]
 assert sorted(n for g in GROUPS for n in g) == sorted(HEADLINE)
 

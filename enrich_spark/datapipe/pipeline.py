@@ -425,8 +425,8 @@ def _op_extract_code(docs, mode="prose", text_col="text",
     out = parts.drop(text_col).withColumnRenamed(src, text_col)
     if mode == "code":
         out = out.where(F.col("code_chars") > 0)
-    return out.drop("prose_text", "code_text", "n_fences",
-                    "code_chars", "prose_chars")
+    return out.drop("prose_text", "code_text", "fence_langs",
+                    "n_fences", "code_chars", "prose_chars")
 
 
 def _op_sft_dedup_keep(turns, conv_col="conv_id", idx_col="turn_idx",

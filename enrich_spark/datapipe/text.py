@@ -969,7 +969,7 @@ def code_profile_sql(
 # lookarounds. LF line endings assumed — run normalize_text first on
 # CRLF corpora (Java's multiline $ treats \r\n as one terminator, RE2
 # does not; anchoring on \n keeps the engines in lockstep).
-FENCE_RE = "(?ms)^```[^\\n]*\\n(.*?)^```[ \\t]*(\\n|$)"
+FENCE_RE = "(?ms)^```([^\\n]*)\\n(.*?)^```[ \\t]*(\\n|$)"
 INDENT_BLOCK_RE = "(?m)^(?:    |\\t)(.*)$"
 _INDENT_STRIP_RE = "(?m)^(?:    |\\t).*(\\n|$)"
 
@@ -1005,8 +1005,12 @@ def extract_code_blocks(
     no longer penalizes its prose quality."""
     t = F.col(text_col)
     code = F.array_join(
-        F.regexp_extract_all(t, F.lit(FENCE_RE), 1), "\n")
+        F.regexp_extract_all(t, F.lit(FENCE_RE), 2), "\n")
     prose = F.regexp_replace(t, FENCE_RE, "")
+    langs = F.array_join(
+        F.transform(F.regexp_extract_all(t, F.lit(FENCE_RE), 1),
+                    lambda x: F.lower(F.split(F.trim(x), " ")[0])),
+        ",")
     if include_indented:
         ind = F.array_join(
             F.regexp_extract_all(prose, F.lit(INDENT_BLOCK_RE), 1),
@@ -1020,7 +1024,8 @@ def extract_code_blocks(
         "*",
         prose.alias("prose_text"),
         code.alias("code_text"),
-        F.size(F.regexp_extract_all(t, F.lit(FENCE_RE), 1))
+        langs.alias("fence_langs"),
+        F.size(F.regexp_extract_all(t, F.lit(FENCE_RE), 2))
         .cast("long").alias("n_fences"),
         F.length(code).cast("long").alias("code_chars"),
         F.length(prose).cast("long").alias("prose_chars"),
@@ -1042,7 +1047,10 @@ def extract_code_blocks_sql(
     # list is NULL in DuckDB where Spark's array_join gives ''.
     fre = FENCE_RE
     code = (f"coalesce(array_to_string(regexp_extract_all({text_expr}, "
-            f"'{fre}', 1), chr(10)), '')")
+            f"'{fre}', 2), chr(10)), '')")
+    langs = (f"coalesce(array_to_string(list_transform("
+             f"regexp_extract_all({text_expr}, '{fre}', 1), "
+             f"x -> lower(string_split(trim(x), ' ')[1])), ','), '')")
     prose = f"regexp_replace({text_expr}, '{fre}', '', 'g')"
     if include_indented:
         ind = (f"coalesce(array_to_string(regexp_extract_all({prose}, "
@@ -1057,9 +1065,71 @@ def extract_code_blocks_sql(
         SELECT {id_expr} AS {id_alias},
                {prose} AS prose_text,
                {code} AS code_text,
-               CAST(len(regexp_extract_all({text_expr}, '{fre}', 1))
+               {langs} AS fence_langs,
+               CAST(len(regexp_extract_all({text_expr}, '{fre}', 2))
                     AS BIGINT) AS n_fences,
                CAST(length({code}) AS BIGINT) AS code_chars,
                CAST(length({prose}) AS BIGINT) AS prose_chars
         FROM {from_sql}
+    """
+
+
+def fence_language_mix(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide CODE-MIX table from fence info strings: one row per
+    fence language — (lang, n_blocks, code_chars, n_docs) — the number
+    a training-mix planner actually sets ratios with ("how much rust
+    vs python vs untagged code does this corpus carry"). Language =
+    first whitespace token of the fence info string, lowercased
+    (CommonMark's convention); untagged fences land on ``''``.
+
+    Plan shape: one per-row zip of the info-string and body match
+    lists → explode (rows × fences-per-doc, almost always ≪ 2) → ONE
+    groupBy(lang) whose key cardinality is the number of distinct
+    languages (dozens). Nothing else shuffles."""
+    t = F.col(text_col)
+    pairs = F.zip_with(
+        F.regexp_extract_all(t, F.lit(FENCE_RE), 1),
+        F.regexp_extract_all(t, F.lit(FENCE_RE), 2),
+        lambda info, body: F.struct(
+            F.lower(F.split(F.trim(info), " ")[0]).alias("lang"),
+            F.length(body).alias("chars")))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(pairs).alias("_f"))
+        .groupBy(F.col("_f.lang").alias("lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_blocks"),
+             F.sum("_f.chars").cast("long").alias("code_chars"),
+             F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    )
+
+
+def fence_language_mix_sql(
+    from_sql: str,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`fence_language_mix` (index-unnest over
+    the same two capture groups)."""
+    fre = FENCE_RE
+    return f"""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(chars) AS BIGINT) AS code_chars,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM (
+          SELECT doc_id,
+                 lower(string_split(trim(infos[t.i + 1]), ' ')[1])
+                   AS lang,
+                 length(bodies[t.i + 1]) AS chars
+          FROM (
+            SELECT {id_expr} AS doc_id,
+                   regexp_extract_all({text_expr}, '{fre}', 1) AS infos,
+                   regexp_extract_all({text_expr}, '{fre}', 2) AS bodies
+            FROM {from_sql}),
+          LATERAL unnest(range(len(infos))) AS t(i)
+        )
+        GROUP BY lang
     """

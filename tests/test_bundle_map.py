@@ -148,7 +148,8 @@ EXPECTED_BUNDLE_PARTS = {
                             "margin", "negs"],
     "text_analysis": ["lang", "quality", "tokens", "fprint", "stats",
                       "rep", "lm", "html", "bpe", "unigram", "url",
-                      "bm25", "clean", "script", "sbo", "code", "fence"],
+                      "bm25", "clean", "script", "sbo", "code", "fence",
+                      "fmix"],
     "multimodal": ["decode", "frames", "audio", "resize", "dhash",
                    "dhpairs", "incfp", "afp", "afppairs"],
 }

@@ -3611,8 +3611,8 @@ def test_extract_code_blocks_duckdb_parity(spark, tmp_path):
     pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
         f"{tmp_path}/fence.parquet")
     df = spark.read.parquet(f"{tmp_path}/fence.parquet")
-    cols = ["doc_id", "prose_text", "code_text", "n_fences",
-            "code_chars", "prose_chars"]
+    cols = ["doc_id", "prose_text", "code_text", "fence_langs",
+            "n_fences", "code_chars", "prose_chars"]
     for inc in (False, True):
         got = sorted(tuple(r) for r in extract_code_blocks(
             df, include_indented=inc).select(*cols).collect())
@@ -3623,9 +3623,12 @@ def test_extract_code_blocks_duckdb_parity(spark, tmp_path):
         assert got == want, f"include_indented={inc}"
     by_id = {t[0]: t for t in got}
     # unterminated fence stays in prose (conservative failure mode)
-    assert by_id[3][1].startswith("Unterminated") and by_id[3][3] == 0
-    # two fences: bodies joined, both stripped from prose
+    assert by_id[3][1].startswith("Unterminated") and by_id[3][4] == 0
+    # two fences: bodies joined, both stripped from prose; langs in order
     assert by_id[4][2] == "A\n\nB\n" and by_id[4][1] == "Two:\nmid\ntail"
+    assert by_id[4][3] == "a,b" and by_id[0][3] == "python"
+    # info string: first token, lowercased
+    assert by_id[8][3] == "lang"
     # indent mode moved the indented lines out of doc 5's prose
     assert by_id[5][2] == "x = 1\ny = 2" and "x = 1" not in by_id[5][1]
 
@@ -3640,8 +3643,41 @@ def test_extract_code_blocks_preserves_columns_and_plan(spark):
         "doc_id long, text string, source string")
     out = extract_code_blocks(df)
     assert out.columns == ["doc_id", "text", "source", "prose_text",
-                           "code_text", "n_fences", "code_chars",
-                           "prose_chars"]
+                           "code_text", "fence_langs", "n_fences",
+                           "code_chars", "prose_chars"]
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_fence_language_mix_duckdb_parity(spark, tmp_path):
+    """r14 code-mix table (text.fence_language_mix): per-language
+    block/char/doc counts from fence info strings, both engines."""
+    import duckdb
+    import pandas as pd
+
+    from enrich_spark.datapipe.text import (
+        fence_language_mix,
+        fence_language_mix_sql,
+    )
+
+    docs = [
+        (0, "a\n```Python copy\nx=1\n```\nb\n```js\ny\n```\nc"),
+        (1, "plain, no fences at all"),
+        (2, "```\nuntagged\n```"),
+        (3, "```RUST ignore this\nfn main(){}\n```"),
+        (4, "```python\nsecond python doc\n```"),
+    ]
+    pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
+        f"{tmp_path}/fl.parquet")
+    df = spark.read.parquet(f"{tmp_path}/fl.parquet")
+    got = sorted(tuple(r) for r in fence_language_mix(df).collect())
+    want = sorted(tuple(r) for r in duckdb.connect().execute(
+        fence_language_mix_sql(
+            f"read_parquet('{tmp_path}/fl.parquet')")).fetchall())
+    assert got == want
+    by_lang = {t[0]: t for t in got}
+    # info-string first token, lowercased; untagged -> ''
+    assert by_lang["python"] == ("python", 2, 22, 2)
+    assert by_lang["rust"][1] == 1 and by_lang[""][1] == 1
+    assert set(by_lang) == {"python", "js", "rust", ""}

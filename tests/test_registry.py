@@ -108,6 +108,7 @@ def test_bench_headline_resolves_and_maps_to_gated_rows():
         "preference_pairs": "sessionize",
         "code_profile": "text_analysis",
         "extract_code": "text_analysis",
+        "sft_decontam": "decontam_multi",
         "chat_pack": "sessionize",
         "script_js": "script_hook",  # bench-only throughput variant
     }
