@@ -858,8 +858,13 @@ def test_preference_pairs_property(resp):
     want_bvw = set()
     for p, rs in by_prompt.items():
         best = max(rs, key=lambda x: (x[2], -x[0]))
-        worst = min(rs, key=lambda x: (x[2], x[0]))
-        if best[2] - worst[2] >= 1 and best[1] != worst[1]:
+        # r14 best-distinct fallback: the worst among responses whose
+        # TEXT differs from the best's (not the absolute worst)
+        distinct = [r for r in rs if r[1] != best[1]]
+        if not distinct:
+            continue
+        worst = min(distinct, key=lambda x: (x[2], x[0]))
+        if best[2] - worst[2] >= 1:
             want_bvw.add((p, best[0], worst[0], best[2] - worst[2]))
     got_bvw = {tuple(r) for r in preference_pairs(df).collect()}
     assert got_bvw == want_bvw
