@@ -91,6 +91,12 @@ FAMILIES = {
     "incremental_fp": "incremental_fp",
     "sft_dedup": "sft_dedup",
     "preference_pairs": "preference_pairs",
+    # r14: the fence split is a pure projection (should be exactly
+    # input-linear); sft_decontam is chat window + broadcast gram
+    # check — the benchmark side is FIXED while the corpus grows, so
+    # the curve isolates the conversation-window cost
+    "extract_code": "extract_code",
+    "sft_decontam": "sft_decontam",
 }
 ID_SHIFT = 10_000_000
 
