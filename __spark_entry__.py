@@ -1638,6 +1638,8 @@ config:
               "n_sources", "n_langs", "n_unique_texts", "n_exact_dups",
               "min_tokens", "max_tokens", "p50_tokens", "p90_tokens",
               "pii_emails", "pii_ipv4", "n_docs_10plus_tokens",
+              "n_fenced_docs", "n_fences", "fenced_code_chars",
+              "n_code_docs",
               "src_docs", "src_tokens", "share_bp", "doc_id", "zkey",
               "weight", "b0", "b1", "b2", "n", "cnt", "total_rows",
               "n_keys", "shard_id"),
@@ -5628,7 +5630,9 @@ def oracle_sql() -> dict[str, str]:
           "n_unique_texts": "num", "n_exact_dups": "num",
           "min_tokens": "num", "max_tokens": "num", "p50_tokens": "num",
           "p90_tokens": "num", "pii_emails": "num", "pii_ipv4": "num",
-          "n_docs_10plus_tokens": "num"}),
+          "n_docs_10plus_tokens": "num", "n_fenced_docs": "num",
+          "n_fences": "num", "fenced_code_chars": "num",
+          "n_code_docs": "num"}),
         ("comp", """
         WITH w AS (
           SELECT source,

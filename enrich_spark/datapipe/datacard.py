@@ -6,8 +6,10 @@ arXiv:1803.09010).
 One pass over the corpus computes the whole card: scale (docs, chars,
 whitespace tokens, bytes), composition (distinct sources/languages and
 their top entries), duplication (exact-dup fraction), text-quality
-aggregates (mean/percentile lengths, quality-gate pass rate), and PII
-exposure counts (emails/IPs detected, not scrubbed). Every statistic
+aggregates (mean/percentile lengths, quality-gate pass rate), PII
+exposure counts (emails/IPs detected, not scrubbed), and code
+composition (fenced docs/blocks/chars + code_profile-flagged docs —
+r14). Every statistic
 is an ALGEBRAIC aggregate (sum/count/min/max/count-distinct or an
 exact percentile over a coarse distribution), so:
 
@@ -30,6 +32,21 @@ from pyspark.sql import functions as F
 
 _EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+from . import text as _T  # noqa: E402 — regex constants shared with the router
+
+
+def _is_code(t) -> "F.Column":
+    """The code_profile blend as a 0/1 column (same constants, same
+    integer arithmetic — threshold 2000 bp, see text.code_profile)."""
+    chars = F.length(t)
+    raw = (F.regexp_count(t, F.lit(_T.CODE_SYM_RE)).cast("long") * 2
+           + F.regexp_count(t, F.lit(_T.CODE_OPS_RE)).cast("long") * 6
+           + F.regexp_count(t, F.lit(_T.CODE_INDENT_RE)).cast("long") * 8
+           + F.regexp_count(t, F.lit(_T.CODE_KW_RE)).cast("long") * 8)
+    score = F.when(chars > 0, F.least(
+        F.lit(10000), F.floor(raw * 10000 / chars))).otherwise(F.lit(0))
+    return (score >= 2000).cast("int")
 
 
 def data_card(
@@ -75,6 +92,15 @@ def data_card(
         F.md5(F.col(text_col)).alias("_h"),
         F.regexp_count(F.col(text_col), F.lit(_EMAIL)).alias("_emails"),
         F.regexp_count(F.col(text_col), F.lit(_IPV4)).alias("_ips"),
+        # code composition (r14): fence counts/chars + the
+        # code_profile blend, all map-side regexp — a card that says
+        # how much of the corpus is code, not just how much is text
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(_T.FENCE_RE),
+                                    2)).alias("_nf"),
+        F.length(F.array_join(
+            F.regexp_extract_all(F.col(text_col), F.lit(_T.FENCE_RE), 2),
+            "\n")).alias("_fchars"),
+        _is_code(F.col(text_col)).alias("_iscode"),
     )
     if approx:
         p50 = F.percentile_approx("_words", F.lit(0.5),
@@ -104,6 +130,11 @@ def data_card(
         F.sum("_ips").cast("long").alias("pii_ipv4"),
         F.sum(F.when(F.col("_words") >= 10, 1).otherwise(0)).cast("long")
         .alias("n_docs_10plus_tokens"),
+        F.sum(F.when(F.col("_nf") >= 1, 1).otherwise(0)).cast("long")
+        .alias("n_fenced_docs"),
+        F.sum("_nf").cast("long").alias("n_fences"),
+        F.sum("_fchars").cast("long").alias("fenced_code_chars"),
+        F.sum("_iscode").cast("long").alias("n_code_docs"),
     )
 
 
@@ -155,6 +186,13 @@ def data_card_sql(from_sql: str, id_expr: str = "doc_id",
     """DuckDB mirror of :func:`data_card` (exact same integers)."""
     words = (f"list_filter(string_split(trim(regexp_replace("
              f"{text_expr}, '\\s+', ' ', 'g')), ' '), w -> w <> '')")
+    craw = (f"(len(regexp_extract_all({text_expr}, '{_T.CODE_SYM_RE}')) * 2"
+            f" + len(regexp_extract_all({text_expr}, '{_T.CODE_OPS_RE}')) * 6"
+            f" + len(regexp_extract_all({text_expr}, "
+            "chr(10) || '(    |' || chr(9) || ')')) * 8"
+            f" + len(regexp_extract_all({text_expr}, '{_T.CODE_KW_RE}')) * 8)")
+    cscore = (f"CASE WHEN length({text_expr}) > 0 THEN least(10000, "
+              f"floor({craw} * 10000 / length({text_expr}))) ELSE 0 END")
     return f"""
         WITH b AS (
             SELECT {id_expr} AS _id, {source_expr} AS _src,
@@ -166,7 +204,14 @@ def data_card_sql(from_sql: str, id_expr: str = "doc_id",
                    length(regexp_extract_all({text_expr},
                        '{_EMAIL}')) AS _emails,
                    length(regexp_extract_all({text_expr},
-                       '{_IPV4}')) AS _ips
+                       '{_IPV4}')) AS _ips,
+                   len(regexp_extract_all({text_expr},
+                       '{_T.FENCE_RE}', 2)) AS _nf,
+                   length(coalesce(array_to_string(regexp_extract_all(
+                       {text_expr}, '{_T.FENCE_RE}', 2), chr(10)), ''))
+                     AS _fchars,
+                   CASE WHEN {cscore} >= 2000 THEN 1 ELSE 0 END
+                     AS _iscode
             FROM {from_sql}
         )
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -184,6 +229,11 @@ def data_card_sql(from_sql: str, id_expr: str = "doc_id",
                CAST(sum(_emails) AS BIGINT) AS pii_emails,
                CAST(sum(_ips) AS BIGINT) AS pii_ipv4,
                CAST(sum(CASE WHEN _words >= 10 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_docs_10plus_tokens
+                    AS BIGINT) AS n_docs_10plus_tokens,
+               CAST(sum(CASE WHEN _nf >= 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_fenced_docs,
+               CAST(sum(_nf) AS BIGINT) AS n_fences,
+               CAST(sum(_fchars) AS BIGINT) AS fenced_code_chars,
+               CAST(sum(_iscode) AS BIGINT) AS n_code_docs
         FROM b
     """

@@ -94,3 +94,34 @@ def test_data_card_approx_mode(spark):
             ._jdf.queryExecution().optimizedPlan().toString())
     assert plan.count("Aggregate") <= 2  # partial + final
     assert "percentile_approx" in plan
+
+
+def test_data_card_code_composition(spark):
+    """r14: the card states how much of the corpus is code — fence
+    counts/chars (extract_code_blocks' pattern) and code_profile-
+    flagged docs — and DuckDB replays the same integers."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        (1, "prose only, nothing else here at all", "web", "en"),
+        (2, "intro\n```py\nx = 1\n```\nmid\n```\nraw\n```\n", "web", "en"),
+        (3, "const x = {};\n    foo(); bar();\n" * 8, "gh", "en"),
+        (4, "more plain prose with ordinary words", "web", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string")
+    card = data_card(df).collect()[0]
+    assert card.n_fenced_docs == 1 and card.n_fences == 2
+    assert card.fenced_code_chars == len("x = 1\n") + 1 + len("raw\n")
+    assert card.n_code_docs == 1          # doc 3 crosses the blend
+
+    import tempfile as _tf
+    with _tf.TemporaryDirectory() as tmp:
+        pd.DataFrame(rows, columns=["doc_id", "text", "source",
+                                    "lang"]).to_parquet(f"{tmp}/c.parquet")
+        got = tuple(data_card(
+            spark.read.parquet(f"{tmp}/c.parquet")).collect()[0])
+        want = tuple(duckdb.connect().execute(
+            data_card_sql(f"read_parquet('{tmp}/c.parquet')")).fetchone())
+        assert got == want
