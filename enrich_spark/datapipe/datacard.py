@@ -168,15 +168,23 @@ def data_card_json(
     source_col: str = "source",
     lang_col: str | None = "lang",
     top_sources: int = 20,
+    top_code_langs: int = 20,
 ) -> dict:
-    """Collect the card + composition table into a publishable dict
-    (two bounded collects: one row + top-N sources)."""
+    """Collect the card + composition tables into a publishable dict
+    (three bounded collects: one row + top-N sources + top-N fence
+    languages — the code-mix table, r14)."""
+    from .text import fence_language_mix
+
     card = data_card(docs, text_col, id_col, source_col,
                      lang_col).collect()[0].asDict()
     srcs = (source_table(docs, text_col, source_col)
             .orderBy(F.col("n_docs").desc(), F.col("source").asc())
             .limit(top_sources).collect())
     card["sources"] = [r.asDict() for r in srcs]
+    langs = (fence_language_mix(docs, text_col=text_col, id_col=id_col)
+             .orderBy(F.col("n_blocks").desc(), F.col("lang").asc())
+             .limit(top_code_langs).collect())
+    card["code_langs"] = [r.asDict() for r in langs]
     return card
 
 

@@ -61,6 +61,7 @@ def test_source_table_and_json(spark):
     card = data_card_json(_docs(spark))
     assert card["n_docs"] == 5
     assert [s["source"] for s in card["sources"]] == ["web", "books"]
+    assert card["code_langs"] == []       # this fixture carries no fences
 
 
 def test_data_card_is_one_aggregation(spark):
@@ -125,3 +126,15 @@ def test_data_card_code_composition(spark):
         want = tuple(duckdb.connect().execute(
             data_card_sql(f"read_parquet('{tmp}/c.parquet')")).fetchone())
         assert got == want
+
+
+def test_data_card_json_code_langs(spark):
+    """The published card carries the code-mix table (r14)."""
+    df = spark.createDataFrame(
+        [(1, "a\n```py\nx\n```\nb\n```py\ny\n```", "web", "en"),
+         (2, "```js\nz\n```", "web", "en")],
+        "doc_id long, text string, source string, lang string")
+    card = data_card_json(df)
+    langs = {r["lang"]: r for r in card["code_langs"]}
+    assert langs["py"]["n_blocks"] == 2 and langs["py"]["n_docs"] == 1
+    assert langs["js"]["n_blocks"] == 1
