@@ -1826,7 +1826,14 @@ config:
         bvw = preference_pairs(resp).withColumn("pmode", F.lit("bvw"))
         allp = preference_pairs(resp, margin=3, mode="all_pairs") \
             .withColumn("pmode", F.lit("all"))
-        return bvw.unionByName(allp).select(
+        # r14: the dirty-key caps, gate-verified — R=4 bites (5
+        # responses per prompt, extremes kept), P=3 bites (margin-1
+        # expansion exceeds it on full-fanout prompts)
+        capped = preference_pairs(
+            resp, margin=1, mode="all_pairs",
+            max_responses_per_prompt=4,
+            max_pairs_per_prompt=3).withColumn("pmode", F.lit("cap"))
+        return bvw.unionByName(allp).unionByName(capped).select(
             F.col("prompt_id").cast("long").alias("prompt_id"),
             F.col("chosen_id").cast("long").alias("chosen_id"),
             F.col("rejected_id").cast("long").alias("rejected_id"),
@@ -8315,6 +8322,11 @@ def oracle_sql() -> dict[str, str]:
          "SELECT prompt_id, chosen_id, rejected_id, score_margin, "
          "'all' AS pmode FROM ("
          + _pref_sql(_PREF_RESPONSES_SQL, margin=3, mode="all_pairs")
+         + ") UNION ALL "
+         "SELECT prompt_id, chosen_id, rejected_id, score_margin, "
+         "'cap' AS pmode FROM ("
+         + _pref_sql(_PREF_RESPONSES_SQL, margin=1, mode="all_pairs",
+                     max_responses_per_prompt=4, max_pairs_per_prompt=3)
          + ")",
          {"prompt_id": "num", "chosen_id": "num", "rejected_id": "num",
           "score_margin": "num", "pmode": "str"}),
