@@ -1831,8 +1831,8 @@ config:
         # expansion exceeds it on full-fanout prompts)
         capped = preference_pairs(
             resp, margin=1, mode="all_pairs",
-            max_responses_per_prompt=4,
-            max_pairs_per_prompt=3).withColumn("pmode", F.lit("cap"))
+            max_responses_per_prompt=4, max_pairs_per_prompt=3,
+            salt_factor=1).withColumn("pmode", F.lit("cap"))
         return bvw.unionByName(allp).unionByName(capped).select(
             F.col("prompt_id").cast("long").alias("prompt_id"),
             F.col("chosen_id").cast("long").alias("chosen_id"),

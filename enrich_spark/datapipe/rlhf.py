@@ -71,12 +71,18 @@ def preference_pairs(
     max_responses_per_prompt: int | None = None,
     max_pairs_per_prompt: int | None = None,
     seed: int = 42,
+    salt_factor: int = 64,
 ) -> DataFrame:
     """→ (prompt_id, chosen_id, rejected_id, score_margin) — see the
     module docstring for the guards, modes and dirty-key caps.
     ``score_margin`` is chosen_score − rejected_score (always ≥
     ``margin``). The caps only apply to ``all_pairs`` —
-    ``best_vs_worst`` is one-pair-per-prompt by construction."""
+    ``best_vs_worst`` is one-pair-per-prompt by construction.
+    ``salt_factor`` is domain_cap's two-phase salting knob for the cap
+    windows (output-invariant): keep the default 64 against dirty
+    mega-keys; pass 1 on small/clean inputs to run the plain
+    single-window plan (the r14 bench lesson: 4 salted window phases
+    on a clean fixture tripled the row for zero benefit)."""
     if mode not in ("best_vs_worst", "all_pairs"):
         raise ValueError(f"preference_pairs: unknown mode {mode!r}")
     # NULL score or NULL text excludes the ROW, never the prompt: an
@@ -107,12 +113,14 @@ def preference_pairs(
             top = domain_cap(
                 base, top_n, domain_col="prompt_id",
                 score_col="_score", id_col="_id", seed=seed,
+                salt_factor=salt_factor,
             ).drop("domain_rank")
             if bot_n:
                 bot = domain_cap(
                     base.withColumn("_negs", -F.col("_score")),
                     bot_n, domain_col="prompt_id",
                     score_col="_negs", id_col="_id", seed=seed,
+                    salt_factor=salt_factor,
                 ).drop("domain_rank", "_negs")
                 # middle-ranked rows of a small prompt land in BOTH
                 # halves — one exchange on the (prompt, id) key
@@ -145,6 +153,7 @@ def preference_pairs(
                              F.col("rejected_id").cast("string"))),
                 max_pairs_per_prompt, domain_col="prompt_id",
                 score_col="score_margin", id_col="_pair_key", seed=seed,
+                salt_factor=salt_factor,
             ).drop("domain_rank", "_pair_key")
         return pairs
     # best_vs_worst (r14 window formulation): the prompt-partitioned
