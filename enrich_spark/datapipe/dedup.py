@@ -1918,10 +1918,20 @@ class FingerprintIndexIngest:
         self.bands = bands
 
     def _index(self, spark):
+        from pyspark.errors import AnalysisException
+
         try:
             return spark.read.parquet(self.path)
-        except Exception:  # noqa: BLE001 — first batch: no index yet
-            return None
+        except AnalysisException as exc:
+            # ONLY a missing path means "first batch, no index yet".
+            # Any other failure (permissions, corrupt footer, schema)
+            # must raise: swallowing it would silently restart dedup
+            # from an EMPTY index and re-admit the whole corpus's
+            # near-dups downstream.
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" \
+                    in str(exc):
+                return None
+            raise
 
     def ingest(self, batch: DataFrame) -> DataFrame:
         """→ per-new-doc verdict: (doc_id, n_corpus_matches,

@@ -1061,3 +1061,24 @@ def test_streaming_incremental_fingerprint_ingest(spark):
         assert final.count("fpidx") == 1
         import re as _re
         assert len(_re.findall(r"\b\w*Join\b", final)) == 1
+
+
+def test_fingerprint_ingest_missing_vs_broken_index(spark, tmp_path):
+    """r14 self-review: a MISSING index path means first batch (start
+    empty); a BROKEN index (unreadable file) must raise — silently
+    restarting from an empty index would re-admit every near-dup."""
+    from enrich_spark.datapipe.dedup import FingerprintIndexIngest
+
+    rows = spark.createDataFrame([(1, 12345)], "doc_id LONG, hash LONG")
+    ok = FingerprintIndexIngest(str(tmp_path / "never_written"))
+    assert [r.is_kept for r in ok.ingest(rows).collect()] == [1]
+
+    import pytest as _pytest
+
+    broken_dir = tmp_path / "broken"
+    broken_dir.mkdir()
+    (broken_dir / "part-00000.parquet").write_bytes(b"not a parquet file")
+    bad = FingerprintIndexIngest(str(broken_dir))
+    with _pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+        bad.ingest(spark.createDataFrame([(2, 999)],
+                                         "doc_id LONG, hash LONG")).collect()
