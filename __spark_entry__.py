@@ -3325,14 +3325,17 @@ config:
         # KMV part compares — KL both ways + Jensen-Shannon in integer
         # micro-log10 units, one vocabulary-bounded outer join
         from enrich_spark.datapipe.lm import (
-            divergence_summary, lm_counts, token_divergence,
+            divergence_summary, token_divergence_tagged,
         )
 
         docs = _load_docs(spark, sf)
         srcn = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
-        a = lm_counts(docs.where(srcn < 10))
-        b = lm_counts(docs.where(srcn >= 10))
-        return divergence_summary(token_divergence(a, b))
+        # r14: one-pass side-tagged divergence — same joint vocabulary
+        # and integer outputs as token_divergence(lm_counts(a),
+        # lm_counts(b)), one shuffle instead of three + an outer join
+        # (parity pinned by test_token_divergence_tagged_parity)
+        return divergence_summary(
+            token_divergence_tagged(docs, srcn < 10, srcn >= 10))
 
     def q_sft_decontam(spark, sf):
         # r14: cross-corpus SFT decontamination

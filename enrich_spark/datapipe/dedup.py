@@ -159,15 +159,22 @@ def minhash_lsh_pairs(
             F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
             F.col("l._sh").alias("sh_a"), F.col("r._sh").alias("sh_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter / union
+    # r14, the r13 pair-family rule applied here too: verify FIRST
+    # (map-side, no shuffle — a multi-band duplicate candidate just
+    # recomputes one intersect), dedupe the surviving (id_a, id_b,
+    # jaccard) rows AFTER — so the dedup exchange moves three numeric
+    # columns instead of two full shingle arrays per candidate.
+    # Duplicates of a pair carry identical jaccard, so dropDuplicates
+    # on the pair key returns the same rows the dedup-first form did.
     return (
         cand.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -33,8 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["lm_counts", "lm_score", "lm_counts_sql", "lm_score_sql",
-           "token_divergence", "divergence_summary",
-           "token_divergence_sql"]
+           "token_divergence", "token_divergence_tagged",
+           "divergence_summary", "token_divergence_sql"]
 
 
 def _words(text):
@@ -279,6 +279,41 @@ def token_divergence(
         "gram",
         F.coalesce("cnt_a", F.lit(0)).cast("long").alias("cnt_a"),
         F.coalesce("cnt_b", F.lit(0)).cast("long").alias("cnt_b"))
+    return _divergence_from_joint(j)
+
+
+def token_divergence_tagged(
+    docs: DataFrame,
+    side_a,
+    side_b,
+    text_col: str = "text",
+) -> DataFrame:
+    """One-pass form of ``token_divergence(lm_counts(docs.where(side_a)),
+    lm_counts(docs.where(side_b)))`` (r14 optimization): instead of two
+    corpus scans, two unigram groupBys and a vocabulary full-outer
+    join, tag every doc with per-side membership flags and take ONE
+    word explode + ONE (gram)-keyed groupBy carrying both sides'
+    counts. Rows matching neither side are excluded (a NULL side
+    predicate excludes, exactly as ``.where`` does), so the joint
+    vocabulary — and every cnt_a/cnt_b pair, hence every downstream
+    integer micro-log value — is identical to the join form. Scale
+    shape: one map-side-combined shuffle, vocabulary-bounded, versus
+    three shuffles and a join."""
+    d = docs.where(side_a | side_b).select(
+        F.when(side_a, F.lit(1)).otherwise(F.lit(0)).alias("_a"),
+        F.when(side_b, F.lit(1)).otherwise(F.lit(0)).alias("_b"),
+        _words(F.col(text_col)).alias("_w"))
+    j = (d.select("_a", "_b", F.explode("_w").alias("gram"))
+         .groupBy("gram")
+         .agg(F.sum("_a").cast("long").alias("cnt_a"),
+              F.sum("_b").cast("long").alias("cnt_b")))
+    return _divergence_from_joint(j)
+
+
+def _divergence_from_joint(j: DataFrame) -> DataFrame:
+    """Shared arithmetic of the divergence family: per-token +1-smoothed
+    KL/JS contributions in integer micro-log10 units over a joint
+    ``(gram, cnt_a, cnt_b)`` vocabulary frame."""
     tot = j.agg(
         F.sum("cnt_a").cast("double").alias("_ta"),
         F.sum("cnt_b").cast("double").alias("_tb"),

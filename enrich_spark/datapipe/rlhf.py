@@ -34,9 +34,12 @@ bounds the JOIN ITSELF by keeping the R most EXTREME responses per
 prompt — top ⌈R/2⌉ by (score desc, seeded md5, id) ∪ bottom ⌊R/2⌋ by
 (score asc, same tie) — extremes, not top-R, because pairs need score
 CONTRAST (a top-only cap on a flat-score mega-key keeps 20 tied
-responses and emits nothing). Each half is
-:func:`curation.domain_cap` with the prompt as the domain, so the
-two-phase salted-window exactness proof carries over.
+responses and emits nothing). Both ranks come from one pass (two
+row_number windows sharing one prompt-keyed Exchange — the SQL
+mirror's literal shape; r14 replaced the two-domain_cap union +
+dropDuplicates form, which built the input subplan twice and paid two
+extra shuffles for the same kept set), salted two-phase against dirty
+mega-keys with domain_cap's exactness proof applied per direction.
 ``max_pairs_per_prompt`` bounds the OUTPUT exactly (the top-P pairs
 by (score_margin desc, seeded md5 of the pair key)). On a clean
 corpus (generation fan-out k ≤ R) the response cap is a NO-OP: a row
@@ -105,29 +108,47 @@ def preference_pairs(
         if max_responses_per_prompt is not None:
             # THE quadratic guard: bound the join's per-key fan-in
             # before any pair exists — keep the score EXTREMES (see
-            # module docstring). domain_cap's salted two-phase window
-            # spreads even the dirty mega-key's rank compute; the
-            # bottom half rides the same helper on a negated score.
+            # module docstring), computed in the SQL mirror's own
+            # one-pass two-rank shape (r14 optimization): BOTH ranks —
+            # top (score desc, tie) and bottom (score asc, same tie) —
+            # come from two row_number windows over the SAME partition
+            # key, so one Exchange serves both directions and the
+            # union + (prompt,id) dropDuplicates of the old
+            # two-domain_cap form (its whole extra subplan build, its
+            # extra shuffle, its two SortAggregates) disappears. A row
+            # is kept iff top-rank ≤ ⌈R/2⌉ OR bottom-rank ≤ ⌊R/2⌋ —
+            # the same kept set, row for row. Salting keeps the
+            # domain_cap two-phase exactness argument per DIRECTION: a
+            # true top-rank-≤n row's bucket rank never exceeds its
+            # domain rank (survives phase 1), and every row ranked
+            # ahead of a kept row is itself kept, so phase-2 ranks over
+            # survivors equal true domain ranks.
             top_n = (max_responses_per_prompt + 1) // 2
             bot_n = max_responses_per_prompt // 2
-            top = domain_cap(
-                base, top_n, domain_col="prompt_id",
-                score_col="_score", id_col="_id", seed=seed,
-                salt_factor=salt_factor,
-            ).drop("domain_rank")
-            if bot_n:
-                bot = domain_cap(
-                    base.withColumn("_negs", -F.col("_score")),
-                    bot_n, domain_col="prompt_id",
-                    score_col="_negs", id_col="_id", seed=seed,
-                    salt_factor=salt_factor,
-                ).drop("domain_rank", "_negs")
-                # middle-ranked rows of a small prompt land in BOTH
-                # halves — one exchange on the (prompt, id) key
-                base = top.unionByName(bot).dropDuplicates(
-                    ["prompt_id", "_id"])
-            else:
-                base = top
+            tie = F.md5(F.concat(F.lit(f"{seed}:"),
+                                 F.col("_id").cast("string")))
+            o_top = [F.col("_score").cast("long").desc_nulls_last(),
+                     tie.asc(), F.col("_id").asc()]
+            o_bot = [(-F.col("_score")).cast("long").desc_nulls_last(),
+                     tie.asc(), F.col("_id").asc()]
+
+            def _extremes(df, *pkeys):
+                wt = Window.partitionBy(*pkeys).orderBy(*o_top)
+                wb = Window.partitionBy(*pkeys).orderBy(*o_bot)
+                kept = ((F.row_number().over(wt) <= top_n)
+                        | (F.row_number().over(wb) <= bot_n)
+                        if bot_n else
+                        (F.row_number().over(wt) <= top_n))
+                return df.withColumn("_keep", kept) \
+                    .where("_keep").drop("_keep")
+
+            if salt_factor > 1:
+                salt = F.pmod(F.xxhash64(F.col("_id")),
+                              F.lit(salt_factor))
+                base = _extremes(
+                    base.withColumn("_rsalt", salt),
+                    "prompt_id", "_rsalt").drop("_rsalt")
+            base = _extremes(base, "prompt_id")
         a, b = base.alias("a"), base.alias("b")
         pairs = (
             a.join(b, (F.col("a.prompt_id") == F.col("b.prompt_id"))

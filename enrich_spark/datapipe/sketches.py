@@ -356,15 +356,29 @@ def kmv_overlap_estimate(
     magnitude past a 10¹²-doc corpus; beyond that ANSI mode raises
     rather than wrapping.
     """
-    u = kmv_merge(a, b, k).alias("u")
-    both = (u.join(a.alias("a"), F.col("u.kmv_h") == F.col("a.kmv_h"),
-                   "left_semi")
-            .join(b.alias("b"), F.col("u.kmv_h") == F.col("b.kmv_h"),
-                  "left_semi"))
+    # r14 shape: reference each sketch subplan ONCE. The old form —
+    # u = merge(a, b) plus u ⋉ a ⋉ b plus a crossJoin of two aggregates
+    # — embedded the a/b sketch subplans (full scan + distinct + top-k
+    # each) three times over; Spark re-executes every reference. A
+    # side-tagged union carries membership flags through the SAME merge
+    # (groupBy on kmv_h ≡ the old distinct, then the identical
+    # ascending top-k), and ONE aggregate reads count/max/n_both off
+    # the ≤k-row sketch — same numbers, one execution of a and b, no
+    # crossJoin. n_both: a merged row is "in both" iff its hash is in
+    # sketch a AND in sketch b — exactly the old double semi-join.
+    tagged = (a.select("kmv_h", F.lit(1).alias("_ia"),
+                       F.lit(0).alias("_ib"))
+              .unionByName(b.select("kmv_h", F.lit(0).alias("_ia"),
+                                    F.lit(1).alias("_ib"))))
+    u = (tagged.groupBy("kmv_h")
+         .agg(F.max("_ia").alias("_ia"), F.max("_ib").alias("_ib"))
+         .orderBy("kmv_h").limit(k))
     stats = u.agg(
         F.count(F.lit(1)).cast("long").alias("n_union_sketch"),
         F.max("kmv_h").alias("_kth"),
-    ).crossJoin(both.agg(F.count(F.lit(1)).cast("long").alias("n_both")))
+        F.coalesce(F.sum(F.col("_ia") * F.col("_ib")), F.lit(0))
+        .cast("long").alias("n_both"),
+    )
     est_union = (F.when(F.col("n_union_sketch") < k,
                         F.col("n_union_sketch"))
                  .otherwise(F.floor(F.lit(float((k - 1) * KMV_DOMAIN))

@@ -179,6 +179,28 @@ def test_token_divergence_duckdb_parity(spark, tmp_path):
     assert got == want and len(got) > 10
 
 
+def test_token_divergence_tagged_parity(spark):
+    """r14: the one-pass side-tagged form returns the exact rows of the
+    two-lm_counts + outer-join form — including docs matching NEITHER
+    side (excluded from the joint vocabulary) and a NULL side
+    predicate (excludes, like .where)."""
+    from enrich_spark.datapipe.lm import (
+        lm_counts, token_divergence, token_divergence_tagged,
+    )
+    texts = TRAIN + ["zebra zebra quagga", "the dog ran",
+                     "beta beta gamma", "orphan words here", ""]
+    # side key: doc_id % 3 == 0 → a, == 1 → b, == 2 → neither
+    docs = _docs(spark, texts)
+    side_a = F.col("doc_id") % 3 == 0
+    side_b = F.col("doc_id") % 3 == 1
+    want = sorted(tuple(r) for r in token_divergence(
+        lm_counts(docs.where(side_a)),
+        lm_counts(docs.where(side_b))).collect())
+    got = sorted(tuple(r) for r in token_divergence_tagged(
+        docs, side_a, side_b).collect())
+    assert got == want and len(got) > 5
+
+
 def test_lm_score_string_join_parity_switch(spark):
     """r14 (r13 advice): hash_join_keys=False joins bigrams on the raw
     string — the collision-proof attribution path. Same scores as the

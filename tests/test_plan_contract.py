@@ -79,6 +79,21 @@ def test_minhash_lsh_plan_contract(spark):
     plan = _plan(minhash_lsh_pairs(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # r14 (the r13 pair-family rule applied to the jaccard verify): the
+    # pair-dedup aggregate consumes POST-verify rows — no Filter above
+    # it, and the dedup exchange moves (id_a, id_b, jaccard) only,
+    # never the shingle arrays
+    final = plan.split("== Initial Plan ==")[0]
+    tree = [ln for ln in final.splitlines() if "(" in ln]
+    agg_idx = next(i for i, ln in enumerate(tree) if "Aggregate" in ln)
+    assert not any("Filter" in ln for ln in tree[:agg_idx]), final
+    import re
+    assert "first(jaccard" in plan, plan
+    agg_inputs = re.findall(
+        r"\(\d+\) \w*Aggregate[^\n]*\nInput \[\d+\]: (\[[^\n]*\])", plan)
+    assert agg_inputs, final
+    for cols in agg_inputs:
+        assert "_sh" not in cols and "sh_a" not in cols, (cols, final)
 
 
 def test_sessionize_single_shuffle(spark):
