@@ -359,8 +359,13 @@ def embedding_dup_pairs(
             F.col(f"r.{id_col}").alias("id_b"),
             cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cosine_sim"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # r14, the r13 pair-family rule: the threshold filter is a pure
+        # function of the pair, so it runs BELOW the dedup — the dedup
+        # exchange carries only pairs that survive the cosine cut
+        # (duplicates of a pair agree on cosine_sim, so the kept rows
+        # are identical either way)
         .where(F.col("cosine_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

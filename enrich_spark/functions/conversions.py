@@ -52,10 +52,26 @@ def _checked(present: Column, ok: Column, value: Column, field: str, message: st
 
 _CONTROL_CHARS = "[\\p{Cntrl}&&[^\t]]"  # java regex class used after tab fix
 
+# the literal char set [\x00-\x1f\x7f] — fed to translate() (chars with no
+# replacement counterpart are DELETED), replacing the regex char-class scan
+_CTRL_SET = "".join(chr(c) for c in range(0x20)) + "\x7f"
+
+
+def fix_tabs_strip_ctrl(col: Column) -> Column:
+    """Tabs → 4 spaces, then control chars removed. Exactly
+    ``regexp_replace(regexp_replace(col, '\\t', '    '), '[\\x00-\\x1f\\x7f]', '')``
+    but via literal ``replace`` + ``translate`` — the r14 optimization of
+    the hottest per-row expression in the chain (~37 toTsvSafe fields ×
+    every event paid two java.util.regex scans each; a literal replace
+    and a char-table translate do the same scan without the regex
+    engine)."""
+    return F.translate(F.replace(col, F.lit("\t"), F.lit("    ")),
+                       _CTRL_SET, "")
+
 
 def make_tsv_safe(col: Column) -> Column:
     """Tabs → 4 spaces, control chars (incl. newlines) removed, ''→NULL."""
-    fixed = F.regexp_replace(F.regexp_replace(col, "\t", "    "), "[\\x00-\\x1f\\x7f]", "")
+    fixed = fix_tabs_strip_ctrl(col)
     return F.when(F.length(fixed) > 0, fixed)
 
 

@@ -67,11 +67,7 @@ def transform_params(df: DataFrame, v_collector_default: str | None = "unknown")
         "parameters",
         lambda k, v: F.when(
             k.isin(_TSV_SAFE_KEYS),
-            F.nullif(
-                F.regexp_replace(F.regexp_replace(v, "\t", "    "),
-                                 "[\\x00-\\x1f\\x7f]", ""),
-                F.lit(""),
-            ),
+            F.nullif(C.fix_tabs_strip_ctrl(v), F.lit("")),
         ).otherwise(v),
     )
     # boundary: without it CollapseProject re-inlines the map transform
