@@ -52,7 +52,11 @@ generation fan-out — and by ``max_responses_per_prompt`` against dirty
 keys): ``best_vs_worst`` is one prompt-partitioned window + one
 aggregate on the SAME key (one Exchange total — the aggregate reuses
 the window's partitioning); ``all_pairs`` is one prompt-keyed
-self-join. No cross join, no driver state, zero Python.
+aggregate whose per-key array is the generation fan-out (≤ R under
+the response cap), the k² expansion streamed map-side through two
+Generates — the same per-key memory a sort-merge self-join buffers,
+half the subplan executions, no join shuffle (r14; the join remains
+the SQL mirror's shape). No cross join, no driver state, zero Python.
 """
 
 from __future__ import annotations
@@ -105,6 +109,12 @@ def preference_pairs(
     if mode == "all_pairs":
         from .curation import domain_cap
 
+        # The self-join this aggregate replaced could never match a
+        # NULL prompt key (NULL = NULL is NULL), and the SQL mirror
+        # still joins — but groupBy would collect NULL prompts into a
+        # real group. Drop them so NULL-prompt rows keep emitting
+        # nothing, exactly as the join (and the mirror) did.
+        base = base.where(F.col("prompt_id").isNotNull())
         if max_responses_per_prompt is not None:
             # THE quadratic guard: bound the join's per-key fan-in
             # before any pair exists — keep the score EXTREMES (see
@@ -149,17 +159,34 @@ def preference_pairs(
                     base.withColumn("_rsalt", salt),
                     "prompt_id", "_rsalt").drop("_rsalt")
             base = _extremes(base, "prompt_id")
-        a, b = base.alias("a"), base.alias("b")
+        # r14: the Bradley-Terry expansion as ONE prompt-keyed
+        # aggregate + streamed map-side pair generation, replacing the
+        # self-join (which executed the whole input subplan twice and
+        # paid two shuffle+sorts). Per-prompt responses are collected
+        # into an array — bounded state: the per-key cardinality IS the
+        # generation fan-out, and under ``max_responses_per_prompt`` it
+        # is ≤ R by construction (the same O(k) a sort-merge self-join
+        # buffers per key) — then two Generates stream the qualifying
+        # (a, b) pairs without ever materializing the k² pair array.
+        # Bag semantics identical to the join for every input.
+        g = base.groupBy("prompt_id").agg(
+            F.collect_list(F.struct("_id", "_score", "_digest"))
+            .alias("_rs"))
+        expanded = g.select(
+            "prompt_id", F.explode("_rs").alias("_a"), "_rs")
+        qual = F.filter(
+            "_rs",
+            lambda b: (F.col("_a._score") >= b.getField("_score")
+                       + F.lit(margin))
+            & (F.col("_a._digest") != b.getField("_digest")))
         pairs = (
-            a.join(b, (F.col("a.prompt_id") == F.col("b.prompt_id"))
-                   & (F.col("a._score") >= F.col("b._score")
-                      + F.lit(margin))
-                   & (F.col("a._digest") != F.col("b._digest")))
+            expanded.select("prompt_id", "_a",
+                            F.explode(qual).alias("_b"))
             .select(
-                F.col("a.prompt_id").alias("prompt_id"),
-                F.col("a._id").alias("chosen_id"),
-                F.col("b._id").alias("rejected_id"),
-                (F.col("a._score") - F.col("b._score")).cast("long")
+                "prompt_id",
+                F.col("_a._id").alias("chosen_id"),
+                F.col("_b._id").alias("rejected_id"),
+                (F.col("_a._score") - F.col("_b._score")).cast("long")
                 .alias("score_margin"))
         )
         if max_pairs_per_prompt is not None:

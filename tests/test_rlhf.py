@@ -89,8 +89,11 @@ def test_preference_pairs_plan_shape(spark):
     prompt-partitioned Window + an aggregate grouping on the SAME key:
     the aggregate reuses the window's partitioning, so the final plan
     carries exactly ONE prompt-keyed Exchange (never a global
-    single-partition sort); all_pairs is a prompt-keyed equi-join —
-    never cartesian."""
+    single-partition sort); all_pairs (r14) is ONE prompt-keyed
+    aggregate + two map-side Generates — no join at all, so exactly
+    one Exchange there too."""
+    import re
+
     df = _resp(spark, [(1, 1, "a", 2), (1, 2, "b", 1)])
     for mode in ("best_vs_worst", "all_pairs"):
         out = preference_pairs(df, mode=mode)
@@ -102,15 +105,19 @@ def test_preference_pairs_plan_shape(spark):
         assert "BroadcastNestedLoopJoin" not in plan
         assert "EvalPython" not in plan
         assert "Exchange SinglePartition" not in plan
+        final = plan.split("== Initial Plan ==")[0]
         if mode == "best_vs_worst":
-            import re
-
-            final = plan.split("== Initial Plan ==")[0]
             assert "Window" in final
             # ONE exchange: the window's prompt partitioning feeds the
             # aggregate directly (same grouping key, no re-shuffle) —
             # formatted-tree nodes read "Exchange (N)"
             assert len(re.findall(r"Exchange \(\d+\)", final)) == 1
+        else:
+            # r14: the k² expansion streams through two Generates
+            # above one collect_list aggregate — no join, one Exchange
+            assert "SortMergeJoin" not in final
+            assert len(re.findall(r"Exchange \(\d+\)", final)) == 1
+            assert len(re.findall(r"Generate \(\d+\)", final)) == 2
 
 
 def test_preference_pairs_pipeline_op(spark):
@@ -146,6 +153,27 @@ def test_preference_pairs_null_score_or_text_excludes_row_not_prompt(
             preference_pairs_sql(f"read_parquet('{tmp_path}/n.parquet')",
                                  mode=mode)).fetchall())
         assert g == w, mode
+
+
+def test_all_pairs_null_prompt_emits_nothing(spark, tmp_path):
+    """r14: all_pairs became a groupBy + Generate expansion — groupBy
+    would happily form a NULL-prompt group, but the self-join it
+    replaced (and the DuckDB mirror's join, still a join) can never
+    match NULL = NULL. NULL-prompt rows must keep emitting nothing."""
+    import pandas as pd
+
+    rows = [(None, 1, "a", 5), (None, 2, "b", 1),
+            (7, 3, "c", 4), (7, 4, "d", 1)]
+    pd.DataFrame(rows, columns=["prompt_id", "response_id", "text",
+                                "score"]).to_parquet(f"{tmp_path}/np.parquet")
+    df = spark.read.parquet(f"{tmp_path}/np.parquet")
+    got = sorted(tuple(r) for r in preference_pairs(
+        df, mode="all_pairs").collect())
+    assert got == [(7, 3, 4, 3)]
+    want = sorted(tuple(r) for r in duckdb.connect().execute(
+        preference_pairs_sql(f"read_parquet('{tmp_path}/np.parquet')",
+                             mode="all_pairs")).fetchall())
+    assert got == want
 
 
 def test_best_distinct_fallback_duckdb_parity(spark, tmp_path):
