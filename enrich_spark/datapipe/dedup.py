@@ -161,7 +161,11 @@ def minhash_lsh_pairs(
         )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    # |A∪B| = sa + sb − |A∩B| exactly (shingles() arrays are distinct)
+    # — array_union materialized the merged array per candidate row
+    # just to take its size; integer arithmetic yields the identical
+    # int, so the double jaccard below is bit-identical.
+    union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter / union
     # r14, the r13 pair-family rule applied here too: verify FIRST
     # (map-side, no shuffle — a multi-band duplicate candidate just
@@ -199,7 +203,9 @@ def ngram_jaccard_pairs(
         r, (F.col("l._blk") == F.col("r._blk")) & (F.col("l._id") < F.col("r._id"))
     )
     inter = F.size(F.array_intersect(F.col("l._sh"), F.col("r._sh")))
-    union = F.size(F.array_union(F.col("l._sh"), F.col("r._sh")))
+    # |A∪B| = sa + sb − inter exactly (shingles() arrays are distinct);
+    # identical int → bit-identical double jaccard, no merged array.
+    union = F.size(F.col("l._sh")) + F.size(F.col("r._sh")) - inter
     return (
         cand.select(
             F.col("l._id").alias("id_a"),
@@ -309,7 +315,9 @@ def ngram_jaccard_pairs_prefix(
         base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    # |A∪B| = sa + sb − inter exactly (shingles() arrays are distinct);
+    # identical int → bit-identical double jaccard, no merged array.
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
         withsh.select("id_a", "id_b", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
@@ -1701,9 +1709,12 @@ def containment_pairs(
         r, (F.col("l._blk") == F.col("r._blk"))
         & (F.col("l._id") < F.col("r._id")))
     inter = F.size(F.array_intersect(F.col("l._sh"), F.col("r._sh")))
-    union = F.size(F.array_union(F.col("l._sh"), F.col("r._sh")))
     sa = F.size(F.col("l._sh"))
     sb = F.size(F.col("r._sh"))
+    # |A∪B| = sa + sb − inter exactly (shingles() arrays are distinct);
+    # the integer div below sees the identical int without array_union
+    # materializing a merged array per candidate row.
+    union = sa + sb - inter
     out = cand.select(
         F.col("l._id").alias("id_a"),
         F.col("r._id").alias("id_b"),
@@ -1834,19 +1845,17 @@ def containment_pairs_prefix(
         F.explode(F.slice(F.transform("_ord", lambda s: s.getField("_t")),
                           F.lit(1), plen)).alias("_t"),
     )
-    # the FULL-side postings are just the raw token explode — routing
-    # them through the DF-ordered collect/posexplode path would rebuild
-    # every array a second time for no reason (order is irrelevant on
-    # the probe side; measured: halves the heavy groupBy stream).
     # SIZE CONDITION: the kept condition is inter ≥ ceil(t·min(sa,sb)),
     # so only the SMALLER doc's prefix needs to hit the larger doc's
     # postings (ties break by id so each unordered pair is generated
     # from exactly one direction) — halves raw candidates (measured
-    # 971k → 491k at sf0.1). NO distinct before verification: the
-    # verify joins broadcast the (small) per-doc array table, so
-    # duplicate candidates cost a few % of verify work while a distinct
-    # would shuffle the full candidate stream; the final tiny verified
-    # output deduplicates instead.
+    # 971k → 491k at sf0.1). The FULL-side postings are the raw token
+    # explode — routing them through the DF-ordered collect/posexplode
+    # path would rebuild every array a second time for no reason
+    # (order is irrelevant on the probe side). NO distinct before
+    # verification: duplicate candidates cost a few % of verify work
+    # while a distinct would shuffle the full candidate stream; the
+    # final tiny verified output deduplicates instead.
     p, f_ = pref.alias("p"), tok.alias("f")
     cand = (
         p.join(f_, (F.col("p._t") == F.col("f._t"))
@@ -1856,25 +1865,35 @@ def containment_pairs_prefix(
         .select(F.least("p._id", "f._id").alias("id_a"),
                 F.greatest("p._id", "f._id").alias("id_b"))
     )
+    # verify arrays come from `ordered`, NOT from two fresh base
+    # subplans: _ord already holds every (distinct) shingle hash of the
+    # doc, and array_intersect/array_union are order-insensitive, so
+    # rebuilding the array table from the aggregate keeps base at ONE
+    # execution while the aggregate's own exchange is stage-reused.
+    arr = ordered.select(
+        "_id", F.transform("_ord", lambda s: s.getField("_t")).alias("_shd"))
     withsh = cand.join(
-        base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")),
+        arr.select(F.col("_id").alias("id_a"), F.col("_shd").alias("sh_a")),
         "id_a",
     ).join(
-        base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")),
+        arr.select(F.col("_id").alias("id_b"), F.col("_shd").alias("sh_b")),
         "id_b",
     )
+    # |A∪B| = sa + sb − |A∩B| exactly (the shingle arrays are
+    # array_distinct'd), so array_union — which materializes the merged
+    # array per candidate row just to take its size — drops entirely;
+    # _u below is pure integer arithmetic on sizes already in hand.
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
     out = withsh.select(
         "id_a", "id_b",
         (inter.cast("long") * 10000).alias("_i10k"),
         F.size("sh_a").alias("_sa"), F.size("sh_b").alias("_sb"),
-        union.alias("_u"),
     ).select(
         "id_a", "id_b",
         F.expr("_i10k div _sa").cast("long").alias("contain_a_bp"),
         F.expr("_i10k div _sb").cast("long").alias("contain_b_bp"),
-        F.expr("_i10k div _u").cast("long").alias("jaccard_bp"),
+        F.expr("_i10k div (_sa + _sb - (_i10k div 10000))")
+        .cast("long").alias("jaccard_bp"),
     )
     # a pair reached via several shared prefix tokens appears once per
     # token; every copy carries identical bp values, so dedupe the
