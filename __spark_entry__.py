@@ -3903,17 +3903,21 @@ config:
     _LSH_GATE = dict(dim=64, k=10, num_tables=4, bits=6, round_digits=4)
 
     def _lsh_plain_probe(spark, sf):
-        from enrich_spark.datapipe.similarity import lsh_topk
+        from enrich_spark.datapipe.similarity import lsh_topk_plain_probe
 
         vecs, queries_df = _emb_queries(spark, sf, maxq=3)
         sel = lambda df: df.select(  # noqa: E731
             F.col("query_id").cast("long"), F.col("vec_id").cast("long"),
             "cosine_sim")
-        plain = sel(lsh_topk(vecs, queries_df, **_LSH_GATE))
-        # multiprobe: per table also probe the two Hamming-1 buckets on
-        # the low signature bits — query-side-only fan-out recall lever
-        probe = sel(lsh_topk(vecs, queries_df, **_LSH_GATE, multiprobe=2))
-        return plain, probe
+        # r14: one shared candidate pass with an is_exact flag instead
+        # of two independent lsh_topk searches — row-identical results
+        # (plain = the flagged subset of the probe candidates), but the
+        # corpus signature Generate + candidate BHJ run once; the
+        # multiprobe part still probes, per table, the two Hamming-1
+        # buckets on the low signature bits (query-side-only fan-out)
+        plain, probe = lsh_topk_plain_probe(
+            vecs, queries_df, **_LSH_GATE, multiprobe=2)
+        return sel(plain), sel(probe)
 
     def q_ann_brute(spark, sf, maxq=5):
         # round before ranking so Spark/DuckDB agree on order at ties
@@ -3969,16 +3973,38 @@ config:
         # measuring the grown bundle would break round-over-round
         # comparability (the r10 ann_ivf_topk precedent), and recall
         # has its own bench row (ann_recall).
-        plain, probe = _lsh_plain_probe(spark, sf)
-        return _union_parts([("plain", plain), ("probe", probe)])
+        # r14: the two modes come out of ONE corpus candidate pass as a
+        # part-tagged frame (similarity.lsh_topk_plain_probe_tagged) —
+        # a plain+probe _union_parts re-executes the shared subplan per
+        # branch (independent pruning kills exchange reuse; measured
+        # ~2× the single pass). Output schema and rows are identical to
+        # _union_parts([plain, probe]).
+        from enrich_spark.datapipe.similarity import (
+            lsh_topk_plain_probe_tagged,
+        )
+
+        vecs, queries_df = _emb_queries(spark, sf, maxq=3)
+        return lsh_topk_plain_probe_tagged(
+            vecs, queries_df, **_LSH_GATE, multiprobe=2).select(
+            F.col("query_id").cast("long"), F.col("vec_id").cast("long"),
+            "cosine_sim", "part")
 
     def q_ann_recall(spark, sf):
         # bench variant: recall@10 summary of the plain LSH search vs
         # the brute ground truth — times both searches + the recall
-        # join/rollup (the gated recall/recall_sum parts' plan)
-        from enrich_spark.datapipe.similarity import topk_recall_summary
+        # join/rollup (the gated recall/recall_sum parts' plan).
+        # Uses the single-mode lsh_topk (not the shared plain+probe
+        # pass): this row needs ONLY plain, and the shared pass would
+        # make it pay the 3x probe candidate fan-out for rows it
+        # discards. Same output either way (r14).
+        from enrich_spark.datapipe.similarity import (
+            lsh_topk, topk_recall_summary,
+        )
 
-        plain, _ = _lsh_plain_probe(spark, sf)
+        vecs, queries_df = _emb_queries(spark, sf, maxq=3)
+        plain = lsh_topk(vecs, queries_df, **_LSH_GATE).select(
+            F.col("query_id").cast("long"), F.col("vec_id").cast("long"),
+            "cosine_sim")
         return topk_recall_summary(plain, q_ann_brute(spark, sf, maxq=3))
 
     def q_ann_ivf(spark, sf):

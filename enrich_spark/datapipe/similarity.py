@@ -178,6 +178,165 @@ def lsh_topk(
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def lsh_topk_plain_probe(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_tables: int = 4,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_digits: int | None = None,
+    multiprobe: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Plain AND multiprobe LSH top-k from ONE corpus candidate pass
+    (r14, guide §1.2/§2.4): results are row-identical to
+    ``lsh_topk(..., multiprobe=0)`` and ``lsh_topk(..., multiprobe=m)``
+    run separately, but the corpus-side signature computation
+    (num_tables × bits × dim multiply-adds per vector) and the
+    candidate broadcast join execute once instead of twice.
+
+    How: the probe candidate set is a superset of the plain one — per
+    (table, query) the probes are the exact bucket plus the Hamming-1
+    buckets on the first ``multiprobe`` bits. Each probe row carries an
+    ``is_exact`` flag; per-(query, vector) dedup aggregates
+    ``max(is_exact)``, so plain = the flagged subset, probe = all rows
+    (a vector seen via BOTH an exact and a flipped bucket keeps
+    is_exact=true, exactly the pair the plain search found; cosine is a
+    function of the pair, so both rankings see the values the separate
+    searches computed). The two returned frames share the dedup
+    aggregate subplan. NOTE (measured r14): consuming the two frames
+    through a UNION re-executes that subplan per branch — the branches
+    prune differently (probe drops ``is_exact``) and exchange reuse
+    dies; a union consumer must use
+    :func:`lsh_topk_plain_probe_tagged` instead, which emits both
+    parts from one windowed frame. This two-frame form is for
+    consumers that use the frames in separate jobs/joins (the gated
+    bundle's recall part)."""
+    cand = _lsh_candidate_agg(
+        vectors, queries, dim, num_tables, bits, id_col, vec_col,
+        query_id_col, query_vec_col, round_digits, multiprobe)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+
+    def ranked(df):
+        return (df.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select(query_id_col, id_col, "cosine_sim", "rank"))
+
+    plain = ranked(cand.where(F.col("is_exact")))
+    probe = ranked(cand)
+    return plain, probe
+
+
+def _lsh_candidate_agg(
+    vectors, queries, dim, num_tables, bits, id_col, vec_col,
+    query_id_col, query_vec_col, round_digits, multiprobe,
+) -> DataFrame:
+    """Shared candidate pass for the plain+probe searches: corpus/query
+    signatures, flagged probe explode (exact bucket first), candidate
+    broadcast join, and the per-(query, vector) dedup aggregate
+    carrying max(cosine)=the pair's cosine and max(is_exact)=did any
+    exact bucket produce this pair."""
+    def with_sigs(df, vcol, idc):
+        return df.select(
+            F.col(idc), F.col(vcol),
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(t).alias("tbl"),
+                             rh_signature(vcol, dim, t, bits).alias("sig"))
+                    for t in range(num_tables)
+                ])
+            ).alias("bk"),
+        ).select(idc, vcol, "bk.tbl", "bk.sig")
+
+    v = with_sigs(vectors, vec_col, id_col)
+    q = with_sigs(queries, query_vec_col, query_id_col)
+    probes = F.array(
+        F.struct(F.col("sig").alias("sig"), F.lit(True).alias("is_exact")),
+        *[F.struct(F.col("sig").bitwiseXOR(F.lit(1 << b)).alias("sig"),
+                   F.lit(False).alias("is_exact"))
+          for b in range(min(multiprobe, bits))])
+    q = q.select(query_id_col, query_vec_col, "tbl",
+                 F.explode(probes).alias("pr")) \
+         .select(query_id_col, query_vec_col, "tbl", "pr.sig", "pr.is_exact")
+    cand = (
+        v.join(
+            F.broadcast(q),
+            (v["tbl"] == q["tbl"]) & (v["sig"] == q["sig"]),
+        )
+        .select(
+            F.col(query_id_col), F.col(id_col),
+            (
+                F.round(cosine(F.col(vec_col), F.col(query_vec_col)), round_digits)
+                if round_digits is not None
+                else cosine(F.col(vec_col), F.col(query_vec_col))
+            ).alias("cosine_sim"),
+            F.col("is_exact"),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.max("cosine_sim").alias("cosine_sim"),
+             F.max("is_exact").alias("is_exact"))
+    )
+    return cand
+
+
+def lsh_topk_plain_probe_tagged(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_tables: int = 4,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_digits: int | None = None,
+    multiprobe: int = 2,
+) -> DataFrame:
+    """The two :func:`lsh_topk_plain_probe` results as ONE part-tagged
+    frame (columns: query_id, vec_id, cosine_sim, part∈{plain,probe}) —
+    for consumers that union the two modes anyway (the bench row).
+
+    Why a separate entry point: returning two DataFrames and unioning
+    them re-executes the shared candidate subplan per branch — the
+    union's branches are pruned independently, the probe branch drops
+    ``is_exact``, its partial aggregate no longer canonicalizes equal
+    to the plain branch's, and exchange reuse dies (measured: the
+    two-frame union is ~2× the single pass). Here both rankings are
+    windows over the SAME aggregate and a generator emits the two
+    part rows, so the corpus signature pass, candidate broadcast join
+    and (query, vector) dedup execute exactly once. The plain rank is
+    row_number within (query, is_exact) — for the exact group that is
+    precisely the rank among exact-bucket candidates, i.e. the plain
+    search's rank."""
+    cand = _lsh_candidate_agg(
+        vectors, queries, dim, num_tables, bits, id_col, vec_col,
+        query_id_col, query_vec_col, round_digits, multiprobe)
+    w_all = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc())
+    w_exact = Window.partitionBy(query_id_col, "is_exact").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc())
+    ranked = cand.select(
+        F.col(query_id_col), F.col(id_col), "cosine_sim", "is_exact",
+        F.row_number().over(w_all).alias("_rp"),
+        F.row_number().over(w_exact).alias("_re"),
+    )
+    parts = F.array(
+        F.when(F.col("is_exact") & (F.col("_re") <= k), F.lit("plain")),
+        F.when(F.col("_rp") <= k, F.lit("probe")),
+    )
+    return (ranked
+            .select(query_id_col, id_col, "cosine_sim",
+                    F.explode(F.filter(parts, lambda x: x.isNotNull()))
+                    .alias("part")))
+
+
 def train_centroids(
     vectors: DataFrame,
     n_centroids: int = 16,

@@ -1294,6 +1294,41 @@ def test_lsh_topk_multiprobe_superset(spark):
     assert len(probe) > len(plain)  # the extra buckets found someone new
 
 
+def test_lsh_plain_probe_shared_pass_matches_two_searches(spark):
+    """r14: the shared-candidate plain+probe forms (two-frame AND
+    part-tagged single-frame) must be row-identical to two independent
+    lsh_topk searches — the optimization removes a duplicated corpus
+    pass, never a row."""
+    import random
+
+    rng = random.Random(11)
+    vecs = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)],
+        "vec_id INT, embedding ARRAY<DOUBLE>")
+    q = vecs.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    kw = dict(dim=8, k=5, num_tables=3, bits=4, round_digits=4)
+
+    def rows(df):
+        return {(r.query_id, r.vec_id, r.cosine_sim) for r in df.collect()}
+
+    want_plain = rows(similarity.lsh_topk(vecs, q, **kw))
+    want_probe = rows(similarity.lsh_topk(vecs, q, multiprobe=2, **kw))
+    got_plain, got_probe = similarity.lsh_topk_plain_probe(
+        vecs, q, multiprobe=2, **kw)
+    assert rows(got_plain) == want_plain
+    assert rows(got_probe) == want_probe
+
+    tagged = similarity.lsh_topk_plain_probe_tagged(
+        vecs, q, multiprobe=2, **kw).collect()
+    got_by_part = {"plain": set(), "probe": set()}
+    for r in tagged:
+        got_by_part[r.part].add((r.query_id, r.vec_id, r.cosine_sim))
+    assert got_by_part["plain"] == want_plain
+    assert got_by_part["probe"] == want_probe
+
+
 def test_jpeg_sos_undefined_huffman_table_is_value_error():
     """A scan referencing a never-defined Huffman table must raise the
     documented ValueError at SOS parse time — not an AttributeError on
