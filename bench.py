@@ -294,6 +294,22 @@ def main():
         "sf_dir": sf_dir,
     }
 
+    def _steal_jiffies() -> int | None:
+        # /proc/stat cpu line: user nice system idle iowait irq softirq
+        # steal ... — steal is hypervisor-withheld time. r14 lesson: two
+        # cooled-start (load 0.01) suite runs read 1.6-2.0x high while
+        # fresh-JVM isolated runs of the same rows were normal; the only
+        # host signal that explains it is steal-time episodes, so record
+        # the delta across the run to make such records self-diagnosing.
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            return int(parts[8])
+        except (OSError, IndexError, ValueError):
+            return None
+
+    steal0 = _steal_jiffies()
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     colds: dict[str, float] = {}
@@ -313,6 +329,13 @@ def main():
             timings[rec["query"]] = rec["warm_median"]
             spreads[rec["query"]] = rec.get("spread", 0.0)
             colds[rec["query"]] = rec.get("cold", 0.0)
+
+    steal1 = _steal_jiffies()
+    if steal0 is not None and steal1 is not None:
+        # jiffies are USER_HZ (100/s); this is cpu-seconds stolen across
+        # all cores while the suite ran — anything beyond a few seconds
+        # means the record is contaminated by hypervisor contention.
+        provenance["steal_sec_during_run"] = round((steal1 - steal0) / 100.0, 1)
 
     total = round(sum(timings.values()), 3)
     # Full record — name -> median seconds plus per-row spread (max-min
