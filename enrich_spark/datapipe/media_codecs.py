@@ -65,9 +65,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("IDAT length mismatch")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     filters, lines = arr[:, 0], arr[:, 1:]
-    if filters.max(initial=0) > 4:
-        raise ValueError(f"bad filter {int(filters.max())}")
-    if np.isin(filters, (3, 4)).any():
+    fmax = int(filters.max(initial=0))
+    if fmax > 4:
+        raise ValueError(f"bad filter {fmax}")
+    if fmax > 2:  # some row uses Average/Paeth (≡ isin(filters, (3,4)))
         # Average/Paeth recurrences cross both axes — vectorize over
         # anti-diagonal wavefronts instead of per pixel (see below)
         return w, h, ch, _unfilter_wavefront(lines, filters, w, h, ch)

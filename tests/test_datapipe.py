@@ -297,6 +297,46 @@ def test_media_codecs_roundtrip():
     assert np.array_equal(back, samples)
 
 
+def test_jpeg_huff_table_memo():
+    # r14 opt: decoder Huffman tables are memoized per DHT definition
+    # (profiled: rebuilding the 65536-entry peek table per image was
+    # 2.0 s of a 4.4 s decode pass). Identity on hit, isolation across
+    # distinct definitions, decode equality across hit/miss, bounded
+    # eviction.
+    import numpy as np
+
+    from enrich_spark.datapipe import jpeg as J
+
+    J._DEC_TABLE_CACHE.clear()
+    a1 = J._huff_table([0, 0, 0, 12] + [0] * 12, list(range(12)))
+    a2 = J._huff_table([0, 0, 0, 12] + [0] * 12, list(range(12)))
+    assert a1 is a2  # memo hit
+    b = J._huff_table([0, 0, 0, 0, 16] + [0] * 11, list(range(16)))
+    assert b is not a1  # distinct definition, distinct table
+    assert b.counts != a1.counts
+
+    # decode twice (miss then hit) → bit-identical pixels
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    data = J.encode_jpeg(40, 24, img, quality=90)
+    J._DEC_TABLE_CACHE.clear()
+    first = J.decode_jpeg(data)
+    second = J.decode_jpeg(data)
+    assert first[:3] == second[:3]
+    assert np.array_equal(first[3], second[3])
+
+    # eviction: past 64 distinct definitions the memo resets, stays small
+    J._DEC_TABLE_CACHE.clear()
+    for n in range(70):
+        counts = [0] * 16
+        counts[7] = n + 1  # n+1 8-bit codes → 70 distinct definitions
+        J._huff_table(counts, list(range(n + 1)))
+    assert len(J._DEC_TABLE_CACHE) <= 64
+    # and decode still works after eviction churn
+    third = J.decode_jpeg(data)
+    assert np.array_equal(first[3], third[3])
+
+
 def test_jpeg_codec():
     import time
 
