@@ -20,6 +20,36 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 import bench_compare as BC  # noqa: E402
 import bench_one as BO  # noqa: E402
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench  # noqa: E402
+
+
+def test_compact_summary_line_carries_queries_and_fits_tail():
+    # r14 verdict #1: the driver keeps only the last 2000 chars of
+    # stdout and parses the final line — the per-query medians must
+    # travel IN that line, and the line must always fit the capture.
+    timings = {n: 0.5 + (i % 7) / 10 for i, n in enumerate(bench.HEADLINE)}
+    prov = {"label": "builder-r15-whatever", "load_1m_at_start": 0.12}
+    line = bench.compact_summary_line(
+        sum(timings.values()), 0.1, timings, prov, "BENCH_LOCAL_r15.json")
+    assert len(line) + 1 <= bench.TAIL_CAPTURE
+    rec = json.loads(line)
+    # the original driver contract fields survive
+    assert rec["metric"] == "headline_suite_total"
+    assert rec["unit"] == "sec" and rec["sf"] == 0.1
+    # every headline row is present with its (2-decimal) median
+    assert set(rec["queries"]) == set(bench.HEADLINE)
+    assert rec["queries"]["transform_atomic"] == round(
+        timings["transform_atomic"], 2)
+    # pathological medians (host stall inflating every row) still fit —
+    # precision degrades instead of the line overflowing the capture
+    fat = {n: v * 100 + 100 for n, v in timings.items()}
+    fat_line = bench.compact_summary_line(
+        sum(fat.values()), 0.1, fat, prov, "BENCH_LOCAL_r15.json")
+    assert len(fat_line) + 1 <= bench.TAIL_CAPTURE
+    assert set(json.loads(fat_line)["queries"]) == set(bench.HEADLINE)
+
 
 def test_verdict_three_way():
     # inside suite budget → noise, regardless of isolated
@@ -36,6 +66,30 @@ def test_verdict_three_way():
     # beats both budgets → real
     assert BC.verdict_for(0.5, 0.1, 0.38) == "REGRESSION"
     assert BC.verdict_for(-0.5, 0.1, 0.38) == "IMPROVEMENT"
+
+
+def test_verdict_refuses_budget_for_reproduced_regression():
+    # r14 verdict #3: the isolated budget must NOT absorb a delta when
+    # the sidecar's own fresh-JVM history shows a reproduced step —
+    # the two most recent medians strictly above every earlier one.
+    assert BC.verdict_for(
+        0.2, 0.1, 0.38,
+        recent_medians=[1.0, 1.05, 1.25, 1.22]) == "REGRESSION"
+    # one high recent median among older low ones: not reproduced
+    assert BC.verdict_for(
+        0.2, 0.1, 0.38,
+        recent_medians=[1.0, 1.05, 1.25, 1.02]) == "NEEDS-FRESH-JVM"
+    # recent medians inside the historical band → genuine variance
+    assert BC.verdict_for(
+        0.2, 0.1, 0.38,
+        recent_medians=[1.0, 1.3, 1.25, 1.22]) == "NEEDS-FRESH-JVM"
+    # fewer than 3 recorded medians cannot show a step
+    assert BC.verdict_for(
+        0.2, 0.1, 0.38, recent_medians=[1.25, 1.22]) == "NEEDS-FRESH-JVM"
+    # improvements are never "confirmed" by this rule
+    assert BC.verdict_for(
+        -0.2, 0.1, 0.38,
+        recent_medians=[1.0, 1.05, 1.25, 1.22]) == "NEEDS-FRESH-JVM"
 
 
 def test_sidecar_roundtrip(tmp_path, monkeypatch):
@@ -72,7 +126,8 @@ def test_compare_end_to_end(tmp_path, capsys):
     po.write_text(json.dumps(old))
     pn.write_text(json.dumps(new))
     # b has a recorded isolated spread that absorbs its +0.3; c does not
-    rc = BC.compare(str(po), str(pn), isolated={"b": 0.38})
+    rc = BC.compare(str(po), str(pn), isolated={"b": 0.38},
+                    isolated_rows={})
     out = capsys.readouterr().out
     assert rc == 1  # c is a real regression
     assert "a" in out and "noise" in out
@@ -81,4 +136,10 @@ def test_compare_end_to_end(tmp_path, capsys):
     # b alone must not fail the exit code
     new2 = dict(new, queries={"a": 1.0, "b": 1.3, "c": 1.0})
     pn.write_text(json.dumps(new2))
-    assert BC.compare(str(po), str(pn), isolated={"b": 0.38}) == 0
+    assert BC.compare(str(po), str(pn), isolated={"b": 0.38},
+                      isolated_rows={}) == 0
+    # ...unless b's own fresh-JVM history shows the reproduced step —
+    # then the budget is refused and the exit code fails
+    assert BC.compare(
+        str(po), str(pn), isolated={"b": 0.38},
+        isolated_rows={"b": {"medians": [1.0, 1.02, 1.28, 1.31]}}) == 1

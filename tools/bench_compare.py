@@ -52,6 +52,22 @@ def load_isolated(sf_key: str | None = None,
     max(recorded within-run spreads, max−min of recorded medians).
     Needs ≥2 recorded medians — one fresh-JVM run says nothing about
     cross-JVM variance."""
+    out: dict[str, float] = {}
+    for name, row in load_isolated_rows(sf_key, path).items():
+        meds, sprs = row.get("medians", []), row.get("spreads", [])
+        if len(meds) >= 2:
+            out[name] = round(max(max(sprs, default=0.0),
+                                  max(meds) - min(meds)), 3)
+    return out
+
+
+def load_isolated_rows(sf_key: str | None = None,
+                       path: str | None = None) -> dict[str, dict]:
+    """The raw per-query sidecar rows ({name: {medians, spreads}}) —
+    verdict_for needs the recent medians themselves, not just the
+    derived budget, to refuse a budget that merely absorbed a
+    reproduced regression (r14 verdict #3: spread budgets must not
+    become a regression laundry)."""
     path = path or os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "isolated_spreads.json")
     try:
@@ -59,14 +75,7 @@ def load_isolated(sf_key: str | None = None,
             book = json.load(f)
     except (OSError, ValueError):
         return {}
-    per_sf = book.get(sf_key or "sf0.1", {})
-    out: dict[str, float] = {}
-    for name, row in per_sf.items():
-        meds, sprs = row.get("medians", []), row.get("spreads", [])
-        if len(meds) >= 2:
-            out[name] = round(max(max(sprs, default=0.0),
-                                  max(meds) - min(meds)), 3)
-    return out
+    return book.get(sf_key or "sf0.1", {})
 
 
 def _describe(path: str, prov: dict) -> str:
@@ -77,12 +86,27 @@ def _describe(path: str, prov: dict) -> str:
 
 
 def verdict_for(delta: float, suite_budget: float,
-                isolated_budget: float | None) -> str:
+                isolated_budget: float | None,
+                recent_medians: list | None = None) -> str:
     """The three-way call: noise / NEEDS-FRESH-JVM / REGRESSION or
-    IMPROVEMENT. Pure so tests can pin it."""
+    IMPROVEMENT. Pure so tests can pin it.
+
+    r15 (r14 verdict #3): an isolated budget is REFUSED when the
+    sidecar's own fresh-JVM median history shows a reproduced STEP —
+    the two most recent medians both strictly above every earlier one.
+    Two independent fresh-JVM runs reproducing a new, higher level is
+    attribution, not variance; the max−min budget those very runs
+    seeded would otherwise absorb exactly the regression it was meant
+    to detect. (The comparison is within the isolated history — same
+    measurement regime — NOT isolated-vs-suite: fresh-JVM medians of
+    sub-second rows run well above their mid-suite warm values, so a
+    suite-level threshold would misfire on every short row.)"""
     if abs(delta) <= suite_budget:
         return "noise"
     if isolated_budget is not None and abs(delta) <= isolated_budget:
+        if (delta > 0 and recent_medians and len(recent_medians) >= 3
+                and min(recent_medians[-2:]) > max(recent_medians[:-2])):
+            return "REGRESSION"
         # the suite spread underestimates this row's cross-JVM
         # variance; the recorded isolated spread absorbs the delta —
         # attribute with bench_one before believing either direction
@@ -91,11 +115,14 @@ def verdict_for(delta: float, suite_budget: float,
 
 
 def compare(old_path: str, new_path: str,
-            isolated: dict[str, float] | None = None) -> int:
+            isolated: dict[str, float] | None = None,
+            isolated_rows: dict[str, dict] | None = None) -> int:
     old_q, old_s, old_p = load(old_path)
     new_q, new_s, new_p = load(new_path)
     if isolated is None:
         isolated = load_isolated()
+    if isolated_rows is None:
+        isolated_rows = load_isolated_rows()
     # name exactly which pair of records this comparison read — the
     # r12 lesson: two same-named runs (builder cooled-host vs driver
     # hot-host) gave 0.951x vs 0.879x and the claim was ambiguous
@@ -113,7 +140,9 @@ def compare(old_path: str, new_path: str,
             old_s.get(name, NOISE_FLOOR_FRAC * a),
             new_s.get(name, NOISE_FLOOR_FRAC * a),
         )
-        verdict = verdict_for(delta, budget, isolated.get(name))
+        verdict = verdict_for(
+            delta, budget, isolated.get(name),
+            recent_medians=isolated_rows.get(name, {}).get("medians"))
         if verdict == "REGRESSION":
             regressions += 1
         iso = isolated.get(name)
