@@ -1822,7 +1822,17 @@ def containment_pairs_prefix(
     from ..plans.stagecut import stage_boundary
 
     tb = int(threshold_bp)
-    base = stage_boundary(docs.select(
+    # Explicit isnotnull(id): the brute path's `l._id < r._id` join
+    # condition already drops null-id docs (NULL comparisons are never
+    # true), and this path documents output identity with it — while
+    # least/greatest SKIP nulls, so without this filter a null-id doc
+    # could sneak a degenerate (f, f) self-pair through the candidate
+    # join. It also aligns every branch's subtree: Catalyst infers
+    # IsNotNull(_id) from the verify equi-joins on ONE consumer of the
+    # `ordered` aggregate only, and that one-sided inferred Filter is
+    # what kept AQE's ReuseExchange from unifying the aggregate's two
+    # executions (r14 runtime plan, Exchange 2086 vs 2120).
+    base = stage_boundary(docs.where(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.transform(shingles(F.col(text_col), shingle_k),
                     lambda g: F.xxhash64(g)).alias("_sh"),
@@ -1830,20 +1840,30 @@ def containment_pairs_prefix(
     tok = base.select("_id", F.size("_sh").alias("_n"),
                       F.explode("_sh").alias("_t"))
     freq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    # ONE aggregate shape feeds both the prefix side and the verify
+    # arrays, and both consumers demand exactly (_id, _ord). The r14
+    # runtime plan showed the join+aggregate executing TWICE (Exchange
+    # plan_ids 2086 vs 2120 in containment_pairs_prefix_after_runtime)
+    # because pref also demanded the count(1) column `_n` while the
+    # verify arrays pruned it — column pruning made the two exchange
+    # subtrees differ, so AQE's ReuseExchange could not fire. `_n` is
+    # exactly size(_ord) (collect_list over never-null structs keeps
+    # one element per tok row), so the count aggregate drops and every
+    # consumer derives the doc size from the array instead.
     ordered = (
         tok.join(freq, "_t")
         .groupBy("_id")
         .agg(F.array_sort(F.collect_list(F.struct("_df", "_t")))
-             .alias("_ord"),
-             F.count(F.lit(1)).alias("_n"))
+             .alias("_ord"))
     )
+    arrd = ordered.select(
+        "_id", F.transform("_ord", lambda s: s.getField("_t")).alias("_shd"))
     # α = ceil(n·tb/10000) in pure integer math; prefix = n − α + 1
-    alpha = F.expr(f"(_n * {tb} + 9999) div 10000")
-    plen = (F.col("_n") - alpha + 1).cast("int")
-    pref = ordered.select(
-        "_id", F.col("_n").alias("_np"),
-        F.explode(F.slice(F.transform("_ord", lambda s: s.getField("_t")),
-                          F.lit(1), plen)).alias("_t"),
+    alpha = F.expr(f"(size(_shd) * {tb} + 9999) div 10000")
+    plen = (F.size("_shd") - alpha + 1).cast("int")
+    pref = arrd.select(
+        "_id", F.size("_shd").cast("long").alias("_np"),
+        F.explode(F.slice("_shd", F.lit(1), plen)).alias("_t"),
     )
     # SIZE CONDITION: the kept condition is inter ≥ ceil(t·min(sa,sb)),
     # so only the SMALLER doc's prefix needs to hit the larger doc's
@@ -1865,13 +1885,12 @@ def containment_pairs_prefix(
         .select(F.least("p._id", "f._id").alias("id_a"),
                 F.greatest("p._id", "f._id").alias("id_b"))
     )
-    # verify arrays come from `ordered`, NOT from two fresh base
-    # subplans: _ord already holds every (distinct) shingle hash of the
-    # doc, and array_intersect/array_union are order-insensitive, so
-    # rebuilding the array table from the aggregate keeps base at ONE
-    # execution while the aggregate's own exchange is stage-reused.
-    arr = ordered.select(
-        "_id", F.transform("_ord", lambda s: s.getField("_t")).alias("_shd"))
+    # verify arrays come from the same `arrd` projection as the prefix
+    # side (r14: from `ordered`, not two fresh base subplans — _ord
+    # already holds every distinct shingle hash and intersect/union are
+    # order-insensitive), so the aggregate executes once and its
+    # exchange is stage-reused by every consumer.
+    arr = arrd
     withsh = cand.join(
         arr.select(F.col("_id").alias("id_a"), F.col("_shd").alias("sh_a")),
         "id_a",
