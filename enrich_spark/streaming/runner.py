@@ -65,7 +65,18 @@ class StreamConfig:
 def collect_metadata(good: DataFrame) -> DataFrame:
     """The system's only true aggregation (core/Metadata.scala:50-65):
     distinct (event schema, app_id, tracker, platform) → counts + the set
-    of entity schemas seen."""
+    of entity schemas seen.
+
+    collect_set, not collect_list (r15, guide §2.3 "shuffle fewer
+    bytes"): the partial aggregate then dedupes the per-event schema
+    ARRAYS map-side, so the group-keyed exchange carries one copy of
+    each distinct derived-entity array per (group, map partition) —
+    bounded by schema-registry cardinality — instead of every event's
+    array (one string column of the corpus). Equivalence is exact:
+    dropping duplicate arrays cannot change the flattened element SET,
+    array_distinct sees the same set either way, and the final
+    array_sort normalizes order; NULL handling is identical
+    (collect_set and collect_list both skip NULL inputs)."""
     return (
         good.groupBy(
             "event_vendor", "event_name", "event_format", "event_version",
@@ -74,7 +85,7 @@ def collect_metadata(good: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.array_sort(
-                F.array_distinct(F.flatten(F.collect_list(
+                F.array_distinct(F.flatten(F.collect_set(
                     F.transform(F.col("_derived"), lambda c: c.getField("schema"))
                 )))
             ).alias("entity_schemas"),
