@@ -946,75 +946,96 @@ def contamination_check_multi(
     ``min_overlap_windows``). Pairs with zero overlap are omitted —
     absence means clean.
 
-    Scale shape: benchmarks sharing a k share ONE gram pass over the
-    corpus; each distinct k costs one map-side broadcast join (the union
-    of that k's benchmark gram sets, one row per (gram, set)) plus one
-    (doc, set)-keyed groupBy. No corpus-side fan-out beyond the number
-    of sets actually hit.
+    Scale shape (r15, the packed-key single pass the r14 round's
+    struct/stack variants were reverted in favor of): ALL distinct k's
+    share ONE normalize+split+gram pass over the corpus — per window
+    the emission is a single LONG, ``xxhash64(window_string, k)``, so
+    the k spaces stay disjoint without any struct/row tagging (the
+    measured cost of the reverted forms) and the per-window hashing
+    work is unchanged. One combined broadcast gram map (hash →
+    benchmark set + k) and ONE (doc, set, k)-keyed groupBy replace the
+    per-k join+groupBy+union. The hash is a JOIN KEY only, never an
+    output value; a collision needs two distinct (window, k) pairs to
+    share an xxhash64 — the same negligible approximation the r13+
+    gram-hashing family already accepts.
     """
     from functools import reduce
 
     from ..plans.stagecut import stage_boundary
 
-    def gram_rows(df, idc, txt, k):
-        # boundary: _nw and the gram Generate both consume the word
-        # array — materialize it once (see duplicate_substring_windows)
+    def gram_rows(df, idc, txt, ks):
+        # boundary: the k gram Generates all consume the word array —
+        # materialize it once (see duplicate_substring_windows); one
+        # pass emits every k's windows as a single concat'd long array
         base = stage_boundary(df.select(
             F.col(idc),
             F.split(F.trim(_normalize(F.col(txt))), " ").alias("_w"),
         ))
         words = F.col("_w")
         n = F.size(words)
-        idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)) \
-            .otherwise(F.array().cast("array<int>"))
-        g = F.transform(
-            idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, k))))
+
+        def grams(k):
+            idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)) \
+                .otherwise(F.array().cast("array<int>"))
+            return F.transform(
+                idx,
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(words, i, k)), F.lit(k)))
+
+        allg = grams(ks[0]) if len(ks) == 1 else F.concat(*[grams(k)
+                                                            for k in ks])
         return base.select(
             F.col(idc),
-            F.greatest(n - k + 1, F.lit(0)).alias("_nw"),
-            F.explode_outer(g).alias("h"),
+            n.alias("_nwords"),
+            F.explode(allg).alias("h"),
         )
 
     by_k: dict[int, list] = {}
     for name, bdf, k in benchmarks:
         by_k.setdefault(int(k), []).append((name, bdf))
 
-    parts = []
+    tagged = []
     for k, sets in sorted(by_k.items()):
-        tagged = []
         for name, bdf in sets:
             b = bdf.select(F.lit(1).alias("_one"), F.col(bench_text_col))
             tagged.append(
-                gram_rows(b, "_one", bench_text_col, k)
-                .where(F.col("h").isNotNull())
-                .select("h", F.lit(name).alias("_set"))
+                gram_rows(b, "_one", bench_text_col, [k])
+                .select("h", F.lit(name).alias("_set"),
+                        F.lit(k).alias("_bk"))
             )
-        bench_map = (
-            reduce(DataFrame.unionByName, tagged)
-            .distinct().groupBy("h").agg(F.collect_set("_set").alias("_sets"))
-        )
+    # one row per gram hash: the benchmark names sharing it, and its k
+    # (k is determined by the hash's construction; max is a formality)
+    bench_map = (
+        reduce(DataFrame.unionByName, tagged)
+        .distinct().groupBy("h")
+        .agg(F.collect_set("_set").alias("_sets"),
+             F.max("_bk").alias("_bk"))
+    )
 
-        doc_g = gram_rows(docs, id_col, text_col, k)
-        hit = (
-            doc_g.join(F.broadcast(bench_map), "h")
-            .select(id_col, "_nw", F.explode("_sets").alias("benchmark"))
-            .groupBy(id_col, "benchmark")
-            .agg(F.max("_nw").alias("n_windows"),
-                 F.count(F.lit(1)).alias("contaminated_windows"))
-            .select(
-                id_col,
-                "benchmark",
-                F.lit(k).alias("k"),
-                "n_windows",
-                "contaminated_windows",
-                F.round(F.col("contaminated_windows") / F.col("n_windows"), 4)
-                .alias("contaminated_frac"),
-                (F.col("contaminated_windows") >= min_overlap_windows)
-                .alias("contaminated"),
-            )
+    doc_g = gram_rows(docs, id_col, text_col, sorted(by_k))
+    return (
+        doc_g.join(F.broadcast(bench_map), "h")
+        .select(id_col, "_nwords", "_bk",
+                F.explode("_sets").alias("benchmark"))
+        # group by k too: a benchmark NAME may legally appear at
+        # several k's, and the per-k form emitted one row per (doc,
+        # name, k) — preserve that exactly
+        .groupBy(id_col, "benchmark", "_bk")
+        .agg(F.max(F.greatest(F.col("_nwords") - F.col("_bk") + 1,
+                              F.lit(0))).alias("n_windows"),
+             F.count(F.lit(1)).alias("contaminated_windows"))
+        .select(
+            id_col,
+            "benchmark",
+            F.col("_bk").alias("k"),
+            "n_windows",
+            "contaminated_windows",
+            F.round(F.col("contaminated_windows") / F.col("n_windows"), 4)
+            .alias("contaminated_frac"),
+            (F.col("contaminated_windows") >= min_overlap_windows)
+            .alias("contaminated"),
         )
-        parts.append(hit)
-    return reduce(DataFrame.unionByName, parts)
+    )
 
 
 def contamination_check_bloom(
